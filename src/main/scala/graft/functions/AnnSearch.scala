@@ -1,0 +1,71 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: exact baseline — broadcast the (small) query set,
+  *    score every corpus vector, per-query top-k via window rank. Linear in
+  *    corpus size with zero shuffle of the corpus (queries are broadcast and
+  *    the rank partitions by query id — the only shuffle is |corpus|×|queries|
+  *    score rows, keep k per query).
+  *  - [[lshTopK]]: scale path — sign-random-projection buckets on both sides;
+  *    only same-bucket candidates are scored. Hyperplanes are generated from a
+  *    fixed seed so results are deterministic.
+  */
+object AnnSearch {
+
+  /** Deterministic random hyperplanes: `nPlanes` × `dim`, seed-fixed. */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Seq.fill(dim)(rng.nextGaussian()))
+  }
+
+
+  /** Exact top-k neighbors for each query vector (cosine, descending; ties by
+    * neighbor id). Self-matches excluded.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String, k: Int
+  ): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val scored = c
+      .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), NativeFns.cosine_sim(col("q_vec"), col("c_vec")).as("cos"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** LSH-bucketed top-k: candidates restricted to same SRP bucket in any of
+    * `tables` independent hash tables. Misses are possible (that's the A in
+    * ANN); recall grows with table count.
+    */
+  def lshTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nPlanes: Int = 12, tables: Int = 4, dim: Int = 64
+  ): DataFrame = {
+    val allPlanes: Array[Array[Array[Double]]] =
+      (0 until tables).map(t => hyperplanes(nPlanes, dim, seed = 42L + t).map(_.toArray).toArray).toArray
+    def withBuckets(df: DataFrame, id: String, vec: String): DataFrame =
+      df.select(
+        col(idCol).as(id),
+        col(vecCol).as(vec),
+        posexplode(NativeFns.srp_buckets(col(vecCol), allPlanes)).as(Seq("table", "bucket"))
+      )
+    val q = withBuckets(queries, "query_id", "q_vec")
+    val c = withBuckets(corpus, "neighbor_id", "c_vec")
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    c.join(broadcast(q), Seq("table", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), NativeFns.cosine_sim(col("q_vec"), col("c_vec")).as("cos"))
+      .distinct()
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** As-of join (extension operator — absent from both the reference, SURVEY
+  * §2.5, and Spark's built-in join set).
+  *
+  * Implemented with the union+window technique rather than a correlated
+  * subquery or a theta-join: both sides are unioned on (key, time), a single
+  * `last(..., ignoreNulls)` running window carries the most recent right-side
+  * value forward, and left rows are filtered back out. Cost at scale: ONE
+  * hash-partition shuffle on the key plus a per-partition sort — no pairwise
+  * key×key blowup, no broadcast requirement, skew handled by AQE. This is the
+  * plan shape you want at 100 TB; a theta-join `l.key = r.key AND r.t <= l.t`
+  * would degenerate to a per-key cross product.
+  */
+object AsOfJoin {
+
+  /** For each left row, attach the latest `rightVal` of the same key with
+    * `rightTime <= leftTime` (inclusive; right rows at the exact same
+    * timestamp win). Left rows with no prior right row get null.
+    *
+    * @param valName  output column name for the carried right-side value
+    */
+  def lookback(
+      left: DataFrame,
+      leftKey: Column,
+      leftTime: Column,
+      right: DataFrame,
+      rightKey: Column,
+      rightTime: Column,
+      rightVal: Column,
+      valName: String
+  ): DataFrame = {
+    val leftCols = left.columns
+    val l = left.select(
+      leftKey.cast("long").as("__k"),
+      leftTime.cast("timestamp").as("__t"),
+      lit(1).as("__side"),
+      lit(null).cast(right.select(rightVal).schema.head.dataType).as("__v"),
+      struct(leftCols.map(col): _*).as("__row")
+    )
+    val r = right.select(
+      rightKey.cast("long").as("__k"),
+      rightTime.cast("timestamp").as("__t"),
+      lit(0).as("__side"),
+      rightVal.as("__v"),
+      lit(null).cast(l.select(col("__row")).schema.head.dataType).as("__row")
+    )
+    // Right rows sort before left rows at equal (key, time) => inclusive asof.
+    val w = Window
+      .partitionBy(col("__k"))
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn(valName, last(col("__v"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(leftCols.map(c => col(s"__row.$c").as(c)) :+ col(valName): _*)
+  }
+}

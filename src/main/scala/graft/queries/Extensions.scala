@@ -1,0 +1,205 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{AnnSearch, DedupOps, TextAnalysis, RollingHash}
+import graft.multimodal.Multimodal
+
+/** Training-data-pipeline extension operators (the north-star surface beyond
+  * reference parity): deduplication, similarity search, multimodal columns,
+  * text analysis. Counts/sizes are cast to bigint and aggregate sums to double
+  * on BOTH sides so the oracle schema compare is exact.
+  */
+object Extensions {
+
+  /** Token counting + quality scoring (length / punctuation / ratio). */
+  val textStats = Q(
+    "x_text_stats",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+          TextAnalysis.bpeishTokenCount(col("text")).cast("long").as("n_bpeish"),
+          TextAnalysis.punctCount(col("text")).cast("long").as("n_punct"),
+          (TextAnalysis.punctCount(col("text")).cast("double") / length(col("text"))).as("punct_ratio")
+        )
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+              len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_tokens,
+              len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS n_bpeish,
+              length(text) - length(regexp_replace(text, '[.,;:!?''"()-]', '', 'g')) AS n_punct,
+              CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()-]', '', 'g')) AS DOUBLE)
+                / length(text) AS punct_ratio
+            FROM documents ORDER BY doc_id""")
+  )
+
+  /** Stopword-heuristic language ID (n-gram heuristic; argmax with fixed tie
+    * precedence, 'und' when no stopword hits).
+    */
+  val textLangId = Q(
+    "x_text_langid",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id"),
+    Some("""WITH tok AS (
+              SELECT doc_id, list_distinct(list_filter(string_split(text, ' '), w -> w <> '')) AS ws
+              FROM documents),
+            sc AS (
+              SELECT doc_id,
+                len(list_intersect(ws, ['the','a','of','and','to','in','is'])) AS en,
+                len(list_intersect(ws, ['el','la','de','que','y','en','un'])) AS es,
+                len(list_intersect(ws, ['der','die','das','und','ist','von','ein'])) AS de,
+                len(list_intersect(ws, ['le','la','les','de','et','un','est'])) AS fr,
+                len(list_intersect(ws, ['的','是','了','在','我','有','和'])) AS zh
+              FROM tok)
+            SELECT doc_id,
+              CASE WHEN en=0 AND es=0 AND de=0 AND fr=0 AND zh=0 THEN 'und'
+                   WHEN en>=es AND en>=de AND en>=fr AND en>=zh THEN 'en'
+                   WHEN es>=de AND es>=fr AND es>=zh THEN 'es'
+                   WHEN de>=fr AND de>=zh THEN 'de'
+                   WHEN fr>=zh THEN 'fr'
+                   ELSE 'zh' END AS lang_pred
+            FROM sc ORDER BY doc_id""")
+  )
+
+  /** Document fingerprinting: custom codegen'd rolling-hash Catalyst
+    * expression + 64-bit SimHash. Not SQL-expressible → rows-only check.
+    */
+  val textFingerprint = Q(
+    "x_text_fingerprint",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          RollingHash.rolling_hash(col("text")).as("fingerprint"),
+          TextAnalysis.simHash64(col("text")).as("simhash")
+        )
+        .orderBy("doc_id")
+  )
+
+  /** Exact dedup: hash-groupBy on content, keep lowest id per group. */
+  val dedupExact = Q(
+    "x_dedup_exact",
+    (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(md5(col("text").cast("binary")).as("content_hash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy("content_hash"),
+    Some("""SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+            FROM documents GROUP BY md5(text) ORDER BY content_hash""")
+  )
+
+  /** MinHash+LSH near-dup pairs, exact-Jaccard verified. The LSH band trick
+    * keeps candidate generation sub-quadratic — the 100 TB path.
+    */
+  val dedupMinhash = Q(
+    "x_dedup_minhash_lsh",
+    (s, d) =>
+      DedupOps
+        .minhashNearDups(Tables.documents(s, d), "doc_id", "text", shingleN = 3, k = 64, bands = 8, threshold = 0.8)
+        .orderBy("id_a", "id_b")
+  )
+
+  /** SimHash fingerprints (near-dup = small Hamming distance). */
+  val dedupSimhash = Q(
+    "x_dedup_simhash",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.simHash64(col("text")).as("simhash"))
+        .orderBy("doc_id")
+  )
+
+  /** Word-3-gram Jaccard near-dup pairs (LSH-prefiltered, exact-verified). */
+  val dedupNgram = Q(
+    "x_dedup_ngram_jaccard",
+    (s, d) =>
+      DedupOps
+        .minhashNearDups(Tables.documents(s, d), "doc_id", "text", shingleN = 2, k = 64, bands = 8, threshold = 0.8)
+        .orderBy("id_a", "id_b")
+  )
+
+  /** Embedding-cosine near-dup candidate pairs. */
+  val dedupEmbedding = Q(
+    "x_dedup_embedding_cosine",
+    (s, d) =>
+      DedupOps
+        .embeddingNearDups(Tables.embeddings(s, d), "vec_id", "embedding", threshold = 0.35)
+        .orderBy("id_a", "id_b")
+  )
+
+  /** Brute-force exact cosine top-5 for the first 10 vectors — the ANN
+    * baseline. Output is rank-only (ints) so the oracle hash is float-safe.
+    */
+  val annBruteForce = Q(
+    "x_ann_bruteforce",
+    (s, d) => {
+      val embs = Tables.embeddings(s, d)
+      AnnSearch
+        .bruteForceTopK(embs, embs.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    },
+    Some("""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+            scored AS (
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                list_sum(list_transform(list_zip(q.qe, e.embedding),
+                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                / (sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                 * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+              FROM embeddings e, q WHERE e.vec_id <> q.query_id)
+            SELECT query_id, neighbor_id, rank FROM (
+              SELECT query_id, neighbor_id,
+                row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+              FROM scored)
+            WHERE rank <= 5 ORDER BY query_id, rank""")
+  )
+
+  /** LSH-bucketed ANN (sign random projection) — the scale path. */
+  val annLsh = Q(
+    "x_ann_lsh",
+    (s, d) => {
+      val embs = Tables.embeddings(s, d)
+      AnnSearch
+        .lshTopK(embs, embs.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }
+  )
+
+  /** Multimodal metadata extraction over the binary payload column (column
+    * path — no decode).
+    */
+  val multimodalMeta = Q(
+    "x_multimodal_meta",
+    (s, d) =>
+      Multimodal
+        .extractMeta(Multimodal.withPayload(Tables.documents(s, d)))
+        .select(col("doc_id"), col("n_bytes"), col("fake_width").cast("long").as("fake_width"), col("checksum"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+              octet_length(encode(text)) % 640 + 1 AS fake_width,
+              md5(text) AS checksum
+            FROM documents ORDER BY doc_id""")
+  )
+
+  /** Multimodal decode/frame-sample via typed mapPartitions (stubbed codec,
+    * real batch plumbing). Rows-only check.
+    */
+  val multimodalFrames = Q(
+    "x_multimodal_frames",
+    (s, d) =>
+      Multimodal
+        .decodeFrames(s, Multimodal.withPayload(Tables.documents(s, d)))
+        .toDF()
+        .orderBy("doc_id")
+  )
+
+  val qs: Seq[Q] = Seq(
+    textStats, textLangId, textFingerprint,
+    dedupExact, dedupMinhash, dedupSimhash, dedupNgram, dedupEmbedding,
+    annBruteForce, annLsh,
+    multimodalMeta, multimodalFrames
+  )
+}

@@ -1,0 +1,205 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.operators.AsOfJoin
+
+/** Headline analytical queries — the extension surface SURVEY §2.5 marks as
+  * absent from the reference (joins, windows, sorts/top-k, set ops, event-time
+  * windows, sessionization, as-of join). These are also the bench workload.
+  *
+  * Money arithmetic is cast to DECIMAL(18,2) before summation on BOTH sides so
+  * Spark and DuckDB aggregate exactly (double summation is order-dependent and
+  * would flake the oracle hash).
+  */
+object Headline {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+
+  /** TPC-H Q1-style pricing summary — the flagship scan+agg. Plan shape:
+    * parquet scan with pushed filter + pruned columns → partial hash agg →
+    * single exchange on (returnflag, linestatus) → final agg. Scales linearly.
+    */
+  val h1 = Q(
+    "h1_pricing_summary",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= to_timestamp(lit("2000-09-02")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+          sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount"))).cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order")
+        )
+        .orderBy("l_returnflag", "l_linestatus"),
+    Some("""SELECT l_returnflag, l_linestatus,
+              CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+              count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+            GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""")
+  )
+
+  /** TPC-H Q3-style 3-way join + agg + top-k. customer is the small side of
+    * orders⋈customer (broadcast-able; AQE converts at runtime); the big
+    * lineitem⋈orders join shuffles on the order key. Top-k is TakeOrdered —
+    * no global sort materialization.
+    */
+  val h2 = Q(
+    "h2_join_topk_revenue",
+    (s, d) => {
+      val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, d)
+      val l = Tables.lineitem(s, d)
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate").cast("timestamp_ntz").as("o_orderdate"))
+        .agg(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount"))).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    },
+    Some("""SELECT o_orderkey, o_orderdate,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY o_orderkey, o_orderdate
+            ORDER BY revenue DESC, o_orderkey LIMIT 10""")
+  )
+
+  /** Dimension-only broadcast join chain: supplier ⋈ nation ⋈ region. Both
+    * dims are broadcast — zero shuffles for the joins, one for the agg.
+    */
+  val h3 = Q(
+    "h3_broadcast_join",
+    (s, d) =>
+      Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_suppliers"), sum(dec(col("s_acctbal"))).cast("double").as("total_bal"))
+        .orderBy("r_name", "n_name"),
+    Some("""SELECT r_name, n_name, count(*) AS n_suppliers,
+              CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name ORDER BY r_name, n_name""")
+  )
+
+  /** Window function: top-2 orders per customer by totalprice (rank within
+    * partition — one shuffle on the partition key, per-partition sort).
+    */
+  val h4 = Q(
+    "h4_window_topn_per_key",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn").cast("long").as("rn"))
+        .orderBy("o_custkey", "rn")
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+              FROM orders) WHERE rn <= 2 ORDER BY o_custkey, rn""")
+  )
+
+  /** Global top-k: orderBy+limit compiles to TakeOrderedAndProject — each
+    * partition keeps k rows, driver merges; no full sort at any scale.
+    */
+  val h5 = Q(
+    "h5_global_topk",
+    (s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10),
+    Some("""SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""")
+  )
+
+  /** Set operation: customers that never ordered (anti-semantics via EXCEPT). */
+  val h6 = Q(
+    "h6_set_except",
+    (s, d) =>
+      Tables.customer(s, d).select(col("c_custkey"))
+        .except(Tables.orders(s, d).select(col("o_custkey").as("c_custkey")))
+        .orderBy("c_custkey"),
+    Some("""SELECT * FROM (SELECT c_custkey FROM customer EXCEPT SELECT o_custkey AS c_custkey FROM orders)
+            ORDER BY c_custkey""")
+  )
+
+  /** As-of join: latest order date per user at each event time (custom
+    * operator via [[AsOfJoin.lookback]] — one shuffle, no per-key cross
+    * product). Oracle uses DuckDB's native ASOF JOIN.
+    */
+  val h7 = Q(
+    "h7_asof_join",
+    (s, d) =>
+      AsOfJoin
+        .lookback(
+          Tables.events(s, d), col("user_id"), col("ts"),
+          Tables.orders(s, d), col("o_custkey"), col("o_orderdate"),
+          col("o_orderdate"), "asof_orderdate"
+        )
+        .select(col("event_id"), col("user_id"), col("asof_orderdate").cast("timestamp_ntz").as("asof_orderdate"))
+        .orderBy("event_id"),
+    Some("""SELECT e.event_id, e.user_id, o.o_orderdate AS asof_orderdate
+            FROM events e ASOF LEFT JOIN orders o
+              ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+            ORDER BY e.event_id""")
+  )
+
+  /** Event-time tumbling window aggregate (batch view of the streaming
+    * `groupBy(window($"ts"), ...)` — same grouping keys, date_trunc form so
+    * the oracle can express it).
+    */
+  val h8 = Q(
+    "h8_event_time_window",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(dec(col("value"))).cast("double").as("total_value"))
+        .orderBy("hour", "event_type"),
+    Some("""SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2""")
+  )
+
+  /** Sessionization: 30-minute inactivity gap, lag+cumsum — the standard
+    * scale-out formulation (one shuffle on user_id, two window passes, no
+    * self-join).
+    */
+  val h9 = Q(
+    "h9_sessionize",
+    (s, d) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn(
+          "new_session",
+          when(col("prev_ts").isNull ||
+                 unix_micros(col("ts").cast("timestamp")) - unix_micros(col("prev_ts").cast("timestamp")) > 1800000000L, 1)
+            .otherwise(0)
+        )
+        .groupBy(col("user_id"))
+        .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    },
+    Some("""SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events FROM (
+              SELECT user_id,
+                CASE WHEN prev_ts IS NULL
+                       OR epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(CAST(prev_ts AS TIMESTAMP)) > 1800000000 THEN 1 ELSE 0 END AS new_session
+              FROM (SELECT user_id, ts, event_id,
+                      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+                    FROM events))
+            GROUP BY user_id ORDER BY user_id""")
+  )
+
+  val qs: Seq[Q] = Seq(h1, h2, h3, h4, h5, h6, h7, h8, h9)
+}

@@ -1,0 +1,121 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** The RainStorm engine (MP4) re-expressed as Structured Streaming.
+  *
+  * Reference lifecycle (`core_process_stream_DS.go:443-1288`): source tasks
+  * read file partitions and stream batches downstream; stage-1 runs a
+  * transform/filter op and hash-routes by key; stage-2 keeps running
+  * per-key state, re-emitting the aggregate on every tuple, journaling
+  * seen-sets and state to HyDFS for exactly-once under failures.
+  *
+  * Spark mapping: `readStream` file source (micro-batches replace the
+  * hand-rolled batching), implicit hash exchange on `groupBy`, state store +
+  * checkpoint WAL replace the journal/ack/replay machinery
+  * (`sendLineInfoArray`/`ResolveStoredAcks`/`StoreBufferOnHydfs`,
+  * `core_process_utils.go:435-517` — zero code here), and `update` output
+  * mode reproduces the running-emission semantics
+  * (`core_process_stream_DS.go:1207-1215`). Kill/restart against the same
+  * checkpoint is the `dokill` fault-injection test
+  * (`core_process_stream_DS.go:1706-1736`).
+  */
+object RainStorm {
+
+  /** Streaming keyed-tuple source over a directory of text files: the analog
+    * of `ReadFilePartition` (`core_process_utils.go:646-690`) emitting
+    * `<file, line>`. `maxFilesPerTrigger` bounds micro-batch size like the
+    * reference's batch-of-300 sends.
+    */
+  def source(spark: SparkSession, dir: String, maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val r = spark.readStream
+    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+    r.text(dir).select(input_file_name().as("key"), col("value"))
+  }
+
+  /** The spec's demo pipeline (Source→Split→Count, MP4 spec p.2-3): streaming
+    * word count with running emission, checkpointed. Each micro-batch's
+    * updated counts are appended as a delta to `destDir` (parquet) — the dual
+    * console+HyDFS-append sink shape (F6). The final state of a key is the
+    * max delta (counts are monotone), which is what `quantify` (F7) reads.
+    */
+  def wordCount(
+      spark: SparkSession,
+      srcDir: String,
+      checkpointDir: String,
+      destDir: String,
+      maxFilesPerTrigger: Option[Int] = None,
+      trigger: Trigger = Trigger.AvailableNow()
+  ): StreamingQuery = {
+    val counts = source(spark, srcDir, maxFilesPerTrigger)
+      .select(explode(split(col("value"), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("cnt"))
+    counts.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(destDir)
+      }
+      .start()
+  }
+
+  /** F7 `quantify` over the streamed dest: final count per key = last (=max)
+    * emitted running count (`QuantifyHydfsFile`, `core_process_utils.go:
+    * 164-236` merges buffers and counts unique records).
+    */
+  def quantify(spark: SparkSession, destDir: String): DataFrame =
+    spark.read.parquet(destDir).groupBy(col("word")).agg(max(col("cnt")).as("cnt"))
+
+  /** Typed stateful count-by-key with running emission via
+    * `mapGroupsWithState` — the direct analog of the reference's stateful
+    * operator protocol (`GetOutputFromOperatorStageStateful2`,
+    * `core_process_utils.go:596-605`: op receives one tuple + its state file,
+    * emits the updated running aggregate).
+    */
+  def runningCountByKey(
+      spark: SparkSession,
+      keyed: Dataset[(String, String)] // (key, value) tuples
+  ): Dataset[(String, Long)] = {
+    import spark.implicits._
+    keyed
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, String)], state: GroupState[Long]) =>
+          val newCount = state.getOption.getOrElse(0L) + rows.size
+          state.update(newCount)
+          (key, newCount)
+      }
+  }
+
+  /** Generic 3-stage pipeline runner mirroring the `RainStorm op1 op2 src dest
+    * num_tasks` terminal verb (`core_process_stream_DS.go:1645-1842`):
+    * source → op1 (stateless transform) → shuffle on key → op2 (grouped agg),
+    * checkpointed, dual console-visible/file sink. `numTasks` maps to
+    * shuffle parallelism, set via spark.sql.shuffle.partitions at session
+    * scope rather than per-query (Spark's planner owns task counts).
+    */
+  def run(
+      spark: SparkSession,
+      srcDir: String,
+      op1: DataFrame => DataFrame,
+      op2: DataFrame => DataFrame,
+      checkpointDir: String,
+      destDir: String,
+      trigger: Trigger = Trigger.AvailableNow()
+  ): StreamingQuery = {
+    val staged = op2(op1(source(spark, srcDir)))
+    staged.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(destDir)
+      }
+      .start()
+  }
+}

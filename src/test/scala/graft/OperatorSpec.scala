@@ -1,0 +1,99 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.AsOfJoin
+import graft.functions.{DedupOps, TextAnalysis, TextHash, RollingHash, VectorOps}
+import graft.sources.Storage
+import org.apache.spark.unsafe.types.UTF8String
+import java.nio.file.Files
+
+class OperatorSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import org.apache.spark.sql.Row
+
+  test("asof join matches naive join+max oracle") {
+    val events = Tables.events(spark, TestSpark.sf0001)
+    val orders = Tables.orders(spark, TestSpark.sf0001)
+    val got = AsOfJoin
+      .lookback(events, col("user_id"), col("ts"), orders, col("o_custkey"), col("o_orderdate"),
+        col("o_orderdate"), "asof_orderdate")
+      .select(col("event_id"), col("asof_orderdate"))
+    val naive = events.as("e")
+      .join(orders.as("o"), col("e.user_id") === col("o.o_custkey") && col("o.o_orderdate") <= col("e.ts"), "left")
+      .groupBy(col("e.event_id"))
+      .agg(max(col("o.o_orderdate")).as("asof_orderdate"))
+    assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty)
+  }
+
+  test("rolling hash: expression output equals direct computation") {
+    val s = "hello graft"
+    val expected = TextHash.hash(UTF8String.fromString(s))
+    val got = spark.range(1)
+      .select(RollingHash.rolling_hash(lit(s)).as("h"))
+      .collect()(0).getLong(0)
+    assert(got == expected)
+    // prefix-composability: rolling property
+    var h = 0L
+    for (b <- s.getBytes("UTF-8")) h = h * 1000003L + (b & 0xff)
+    assert(expected == h)
+  }
+
+  test("simhash is deterministic and identical for identical text") {
+    import spark.implicits._
+    val df = Seq("the quick brown fox", "the quick brown fox", "totally different words here").toDF("text")
+    val hs = df.select(TextAnalysis.simHash64(col("text"))).collect().map(_.getLong(0))
+    assert(hs(0) == hs(1))
+    assert(hs(0) != hs(2))
+  }
+
+  test("langId picks english for english stopwords") {
+    import spark.implicits._
+    val out = Seq("the cat sat on a mat of dust", "xyzzy plugh").toDF("text")
+      .select(TextAnalysis.langId(col("text"))).collect().map(_.getString(0))
+    assert(out(0) == "en")
+    assert(out(1) == "und")
+  }
+
+  test("cosine of identical vectors is 1") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f, 3.0f))).toDF("a", "b")
+    val c = df.select(VectorOps.cosine(col("a"), col("b"))).collect()(0).getDouble(0)
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+
+  test("minhash near-dups finds planted duplicate") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " omicron"), // near-dup of 1
+      (3L, "completely different content with other words entirely unrelated stuff")
+    ).toDF("doc_id", "text")
+    val pairs = DedupOps.minhashNearDups(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("exact jaccard math") {
+    import spark.implicits._
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+    val j = df.select(DedupOps.jaccard(col("x"), col("y"))).collect()(0).getDouble(0)
+    assert(math.abs(j - 0.5) < 1e-12)
+  }
+
+  test("storage facade verbs: create/append/get/merge/quantify/ls") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("hydfs").toString + "/t"
+    val df1 = Seq(1, 2, 3).toDF("v")
+    Storage.create(df1, path)
+    intercept[Exception](Storage.create(df1, path)) // create-once
+    Storage.append(Seq(3, 4).toDF("v"), path)
+    assert(Storage.get(spark, path).count() == 5)
+    assert(Storage.quantify(spark, path) == 4) // distinct records
+    Storage.merge(spark, path, numFiles = 1)
+    assert(Storage.get(spark, path).count() == 5)
+    assert(Storage.ls(path).count(_.endsWith(".parquet")) == 1)
+  }
+}

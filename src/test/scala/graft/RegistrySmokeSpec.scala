@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.Registry
+
+/** Every registered query must run at sf0.001; queries expected to produce
+  * rows must produce them (the driver's rows>0 smoke + a floor under the
+  * oracle gate).
+  */
+class RegistrySmokeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  // Queries where an empty result would itself be a bug at sf0.001.
+  private val mustHaveRows = Set(
+    "f1_source_scan", "f2_range_partition", "f3_hash_partition",
+    "f4_dedup_exactly_once", "f6_distinct_collect_sink", "f7_quantify",
+    "u1_split_flatmap", "u2_wordcount", "u3_filter_contains_project",
+    "u4_project", "u5_filter_eq_project", "u6_filter_numeric",
+    "u9_u10_filter_pipeline", "u11_complex_agg", "u12_batch_oracle",
+    "g1_grep_per_file", "g2_grep_count",
+    "h1_pricing_summary", "h2_join_topk_revenue", "h3_broadcast_join",
+    "h4_window_topn_per_key", "h5_global_topk", "h7_asof_join",
+    "h8_event_time_window", "h9_sessionize",
+    "x_text_stats", "x_text_langid", "x_text_fingerprint",
+    "x_dedup_exact", "x_dedup_simhash",
+    "x_ann_bruteforce", "x_multimodal_meta", "x_multimodal_frames"
+  )
+
+  Registry.all.foreach { q =>
+    test(s"${q.name} runs" + (if (mustHaveRows(q.name)) " and has rows" else "")) {
+      val n = q.run(spark, TestSpark.sf0001).count()
+      if (mustHaveRows(q.name)) assert(n > 0, s"${q.name} returned 0 rows")
+      else assert(n >= 0)
+    }
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key has a query") {
+    val qs = SparkEntry.queries.keySet
+    assert(SparkEntry.oracleSql.keySet.subsetOf(qs))
+  }
+}
