@@ -18,14 +18,8 @@ object DedupOps {
   /** Word n-gram shingles of a text column. Texts shorter than n words get a
     * single whole-text shingle so they still participate.
     */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = TextAnalysis.tokens(text)
-    val sh = when(
-      size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)), j => concat_ws(" ", slice(toks, j, lit(n))))
-    ).otherwise(array(concat_ws(" ", toks)))
-    array_distinct(sh)
-  }
+  def shingles(text: Column, n: Int = 3): Column =
+    NativeFns.word_shingles(text, n)
 
   /** MinHash signature of length k over the shingle set: element i is
     * min over shingles of xxhash64(shingle, i). Deterministic, seed-indexed.

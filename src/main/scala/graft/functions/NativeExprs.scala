@@ -37,6 +37,34 @@ object VecMath {
   private def hashUtf8(s: org.apache.spark.unsafe.types.UTF8String, seed: Long): Long =
     XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
 
+  /** Distinct word n-gram shingles (space-tokenized, empties dropped; texts
+    * shorter than n words yield one whole-text shingle). First-occurrence
+    * order, matching `array_distinct` semantics.
+    */
+  def wordShingles(text: org.apache.spark.unsafe.types.UTF8String, n: Int): ArrayData = {
+    val toks = text.toString.split(" ").filter(_.nonEmpty)
+    val seen = new java.util.LinkedHashSet[String]()
+    if (toks.length >= n) {
+      var i = 0
+      while (i + n <= toks.length) {
+        val sb = new java.lang.StringBuilder()
+        var j  = 0
+        while (j < n) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+        seen.add(sb.toString)
+        i += 1
+      }
+    } else {
+      seen.add(String.join(" ", toks: _*))
+    }
+    val out = new Array[Any](seen.size)
+    val it  = seen.iterator()
+    var i   = 0
+    while (it.hasNext) {
+      out(i) = org.apache.spark.unsafe.types.UTF8String.fromString(it.next()); i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** MinHash signature: element i = min over shingles of xxhash64(shingle,
     * seed=i). One tight loop, k×|shingles| hashes, no boxing.
     */
@@ -133,6 +161,19 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): SimHash64Expr = copy(child = c)
 }
 
+/** word_shingles(string, n) → array<string>, codegen'd. */
+case class WordShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"word_shingles expects string, got ${child.dataType.simpleString}")
+  override protected def nullSafeEval(input: Any): Any =
+    VecMath.wordShingles(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecMath.wordShingles($c, $n)")
+  override protected def withNewChildInternal(c: Expression): WordShinglesExpr = copy(child = c)
+}
+
 /** srp_buckets(array<float>) → array<int>: one sign-random-projection bucket
   * id per hash table. The hyperplanes live inside the expression node (not as
   * literal columns) — a 4-table × 12-plane × 64-dim config as `typedLit`s
@@ -192,4 +233,6 @@ object NativeFns {
     ColumnBridge.column(SimHash64Expr(ColumnBridge.expression(tokens)))
   def srp_buckets(vec: Column, planes: Array[Array[Array[Double]]]): Column =
     ColumnBridge.column(SrpBucketsExpr(ColumnBridge.expression(vec), planes))
+  def word_shingles(text: Column, n: Int): Column =
+    ColumnBridge.column(WordShinglesExpr(ColumnBridge.expression(text), n))
 }
