@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.{CosineSimExpr, MinHashSigExpr, RollingHashExpr, SimHash64Expr, WordShinglesExpr}
+
+/** SparkSessionExtensions wiring: registers graft's custom Catalyst
+  * expressions as SQL functions so `spark.sql("SELECT rolling_hash(text) …")`
+  * works, in addition to the Column API in [[graft.functions.NativeFns]].
+  *
+  * Enable with `.config("spark.sql.extensions", "graft.GraftExtensions")` or
+  * `.withExtensions(new GraftExtensions)` (GraftSession does this by
+  * default).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    def info(name: String, usage: String) =
+      new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "", "", "", "", "", "", "scala_udf")
+
+    ext.injectFunction(
+      (FunctionIdentifier("rolling_hash"),
+       info("rolling_hash", "rolling_hash(str) - polynomial rolling-hash fingerprint of a string"),
+       (args: Seq[Expression]) => RollingHashExpr(args.head))
+    )
+    ext.injectFunction(
+      (FunctionIdentifier("cosine_sim"),
+       info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two float vectors"),
+       (args: Seq[Expression]) => CosineSimExpr(args(0), args(1)))
+    )
+    ext.injectFunction(
+      (FunctionIdentifier("simhash64"),
+       info("simhash64", "simhash64(tokens) - 64-bit SimHash of a string array"),
+       (args: Seq[Expression]) => SimHash64Expr(args.head))
+    )
+    ext.injectFunction(
+      (FunctionIdentifier("minhash_sig"),
+       info("minhash_sig", "minhash_sig(shingles, k) - k-element MinHash signature of a string array"),
+       (args: Seq[Expression]) => MinHashSigExpr(args(0), intArg(args(1), "minhash_sig k")))
+    )
+    ext.injectFunction(
+      (FunctionIdentifier("word_shingles"),
+       info("word_shingles", "word_shingles(str, n) - distinct word n-gram shingles"),
+       (args: Seq[Expression]) => WordShinglesExpr(args(0), intArg(args(1), "word_shingles n")))
+    )
+  }
+}

@@ -92,6 +92,57 @@ object RainStorm {
       }
   }
 
+  /** Event-time tumbling-window aggregate with watermark — the streaming
+    * form of the batch `h8_event_time_window` query. Late rows beyond the
+    * watermark are dropped by the state store; output mode `update` emits
+    * per-trigger deltas (the running-emission shape).
+    */
+  def eventTimeWindowCounts(
+      events: DataFrame, // streaming DF with (ts: timestamp, event_type: string)
+      windowLen: String = "1 hour",
+      watermark: String = "2 hours"
+  ): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+
+  /** Stateful sessionization via `flatMapGroupsWithState`: per-user session
+    * tracking with a gap timeout, emitting one row per closed-or-updated
+    * session. The direct analog of the reference's stateful operator contract
+    * (state in, tuple in, updated state + emission out) with Spark's state
+    * store replacing the state file.
+    */
+  final case class SessionState(sessionId: Long, nEvents: Long, lastTs: Long)
+  final case class SessionUpdate(userId: Long, sessionId: Long, nEvents: Long)
+
+  def sessionize(
+      spark: SparkSession,
+      events: Dataset[(Long, Long)], // (user_id, epochSeconds)
+      gapSeconds: Long = 1800
+  ): Dataset[SessionUpdate] = {
+    import spark.implicits._
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, SessionUpdate](
+        OutputMode.Append(),
+        GroupStateTimeout.NoTimeout
+      ) { (userId: Long, rows: Iterator[(Long, Long)], state: GroupState[SessionState]) =>
+        var st  = state.getOption.getOrElse(SessionState(0L, 0L, Long.MinValue))
+        val out = scala.collection.mutable.ArrayBuffer.empty[SessionUpdate]
+        rows.toSeq.sortBy(_._2).foreach { case (_, ts) =>
+          st =
+            if (st.lastTs != Long.MinValue && ts - st.lastTs <= gapSeconds)
+              st.copy(nEvents = st.nEvents + 1, lastTs = ts)
+            else SessionState(st.sessionId + 1, 1L, ts)
+        }
+        state.update(st)
+        out += SessionUpdate(userId, st.sessionId, st.nEvents)
+        out.iterator
+      }
+  }
+
   /** Generic 3-stage pipeline runner mirroring the `RainStorm op1 op2 src dest
     * num_tasks` terminal verb (`core_process_stream_DS.go:1645-1842`):
     * source → op1 (stateless transform) → shuffle on key → op2 (grouped agg),

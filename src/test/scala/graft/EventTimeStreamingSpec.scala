@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.RainStorm
+import java.nio.file.Files
+
+/** Event-time streaming parity: the watermarked windowed aggregate over the
+  * events table must converge to the same totals as the batch query, and the
+  * flatMapGroupsWithState sessionizer must agree with the batch lag+cumsum
+  * sessionization (h9).
+  */
+class EventTimeStreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("streaming event-time window counts converge to batch h8 counts") {
+    val src = Files.createTempDirectory("events_src").toString
+    Tables.events(spark, TestSpark.sf0001)
+      .select(col("ts").cast("timestamp").as("ts"), col("event_type"))
+      .repartition(3)
+      .write.mode("overwrite").parquet(src)
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .parquet(src)
+    val q = RainStorm.eventTimeWindowCounts(stream)
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("win_counts")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.sql("SELECT window_start, event_type, n FROM win_counts")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    val batch = Tables.events(spark, TestSpark.sf0001)
+      .groupBy(date_trunc("hour", col("ts")).cast("timestamp").as("h"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch)
+  }
+
+  test("flatMapGroupsWithState sessionizer matches batch sessionization") {
+    import spark.implicits._
+    val events = Tables.events(spark, TestSpark.sf0001)
+      .select(col("user_id"), expr("unix_micros(CAST(ts AS TIMESTAMP)) div 1000000").as("sec"))
+      .as[(Long, Long)]
+    val got = RainStorm.sessionize(spark, events)
+      .collect().map(s => s.userId -> s.sessionId).toMap
+    // batch oracle: h9-style lag+cumsum session count per user
+    val batch = graft.queries.Headline.h9.run(spark, TestSpark.sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == batch)
+  }
+}

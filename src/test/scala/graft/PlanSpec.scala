@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.{Headline, Parity}
+
+/** Plan-shape regressions: the properties that make these queries viable at
+  * 100 TB must stay in the physical plan — filters pushed into the parquet
+  * scan, column pruning, broadcast for dim joins, TakeOrderedAndProject for
+  * top-k (never a global sort materialization).
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def plan(q: graft.queries.Q): String =
+    q.run(spark, TestSpark.sf0001).queryExecution.executedPlan.toString
+
+  test("h1: shipdate filter reaches the parquet scan, schema pruned") {
+    val p = plan(Headline.h1)
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    assert(!p.contains("l_orderkey"), "untouched columns must be pruned from the scan")
+    assert(p.contains("partial_sum"), "aggregation must be partial (map-side) before the exchange")
+  }
+
+  test("u6: numeric predicate pushed down, 3-column read schema") {
+    val p = plan(Parity.u6)
+    assert(p.contains("LessThanOrEqual(l_discount,0.05)"))
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_discount:double>"))
+  }
+
+  test("h2: dimension filter pushed, joins broadcast, top-k is TakeOrdered") {
+    val p = plan(Headline.h2)
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("h3: both dims broadcast — no shuffle for the joins") {
+    val p = plan(Headline.h3)
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 2)
+  }
+
+  test("h5: global top-k compiles to TakeOrderedAndProject, 2-column scan") {
+    val p = plan(Headline.h5)
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>"))
+  }
+
+  test("grep scan: filter applied in scan stage, no join/shuffle before agg") {
+    val p = plan(Parity.g2)
+    assert(!p.contains("Join"))
+    // single partial→final count, no other exchanges
+    assert(p.contains("partial_count") || p.contains("HashAggregate"))
+  }
+
+  test("custom SQL functions are registered via GraftExtensions") {
+    val r = spark.sql("SELECT rolling_hash('abc') AS h, simhash64(array('a','b')) AS s, " +
+      "cosine_sim(array(CAST(1.0 AS FLOAT)), array(CAST(1.0 AS FLOAT))) AS c, " +
+      "size(minhash_sig(array('x'), 16)) AS k, size(word_shingles('a b c d', 2)) AS w").collect()(0)
+    assert(r.getDouble(2) == 1.0)
+    assert(r.getInt(3) == 16)
+    assert(r.getInt(4) == 3)
+  }
+}
