@@ -60,6 +60,36 @@ object ReferenceWorkloads {
       .filter(fld(12) === "No" && fld(13) === "1000")
       .select(fld(2).as("objectid"))
 
+  /** Load a quoted CSV positionally (no header), the way `operators/app1_2.go:
+    * 24-27` parses Traffic Signs with encoding/csv + LazyQuotes: fields like
+    * `16" X 42"` contain quotes and commas, so naive splitting is wrong here
+    * and a real CSV reader is required.
+    */
+  def loadQuotedCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("header", "false")
+      .option("quote", "\"")
+      .option("escape", "\"")
+      .csv(path)
+
+  private def c(i: Int): Column = col(s"_c$i") // positional, 0-based
+
+  /** Demo app1_1 (`operators/app1_1.go:43-44`): FilteredTransform — category
+    * contains param → project (objectid, sign name).
+    */
+  def trafficFilterContains(signs: DataFrame, param: String): DataFrame =
+    signs.filter(c(8).contains(param)).select(c(2).as("objectid"), c(3).as("sign_name"))
+
+  /** Demo app1_2 (`operators/app1_2.go:32`): Transform — project cols 2,3. */
+  def trafficProject(signs: DataFrame): DataFrame =
+    signs.select(c(2).as("objectid"), c(3).as("sign_name"))
+
+  /** Demo app2_1 (`operators/app2_1.go:36-37`): equality on post type →
+    * project category.
+    */
+  def trafficPostTypeCategory(signs: DataFrame, postType: String): DataFrame =
+    signs.filter(c(6) === postType).select(c(8).as("category"))
+
   /** P-complex (`misc/rate_filter_operator.go:29-41` + count): meters with
     * rate <= 0.5 counted per zone. try_cast reproduces the reference's
     * skip-on-parse-error behavior (ANSI cast would throw on the header row).

@@ -196,8 +196,23 @@ object Extensions {
         .orderBy("doc_id")
   )
 
+  /** Sketch aggregate: HyperLogLog++ approximate distinct next to the exact
+    * count. The sketch is engine-specific (no cross-engine oracle), but at
+    * 100 TB it is the difference between one pass with bounded memory and a
+    * full distinct shuffle — rows-only check, accuracy asserted in ScalaTest.
+    */
+  val approxDistinct = Q(
+    "x_approx_distinct_sketch",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .agg(
+          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+          count_distinct(col("l_partkey")).as("exact_parts")
+        )
+  )
+
   val qs: Seq[Q] = Seq(
-    textStats, textLangId, textFingerprint,
+    textStats, textLangId, textFingerprint, approxDistinct,
     dedupExact, dedupMinhash, dedupSimhash, dedupNgram, dedupEmbedding,
     annBruteForce, annLsh,
     multimodalMeta, multimodalFrames

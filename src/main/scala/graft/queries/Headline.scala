@@ -201,5 +201,45 @@ object Headline {
             GROUP BY user_id ORDER BY user_id""")
   )
 
-  val qs: Seq[Q] = Seq(h1, h2, h3, h4, h5, h6, h7, h8, h9)
+  /** Semi/anti joins (EXISTS / NOT EXISTS): customers with an error event vs
+    * customers with no event activity at all. Both plan as hash joins with
+    * early-out probing — no row multiplication.
+    */
+  val h10 = Q(
+    "h10_semi_anti_join",
+    (s, d) => {
+      val customers = Tables.customer(s, d)
+      val events    = Tables.events(s, d)
+      val errUsers  = events.filter(col("event_type") === "error").select(col("user_id"))
+      val withErr   = customers.join(errUsers, col("c_custkey") === col("user_id"), "left_semi")
+        .select(col("c_custkey"), lit("has_error").as("status"))
+      val noEvents  = customers.join(events.select(col("user_id")), col("c_custkey") === col("user_id"), "left_anti")
+        .select(col("c_custkey"), lit("no_events").as("status"))
+      withErr.unionByName(noEvents).orderBy("c_custkey", "status")
+    },
+    Some("""SELECT c_custkey, 'has_error' AS status FROM customer
+            WHERE EXISTS (SELECT 1 FROM events WHERE user_id = c_custkey AND event_type = 'error')
+            UNION ALL
+            SELECT c_custkey, 'no_events' AS status FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM events WHERE user_id = c_custkey)
+            ORDER BY c_custkey, status""")
+  )
+
+  /** Grouping sets via ROLLUP: per (status, priority) plus per-status and
+    * grand-total rows — one pass, expand+aggregate, no repeated scans.
+    */
+  val h11 = Q(
+    "h11_rollup",
+    (s, d) =>
+      Tables.orders(s, d)
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"), sum(dec(col("o_totalprice"))).cast("double").as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first),
+    Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+            FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+            ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")
+  )
+
+  val qs: Seq[Q] = Seq(h1, h2, h3, h4, h5, h6, h7, h8, h9, h10, h11)
 }

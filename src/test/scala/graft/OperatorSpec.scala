@@ -83,6 +83,12 @@ class OperatorSpec extends AnyFunSuite {
     assert(math.abs(j - 0.5) < 1e-12)
   }
 
+  test("approx distinct sketch is within rsd of exact") {
+    val r = graft.queries.Extensions.approxDistinct.run(spark, TestSpark.sf0001).collect()(0)
+    val (approx, exact) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    assert(math.abs(approx - exact) / exact < 0.1, s"approx=$approx exact=$exact")
+  }
+
   test("storage facade verbs: create/append/get/merge/quantify/ls") {
     import spark.implicits._
     val path = Files.createTempDirectory("hydfs").toString + "/t"

@@ -63,6 +63,50 @@ class ReferenceWorkloadsSpec extends AnyFunSuite {
     assert(got.sorted.toSeq == oracle.sorted)
   }
 
+  private val trafficPath = "/root/reference/HYDFS/business/Traffic_Signs_1000.txt"
+
+  /** Minimal RFC4180 parser for the in-test oracle (quote-aware, "" escape). */
+  private def parseCsvLine(line: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb  = new StringBuilder
+    var inQ = false; var i = 0
+    while (i < line.length) {
+      val ch = line(i)
+      if (inQ) {
+        if (ch == '"' && i + 1 < line.length && line(i + 1) == '"') { sb += '"'; i += 1 }
+        else if (ch == '"') inQ = false
+        else sb += ch
+      } else ch match {
+        case '"' => inQ = true
+        case ',' => out += sb.toString; sb.clear()
+        case c2  => sb += c2
+      }
+      i += 1
+    }
+    out += sb.toString
+    out.toArray
+  }
+
+  test("Traffic demo apps (quoted CSV) match RFC4180 oracle") {
+    val rows = {
+      val src = Source.fromFile(trafficPath, "ISO-8859-1")
+      try src.getLines().map(parseCsvLine).toList finally src.close()
+    }
+    val signs = ReferenceWorkloads.loadQuotedCsv(spark, trafficPath)
+
+    val o1 = rows.filter(f => f.length > 8 && f(8).contains("Warning")).map(f => (f(2), f(3))).sorted
+    val g1 = ReferenceWorkloads.trafficFilterContains(signs, "Warning")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+    assert(g1 == o1)
+
+    val o2 = rows.filter(f => f.length > 8 && f(6) == "Punched Telespar").map(_(8)).sorted
+    val g2 = ReferenceWorkloads.trafficPostTypeCategory(signs, "Punched Telespar")
+      .collect().map(_.getString(0)).toSeq.sorted
+    assert(g2 == o2)
+
+    assert(ReferenceWorkloads.trafficProject(signs).count() == rows.length)
+  }
+
   test("P-complex matches plain-Scala oracle") {
     val oracle = lines(parkingPath)
       .filter(f => f.length > 8 && Try(f(5).toDouble).toOption.exists(_ <= 0.5))
