@@ -59,15 +59,19 @@ object Multimodal {
     * `mapInPandas` batch UDF: one codec instance per partition, rows streamed
     * through it, output schema declared by the `MediaMeta` encoder.
     */
-  def decodeFrames(spark: SparkSession, withPayload: DataFrame): Dataset[MediaMeta] = {
+  def decodeFrames(spark: SparkSession, withPayload: DataFrame, batchSize: Int = 64): Dataset[MediaMeta] = {
     import spark.implicits._
     withPayload
       .select(col("doc_id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        // per-partition "codec" init would happen here
-        rows.map { case (id, bytes) =>
-          MediaMeta(id, bytes.length.toLong, StubCodec.width(bytes), StubCodec.height(bytes), StubCodec.frames(bytes))
+        // Per-partition codec init happens once here; payloads then flow
+        // through in batches (the `mapInPandas` batch shape) — a real decoder
+        // would amortize GPU/codec dispatch across each chunk.
+        rows.grouped(batchSize).flatMap { chunk =>
+          chunk.map { case (id, bytes) =>
+            MediaMeta(id, bytes.length.toLong, StubCodec.width(bytes), StubCodec.height(bytes), StubCodec.frames(bytes))
+          }
         }
       }
   }

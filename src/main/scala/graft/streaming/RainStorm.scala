@@ -35,11 +35,21 @@ object RainStorm {
     r.text(dir).select(input_file_name().as("key"), col("value"))
   }
 
+  /** Idempotent micro-batch file sink: each batch overwrites its own
+    * deterministic `batch_id=N` directory, so a batch replayed after a crash
+    * lands in the same place instead of appending a duplicate — exactly-once
+    * output without the reference's ack/journal machinery (`StoreBufferOnHydfs`
+    * + seen-set dedup, `core_process_utils.go:499-517`).
+    */
+  def idempotentParquetSink(destDir: String): (DataFrame, Long) => Unit =
+    (batch: DataFrame, id: Long) =>
+      batch.write.mode("overwrite").parquet(s"$destDir/batch_id=$id")
+
   /** The spec's demo pipeline (Source→Split→Count, MP4 spec p.2-3): streaming
     * word count with running emission, checkpointed. Each micro-batch's
-    * updated counts are appended as a delta to `destDir` (parquet) — the dual
-    * console+HyDFS-append sink shape (F6). The final state of a key is the
-    * max delta (counts are monotone), which is what `quantify` (F7) reads.
+    * updated counts go through the idempotent per-batch sink (F6's dual
+    * console+file shape); the final state of a key is the max emitted running
+    * count (counts are monotone), which is what `quantify` (F7) reads.
     */
   def wordCount(
       spark: SparkSession,
@@ -58,9 +68,7 @@ object RainStorm {
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").parquet(destDir)
-      }
+      .foreachBatch(idempotentParquetSink(destDir))
       .start()
   }
 
@@ -164,9 +172,7 @@ object RainStorm {
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").parquet(destDir)
-      }
+      .foreachBatch(idempotentParquetSink(destDir))
       .start()
   }
 }

@@ -61,6 +61,29 @@ class RainStormStreamingSpec extends AnyFunSuite {
     assert(streamed == batchWordCount(src), "final state after kill/restart must equal batch oracle")
   }
 
+  test("generic RainStorm.run pipeline (op1 -> op2) matches batch") {
+    import graft.operators.RainStormOps
+    val src  = writeCorpus()
+    val dest = tmpDir("dest")
+    // op1 = split operator from the registry, op2 = count-by-key: the
+    // `RainStorm split count src dest` CLI shape.
+    val q = RainStorm.run(
+      spark, src,
+      RainStormOps.registry("split")("value"),
+      RainStormOps.countByKey(col("word"), "cnt"),
+      tmpDir("ckpt"), dest
+    )
+    q.awaitTermination(120000)
+    val streamed = RainStorm.quantify(spark, dest)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = spark.read.text(src)
+      .select(explode(split(col("value"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed == batch)
+  }
+
   test("typed running count-by-key emits running totals") {
     import spark.implicits._
     val keyed = Seq(("a", "x"), ("b", "y"), ("a", "z")).toDS()
