@@ -35,6 +35,27 @@ object RainStorm {
     r.text(dir).select(input_file_name().as("key"), col("value"))
   }
 
+  /** Socket keyed-tuple source (the reference streams tuples over raw TCP;
+    * Spark's socket source is the lightweight analog, Kafka being the
+    * production one — same downstream pipeline either way).
+    */
+  def socketSource(spark: SparkSession, host: String, port: Int): DataFrame =
+    spark.readStream
+      .format("socket")
+      .option("host", host)
+      .option("port", port)
+      .load()
+      .select(lit(s"$host:$port").as("key"), col("value"))
+
+  /** Session config for stateful streaming at scale: RocksDB-backed state
+    * store (bounded heap, spillable state) instead of the default in-memory
+    * HDFS-backed provider. This is what makes big keyed state (dedup sets,
+    * session maps) survive on real clusters.
+    */
+  val rocksDbStateStoreConf: (String, String) =
+    "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
   /** Idempotent micro-batch file sink: each batch overwrites its own
     * deterministic `batch_id=N` directory, so a batch replayed after a crash
     * lands in the same place instead of appending a duplicate — exactly-once

@@ -84,6 +84,51 @@ class RainStormStreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("socket source streams keyed tuples end-to-end") {
+    import java.net.ServerSocket
+    import java.io.PrintWriter
+    val server = new ServerSocket(0)
+    val port   = server.getLocalPort
+    val feeder = new Thread(() => {
+      val sock = server.accept()
+      val out  = new PrintWriter(sock.getOutputStream, true)
+      (1 to 50).foreach(i => out.println(s"tuple number $i"))
+      Thread.sleep(3000)
+      out.close(); sock.close()
+    })
+    feeder.setDaemon(true); feeder.start()
+    val q = RainStorm.socketSource(spark, "localhost", port)
+      .writeStream.outputMode("append").format("memory").queryName("sock")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(100))
+      .start()
+    var waited = 0
+    def seen() = spark.sql("SELECT count(*) FROM sock").collect()(0).getLong(0)
+    while (seen() < 50 && waited < 30000) { Thread.sleep(250); waited += 250 }
+    q.stop(); server.close()
+    assert(seen() == 50)
+    val keys = spark.sql("SELECT DISTINCT key FROM sock").collect().map(_.getString(0))
+    assert(keys.sameElements(Array(s"localhost:$port")))
+  }
+
+  test("RocksDB state store runs the stateful word count") {
+    val src  = writeCorpus()
+    val dest = tmpDir("dest")
+    val prev = spark.conf.getOption(RainStorm.rocksDbStateStoreConf._1)
+    spark.conf.set(RainStorm.rocksDbStateStoreConf._1, RainStorm.rocksDbStateStoreConf._2)
+    try {
+      val q = RainStorm.wordCount(spark, src, tmpDir("ckpt"), dest)
+      q.awaitTermination(120000)
+      val streamed = RainStorm.quantify(spark, dest)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(streamed == batchWordCount(src))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(RainStorm.rocksDbStateStoreConf._1, v)
+        case None    => spark.conf.unset(RainStorm.rocksDbStateStoreConf._1)
+      }
+    }
+  }
+
   test("typed running count-by-key emits running totals") {
     import spark.implicits._
     val keyed = Seq(("a", "x"), ("b", "y"), ("a", "z")).toDS()
