@@ -18,9 +18,32 @@ import org.apache.spark.sql.expressions.Window
   */
 object AsOfJoin {
 
+  import org.apache.spark.sql.types._
+
+  /** Widening-only key alignment: equal types pass through; numeric pairs
+    * widen to the larger type (never narrow — a narrowing cast throws under
+    * ANSI or silently wraps into false matches without it); anything else is
+    * rejected up front with a clear error rather than coerced surprisingly.
+    */
+  private[operators] def commonKeyType(l: DataType, r: DataType): DataType = {
+    val numericOrder: Seq[DataType] =
+      Seq(ByteType, ShortType, IntegerType, LongType, FloatType, DoubleType)
+    if (l == r) l
+    else if (numericOrder.contains(l) && numericOrder.contains(r))
+      numericOrder(math.max(numericOrder.indexOf(l), numericOrder.indexOf(r)))
+    else
+      throw new IllegalArgumentException(
+        s"asof join keys have incompatible types ${l.simpleString} / ${r.simpleString}; cast them explicitly")
+  }
+
   /** For each left row, attach the latest `rightVal` of the same key with
     * `rightTime <= leftTime` (inclusive; right rows at the exact same
     * timestamp win). Left rows with no prior right row get null.
+    *
+    * SQL equi-join semantics for nulls: a null key never matches (right rows
+    * with null keys are dropped; left rows with null keys get a null result),
+    * and right rows with a null time can never satisfy `rightTime <= leftTime`
+    * so they are dropped too.
     *
     * @param valName  output column name for the carried right-side value
     */
@@ -35,20 +58,25 @@ object AsOfJoin {
       valName: String
   ): DataFrame = {
     val leftCols = left.columns
+    val keyType = commonKeyType(
+      left.select(leftKey).schema.head.dataType,
+      right.select(rightKey).schema.head.dataType)
     val l = left.select(
-      leftKey.cast("long").as("__k"),
+      leftKey.cast(keyType).as("__k"),
       leftTime.cast("timestamp").as("__t"),
       lit(1).as("__side"),
       lit(null).cast(right.select(rightVal).schema.head.dataType).as("__v"),
       struct(leftCols.map(col): _*).as("__row")
     )
-    val r = right.select(
-      rightKey.cast("long").as("__k"),
-      rightTime.cast("timestamp").as("__t"),
-      lit(0).as("__side"),
-      rightVal.as("__v"),
-      lit(null).cast(l.select(col("__row")).schema.head.dataType).as("__row")
-    )
+    val r = right
+      .filter(rightKey.isNotNull && rightTime.isNotNull)
+      .select(
+        rightKey.cast(keyType).as("__k"),
+        rightTime.cast("timestamp").as("__t"),
+        lit(0).as("__side"),
+        rightVal.as("__v"),
+        lit(null).cast(l.select(col("__row")).schema.head.dataType).as("__row")
+      )
     // Right rows sort before left rows at equal (key, time) => inclusive asof.
     val w = Window
       .partitionBy(col("__k"))

@@ -26,6 +26,36 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty)
   }
 
+  test("asof join: mixed-width numeric keys widen; null keys/times never match") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val left = Seq(
+      (Some(1), "2020-01-10"), // int key
+      (Some(2), "2020-01-10"), // key with only null-time right rows
+      (None: Option[Int], "2020-01-10") // null key
+    ).toDF("k", "t").withColumn("t", col("t").cast("timestamp"))
+    val right = Seq(
+      (Some(1L), Some("2020-01-05"), "early"),
+      (Some(1L), Some("2020-01-08"), "late"),
+      (Some(2L), None: Option[String], "null_time"),
+      (None: Option[Long], Some("2020-01-01"), "null_key")
+    ).toDF("rk", "rt", "v").withColumn("rt", col("rt").cast("timestamp"))
+    val out = AsOfJoin
+      .lookback(left, col("k"), col("t"), right, col("rk"), col("rt"), col("v"), "asof_v")
+      .collect().map(r => (if (r.isNullAt(0)) -1 else r.getInt(0)) -> Option(r.getString(2)).orNull).toMap
+    assert(out == Map(1 -> "late", 2 -> null, -1 -> null))
+    // long-left / int-right widens too (reverse direction)
+    val l2 = Seq((4294967297L, "2020-01-10")).toDF("k", "t").withColumn("t", col("t").cast("timestamp"))
+    val r2 = Seq((1, "2020-01-01", "x")).toDF("rk", "rt", "v").withColumn("rt", col("rt").cast("timestamp"))
+    val o2 = AsOfJoin.lookback(l2, col("k"), col("t"), r2, col("rk"), col("rt"), col("v"), "asof_v").collect()
+    assert(o2.length == 1 && o2(0).isNullAt(2), "key 2^32+1 must NOT wrap to match int key 1")
+    // incompatible types rejected up front
+    val ls = Seq(("a", "2020-01-10")).toDF("k", "t").withColumn("t", col("t").cast("timestamp"))
+    intercept[IllegalArgumentException](
+      AsOfJoin.lookback(ls, col("k"), col("t"), r2, col("rk"), col("rt"), col("v"), "asof_v")
+    )
+  }
+
   test("rolling hash: expression output equals direct computation") {
     val s = "hello graft"
     val expected = TextHash.hash(UTF8String.fromString(s))
