@@ -53,6 +53,20 @@ object RainStormOps {
   def countByKey(key: Column, outName: String = "cnt"): Op =
     df => df.groupBy(key).agg(count(lit(1)).as(outName))
 
+  /** Two-phase salted count-by-key for skewed keys: phase 1 aggregates on
+    * (key, salt) so a hot key's rows spread over `saltBuckets` reducers;
+    * phase 2 sums the partials per key. Same result as [[countByKey]] —
+    * this is the aggregation-side analog of AQE's skew-join splitting, for
+    * when one key would otherwise own an entire reducer at 100 TB.
+    */
+  def saltedCountByKey(key: Column, outName: String = "cnt", saltBuckets: Int = 16): Op =
+    df =>
+      df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
+        .groupBy(key, col("__salt"))
+        .agg(count(lit(1)).as("__partial"))
+        .groupBy(key)
+        .agg(sum(col("__partial")).as(outName))
+
   /** Stateless stage-2 "collect" sink semantics: outputs land in a map keyed
     * by value, i.e. duplicates collapse (`core_process_stream_DS.go:1186-1206`,
     * SURVEY §2.2 note). A set, not a bag.

@@ -277,6 +277,20 @@ object Parity {
             ORDER BY doc_id""")
   )
 
+  /** U2 again through the two-phase salted aggregation — identical results
+    * (same oracle), different physical plan: the skew-resilient form for hot
+    * keys. Both stay in the registry so the driver checks the equivalence.
+    */
+  val u2salted = Q(
+    "u2_wordcount_salted",
+    (s, d) =>
+      pipeline(Tables.documents(s, d), splitWords(col("text")), saltedCountByKey(col("word")))
+        .orderBy("word"),
+    Some("""SELECT word, count(*) AS cnt
+            FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+            WHERE word <> '' GROUP BY word ORDER BY word""")
+  )
+
   val qs: Seq[Q] =
-    Seq(f1, f2, f3, f4, f6, f7, u1, u2, u3, u4, u5, u6, u7u8, u9u10, u11, u12, g1, g2, g3)
+    Seq(f1, f2, f3, f4, f6, f7, u1, u2, u2salted, u3, u4, u5, u6, u7u8, u9u10, u11, u12, g1, g2, g3)
 }

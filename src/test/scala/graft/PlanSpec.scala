@@ -52,6 +52,31 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count") || p.contains("HashAggregate"))
   }
 
+  test("bucketed tables sort-merge join without a shuffle exchange") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_customer")
+      Tables.orders(spark, TestSpark.sf0001)
+        .write.bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable("b_orders")
+      Tables.customer(spark, TestSpark.sf0001)
+        .write.bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable("b_customer")
+      val j = spark.table("b_orders")
+        .join(spark.table("b_customer"), org.apache.spark.sql.functions.col("o_custkey") === org.apache.spark.sql.functions.col("c_custkey"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle; plan was:\n${plan.take(1500)}")
+      assert(j.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("salted wordcount equals plain wordcount") {
+    val plain  = Parity.u2.run(spark, TestSpark.sf0001).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = Parity.u2salted.run(spark, TestSpark.sf0001).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(plain == salted)
+  }
+
   test("custom SQL functions are registered via GraftExtensions") {
     val r = spark.sql("SELECT rolling_hash('abc') AS h, simhash64(array('a','b')) AS s, " +
       "cosine_sim(array(CAST(1.0 AS FLOAT)), array(CAST(1.0 AS FLOAT))) AS c, " +

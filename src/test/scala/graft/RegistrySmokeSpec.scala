@@ -14,7 +14,7 @@ class RegistrySmokeSpec extends AnyFunSuite {
   private val mustHaveRows = Set(
     "f1_source_scan", "f2_range_partition", "f3_hash_partition",
     "f4_dedup_exactly_once", "f6_distinct_collect_sink", "f7_quantify",
-    "u1_split_flatmap", "u2_wordcount", "u3_filter_contains_project",
+    "u1_split_flatmap", "u2_wordcount", "u2_wordcount_salted", "u3_filter_contains_project",
     "u4_project", "u5_filter_eq_project", "u6_filter_numeric",
     "u9_u10_filter_pipeline", "u11_complex_agg", "u12_batch_oracle",
     "g1_grep_per_file", "g2_grep_count",
