@@ -58,6 +58,20 @@ class PlanSpec extends AnyFunSuite {
     try {
       spark.sql("DROP TABLE IF EXISTS b_orders")
       spark.sql("DROP TABLE IF EXISTS b_customer")
+      // The in-memory catalog forgets tables across JVMs but the warehouse
+      // directory persists; clear the physical locations or saveAsTable fails
+      // on the second run with a non-empty-location error.
+      val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      Seq("b_orders", "b_customer").foreach { t =>
+        val d = new java.io.File(wh, t)
+        if (d.exists()) {
+          def del(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(del)
+            f.delete()
+          }
+          del(d)
+        }
+      }
       Tables.orders(spark, TestSpark.sf0001)
         .write.bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable("b_orders")
       Tables.customer(spark, TestSpark.sf0001)
