@@ -57,6 +57,14 @@ object DedupOps {
         )
       ).as(Seq("band", "bucket"))
     )
+    pairsFromBuckets(banded, idCol, maxBucketSize)
+  }
+
+  /** Distinct within-bucket id pairs (id_a < id_b) from a pre-exploded
+    * (id, band, bucket) frame — the shared sub-quadratic core of every LSH
+    * dedup path. One shuffle on (band, bucket).
+    */
+  def pairsFromBuckets(banded: DataFrame, idCol: String, maxBucketSize: Int): DataFrame =
     banded
       .groupBy(col("band"), col("bucket"))
       .agg(sort_array(collect_list(col(idCol))).as("ids"))
@@ -81,7 +89,6 @@ object DedupOps {
       )
       .select(col("pair.id_a"), col("pair.id_b"))
       .distinct()
-  }
 
   /** End-to-end MinHash near-dup detection: shingle → minhash → LSH candidates
     * → exact-Jaccard verification at `threshold`. Returns (id_a, id_b,
@@ -134,45 +141,44 @@ object DedupOps {
     pairs.filter(col("hamming") <= maxHamming)
   }
 
-  /** Embedding-cosine near-dup pairs above `threshold`: block-nested-loop over
-    * a broadcast primitive-float matrix (the build side is collected once and
-    * broadcast, like a broadcast hash join's build side — NOT a per-pair
-    * Catalyst evaluation, which pays array-decode per comparison). Each
-    * partition streams its vectors against the in-memory matrix at memory
-    * bandwidth. For corpora whose build side exceeds broadcast size, prefilter
-    * with [[AnnSearch.lshTopK]] buckets and run this within buckets.
+  /** Embedding-cosine near-dup pairs above `threshold`, sub-quadratic via
+    * sign-random-projection bucketing: both sides are SRP-hashed into
+    * `tables` independent hash tables of 2^nPlanes buckets (the codegen'd
+    * [[NativeExprs SrpBucketsExpr]] kernel), candidate pairs are emitted only
+    * within buckets (one shuffle on (table, bucket) through
+    * [[pairsFromBuckets]]), and the exact cosine is evaluated only on
+    * candidates. Nothing is collected to the driver — the whole path is
+    * distributed and scales with candidate volume, not corpus².
+    *
+    * Approximate by design (like any LSH method): recall per pair at cosine c
+    * is 1-(1-p^nPlanes)^tables with p = 1 - acos(c)/π. For genuine near-dups
+    * (c ≥ 0.9) the defaults give >0.93 recall; for low thresholds pass fewer
+    * planes / more tables. Deterministic: hyperplanes are seed-fixed.
     */
-  def embeddingNearDups(embs: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
-    val spark = embs.sparkSession
-    import spark.implicits._
-    val typed = embs.select(col(idCol).cast("long"), col(vecCol)).as[(Long, Array[Float])]
-    val build = typed.collect().sortBy(_._1)
-    val bc    = spark.sparkContext.broadcast(build.map { case (id, v) =>
-      var n = 0.0; var i = 0
-      while (i < v.length) { n += v(i).toDouble * v(i).toDouble; i += 1 }
-      (id, v, math.sqrt(n))
-    })
-    typed
-      .mapPartitions { iter =>
-        val right = bc.value
-        iter.flatMap { case (idA, va) =>
-          var na = 0.0
-          var i  = 0
-          while (i < va.length) { na += va(i).toDouble * va(i).toDouble; i += 1 }
-          val normA = math.sqrt(na)
-          right.iterator
-            .filter(_._1 > idA)
-            .flatMap { case (idB, vb, normB) =>
-              var dot = 0.0
-              var j   = 0
-              val n   = math.min(va.length, vb.length)
-              while (j < n) { dot += va(j).toDouble * vb(j).toDouble; j += 1 }
-              val den = normA * normB
-              val cos = if (den == 0.0) 0.0 else dot / den
-              if (cos >= threshold) Some((idA, idB, cos)) else None
-            }
-        }
-      }
-      .toDF("id_a", "id_b", "cos")
+  def embeddingNearDups(
+      embs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      nPlanes: Int = 8,
+      tables: Int = 8,
+      dim: Int = 64,
+      maxBucketSize: Int = 2000
+  ): DataFrame = {
+    val planes: Array[Array[Array[Double]]] =
+      (0 until tables).map(t => AnnSearch.hyperplanes(nPlanes, dim, seed = 42L + t).map(_.toArray).toArray).toArray
+    val ids = embs.select(col(idCol).cast("long").as("__id"), col(vecCol).as("__vec"))
+    val banded = ids.select(
+      col("__id"),
+      posexplode(NativeFns.srp_buckets(col("__vec"), planes)).as(Seq("band", "bucket"))
+    )
+    val cands = pairsFromBuckets(banded, "__id", maxBucketSize)
+    val a     = ids.select(col("__id").as("id_a"), col("__vec").as("__va"))
+    val b     = ids.select(col("__id").as("id_b"), col("__vec").as("__vb"))
+    cands
+      .join(a, "id_a")
+      .join(b, "id_b")
+      .select(col("id_a"), col("id_b"), NativeFns.cosine_sim(col("__va"), col("__vb")).as("cos"))
+      .filter(col("cos") >= threshold)
   }
 }

@@ -43,7 +43,13 @@ object AsOfJoin {
     * SQL equi-join semantics for nulls: a null key never matches (right rows
     * with null keys are dropped; left rows with null keys get a null result),
     * and right rows with a null time can never satisfy `rightTime <= leftTime`
-    * so they are dropped too.
+    * so they are dropped too. A matched right row whose `rightVal` is
+    * legitimately null DOES yield null (the carrier is a non-null
+    * struct(time, value), so `ignoreNulls` never skips past a real match to
+    * an older non-null value). Ties among right rows at the same (key, time)
+    * resolve deterministically to the largest value (the carrier struct is
+    * the final window ordering column); `rightVal` must therefore be an
+    * orderable type.
     *
     * @param valName  output column name for the carried right-side value
     */
@@ -61,11 +67,15 @@ object AsOfJoin {
     val keyType = commonKeyType(
       left.select(leftKey).schema.head.dataType,
       right.select(rightKey).schema.head.dataType)
+    val valType = right.select(rightVal).schema.head.dataType
+    val carryType = StructType(Seq(
+      StructField("t", TimestampType),
+      StructField("v", valType)))
     val l = left.select(
       leftKey.cast(keyType).as("__k"),
       leftTime.cast("timestamp").as("__t"),
       lit(1).as("__side"),
-      lit(null).cast(right.select(rightVal).schema.head.dataType).as("__v"),
+      lit(null).cast(carryType).as("__v"),
       struct(leftCols.map(col): _*).as("__row")
     )
     val r = right
@@ -74,17 +84,18 @@ object AsOfJoin {
         rightKey.cast(keyType).as("__k"),
         rightTime.cast("timestamp").as("__t"),
         lit(0).as("__side"),
-        rightVal.as("__v"),
+        struct(rightTime.cast("timestamp").as("t"), rightVal.as("v")).as("__v"),
         lit(null).cast(l.select(col("__row")).schema.head.dataType).as("__row")
       )
-    // Right rows sort before left rows at equal (key, time) => inclusive asof.
+    // Right rows sort before left rows at equal (key, time) => inclusive asof;
+    // __v last => equal-(key,time) right rows pick a deterministic winner.
     val w = Window
       .partitionBy(col("__k"))
-      .orderBy(col("__t"), col("__side"))
+      .orderBy(col("__t"), col("__side"), col("__v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)
-      .withColumn(valName, last(col("__v"), ignoreNulls = true).over(w))
+      .withColumn("__carry", last(col("__v"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select(leftCols.map(c => col(s"__row.$c").as(c)) :+ col(valName): _*)
+      .select(leftCols.map(c => col(s"__row.$c").as(c)) :+ col("__carry.v").as(valName): _*)
   }
 }

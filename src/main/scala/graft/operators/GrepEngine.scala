@@ -49,18 +49,23 @@ object GrepEngine {
   def countTotal(logs: DataFrame, stages: Seq[GrepStage]): DataFrame =
     matchLines(logs, stages).agg(count(lit(1)).as("matches"))
 
-  /** Minimal command-line translator for the documented surface:
-    * `grep [-c] [-i] [-v] [-E] PATTERN [| grep ...]`. Returns the stages and
-    * whether count mode was requested anywhere in the chain.
+  /** Command-line translator for the documented surface:
+    * `grep [-c] [-i] [-v] [-E] PATTERN [| grep ...]`. Quote-aware: `|` inside
+    * a quoted pattern is regex alternation, not a pipe (`grep 'a|b'` is ONE
+    * stage), and a quoted pattern is never mistaken for a flag even if it
+    * starts with `-`. Returns the stages and whether count mode was requested
+    * anywhere in the chain.
     */
+  private val knownFlags = Set("-c", "-i", "-v", "-E")
+
   def parse(cmd: String): (Seq[GrepStage], Boolean) = {
     var countMode = false
-    val stages = cmd.split("\\|").toSeq.map(_.trim).filter(_.nonEmpty).map { seg =>
-      val toks  = seg.split("\\s+").toSeq.filter(_ != "grep")
-      val flags = toks.takeWhile(_.startsWith("-"))
-      val pat   = toks.dropWhile(_.startsWith("-")).mkString(" ").stripPrefix("'").stripSuffix("'")
-      if (flags.contains("-c")) countMode = true
-      GrepStage(pat, invert = flags.contains("-v"), ignoreCase = flags.contains("-i"))
+    val stages = Cli.splitUnquoted(cmd, '|').map(_.trim).filter(_.nonEmpty).map { seg =>
+      val toks          = Cli.splitWithQuotes(seg).filterNot(t => !t.quoted && t.text == "grep")
+      val (flags, rest) = toks.span(t => !t.quoted && knownFlags.contains(t.text))
+      val pat           = rest.map(_.text).mkString(" ")
+      if (flags.exists(_.text == "-c")) countMode = true
+      GrepStage(pat, invert = flags.exists(_.text == "-v"), ignoreCase = flags.exists(_.text == "-i"))
     }
     (stages, countMode)
   }

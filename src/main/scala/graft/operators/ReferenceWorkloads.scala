@@ -22,7 +22,11 @@ object ReferenceWorkloads {
   def loadNaiveCsv(spark: SparkSession, path: String): DataFrame =
     spark.read.textFile(path).select(split(col("value"), ",").as("f"))
 
-  private def fld(i: Int): Column = element_at(col("f"), i + 1) // 0-based like the reference
+  // 0-based like the reference. try_element_at: a ragged/short row (e.g. a
+  // blank line) yields null and falls out of the value predicates, matching
+  // the reference binaries' skip-on-error behavior — ANSI element_at would
+  // throw INVALID_ARRAY_INDEX_IN_ELEMENT_AT and fail the job.
+  private def fld(i: Int): Column = try_element_at(col("f"), lit(i + 1))
 
   /** L-simple (`misc/lichess_op_1.go` ∘ `lichess_op_2.go`):
     * winner='white' AND victory_status='mate' → game id.

@@ -120,12 +120,19 @@ object Extensions {
         .orderBy("id_a", "id_b")
   )
 
-  /** Embedding-cosine near-dup candidate pairs. */
+  /** Embedding-cosine near-dup candidate pairs (SRP-bucketed, distributed —
+    * no driver-side materialization). The testdata's 0.35 threshold is far
+    * below real near-dup similarity, so the query passes a shallow 4-plane /
+    * 8-table config to keep recall useful at that angle; production near-dup
+    * thresholds (≥0.9) use the deeper defaults.
+    */
   val dedupEmbedding = Q(
     "x_dedup_embedding_cosine",
     (s, d) =>
       DedupOps
-        .embeddingNearDups(Tables.embeddings(s, d), "vec_id", "embedding", threshold = 0.35)
+        .embeddingNearDups(
+          Tables.embeddings(s, d), "vec_id", "embedding",
+          threshold = 0.35, nPlanes = 4, tables = 8)
         .orderBy("id_a", "id_b")
   )
 
@@ -156,13 +163,19 @@ object Extensions {
             WHERE rank <= 5 ORDER BY query_id, rank""")
   )
 
-  /** LSH-bucketed ANN (sign random projection) — the scale path. */
+  /** LSH-bucketed ANN (sign random projection) — the scale path. This
+    * corpus has no planted clusters (top-neighbor cosine ≈ 0.45-0.5), so the
+    * query uses a shallow 4-plane / 8-table config whose theoretical recall
+    * at that angle is ~0.8; AccuracySpec pins the measured recall against
+    * `x_ann_bruteforce`. Clustered production data uses deeper planes.
+    */
   val annLsh = Q(
     "x_ann_lsh",
     (s, d) => {
       val embs = Tables.embeddings(s, d)
       AnnSearch
-        .lshTopK(embs, embs.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+        .lshTopK(embs, embs.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5,
+          nPlanes = 4, tables = 8)
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
     }
@@ -185,7 +198,11 @@ object Extensions {
   )
 
   /** Multimodal decode/frame-sample via typed mapPartitions (stubbed codec,
-    * real batch plumbing). Rows-only check.
+    * real batch plumbing). The output is scalar-only (the driver compare
+    * cannot sort array columns): the sampled frame hashes are folded into
+    * `n_frames`, and the SQL-derivable stub fields get a full DuckDB oracle.
+    * Frame-hash values themselves are asserted in MultimodalSpec against a
+    * plain-Scala reimplementation.
     */
   val multimodalFrames = Q(
     "x_multimodal_frames",
@@ -193,7 +210,20 @@ object Extensions {
       Multimodal
         .decodeFrames(s, Multimodal.withPayload(Tables.documents(s, d)))
         .toDF()
-        .orderBy("doc_id")
+        .select(
+          col("doc_id"),
+          col("n_bytes"),
+          col("fake_width").cast("long").as("fake_width"),
+          col("fake_height").cast("long").as("fake_height"),
+          size(col("frame_hashes")).cast("long").as("n_frames")
+        )
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+              octet_length(encode(text)) AS n_bytes,
+              octet_length(encode(text)) % 640 + 1 AS fake_width,
+              octet_length(encode(text)) % 480 + 1 AS fake_height,
+              LEAST(CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT), 8) AS n_frames
+            FROM documents ORDER BY doc_id""")
   )
 
   /** Sketch aggregate: HyperLogLog++ approximate distinct next to the exact

@@ -191,7 +191,7 @@ object Headline {
         .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
         .orderBy("user_id")
     },
-    Some("""SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events FROM (
+    Some("""SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
               SELECT user_id,
                 CASE WHEN prev_ts IS NULL
                        OR epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(CAST(prev_ts AS TIMESTAMP)) > 1800000000 THEN 1 ELSE 0 END AS new_session
@@ -241,5 +241,91 @@ object Headline {
             ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")
   )
 
-  val qs: Seq[Q] = Seq(h1, h2, h3, h4, h5, h6, h7, h8, h9, h10, h11)
+  /** LEFT OUTER join: every customer with their order count, zero included.
+    * Shuffle hash/sort-merge on the key at scale; the count(col) form skips
+    * the null-extended rows without a separate coalesce pass.
+    */
+  val h12 = Q(
+    "h12_left_outer_join",
+    (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy("c_custkey"),
+    Some("""SELECT c_custkey, count(o_orderkey) AS n_orders
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey ORDER BY c_custkey""")
+  )
+
+  /** FULL OUTER join of two pre-aggregated key sets (order activity vs event
+    * activity per user). Aggregating BEFORE the join keeps both sides one row
+    * per key, so the full-outer shuffle joins |keys| rows, not |facts|.
+    */
+  val h13 = Q(
+    "h13_full_outer_join",
+    (s, d) => {
+      val o = Tables.orders(s, d).groupBy(col("o_custkey").as("k")).agg(count(lit(1)).as("n_orders"))
+      val e = Tables.events(s, d).groupBy(col("user_id").as("k")).agg(count(lit(1)).as("n_events"))
+      o.join(e, Seq("k"), "full")
+        .select(col("k"), col("n_orders"), col("n_events"))
+        .orderBy("k")
+    },
+    Some("""WITH o AS (SELECT o_custkey AS k, count(*) AS n_orders FROM orders GROUP BY 1),
+                 e AS (SELECT user_id AS k, count(*) AS n_events FROM events GROUP BY 1)
+            SELECT COALESCE(o.k, e.k) AS k, o.n_orders, e.n_events
+            FROM o FULL OUTER JOIN e ON o.k = e.k ORDER BY k""")
+  )
+
+  /** INTERSECT: users who both ordered and produced events. Plans as a
+    * distinct + semi-join — no row multiplication.
+    */
+  val h14 = Q(
+    "h14_intersect",
+    (s, d) =>
+      Tables.orders(s, d).select(col("o_custkey").as("k"))
+        .intersect(Tables.events(s, d).select(col("user_id").as("k")))
+        .orderBy("k"),
+    Some("""SELECT * FROM (SELECT o_custkey AS k FROM orders INTERSECT SELECT user_id AS k FROM events)
+            ORDER BY k""")
+  )
+
+  /** UNION (distinct): the combined key universe of both fact tables. */
+  val h15 = Q(
+    "h15_union",
+    (s, d) =>
+      Tables.orders(s, d).select(col("o_custkey").as("k"))
+        .union(Tables.events(s, d).select(col("user_id").as("k")))
+        .distinct()
+        .orderBy("k"),
+    Some("""SELECT * FROM (SELECT o_custkey AS k FROM orders UNION SELECT user_id AS k FROM events)
+            ORDER BY k""")
+  )
+
+  /** TPC-H Q17-style correlated scalar subquery: revenue from small-quantity
+    * orders, where "small" is relative to the part's own average. Written as
+    * the correlated form through spark.sql — Catalyst decorrelates it into
+    * the aggregate+join plan automatically (RewriteCorrelatedScalarSubquery),
+    * which is exactly the hand-written scale plan. l_quantity is
+    * integer-valued in this data, so double sums/avgs are exact and the
+    * threshold comparison is bit-identical across engines.
+    */
+  val h16 = Q(
+    "h16_correlated_subquery",
+    (s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("h16_lineitem")
+      s.sql("""SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+               FROM h16_lineitem l1
+               WHERE l_quantity < (SELECT 0.2 * avg(l_quantity)
+                                   FROM h16_lineitem l2
+                                   WHERE l2.l_partkey = l1.l_partkey)""")
+    },
+    Some("""SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+            FROM lineitem l1
+            WHERE l_quantity < (SELECT 0.2 * avg(l_quantity)
+                                FROM lineitem l2
+                                WHERE l2.l_partkey = l1.l_partkey)""")
+  )
+
+  val qs: Seq[Q] = Seq(h1, h2, h3, h4, h5, h6, h7, h8, h9, h10, h11, h12, h13, h14, h15, h16)
 }

@@ -28,8 +28,14 @@ object Parity {
   )
 
   /** F2 — fair range partitioning (`GetFairPartitions`,
-    * `core_process_utils.go:1296-1318`). The scale mechanism in Spark is
-    * `repartitionByRange`; the observable assignment is surfaced via ntile.
+    * `core_process_utils.go:1296-1318`).
+    *
+    * HARNESS-ONLY FORM: the ntile-over-global-window below exists solely so
+    * the oracle can hash a deterministic partition assignment — it is a
+    * single-task presentation and must never be used as the engine path. The
+    * actual scale mechanism is `repartitionByRange` (a sampled
+    * RangePartitioning exchange, every task parallel), pinned by PlanSpec's
+    * "f2 scale mechanism" test.
     */
   val f2 = Q(
     "f2_range_partition",
@@ -69,6 +75,23 @@ object Parity {
         .orderBy("user_id", "event_type"),
     Some("""SELECT user_id, event_type, min(event_id) AS first_event, count(*) AS n_seen
             FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type""")
+  )
+
+  /** F4 batch view of the STREAMING dedup operator
+    * ([[graft.streaming.RainStorm.dedupStream]]): a replayed source (the
+    * same tuples delivered twice) collapses to exactly-once output by unique
+    * id. Replay is simulated as self-union; dropDuplicates is the same
+    * first-wins-per-key semantics the streaming form applies per micro-batch.
+    */
+  val f4b = Q(
+    "f4b_dedup_replay",
+    (s, d) => {
+      val e = Tables.events(s, d).select(col("event_id"), col("user_id"), col("event_type"))
+      e.unionByName(e) // the replay
+        .dropDuplicates("event_id")
+        .orderBy("event_id")
+    },
+    Some("""SELECT DISTINCT event_id, user_id, event_type FROM events ORDER BY event_id""")
   )
 
   /** F6 — stateless collect sink: output map keyed by value, duplicates
@@ -292,5 +315,5 @@ object Parity {
   )
 
   val qs: Seq[Q] =
-    Seq(f1, f2, f3, f4, f6, f7, u1, u2, u2salted, u3, u4, u5, u6, u7u8, u9u10, u11, u12, g1, g2, g3)
+    Seq(f1, f2, f3, f4, f4b, f6, f7, u1, u2, u2salted, u3, u4, u5, u6, u7u8, u9u10, u11, u12, g1, g2, g3)
 }

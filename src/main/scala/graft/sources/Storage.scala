@@ -34,16 +34,23 @@ object Storage {
     spark.read.parquet(path)
 
   /** `merge hydfsf` — compact append chunks into few files
-    * (`mergeFile`, `core_process_utils.go:2040-2146`). Atomic swap via temp
-    * dir + move; `numFiles` bounds output parallelism like the coordinator's
-    * single merged base file.
+    * (`mergeFile`, `core_process_utils.go:2040-2146`). Crash-safe swap: the
+    * old data is renamed aside (never deleted first), the merged dir moved
+    * in, then the sidecar dropped — a crash at any step leaves a complete
+    * copy of the data in either the target or the `.__merge_old` sidecar.
+    * The target path is absent only between the two renames (no
+    * delete-before-replace window). `numFiles` bounds output parallelism
+    * like the coordinator's single merged base file.
     */
   def merge(spark: SparkSession, path: String, numFiles: Int = 1): Unit = {
     val tmp = path.stripSuffix("/") + ".__merge_tmp"
     spark.read.parquet(path).coalesce(numFiles).write.mode("overwrite").parquet(tmp)
     val target = Paths.get(path)
-    deleteRecursively(target)
+    val old    = Paths.get(path.stripSuffix("/") + ".__merge_old")
+    deleteRecursively(old)
+    Files.move(target, old, StandardCopyOption.ATOMIC_MOVE)
     Files.move(Paths.get(tmp), target, StandardCopyOption.ATOMIC_MOVE)
+    deleteRecursively(old)
   }
 
   /** `ls` / `store` — file→storage listing (`core_process_hydfs.go:613-630`). */
@@ -58,6 +65,51 @@ object Storage {
     */
   def quantify(spark: SparkSession, path: String): Long =
     spark.read.parquet(path).distinct().count()
+
+  /** `multiappend file vm1,vm2,… localf1,localf2,…` — N writers append to the
+    * same dataset concurrently (`core_process_hydfs.go:656-701` launches the
+    * appends in parallel goroutines). Each writer commits its own uniquely
+    * named part files, so concurrent appends compose without coordination;
+    * client order within a writer is preserved, cross-writer order is
+    * whatever the FS commit order yields — exactly the reference's semantics.
+    */
+  def multiAppend(dfs: Seq[DataFrame], path: String): Unit = {
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = dfs.map { df =>
+      val t = new Thread(() =>
+        try append(df, path)
+        catch { case e: Throwable => failures.add(e) })
+      t.start(); t
+    }
+    threads.foreach(_.join())
+    if (!failures.isEmpty) throw new RuntimeException("multiappend writer failed", failures.peek())
+  }
+
+  /** `getfromreplica vm hydfsf` — read one replica's copy directly
+    * (`core_process_hydfs.go:631-645`). The FS-analog of a replica is a
+    * single committed part file; reading exactly one shows what that "node"
+    * stores, bypassing the merged view.
+    */
+  def getFromReplica(spark: SparkSession, path: String, partFile: String): DataFrame =
+    spark.read.parquet(path.stripSuffix("/") + "/" + partFile)
+
+  /** `listmemids` / `store` — the membership/placement diagnostic
+    * (`core_process_hydfs.go:613-655`): which storage units hold the dataset
+    * and how much each holds. FS-analog: the committed data files with their
+    * sizes, sorted by name (the "ring" order is the FS listing order).
+    */
+  def listMembers(path: String): Seq[(String, Long)] = {
+    val p = Paths.get(path)
+    if (!Files.exists(p)) Seq.empty
+    else
+      Files.list(p).iterator().asScala
+        .filter { f =>
+          val n = f.getFileName.toString
+          Files.isRegularFile(f) && !n.startsWith("_") && !n.startsWith(".")
+        }
+        .map(f => (f.getFileName.toString, Files.size(f)))
+        .toSeq.sortBy(_._1)
+  }
 
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {

@@ -138,10 +138,17 @@ object RainStorm {
       .select(col("window.start").as("window_start"), col("event_type"), col("n"))
 
   /** Stateful sessionization via `flatMapGroupsWithState`: per-user session
-    * tracking with a gap timeout, emitting one row per closed-or-updated
-    * session. The direct analog of the reference's stateful operator contract
-    * (state in, tuple in, updated state + emission out) with Spark's state
-    * store replacing the state file.
+    * tracking with a gap timeout, emitting one row per session closed inside
+    * the micro-batch plus one for the still-open session's latest state. The
+    * direct analog of the reference's stateful operator contract (state in,
+    * tuple in, updated state + emission out) with Spark's state store
+    * replacing the state file.
+    *
+    * Ordering contract: rows are sorted by event time WITHIN a micro-batch;
+    * across batches the gap logic assumes per-key event-time order (an event
+    * older than the key's last seen time folds into the current session
+    * rather than reopening a past one). For unordered sources, bound the
+    * disorder upstream with a watermark + window instead.
     */
   final case class SessionState(sessionId: Long, nEvents: Long, lastTs: Long)
   final case class SessionUpdate(userId: Long, sessionId: Long, nEvents: Long)
@@ -161,16 +168,37 @@ object RainStorm {
         var st  = state.getOption.getOrElse(SessionState(0L, 0L, Long.MinValue))
         val out = scala.collection.mutable.ArrayBuffer.empty[SessionUpdate]
         rows.toSeq.sortBy(_._2).foreach { case (_, ts) =>
-          st =
-            if (st.lastTs != Long.MinValue && ts - st.lastTs <= gapSeconds)
-              st.copy(nEvents = st.nEvents + 1, lastTs = ts)
-            else SessionState(st.sessionId + 1, 1L, ts)
+          if (st.lastTs != Long.MinValue && ts - st.lastTs <= gapSeconds)
+            st = st.copy(nEvents = st.nEvents + 1, lastTs = ts)
+          else {
+            // A session closed mid-batch: emit it before opening the next.
+            if (st.lastTs != Long.MinValue) out += SessionUpdate(userId, st.sessionId, st.nEvents)
+            st = SessionState(st.sessionId + 1, 1L, ts)
+          }
         }
         state.update(st)
         out += SessionUpdate(userId, st.sessionId, st.nEvents)
         out.iterator
       }
   }
+
+  /** F4's stated Spark mapping (SURVEY §2.1): exactly-once tuple dedup by
+    * unique id with watermark-bounded state — the streaming seen-set
+    * (`seen_storage_map`, `core_process_stream_DS.go:869-875,1170-1176`)
+    * as `dropDuplicatesWithinWatermark`. A replayed tuple whose id was seen
+    * within the watermark horizon is dropped; state for ids older than the
+    * horizon is evicted, so memory stays bounded no matter how long the
+    * stream runs (the reference keeps its seen-set forever — unbounded).
+    */
+  def dedupStream(
+      tuples: DataFrame, // streaming DF with an id column and an event-time column
+      idCol: String,
+      tsCol: String,
+      watermarkDelay: String = "10 minutes"
+  ): DataFrame =
+    tuples
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(idCol)
 
   /** Generic 3-stage pipeline runner mirroring the `RainStorm op1 op2 src dest
     * num_tasks` terminal verb (`core_process_stream_DS.go:1645-1842`):
