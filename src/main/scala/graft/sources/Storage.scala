@@ -77,12 +77,35 @@ object Storage {
     val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
     val threads = dfs.map { df =>
       val t = new Thread(() =>
-        try append(df, path)
+        try stagedAppend(df, path)
         catch { case e: Throwable => failures.add(e) })
       t.start(); t
     }
     threads.foreach(_.join())
     if (!failures.isEmpty) throw new RuntimeException("multiappend writer failed", failures.peek())
+  }
+
+  /** Append safe under CONCURRENT writers: plain `mode("append")` jobs share
+    * the destination's `_temporary/0` staging dir (FileOutputCommitter), so
+    * two simultaneous appends corrupt each other's commit. Instead each
+    * writer commits to a private staging dir and then moves its uniquely
+    * named part files (parquet part names embed a job UUID — the analog of
+    * the reference's `append_{node}_{file}_{lamport}` chunk names) into the
+    * dataset. This is also the multi-writer pattern at 100 TB: unique-name
+    * chunk commit, never a shared staging root.
+    */
+  def stagedAppend(df: DataFrame, path: String): Unit = {
+    val stage = path.stripSuffix("/") + ".__append_" + java.util.UUID.randomUUID().toString.take(8)
+    df.write.mode("overwrite").parquet(stage)
+    val target = Paths.get(path)
+    Files.createDirectories(target)
+    Files.list(Paths.get(stage)).iterator().asScala
+      .filter { f =>
+        val n = f.getFileName.toString
+        Files.isRegularFile(f) && !n.startsWith("_") && !n.startsWith(".")
+      }
+      .foreach(f => Files.move(f, target.resolve(f.getFileName), StandardCopyOption.ATOMIC_MOVE))
+    deleteRecursively(Paths.get(stage))
   }
 
   /** `getfromreplica vm hydfsf` — read one replica's copy directly

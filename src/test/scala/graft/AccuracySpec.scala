@@ -1,0 +1,120 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.{AnnSearch, DedupOps}
+
+/** Ground-truth accuracy gates for the approximate operators (the queries the
+  * driver can only rows-check): LSH near-dup recall against exact all-pairs
+  * Jaccard, ANN recall against the brute-force baseline, and SRP-bucketed
+  * embedding dedup against a planted near-identical pair. These fail on
+  * regression, not just on crash.
+  */
+class AccuracySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** Plain-Scala word-n-gram shingles, mirroring VecMath.wordShingles. */
+  private def shingles(t: String, n: Int): Set[String] = {
+    val toks = t.split(" ").filter(_.nonEmpty)
+    if (toks.length >= n) toks.sliding(n).map(_.mkString(" ")).toSet
+    else Set(toks.mkString(" "))
+  }
+
+  private def jaccard(a: Set[String], b: Set[String]): Double = {
+    val inter = (a & b).size
+    val union = a.size + b.size - inter
+    if (union == 0) 1.0 else inter.toDouble / union
+  }
+
+  /** Exact all-pairs ground truth over the sf0.001 documents (500 rows — the
+    * quadratic scan is fine HERE, in a test, against 500 docs; the operator
+    * under test is the one that must not be quadratic).
+    */
+  private def groundTruthPairs(n: Int, minJ: Double): (Set[(Long, Long)], Map[Long, Set[String]]) = {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> shingles(r.getString(1), n))
+    val byId = docs.toMap
+    val ids  = docs.map(_._1).sorted
+    val truth = (for {
+      i <- ids.indices.iterator
+      j <- (i + 1) until ids.length
+      if jaccard(byId(ids(i)), byId(ids(j))) >= minJ
+    } yield (ids(i), ids(j))).toSet
+    (truth, byId)
+  }
+
+  test("minhash LSH finds every planted 3-gram near-dup pair (recall gate)") {
+    val (truth, byId) = groundTruthPairs(3, 0.9)
+    assert(truth.nonEmpty, "testdata must contain planted near-dup pairs")
+    val got = DedupOps
+      .minhashNearDups(Tables.documents(spark, TestSpark.sf0001), "doc_id", "text",
+        shingleN = 3, threshold = 0.8)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missed = truth -- got
+    assert(missed.isEmpty, s"LSH missed ${missed.size}/${truth.size} planted pairs: $missed")
+    // Precision: every reported pair really clears the threshold.
+    got.foreach { case (a, b) =>
+      val j = jaccard(byId(a), byId(b))
+      assert(j >= 0.8, s"pair ($a,$b) reported but exact J=$j < 0.8")
+    }
+  }
+
+  test("2-gram Jaccard near-dup path finds every planted pair (recall gate)") {
+    val (truth, byId) = groundTruthPairs(2, 0.9)
+    assert(truth.nonEmpty)
+    val got = DedupOps
+      .minhashNearDups(Tables.documents(spark, TestSpark.sf0001), "doc_id", "text",
+        shingleN = 2, threshold = 0.8)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missed = truth -- got
+    assert(missed.isEmpty, s"missed ${missed.size}/${truth.size}: $missed")
+    got.foreach { case (a, b) =>
+      assert(jaccard(byId(a), byId(b)) >= 0.8)
+    }
+  }
+
+  test("ANN LSH recall vs brute force on the registry's own config") {
+    val embs    = Tables.embeddings(spark, TestSpark.sf0001)
+    val queries = embs.filter(col("vec_id") < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("query_id").cast("long"), col("neighbor_id").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bf  = pairs(AnnSearch.bruteForceTopK(embs, queries, "vec_id", "embedding", k = 5))
+    val lsh = pairs(AnnSearch.lshTopK(embs, queries, "vec_id", "embedding", k = 5,
+      nPlanes = 4, tables = 8))
+    val recall = (bf & lsh).size.toDouble / bf.size
+    // This corpus has NO planted clusters (top-neighbor cosine ~0.45-0.5), the
+    // hardest case for SRP; theoretical recall at the 4-plane/8-table config
+    // is ~0.8. Gate at 0.5 so a config/kernel regression fails loudly while
+    // seed-level variance doesn't.
+    assert(recall >= 0.5, s"ANN LSH recall=$recall < 0.5 (bf=${bf.size}, hit=${(bf & lsh).size})")
+  }
+
+  test("embedding near-dups finds a planted near-identical pair, rejects noise") {
+    import spark.implicits._
+    val rng  = new scala.util.Random(7)
+    val base = Array.fill(64)(rng.nextGaussian().toFloat)
+    val near = base.zipWithIndex.map { case (v, i) => if (i == 0) v + 0.01f else v }
+    val noise = (3L to 30L).map(i => i -> Array.fill(64)(rng.nextGaussian().toFloat))
+    val df = (Seq(1L -> base, 2L -> near) ++ noise).toDF("id", "vec")
+    val out = DedupOps.embeddingNearDups(df, "id", "vec", threshold = 0.9)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.contains((1L, 2L)), s"planted near-identical pair not found; got $out")
+    assert(out == Set((1L, 2L)), s"random 64-dim vectors must not pair at cos>=0.9; got $out")
+  }
+
+  test("embedding near-dup registry query is deterministic and non-empty") {
+    def run(): Set[(Long, Long)] =
+      graft.queries.Extensions.dedupEmbedding.run(spark, TestSpark.sf0001)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val a = run()
+    val b = run()
+    assert(a.nonEmpty)
+    assert(a == b, "SRP-bucketed dedup must be deterministic (seed-fixed hyperplanes)")
+  }
+}

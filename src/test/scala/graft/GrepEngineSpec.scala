@@ -36,6 +36,21 @@ class GrepEngineSpec extends AnyFunSuite {
     assert(total == 2000L)
   }
 
+  test("parser is quote-aware: alternation in quotes, dash-led quoted patterns") {
+    import GrepEngine.GrepStage
+    // '|' inside quotes is regex alternation, not a pipe stage boundary.
+    val (s1, _) = GrepEngine.parse("grep 'ERROR|WARNING'")
+    assert(s1 == Seq(GrepStage("ERROR|WARNING")))
+    // A quoted pattern starting with '-' is a pattern, not a flag.
+    val (s2, _) = GrepEngine.parse("grep '-v'")
+    assert(s2 == Seq(GrepStage("-v")))
+    // Flags + quoted multi-word pattern + unquoted pipe stage.
+    val (s3, cm) = GrepEngine.parse("grep -c -i 'a b' | grep -v xyz")
+    assert(cm)
+    assert(s3 == Seq(GrepStage("a b", invert = false, ignoreCase = true),
+                     GrepStage("xyz", invert = true)))
+  }
+
   test("pipe chain with -v and -i via command parser") {
     val dir  = writeLogs(1)
     val logs = GrepEngine.logs(spark, dir)

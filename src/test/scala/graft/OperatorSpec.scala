@@ -119,6 +119,24 @@ class OperatorSpec extends AnyFunSuite {
     assert(math.abs(approx - exact) / exact < 0.1, s"approx=$approx exact=$exact")
   }
 
+  test("multiappend: concurrent writers compose, then merge + quantify (HyDFS verbs)") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("hydfs").toString + "/m"
+    Storage.create(Seq(0).toDF("v"), path)
+    // 4 concurrent writers, 2 rows each — the reference's multiappend
+    // launches appends from several VMs in parallel (core_process_hydfs.go:656-701).
+    val writers = (1 to 4).map(i => Seq(i * 10, i * 10 + 1).toDF("v"))
+    Storage.multiAppend(writers, path)
+    assert(Storage.get(spark, path).count() == 9)
+    Storage.merge(spark, path, numFiles = 1)
+    assert(Storage.quantify(spark, path) == 9)
+    val members = Storage.listMembers(path)
+    assert(members.count(_._1.endsWith(".parquet")) == 1, s"merged to one data file: $members")
+    assert(members.forall(_._2 > 0))
+    val part = members.map(_._1).find(_.endsWith(".parquet")).get
+    assert(Storage.getFromReplica(spark, path, part).count() == 9)
+  }
+
   test("storage facade verbs: create/append/get/merge/quantify/ls") {
     import spark.implicits._
     val path = Files.createTempDirectory("hydfs").toString + "/t"

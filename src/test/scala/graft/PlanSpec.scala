@@ -85,6 +85,59 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("h16: correlated scalar subquery decorrelates to aggregate+join") {
+    val p = plan(Headline.h16)
+    assert(!p.contains("ScalarSubquery"),
+      "Catalyst must decorrelate the subquery (no per-row subquery execution)")
+    assert(p.contains("Join"), "decorrelated form is an aggregate joined back to the fact table")
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"))
+  }
+
+  test("h13: full outer join runs over pre-aggregated sides") {
+    val p = plan(Headline.h13)
+    assert(p.contains("FullOuter"))
+    // Both join inputs are aggregates (one row per key) — the join never sees
+    // raw fact rows. partial_count on each side + final = at least 4 aggs.
+    assert("HashAggregate".r.findAllIn(p).size >= 4, s"expected pre-agg sides; plan:\n${p.take(1200)}")
+  }
+
+  test("h12: left outer join keeps zero-order customers (plan + result sanity)") {
+    val p = plan(Headline.h12)
+    assert(p.contains("LeftOuter"))
+    val rows = Headline.h12.run(spark, TestSpark.sf0001)
+    assert(rows.count() == Tables.customer(spark, TestSpark.sf0001).count(),
+      "left outer must preserve every customer")
+  }
+
+  test("f2 scale mechanism: repartitionByRange plans a parallel RangePartitioning exchange") {
+    import org.apache.spark.sql.functions._
+    // The ntile form in Parity.f2 is harness-only (single-task window for the
+    // oracle hash); THIS is the engine path for fair range partitioning.
+    val df = Tables.documents(spark, TestSpark.sf0001)
+      .repartitionByRange(8, col("doc_id"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("rangepartitioning"),
+      s"repartitionByRange must plan a RangePartitioning exchange; plan:\n${p.take(800)}")
+    // And the resulting partitions are range-disjoint and ordered — the
+    // "fair partitions" observable, computed in parallel (no global window).
+    val parts = df
+      .select(spark_partition_id().as("pid"), col("doc_id"))
+      .groupBy("pid")
+      .agg(min("doc_id").cast("long").as("lo"), max("doc_id").cast("long").as("hi"),
+        count(lit(1)).as("n"))
+      .orderBy("pid")
+      .collect()
+    assert(parts.length > 1, "500 docs over 8 range partitions must use multiple partitions")
+    parts.sliding(2).foreach {
+      case Array(a, b) => assert(a.getLong(2) <= b.getLong(1),
+        s"partitions must be range-disjoint: ${a.mkString(",")} vs ${b.mkString(",")}")
+      case _ => ()
+    }
+    // Fairness: no empty partitions, and no partition owns everything.
+    assert(parts.forall(_.getLong(3) > 0))
+    assert(parts.map(_.getLong(3)).max < 500)
+  }
+
   test("salted wordcount equals plain wordcount") {
     val plain  = Parity.u2.run(spark, TestSpark.sf0001).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val salted = Parity.u2salted.run(spark, TestSpark.sf0001).collect().map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -135,4 +135,71 @@ class RainStormStreamingSpec extends AnyFunSuite {
     val out = RainStorm.runningCountByKey(spark, keyed).collect().toMap
     assert(out == Map("a" -> 2L, "b" -> 1L))
   }
+
+  test("streaming dedup drops replayed tuples across micro-batches (F4 exactly-once)") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.streaming.Trigger
+    import java.nio.file.{Files => JFiles, Paths}
+    val src  = tmpDir("dedupsrc")
+    val dest = tmpDir("dedupdest")
+    val ckpt = tmpDir("dedupckpt")
+    def writeFile(name: String, ids: Range): Unit = {
+      val lines = ids.map(i => s"$i,2024-01-01 00:${"%02d".format(i % 50)}:00,payload$i")
+      JFiles.write(Paths.get(s"$src/$name"), lines.mkString("\n").getBytes)
+    }
+    def drain(): Unit = {
+      val tuples = spark.readStream.text(src)
+        .select(split(col("value"), ",").as("f"))
+        .select(
+          col("f").getItem(0).cast("long").as("id"),
+          col("f").getItem(1).cast("timestamp").as("ts"),
+          col("f").getItem(2).as("payload"))
+      val q = RainStorm.dedupStream(tuples, "id", "ts", watermarkDelay = "1 hour")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch((b: DataFrame, _: Long) => b.write.mode("append").parquet(dest))
+        .start()
+      q.awaitTermination(120000)
+    }
+    writeFile("a.txt", 1 to 5)
+    drain()
+    // The replay: ids 3-5 delivered AGAIN (new files, same tuples) plus 6-8.
+    writeFile("b.txt", 3 to 8)
+    drain()
+    val out = spark.read.parquet(dest)
+    assert(out.count() == 8, "each id must be emitted exactly once across batches and restarts")
+    assert(out.select("id").distinct().count() == 8)
+    assert(out.select("id").collect().map(_.getLong(0)).toSeq.sorted == (1L to 8L).toSeq)
+  }
+
+  test("sessionize emits sessions closed mid-batch, then the open session") {
+    import spark.implicits._
+    // One user, one batch: 3 events in session 1, a > gap jump, 2 events in
+    // session 2. Both sessions must be emitted (the first was silently
+    // dropped before the round-2 fix).
+    val events = Seq((7L, 100L), (7L, 200L), (7L, 300L), (7L, 5000L), (7L, 5100L)).toDS()
+    val out = graft.streaming.RainStorm.sessionize(spark, events, gapSeconds = 1800)
+      .collect().map(u => (u.sessionId, u.nEvents)).toSet
+    assert(out == Set((1L, 3L), (2L, 2L)))
+  }
+
+  test("RainStorm CLI verb parses quote-aware and round-trips to quantified output") {
+    import graft.streaming.RainStormCli
+    // Quoted parameter with a space survives as one argument.
+    val c = RainStormCli.parse(
+      "RainStorm filter_contains 'Punched Telespar' count category /src /dest 8")
+    assert(c == RainStormCli.Command("filter_contains", "Punched Telespar", "count", "category", "/src", "/dest", 8))
+    intercept[IllegalArgumentException](RainStormCli.parse("grep foo"))
+    intercept[IllegalArgumentException](
+      RainStormCli.parse("RainStorm nosuch_op '' count '' /a /b 1"))
+    // Full round trip: command string -> registry ops -> streaming run -> quantify.
+    val src  = writeCorpus()
+    val dest = tmpDir("dest")
+    val q = RainStormCli.run(spark, s"RainStorm split value count word $src $dest 4", tmpDir("ckpt"))
+    q.awaitTermination(120000)
+    val streamed = RainStorm.quantify(spark, dest)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed == batchWordCount(src))
+  }
 }
