@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimExpr, MinHashSigExpr, RollingHashExpr, SimHash64Expr, WordShinglesExpr}
+import graft.functions.{CosineSimExpr, IdPairsExpr, MinHashSigExpr, RollingHashExpr, SimHash64Expr, WordShinglesExpr}
 
 /** SparkSessionExtensions wiring: registers graft's custom Catalyst
   * expressions as SQL functions so `spark.sql("SELECT rolling_hash(text) …")`
@@ -43,6 +43,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier("minhash_sig"),
        info("minhash_sig", "minhash_sig(shingles, k) - k-element MinHash signature of a string array"),
        (args: Seq[Expression]) => MinHashSigExpr(args(0), intArg(args(1), "minhash_sig k")))
+    )
+    ext.injectFunction(
+      (FunctionIdentifier("id_pairs"),
+       info("id_pairs", "id_pairs(ids) - all i<j pairs of a bigint array as struct<id_a,id_b>"),
+       (args: Seq[Expression]) => IdPairsExpr(args.head))
     )
     ext.injectFunction(
       (FunctionIdentifier("word_shingles"),

@@ -62,31 +62,20 @@ object DedupOps {
 
   /** Distinct within-bucket id pairs (id_a < id_b) from a pre-exploded
     * (id, band, bucket) frame — the shared sub-quadratic core of every LSH
-    * dedup path. One shuffle on (band, bucket).
+    * dedup path. One shuffle on (band, bucket). Ids are widened to bigint
+    * (the pair kernel's contract); pair expansion runs in the codegen'd
+    * [[NativeExprs IdPairsExpr]] kernel — a nested interpreted-HOF pipeline
+    * here paid per-element lambda dispatch on every bucket.
     */
   def pairsFromBuckets(banded: DataFrame, idCol: String, maxBucketSize: Int): DataFrame =
     banded
       .groupBy(col("band"), col("bucket"))
-      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .agg(sort_array(collect_list(col(idCol).cast("long"))).as("ids"))
       // Oversized buckets are degenerate for dedup (a bucket of B ids emits
       // B²/2 pairs); cap them. At high-threshold banding (r=8) real buckets
       // are tiny — the cap only trims pathological collisions.
       .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucketSize)
-      // within-bucket pair expansion (i<j) via nested higher-order transforms
-      .select(
-        explode(
-          flatten(
-            transform(
-              sequence(lit(1), size(col("ids")) - 1),
-              i =>
-                transform(
-                  slice(col("ids"), i + 1, size(col("ids"))),
-                  j => struct(element_at(col("ids"), i).as("id_a"), j.as("id_b"))
-                )
-            )
-          )
-        ).as("pair")
-      )
+      .select(explode(NativeFns.id_pairs(col("ids"))).as("pair"))
       .select(col("pair.id_a"), col("pair.id_b"))
       .distinct()
 

@@ -86,6 +86,28 @@ object VecMath {
     new GenericArrayData(sig)
   }
 
+  /** All ordered index pairs (i<j) of a bigint id array as one flat
+    * struct array — the within-bucket candidate-pair expansion. One tight
+    * loop replacing a nested interpreted-HOF pipeline (transform∘transform∘
+    * flatten) that paid per-element lambda dispatch and boxing.
+    */
+  def idPairs(ids: ArrayData): ArrayData = {
+    val n   = ids.numElements()
+    val out = new Array[Any](n * (n - 1) / 2)
+    var k   = 0
+    var i   = 0
+    while (i < n) {
+      val a = ids.getLong(i)
+      var j = i + 1
+      while (j < n) {
+        out(k) = org.apache.spark.sql.catalyst.InternalRow(a, ids.getLong(j))
+        k += 1; j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** 64-bit SimHash over tokens: bit b set iff Σ ±1 (by bit b of
     * xxhash64(token, 42)) is positive.
     */
@@ -174,6 +196,24 @@ case class WordShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): WordShinglesExpr = copy(child = c)
 }
 
+/** id_pairs(array<bigint>) → array<struct<id_a,id_b>>, codegen'd: all i<j
+  * pairs of a (sorted) bucket id list.
+  */
+case class IdPairsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("id_a", LongType, nullable = false),
+      StructField("id_b", LongType, nullable = false))),
+    containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    NativeExprs.requireArrayOf(child, LongType, "id_pairs")
+  override protected def nullSafeEval(input: Any): Any =
+    VecMath.idPairs(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecMath.idPairs($c)")
+  override protected def withNewChildInternal(c: Expression): IdPairsExpr = copy(child = c)
+}
+
 /** srp_buckets(array<float>) → array<int>: one sign-random-projection bucket
   * id per hash table. The hyperplanes live inside the expression node (not as
   * literal columns) — a 4-table × 12-plane × 64-dim config as `typedLit`s
@@ -231,6 +271,8 @@ object NativeFns {
     ColumnBridge.column(MinHashSigExpr(ColumnBridge.expression(shingles), k))
   def simhash64(tokens: Column): Column =
     ColumnBridge.column(SimHash64Expr(ColumnBridge.expression(tokens)))
+  def id_pairs(ids: Column): Column =
+    ColumnBridge.column(IdPairsExpr(ColumnBridge.expression(ids)))
   def srp_buckets(vec: Column, planes: Array[Array[Array[Double]]]): Column =
     ColumnBridge.column(SrpBucketsExpr(ColumnBridge.expression(vec), planes))
   def word_shingles(text: Column, n: Int): Column =

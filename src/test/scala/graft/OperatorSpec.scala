@@ -106,6 +106,19 @@ class OperatorSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("id_pairs kernel emits every i<j pair") {
+    import spark.implicits._
+    import graft.functions.NativeFns
+    val out = Seq(Seq(1L, 2L, 3L)).toDF("ids")
+      .select(explode(NativeFns.id_pairs(col("ids"))).as("p"))
+      .select("p.id_a", "p.id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    val empty = Seq(Seq(9L)).toDF("ids")
+      .select(NativeFns.id_pairs(col("ids")).as("p")).collect()(0).getSeq[Any](0)
+    assert(empty.isEmpty)
+  }
+
   test("exact jaccard math") {
     import spark.implicits._
     val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")

@@ -147,9 +147,11 @@ class PlanSpec extends AnyFunSuite {
   test("custom SQL functions are registered via GraftExtensions") {
     val r = spark.sql("SELECT rolling_hash('abc') AS h, simhash64(array('a','b')) AS s, " +
       "cosine_sim(array(CAST(1.0 AS FLOAT)), array(CAST(1.0 AS FLOAT))) AS c, " +
-      "size(minhash_sig(array('x'), 16)) AS k, size(word_shingles('a b c d', 2)) AS w").collect()(0)
+      "size(minhash_sig(array('x'), 16)) AS k, size(word_shingles('a b c d', 2)) AS w, " +
+      "size(id_pairs(array(CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(3 AS BIGINT)))) AS p").collect()(0)
     assert(r.getDouble(2) == 1.0)
     assert(r.getInt(3) == 16)
     assert(r.getInt(4) == 3)
+    assert(r.getInt(5) == 3)
   }
 }
