@@ -42,6 +42,58 @@ object AnnSearch {
       .filter(col("rank") <= k)
   }
 
+  /** Train IVF coarse centroids with Spark ML KMeans (cosine distance,
+    * seed-fixed). At 100 TB you train on a sample (`trainFraction`) — k-means
+    * cost is per-row×k×iters, and a 1% sample pins the same cell structure —
+    * then assign the full corpus with the cheap [[NativeFns.ivf_probes]]
+    * kernel. Returns the k×dim centroid matrix (small model state, like a
+    * broadcast dim table).
+    */
+  def trainCentroids(
+      corpus: DataFrame, vecCol: String, k: Int,
+      trainFraction: Double = 1.0, seed: Long = 42L
+  ): Array[Array[Double]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val sample = if (trainFraction < 1.0) corpus.sample(withReplacement = false, trainFraction, seed) else corpus
+    val feat   = sample.select(array_to_vector(col(vecCol)).as("features"))
+    val model = new KMeans()
+      .setK(k).setSeed(seed).setMaxIter(20)
+      .setDistanceMeasure("cosine")
+      .setFeaturesCol("features")
+      .fit(feat)
+    model.clusterCenters.map(_.toArray)
+  }
+
+  /** IVF top-k — the second scale path next to [[lshTopK]]: corpus vectors
+    * are assigned to their nearest coarse centroid (one cell each); each
+    * query probes its `nProbe` nearest cells and scores only those cells'
+    * vectors. One broadcast join on cell id; scanned fraction ≈ nProbe/nCells
+    * of the corpus. Misses happen when a true neighbor lives in an unprobed
+    * cell — recall is gated against the brute-force baseline in AccuracySpec.
+    */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nCells: Int = 16, nProbe: Int = 4,
+      trainFraction: Double = 1.0, seed: Long = 42L
+  ): DataFrame = {
+    val centroids = trainCentroids(corpus, vecCol, nCells, trainFraction, seed)
+    val c = corpus.select(
+      col(idCol).as("neighbor_id"),
+      col(vecCol).as("c_vec"),
+      element_at(NativeFns.ivf_probes(col(vecCol), centroids, 1), 1).as("cell"))
+    val q = queries.select(
+      col(idCol).as("query_id"),
+      col(vecCol).as("q_vec"),
+      explode(NativeFns.ivf_probes(col(vecCol), centroids, nProbe)).as("cell"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    c.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), NativeFns.cosine_sim(col("q_vec"), col("c_vec")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** LSH-bucketed top-k: candidates restricted to same SRP bucket in any of
     * `tables` independent hash tables. Misses are possible (that's the A in
     * ANN); recall grows with table count.

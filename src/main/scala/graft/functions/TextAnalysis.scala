@@ -57,6 +57,21 @@ object TextAnalysis {
     when(best._2 === 0, lit("und")).otherwise(best._1)
   }
 
+  /** Non-distinct stopword occurrence count (density numerator): how many
+    * tokens are in `list`, counting repeats.
+    */
+  def stopwordOccurrences(text: Column, list: Seq[String]): Column =
+    size(filter(tokens(text), w => w.isInCollection(list)))
+
+  /** Characters-per-token: total non-space length over token count (exactly
+    * the sum of token lengths, since empties carry no characters).
+    */
+  def avgTokenLen(text: Column): Column = {
+    val cnt = tokenCount(text)
+    length(regexp_replace(text, " ", "")).cast("double") /
+      when(cnt === 0, lit(null)).otherwise(cnt.cast("double"))
+  }
+
   /** 64-bit SimHash over whitespace tokens: bit b of the fingerprint is the
     * sign of Σ_tokens (±1 by bit b of xxhash64(token)). Near-duplicate texts
     * land within small Hamming distance. Pure higher-order functions — one

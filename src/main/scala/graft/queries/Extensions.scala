@@ -34,6 +34,41 @@ object Extensions {
             FROM documents ORDER BY doc_id""")
   )
 
+  /** Quality scoring: stopword density, characters-per-token, uppercase
+    * ratio — the standard cheap heuristics a corpus filter runs over every
+    * document. All integer-counting into double division, so the oracle is
+    * bit-exact.
+    */
+  val textQuality = Q(
+    "x_text_quality",
+    (s, d) => {
+      val cnt   = TextAnalysis.tokenCount(col("text"))
+      val denom = when(cnt === 0, lit(null)).otherwise(cnt.cast("double"))
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          cnt.cast("long").as("n_tokens"),
+          TextAnalysis.avgTokenLen(col("text")).as("avg_token_len"),
+          (TextAnalysis.stopwordOccurrences(col("text"), TextAnalysis.langStopwords.head._2)
+            .cast("double") / denom).as("stopword_density"),
+          ((length(col("text")) - length(regexp_replace(col("text"), "[A-Z]", ""))).cast("double")
+            / length(col("text"))).as("upper_ratio")
+        )
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (SELECT doc_id, text,
+                 list_filter(string_split(text, ' '), w -> w <> '') AS toks
+               FROM documents)
+            SELECT doc_id,
+              len(toks) AS n_tokens,
+              CAST(length(replace(text, ' ', '')) AS DOUBLE) / nullif(CAST(len(toks) AS DOUBLE), 0.0) AS avg_token_len,
+              CAST(len(list_filter(toks, w -> w IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+                / nullif(CAST(len(toks) AS DOUBLE), 0.0) AS stopword_density,
+              CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE)
+                / length(text) AS upper_ratio
+            FROM t ORDER BY doc_id""")
+  )
+
   /** Stopword-heuristic language ID (n-gram heuristic; argmax with fixed tie
     * precedence, 'und' when no stopword hits).
     */
@@ -181,6 +216,23 @@ object Extensions {
     }
   )
 
+  /** IVF ANN (KMeans coarse quantizer, cosine) — the second scale path:
+    * corpus partitioned into nearest-centroid cells, queries probe their
+    * nProbe nearest cells, exact cosine only within probed cells. Recall
+    * gated vs brute force in AccuracySpec.
+    */
+  val annIvf = Q(
+    "x_ann_ivf",
+    (s, d) => {
+      val embs = Tables.embeddings(s, d)
+      AnnSearch
+        .ivfTopK(embs, embs.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 5, nCells = 16, nProbe = 6)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }
+  )
+
   /** Multimodal metadata extraction over the binary payload column (column
     * path — no decode).
     */
@@ -242,9 +294,9 @@ object Extensions {
   )
 
   val qs: Seq[Q] = Seq(
-    textStats, textLangId, textFingerprint, approxDistinct,
+    textStats, textQuality, textLangId, textFingerprint, approxDistinct,
     dedupExact, dedupMinhash, dedupSimhash, dedupNgram, dedupEmbedding,
-    annBruteForce, annLsh,
+    annBruteForce, annLsh, annIvf,
     multimodalMeta, multimodalFrames
   )
 }

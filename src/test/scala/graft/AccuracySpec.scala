@@ -93,6 +93,19 @@ class AccuracySpec extends AnyFunSuite {
     assert(recall >= 0.5, s"ANN LSH recall=$recall < 0.5 (bf=${bf.size}, hit=${(bf & lsh).size})")
   }
 
+  test("ANN IVF recall vs brute force on the registry's own config") {
+    val embs    = Tables.embeddings(spark, TestSpark.sf0001)
+    val queries = embs.filter(col("vec_id") < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("query_id").cast("long"), col("neighbor_id").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bf  = pairs(AnnSearch.bruteForceTopK(embs, queries, "vec_id", "embedding", k = 5))
+    val ivf = pairs(AnnSearch.ivfTopK(embs, queries, "vec_id", "embedding", k = 5,
+      nCells = 16, nProbe = 6))
+    val recall = (bf & ivf).size.toDouble / bf.size
+    assert(recall >= 0.5, s"IVF recall=$recall < 0.5 (bf=${bf.size}, hit=${(bf & ivf).size})")
+  }
+
   test("embedding near-dups finds a planted near-identical pair, rejects noise") {
     import spark.implicits._
     val rng  = new scala.util.Random(7)
