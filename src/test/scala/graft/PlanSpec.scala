@@ -138,6 +138,24 @@ class PlanSpec extends AnyFunSuite {
     assert(parts.map(_.getLong(3)).max < 500)
   }
 
+  test("partitioned layout: scan prunes partitions via PartitionFilters") {
+    import org.apache.spark.sql.functions._
+    // THE layout lever at 100 TB: data written partitioned by a hot filter
+    // column means a filtered scan never opens the other partitions at all.
+    val dir = java.nio.file.Files.createTempDirectory("partpq").toString
+    Tables.events(spark, TestSpark.sf0001)
+      .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    val df = spark.read.parquet(dir)
+      .filter(col("event_type") === "error")
+      .select("event_id")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters"), s"expected partition pruning; plan:\n${p.take(800)}")
+    assert(p.contains("error"))
+    val expected = Tables.events(spark, TestSpark.sf0001)
+      .filter(col("event_type") === "error").count()
+    assert(df.count() == expected)
+  }
+
   test("salted wordcount equals plain wordcount") {
     val plain  = Parity.u2.run(spark, TestSpark.sf0001).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val salted = Parity.u2salted.run(spark, TestSpark.sf0001).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
