@@ -327,5 +327,43 @@ object Headline {
                                 WHERE l2.l_partkey = l1.l_partkey)""")
   )
 
-  val qs: Seq[Q] = Seq(h1, h2, h3, h4, h5, h6, h7, h8, h9, h10, h11, h12, h13, h14, h15, h16)
+  /** Native session-window sessionization (Spark's `session_window` — the
+    * same operator the streaming bounded-state form uses), oracled against
+    * the lag+cumsum formulation. Session semantics: windows are
+    * [start, last+gap); an event at exactly last+gap starts a NEW session,
+    * hence the `>= gap` in the oracle's new-session condition (h9's `> gap`
+    * is a different, equally valid convention — kept distinct deliberately).
+    */
+  val h17 = Q(
+    "h17_session_window",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(
+          col("user_id"),
+          col("sw.start").cast("timestamp_ntz").as("session_start"),
+          col("n_events"))
+        .orderBy("user_id", "session_start"),
+    Some("""WITH ordered AS (
+              SELECT user_id, ts, event_id,
+                lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+              FROM events),
+            marked AS (
+              SELECT user_id, ts, event_id,
+                CASE WHEN prev_ts IS NULL
+                       OR epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(CAST(prev_ts AS TIMESTAMP)) >= 1800000000
+                     THEN 1 ELSE 0 END AS new_s
+              FROM ordered),
+            sess AS (
+              SELECT user_id, ts,
+                sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+              FROM marked)
+            SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+            FROM sess GROUP BY user_id, sid
+            ORDER BY user_id, session_start""")
+  )
+
+  val qs: Seq[Q] = Seq(h1, h2, h3, h4, h5, h6, h7, h8, h9, h10, h11, h12, h13, h14, h15, h16, h17)
 }

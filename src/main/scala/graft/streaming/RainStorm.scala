@@ -182,6 +182,24 @@ object RainStorm {
       }
   }
 
+  /** BOUNDED-STATE sessionization: the native `session_window` aggregate
+    * under a watermark. Unlike [[sessionize]] (explicit state machine,
+    * state kept per key forever), closed sessions here are finalized and
+    * EVICTED once the watermark passes their gap — the form whose state
+    * stays bounded on an unbounded stream. Append mode emits each session
+    * exactly once, when it can no longer grow.
+    */
+  def sessionWindowCounts(
+      events: DataFrame, // streaming DF with (user_id, ts: timestamp)
+      gap: String = "30 minutes",
+      watermark: String = "1 hour"
+  ): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("session_start"), col("n_events"))
+
   /** F4's stated Spark mapping (SURVEY §2.1): exactly-once tuple dedup by
     * unique id with watermark-bounded state — the streaming seen-set
     * (`seen_storage_map`, `core_process_stream_DS.go:869-875,1170-1176`)

@@ -76,6 +76,18 @@ class AccuracySpec extends AnyFunSuite {
     }
   }
 
+  test("simhash near-dup banding finds planted pairs within small Hamming distance") {
+    val (truth, _) = groundTruthPairs(3, 0.95)
+    assert(truth.nonEmpty)
+    val got = DedupOps
+      .simhashNearDups(Tables.documents(spark, TestSpark.sf0001), "doc_id", "text", maxHamming = 6)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (truth & got).size.toDouble / truth.size
+    assert(recall >= 0.6,
+      s"simhash recall=$recall < 0.6 on ${truth.size} planted pairs (hit ${(truth & got).size})")
+  }
+
   test("ANN LSH recall vs brute force on the registry's own config") {
     val embs    = Tables.embeddings(spark, TestSpark.sf0001)
     val queries = embs.filter(col("vec_id") < 10)

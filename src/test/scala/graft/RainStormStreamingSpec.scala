@@ -184,6 +184,50 @@ class RainStormStreamingSpec extends AnyFunSuite {
     assert(out == Set((1L, 3L), (2L, 2L)))
   }
 
+  test("session_window streaming: bounded state, sessions emitted once finalized") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.streaming.Trigger
+    import java.nio.file.{Files => JFiles, Paths}
+    val src  = tmpDir("sesssrc")
+    val dest = tmpDir("sessdest")
+    val ckpt = tmpDir("sessckpt")
+    def write(name: String, rows: Seq[(Long, String)]): Unit =
+      JFiles.write(Paths.get(s"$src/$name"),
+        rows.map { case (u, ts) => s"$u,$ts" }.mkString("\n").getBytes)
+    def drain(): Unit = {
+      val events = spark.readStream.text(src)
+        .select(split(col("value"), ",").as("f"))
+        .select(col("f").getItem(0).cast("long").as("user_id"),
+                col("f").getItem(1).cast("timestamp").as("ts"))
+      val q = RainStorm.sessionWindowCounts(events, gap = "30 minutes", watermark = "10 minutes")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch((b: DataFrame, _: Long) => b.write.mode("append").parquet(dest))
+        .start()
+      q.awaitTermination(120000)
+    }
+    // User 1: two sessions (09:00-09:10 x3 events, 11:00 x1); user 2: one.
+    write("a.txt", Seq(
+      (1L, "2024-01-01 09:00:00"), (1L, "2024-01-01 09:05:00"), (1L, "2024-01-01 09:10:00"),
+      (1L, "2024-01-01 11:00:00"),
+      (2L, "2024-01-01 09:30:00")))
+    drain()
+    // Sentinel far in the future advances the watermark past every session's
+    // gap so append mode finalizes and evicts them (the bounded-state point).
+    write("flush.txt", Seq((99L, "2024-01-02 00:00:00")))
+    drain()
+    val out = spark.read.parquet(dest)
+      .filter(col("user_id") < 99)
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(2)))
+      .toSet
+    assert(out == Set(
+      (1L, "2024-01-01 09:00:00.0", 3L),
+      (1L, "2024-01-01 11:00:00.0", 1L),
+      (2L, "2024-01-01 09:30:00.0", 1L)), s"got $out")
+  }
+
   test("RainStorm CLI verb parses quote-aware and round-trips to quantified output") {
     import graft.streaming.RainStormCli
     // Quoted parameter with a space survives as one argument.
@@ -201,5 +245,19 @@ class RainStormStreamingSpec extends AnyFunSuite {
     val streamed = RainStorm.quantify(spark, dest)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(streamed == batchWordCount(src))
+  }
+
+  test("RainStorm CLI dokill flag: kill + recover mid-run, output still exactly-once") {
+    import graft.streaming.RainStormCli
+    assert(RainStormCli.parse("RainStorm split value count word /s /d 4 dokill").dokill)
+    intercept[IllegalArgumentException](
+      RainStormCli.parse("RainStorm split value count word /s /d 4 notaflag"))
+    val src  = writeCorpus()
+    val dest = tmpDir("dest")
+    val q = RainStormCli.run(spark, s"RainStorm split value count word $src $dest 4 dokill", tmpDir("ckpt"))
+    q.awaitTermination(120000)
+    val streamed = RainStorm.quantify(spark, dest)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed == batchWordCount(src), "dokill recovery must not change the final answer")
   }
 }
