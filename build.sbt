@@ -31,4 +31,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // Whole-stage codegen compiles one or more classes per query stage; a
+  // 50+-query session overflows the default 240m JIT code cache, at which
+  // point HotSpot DISABLES compilation and everything runs interpreted
+  // (observed: random 50-100x per-query slowdowns late in a bench run).
+  "-XX:ReservedCodeCacheSize=1g",
 )

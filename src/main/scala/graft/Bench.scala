@@ -30,18 +30,21 @@ object Bench {
 
     // Time against the noop sink, not count(): count() lets Spark drop sorts
     // and unreferenced projections, undercounting the real sink cost.
-    // min-of-2 per query: the first run may pay codegen/JIT/page-cache
-    // one-time costs; the min is the steady-state number, comparable across
-    // rounds without run-to-run GC noise.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
-      }
-      name -> math.min(once(), once())
-    }
+    // Two full PASSES over all queries, per-query min: pass 1 absorbs
+    // codegen/JIT one-time costs, and because a query's two runs are minutes
+    // apart, a transient host-noise window (observed: sporadic ~60s
+    // slowdowns) can't land on both runs of the same query — min() filters
+    // it. Back-to-back min-of-2 would not.
+    val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+    def pass(): Map[String, Double] = sorted.map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+      name -> (System.nanoTime() - t0) / 1e9
+    }.toMap
+    val p1 = pass()
+    val p2 = pass()
+    val results = sorted.map { case (name, _) => name -> math.min(p1(name), p2(name)) }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0

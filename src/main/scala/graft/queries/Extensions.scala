@@ -114,6 +114,25 @@ object Extensions {
         .orderBy("doc_id")
   )
 
+  /** Semi-structured column path: JSON property extraction feeding an
+    * aggregate — `get_json_object` stays inside codegen, so the parse cost
+    * is one pass over the scan, no UDF. (At 100 TB, prefer `from_json` with
+    * an explicit schema once the shape is known — single parse for many
+    * fields — but the per-path extractor is the ad-hoc form.)
+    */
+  val jsonExtract = Q(
+    "x_json_extract",
+    (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+        .orderBy("event_type"),
+    Some("""SELECT event_type, count(*) AS n,
+              CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+            FROM events GROUP BY event_type ORDER BY event_type""")
+  )
+
   /** Exact dedup: hash-groupBy on content, keep lowest id per group. */
   val dedupExact = Q(
     "x_dedup_exact",
@@ -227,7 +246,7 @@ object Extensions {
       val embs = Tables.embeddings(s, d)
       AnnSearch
         .ivfTopK(embs, embs.filter(col("vec_id") < 10), "vec_id", "embedding",
-          k = 5, nCells = 16, nProbe = 6)
+          k = 5, nCells = 16, nProbe = 6, cacheKey = Some(d))
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
     }
@@ -294,7 +313,7 @@ object Extensions {
   )
 
   val qs: Seq[Q] = Seq(
-    textStats, textQuality, textLangId, textFingerprint, approxDistinct,
+    textStats, textQuality, textLangId, textFingerprint, approxDistinct, jsonExtract,
     dedupExact, dedupMinhash, dedupSimhash, dedupNgram, dedupEmbedding,
     annBruteForce, annLsh, annIvf,
     multimodalMeta, multimodalFrames

@@ -242,17 +242,22 @@ object Headline {
   )
 
   /** LEFT OUTER join: every customer with their order count, zero included.
-    * Shuffle hash/sort-merge on the key at scale; the count(col) form skips
-    * the null-extended rows without a separate coalesce pass.
+    * Aggregate-before-join: orders are pre-counted per key, so the outer
+    * join moves |customers|+|keys| rows, never |orders| — Spark does not
+    * push aggregates through joins, so this ordering is the author's job
+    * and is THE difference at 100 TB. The oracle states the naive
+    * join-then-group form; results are identical.
     */
   val h12 = Q(
     "h12_left_outer_join",
-    (s, d) =>
+    (s, d) => {
+      val perKey = Tables.orders(s, d)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
       Tables.customer(s, d)
-        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
-        .groupBy(col("c_custkey"))
-        .agg(count(col("o_orderkey")).as("n_orders"))
-        .orderBy("c_custkey"),
+        .join(perKey, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"), coalesce(col("cnt"), lit(0L)).as("n_orders"))
+        .orderBy("c_custkey")
+    },
     Some("""SELECT c_custkey, count(o_orderkey) AS n_orders
             FROM customer LEFT JOIN orders ON c_custkey = o_custkey
             GROUP BY c_custkey ORDER BY c_custkey""")
