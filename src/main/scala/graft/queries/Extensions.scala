@@ -297,6 +297,30 @@ object Extensions {
             FROM documents ORDER BY doc_id""")
   )
 
+  /** Heavy-hitters sketch (Misra-Gries typed Aggregator): all tokens with
+    * frequency > n/k in one pass with O(k) state — the bounded-memory
+    * frequent-tokens pass of a corpus pipeline. With k=32 ≥ this corpus's
+    * vocabulary the sketch never sheds, so counts are exact and the output
+    * deterministic; on open vocabularies the output is the MG candidate set
+    * (guarantee tested in OperatorSpec). Rows-only check (sketch output is
+    * engine-specific).
+    */
+  val heavyHitters = Q(
+    "x_heavy_hitters",
+    (s, d) => {
+      import s.implicits._
+      val words = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "").as[String]
+      words
+        .select(graft.functions.HeavyHitters.sketch(32).toColumn) // typed select
+        .toDF("hh")
+        .select(explode(col("hh")).as("hit"))
+        .select(col("hit._1").as("token"), col("hit._2").cast("long").as("min_count"))
+        .orderBy(col("min_count").desc, col("token"))
+    }
+  )
+
   /** Sketch aggregate: HyperLogLog++ approximate distinct next to the exact
     * count. The sketch is engine-specific (no cross-engine oracle), but at
     * 100 TB it is the difference between one pass with bounded memory and a
@@ -313,7 +337,7 @@ object Extensions {
   )
 
   val qs: Seq[Q] = Seq(
-    textStats, textQuality, textLangId, textFingerprint, approxDistinct, jsonExtract,
+    textStats, textQuality, textLangId, textFingerprint, approxDistinct, jsonExtract, heavyHitters,
     dedupExact, dedupMinhash, dedupSimhash, dedupNgram, dedupEmbedding,
     annBruteForce, annLsh, annIvf,
     multimodalMeta, multimodalFrames

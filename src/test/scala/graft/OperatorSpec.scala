@@ -119,6 +119,24 @@ class OperatorSpec extends AnyFunSuite {
     assert(empty.isEmpty)
   }
 
+  test("heavy-hitters Aggregator: every true heavy hitter is found, counts within n/k") {
+    import spark.implicits._
+    import graft.functions.HeavyHitters
+    // 10k tokens: 'hot' 40%, 'warm' 25%, long tail of uniques.
+    val n     = 10000
+    val words = (0 until n).map(i =>
+      if (i % 5 < 2) "hot" else if (i % 4 == 0) "warm" else s"tail$i")
+    val ds  = spark.createDataset(words).repartition(8)
+    val agg = HeavyHitters.sketch(k = 10).toColumn
+    val out = ds.select(agg).collect()(0).toMap
+    val trueCounts = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // MG guarantee: freq > n/k  ⇒ present; reported count in [true - n/k, true].
+    for ((w, c) <- trueCounts if c > n / 10) {
+      assert(out.contains(w), s"heavy hitter $w (count $c) missing from $out")
+      assert(out(w) <= c && out(w) >= c - n / 10, s"$w reported ${out(w)}, true $c")
+    }
+  }
+
   test("exact jaccard math") {
     import spark.implicits._
     val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
