@@ -110,22 +110,26 @@ object AnnSearch {
 
   /** LSH-bucketed top-k: candidates restricted to same SRP bucket in any of
     * `tables` independent hash tables. Misses are possible (that's the A in
-    * ANN); recall grows with table count.
+    * ANN); recall grows with table count AND with `probes` — multi-probe
+    * flips the lowest-margin hyperplane bits on the QUERY side only, so the
+    * corpus index stays one entry per table while each query checks the
+    * `probes` most likely buckets per table (recall of ~2× the tables at the
+    * candidate cost of probing, without reindexing).
     */
   def lshTopK(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-      k: Int, nPlanes: Int = 12, tables: Int = 4, dim: Int = 64
+      k: Int, nPlanes: Int = 12, tables: Int = 4, dim: Int = 64, probes: Int = 1
   ): DataFrame = {
     val allPlanes: Array[Array[Array[Double]]] =
       (0 until tables).map(t => hyperplanes(nPlanes, dim, seed = 42L + t).map(_.toArray).toArray).toArray
-    def withBuckets(df: DataFrame, id: String, vec: String): DataFrame =
+    def withBuckets(df: DataFrame, id: String, vec: String, nProbes: Int): DataFrame =
       df.select(
         col(idCol).as(id),
         col(vecCol).as(vec),
-        posexplode(NativeFns.srp_buckets(col(vecCol), allPlanes)).as(Seq("table", "bucket"))
-      )
-    val q = withBuckets(queries, "query_id", "q_vec")
-    val c = withBuckets(corpus, "neighbor_id", "c_vec")
+        posexplode(NativeFns.srp_buckets(col(vecCol), allPlanes, nProbes)).as(Seq("pos", "bucket"))
+      ).withColumn("table", (col("pos") / nProbes).cast("int")).drop("pos")
+    val q = withBuckets(queries, "query_id", "q_vec", probes)
+    val c = withBuckets(corpus, "neighbor_id", "c_vec", 1)
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
     c.join(broadcast(q), Seq("table", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))

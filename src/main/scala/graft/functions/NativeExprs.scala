@@ -214,13 +214,17 @@ case class IdPairsExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): IdPairsExpr = copy(child = c)
 }
 
-/** srp_buckets(array<float>) → array<int>: one sign-random-projection bucket
-  * id per hash table. The hyperplanes live inside the expression node (not as
-  * literal columns) — a 4-table × 12-plane × 64-dim config as `typedLit`s
-  * would be a ~3000-node expression tree that dominates analysis+codegen
-  * time; here it is one node and one tight loop.
+/** srp_buckets(array<float>) → array<int>: `probes` sign-random-projection
+  * bucket ids per hash table (flat, table-major: element t*probes+q is table
+  * t's q-th probe). Probe 0 is the exact sign bucket; probe q>0 flips the
+  * bit whose hyperplane margin |dot| is q-th smallest — standard multi-probe
+  * LSH, which buys recall without extra tables (the near-miss bucket is the
+  * one across the closest hyperplane). The hyperplanes live inside the
+  * expression node (not as literal columns) — a 4-table × 12-plane × 64-dim
+  * config as `typedLit`s would be a ~3000-node expression tree that
+  * dominates analysis+codegen time; here it is one node and one tight loop.
   */
-case class SrpBucketsExpr(child: Expression, planes: Array[Array[Array[Double]]])
+case class SrpBucketsExpr(child: Expression, planes: Array[Array[Array[Double]]], probes: Int = 1)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def checkInputDataTypes(): TypeCheckResult =
@@ -232,12 +236,13 @@ case class SrpBucketsExpr(child: Expression, planes: Array[Array[Array[Double]]]
   /** Public so generated code can call it. */
   def compute(arr: ArrayData): ArrayData = {
     val v   = arr.toFloatArray()
-    val out = new Array[Int](planes.length)
+    val out = new Array[Int](planes.length * probes)
     var t   = 0
     while (t < planes.length) {
-      val table  = planes(t)
-      var bucket = 0
-      var p      = 0
+      val table   = planes(t)
+      val margins = new Array[Double](table.length)
+      var bucket  = 0
+      var p       = 0
       while (p < table.length) {
         val plane = table(p)
         var dot   = 0.0
@@ -245,9 +250,26 @@ case class SrpBucketsExpr(child: Expression, planes: Array[Array[Array[Double]]]
         val n     = math.min(v.length, plane.length)
         while (i < n) { dot += v(i) * plane(i); i += 1 }
         if (dot >= 0) bucket |= (1 << p)
+        margins(p) = math.abs(dot)
         p += 1
       }
-      out(t) = bucket
+      out(t * probes) = bucket
+      // probe q flips the q-th-smallest-margin bit (selection by scan —
+      // probes and plane counts are tiny)
+      val used = new Array[Boolean](table.length)
+      var q = 1
+      while (q < probes) {
+        var best    = -1
+        var bestVal = Double.MaxValue
+        var j       = 0
+        while (j < table.length) {
+          if (!used(j) && margins(j) < bestVal) { best = j; bestVal = margins(j) }
+          j += 1
+        }
+        used(best) = true
+        out(t * probes + q) = bucket ^ (1 << best)
+        q += 1
+      }
       t += 1
     }
     new GenericArrayData(out)
@@ -339,8 +361,8 @@ object NativeFns {
     ColumnBridge.column(IdPairsExpr(ColumnBridge.expression(ids)))
   def ivf_probes(vec: Column, centroids: Array[Array[Double]], nProbe: Int): Column =
     ColumnBridge.column(IvfProbesExpr(ColumnBridge.expression(vec), centroids, nProbe))
-  def srp_buckets(vec: Column, planes: Array[Array[Array[Double]]]): Column =
-    ColumnBridge.column(SrpBucketsExpr(ColumnBridge.expression(vec), planes))
+  def srp_buckets(vec: Column, planes: Array[Array[Array[Double]]], probes: Int = 1): Column =
+    ColumnBridge.column(SrpBucketsExpr(ColumnBridge.expression(vec), planes, probes))
   def word_shingles(text: Column, n: Int): Column =
     ColumnBridge.column(WordShinglesExpr(ColumnBridge.expression(text), n))
 }

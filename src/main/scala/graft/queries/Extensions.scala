@@ -229,7 +229,7 @@ object Extensions {
       val embs = Tables.embeddings(s, d)
       AnnSearch
         .lshTopK(embs, embs.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5,
-          nPlanes = 4, tables = 8)
+          nPlanes = 4, tables = 8, probes = 2)
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
     }

@@ -95,14 +95,19 @@ class AccuracySpec extends AnyFunSuite {
       df.select(col("query_id").cast("long"), col("neighbor_id").cast("long"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val bf  = pairs(AnnSearch.bruteForceTopK(embs, queries, "vec_id", "embedding", k = 5))
-    val lsh = pairs(AnnSearch.lshTopK(embs, queries, "vec_id", "embedding", k = 5,
-      nPlanes = 4, tables = 8))
-    val recall = (bf & lsh).size.toDouble / bf.size
+    val lsh1 = pairs(AnnSearch.lshTopK(embs, queries, "vec_id", "embedding", k = 5,
+      nPlanes = 4, tables = 8, probes = 1))
+    val lsh2 = pairs(AnnSearch.lshTopK(embs, queries, "vec_id", "embedding", k = 5,
+      nPlanes = 4, tables = 8, probes = 2))
+    def recall(s: Set[(Long, Long)]) = (bf & s).size.toDouble / bf.size
     // This corpus has NO planted clusters (top-neighbor cosine ~0.45-0.5), the
     // hardest case for SRP; theoretical recall at the 4-plane/8-table config
-    // is ~0.8. Gate at 0.5 so a config/kernel regression fails loudly while
-    // seed-level variance doesn't.
-    assert(recall >= 0.5, s"ANN LSH recall=$recall < 0.5 (bf=${bf.size}, hit=${(bf & lsh).size})")
+    // is ~0.8 single-probe. Gate at 0.5 so a config/kernel regression fails
+    // loudly while seed-level variance doesn't.
+    assert(recall(lsh1) >= 0.5, s"ANN LSH recall=${recall(lsh1)} < 0.5 (bf=${bf.size})")
+    // Multi-probe can only widen the candidate set per table.
+    assert(recall(lsh2) >= recall(lsh1),
+      s"multi-probe recall ${recall(lsh2)} must be >= single-probe ${recall(lsh1)}")
   }
 
   test("ANN IVF recall vs brute force on the registry's own config") {
