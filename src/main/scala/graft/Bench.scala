@@ -35,7 +35,10 @@ object Bench {
     // apart, a transient host-noise window (observed: sporadic ~60s
     // slowdowns) can't land on both runs of the same query — min() filters
     // it. Back-to-back min-of-2 would not.
-    val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Optional args: query-name substrings to bench a subset locally (the
+    // driver passes none → full run).
+    val all    = SparkEntry.queries.toSeq.sortBy(_._1)
+    val sorted = if (args.isEmpty) all else all.filter { case (n, _) => args.exists(n.contains) }
     def pass(): Map[String, Double] = sorted.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -48,7 +51,9 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val line  = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // "sink" names the measurement methodology so cross-round totals are only
+    // compared like-for-like (r1 used count(), which undercounted projections).
+    val line  = s"""{"metric":"total","value":$total,"unit":"sec","sink":"noop-min-of-2-passes","queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // Backup artifact in case stdout is decorated by the launcher.
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),

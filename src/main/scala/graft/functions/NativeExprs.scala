@@ -349,6 +349,112 @@ case class IvfProbesExpr(child: Expression, centroids: Array[Array[Double]], nPr
   override protected def withNewChildInternal(c: Expression): IvfProbesExpr = copy(child = c)
 }
 
+/** lang_id(string) → string: stopword-heuristic language ID in ONE pass over
+  * the text's tokens. Semantics match the declarative form exactly — score =
+  * number of DISTINCT whitespace tokens present in each language's stopword
+  * list, argmax with ties broken by list precedence, "und" when nothing hits —
+  * but the work is a single tokenize + hash-map probe per distinct token,
+  * instead of 5 independent split/distinct/intersect pipelines (which, folded
+  * through nested `when`s, duplicated exponentially and ran interpreted).
+  */
+case class LangIdExpr(child: Expression, langs: Seq[(String, Seq[String])]) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"lang_id expects string, got ${child.dataType.simpleString}")
+
+  @transient private lazy val langNames: Array[org.apache.spark.unsafe.types.UTF8String] =
+    langs.map(l => org.apache.spark.unsafe.types.UTF8String.fromString(l._1)).toArray
+  @transient private lazy val und = org.apache.spark.unsafe.types.UTF8String.fromString("und")
+  // stopword → indices of the languages whose list contains it (a word may
+  // appear in several lists, e.g. "de"/"la"/"un" in both es and fr)
+  @transient private lazy val wordToLangs: java.util.HashMap[String, Array[Int]] = {
+    val m = new java.util.HashMap[String, Array[Int]]()
+    langs.zipWithIndex.foreach { case ((_, words), i) =>
+      words.foreach { w =>
+        val prev = m.get(w)
+        m.put(w, if (prev == null) Array(i) else prev :+ i)
+      }
+    }
+    m
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  /** Public so generated code can call it. */
+  def compute(text: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String = {
+    val counts = new Array[Int](langs.length)
+    val seen   = new java.util.HashSet[String]()
+    val toks   = text.toString.split(" ")
+    var j      = 0
+    while (j < toks.length) {
+      val t = toks(j)
+      if (t.nonEmpty && seen.add(t)) {
+        val ls = wordToLangs.get(t)
+        if (ls != null) { var i = 0; while (i < ls.length) { counts(ls(i)) += 1; i += 1 } }
+      }
+      j += 1
+    }
+    var best = 0
+    var i    = 1
+    while (i < counts.length) { if (counts(i) > counts(best)) best = i; i += 1 }
+    if (counts(best) == 0) und else langNames(best)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("langIdExpr", this, classOf[LangIdExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+  override protected def withNewChildInternal(c: Expression): LangIdExpr = copy(child = c)
+}
+
+/** token_counts(string, stopwords) → struct<n_tokens, n_stop>: whitespace
+  * token count and non-distinct stopword occurrence count in ONE pass —
+  * replaces two interpreted `filter` lambdas (split → filter ≠"" → size, and
+  * split → filter-in-list → size) that each re-tokenized the text per row.
+  */
+case class TokenCountsExpr(child: Expression, stopwords: Seq[String]) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_stop", LongType, nullable = false)))
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"token_counts expects string, got ${child.dataType.simpleString}")
+
+  @transient private lazy val stopSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    stopwords.foreach(s.add)
+    s
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  /** Public so generated code can call it. */
+  def compute(text: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val toks   = text.toString.split(" ")
+    var nTok   = 0L
+    var nStop  = 0L
+    var i      = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (t.nonEmpty) {
+        nTok += 1
+        if (stopSet.contains(t)) nStop += 1
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(nTok, nStop)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("tokenCountsExpr", this, classOf[TokenCountsExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+  override protected def withNewChildInternal(c: Expression): TokenCountsExpr = copy(child = c)
+}
+
 /** Column API for the native kernels. */
 object NativeFns {
   def cosine_sim(a: Column, b: Column): Column =
@@ -359,6 +465,10 @@ object NativeFns {
     ColumnBridge.column(SimHash64Expr(ColumnBridge.expression(tokens)))
   def id_pairs(ids: Column): Column =
     ColumnBridge.column(IdPairsExpr(ColumnBridge.expression(ids)))
+  def lang_id(text: Column, langs: Seq[(String, Seq[String])]): Column =
+    ColumnBridge.column(LangIdExpr(ColumnBridge.expression(text), langs))
+  def token_counts(text: Column, stopwords: Seq[String]): Column =
+    ColumnBridge.column(TokenCountsExpr(ColumnBridge.expression(text), stopwords))
   def ivf_probes(vec: Column, centroids: Array[Array[Double]], nProbe: Int): Column =
     ColumnBridge.column(IvfProbesExpr(ColumnBridge.expression(vec), centroids, nProbe))
   def srp_buckets(vec: Column, planes: Array[Array[Array[Double]]], probes: Int = 1): Column =

@@ -44,18 +44,15 @@ object TextAnalysis {
     "zh" -> Seq("的", "是", "了", "在", "我", "有", "和")
   )
 
-  /** Language-ID heuristic: argmax of per-language stopword hits, ties broken
-    * by list precedence; "und" (undetermined) when nothing hits.
+  /** Language-ID heuristic: argmax of per-language distinct-stopword hits,
+    * ties broken by list precedence; "und" (undetermined) when nothing hits.
+    * Implemented as a single-pass native kernel ([[NativeFns.lang_id]]): the
+    * previous declarative fold embedded each partial best-score expression
+    * twice per `when` step, duplicating the full tokenize/intersect pipeline
+    * ~2^|langs| times — ~200 ms/row interpreted. The kernel is one tokenize +
+    * one hash probe per distinct token.
     */
-  def langId(text: Column): Column = {
-    val scores = langStopwords.map { case (lang, words) => lang -> stopwordHits(text, words) }
-    val best = scores.tail.foldLeft((lit(scores.head._1), scores.head._2)) {
-      case ((bestLang, bestScore), (lang, score)) =>
-        (when(score > bestScore, lit(lang)).otherwise(bestLang),
-         when(score > bestScore, score).otherwise(bestScore))
-    }
-    when(best._2 === 0, lit("und")).otherwise(best._1)
-  }
+  def langId(text: Column): Column = NativeFns.lang_id(text, langStopwords)
 
   /** Non-distinct stopword occurrence count (density numerator): how many
     * tokens are in `list`, counting repeats.

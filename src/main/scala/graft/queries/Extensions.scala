@@ -12,17 +12,30 @@ import graft.multimodal.Multimodal
   */
 object Extensions {
 
-  /** Token counting + quality scoring (length / punctuation / ratio). */
+  /** Token counting + quality scoring (length / punctuation / ratio).
+    * Two-step projection: tokenize/regex ONCE into named columns, then derive
+    * every output from plain column references. CollapseProject will not
+    * inline a non-cheap producer referenced more than once, so each pipeline
+    * runs exactly once per row (the single-select form re-evaluated the
+    * punct regex per referencing output column).
+    */
   val textStats = Q(
     "x_text_stats",
     (s, d) =>
       Tables.documents(s, d)
         .select(
           col("doc_id"),
-          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
-          TextAnalysis.bpeishTokenCount(col("text")).cast("long").as("n_bpeish"),
-          TextAnalysis.punctCount(col("text")).cast("long").as("n_punct"),
-          (TextAnalysis.punctCount(col("text")).cast("double") / length(col("text"))).as("punct_ratio")
+          length(col("text")).as("__len"),
+          graft.functions.NativeFns.token_counts(col("text"), Nil).getField("n_tokens").as("__ntok"),
+          TextAnalysis.bpeishTokenCount(col("text")).as("__nbpe"),
+          TextAnalysis.punctCount(col("text")).as("__npunct")
+        )
+        .select(
+          col("doc_id"),
+          col("__ntok").cast("long").as("n_tokens"),
+          col("__nbpe").cast("long").as("n_bpeish"),
+          col("__npunct").cast("long").as("n_punct"),
+          (col("__npunct").cast("double") / col("__len")).as("punct_ratio")
         )
         .orderBy("doc_id"),
     Some("""SELECT doc_id,
@@ -42,15 +55,31 @@ object Extensions {
   val textQuality = Q(
     "x_text_quality",
     (s, d) => {
-      val cnt   = TextAnalysis.tokenCount(col("text"))
-      val denom = when(cnt === 0, lit(null)).otherwise(cnt.cast("double"))
+      // tokenize ONCE via the one-pass token_counts kernel; every metric
+      // below derives from the shared counts (the single-select form built
+      // 3-4 independent interpreted split/filter pipelines per row)
       Tables.documents(s, d)
         .select(
           col("doc_id"),
-          cnt.cast("long").as("n_tokens"),
-          TextAnalysis.avgTokenLen(col("text")).as("avg_token_len"),
-          (TextAnalysis.stopwordOccurrences(col("text"), TextAnalysis.langStopwords.head._2)
-            .cast("double") / denom).as("stopword_density"),
+          col("text"),
+          graft.functions.NativeFns.token_counts(col("text"), TextAnalysis.langStopwords.head._2)
+            .as("__tc")
+        )
+        .select(
+          col("doc_id"),
+          col("text"),
+          col("__tc").getField("n_tokens").as("__ntok"),
+          col("__tc").getField("n_stop").as("__nstop")
+        )
+        .select(
+          col("doc_id"),
+          col("__ntok").cast("long").as("n_tokens"),
+          (length(regexp_replace(col("text"), " ", "")).cast("double") /
+            when(col("__ntok") === 0, lit(null)).otherwise(col("__ntok").cast("double")))
+            .as("avg_token_len"),
+          (col("__nstop").cast("double") /
+            when(col("__ntok") === 0, lit(null)).otherwise(col("__ntok").cast("double")))
+            .as("stopword_density"),
           ((length(col("text")) - length(regexp_replace(col("text"), "[A-Z]", ""))).cast("double")
             / length(col("text"))).as("upper_ratio")
         )
@@ -302,8 +331,9 @@ object Extensions {
     * frequent-tokens pass of a corpus pipeline. With k=32 ≥ this corpus's
     * vocabulary the sketch never sheds, so counts are exact and the output
     * deterministic; on open vocabularies the output is the MG candidate set
-    * (guarantee tested in OperatorSpec). Rows-only check (sketch output is
-    * engine-specific).
+    * (guarantee tested in OperatorSpec). BECAUSE this config is provably
+    * exact (k ≥ vocabulary ⇒ MG never decrements ⇒ counts are true counts),
+    * it carries a plain GROUP BY DuckDB oracle.
     */
   val heavyHitters = Q(
     "x_heavy_hitters",
@@ -318,7 +348,11 @@ object Extensions {
         .select(explode(col("hh")).as("hit"))
         .select(col("hit._1").as("token"), col("hit._2").cast("long").as("min_count"))
         .orderBy(col("min_count").desc, col("token"))
-    }
+    },
+    Some("""SELECT token, CAST(count(*) AS BIGINT) AS min_count
+            FROM (SELECT unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS token
+                  FROM documents)
+            GROUP BY token ORDER BY min_count DESC, token""")
   )
 
   /** Sketch aggregate: HyperLogLog++ approximate distinct next to the exact
