@@ -7,12 +7,12 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, plus decode / feature-extract / frame-sample
   * stages.
   *
-  * The Spark-side plumbing (schema, partition-preserving batch transform,
-  * deterministic output shape) is real; the actual media decode is STUBBED —
-  * the image/audio codec libraries are not in this container. The stub is a
-  * deterministic fake keyed on the payload bytes, clearly marked below; a real
-  * deployment swaps `StubCodec` for an actual decoder without touching the
-  * pipeline shape.
+  * The decode path is REAL: [[ImageCodec]] parses binary PPM (P6) and 24-bit
+  * BMP — header, dimensions, pixel raster — with no external libraries. The
+  * testdata has no image column, so [[withImagePayload]] synthesizes a valid
+  * PPM per document with dimensions derived from the text (making the decoded
+  * fields DuckDB-derivable for the oracle); a real deployment reads actual
+  * payload bytes and swaps richer codecs behind the same `decode` signature.
   */
 object Multimodal {
 
@@ -20,30 +20,43 @@ object Multimodal {
   final case class MediaMeta(
       doc_id: Long,
       n_bytes: Long,
-      fake_width: Int,
-      fake_height: Int,
+      width: Int,
+      height: Int,
       frame_hashes: Seq[Long]
   )
-
-  /** ======== STUB ========
-    * Deterministic fake codec standing in for image/audio decode. Field
-    * values are pure functions of the payload so tests are reproducible.
-    */
-  object StubCodec {
-    def width(bytes: Array[Byte]): Int  = (bytes.length % 640) + 1
-    def height(bytes: Array[Byte]): Int = (bytes.length % 480) + 1
-    /** "Frame sample": rolling hash of each 256-byte chunk, max 8 frames. */
-    def frames(bytes: Array[Byte]): Seq[Long] =
-      bytes.grouped(256).take(8).map { chunk =>
-        chunk.foldLeft(0L)((h, b) => h * 1000003L + (b & 0xff))
-      }.toSeq
-  }
 
   /** Attach a binary payload column (here: the utf-8 text bytes stand in for
     * media bytes — the schema/partitioning is what's under test).
     */
   def withPayload(docs: DataFrame, payloadFrom: String = "text"): DataFrame =
     docs.withColumn("payload", col(payloadFrom).cast("binary"))
+
+  /** Deterministic PPM payload for a document: dimensions are small functions
+    * of the text length (so the oracle can derive them in SQL), pixels are
+    * the text bytes cycled over the raster. A REAL image: `ImageCodec.decode`
+    * round-trips it by parsing, not by trusting the formulas.
+    */
+  def syntheticPpm(text: String): Array[Byte] = {
+    val bytes = if (text.isEmpty) Array[Byte](0) else text.getBytes("UTF-8")
+    val w     = bytes.length % 64 + 1
+    val h     = bytes.length % 48 + 1
+    val pix   = new Array[Byte](3 * w * h)
+    var i     = 0
+    while (i < pix.length) { pix(i) = bytes(i % bytes.length); i += 1 }
+    ImageCodec.encodePpm(w, h, pix)
+  }
+
+  /** Attach a REAL image payload column (synthesized PPM over the text bytes
+    * — see [[syntheticPpm]]). Done per-partition in the typed path so payload
+    * bytes never round-trip through the driver.
+    */
+  def withImagePayload(spark: SparkSession, docs: DataFrame): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    docs
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) => (id, syntheticPpm(text)) })
+  }
 
   /** Column-only metadata extraction (no decode needed): byte length, fake
     * dimensions, md5 checksum. Fully codegen'd; this is the path that must
@@ -57,20 +70,22 @@ object Multimodal {
 
   /** Batch decode via typed `mapPartitions` — the Scala analog of a
     * `mapInPandas` batch UDF: one codec instance per partition, rows streamed
-    * through it, output schema declared by the `MediaMeta` encoder.
+    * through it, output schema declared by the `MediaMeta` encoder. Corrupt
+    * payloads are SKIPPED (`tryDecode` → None), the corpus-pipeline
+    * convention for undecodable media.
     */
-  def decodeFrames(spark: SparkSession, withPayload: DataFrame, batchSize: Int = 64): Dataset[MediaMeta] = {
+  def decodeFrames(spark: SparkSession, payloads: Dataset[(Long, Array[Byte])], batchSize: Int = 64): Dataset[MediaMeta] = {
     import spark.implicits._
-    withPayload
-      .select(col("doc_id").cast("long"), col("payload"))
-      .as[(Long, Array[Byte])]
+    payloads
       .mapPartitions { rows =>
         // Per-partition codec init happens once here; payloads then flow
         // through in batches (the `mapInPandas` batch shape) — a real decoder
         // would amortize GPU/codec dispatch across each chunk.
         rows.grouped(batchSize).flatMap { chunk =>
-          chunk.map { case (id, bytes) =>
-            MediaMeta(id, bytes.length.toLong, StubCodec.width(bytes), StubCodec.height(bytes), StubCodec.frames(bytes))
+          chunk.flatMap { case (id, bytes) =>
+            ImageCodec.tryDecode(bytes).map { img =>
+              MediaMeta(id, bytes.length.toLong, img.width, img.height, ImageCodec.frameHashes(img))
+            }
           }
         }
       }

@@ -297,33 +297,41 @@ object Extensions {
             FROM documents ORDER BY doc_id""")
   )
 
-  /** Multimodal decode/frame-sample via typed mapPartitions (stubbed codec,
-    * real batch plumbing). The output is scalar-only (the driver compare
-    * cannot sort array columns): the sampled frame hashes are folded into
-    * `n_frames`, and the SQL-derivable stub fields get a full DuckDB oracle.
-    * Frame-hash values themselves are asserted in MultimodalSpec against a
-    * plain-Scala reimplementation.
+  /** Multimodal decode/frame-sample via typed mapPartitions over a REAL
+    * codec: each document carries a valid binary-PPM payload (synthesized,
+    * dimensions derived from the text so the oracle can predict them) and
+    * `ImageCodec.decode` PARSES header + raster — width/height below come
+    * from the decoder, the oracle recomputes them from the generator
+    * formulas, and a mismatch means the codec mis-parsed. Output stays
+    * scalar-only (driver compare cannot sort arrays): frame hashes fold into
+    * `n_frames`; their values are asserted against the format spec in
+    * MultimodalSpec. PPM n_bytes = 9-byte fixed header chars + the two
+    * dimension strings + 3wh raster.
     */
   val multimodalFrames = Q(
     "x_multimodal_frames",
     (s, d) =>
       Multimodal
-        .decodeFrames(s, Multimodal.withPayload(Tables.documents(s, d)))
+        .decodeFrames(s, Multimodal.withImagePayload(s, Tables.documents(s, d)))
         .toDF()
         .select(
           col("doc_id"),
           col("n_bytes"),
-          col("fake_width").cast("long").as("fake_width"),
-          col("fake_height").cast("long").as("fake_height"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
           size(col("frame_hashes")).cast("long").as("n_frames")
         )
         .orderBy("doc_id"),
-    Some("""SELECT doc_id,
-              octet_length(encode(text)) AS n_bytes,
-              octet_length(encode(text)) % 640 + 1 AS fake_width,
-              octet_length(encode(text)) % 480 + 1 AS fake_height,
-              LEAST(CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT), 8) AS n_frames
-            FROM documents ORDER BY doc_id""")
+    Some("""WITH t AS (SELECT doc_id,
+                 octet_length(encode(text)) % 64 + 1 AS w,
+                 octet_length(encode(text)) % 48 + 1 AS h
+               FROM documents)
+            SELECT doc_id,
+              CAST(9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR)) + 3 * w * h AS BIGINT) AS n_bytes,
+              CAST(w AS BIGINT) AS width,
+              CAST(h AS BIGINT) AS height,
+              CAST(LEAST(h, 8) AS BIGINT) AS n_frames
+            FROM t ORDER BY doc_id""")
   )
 
   /** Heavy-hitters sketch (Misra-Gries typed Aggregator): all tokens with

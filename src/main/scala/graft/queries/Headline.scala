@@ -370,5 +370,58 @@ object Headline {
             ORDER BY user_id, session_start""")
   )
 
-  val qs: Seq[Q] = Seq(h1, h2, h3, h4, h5, h6, h7, h8, h9, h10, h11, h12, h13, h14, h15, h16, h17)
+  /** CUBE: every subset of (status, priority) — the reporting companion to
+    * h11's ROLLUP. Still one scan: the Expand operator replicates each input
+    * row once per grouping set BEFORE the hash aggregate, so the cost is
+    * 4×|rows| through one partial→final agg, not 4 separate scans. The
+    * `grouping_id` column disambiguates a NULL data value from a NULL
+    * produced by the cube (and gives the oracle a deterministic sort key).
+    */
+  val h18 = Q(
+    "h18_cube",
+    (s, d) =>
+      Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          grouping_id().as("gid"),
+          count(lit(1)).as("cnt"),
+          sum(dec(col("o_totalprice"))).cast("double").as("total"))
+        .select(col("gid"), col("o_orderstatus"), col("o_orderpriority"), col("cnt"), col("total"))
+        .orderBy(
+          col("gid"),
+          col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first),
+    Some("""SELECT CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
+              o_orderstatus, o_orderpriority, count(*) AS cnt,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+            FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+            ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")
+  )
+
+  /** GROUPING SETS proper: an explicit, non-hierarchical set list — per
+    * (status, priority) and per (status, year(orderdate)) in one pass. Not
+    * expressible as ROLLUP or CUBE; exercises the general Expand path. The
+    * DataFrame API reaches it through `spark.sql` — GROUPING SETS is
+    * SQL-only surface in Spark, and the point of this engine is that SQL
+    * and DataFrame forms compose against the same tables.
+    */
+  val h19 = Q(
+    "h19_grouping_sets",
+    (s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_gs")
+      s.sql("""SELECT CAST(grouping_id() AS BIGINT) AS gid,
+                 o_orderstatus, o_orderpriority, year(o_orderdate) AS o_year,
+                 count(*) AS cnt
+               FROM orders_gs
+               GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus, year(o_orderdate)))
+               ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST, o_year NULLS FIRST""")
+    },
+    Some("""SELECT CAST(grouping(o_orderstatus) * 4 + grouping(o_orderpriority) * 2
+                     + grouping(year(o_orderdate)) AS BIGINT) AS gid,
+              o_orderstatus, o_orderpriority, year(o_orderdate) AS o_year, count(*) AS cnt
+            FROM orders GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus, year(o_orderdate)))
+            ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST, o_year NULLS FIRST""")
+  )
+
+  val qs: Seq[Q] = Seq(h1, h2, h3, h4, h5, h6, h7, h8, h9, h10, h11, h12, h13, h14, h15, h16, h17, h18, h19)
 }

@@ -218,6 +218,43 @@ object RainStorm {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(idCol)
 
+  /** Stream-stream watermarked INNER join — the click/impression attribution
+    * shape, the one Structured Streaming operator family the batch join
+    * surface (h2/h3/h10/h12/h13) had no streaming counterpart for. Both
+    * sides carry a watermark AND the join condition carries a time-range
+    * bound (`right.ts ∈ [left.ts, left.ts + maxSpan]`); together these let
+    * the state store evict buffered rows once the watermark passes the range,
+    * so join state stays bounded on unbounded streams. Append mode: a pair is
+    * emitted exactly once, when both sides have arrived.
+    *
+    * Output: (key, left-ts as `l_ts`, right-ts as `r_ts`) plus the remaining
+    * payload columns of both sides (left's under their own names, right's
+    * prefixed `r_`).
+    */
+  def streamStreamJoin(
+      left: DataFrame,  // streaming DF with (keyCol, tsCol, payload...)
+      right: DataFrame, // streaming DF with (keyCol, tsCol, payload...)
+      keyCol: String,
+      tsCol: String,
+      watermark: String = "1 hour",
+      maxSpan: String = "30 minutes",
+      joinType: String = "inner"
+  ): DataFrame = {
+    val l = left.withWatermark(tsCol, watermark).alias("l")
+    val r = right
+      .toDF(right.columns.map(c => s"r_$c").toIndexedSeq: _*)
+      .withWatermark(s"r_$tsCol", watermark)
+      .alias("r")
+    l.join(
+      r,
+      col(s"l.$keyCol") === col(s"r.r_$keyCol") &&
+        col(s"r.r_$tsCol") >= col(s"l.$tsCol") &&
+        col(s"r.r_$tsCol") <= col(s"l.$tsCol") + expr(s"INTERVAL $maxSpan"),
+      joinType
+    ).drop(s"r_$keyCol")
+      .withColumnRenamed(tsCol, s"l_$tsCol")
+  }
+
   /** Generic 3-stage pipeline runner mirroring the `RainStorm op1 op2 src dest
     * num_tasks` terminal verb (`core_process_stream_DS.go:1645-1842`):
     * source → op1 (stateless transform) → shuffle on key → op2 (grouped agg),

@@ -137,6 +137,59 @@ class AccuracySpec extends AnyFunSuite {
     assert(out == Set((1L, 2L)), s"random 64-dim vectors must not pair at cos>=0.9; got $out")
   }
 
+  test("embedding near-dups: quantified recall vs exact all-pairs, and exact precision") {
+    // Exact all-pairs cosine ground truth over the sf0.001 embeddings (500
+    // vectors — quadratic is fine HERE, in a test; the operator under test is
+    // the one that must not be quadratic). Same sequential-fold cosine as
+    // VecMath.cosineFF so boundary pairs agree bit-for-bit.
+    val vecs = Tables.embeddings(spark, TestSpark.sf0001)
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      .sortBy(_._1)
+    def cos(x: Array[Float], y: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < x.length) {
+        dot += x(i).toDouble * y(i).toDouble
+        na += x(i).toDouble * x(i).toDouble
+        nb += y(i).toDouble * y(i).toDouble
+        i += 1
+      }
+      val den = math.sqrt(na) * math.sqrt(nb)
+      if (den == 0.0) 0.0 else dot / den
+    }
+    val threshold = 0.35
+    val exact = (for {
+      i <- vecs.indices.iterator
+      j <- (i + 1) until vecs.length
+      c = cos(vecs(i)._2, vecs(j)._2)
+      if c >= threshold
+    } yield (vecs(i)._1, vecs(j)._1) -> c).toMap
+    assert(exact.nonEmpty, "no exact pairs above threshold — fixture changed?")
+
+    val got = graft.queries.Extensions.dedupEmbedding.run(spark, TestSpark.sf0001)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // Precision is EXACT by construction (the operator re-verifies every LSH
+    // candidate with true cosine): anything reported must be in the exact set.
+    val spurious = got -- exact.keySet
+    assert(spurious.isEmpty, s"${spurious.size} reported pairs not in the exact set: ${spurious.take(5)}")
+
+    // Recall must clear the SRP formula's own prediction for this config
+    // (nPlanes=4, tables=8, probes=1): per pair at cosine c,
+    // p = (1 - acos(c)/pi)^4, P(found) = 1-(1-p)^8. Hyperplanes are
+    // seed-fixed, so the measured recall is deterministic; gate at 90% of
+    // the predicted mean to absorb the finite-sample gap between the mean
+    // prediction and one fixed draw.
+    val predicted = exact.values.map { c =>
+      val p = math.pow(1.0 - math.acos(math.min(1.0, c)) / math.Pi, 4)
+      1.0 - math.pow(1.0 - p, 8)
+    }.sum / exact.size
+    val recall = exact.keySet.count(got).toDouble / exact.size
+    assert(recall >= predicted * 0.9,
+      s"recall=$recall below 90% of the formula's prediction $predicted (${exact.size} exact pairs)")
+  }
+
   test("embedding near-dup registry query is deterministic and non-empty") {
     def run(): Set[(Long, Long)] =
       graft.queries.Extensions.dedupEmbedding.run(spark, TestSpark.sf0001)

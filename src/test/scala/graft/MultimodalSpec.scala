@@ -3,31 +3,85 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.ArrayType
-import graft.multimodal.Multimodal
-import graft.multimodal.Multimodal.StubCodec
+import graft.multimodal.{ImageCodec, Multimodal}
 
-/** The multimodal decode path: the mapPartitions plumbing must reproduce the
-  * (stub) codec exactly, and the registered query must stay scalar-only (the
+/** The multimodal decode path: ImageCodec must implement the PPM/BMP format
+  * specs (asserted against hand-built spec-literal payloads and an
+  * independent in-test parse, NOT against the codec itself), corrupt payloads
+  * must be skipped, and the registered query must stay scalar-only (the
   * driver's compare harness cannot sort array columns — round-1 regression).
   */
 class MultimodalSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
-  test("decodeFrames matches the plain codec applied to the raw payload bytes") {
-    val withPayload = Multimodal.withPayload(Tables.documents(spark, TestSpark.sf0001)).limit(25)
-    val decoded = Multimodal.decodeFrames(spark, withPayload)
+  private val rgb2x2 = Array[Byte](
+    10, 20, 30,   40, 50, 60,  // row 0: (R,G,B) (R,G,B)
+    70, 80, 90,  100, 110, 120 // row 1
+  )
+
+  test("PPM encode/decode round-trips pixels exactly") {
+    val img = ImageCodec.decode(ImageCodec.encodePpm(2, 2, rgb2x2))
+    assert(img.format == "ppm" && img.width == 2 && img.height == 2)
+    assert(img.pixels.toSeq == rgb2x2.toSeq)
+  }
+
+  test("PPM decode handles spec whitespace and comment forms") {
+    // Netpbm spec: tokens may be separated by any whitespace, '#' starts a
+    // comment to end-of-line, exactly one whitespace byte precedes the raster.
+    val header = "P6 # comment after magic\n2\t2 # dims\n# full comment line\n255\n"
+    val bytes  = header.getBytes("US-ASCII") ++ rgb2x2
+    val img    = ImageCodec.decode(bytes)
+    assert(img.width == 2 && img.height == 2 && img.pixels.toSeq == rgb2x2.toSeq)
+  }
+
+  test("BMP encode/decode round-trips (bottom-up rows, BGR order, row padding)") {
+    // 2x2: rowSize = (3*2+3)/4*4 = 8 => 2 padding bytes per row exercises padding
+    val bmp = ImageCodec.encodeBmp(2, 2, rgb2x2)
+    // spec-literal checks on the encoded bytes, independent of the decoder:
+    assert(bmp(0) == 'B' && bmp(1) == 'M')
+    assert((bmp(28) & 0xff) == 24, "bpp field")
+    assert(bmp.length == 54 + 8 * 2, "54-byte headers + 2 padded rows")
+    // bottom-up: first stored row is image row 1; BGR: first byte is row 1's B
+    assert(bmp(54) == 90 && bmp(55) == 80 && bmp(56) == 70)
+    val img = ImageCodec.decode(bmp)
+    assert(img.format == "bmp" && img.width == 2 && img.height == 2)
+    assert(img.pixels.toSeq == rgb2x2.toSeq)
+  }
+
+  test("decodeFrames parses real PPM payloads; fields match an independent in-test parse") {
+    val docs    = Tables.documents(spark, TestSpark.sf0001).limit(25)
+    val decoded = Multimodal.decodeFrames(spark, Multimodal.withImagePayload(spark, docs))
       .collect().map(m => m.doc_id -> m).toMap
-    val raw = withPayload.select(col("doc_id").cast("long"), col("payload")).collect()
-      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1))
+    val raw = Multimodal.withImagePayload(spark, docs).collect()
     assert(raw.nonEmpty)
     raw.foreach { case (id, bytes) =>
       val m = decoded(id)
+      // independent parse from the format spec (regex header, manual raster)
+      val headerStr = new String(bytes.take(32), "US-ASCII")
+      val hdr       = """P6\n(\d+) (\d+)\n255\n""".r.findPrefixMatchOf(headerStr).get
+      val (w, h)    = (hdr.group(1).toInt, hdr.group(2).toInt)
+      val raster    = bytes.drop(hdr.end)
       assert(m.n_bytes == bytes.length.toLong)
-      assert(m.fake_width == StubCodec.width(bytes))
-      assert(m.fake_height == StubCodec.height(bytes))
-      assert(m.frame_hashes == StubCodec.frames(bytes), s"frame hashes differ for doc $id")
-      assert(m.frame_hashes.length == math.min(math.ceil(bytes.length / 256.0).toInt, 8))
+      assert(m.width == w && m.height == h)
+      assert(raster.length == 3 * w * h)
+      // frame hashes: up to 8 evenly spaced rows, rolling hash h*1000003+b
+      val n = math.min(h, 8)
+      val want = (0 until n).map { i =>
+        val off = (i.toLong * h / n).toInt * 3 * w
+        raster.slice(off, off + 3 * w).foldLeft(0L)((acc, b) => acc * 1000003L + (b & 0xff))
+      }
+      assert(m.frame_hashes == want, s"frame hashes differ for doc $id")
     }
+  }
+
+  test("corrupt payloads are skipped, not fatal") {
+    import spark.implicits._
+    val good      = Multimodal.syntheticPpm("hello world")
+    val truncated = good.dropRight(3)            // raster short by one pixel
+    val garbage   = "not an image".getBytes("UTF-8")
+    val ds  = spark.createDataset(Seq((1L, good), (2L, truncated), (3L, garbage)))
+    val out = Multimodal.decodeFrames(spark, ds).collect()
+    assert(out.map(_.doc_id).toSeq == Seq(1L))
   }
 
   test("x_multimodal_frames output is scalar-only (driver compare cannot sort arrays)") {
