@@ -176,13 +176,39 @@ object Extensions {
 
   /** MinHash+LSH near-dup pairs, exact-Jaccard verified. The LSH band trick
     * keeps candidate generation sub-quadratic — the 100 TB path.
+    *
+    * Oracle-able even though LSH is approximate: the oracle computes EXACT
+    * all-pairs Jaccard, and on this corpus the two agree because every true
+    * ≥0.8 pair is a planted ≥0.95 near-dup, where the r=8 banding's detection
+    * probability is 1-(1-0.95^8)^8 ≈ 0.9998 — and the minhash seeds are
+    * fixed, so the result is deterministic. AccuracySpec holds the stronger
+    * invariant (every planted pair found, reported ⊆ exact) independently.
     */
+  private def exactJaccardOracle(n: Int): String =
+    s"""WITH toks AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS t FROM documents),
+        sh AS (
+          SELECT doc_id,
+            CASE WHEN len(t) >= $n
+              THEN list_distinct(list_transform(range(1, len(t) - $n + 2),
+                     i -> array_to_string(t[i:i+$n-1], ' ')))
+              ELSE [array_to_string(t, ' ')] END AS s
+          FROM toks)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+        ORDER BY id_a, id_b"""
+
   val dedupMinhash = Q(
     "x_dedup_minhash_lsh",
     (s, d) =>
       DedupOps
         .minhashNearDups(Tables.documents(s, d), "doc_id", "text", shingleN = 3, k = 64, bands = 8, threshold = 0.8)
-        .orderBy("id_a", "id_b")
+        .orderBy("id_a", "id_b"),
+    Some(exactJaccardOracle(3))
   )
 
   /** SimHash fingerprints (near-dup = small Hamming distance). */
@@ -194,13 +220,16 @@ object Extensions {
         .orderBy("doc_id")
   )
 
-  /** Word-3-gram Jaccard near-dup pairs (LSH-prefiltered, exact-verified). */
+  /** Word-2-gram Jaccard near-dup pairs (LSH-prefiltered, exact-verified).
+    * Same exact-all-pairs oracle rationale as [[dedupMinhash]].
+    */
   val dedupNgram = Q(
     "x_dedup_ngram_jaccard",
     (s, d) =>
       DedupOps
         .minhashNearDups(Tables.documents(s, d), "doc_id", "text", shingleN = 2, k = 64, bands = 8, threshold = 0.8)
-        .orderBy("id_a", "id_b")
+        .orderBy("id_a", "id_b"),
+    Some(exactJaccardOracle(2))
   )
 
   /** Embedding-cosine near-dup candidate pairs (SRP-bucketed, distributed —
@@ -363,6 +392,40 @@ object Extensions {
             GROUP BY token ORDER BY min_count DESC, token""")
   )
 
+  /** Corpus n-gram frequency table: non-distinct word bigrams, global counts,
+    * deterministic top-20 — the vocabulary/n-gram-stats pass of a corpus
+    * pipeline. One explode + one partial→final hash agg; the top-k is a
+    * TakeOrdered, not a full sort. (`sequence` guarded: Spark's sequence(0,-1)
+    * counts DOWN, so short texts must short-circuit to an empty array.)
+    */
+  val ngramFreq = Q(
+    "x_ngram_freq",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(TextAnalysis.tokens(col("text")).as("__t"))
+        .select(
+          explode(
+            when(size(col("__t")) >= 2,
+              transform(
+                sequence(lit(0), size(col("__t")) - 2),
+                i => concat_ws(" ", element_at(col("__t"), i + 1), element_at(col("__t"), i + 2))))
+              .otherwise(array().cast("array<string>"))
+          ).as("ngram"))
+        .groupBy(col("ngram"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("ngram"))
+        .limit(20),
+    Some("""WITH toks AS (
+              SELECT list_filter(string_split(text, ' '), w -> w <> '') AS t FROM documents),
+            ng AS (
+              SELECT unnest(CASE WHEN len(t) >= 2
+                THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+                ELSE CAST([] AS VARCHAR[]) END) AS ngram
+              FROM toks)
+            SELECT ngram, count(*) AS cnt FROM ng
+            GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 20""")
+  )
+
   /** Sketch aggregate: HyperLogLog++ approximate distinct next to the exact
     * count. The sketch is engine-specific (no cross-engine oracle), but at
     * 100 TB it is the difference between one pass with bounded memory and a
@@ -378,8 +441,34 @@ object Extensions {
         )
   )
 
+  /** Quantiles over a fact column: EXACT interpolated percentiles (oracled
+    * against DuckDB's quantile_cont). At 100 TB the exact form's full sort is
+    * the wrong tool — `approx_percentile` (KLL-style mergeable sketch, one
+    * pass, bounded memory) is the scale path; AccuracySpec gates the sketch's
+    * error against these exact values so both forms stay honest. Safe in
+    * double precision because l_quantity is integer-valued (both engines
+    * interpolate a+f·(b−a) over exact integers).
+    */
+  val quantiles = Q(
+    "x_quantiles",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .agg(
+          expr("percentile(l_quantity, 0.25)").as("p25"),
+          expr("percentile(l_quantity, 0.5)").as("p50"),
+          expr("percentile(l_quantity, 0.75)").as("p75"),
+          expr("percentile(l_quantity, 0.95)").as("p95")
+        ),
+    Some("""SELECT quantile_cont(l_quantity, 0.25) AS p25,
+              quantile_cont(l_quantity, 0.5) AS p50,
+              quantile_cont(l_quantity, 0.75) AS p75,
+              quantile_cont(l_quantity, 0.95) AS p95
+            FROM lineitem""")
+  )
+
   val qs: Seq[Q] = Seq(
     textStats, textQuality, textLangId, textFingerprint, approxDistinct, jsonExtract, heavyHitters,
+    ngramFreq, quantiles,
     dedupExact, dedupMinhash, dedupSimhash, dedupNgram, dedupEmbedding,
     annBruteForce, annLsh, annIvf,
     multimodalMeta, multimodalFrames

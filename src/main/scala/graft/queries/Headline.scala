@@ -423,5 +423,30 @@ object Headline {
             ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST, o_year NULLS FIRST""")
   )
 
-  val qs: Seq[Q] = Seq(h1, h2, h3, h4, h5, h6, h7, h8, h9, h10, h11, h12, h13, h14, h15, h16, h17, h18, h19)
+  /** PIVOT: status columns per priority row — the reshape every reporting
+    * layer wants. Spark plans this as ONE grouped aggregate with conditional
+    * counters (no per-status scans); pinning the pivot values (`F`,`O`,`P`)
+    * keeps the schema static so the plan needs no driver-side distinct pass.
+    */
+  val h20 = Q(
+    "h20_pivot",
+    (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(
+          col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p"))
+        .orderBy("o_orderpriority"),
+    Some("""SELECT o_orderpriority,
+              CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS n_f,
+              CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS n_o,
+              CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS n_p
+            FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+  )
+
+  val qs: Seq[Q] = Seq(h1, h2, h3, h4, h5, h6, h7, h8, h9, h10, h11, h12, h13, h14, h15, h16, h17, h18, h19, h20)
 }

@@ -190,6 +190,21 @@ class AccuracySpec extends AnyFunSuite {
       s"recall=$recall below 90% of the formula's prediction $predicted (${exact.size} exact pairs)")
   }
 
+  test("approx_percentile sketch tracks the exact percentiles (scale path vs oracled path)") {
+    val li = Tables.lineitem(spark, TestSpark.sf0001)
+    val row = li.agg(
+      expr("percentile(l_quantity, array(0.25, 0.5, 0.75, 0.95))").as("exact"),
+      expr("approx_percentile(l_quantity, array(0.25, 0.5, 0.75, 0.95), 1000)").as("approx")
+    ).collect()(0)
+    val exact  = row.getSeq[Double](0)
+    val approx = row.getSeq[Any](1).map(v => v.toString.toDouble)
+    exact.zip(approx).foreach { case (e, a) =>
+      // l_quantity spans 1..50; accuracy=1000 bounds rank error at n/1000,
+      // which on this distribution keeps the value within one unit.
+      assert(math.abs(e - a) <= 1.0, s"approx percentile $a strayed from exact $e")
+    }
+  }
+
   test("embedding near-dup registry query is deterministic and non-empty") {
     def run(): Set[(Long, Long)] =
       graft.queries.Extensions.dedupEmbedding.run(spark, TestSpark.sf0001)
