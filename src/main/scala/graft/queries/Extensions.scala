@@ -392,6 +392,48 @@ object Extensions {
             GROUP BY token ORDER BY min_count DESC, token""")
   )
 
+  /** Repetition-ratio quality metric (the Gopher-style repetition filter):
+    * fraction of bigram occurrences that are repeats of an earlier bigram in
+    * the same document, 1 − distinct/total. High ratio ⇒ boilerplate/looped
+    * text. Distinct bigrams come from the codegen'd `word_shingles` kernel
+    * (first-occurrence dedup), total is just n_tokens−1 — no second
+    * tokenize pass.
+    */
+  val textRepetition = Q(
+    "x_text_repetition",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          graft.functions.NativeFns.token_counts(col("text"), Nil).getField("n_tokens").as("__ntok"),
+          size(graft.functions.NativeFns.word_shingles(col("text"), 2)).as("__ndistinct")
+        )
+        .select(
+          col("doc_id"),
+          (col("__ntok") - 1).cast("long").as("n_bigrams"),
+          col("__ndistinct").cast("long").as("n_distinct"),
+          when(col("__ntok") < 2, lit(null).cast("double"))
+            .otherwise(lit(1.0) - col("__ndistinct").cast("double") / (col("__ntok") - 1).cast("double"))
+            .as("repetition_ratio")
+        )
+        .orderBy("doc_id"),
+    Some("""WITH t AS (
+              SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks
+              FROM documents),
+            b AS (
+              SELECT doc_id, len(toks) AS ntok,
+                CASE WHEN len(toks) >= 2
+                  THEN len(list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])))
+                  ELSE 1 END AS ndistinct
+              FROM t)
+            SELECT doc_id,
+              CAST(ntok - 1 AS BIGINT) AS n_bigrams,
+              CAST(ndistinct AS BIGINT) AS n_distinct,
+              CASE WHEN ntok < 2 THEN NULL
+                   ELSE 1.0 - CAST(ndistinct AS DOUBLE) / CAST(ntok - 1 AS DOUBLE) END AS repetition_ratio
+            FROM b ORDER BY doc_id""")
+  )
+
   /** Corpus n-gram frequency table: non-distinct word bigrams, global counts,
     * deterministic top-20 — the vocabulary/n-gram-stats pass of a corpus
     * pipeline. One explode + one partial→final hash agg; the top-k is a
@@ -468,7 +510,7 @@ object Extensions {
 
   val qs: Seq[Q] = Seq(
     textStats, textQuality, textLangId, textFingerprint, approxDistinct, jsonExtract, heavyHitters,
-    ngramFreq, quantiles,
+    ngramFreq, quantiles, textRepetition,
     dedupExact, dedupMinhash, dedupSimhash, dedupNgram, dedupEmbedding,
     annBruteForce, annLsh, annIvf,
     multimodalMeta, multimodalFrames

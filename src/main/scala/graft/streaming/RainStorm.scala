@@ -255,6 +255,23 @@ object RainStorm {
       .withColumnRenamed(tsCol, s"l_$tsCol")
   }
 
+  /** Stream-static enrichment join: a streaming fact stream joined to a
+    * static dimension table. No watermark needed — the static side is
+    * re-planned per micro-batch (picking up dimension updates for file
+    * sources) and, when small, broadcast, so the stream never shuffles.
+    * This is the lookup-enrichment stage of every event pipeline; at 100 TB
+    * the dimension is the broadcast side by construction.
+    */
+  def enrichWithStatic(
+      stream: DataFrame,
+      dim: DataFrame,
+      joinKey: String,
+      broadcastDim: Boolean = true
+  ): DataFrame = {
+    val d = if (broadcastDim) broadcast(dim) else dim
+    stream.join(d, Seq(joinKey), "left")
+  }
+
   /** Generic 3-stage pipeline runner mirroring the `RainStorm op1 op2 src dest
     * num_tasks` terminal verb (`core_process_stream_DS.go:1645-1842`):
     * source → op1 (stateless transform) → shuffle on key → op2 (grouped agg),

@@ -156,6 +156,46 @@ class PlanSpec extends AnyFunSuite {
     assert(df.count() == expected)
   }
 
+  test("h18/h19: CUBE and GROUPING SETS are one Expand + one aggregate pass, not N scans") {
+    for (q <- Seq(Headline.h18, Headline.h19)) {
+      val p = plan(q)
+      assert(p.contains("Expand"), s"${q.name}: grouping sets must plan via Expand")
+      assert("Scan parquet".r.findAllIn(p).size == 1,
+        s"${q.name}: one scan feeds every grouping set; plan:\n${p.take(800)}")
+      assert(p.contains("partial_count") || p.contains("HashAggregate"),
+        s"${q.name}: Expand must feed a partial aggregate")
+    }
+  }
+
+  test("h20: pivot plans as ONE conditional-count aggregate, no per-status scan") {
+    val p = plan(Headline.h20)
+    assert("Scan parquet".r.findAllIn(p).size == 1, s"pivot must not rescan per value; plan:\n${p.take(800)}")
+    assert(!p.contains("Expand"), "pinned-value pivot needs no Expand — plain conditional aggregation")
+    assert(p.contains("ReadSchema: struct<o_orderstatus:string,o_orderpriority:string>"),
+      "only the two pivot columns may be read")
+  }
+
+  test("x_ngram_freq: top-k is TakeOrdered over a partial-agg'd explode, 1-column scan") {
+    val p = plan(graft.queries.Extensions.ngramFreq)
+    assert(p.contains("TakeOrderedAndProject"), "limit+orderBy must compile to top-k, not a global sort")
+    assert(p.contains("Generate explode"), "bigrams expand inside the scan stage")
+    assert(p.contains("ReadSchema: struct<text:string>"), "only text may be read")
+  }
+
+  test("x_text_langid/quality: single projection, kernel runs once per row (no when-tree blowup)") {
+    // The round-2 scale-killer regression pin: the langid projection must be
+    // a bounded-size expression (one lang_id call), not 2^5 duplicated
+    // intersect pipelines; row cost must stay ~constant.
+    val p = graft.queries.Extensions.textLangId.run(spark, TestSpark.sf0001)
+      .queryExecution.executedPlan.toString
+    assert("lang_id".r.findAllIn(p).size <= 2, s"lang_id must appear once in the projection:\n${p.take(600)}")
+    assert(!p.contains("array_intersect"), "per-language intersect pipelines must be gone")
+    val q = graft.queries.Extensions.textQuality.run(spark, TestSpark.sf0001)
+      .queryExecution.executedPlan.toString
+    assert("token_counts".r.findAllIn(q).size <= 2,
+      s"text must be tokenized once, not per output column:\n${q.take(600)}")
+  }
+
   test("salted wordcount equals plain wordcount") {
     val plain  = Parity.u2.run(spark, TestSpark.sf0001).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val salted = Parity.u2salted.run(spark, TestSpark.sf0001).collect().map(r => r.getString(0) -> r.getLong(1)).toMap

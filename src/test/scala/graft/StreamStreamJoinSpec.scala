@@ -61,4 +61,62 @@ class StreamStreamJoinSpec extends AnyFunSuite {
     assert(streamed.nonEmpty, "join produced no pairs — fixture too sparse?")
     assert(streamed.toSeq == batch.toSeq)
   }
+
+  test("stream-stream LEFT OUTER join emits null-padded rows once the watermark closes them") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val leftIn  = MemoryStream[(Long, java.sql.Timestamp)]
+    val rightIn = MemoryStream[(Long, java.sql.Timestamp)]
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+
+    val joined = RainStorm.streamStreamJoin(
+      leftIn.toDF.toDF("user_id", "ts"), rightIn.toDF.toDF("user_id", "ts"),
+      keyCol = "user_id", tsCol = "ts",
+      watermark = "10 minutes", maxSpan = "5 minutes", joinType = "leftOuter")
+
+    val q = joined.writeStream
+      .outputMode("append").format("memory").queryName("ss_left_join").start()
+    try {
+      // user 1 gets a match in-window; user 2 never does.
+      leftIn.addData((1L, ts(0)), (2L, ts(1)))
+      rightIn.addData((1L, ts(2)))
+      q.processAllAvailable()
+      // Advance both watermarks far past left rows + maxSpan so the unmatched
+      // left row can be finalized as null-padded.
+      leftIn.addData((9L, ts(50)))
+      rightIn.addData((9L, ts(50)))
+      q.processAllAvailable()
+      leftIn.addData((9L, ts(55))) // one more batch so the state eviction emits
+      rightIn.addData((9L, ts(55)))
+      q.processAllAvailable()
+
+      val rows = spark.sql("SELECT user_id, r_ts FROM ss_left_join WHERE user_id IN (1, 2)")
+        .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+      assert(rows(1L).isDefined, "matched pair must carry the right-side time")
+      assert(rows.get(2L).exists(_.isEmpty), "unmatched left row must surface null-padded after watermark passes")
+    } finally q.stop()
+  }
+
+  test("stream-static enrichment join broadcasts the dimension and enriches every event") {
+    val eventsDir = Files.createTempDirectory("enrich_events").toString
+    Tables.events(spark, TestSpark.sf0001)
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"), col("event_type"))
+      .write.mode("overwrite").parquet(eventsDir)
+    val dim = Tables.customer(spark, TestSpark.sf0001)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+
+    val stream = spark.readStream.schema(spark.read.parquet(eventsDir).schema).parquet(eventsDir)
+    val q = RainStorm.enrichWithStatic(stream, dim, "user_id")
+      .writeStream.outputMode("append").format("memory").queryName("enriched")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val got = spark.sql("SELECT count(*) AS n, count(c_mktsegment) AS matched FROM enriched").collect()(0)
+    val batch = spark.read.parquet(eventsDir).join(dim, Seq("user_id"), "left")
+    assert(got.getLong(0) == batch.count())
+    assert(got.getLong(1) == batch.filter(col("c_mktsegment").isNotNull).count())
+    assert(got.getLong(1) > 0, "no events matched a customer — fixture drift?")
+  }
 }
