@@ -1,8 +1,7 @@
 package graft.functions
 
-import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.Encoder
 import org.apache.spark.sql.expressions.Aggregator
-import scala.collection.mutable
 
 /** Misra-Gries heavy-hitters sketch as a typed Spark `Aggregator` — the
   * SURVEY §2.6 "AggregateByKey UDF → Aggregator[IN,BUF,OUT]" surface, applied
@@ -18,28 +17,28 @@ import scala.collection.mutable
   */
 object HeavyHitters {
 
-  type Buf = mutable.Map[String, Long]
+  // Immutable map buffer: encodes as a native MapType(string,long) struct —
+  // compact, shuffle-comparable partial state (the kryo form shipped opaque
+  // java-serialized blobs per partial merge). k-sized persistent-map updates
+  // are O(1) with small constants, so the per-token cost stays flat.
+  type Buf = Map[String, Long]
 
   /** Decrement-all step: admit `item` (weight w), shedding one unit of every
     * tracked counter when the table is full — the Misra-Gries invariant.
     */
   private def admit(buf: Buf, item: String, w: Long, k: Int): Buf = {
     val cur = buf.getOrElse(item, 0L)
-    if (cur > 0L || buf.size < k) buf.update(item, cur + w)
+    if (cur > 0L || buf.size < k) buf.updated(item, cur + w)
     else {
       // decrement every counter by w (bounded by the smallest), drop zeros
-      val dec = math.min(w, buf.values.min)
-      val it  = buf.keysIterator.toArray
-      var i   = 0
-      while (i < it.length) {
-        val v = buf(it(i)) - dec
-        if (v <= 0L) buf.remove(it(i)) else buf.update(it(i), v)
-        i += 1
-      }
+      val dec     = math.min(w, buf.values.min)
+      val reduced = buf.iterator
+        .map { case (i, v) => (i, v - dec) }
+        .filter(_._2 > 0L)
+        .toMap
       val rem = w - dec
-      if (rem > 0 && buf.size < k) buf.update(item, rem)
+      if (rem > 0 && reduced.size < k) reduced.updated(item, rem) else reduced
     }
-    buf
   }
 
   /** Typed aggregator: `k` counter slots ⇒ finds all items with frequency
@@ -47,7 +46,7 @@ object HeavyHitters {
     */
   def sketch(k: Int): Aggregator[String, Buf, Seq[(String, Long)]] =
     new Aggregator[String, Buf, Seq[(String, Long)]] {
-      override def zero: Buf = mutable.Map.empty
+      override def zero: Buf = Map.empty
 
       override def reduce(buf: Buf, item: String): Buf = admit(buf, item, 1L, k)
 
@@ -60,7 +59,7 @@ object HeavyHitters {
         buf.toSeq.sortBy { case (item, cnt) => (-cnt, item) }
 
       override def bufferEncoder: Encoder[Buf] =
-        Encoders.kryo[Buf]
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Buf]()
       override def outputEncoder: Encoder[Seq[(String, Long)]] =
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(String, Long)]]()
     }

@@ -455,6 +455,44 @@ case class TokenCountsExpr(child: Expression, stopwords: Seq[String]) extends Un
   override protected def withNewChildInternal(c: Expression): TokenCountsExpr = copy(child = c)
 }
 
+/** deflate_ratio(string) → double: compressed-size / raw-size under DEFLATE
+  * (level 6) — the standard corpus quality signal for boilerplate and
+  * near-random text (low ratio ⇒ repetitive, ~1 ⇒ high-entropy). One pass,
+  * bounded memory, no external libs (java.util.zip). Engine-specific output
+  * (ratio depends on the deflate implementation) ⇒ rows-only query column,
+  * value-tested in ScalaTest.
+  */
+case class DeflateRatioExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"deflate_ratio expects string, got ${child.dataType.simpleString}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  /** Public so generated code can call it. */
+  def compute(text: org.apache.spark.unsafe.types.UTF8String): Double = {
+    val raw = text.getBytes
+    if (raw.isEmpty) return 1.0
+    val d = new java.util.zip.Deflater(6, false)
+    try {
+      d.setInput(raw)
+      d.finish()
+      val buf   = new Array[Byte](8192)
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      total.toDouble / raw.length
+    } finally d.end()
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("deflateExpr", this, classOf[DeflateRatioExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+  override protected def withNewChildInternal(c: Expression): DeflateRatioExpr = copy(child = c)
+}
+
 /** Column API for the native kernels. */
 object NativeFns {
   def cosine_sim(a: Column, b: Column): Column =
@@ -469,6 +507,8 @@ object NativeFns {
     ColumnBridge.column(LangIdExpr(ColumnBridge.expression(text), langs))
   def token_counts(text: Column, stopwords: Seq[String]): Column =
     ColumnBridge.column(TokenCountsExpr(ColumnBridge.expression(text), stopwords))
+  def deflate_ratio(text: Column): Column =
+    ColumnBridge.column(DeflateRatioExpr(ColumnBridge.expression(text)))
   def ivf_probes(vec: Column, centroids: Array[Array[Double]], nProbe: Int): Column =
     ColumnBridge.column(IvfProbesExpr(ColumnBridge.expression(vec), centroids, nProbe))
   def srp_buckets(vec: Column, planes: Array[Array[Array[Double]]], probes: Int = 1): Column =

@@ -129,7 +129,9 @@ object Extensions {
   )
 
   /** Document fingerprinting: custom codegen'd rolling-hash Catalyst
-    * expression + 64-bit SimHash. Not SQL-expressible → rows-only check.
+    * expression + 64-bit SimHash + DEFLATE compression ratio (the entropy/
+    * boilerplate quality signal). Not SQL-expressible → rows-only check;
+    * values pinned in OperatorSpec.
     */
   val textFingerprint = Q(
     "x_text_fingerprint",
@@ -138,7 +140,8 @@ object Extensions {
         .select(
           col("doc_id"),
           RollingHash.rolling_hash(col("text")).as("fingerprint"),
-          TextAnalysis.simHash64(col("text")).as("simhash")
+          TextAnalysis.simHash64(col("text")).as("simhash"),
+          graft.functions.NativeFns.deflate_ratio(col("text")).as("compress_ratio")
         )
         .orderBy("doc_id")
   )

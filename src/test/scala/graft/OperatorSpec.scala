@@ -85,6 +85,51 @@ class OperatorSpec extends AnyFunSuite {
     assert(out(1) == "und")
   }
 
+  test("langId kernel matches the declarative argmax on every document (semantic pin)") {
+    import spark.implicits._
+    // The kernel replaced a when()-fold for performance; this pins that its
+    // semantics (DISTINCT-token hits, argmax, list-precedence ties, 'und' on
+    // zero) still equal the declarative form it replaced.
+    val docs = Tables.documents(spark, TestSpark.sf0001).select("doc_id", "text").limit(200)
+    val declared = docs.select(
+      col("doc_id"), {
+        val scores = TextAnalysis.langStopwords.map { case (lang, words) =>
+          lang -> size(array_intersect(array_distinct(TextAnalysis.tokens(col("text"))), lit(words.toArray)))
+        }
+        val best = scores.tail.foldLeft((lit(scores.head._1), scores.head._2)) {
+          case ((bl, bs), (lang, sc)) =>
+            (when(sc > bs, lit(lang)).otherwise(bl), when(sc > bs, sc).otherwise(bs))
+        }
+        when(best._2 === 0, lit("und")).otherwise(best._1).as("lang")
+      })
+    val kernel = docs.select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang"))
+    val d = declared.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val k = kernel.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d == k)
+  }
+
+  test("deflate_ratio separates repetitive from high-entropy text and matches java.util.zip") {
+    import spark.implicits._
+    val rep  = "spam " * 200
+    val rng  = new scala.util.Random(13)
+    val rand = Array.fill(1000)((33 + rng.nextInt(90)).toChar).mkString
+    val got = Seq((1L, rep), (2L, rand), (3L, "")).toDF("id", "text")
+      .select(col("id"), graft.functions.NativeFns.deflate_ratio(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) < 0.1, s"repetitive text must compress hard, got ${got(1L)}")
+    assert(got(2L) > 0.5, s"high-entropy text must not, got ${got(2L)}")
+    assert(got(3L) == 1.0)
+    def ref(s: String): Double = {
+      val raw = s.getBytes("UTF-8")
+      val d   = new java.util.zip.Deflater(6, false)
+      d.setInput(raw); d.finish()
+      val buf = new Array[Byte](8192); var n = 0L
+      while (!d.finished()) n += d.deflate(buf)
+      d.end(); n.toDouble / raw.length
+    }
+    assert(got(1L) == ref(rep) && got(2L) == ref(rand))
+  }
+
   test("cosine of identical vectors is 1") {
     import spark.implicits._
     val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f, 3.0f))).toDF("a", "b")
