@@ -3,7 +3,33 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimExpr, IdPairsExpr, MinHashSigExpr, RollingHashExpr, SimHash64Expr, WordShinglesExpr}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, HyperLogLogPlusPlus}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import graft.functions.{CosineSimExpr, DeflateRatioExpr, IdPairsExpr, LangIdExpr, MinHashSigExpr, RollingHashExpr, SimHash64Expr, TextAnalysis, WordShinglesExpr}
+
+/** Opt-in approximation mode (the BlinkDB-style interactive-exploration
+  * lever): when `spark.graft.approx.countDistinct=true`, every exact
+  * `count(DISTINCT x)` in the plan is rewritten to a HyperLogLog++ estimate
+  * (`spark.graft.approx.rsd`, default 0.05). At 100 TB this turns a full
+  * distinct shuffle into one mergeable-sketch pass — the difference between
+  * minutes and an interactive answer — while leaving default sessions
+  * bit-exact. Injected as an optimizer [[Rule]] so EVERY query form (SQL,
+  * DataFrame, registry) gets it from the one switch.
+  */
+object ApproxCountDistinctRule extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!conf.getConfString("spark.graft.approx.countDistinct", "false").toBoolean) plan
+    else {
+      val rsd = conf.getConfString("spark.graft.approx.rsd", "0.05").toDouble
+      plan.transformAllExpressions {
+        // single-column exact distinct count → HLL++ sketch (multi-column
+        // distinct counts keep exact semantics — HLL++ is unary)
+        case ae @ AggregateExpression(Count(Seq(child)), _, true, _, _) =>
+          ae.copy(aggregateFunction = HyperLogLogPlusPlus(child, rsd), isDistinct = false)
+      }
+    }
+}
 
 /** SparkSessionExtensions wiring: registers graft's custom Catalyst
   * expressions as SQL functions so `spark.sql("SELECT rolling_hash(text) …")`
@@ -54,5 +80,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
        info("word_shingles", "word_shingles(str, n) - distinct word n-gram shingles"),
        (args: Seq[Expression]) => WordShinglesExpr(args(0), intArg(args(1), "word_shingles n")))
     )
+    ext.injectFunction(
+      (FunctionIdentifier("lang_id"),
+       info("lang_id", "lang_id(str) - stopword-heuristic language id (en/es/de/fr/zh/und)"),
+       (args: Seq[Expression]) => LangIdExpr(args.head, TextAnalysis.langStopwords))
+    )
+    ext.injectFunction(
+      (FunctionIdentifier("deflate_ratio"),
+       info("deflate_ratio", "deflate_ratio(str) - DEFLATE compressed/raw size ratio (entropy signal)"),
+       (args: Seq[Expression]) => DeflateRatioExpr(args.head))
+    )
+    ext.injectOptimizerRule(_ => ApproxCountDistinctRule)
   }
 }

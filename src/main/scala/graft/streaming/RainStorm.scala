@@ -255,6 +255,55 @@ object RainStorm {
       .withColumnRenamed(tsCol, s"l_$tsCol")
   }
 
+  /** Streaming NEAR-duplicate filter — the streaming face of the batch
+    * simhash dedup (`DedupOps.simhashNearDups`): first-seen documents pass;
+    * a later document whose 64-bit SimHash lies within `maxHamming` of an
+    * already-seen fingerprint in the same LSH bucket is dropped, across
+    * micro-batches. Keying is single-band (bits 0-15 of the fingerprint), so
+    * state per key is a small fingerprint list and the comparison never goes
+    * corpus-wide; the price is recall — near-dups that differ inside band 0
+    * are missed (a near-dup at Hamming ≤ h escapes with probability
+    * ≈ h/4 · the chance its flipped bit lands in band 0; the batch 4-band
+    * path catches those). `maxPerBucket` bounds state per key, so total state
+    * is bounded by 2^16 × maxPerBucket fingerprints regardless of stream
+    * length.
+    */
+  final case class SeenFingerprints(fps: List[Long])
+
+  def nearDupFilterStream(
+      spark: SparkSession,
+      docs: Dataset[(Long, String)], // (doc_id, text)
+      maxHamming: Int = 6,
+      maxPerBucket: Int = 1024
+  ): Dataset[(Long, String)] = {
+    import spark.implicits._
+    import graft.functions.TextAnalysis
+    val withSim = docs
+      .toDF("doc_id", "text")
+      .withColumn("simhash", TextAnalysis.simHash64(col("text")))
+      .withColumn("bucket", col("simhash").bitwiseAND(0xffffL))
+      .as[(Long, String, Long, Long)]
+    withSim
+      .groupByKey(_._4)
+      .flatMapGroupsWithState[SeenFingerprints, (Long, String)](
+        OutputMode.Append(),
+        GroupStateTimeout.NoTimeout
+      ) { (_, rows, state) =>
+        var seen = state.getOption.getOrElse(SeenFingerprints(Nil)).fps
+        val out  = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+        // doc_id order within the batch => deterministic first-wins
+        rows.toSeq.sortBy(_._1).foreach { case (id, text, sim, _) =>
+          val isDup = seen.exists(f => java.lang.Long.bitCount(f ^ sim) <= maxHamming)
+          if (!isDup) {
+            out += ((id, text))
+            if (seen.size < maxPerBucket) seen = sim :: seen
+          }
+        }
+        state.update(SeenFingerprints(seen))
+        out.iterator
+      }
+  }
+
   /** Stream-static enrichment join: a streaming fact stream joined to a
     * static dimension table. No watermark needed — the static side is
     * re-planned per micro-batch (picking up dimension updates for file

@@ -206,10 +206,38 @@ class PlanSpec extends AnyFunSuite {
     val r = spark.sql("SELECT rolling_hash('abc') AS h, simhash64(array('a','b')) AS s, " +
       "cosine_sim(array(CAST(1.0 AS FLOAT)), array(CAST(1.0 AS FLOAT))) AS c, " +
       "size(minhash_sig(array('x'), 16)) AS k, size(word_shingles('a b c d', 2)) AS w, " +
-      "size(id_pairs(array(CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(3 AS BIGINT)))) AS p").collect()(0)
+      "size(id_pairs(array(CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(3 AS BIGINT)))) AS p, " +
+      "lang_id('the a of and cat') AS l, deflate_ratio('aaaaaaaaaaaaaaaaaaaaaaaa') AS d").collect()(0)
     assert(r.getDouble(2) == 1.0)
     assert(r.getInt(3) == 16)
     assert(r.getInt(4) == 3)
     assert(r.getInt(5) == 3)
+    assert(r.getString(6) == "en")
+    assert(r.getDouble(7) < 1.0)
+  }
+
+  test("approx mode: count(DISTINCT) rewrites to HLL++ only when opted in") {
+    import org.apache.spark.sql.functions._
+    val li = Tables.lineitem(spark, TestSpark.sf0001)
+    def q() = li.agg(count_distinct(col("l_partkey")).as("n"))
+    val exact = q().collect()(0).getLong(0)
+    assert(!q().queryExecution.optimizedPlan.toString.contains("approx_count_distinct"))
+    spark.conf.set("spark.graft.approx.countDistinct", "true")
+    try {
+      val plan = q().queryExecution.optimizedPlan.toString
+      assert(plan.contains("approx_count_distinct"),
+        s"opt-in must rewrite exact distinct to HLL++; plan:\n${plan.take(600)}")
+      // No Expand/distinct shuffle in the physical plan — ONE sketch pass.
+      val phys = q().queryExecution.executedPlan.toString
+      assert(!phys.contains("Expand"), "HLL++ form must not plan the distinct Expand")
+      val approx = q().collect()(0).getLong(0)
+      assert(math.abs(approx - exact).toDouble / exact <= 0.15,
+        s"approx=$approx strayed from exact=$exact beyond 3x rsd")
+      // SQL path goes through the same optimizer rule.
+      li.createOrReplaceTempView("li_approx")
+      val sqlPlan = spark.sql("SELECT count(DISTINCT l_partkey) FROM li_approx")
+        .queryExecution.optimizedPlan.toString
+      assert(sqlPlan.contains("approx_count_distinct"))
+    } finally spark.conf.set("spark.graft.approx.countDistinct", "false")
   }
 }

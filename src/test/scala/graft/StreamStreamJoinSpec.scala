@@ -99,6 +99,44 @@ class StreamStreamJoinSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dup filter drops cross-batch near-duplicates, passes distinct docs") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.functions.TextAnalysis
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // Find a real planted near-dup pair whose fingerprints agree on band 0
+    // and sit within Hamming 6 — the regime the single-band filter covers.
+    val sims = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("text"), TextAnalysis.simHash64(col("text")).as("s"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val pair = (for {
+      a <- sims.iterator
+      b <- sims
+      if a._1 < b._1 && (a._3 & 0xffffL) == (b._3 & 0xffffL) &&
+        java.lang.Long.bitCount(a._3 ^ b._3) <= 6
+    } yield (a, b)).toSeq.headOption
+    assert(pair.isDefined, "fixture must contain a band-0-agreeing near-dup pair")
+    val (first, dup) = pair.get
+    val distinctDoc = sims.find(s =>
+      java.lang.Long.bitCount(s._3 ^ first._3) > 6 && s._1 != first._1).get
+
+    val in = MemoryStream[(Long, String)]
+    val q = RainStorm.nearDupFilterStream(spark, in.toDS(), maxHamming = 6)
+      .toDF("doc_id", "text")
+      .writeStream.outputMode("append").format("memory").queryName("neardup_filter").start()
+    try {
+      in.addData((first._1, first._2))           // batch 1: original passes
+      q.processAllAvailable()
+      in.addData((dup._1, dup._2), (distinctDoc._1, distinctDoc._2)) // batch 2
+      q.processAllAvailable()
+      val passed = spark.sql("SELECT doc_id FROM neardup_filter").collect().map(_.getLong(0)).toSet
+      assert(passed.contains(first._1))
+      assert(passed.contains(distinctDoc._1), "distinct doc must pass")
+      assert(!passed.contains(dup._1), "cross-batch near-dup must be dropped by kept state")
+    } finally q.stop()
+  }
+
   test("stream-static enrichment join broadcasts the dimension and enriches every event") {
     val eventsDir = Files.createTempDirectory("enrich_events").toString
     Tables.events(spark, TestSpark.sf0001)
