@@ -448,5 +448,38 @@ object Headline {
             FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")
   )
 
-  val qs: Seq[Q] = Seq(h1, h2, h3, h4, h5, h6, h7, h8, h9, h10, h11, h12, h13, h14, h15, h16, h17, h18, h19, h20)
+  /** Interval (range) join with NO equi key: every event inside each
+    * error-incident window, counted per window. The naive form is a
+    * nested-loop join; [[graft.operators.IntervalJoin]] bucketizes the time
+    * axis so it plans as an equi hash join + residual filter — the shape that
+    * survives two big sides at 100 TB. The oracle states the naive theta-join
+    * form; results are identical.
+    */
+  val h21 = Q(
+    "h21_interval_join",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(col("event_id"), col("ts").cast("timestamp").as("ts"), col("event_type"))
+      val windows = ev
+        .filter(col("event_type") === "error" && col("event_id") % 50 === 0)
+        .select(
+          col("event_id").as("window_id"),
+          col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 2 hours")).as("w_end"))
+      graft.operators.IntervalJoin
+        .pointInInterval(ev.select("event_id", "ts"), "ts", windows, "w_start", "w_end", bucketSeconds = 7200L)
+        .groupBy(col("window_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy("window_id")
+    },
+    Some("""WITH w AS (
+              SELECT event_id AS window_id, CAST(ts AS TIMESTAMP) AS w_start,
+                     CAST(ts AS TIMESTAMP) + INTERVAL 2 HOUR AS w_end
+              FROM events WHERE event_type = 'error' AND event_id % 50 = 0)
+            SELECT window_id, count(*) AS n_events
+            FROM w JOIN events e
+              ON CAST(e.ts AS TIMESTAMP) >= w.w_start AND CAST(e.ts AS TIMESTAMP) < w.w_end
+            GROUP BY window_id ORDER BY window_id""")
+  )
+
+  val qs: Seq[Q] = Seq(h1, h2, h3, h4, h5, h6, h7, h8, h9, h10, h11, h12, h13, h14, h15, h16, h17, h18, h19, h20, h21)
 }

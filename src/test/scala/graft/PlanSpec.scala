@@ -196,6 +196,27 @@ class PlanSpec extends AnyFunSuite {
       s"text must be tokenized once, not per output column:\n${q.take(600)}")
   }
 
+  test("h21: bucketized interval join plans an equi hash join, never a nested loop") {
+    val p = plan(Headline.h21)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join must bucketize to an equi join; plan:\n${p.take(1000)}")
+    assert(p.contains("Join"), "bucket equi-join expected")
+    // And the result equals the naive theta join on the same inputs.
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, TestSpark.sf0001)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"), col("event_type"))
+    val w = ev.filter(col("event_type") === "error" && col("event_id") % 50 === 0)
+      .select(col("event_id").as("window_id"), col("ts").as("w_start"),
+        (col("ts") + expr("INTERVAL 2 hours")).as("w_end"))
+    val naive = ev.select(col("ts")).alias("e")
+      .join(w, col("e.ts") >= col("w_start") && col("e.ts") < col("w_end"))
+      .groupBy("window_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bucketized = Headline.h21.run(spark, TestSpark.sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bucketized == naive, "bucketized interval join must equal the naive theta join")
+  }
+
   test("salted wordcount equals plain wordcount") {
     val plain  = Parity.u2.run(spark, TestSpark.sf0001).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val salted = Parity.u2salted.run(spark, TestSpark.sf0001).collect().map(r => r.getString(0) -> r.getLong(1)).toMap

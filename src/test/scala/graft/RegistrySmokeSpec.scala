@@ -21,7 +21,7 @@ class RegistrySmokeSpec extends AnyFunSuite {
     "h1_pricing_summary", "h2_join_topk_revenue", "h3_broadcast_join",
     "h4_window_topn_per_key", "h5_global_topk", "h7_asof_join",
     "h8_event_time_window", "h9_sessionize", "h10_semi_anti_join", "h11_rollup",
-    "h18_cube", "h19_grouping_sets", "h20_pivot",
+    "h18_cube", "h19_grouping_sets", "h20_pivot", "h21_interval_join",
     "x_ngram_freq", "x_quantiles", "x_text_repetition",
     "x_dedup_minhash_lsh", "x_dedup_ngram_jaccard",
     "x_text_stats", "x_text_langid", "x_text_fingerprint", "x_approx_distinct_sketch",
