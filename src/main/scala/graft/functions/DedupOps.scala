@@ -105,6 +105,41 @@ object DedupOps {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Containment near-dups: |A∩B| / min(|A|,|B|) ≥ threshold — catches a
+    * short document embedded in a longer one (doc-in-doc, quote farms,
+    * boilerplate wrappers), which symmetric Jaccard under-scores when lengths
+    * differ. Same sub-quadratic LSH candidate pipeline as
+    * [[minhashNearDups]]; note MinHash banding estimates JACCARD, so recall
+    * for high-containment/low-Jaccard pairs (very unequal lengths) degrades —
+    * for those regimes, band on the SHORT side's shingles or lower the band
+    * rows. Returns (id_a, id_b, containment).
+    */
+  def containmentNearDups(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      k: Int = 64,
+      bands: Int = 8,
+      threshold: Double = 0.9
+  ): DataFrame = {
+    val rowsPerBand = k / bands
+    val withSh  = docs.select(col(idCol), shingles(col(textCol), shingleN).as("sh"))
+    val withSig = withSh.withColumn("sig", minhashSignature(col("sh"), k))
+    val cands   = lshCandidatePairs(withSig.select(col(idCol), col("sig")), idCol, "sig", bands, rowsPerBand)
+    val a = withSh.select(col(idCol).as("id_a"), col("sh").as("sh_a"))
+    val b = withSh.select(col(idCol).as("id_b"), col("sh").as("sh_b"))
+    cands
+      .join(a, "id_a")
+      .join(b, "id_b")
+      .select(
+        col("id_a"),
+        col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          least(size(col("sh_a")), size(col("sh_b"))).cast("double")).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** SimHash near-dup candidates: fingerprint + 4-way band partition of the 64
     * bits; equal band ⇒ candidate; verified by Hamming distance ≤ maxHamming.
     */

@@ -235,6 +235,36 @@ object Extensions {
     Some(exactJaccardOracle(2))
   )
 
+  /** Containment near-dup pairs (doc-in-doc detection): |A∩B|/min(|A|,|B|)
+    * over 3-gram shingles. Oracle-able by the same argument as
+    * [[dedupMinhash]]: on this corpus every containment ≥ 0.9 pair also has
+    * Jaccard ≥ 0.8 (verified against exact all-pairs), so the banded
+    * candidates cover the exact answer deterministically.
+    */
+  val dedupContainment = Q(
+    "x_dedup_containment",
+    (s, d) =>
+      DedupOps
+        .containmentNearDups(Tables.documents(s, d), "doc_id", "text", shingleN = 3, threshold = 0.9)
+        .orderBy("id_a", "id_b"),
+    Some("""WITH toks AS (
+              SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS t FROM documents),
+            sh AS (
+              SELECT doc_id,
+                CASE WHEN len(t) >= 3
+                  THEN list_distinct(list_transform(range(1, len(t) - 1),
+                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                  ELSE [array_to_string(t, ' ')] END AS s
+              FROM toks)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                / LEAST(len(a.s), len(b.s)) AS containment
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                / LEAST(len(a.s), len(b.s)) >= 0.9
+            ORDER BY id_a, id_b""")
+  )
+
   /** Embedding-cosine near-dup candidate pairs (SRP-bucketed, distributed —
     * no driver-side materialization). The testdata's 0.35 threshold is far
     * below real near-dup similarity, so the query passes a shallow 4-plane /
@@ -514,7 +544,7 @@ object Extensions {
   val qs: Seq[Q] = Seq(
     textStats, textQuality, textLangId, textFingerprint, approxDistinct, jsonExtract, heavyHitters,
     ngramFreq, quantiles, textRepetition,
-    dedupExact, dedupMinhash, dedupSimhash, dedupNgram, dedupEmbedding,
+    dedupExact, dedupMinhash, dedupSimhash, dedupNgram, dedupEmbedding, dedupContainment,
     annBruteForce, annLsh, annIvf,
     multimodalMeta, multimodalFrames
   )
