@@ -213,6 +213,31 @@ class OperatorSpec extends AnyFunSuite {
     assert(Storage.getFromReplica(spark, path, part).count() == 9)
   }
 
+  test("source formats: jsonl and csv round-trip the documents table losslessly") {
+    // The engine must ingest the formats a corpus actually arrives in —
+    // JSON-lines and CSV — not just parquet. Round-trip through each format
+    // and compare against the parquet original (explicit schema on read: at
+    // 100 TB schema inference is a full extra pass and is never the plan).
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, TestSpark.sf0001).select("doc_id", "text", "lang")
+    val base = Files.createTempDirectory("fmt").toString
+
+    docs.write.mode("overwrite").json(s"$base/jsonl")
+    val fromJson = spark.read.schema(docs.schema).json(s"$base/jsonl")
+    assert(fromJson.count() == docs.count())
+    assert(fromJson.exceptAll(docs).isEmpty && docs.exceptAll(fromJson).isEmpty)
+
+    // CSV needs quoting/escaping to survive commas and quotes in text.
+    docs.write.mode("overwrite")
+      .option("header", "true").option("quote", "\"").option("escape", "\"")
+      .csv(s"$base/csv")
+    val fromCsv = spark.read.schema(docs.schema)
+      .option("header", "true").option("quote", "\"").option("escape", "\"")
+      .csv(s"$base/csv")
+    assert(fromCsv.count() == docs.count())
+    assert(fromCsv.exceptAll(docs).isEmpty && docs.exceptAll(fromCsv).isEmpty)
+  }
+
   test("storage facade verbs: create/append/get/merge/quantify/ls") {
     import spark.implicits._
     val path = Files.createTempDirectory("hydfs").toString + "/t"
