@@ -236,6 +236,11 @@ class OperatorSpec extends AnyFunSuite {
       .csv(s"$base/csv")
     assert(fromCsv.count() == docs.count())
     assert(fromCsv.exceptAll(docs).isEmpty && docs.exceptAll(fromCsv).isEmpty)
+
+    docs.write.mode("overwrite").orc(s"$base/orc")
+    val fromOrc = spark.read.schema(docs.schema).orc(s"$base/orc")
+    assert(fromOrc.count() == docs.count())
+    assert(fromOrc.exceptAll(docs).isEmpty && docs.exceptAll(fromOrc).isEmpty)
   }
 
   test("storage facade verbs: create/append/get/merge/quantify/ls") {

@@ -217,6 +217,38 @@ class PlanSpec extends AnyFunSuite {
     assert(bucketized == naive, "bucketized interval join must equal the naive theta join")
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true in the final plan)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // One giant key + a spread tail against a small right side, broadcast
+    // disabled so it must sort-merge — the shape that stalls a cluster on
+    // one straggler task unless AQE splits the skewed partition.
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    ).map(k => k -> spark.conf.getOption(k)).toMap
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32k")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16k")
+    try {
+      val left = spark.range(200000)
+        .select(when(col("id") % 10 === 0, 0L).otherwise(col("id")).as("k"),
+          concat(lit("payload-"), col("id")).as("v"))
+      val right = spark.range(100).select(col("id").as("k"), lit("dim").as("d"))
+      val joined = left.join(right, "k").select(col("k")) // small rows for collect
+      joined.collect() // collect() runs THIS dataset's QueryExecution → AQE finalizes it
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE must mark the skewed join split; final plan:\n${finalPlan.take(1200)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("salted wordcount equals plain wordcount") {
     val plain  = Parity.u2.run(spark, TestSpark.sf0001).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val salted = Parity.u2salted.run(spark, TestSpark.sf0001).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
