@@ -304,6 +304,64 @@ object RainStorm {
       }
   }
 
+  /** Streaming SET-SIMILARITY join (the shape of "Distributed Streaming Set
+    * Similarity Join", ICDE 2020, re-expressed on Structured Streaming):
+    * pairs (l, r) from two document streams with word-shingle Jaccard ≥
+    * `threshold` and |l.ts − r.ts| within `maxSpan`. Sub-quadratic the same
+    * way the batch path is — both sides are MinHash-banded into
+    * (band, bucket) keys by the codegen'd kernels, the stream-stream join is
+    * an EQUI-join on the bucket key (plus the watermarked time bound that
+    * lets the join state evict), and exact Jaccard verifies only the
+    * candidates. A pair can collide in several bands; the trailing
+    * watermarked dedup keeps the first emission per (id_a, id_b) and evicts
+    * that state with the same horizon.
+    */
+  def streamingSimilarityJoin(
+      left: DataFrame,  // streaming DF with (idCol, textCol, tsCol)
+      right: DataFrame, // streaming DF with (idCol, textCol, tsCol)
+      idCol: String,
+      textCol: String,
+      tsCol: String,
+      threshold: Double = 0.8,
+      shingleN: Int = 3,
+      k: Int = 64,
+      bands: Int = 8,
+      watermark: String = "1 hour",
+      maxSpan: String = "30 minutes"
+  ): DataFrame = {
+    import graft.functions.{DedupOps, NativeFns}
+    val rowsPerBand = k / bands
+    def banded(df: DataFrame, prefix: String) =
+      df.select(
+          col(idCol).as(s"${prefix}_id"),
+          col(textCol).as(s"${prefix}_text"),
+          col(tsCol).as(s"${prefix}_ts"),
+          NativeFns.minhash_sig(NativeFns.word_shingles(col(textCol), shingleN), k).as("__sig"))
+        .select(
+          col(s"${prefix}_id"), col(s"${prefix}_text"), col(s"${prefix}_ts"),
+          posexplode(
+            transform(
+              sequence(lit(0), lit(bands - 1)),
+              b => hash(slice(col("__sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
+            .as(Seq("band", "bucket")))
+        .withWatermark(s"${prefix}_ts", watermark)
+    val l = banded(left, "l").alias("l")
+    val r = banded(right, "r").alias("r")
+    l.join(
+        r,
+        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
+          col("r_ts") >= col("l_ts") - expr(s"INTERVAL $maxSpan") &&
+          col("r_ts") <= col("l_ts") + expr(s"INTERVAL $maxSpan"))
+      .select(
+        col("l_id").as("id_a"), col("r_id").as("id_b"), col("l_ts"),
+        DedupOps.jaccard(
+          NativeFns.word_shingles(col("l_text"), shingleN),
+          NativeFns.word_shingles(col("r_text"), shingleN)).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .withWatermark("l_ts", watermark)
+      .dropDuplicatesWithinWatermark("id_a", "id_b")
+  }
+
   /** Stream-static enrichment join: a streaming fact stream joined to a
     * static dimension table. No watermark needed — the static side is
     * re-planned per micro-batch (picking up dimension updates for file

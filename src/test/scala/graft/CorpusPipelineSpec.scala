@@ -70,4 +70,57 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(passed.size < docs.length, "near-dup filter must drop the planted duplicates")
     assert(streamed == expected)
   }
+
+  test("streaming set-similarity join finds exactly the exact-Jaccard cross pairs") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // Split the corpus into two streams (even/odd doc_id) with a shared
+    // synthetic event time, so cross-stream planted near-dups must surface.
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    val ts   = java.sql.Timestamp.valueOf("2026-01-01 12:00:00")
+    val even = docs.filter(_._1 % 2 == 0).map { case (id, t) => (id, t, ts) }
+    val odd  = docs.filter(_._1 % 2 == 1).map { case (id, t) => (id, t, ts) }
+
+    val lIn = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val rIn = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val joined = RainStorm.streamingSimilarityJoin(
+      lIn.toDF.toDF("doc_id", "text", "ts"), rIn.toDF.toDF("doc_id", "text", "ts"),
+      "doc_id", "text", "ts", threshold = 0.8)
+    val q = joined.writeStream
+      .outputMode("append").format("memory").queryName("sim_join").start()
+    try {
+      lIn.addData(even.toIndexedSeq: _*)
+      rIn.addData(odd.toIndexedSeq: _*)
+      q.processAllAvailable()
+      // advance watermarks so the pair-dedup state can finalize emissions
+      val late = java.sql.Timestamp.valueOf("2026-01-01 16:00:00")
+      lIn.addData((999999L, "zzz", late)); rIn.addData((999998L, "yyy", late))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.sql("SELECT id_a, id_b FROM sim_join WHERE id_a < 999000 AND id_b < 999000")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // Exact ground truth: all even×odd pairs with 3-gram Jaccard >= 0.8.
+    def sh(t: String) = {
+      val toks = t.split(" ").filter(_.nonEmpty)
+      if (toks.length >= 3) toks.sliding(3).map(_.mkString(" ")).toSet else Set(toks.mkString(" "))
+    }
+    val exact = even.iterator.flatMap { case (ia, ta, _) =>
+      val sa = sh(ta)
+      odd.flatMap { case (ib, tb, _) =>
+        val sb    = sh(tb)
+        val inter = (sa & sb).size
+        val uni   = sa.size + sb.size - inter
+        if (uni == 0 || inter.toDouble / uni >= 0.8) Some((ia, ib)) else None
+      }
+    }.toSet
+    assert(exact.nonEmpty, "even/odd split must separate at least one planted pair")
+    assert(streamed == exact,
+      s"streaming similarity join: got ${streamed.size} pairs, exact ${exact.size}; " +
+        s"missing=${(exact -- streamed).take(3)} spurious=${(streamed -- exact).take(3)}")
+  }
 }
