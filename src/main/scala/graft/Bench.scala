@@ -39,21 +39,42 @@ object Bench {
     // driver passes none → full run).
     val all    = SparkEntry.queries.toSeq.sortBy(_._1)
     val sorted = if (args.isEmpty) all else all.filter { case (n, _) => args.exists(n.contains) }
-    def pass(): Map[String, Double] = sorted.map { case (name, fn) =>
+    val bench0 = System.nanoTime()
+    def runOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+               tag: String): Double = {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
-    val p1 = pass()
-    val p2 = pass()
-    val results = sorted.map { case (name, _) => name -> math.min(p1(name), p2(name)) }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Progress to stderr with the wall offset into the bench: lets a slow
+      // query be correlated with a time-localized host-noise window instead
+      // of being misread as a real regression.
+      Console.err.println(f"[bench] $tag $name ${dt}%.3f s @t=${(t0 - bench0) / 1e9}%.1f")
+      dt
+    }
+    def pass(tag: String): Map[String, Double] =
+      sorted.map { case (name, fn) => name -> runOne(name, fn, tag) }.toMap
+    val p1 = pass("pass1")
+    val p2 = pass("pass2")
+    val min2 = sorted.map { case (name, _) => name -> math.min(p1(name), p2(name)) }.toMap
+    // Host-noise guard: a sustained noisy window on a shared host can cover
+    // the same region of both passes (observed r3/r4: one query at 22 s in
+    // min-of-2 that runs in ~1 s alone). Any query whose min-of-2 is still a
+    // big outlier vs the pass median gets one targeted third run.
+    val med = {
+      val v = min2.values.toSeq.sorted
+      if (v.isEmpty) 0.0 else v(v.size / 2)
+    }
+    val results = sorted.map { case (name, fn) =>
+      val m = min2(name)
+      name -> (if (med > 0 && m > math.max(8 * med, 5.0)) math.min(m, runOne(name, fn, "retry")) else m)
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // "sink" names the measurement methodology so cross-round totals are only
     // compared like-for-like (r1 used count(), which undercounted projections).
-    val line  = s"""{"metric":"total","value":$total,"unit":"sec","sink":"noop-min-of-2-passes","queries":$qs,"sf":"$sfDir"}"""
+    val line  = s"""{"metric":"total","value":$total,"unit":"sec","sink":"noop-min-of-2-passes-outlier-retry","queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // Backup artifact in case stdout is decorated by the launcher.
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),

@@ -91,5 +91,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
        (args: Seq[Expression]) => DeflateRatioExpr(args.head))
     )
     ext.injectOptimizerRule(_ => ApproxCountDistinctRule)
+    // Whole-operator custom plan: as-of join (logical node → physical
+    // single-pass sort-merge). See graft.plans.AsOfJoinPlan/AsOfJoinExec.
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

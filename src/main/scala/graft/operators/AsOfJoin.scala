@@ -98,4 +98,51 @@ object AsOfJoin {
       .filter(col("__side") === 1)
       .select(leftCols.map(c => col(s"__row.$c").as(c)) :+ col("__carry.v").as(valName): _*)
   }
+
+  import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute}
+  import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+  import graft.plans.{AsOfJoinPlan, AsOfJoinStrategy}
+
+  /** As-of join via the custom whole-operator plan path
+    * ([[graft.plans.AsOfJoinPlan]] → [[graft.plans.AsOfJoinExec]]): for each
+    * left row, the full latest right row with the same key and
+    * `rightTime <= leftTime` (left outer; unmatched → null right columns).
+    *
+    * Differences from [[lookback]] (kept as the builtin-composed fallback):
+    * carries the WHOLE right row (lookback carries one value), needs no
+    * union/window carry machinery, and — because the physical operator
+    * declares its distribution/ordering requirements instead of encoding
+    * them in the plan — pre-partitioned or pre-sorted inputs skip the
+    * exchange entirely.
+    *
+    * Key and time columns are taken by NAME from each side and must already
+    * have equal types side-to-side (cast beforehand). Self-joins: the right
+    * side is re-aliased automatically if its attribute ids collide with the
+    * left's.
+    */
+  def native(
+      left: DataFrame, leftKey: String, leftTime: String,
+      right: DataFrame, rightKey: String, rightTime: String
+  ): DataFrame = {
+    val spark = left.sparkSession
+    // Idempotently ensure the strategy is live even on sessions built
+    // without GraftExtensions (e.g. the driver's Verify/Bench mains).
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    val lp = ColumnBridge.analyzed(left)
+    val rp0 = ColumnBridge.analyzed(right)
+    // A shared-lineage right side would alias the left's attribute ids and
+    // make the join output ambiguous — re-key it through a Project.
+    val rp: LogicalPlan =
+      if (rp0.outputSet.intersect(lp.outputSet).isEmpty) rp0
+      else Project(rp0.output.map(a => Alias(a, a.name)()), rp0)
+    def attr(p: LogicalPlan, name: String, side: String): Attribute =
+      p.output.find(_.name == name).getOrElse(throw new IllegalArgumentException(
+        s"asof $side column '$name' not in [${p.output.map(_.name).mkString(", ")}]"))
+    ColumnBridge.ofRows(spark,
+      AsOfJoinPlan(lp, rp,
+        attr(lp, leftKey, "left key"), attr(rp, rightKey, "right key"),
+        attr(lp, leftTime, "left time"), attr(rp, rightTime, "right time")))
+  }
 }

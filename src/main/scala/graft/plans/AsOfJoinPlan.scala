@@ -1,0 +1,46 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.Attribute
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+
+/** Logical as-of join: for every left row, attach the latest right row of the
+  * same key whose time is `<=` the left row's time (inclusive lookback; left
+  * outer — unmatched left rows keep null right columns).
+  *
+  * This is the whole-operator custom-plan path (SURVEY preference (c)): a
+  * first-class [[LogicalPlan]] node planned by [[AsOfJoinStrategy]] into
+  * [[AsOfJoinExec]], instead of composing built-ins (the union+window form in
+  * [[graft.operators.AsOfJoin.lookback]] stays as the no-extension fallback).
+  * The node is constructed already resolved — keys/times are [[Attribute]]s
+  * picked from the children's analyzed outputs — so it passes through the
+  * analyzer untouched and the optimizer treats it as an opaque barrier.
+  *
+  * Semantics mirror DuckDB's `ASOF LEFT JOIN` (the reference-era oracle for
+  * h7): null left keys never match; right rows with null key or time are
+  * dropped; among right rows tied on (key, time) one winner is kept
+  * (deterministic output only if the carried right columns are functionally
+  * determined by (key, time), as in a time-series "latest value" lookup).
+  */
+case class AsOfJoinPlan(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKey: Attribute,
+    rightKey: Attribute,
+    leftTime: Attribute,
+    rightTime: Attribute)
+  extends BinaryNode {
+
+  require(leftKey.dataType == rightKey.dataType,
+    s"asof key types differ: ${leftKey.dataType.simpleString} vs ${rightKey.dataType.simpleString}")
+  require(leftTime.dataType == rightTime.dataType,
+    s"asof time types differ: ${leftTime.dataType.simpleString} vs ${rightTime.dataType.simpleString}")
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def maxRows: Option[Long] = left.maxRows
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}

@@ -155,6 +155,29 @@ object Headline {
             ORDER BY e.event_id""")
   )
 
+  /** Same as-of semantics as h7, but through the custom whole-operator plan
+    * path: [[graft.plans.AsOfJoinPlan]] (logical) → AsOfJoinStrategy →
+    * [[graft.plans.AsOfJoinExec]] (physical single-pass sort-merge, O(1)
+    * state). Same DuckDB ASOF JOIN oracle — the two implementations must
+    * agree bit-for-bit.
+    */
+  val h7b = Q(
+    "h7b_asof_join_native",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts").cast("timestamp_ntz").as("ts"))
+      val od = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderdate").cast("timestamp_ntz").as("o_time"))
+      AsOfJoin.native(ev, "user_id", "ts", od, "o_custkey", "o_time")
+        .select(col("event_id"), col("user_id"), col("o_time").as("asof_orderdate"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT e.event_id, e.user_id, o.o_orderdate AS asof_orderdate
+            FROM events e ASOF LEFT JOIN orders o
+              ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+            ORDER BY e.event_id""")
+  )
+
   /** Event-time tumbling window aggregate (batch view of the streaming
     * `groupBy(window($"ts"), ...)` — same grouping keys, date_trunc form so
     * the oracle can express it).
@@ -481,5 +504,5 @@ object Headline {
             GROUP BY window_id ORDER BY window_id""")
   )
 
-  val qs: Seq[Q] = Seq(h1, h2, h3, h4, h5, h6, h7, h8, h9, h10, h11, h12, h13, h14, h15, h16, h17, h18, h19, h20, h21)
+  val qs: Seq[Q] = Seq(h1, h2, h3, h4, h5, h6, h7, h7b, h8, h9, h10, h11, h12, h13, h14, h15, h16, h17, h18, h19, h20, h21)
 }

@@ -358,7 +358,10 @@ object RainStorm {
           NativeFns.word_shingles(col("l_text"), shingleN),
           NativeFns.word_shingles(col("r_text"), shingleN)).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .withWatermark("l_ts", watermark)
+      // No second withWatermark here: the input watermarks propagate through
+      // the stream-stream join (min of both sides), and REdefining one after
+      // a stateful operator is disallowed once multiple stateful operators
+      // are chained (Spark 3.5+ semantics, enforced in 4.x).
       .dropDuplicatesWithinWatermark("id_a", "id_b")
   }
 

@@ -11,4 +11,19 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column     = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+  import org.apache.spark.sql.classic
+
+  /** Wrap a (resolved) logical plan as a DataFrame — the `Dataset.ofRows`
+    * entry point custom-LogicalPlan operators need went `private[sql]` in
+    * Spark 4.
+    */
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** The analyzed logical plan backing a DataFrame. */
+  def analyzed(df: DataFrame): LogicalPlan =
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed
 }

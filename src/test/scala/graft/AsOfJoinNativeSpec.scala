@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.AsOfJoin
+import graft.queries.Headline
+
+/** The custom whole-operator as-of join (AsOfJoinPlan → AsOfJoinStrategy →
+  * AsOfJoinExec) must agree bit-for-bit with the composed union+window form
+  * on real data, honor the inclusive/left-outer/null edge semantics, and
+  * produce the declared physical shape (one exchange per side, none when
+  * inputs are pre-partitioned).
+  */
+class AsOfJoinNativeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private lazy val quotes = Seq(
+    ("A", ts("2024-01-01 10:00:00"), 1.0),
+    ("A", ts("2024-01-01 10:05:00"), 2.0),
+    ("B", ts("2024-01-01 10:03:00"), 9.0)
+  ).toDF("sym", "qt", "px")
+
+  private lazy val trades = Seq(
+    ("A", ts("2024-01-01 09:59:00"), 100L), // before any quote -> null
+    ("A", ts("2024-01-01 10:00:00"), 101L), // == quote time -> inclusive match 1.0
+    ("A", ts("2024-01-01 10:04:59"), 102L), // between -> 1.0
+    ("A", ts("2024-01-01 10:30:00"), 103L), // after both -> 2.0
+    ("B", ts("2024-01-01 10:04:00"), 104L), // -> 9.0
+    ("C", ts("2024-01-01 10:04:00"), 105L), // key never quoted -> null
+    (null, ts("2024-01-01 10:04:00"), 106L) // null key -> null
+  ).toDF("sym", "tt", "id")
+
+  test("asof native: inclusive lookback, left outer, null-key semantics") {
+    val out = AsOfJoin
+      .native(trades, "sym", "tt", quotes.withColumnRenamed("sym", "qsym"), "qsym", "qt")
+      .select($"id", $"px")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(out === Map(100L -> null, 101L -> 1.0, 102L -> 1.0, 103L -> 2.0,
+                       104L -> 9.0, 105L -> null, 106L -> null))
+  }
+
+  test("asof native: null right time rows are dropped, null left time never matches") {
+    val q = Seq(("A", Option.empty[java.sql.Timestamp], 7.0),
+                ("A", Some(ts("2024-01-01 10:00:00")), 1.0)).toDF("qsym", "qt", "px")
+      .select($"qsym", $"qt", $"px")
+    val t = Seq(("A", Some(ts("2024-01-01 10:01:00")), 1L),
+                ("A", Option.empty[java.sql.Timestamp], 2L)).toDF("sym", "tt", "id")
+    val out = AsOfJoin.native(t, "sym", "tt", q, "qsym", "qt")
+      .select($"id", $"px")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(out === Map(1L -> 1.0, 2L -> null))
+  }
+
+  test("asof native: self-join lineage is re-aliased, not ambiguous") {
+    val ev = Seq(("A", ts("2024-01-01 10:00:00"), 1L),
+                 ("A", ts("2024-01-01 10:02:00"), 2L)).toDF("k", "t", "v")
+    // prior self row strictly... inclusive: row 1 matches itself (t <= t)
+    val out = AsOfJoin.native(ev, "k", "t", ev, "k", "t")
+    assert(out.columns.length === 6)
+    assert(out.count() === 2)
+  }
+
+  test("h7b native result == h7 union+window result on sf0.001") {
+    val a = Headline.h7.run(spark, TestSpark.sf0001).collect().toSeq
+    val b = Headline.h7b.run(spark, TestSpark.sf0001).collect().toSeq
+    assert(a.size === b.size)
+    assert(a === b)
+  }
+
+  private def countOf(hay: String, needle: String): Int =
+    hay.sliding(needle.length).count(_ == needle)
+
+  test("h7b plan: AsOfJoin exec node with one exchange+sort per side") {
+    val p = Headline.h7b.run(spark, TestSpark.sf0001).queryExecution.executedPlan.toString
+    assert(p.contains("AsOfJoin"), p)
+    val belowJoin = p.substring(p.indexOf("AsOfJoin"))
+    assert(countOf(belowJoin, "Exchange hashpartitioning") == 2,
+      s"expected exactly 2 hash exchanges under the join:\n$p")
+  }
+
+  test("pre-partitioned + pre-sorted inputs plan with NO added exchange or sort") {
+    val t = trades.filter($"sym".isNotNull)
+      .repartition(4, $"sym").sortWithinPartitions($"sym", $"tt")
+    val q = quotes.withColumnRenamed("sym", "qsym")
+      .repartition(4, $"qsym").sortWithinPartitions($"qsym", $"qt")
+    val exec = AsOfJoin.native(t, "sym", "tt", q, "qsym", "qt")
+      .queryExecution.executedPlan.toString
+    val below = exec.substring(exec.indexOf("AsOfJoin"))
+    // the only allowed exchanges/sorts are the two explicit repartition()/
+    // sortWithinPartitions() pairs we wrote; EnsureRequirements must not add
+    // more — that exchange-elision is the point of declaring requirements
+    assert(countOf(below, "Exchange") == 2, exec)
+    assert(countOf(below, "Sort ") == 2, exec)
+  }
+}
