@@ -94,5 +94,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Whole-operator custom plan: as-of join (logical node → physical
     // single-pass sort-merge). See graft.plans.AsOfJoinPlan/AsOfJoinExec.
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // …and the optimizer rule that lets filters/pruning pass through the
+    // custom node instead of stopping at it.
+    ext.injectOptimizerRule(_ => graft.plans.AsOfJoinRules)
   }
 }

@@ -82,6 +82,31 @@ class AsOfJoinNativeSpec extends AnyFunSuite {
       s"expected exactly 2 hash exchanges under the join:\n$p")
   }
 
+  test("optimizer rule: left-only filter above the join is pushed to the parquet scan") {
+    val ev = Tables.events(spark, TestSpark.sf0001)
+      .select(col("event_id"), col("user_id"), col("ts").cast("timestamp_ntz").as("ts"))
+    val od = Tables.orders(spark, TestSpark.sf0001)
+      .select(col("o_custkey"), col("o_orderdate").cast("timestamp_ntz").as("o_time"), col("o_totalprice"))
+    val p = AsOfJoin.native(ev, "user_id", "ts", od, "o_custkey", "o_time")
+      .filter($"event_id" < 100L)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(event_id), LessThan(event_id,100)"),
+      s"left-side predicate must reach the events scan:\n$p")
+  }
+
+  test("optimizer rule: unused right columns are pruned from the orders scan") {
+    val ev = Tables.events(spark, TestSpark.sf0001)
+      .select(col("event_id"), col("user_id"), col("ts").cast("timestamp_ntz").as("ts"))
+    val od = Tables.orders(spark, TestSpark.sf0001)
+      .select(col("o_custkey"), col("o_orderdate").cast("timestamp_ntz").as("o_time"),
+              col("o_totalprice"), col("o_orderpriority"))
+    val p = AsOfJoin.native(ev, "user_id", "ts", od, "o_custkey", "o_time")
+      .select($"event_id", $"o_time")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("o_orderpriority"), s"untouched right column must be pruned from the scan:\n$p")
+    assert(!p.contains("o_totalprice"), s"untouched right column must be pruned from the scan:\n$p")
+  }
+
   test("pre-partitioned + pre-sorted inputs plan with NO added exchange or sort") {
     val t = trades.filter($"sym".isNotNull)
       .repartition(4, $"sym").sortWithinPartitions($"sym", $"tt")
