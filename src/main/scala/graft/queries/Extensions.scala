@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.functions.{AnnSearch, DedupOps, TextAnalysis, RollingHash}
 import graft.multimodal.Multimodal
@@ -146,6 +147,50 @@ object Extensions {
         .orderBy("doc_id")
   )
 
+  /** Deterministic train/test split — the first operation of every
+    * training-data pipeline. Keyed on a salted md5 of the stable doc id, NOT
+    * `rand()`: the assignment is reproducible across runs, engines, cluster
+    * sizes and repartitions, and a different salt re-rolls the split without
+    * touching the data. Pure per-row projection → embarrassingly parallel at
+    * any scale. First hex byte < 0xcd ≈ 80.1% train.
+    */
+  val splitTrainTest = Q(
+    "x_split_train_test",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          when(substring(md5(concat(col("doc_id").cast("string"), lit(":seed42"))), 1, 2) < "cd",
+            lit("train")).otherwise(lit("test")).as("split"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+              CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':seed42'), 1, 2) < 'cd'
+                   THEN 'train' ELSE 'test' END AS split
+            FROM documents ORDER BY doc_id""")
+  )
+
+  /** Stratified top-N sampling: the N "best" docs per language — per-stratum
+    * window rank, one shuffle on the stratum key. At 100 TB Spark rewrites
+    * the rank-filter to WindowGroupLimit (per-partition top-N heaps before
+    * the exchange), so the sort never materializes per stratum.
+    */
+  val sampleStratified = Q(
+    "x_sample_stratified",
+    (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("rn",
+          row_number().over(Window.partitionBy(col("lang"))
+            .orderBy(col("n_chars").desc, col("doc_id"))))
+        .filter(col("rn") <= 5)
+        .select(col("lang"), col("doc_id"), col("n_chars"))
+        .orderBy("lang", "doc_id"),
+    Some("""SELECT lang, doc_id, n_chars FROM (
+              SELECT lang, doc_id, n_chars,
+                row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn
+              FROM documents) WHERE rn <= 5
+            ORDER BY lang, doc_id""")
+  )
+
   /** Semi-structured column path: JSON property extraction feeding an
     * aggregate — `get_json_object` stays inside codegen, so the parse cost
     * is one pass over the scan, no UDF. (At 100 TB, prefer `from_json` with
@@ -162,6 +207,36 @@ object Extensions {
         .orderBy("event_type"),
     Some("""SELECT event_type, count(*) AS n,
               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+            FROM events GROUP BY event_type ORDER BY event_type""")
+  )
+
+  /** The schema-known JSON path: `from_json` with an explicit struct schema
+    * parses the document ONCE and yields every field from that single parse —
+    * the right call at 100 TB when many fields are read (N `get_json_object`
+    * calls = N full parses per row). Malformed documents null the struct
+    * (PERMISSIVE mode) instead of failing the job; the query also surfaces
+    * the parse-failure count, which a pipeline must monitor.
+    */
+  val jsonStruct = Q(
+    "x_json_struct",
+    (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")).as("p"))
+        .select(col("event_type"), col("p").getField("k").as("k"),
+          col("p").isNull.cast("int").as("bad"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          max(col("k")).as("max_k"),
+          sum(col("bad")).as("n_unparsed"))
+        .orderBy("event_type"),
+    Some("""SELECT event_type, count(*) AS n,
+              CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+              CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+              CAST(sum(CASE WHEN json_valid(props) THEN 0 ELSE 1 END) AS BIGINT) AS n_unparsed
             FROM events GROUP BY event_type ORDER BY event_type""")
   )
 
@@ -542,8 +617,8 @@ object Extensions {
   )
 
   val qs: Seq[Q] = Seq(
-    textStats, textQuality, textLangId, textFingerprint, approxDistinct, jsonExtract, heavyHitters,
-    ngramFreq, quantiles, textRepetition,
+    textStats, textQuality, textLangId, textFingerprint, approxDistinct, jsonExtract, jsonStruct,
+    heavyHitters, ngramFreq, quantiles, textRepetition, splitTrainTest, sampleStratified,
     dedupExact, dedupMinhash, dedupSimhash, dedupNgram, dedupEmbedding, dedupContainment,
     annBruteForce, annLsh, annIvf,
     multimodalMeta, multimodalFrames

@@ -19,10 +19,11 @@ class RegistrySmokeSpec extends AnyFunSuite {
     "u9_u10_filter_pipeline", "u11_complex_agg", "u12_batch_oracle",
     "g1_grep_per_file", "g2_grep_count",
     "h1_pricing_summary", "h2_join_topk_revenue", "h3_broadcast_join",
-    "h4_window_topn_per_key", "h5_global_topk", "h7_asof_join",
+    "h4_window_topn_per_key", "h5_global_topk", "h7_asof_join", "h7b_asof_join_native",
     "h8_event_time_window", "h9_sessionize", "h10_semi_anti_join", "h11_rollup",
     "h18_cube", "h19_grouping_sets", "h20_pivot", "h21_interval_join",
     "x_ngram_freq", "x_quantiles", "x_text_repetition",
+    "x_split_train_test", "x_sample_stratified", "x_json_extract", "x_json_struct",
     "x_dedup_minhash_lsh", "x_dedup_ngram_jaccard", "x_dedup_containment",
     "x_text_stats", "x_text_langid", "x_text_fingerprint", "x_approx_distinct_sketch",
     "x_dedup_exact", "x_dedup_simhash",
