@@ -269,6 +269,12 @@ class PlanSpec extends AnyFunSuite {
     assert(r.getDouble(7) < 1.0)
   }
 
+  test("x_sample_stratified: rank filter becomes WindowGroupLimit (per-partition top-N heaps)") {
+    val p = plan(graft.queries.Extensions.sampleStratified)
+    assert(p.contains("WindowGroupLimit"),
+      s"row_number<=N must rewrite to WindowGroupLimit so no full per-stratum sort materializes:\n$p")
+  }
+
   test("approx mode: count(DISTINCT) rewrites to HLL++ only when opted in") {
     import org.apache.spark.sql.functions._
     val li = Tables.lineitem(spark, TestSpark.sf0001)
