@@ -382,6 +382,57 @@ object RainStorm {
     stream.join(d, Seq(joinKey), "left")
   }
 
+  /** Streaming ANN: a stream of query vectors answered against a STATIC
+    * SRP-indexed corpus (the "index once, serve forever" shape — PAPERS.md's
+    * streaming-similarity setting with the index on the static side).
+    *
+    * Per micro-batch: each query expands to its `probes` most likely SRP
+    * buckets per hash table (multi-probe — recall without reindexing), a
+    * stream-static equi join on (table, bucket) pulls only candidate
+    * vectors, exact cosine scores them, and a windowed streaming aggregate
+    * keeps the top-k per query. State is bounded by the watermark; append
+    * mode emits each query's final top-k exactly once when its window
+    * closes. The corpus never shuffles per batch when broadcast-sized
+    * per-bucket; at 100 TB the candidate join is the same bucket-equi shape
+    * as batch [[graft.functions.AnnSearch.lshTopK]] — linear in candidates,
+    * never |corpus|×|queries|.
+    *
+    * Determinism: same seed-fixed hyperplanes as the batch path, ties broken
+    * (cos desc, neighbor_id asc) by the same rule, so a closed window's
+    * result equals the batch answer for the same query set (spec-pinned).
+    */
+  def streamingAnnTopK(
+      queryStream: DataFrame, // (idCol, vecCol, tsCol) streaming
+      corpus: DataFrame,      // (idCol, vecCol) static
+      idCol: String, vecCol: String, tsCol: String,
+      k: Int, nPlanes: Int = 12, tables: Int = 4, dim: Int = 64, probes: Int = 1,
+      watermark: String = "10 minutes", windowLen: String = "1 hour"
+  ): DataFrame = {
+    import graft.functions.{AnnSearch, NativeFns}
+    val allPlanes: Array[Array[Array[Double]]] =
+      (0 until tables).map(t => AnnSearch.hyperplanes(nPlanes, dim, seed = 42L + t).map(_.toArray).toArray).toArray
+    def withBuckets(df: DataFrame, id: String, vec: String, nProbes: Int, extra: Seq[String]): DataFrame =
+      df.select(
+        (Seq(col(idCol).as(id), col(vecCol).as(vec)) ++ extra.map(col) :+
+          posexplode(NativeFns.srp_buckets(col(vecCol), allPlanes, nProbes)).as(Seq("pos", "bucket"))): _*
+      ).withColumn("table", (col("pos") / nProbes).cast("int")).drop("pos")
+    val q = withBuckets(queryStream.withWatermark(tsCol, watermark), "query_id", "q_vec", probes, Seq(tsCol))
+    val c = broadcast(withBuckets(corpus, "neighbor_id", "c_vec", 1, Nil))
+    q.join(c, Seq("table", "bucket")) // stream-static inner: candidates only
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col(tsCol),
+        struct(NativeFns.cosine_sim(col("q_vec"), col("c_vec")).as("cos"), col("neighbor_id")).as("cand"))
+      .groupBy(window(col(tsCol), windowLen), col("query_id"))
+      .agg(collect_set(col("cand")).as("cands")) // set: dedup multi-table hits
+      .select(col("window"), col("query_id"),
+        slice(array_sort(col("cands"),
+          (l, r) => when(l.getField("cos") > r.getField("cos"), -1)
+            .when(l.getField("cos") < r.getField("cos"), 1)
+            .when(l.getField("neighbor_id") < r.getField("neighbor_id"), -1)
+            .when(l.getField("neighbor_id") > r.getField("neighbor_id"), 1)
+            .otherwise(0)), 1, k).as("topk"))
+  }
+
   /** Generic 3-stage pipeline runner mirroring the `RainStorm op1 op2 src dest
     * num_tasks` terminal verb (`core_process_stream_DS.go:1645-1842`):
     * source → op1 (stateless transform) → shuffle on key → op2 (grouped agg),

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.RainStorm
+import graft.functions.AnnSearch
+
+/** Streaming ANN must give the SAME answer as the batch LSH path for the
+  * same query set once the window closes: same seed-fixed hyperplanes, same
+  * multi-probe expansion, same (cos desc, id asc) tie rule.
+  */
+class StreamingAnnSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("windowed streaming ANN top-k equals batch lshTopK on the closed window") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val embs = Tables.embeddings(spark, TestSpark.sf0001)
+    val qIds = (0L until 20L)
+    val ts   = java.sql.Timestamp.valueOf("2026-01-01 12:00:00")
+    val qVecs = embs.filter(col("vec_id") < 20)
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+
+    val in = MemoryStream[(Long, Array[Float], java.sql.Timestamp)]
+    val out = RainStorm.streamingAnnTopK(
+      in.toDF.toDF("vec_id", "embedding", "ts"), embs,
+      "vec_id", "embedding", "ts", k = 5, probes = 2)
+    val q = out.writeStream.outputMode("append").format("memory").queryName("ann_stream").start()
+    try {
+      in.addData(qVecs.map { case (id, v) => (id, v, ts) }.toIndexedSeq: _*)
+      q.processAllAvailable()
+      // close the window: sentinel far past the watermark+window end
+      in.addData((999999L, qVecs.head._2, java.sql.Timestamp.valueOf("2026-01-02 12:00:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.sql(
+      "SELECT query_id, t.neighbor_id, t.cos FROM ann_stream LATERAL VIEW explode(topk) AS t WHERE query_id < 999000")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    val batch = AnnSearch.lshTopK(
+      embs, embs.filter(col("vec_id") < 20), "vec_id", "embedding",
+      k = 5, probes = 2)
+      .select("query_id", "neighbor_id", "cos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
+}
