@@ -31,6 +31,32 @@ object ApproxCountDistinctRule extends Rule[LogicalPlan] {
     }
 }
 
+/** Second approximation-mode lever, same opt-in philosophy as
+  * [[ApproxCountDistinctRule]]: `spark.graft.approx.percentile=true` rewrites
+  * every exact `percentile(x, p)` — which buffers a full per-group value map
+  * and is the classic OOM at 100 TB — to `approx_percentile` (a bounded
+  * quantile sketch, mergeable map-side, one pass). The result is wrapped in a
+  * cast back to the exact form's type so the rewrite never changes the plan
+  * schema (approx returns the CHILD's type, exact returns double).
+  * Frequency-weighted percentiles are left exact — the sketch is unweighted.
+  */
+object ApproxPercentileRule extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+  import org.apache.spark.sql.catalyst.expressions.aggregate.{ApproximatePercentile, Percentile}
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!conf.getConfString("spark.graft.approx.percentile", "false").toBoolean) plan
+    else {
+      val acc = conf.getConfString("spark.graft.approx.percentile.accuracy", "10000").toInt
+      plan.transformAllExpressions {
+        case ae @ AggregateExpression(p: Percentile, _, false, _, _)
+            if p.frequencyExpression == Literal(1L) =>
+          val approx = new ApproximatePercentile(p.child, p.percentageExpression, Literal(acc))
+          Cast(ae.copy(aggregateFunction = approx), ae.dataType)
+      }
+    }
+}
+
 /** SparkSessionExtensions wiring: registers graft's custom Catalyst
   * expressions as SQL functions so `spark.sql("SELECT rolling_hash(text) …")`
   * works, in addition to the Column API in [[graft.functions.NativeFns]].
@@ -91,6 +117,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
        (args: Seq[Expression]) => DeflateRatioExpr(args.head))
     )
     ext.injectOptimizerRule(_ => ApproxCountDistinctRule)
+    ext.injectOptimizerRule(_ => ApproxPercentileRule)
     // Whole-operator custom plan: as-of join (logical node → physical
     // single-pass sort-merge). See graft.plans.AsOfJoinPlan/AsOfJoinExec.
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)

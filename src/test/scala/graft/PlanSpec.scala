@@ -275,6 +275,28 @@ class PlanSpec extends AnyFunSuite {
       s"row_number<=N must rewrite to WindowGroupLimit so no full per-stratum sort materializes:\n$p")
   }
 
+  test("approx mode: exact percentile rewrites to quantile sketch only when opted in, schema unchanged") {
+    import org.apache.spark.sql.functions._
+    val li = Tables.lineitem(spark, TestSpark.sf0001)
+    def q() = li.groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_quantity, 0.5)").as("p50"))
+    val exactSchema = q().schema
+    val exact = q().orderBy("l_returnflag").collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(!q().queryExecution.optimizedPlan.toString.contains("percentile_approx"))
+    spark.conf.set("spark.graft.approx.percentile", "true")
+    try {
+      val plan = q().queryExecution.optimizedPlan.toString
+      assert(plan.contains("percentile_approx"),
+        s"opt-in must rewrite exact percentile to the sketch; plan:\n${plan.take(600)}")
+      assert(q().schema == exactSchema, "rewrite must not change the result schema")
+      val approx = q().orderBy("l_returnflag").collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      exact.foreach { case (k, v) =>
+        assert(math.abs(approx(k) - v) <= math.max(1.0, 0.05 * math.abs(v)),
+          s"approx p50 for $k strayed: ${approx(k)} vs $v")
+      }
+    } finally spark.conf.set("spark.graft.approx.percentile", "false")
+  }
+
   test("approx mode: count(DISTINCT) rewrites to HLL++ only when opted in") {
     import org.apache.spark.sql.functions._
     val li = Tables.lineitem(spark, TestSpark.sf0001)
