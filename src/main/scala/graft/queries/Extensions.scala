@@ -191,6 +191,40 @@ object Extensions {
             ORDER BY lang, doc_id""")
   )
 
+  /** Sequence packing (training-batch prep): concatenate each source's
+    * documents in stable doc_id order and chunk the stream at a fixed budget
+    * — the GPT-style pack-then-split layout (documents may straddle a
+    * boundary; the offset says where). One running-sum window per source →
+    * one shuffle, linear work; seq_id/offset are pure arithmetic on the
+    * cumulative length. Budget here is in chars (n_chars is a table column
+    * so the oracle is engine-portable); a token budget just swaps in the
+    * `token_counts` kernel.
+    */
+  val packSequences = Q(
+    "x_pack_sequences",
+    (s, d) => {
+      val budget = 4096L
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.documents(s, d)
+        .withColumn("start", coalesce(sum(col("n_chars")).over(w), lit(0L)))
+        .select(
+          col("source"), col("doc_id"),
+          (col("start") / budget).cast("bigint").as("seq_id"),
+          (col("start") % budget).as("offset"))
+        .orderBy("source", "doc_id")
+    },
+    Some("""SELECT source, doc_id,
+              CAST(floor(start / 4096) AS BIGINT) AS seq_id,
+              CAST(start % 4096 AS BIGINT) AS "offset"
+            FROM (
+              SELECT source, doc_id,
+                COALESCE(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+              FROM documents)
+            ORDER BY source, doc_id""")
+  )
+
   /** Semi-structured column path: JSON property extraction feeding an
     * aggregate — `get_json_object` stays inside codegen, so the parse cost
     * is one pass over the scan, no UDF. (At 100 TB, prefer `from_json` with
@@ -619,6 +653,7 @@ object Extensions {
   val qs: Seq[Q] = Seq(
     textStats, textQuality, textLangId, textFingerprint, approxDistinct, jsonExtract, jsonStruct,
     heavyHitters, ngramFreq, quantiles, textRepetition, splitTrainTest, sampleStratified,
+    packSequences,
     dedupExact, dedupMinhash, dedupSimhash, dedupNgram, dedupEmbedding, dedupContainment,
     annBruteForce, annLsh, annIvf,
     multimodalMeta, multimodalFrames
