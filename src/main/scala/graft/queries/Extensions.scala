@@ -274,6 +274,31 @@ object Extensions {
             FROM events GROUP BY event_type ORDER BY event_type""")
   )
 
+  /** The third JSON path — Spark 4's VARIANT type: `parse_json` decodes the
+    * document ONCE into a binary-encoded semi-structured value; every
+    * `variant_get` after that is a cheap binary probe, no re-parse, no
+    * up-front schema. At 100 TB this is the lakehouse answer for
+    * heterogeneous JSON: store the VARIANT column in parquet and fields
+    * shred/prune like real columns, where a JSON string re-parses on every
+    * touch. Same aggregate + oracle shape as the string-path queries so the
+    * three forms are directly comparable.
+    */
+  val jsonVariant = Q(
+    "x_json_variant",
+    (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"), parse_json(col("props")).as("v"))
+        .select(col("event_type"),
+          try_variant_get(col("v"), "$.k", "bigint").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"), min(col("k")).as("min_k"))
+        .orderBy("event_type"),
+    Some("""SELECT event_type, count(*) AS n,
+              CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+              CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k
+            FROM events GROUP BY event_type ORDER BY event_type""")
+  )
+
   /** Exact dedup: hash-groupBy on content, keep lowest id per group. */
   val dedupExact = Q(
     "x_dedup_exact",
@@ -651,7 +676,7 @@ object Extensions {
   )
 
   val qs: Seq[Q] = Seq(
-    textStats, textQuality, textLangId, textFingerprint, approxDistinct, jsonExtract, jsonStruct,
+    textStats, textQuality, textLangId, textFingerprint, approxDistinct, jsonExtract, jsonStruct, jsonVariant,
     heavyHitters, ngramFreq, quantiles, textRepetition, splitTrainTest, sampleStratified,
     packSequences,
     dedupExact, dedupMinhash, dedupSimhash, dedupNgram, dedupEmbedding, dedupContainment,

@@ -243,6 +243,20 @@ class OperatorSpec extends AnyFunSuite {
     assert(fromOrc.exceptAll(docs).isEmpty && docs.exceptAll(fromOrc).isEmpty)
   }
 
+  test("from_json PERMISSIVE path: malformed documents null the struct and are counted, not fatal") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq("{\"k\": 7}", "{broken", "", "{\"k\": null}", "{\"other\": 1}")
+      .toDF("props")
+      .select(from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")).as("p"))
+      .select(col("p").getField("k").as("k"), col("p").isNull.cast("int").as("bad"))
+    val rows = df.agg(sum(col("bad")).as("n_bad"), sum(col("k")).as("sum_k"), count(lit(1)).as("n")).collect()(0)
+    assert(rows.getLong(2) == 5)
+    assert(rows.getLong(1) == 7)          // only the well-formed k contributes
+    assert(rows.getLong(0) >= 1,          // the malformed docs surface in the counter
+      "parse failures must be countable, not silently absorbed")
+  }
+
   test("storage facade verbs: create/append/get/merge/quantify/ls") {
     import spark.implicits._
     val path = Files.createTempDirectory("hydfs").toString + "/t"

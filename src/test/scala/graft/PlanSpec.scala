@@ -275,6 +275,33 @@ class PlanSpec extends AnyFunSuite {
       s"row_number<=N must rewrite to WindowGroupLimit so no full per-stratum sort materializes:\n$p")
   }
 
+  test("runtime bloom-filter join pruning: selective dim filter injects might_contain on the fact side") {
+    import org.apache.spark.sql.functions._
+    // Shuffle-join regime (broadcast off) with thresholds at 0 so the tiny
+    // test tables qualify; at real scale the defaults (10 MB creation side)
+    // gate the same rewrite. The injected bloom filter semi-join-reduces the
+    // fact rows BEFORE the shuffle — the standard 100 TB join-pruning lever.
+    val conf = spark.conf
+    val prevBroadcast = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "1GB")
+    conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    try {
+      val o = Tables.orders(spark, TestSpark.sf0001)
+      val c = Tables.customer(spark, TestSpark.sf0001).filter(col("c_mktsegment") === "BUILDING")
+      val p = o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment")).agg(sum(col("o_totalprice")).as("s"))
+        .queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain"),
+        s"selective dim side must inject a bloom filter onto the fact scan:\n${p.take(1200)}")
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      conf.unset("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+      conf.unset("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    }
+  }
+
   test("approx mode: exact percentile rewrites to quantile sketch only when opted in, schema unchanged") {
     import org.apache.spark.sql.functions._
     val li = Tables.lineitem(spark, TestSpark.sf0001)

@@ -23,7 +23,7 @@ class RegistrySmokeSpec extends AnyFunSuite {
     "h8_event_time_window", "h9_sessionize", "h10_semi_anti_join", "h11_rollup",
     "h18_cube", "h19_grouping_sets", "h20_pivot", "h21_interval_join",
     "x_ngram_freq", "x_quantiles", "x_text_repetition",
-    "x_split_train_test", "x_sample_stratified", "x_json_extract", "x_json_struct",
+    "x_split_train_test", "x_sample_stratified", "x_json_extract", "x_json_struct", "x_json_variant",
     "x_pack_sequences",
     "x_dedup_minhash_lsh", "x_dedup_ngram_jaccard", "x_dedup_containment",
     "x_text_stats", "x_text_langid", "x_text_fingerprint", "x_approx_distinct_sketch",
