@@ -119,11 +119,14 @@ object AsOfJoin {
     * Key and time columns are taken by NAME from each side and must already
     * have equal types side-to-side (cast beforehand). Self-joins: the right
     * side is re-aliased automatically if its attribute ids collide with the
-    * left's.
+    * left's. `tolerance` bounds the lookback (pandas `merge_asof` parity):
+    * a match older than `leftTime - tolerance` is rejected — stale quotes
+    * don't pair with today's trades.
     */
   def native(
       left: DataFrame, leftKey: String, leftTime: String,
-      right: DataFrame, rightKey: String, rightTime: String
+      right: DataFrame, rightKey: String, rightTime: String,
+      tolerance: Option[java.time.Duration] = None
   ): DataFrame = {
     val spark = left.sparkSession
     // Idempotently ensure the strategy is live even on sessions built
@@ -143,6 +146,7 @@ object AsOfJoin {
     ColumnBridge.ofRows(spark,
       AsOfJoinPlan(lp, rp,
         attr(lp, leftKey, "left key"), attr(rp, rightKey, "right key"),
-        attr(lp, leftTime, "left time"), attr(rp, rightTime, "right time")))
+        attr(lp, leftTime, "left time"), attr(rp, rightTime, "right time"),
+        tolerance.map(_.toNanos / 1000)))
   }
 }

@@ -26,6 +26,7 @@ case class AsOfJoinExec(
     rightKey: Expression,
     leftTime: Expression,
     rightTime: Expression,
+    toleranceMicros: Option[Long],
     left: SparkPlan,
     right: SparkPlan)
   extends BinaryExecNode {
@@ -72,6 +73,12 @@ case class AsOfJoinExec(
       // copy; everything else is consumed strictly forward.
       var matchKey: Any         = null
       var matchRow: InternalRow = null
+      var matchTime: Long       = Long.MinValue
+      val tol = toleranceMicros.getOrElse(Long.MaxValue)
+      def asLong(t: Any): Long = t match {
+        case l: java.lang.Long => l
+        case n: java.lang.Number => n.longValue()
+      }
 
       lIter.map { lRow =>
         val lk = lKey.eval(lRow)
@@ -94,11 +101,15 @@ case class AsOfJoinExec(
                 advance = false // same key but in the future: stop, keep for later left rows
               } else {
                 val r = rBuf.next()
-                if (cmp == 0 && rt != null) { matchKey = rk; matchRow = r.copy() }
+                if (cmp == 0 && rt != null) { matchKey = rk; matchRow = r.copy(); matchTime = asLong(rt) }
               }
             }
           }
-          if (matchRow != null && matchKey != null && keyOrd.compare(matchKey, lk) == 0)
+          // The saved match is the LATEST right row with rt <= lt for this
+          // key; if even it is older than the tolerance window, no valid
+          // match exists for this left row (any other candidate is older).
+          if (matchRow != null && matchKey != null && keyOrd.compare(matchKey, lk) == 0 &&
+              (toleranceMicros.isEmpty || asLong(lt) - matchTime <= tol))
             joined(lRow, matchRow)
           else
             joined(lRow, nullRight)
@@ -120,8 +131,8 @@ case class AsOfJoinExec(
   */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tol) =>
+      AsOfJoinExec(lk, rk, lt, rt, tol, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }

@@ -27,13 +27,19 @@ case class AsOfJoinPlan(
     leftKey: Attribute,
     rightKey: Attribute,
     leftTime: Attribute,
-    rightTime: Attribute)
+    rightTime: Attribute,
+    toleranceMicros: Option[Long] = None)
   extends BinaryNode {
 
   require(leftKey.dataType == rightKey.dataType,
     s"asof key types differ: ${leftKey.dataType.simpleString} vs ${rightKey.dataType.simpleString}")
   require(leftTime.dataType == rightTime.dataType,
     s"asof time types differ: ${leftTime.dataType.simpleString} vs ${rightTime.dataType.simpleString}")
+  require(toleranceMicros.forall(_ >= 0), "asof tolerance must be non-negative")
+  require(toleranceMicros.isEmpty || {
+    import org.apache.spark.sql.types._
+    Seq(TimestampType, TimestampNTZType, LongType, IntegerType).contains(leftTime.dataType)
+  }, s"asof tolerance needs a long-backed time type, got ${leftTime.dataType.simpleString}")
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))

@@ -55,6 +55,19 @@ class AsOfJoinNativeSpec extends AnyFunSuite {
     assert(out === Map(1L -> 1.0, 2L -> null))
   }
 
+  test("asof native: tolerance rejects stale matches (merge_asof parity)") {
+    val q = quotes.withColumnRenamed("sym", "qsym")
+    val out = AsOfJoin
+      .native(trades, "sym", "tt", q, "qsym", "qt",
+        tolerance = Some(java.time.Duration.ofMinutes(10)))
+      .select($"id", $"px")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    // trade 103 at 10:30 is 25 min after quote 2.0 (10:05) -> stale, null;
+    // everything else is within 10 min and keeps its match
+    assert(out === Map(100L -> null, 101L -> 1.0, 102L -> 1.0, 103L -> null,
+                       104L -> 9.0, 105L -> null, 106L -> null))
+  }
+
   test("asof native: self-join lineage is re-aliased, not ambiguous") {
     val ev = Seq(("A", ts("2024-01-01 10:00:00"), 1L),
                  ("A", ts("2024-01-01 10:02:00"), 2L)).toDF("k", "t", "v")
