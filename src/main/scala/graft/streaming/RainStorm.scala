@@ -433,6 +433,35 @@ object RainStorm {
             .otherwise(0)), 1, k).as("topk"))
   }
 
+  /** Streaming trending top-k: per-window token counts, then the k heaviest
+    * tokens of each closed window — two CHAINED stateful aggregations (the
+    * multi-stateful-operator pattern Spark allows when the second grouping
+    * key is the first's window), watermark-bounded state, append mode emits
+    * one final top-k row per window. The per-window second aggregate only
+    * ever sees |distinct tokens in window| rows — the heavy shuffle happened
+    * at stage one, partial-aggregated map-side; at 100 TB swap stage one's
+    * exact count for the Misra-Gries sketch if the token space explodes.
+    */
+  def trendingTopK(
+      tokenStream: DataFrame, // (tokenCol, tsCol) streaming
+      tokenCol: String, tsCol: String,
+      k: Int, windowLen: String = "1 hour", watermark: String = "10 minutes"
+  ): DataFrame = {
+    tokenStream
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col(tokenCol).as("token"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("window"))
+      .agg(collect_list(struct(col("n"), col("token"))).as("counts"))
+      .select(col("window"),
+        slice(array_sort(col("counts"),
+          (l, r) => when(l.getField("n") > r.getField("n"), -1)
+            .when(l.getField("n") < r.getField("n"), 1)
+            .when(l.getField("token") < r.getField("token"), -1)
+            .when(l.getField("token") > r.getField("token"), 1)
+            .otherwise(0)), 1, k).as("topk"))
+  }
+
   /** Generic 3-stage pipeline runner mirroring the `RainStorm op1 op2 src dest
     * num_tasks` terminal verb (`core_process_stream_DS.go:1645-1842`):
     * source → op1 (stateless transform) → shuffle on key → op2 (grouped agg),

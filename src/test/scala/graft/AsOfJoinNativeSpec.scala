@@ -77,6 +77,18 @@ class AsOfJoinNativeSpec extends AnyFunSuite {
     assert(out.count() === 2)
   }
 
+  test("asof native: clear errors for unknown columns and mismatched types") {
+    val q = quotes.withColumnRenamed("sym", "qsym")
+    val e1 = intercept[IllegalArgumentException] {
+      AsOfJoin.native(trades, "nope", "tt", q, "qsym", "qt")
+    }
+    assert(e1.getMessage.contains("left key column 'nope'"))
+    val e2 = intercept[IllegalArgumentException] {
+      AsOfJoin.native(trades, "sym", "tt", q.withColumn("qsym", lit(1)), "qsym", "qt")
+    }
+    assert(e2.getMessage.contains("key types differ"))
+  }
+
   test("h7b native result == h7 union+window result on sf0.001") {
     val a = Headline.h7.run(spark, TestSpark.sf0001).collect().toSeq
     val b = Headline.h7b.run(spark, TestSpark.sf0001).collect().toSeq
