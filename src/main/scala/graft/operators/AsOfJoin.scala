@@ -127,6 +127,17 @@ object AsOfJoin {
       left: DataFrame, leftKey: String, leftTime: String,
       right: DataFrame, rightKey: String, rightTime: String,
       tolerance: Option[java.time.Duration] = None
+  ): DataFrame =
+    nativeMultiKey(left, Seq(leftKey), leftTime, right, Seq(rightKey), rightTime, tolerance)
+
+  /** Multi-column-key form of [[native]]: as-of join on a compound key
+    * (e.g. (symbol, venue)) — one hash exchange on all key columns, same
+    * single-pass merge.
+    */
+  def nativeMultiKey(
+      left: DataFrame, leftKeys: Seq[String], leftTime: String,
+      right: DataFrame, rightKeys: Seq[String], rightTime: String,
+      tolerance: Option[java.time.Duration] = None
   ): DataFrame = {
     val spark = left.sparkSession
     // Idempotently ensure the strategy is live even on sessions built
@@ -145,7 +156,7 @@ object AsOfJoin {
         s"asof $side column '$name' not in [${p.output.map(_.name).mkString(", ")}]"))
     ColumnBridge.ofRows(spark,
       AsOfJoinPlan(lp, rp,
-        attr(lp, leftKey, "left key"), attr(rp, rightKey, "right key"),
+        leftKeys.map(attr(lp, _, "left key")), rightKeys.map(attr(rp, _, "right key")),
         attr(lp, leftTime, "left time"), attr(rp, rightTime, "right time"),
         tolerance.map(_.toNanos / 1000)))
   }

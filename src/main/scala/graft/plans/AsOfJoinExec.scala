@@ -2,17 +2,17 @@ package graft.plans
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, BoundReference, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 
 /** Physical as-of join: a single-pass sort-merge over key-co-partitioned,
-  * (key, time)-sorted children.
+  * (key..., time)-sorted children.
   *
   * Scale shape (the reason this beats every composed-builtin form at 100 TB):
   * `requiredChildDistribution` asks Catalyst for ONE hash exchange per side on
-  * the join key and `requiredChildOrdering` for a per-partition sort — then
+  * the join keys and `requiredChildOrdering` for a per-partition sort — then
   * the merge itself is O(|L| + |R|) streaming with O(1) state (the last
   * matching right row), no per-key buffering, no window carry column, no
   * union of mismatched schemas, no per-key cross product. EnsureRequirements
@@ -22,8 +22,8 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * ([[graft.operators.AsOfJoin.lookback]]) can never express.
   */
 case class AsOfJoinExec(
-    leftKey: Expression,
-    rightKey: Expression,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression,
     toleranceMicros: Option[Long],
@@ -35,24 +35,24 @@ case class AsOfJoinExec(
     left.output ++ right.output.map(_.withNullability(true))
 
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] =
     Seq(
-      Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
-      Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+      leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending),
+      rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTime, Ascending))
 
   override def outputPartitioning: Partitioning = left.outputPartitioning
 
   override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
 
   protected override def doExecute(): RDD[InternalRow] = {
-    val keyOrd  = org.apache.spark.sql.catalyst.types.PhysicalDataType.ordering(leftKey.dataType)
-    val timeOrd = org.apache.spark.sql.catalyst.types.PhysicalDataType.ordering(leftTime.dataType)
+    val keyTypes = leftKeys.map(_.dataType)
+    val timeOrd  = org.apache.spark.sql.catalyst.types.PhysicalDataType.ordering(leftTime.dataType)
     // Bind once on the driver; the bound trees are serialized into the task.
-    val lKey  = BindReferences.bindReference(leftKey, left.output)
+    val lKeys = leftKeys.map(BindReferences.bindReference(_, left.output))
+    val rKeys = rightKeys.map(BindReferences.bindReference(_, right.output))
     val lTime = BindReferences.bindReference(leftTime, left.output)
-    val rKey  = BindReferences.bindReference(rightKey, right.output)
     val rTime = BindReferences.bindReference(rightTime, right.output)
     val rightWidth = right.output.size
     val outAttrs   = output
@@ -64,14 +64,23 @@ case class AsOfJoinExec(
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val project   = UnsafeProjection.create(outAttrs, inAttrs)
+      val lKeyProj  = UnsafeProjection.create(lKeys)
+      val rKeyProj  = UnsafeProjection.create(rKeys)
+      // Compare the two single-purpose key rows with an interpreted natural
+      // ascending ordering over the key schema.
+      val keyOrd = RowOrdering.create(
+        keyTypes.zipWithIndex.map { case (dt, i) =>
+          SortOrder(BoundReference(i, dt, nullable = true), Ascending)
+        }, Seq.empty[Attribute])
       val joined    = new JoinedRow
       val nullRight = new GenericInternalRow(rightWidth)
       val rBuf      = rIter.buffered
 
       // Streaming merge state: the latest right row seen for `matchKey`.
-      // Rows coming out of SortExec reuse buffers, so the saved match is a
-      // copy; everything else is consumed strictly forward.
-      var matchKey: Any         = null
+      // Rows coming out of SortExec (and the key projections) reuse buffers,
+      // so saved state is copied; everything else is consumed strictly
+      // forward.
+      var matchKey: UnsafeRow   = null
       var matchRow: InternalRow = null
       var matchTime: Long       = Long.MinValue
       val tol = toleranceMicros.getOrElse(Long.MaxValue)
@@ -81,10 +90,11 @@ case class AsOfJoinExec(
       }
 
       lIter.map { lRow =>
-        val lk = lKey.eval(lRow)
-        val lt = if (lk == null) null else lTime.eval(lRow)
-        if (lk == null || lt == null) {
-          // Null key or null time can never satisfy key = key AND rt <= lt.
+        val lk = lKeyProj(lRow)
+        val lt = if (lk.anyNull) null else lTime.eval(lRow)
+        if (lt == null) {
+          // A null key column or null time never satisfies keys = keys AND
+          // rt <= lt (SQL equi-join null semantics).
           joined(lRow, nullRight)
         } else {
           // Consume right rows up to and including (lk, lt); remember the
@@ -92,16 +102,18 @@ case class AsOfJoinExec(
           // wins (see AsOfJoinPlan scaladoc).
           var advance = true
           while (advance && rBuf.hasNext) {
-            val rk = rKey.eval(rBuf.head)
-            val cmp = if (rk == null) -1 else keyOrd.compare(rk, lk)
+            val rk = rKeyProj(rBuf.head)
+            val cmp = if (rk.anyNull) -1 else keyOrd.compare(rk, lk)
             if (cmp > 0) advance = false
             else {
               val rt = rTime.eval(rBuf.head)
-              if (cmp == 0 && rk != null && rt != null && timeOrd.compare(rt, lt) > 0) {
+              if (cmp == 0 && rt != null && timeOrd.compare(rt, lt) > 0) {
                 advance = false // same key but in the future: stop, keep for later left rows
               } else {
                 val r = rBuf.next()
-                if (cmp == 0 && rt != null) { matchKey = rk; matchRow = r.copy(); matchTime = asLong(rt) }
+                if (cmp == 0 && rt != null) {
+                  matchKey = rk.copy(); matchRow = r.copy(); matchTime = asLong(rt)
+                }
               }
             }
           }
@@ -131,8 +143,8 @@ case class AsOfJoinExec(
   */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tol) =>
-      AsOfJoinExec(lk, rk, lt, rt, tol, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinPlan(l, r, lks, rks, lt, rt, tol) =>
+      AsOfJoinExec(lks, rks, lt, rt, tol, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }

@@ -41,8 +41,8 @@ object AsOfJoinRules extends Rule[LogicalPlan] with PredicateHelper {
 
     case p @ Project(projList, j: AsOfJoinPlan) =>
       val referenced = AttributeSet(projList.flatMap(_.references))
-      val neededL = referenced ++ AttributeSet(Seq(j.leftKey, j.leftTime))
-      val neededR = referenced ++ AttributeSet(Seq(j.rightKey, j.rightTime))
+      val neededL = referenced ++ AttributeSet(j.leftKeys :+ j.leftTime)
+      val neededR = referenced ++ AttributeSet(j.rightKeys :+ j.rightTime)
       val keepL = j.left.output.filter(neededL.contains)
       val keepR = j.right.output.filter(neededR.contains)
       // Fire only on a strict shrink, or the fixed-point batch would loop.

@@ -68,6 +68,22 @@ class AsOfJoinNativeSpec extends AnyFunSuite {
                        104L -> 9.0, 105L -> null, 106L -> null))
   }
 
+  test("asof native: compound (symbol, venue) key joins on all key columns") {
+    val q2 = Seq(
+      ("A", "X", ts("2024-01-01 10:00:00"), 1.0),
+      ("A", "Y", ts("2024-01-01 10:00:00"), 5.0)
+    ).toDF("qsym", "qvenue", "qt", "px")
+    val t2 = Seq(
+      ("A", "X", ts("2024-01-01 10:01:00"), 1L),
+      ("A", "Y", ts("2024-01-01 10:01:00"), 2L),
+      ("A", "Z", ts("2024-01-01 10:01:00"), 3L) // venue never quoted -> null
+    ).toDF("sym", "venue", "tt", "id")
+    val out = AsOfJoin.nativeMultiKey(t2, Seq("sym", "venue"), "tt", q2, Seq("qsym", "qvenue"), "qt")
+      .select($"id", $"px")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(out === Map(1L -> 1.0, 2L -> 5.0, 3L -> null))
+  }
+
   test("asof native: self-join lineage is re-aliased, not ambiguous") {
     val ev = Seq(("A", ts("2024-01-01 10:00:00"), 1L),
                  ("A", ts("2024-01-01 10:02:00"), 2L)).toDF("k", "t", "v")
