@@ -433,6 +433,32 @@ object RainStorm {
             .otherwise(0)), 1, k).as("topk"))
   }
 
+  /** Stream-static AS-OF enrichment: each micro-batch of facts is joined to
+    * the latest dimension state at the fact's own event time via the native
+    * as-of operator ([[graft.operators.AsOfJoin.native]]) inside
+    * `foreachBatch` — the point-in-time-correct version of
+    * [[enrichWithStatic]] (an equi join silently reads FUTURE dimension
+    * rows when processing late events; as-of cannot). Per-left-row
+    * semantics make batch-at-a-time equivalent to one big batch join, so
+    * results don't depend on micro-batch boundaries.
+    */
+  def enrichAsOf(
+      stream: DataFrame, dim: DataFrame,
+      streamKey: String, streamTime: String,
+      dimKey: String, dimTime: String,
+      sink: DataFrame => Unit,
+      tolerance: Option[java.time.Duration] = None,
+      trigger: Trigger = Trigger.AvailableNow()
+  ): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.operators.AsOfJoin.native(
+          batch, streamKey, streamTime, dim, dimKey, dimTime, tolerance))
+      }
+      .start()
+
   /** Streaming trending top-k: per-window token counts, then the k heaviest
     * tokens of each closed window — two CHAINED stateful aggregations (the
     * multi-stateful-operator pattern Spark allows when the second grouping

@@ -105,6 +105,30 @@ class AsOfJoinNativeSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("key types differ"))
   }
 
+  test("stream-static as-of enrichment equals one-shot batch join across micro-batch splits") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val q = quotes.withColumnRenamed("sym", "qsym")
+    val tradeRows = trades.filter($"sym".isNotNull)
+      .as[(String, java.sql.Timestamp, Long)].collect()
+    val in = MemoryStream[(String, java.sql.Timestamp, Long)]
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Option[Double])]()
+    val sq = graft.streaming.RainStorm.enrichAsOf(
+      in.toDF.toDF("sym", "tt", "id"), q, "sym", "tt", "qsym", "qt",
+      batch => batch.select($"id", $"px").collect().foreach(r =>
+        got.add(r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      in.addData(tradeRows.take(3).toIndexedSeq: _*); sq.processAllAvailable()
+      in.addData(tradeRows.drop(3).toIndexedSeq: _*); sq.processAllAvailable()
+    } finally sq.stop()
+    val streamed = got.toArray(Array.empty[(Long, Option[Double])]).toMap
+    val batch = AsOfJoin.native(trades.filter($"sym".isNotNull), "sym", "tt", q, "qsym", "qt")
+      .select($"id", $"px").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(streamed === batch)
+  }
+
   test("h7b native result == h7 union+window result on sf0.001") {
     val a = Headline.h7.run(spark, TestSpark.sf0001).collect().toSeq
     val b = Headline.h7b.run(spark, TestSpark.sf0001).collect().toSeq
