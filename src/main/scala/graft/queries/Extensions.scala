@@ -463,7 +463,12 @@ object Extensions {
   /** IVF ANN (KMeans coarse quantizer, cosine) — the second scale path:
     * corpus partitioned into nearest-centroid cells, queries probe their
     * nProbe nearest cells, exact cosine only within probed cells. Recall
-    * gated vs brute force in AccuracySpec.
+    * gated vs brute force in AccuracySpec (same trainFraction config).
+    *
+    * `trainFraction = 0.25` exercises the sampled-training path — the actual
+    * 100 TB story ([[AnnSearch.trainCentroids]]): k-means cost is
+    * per-row×k×iters, so at corpus scale you train the coarse quantizer on a
+    * sample and assign the full corpus with the cheap probe kernel.
     */
   val annIvf = Q(
     "x_ann_ivf",
@@ -471,10 +476,52 @@ object Extensions {
       val embs = Tables.embeddings(s, d)
       AnnSearch
         .ivfTopK(embs, embs.filter(col("vec_id") < 10), "vec_id", "embedding",
-          k = 5, nCells = 16, nProbe = 6, cacheKey = Some(d))
+          k = 5, nCells = 16, nProbe = 6, trainFraction = 0.25, cacheKey = Some(d))
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
     }
+  )
+
+  /** Batch-equivalent surface of the streaming set-similarity join
+    * ([[graft.streaming.RainStorm.setSimilarityJoinBatch]]): same banded
+    * minhash candidate generation, bucket equi-join, time bound, and exact
+    * Jaccard verify the streaming operator runs per micro-batch. Timestamps
+    * are synthesized as `ts = epoch + doc_id seconds`, so the operator's
+    * |l.ts − r.ts| ≤ 5 min bound becomes |id_a − id_b| ≤ 300 in the oracle —
+    * it prunes 7 of the 25 planted ≥0.8 pairs at sf0.01, proving the time
+    * predicate is live, not decorative. Oracle-able by the same argument as
+    * [[dedupMinhash]]: exact all-pairs Jaccard, deterministic banding with
+    * detection probability ~0.9998 on the planted ≥0.95 pairs.
+    */
+  val streamSetSimilarity = Q(
+    "x_stream_set_similarity",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), timestamp_seconds(col("doc_id")).as("ts"))
+      graft.streaming.RainStorm
+        .setSimilarityJoinBatch(docs, docs, "doc_id", "text", "ts",
+          threshold = 0.8, shingleN = 3, k = 64, bands = 8, maxSpan = "5 minutes")
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+        .orderBy("id_a", "id_b")
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS t FROM documents),
+            sh AS (
+              SELECT doc_id,
+                CASE WHEN len(t) >= 3
+                  THEN list_distinct(list_transform(range(1, len(t) - 1),
+                         i -> array_to_string(t[i:i+2], ' ')))
+                  ELSE [array_to_string(t, ' ')] END AS s
+              FROM toks)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE abs(a.doc_id - b.doc_id) <= 300
+              AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+            ORDER BY id_a, id_b""")
   )
 
   /** Multimodal metadata extraction over the binary payload column (column
@@ -680,6 +727,7 @@ object Extensions {
     heavyHitters, ngramFreq, quantiles, textRepetition, splitTrainTest, sampleStratified,
     packSequences,
     dedupExact, dedupMinhash, dedupSimhash, dedupNgram, dedupEmbedding, dedupContainment,
+    streamSetSimilarity,
     annBruteForce, annLsh, annIvf,
     multimodalMeta, multimodalFrames
   )

@@ -328,11 +328,52 @@ object RainStorm {
       bands: Int = 8,
       watermark: String = "1 hour",
       maxSpan: String = "30 minutes"
+  ): DataFrame =
+    setSimilarityJoin(left, right, idCol, textCol, tsCol, threshold, shingleN,
+      k, bands, maxSpan, watermark = Some(watermark))
+
+  /** Batch form of [[streamingSimilarityJoin]] — the IDENTICAL plan (same
+    * banding kernels, same bucket equi-join, same time bound, same exact
+    * verify) minus the watermark bookkeeping batch doesn't need:
+    * `dropDuplicatesWithinWatermark` has no batch exec, so band-collision
+    * duplicates collapse through plain `dropDuplicates` (all rows of one
+    * (id_a, id_b) pair are identical, so which row survives is immaterial).
+    * Surfaced in the registry as `x_stream_set_similarity` under the exact
+    * all-pairs DuckDB oracle; CorpusPipelineSpec pins both forms against the
+    * same exact all-pairs ground truth on one input.
+    */
+  def setSimilarityJoinBatch(
+      left: DataFrame,
+      right: DataFrame,
+      idCol: String,
+      textCol: String,
+      tsCol: String,
+      threshold: Double = 0.8,
+      shingleN: Int = 3,
+      k: Int = 64,
+      bands: Int = 8,
+      maxSpan: String = "30 minutes"
+  ): DataFrame =
+    setSimilarityJoin(left, right, idCol, textCol, tsCol, threshold, shingleN,
+      k, bands, maxSpan, watermark = None)
+
+  private def setSimilarityJoin(
+      left: DataFrame,
+      right: DataFrame,
+      idCol: String,
+      textCol: String,
+      tsCol: String,
+      threshold: Double,
+      shingleN: Int,
+      k: Int,
+      bands: Int,
+      maxSpan: String,
+      watermark: Option[String]
   ): DataFrame = {
     import graft.functions.{DedupOps, NativeFns}
     val rowsPerBand = k / bands
-    def banded(df: DataFrame, prefix: String) =
-      df.select(
+    def banded(df: DataFrame, prefix: String) = {
+      val b = df.select(
           col(idCol).as(s"${prefix}_id"),
           col(textCol).as(s"${prefix}_text"),
           col(tsCol).as(s"${prefix}_ts"),
@@ -344,10 +385,11 @@ object RainStorm {
               sequence(lit(0), lit(bands - 1)),
               b => hash(slice(col("__sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
             .as(Seq("band", "bucket")))
-        .withWatermark(s"${prefix}_ts", watermark)
+      watermark.fold(b)(w => b.withWatermark(s"${prefix}_ts", w))
+    }
     val l = banded(left, "l").alias("l")
     val r = banded(right, "r").alias("r")
-    l.join(
+    val verified = l.join(
         r,
         col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
           col("r_ts") >= col("l_ts") - expr(s"INTERVAL $maxSpan") &&
@@ -358,11 +400,14 @@ object RainStorm {
           NativeFns.word_shingles(col("l_text"), shingleN),
           NativeFns.word_shingles(col("r_text"), shingleN)).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      // No second withWatermark here: the input watermarks propagate through
-      // the stream-stream join (min of both sides), and REdefining one after
-      // a stateful operator is disallowed once multiple stateful operators
-      // are chained (Spark 3.5+ semantics, enforced in 4.x).
-      .dropDuplicatesWithinWatermark("id_a", "id_b")
+    // No second withWatermark on the streaming path: the input watermarks
+    // propagate through the stream-stream join (min of both sides), and
+    // REdefining one after a stateful operator is disallowed once multiple
+    // stateful operators are chained (Spark 3.5+ semantics, enforced in 4.x).
+    watermark match {
+      case Some(_) => verified.dropDuplicatesWithinWatermark("id_a", "id_b")
+      case None    => verified.dropDuplicates("id_a", "id_b")
+    }
   }
 
   /** Stream-static enrichment join: a streaming fact stream joined to a

@@ -117,8 +117,10 @@ class AccuracySpec extends AnyFunSuite {
       df.select(col("query_id").cast("long"), col("neighbor_id").cast("long"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val bf  = pairs(AnnSearch.bruteForceTopK(embs, queries, "vec_id", "embedding", k = 5))
+    // trainFraction = 0.25 matches the registry config (`x_ann_ivf`): the
+    // recall gate must cover the sampled-training path the registry runs.
     val ivf = pairs(AnnSearch.ivfTopK(embs, queries, "vec_id", "embedding", k = 5,
-      nCells = 16, nProbe = 6))
+      nCells = 16, nProbe = 6, trainFraction = 0.25))
     val recall = (bf & ivf).size.toDouble / bf.size
     assert(recall >= 0.5, s"IVF recall=$recall < 0.5 (bf=${bf.size}, hit=${(bf & ivf).size})")
   }

@@ -122,5 +122,16 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(streamed == exact,
       s"streaming similarity join: got ${streamed.size} pairs, exact ${exact.size}; " +
         s"missing=${(exact -- streamed).take(3)} spurious=${(streamed -- exact).take(3)}")
+
+    // The batch form (the registry's `x_stream_set_similarity` surface) is the
+    // identical plan minus watermark bookkeeping — same inputs, same answer.
+    val batched = RainStorm.setSimilarityJoinBatch(
+        even.toSeq.toDF("doc_id", "text", "ts"), odd.toSeq.toDF("doc_id", "text", "ts"),
+        "doc_id", "text", "ts", threshold = 0.8)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batched == exact,
+      s"batch set-similarity join diverged from exact: missing=${(exact -- batched).take(3)} " +
+        s"spurious=${(batched -- exact).take(3)}")
   }
 }
