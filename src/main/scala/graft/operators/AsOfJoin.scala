@@ -121,14 +121,18 @@ object AsOfJoin {
     * side is re-aliased automatically if its attribute ids collide with the
     * left's. `tolerance` bounds the lookback (pandas `merge_asof` parity):
     * a match older than `leftTime - tolerance` is rejected — stale quotes
-    * don't pair with today's trades.
+    * don't pair with today's trades. `direction` selects the `merge_asof`
+    * search mode: `backward` (default, latest `rt <= lt`), `forward`
+    * (earliest `rt >= lt`, tolerance bounds `rt - lt`), or `nearest`
+    * (min `|rt - lt|`, exact ties resolve backward).
     */
   def native(
       left: DataFrame, leftKey: String, leftTime: String,
       right: DataFrame, rightKey: String, rightTime: String,
-      tolerance: Option[java.time.Duration] = None
+      tolerance: Option[java.time.Duration] = None,
+      direction: String = "backward"
   ): DataFrame =
-    nativeMultiKey(left, Seq(leftKey), leftTime, right, Seq(rightKey), rightTime, tolerance)
+    nativeMultiKey(left, Seq(leftKey), leftTime, right, Seq(rightKey), rightTime, tolerance, direction)
 
   /** Multi-column-key form of [[native]]: as-of join on a compound key
     * (e.g. (symbol, venue)) — one hash exchange on all key columns, same
@@ -137,7 +141,8 @@ object AsOfJoin {
   def nativeMultiKey(
       left: DataFrame, leftKeys: Seq[String], leftTime: String,
       right: DataFrame, rightKeys: Seq[String], rightTime: String,
-      tolerance: Option[java.time.Duration] = None
+      tolerance: Option[java.time.Duration] = None,
+      direction: String = "backward"
   ): DataFrame = {
     val spark = left.sparkSession
     // Idempotently ensure the strategy is live even on sessions built
@@ -158,6 +163,7 @@ object AsOfJoin {
       AsOfJoinPlan(lp, rp,
         leftKeys.map(attr(lp, _, "left key")), rightKeys.map(attr(rp, _, "right key")),
         attr(lp, leftTime, "left time"), attr(rp, rightTime, "right time"),
-        tolerance.map(_.toNanos / 1000)))
+        tolerance.map(_.toNanos / 1000),
+        graft.plans.AsOfDirection(direction)))
   }
 }

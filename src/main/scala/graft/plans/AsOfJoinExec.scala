@@ -27,6 +27,7 @@ case class AsOfJoinExec(
     leftTime: Expression,
     rightTime: Expression,
     toleranceMicros: Option[Long],
+    direction: AsOfDirection,
     left: SparkPlan,
     right: SparkPlan)
   extends BinaryExecNode {
@@ -61,13 +62,15 @@ case class AsOfJoinExec(
     // null row through them — a non-nullable BoundReference would skip the
     // null check and project garbage zeros.
     val inAttrs    = left.output ++ right.output.map(_.withNullability(true))
+    val dir        = direction
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val project   = UnsafeProjection.create(outAttrs, inAttrs)
       val lKeyProj  = UnsafeProjection.create(lKeys)
       val rKeyProj  = UnsafeProjection.create(rKeys)
-      // Compare the two single-purpose key rows with an interpreted natural
-      // ascending ordering over the key schema.
+      // Full ordering compare is only needed when byte equality fails — both
+      // projections emit the same key schema, so SQL-equal keys are
+      // byte-equal UnsafeRows (floats are rejected at plan construction).
       val keyOrd = RowOrdering.create(
         keyTypes.zipWithIndex.map { case (dt, i) =>
           SortOrder(BoundReference(i, dt, nullable = true), Ascending)
@@ -76,17 +79,43 @@ case class AsOfJoinExec(
       val nullRight = new GenericInternalRow(rightWidth)
       val rBuf      = rIter.buffered
 
-      // Streaming merge state: the latest right row seen for `matchKey`.
-      // Rows coming out of SortExec (and the key projections) reuse buffers,
-      // so saved state is copied; everything else is consumed strictly
-      // forward.
+      // Streaming merge state. Rows coming out of SortExec (and the key
+      // projections) reuse buffers, so saved state is copied; everything
+      // else is consumed strictly forward.
+      //
+      // Fast-path caches (the r5-flagged hot-loop cost was re-projecting and
+      // re-comparing unchanged rows): the head of the right buffer is
+      // projected/evaluated ONCE per right row, not once per left row; the
+      // head-vs-left-key comparison is computed once per (left-key run ×
+      // head row) instead of once per left row, and run membership is a
+      // byte-equality check on the projected key, not an interpreted compare.
       var matchKey: UnsafeRow   = null
       var matchRow: InternalRow = null
       var matchTime: Long       = Long.MinValue
+      var headKey: UnsafeRow    = null // projected key of rBuf.head; null = stale
+      var headTime: Any         = null // evaluated time of rBuf.head
+      var runKey: UnsafeRow     = null // copy of the current left-key run
+      var headRunCmp: Int       = 0    // sign of compare(headKey, runKey)
+      var headRunCmpValid       = false
       val tol = toleranceMicros.getOrElse(Long.MaxValue)
       def asLong(t: Any): Long = t match {
         case l: java.lang.Long => l
         case n: java.lang.Number => n.longValue()
+      }
+      // Refresh the head caches; returns false when the right side is drained.
+      def ensureHead(): Boolean = {
+        if (rBuf.hasNext) {
+          if (headKey == null) {
+            headKey = rKeyProj(rBuf.head) // buffer stays valid until next projection
+            headTime = rTime.eval(rBuf.head)
+            headRunCmpValid = false
+          }
+          true
+        } else false
+      }
+      def consumeHead(): InternalRow = {
+        headKey = null; headRunCmpValid = false
+        rBuf.next()
       }
 
       lIter.map { lRow =>
@@ -94,37 +123,65 @@ case class AsOfJoinExec(
         val lt = if (lk.anyNull) null else lTime.eval(lRow)
         if (lt == null) {
           // A null key column or null time never satisfies keys = keys AND
-          // rt <= lt (SQL equi-join null semantics).
+          // the time bound (SQL equi-join null semantics).
           joined(lRow, nullRight)
         } else {
-          // Consume right rows up to and including (lk, lt); remember the
-          // last one with key == lk. Ties on (key, time): last in sort order
-          // wins (see AsOfJoinPlan scaladoc).
+          if (runKey == null || !lk.equals(runKey)) {
+            runKey = lk.copy(); headRunCmpValid = false
+          }
+          // Advance the right side past every row strictly "behind" (lk, lt).
+          // backward/nearest consume through rt <= lt (remembering the last
+          // same-key row as the backward candidate); forward consumes only
+          // rt < lt — rows at rt == lt are themselves forward matches. Ties
+          // on (key, time): backward keeps the LAST row in sort order,
+          // forward the FIRST (see AsOfJoinPlan scaladoc).
           var advance = true
-          while (advance && rBuf.hasNext) {
-            val rk = rKeyProj(rBuf.head)
-            val cmp = if (rk.anyNull) -1 else keyOrd.compare(rk, lk)
-            if (cmp > 0) advance = false
+          while (advance && ensureHead()) {
+            if (!headRunCmpValid) {
+              headRunCmp =
+                if (headKey.anyNull) -1
+                else if (headKey.equals(runKey)) 0
+                else keyOrd.compare(headKey, runKey)
+              headRunCmpValid = true
+            }
+            if (headRunCmp > 0) advance = false
+            else if (headRunCmp < 0 || headTime == null) { consumeHead(); () }
             else {
-              val rt = rTime.eval(rBuf.head)
-              if (cmp == 0 && rt != null && timeOrd.compare(rt, lt) > 0) {
-                advance = false // same key but in the future: stop, keep for later left rows
-              } else {
-                val r = rBuf.next()
-                if (cmp == 0 && rt != null) {
-                  matchKey = rk.copy(); matchRow = r.copy(); matchTime = asLong(rt)
+              val tCmp = timeOrd.compare(headTime, lt)
+              val stop = if (dir eq AsOfDirection.Forward) tCmp >= 0 else tCmp > 0
+              if (stop) advance = false
+              else {
+                val ht = headTime
+                val r  = consumeHead()
+                if (dir ne AsOfDirection.Forward) {
+                  matchKey = runKey; matchRow = r.copy(); matchTime = asLong(ht)
                 }
               }
             }
           }
-          // The saved match is the LATEST right row with rt <= lt for this
-          // key; if even it is older than the tolerance window, no valid
-          // match exists for this left row (any other candidate is older).
-          if (matchRow != null && matchKey != null && keyOrd.compare(matchKey, lk) == 0 &&
-              (toleranceMicros.isEmpty || asLong(lt) - matchTime <= tol))
-            joined(lRow, matchRow)
-          else
-            joined(lRow, nullRight)
+          // Candidates: backward = the saved latest rt <= lt row; forward =
+          // the unconsumed head iff it still belongs to this key.
+          val backOk = (dir ne AsOfDirection.Forward) &&
+            matchRow != null && matchKey != null && matchKey.equals(runKey) &&
+            (toleranceMicros.isEmpty || asLong(lt) - matchTime <= tol)
+          val fwdOk = (dir ne AsOfDirection.Backward) &&
+            ensureHead() && headRunCmpValid && headRunCmp == 0 && headTime != null &&
+            (toleranceMicros.isEmpty || asLong(headTime) - asLong(lt) <= tol)
+          dir match {
+            case AsOfDirection.Backward =>
+              if (backOk) joined(lRow, matchRow) else joined(lRow, nullRight)
+            case AsOfDirection.Forward =>
+              if (fwdOk) joined(lRow, rBuf.head) else joined(lRow, nullRight)
+            case AsOfDirection.Nearest =>
+              // merge_asof rule: min |distance|, exact tie resolves backward.
+              if (backOk && fwdOk) {
+                if (asLong(lt) - matchTime <= asLong(headTime) - asLong(lt))
+                  joined(lRow, matchRow)
+                else joined(lRow, rBuf.head)
+              } else if (backOk) joined(lRow, matchRow)
+              else if (fwdOk) joined(lRow, rBuf.head)
+              else joined(lRow, nullRight)
+          }
         }
       }.map(project)
     }
@@ -143,8 +200,8 @@ case class AsOfJoinExec(
   */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lks, rks, lt, rt, tol) =>
-      AsOfJoinExec(lks, rks, lt, rt, tol, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinPlan(l, r, lks, rks, lt, rt, tol, dir) =>
+      AsOfJoinExec(lks, rks, lt, rt, tol, dir, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }

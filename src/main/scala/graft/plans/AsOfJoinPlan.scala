@@ -3,11 +3,33 @@ package graft.plans
 import org.apache.spark.sql.catalyst.expressions.Attribute
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 
+/** Match direction of an as-of join (pandas `merge_asof` vocabulary).
+  *  - [[AsOfDirection.Backward]]: latest right row with `rt <= lt` (default).
+  *  - [[AsOfDirection.Forward]]: earliest right row with `rt >= lt`.
+  *  - [[AsOfDirection.Nearest]]: right row minimizing `|rt - lt|`; an exact
+  *    distance tie resolves BACKWARD (the `merge_asof` rule).
+  * `toleranceMicros` always bounds the matched distance on the search side(s).
+  */
+sealed trait AsOfDirection
+object AsOfDirection {
+  case object Backward extends AsOfDirection
+  case object Forward  extends AsOfDirection
+  case object Nearest  extends AsOfDirection
+  def apply(name: String): AsOfDirection = name.toLowerCase match {
+    case "backward" => Backward
+    case "forward"  => Forward
+    case "nearest"  => Nearest
+    case other => throw new IllegalArgumentException(
+      s"asof direction must be backward|forward|nearest, got '$other'")
+  }
+}
+
 /** Logical as-of join: for every left row, attach the latest right row with
   * the same (multi-column) key whose time is `<=` the left row's time
   * (inclusive lookback; left outer — unmatched left rows keep null right
   * columns; `toleranceMicros` optionally rejects matches older than
-  * `leftTime - tolerance`).
+  * `leftTime - tolerance`). `direction` flips the search to the earliest
+  * future row (`forward`) or the absolute-closest row (`nearest`).
   *
   * This is the whole-operator custom-plan path (SURVEY preference (c)): a
   * first-class [[LogicalPlan]] node planned by [[AsOfJoinStrategy]] into
@@ -32,7 +54,8 @@ case class AsOfJoinPlan(
     rightKeys: Seq[Attribute],
     leftTime: Attribute,
     rightTime: Attribute,
-    toleranceMicros: Option[Long] = None)
+    toleranceMicros: Option[Long] = None,
+    direction: AsOfDirection = AsOfDirection.Backward)
   extends BinaryNode {
 
   require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size,
@@ -44,10 +67,22 @@ case class AsOfJoinPlan(
   require(leftTime.dataType == rightTime.dataType,
     s"asof time types differ: ${leftTime.dataType.simpleString} vs ${rightTime.dataType.simpleString}")
   require(toleranceMicros.forall(_ >= 0), "asof tolerance must be non-negative")
-  require(toleranceMicros.isEmpty || {
+  // Tolerance and `nearest` both compute numeric time DISTANCES, not just
+  // comparisons, so they need a long-backed time type.
+  require((toleranceMicros.isEmpty && direction != AsOfDirection.Nearest) || {
     import org.apache.spark.sql.types._
     Seq(TimestampType, TimestampNTZType, LongType, IntegerType).contains(leftTime.dataType)
-  }, s"asof tolerance needs a long-backed time type, got ${leftTime.dataType.simpleString}")
+  }, s"asof tolerance/nearest needs a long-backed time type, got ${leftTime.dataType.simpleString}")
+  // Float/double join keys are rejected up front: the merge compares and the
+  // exchange hashes their raw bits, so -0.0/0.0 and NaN payloads would split
+  // SQL-equal keys across partitions (Spark normalizes these only for its
+  // built-in joins). Cast to decimal/integer instead.
+  leftKeys.zip(rightKeys).foreach { case (l, _) =>
+    import org.apache.spark.sql.types._
+    require(l.dataType != FloatType && l.dataType != DoubleType,
+      s"asof join key '${l.name}' is ${l.dataType.simpleString}; float keys are not " +
+        "supported (NaN/-0.0 equality pitfalls) — cast to decimal or integer")
+  }
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))

@@ -178,6 +178,54 @@ object Headline {
             ORDER BY e.event_id""")
   )
 
+  /** Forward as-of join through the native operator: for each event, the
+    * EARLIEST order at-or-after the event time (merge_asof
+    * direction="forward"). DuckDB oracles it with the inequality flipped —
+    * `ASOF LEFT JOIN ... ON l.ts <= r.ts` selects the nearest future row.
+    */
+  val h7c = Q(
+    "h7c_asof_join_forward",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts").cast("timestamp_ntz").as("ts"))
+      val od = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderdate").cast("timestamp_ntz").as("o_time"))
+      AsOfJoin.native(ev, "user_id", "ts", od, "o_custkey", "o_time", direction = "forward")
+        .select(col("event_id"), col("user_id"), col("o_time").as("next_orderdate"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT e.event_id, e.user_id, o.o_orderdate AS next_orderdate
+            FROM events e ASOF LEFT JOIN orders o
+              ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+            ORDER BY e.event_id""")
+  )
+
+  /** Nearest as-of join through the native operator: the order closest in
+    * absolute time to each event, exact ties resolving backward (merge_asof
+    * direction="nearest"). Oracled by a least-abs-diff window query — DuckDB
+    * ASOF can't express nearest, so the oracle materializes every
+    * (event, same-user order) pair and keeps rank 1 by (|Δt|, earlier-first).
+    */
+  val h7d = Q(
+    "h7d_asof_join_nearest",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts").cast("timestamp_ntz").as("ts"))
+      val od = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderdate").cast("timestamp_ntz").as("o_time"))
+      AsOfJoin.native(ev, "user_id", "ts", od, "o_custkey", "o_time", direction = "nearest")
+        .select(col("event_id"), col("user_id"), col("o_time").as("nearest_orderdate"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id, nearest_orderdate FROM (
+              SELECT e.event_id, e.user_id, o.o_orderdate AS nearest_orderdate,
+                row_number() OVER (PARTITION BY e.event_id
+                  ORDER BY abs(epoch_us(CAST(e.ts AS TIMESTAMP)) - epoch_us(o.o_orderdate)) ASC,
+                           o.o_orderdate ASC) AS rn
+              FROM events e LEFT JOIN orders o ON e.user_id = o.o_custkey)
+            WHERE rn = 1 ORDER BY event_id""")
+  )
+
   /** Event-time tumbling window aggregate (batch view of the streaming
     * `groupBy(window($"ts"), ...)` — same grouping keys, date_trunc form so
     * the oracle can express it).
@@ -504,5 +552,5 @@ object Headline {
             GROUP BY window_id ORDER BY window_id""")
   )
 
-  val qs: Seq[Q] = Seq(h1, h2, h3, h4, h5, h6, h7, h7b, h8, h9, h10, h11, h12, h13, h14, h15, h16, h17, h18, h19, h20, h21)
+  val qs: Seq[Q] = Seq(h1, h2, h3, h4, h5, h6, h7, h7b, h7c, h7d, h8, h9, h10, h11, h12, h13, h14, h15, h16, h17, h18, h19, h20, h21)
 }

@@ -68,6 +68,77 @@ class AsOfJoinNativeSpec extends AnyFunSuite {
                        104L -> 9.0, 105L -> null, 106L -> null))
   }
 
+  test("asof native forward: earliest at-or-after match, inclusive boundary, left outer") {
+    val out = AsOfJoin
+      .native(trades, "sym", "tt", quotes.withColumnRenamed("sym", "qsym"), "qsym", "qt",
+        direction = "forward")
+      .select($"id", $"px")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    // 100 @09:59 -> first quote at 10:00; 101 @10:00 -> inclusive 1.0;
+    // 102 @10:04:59 -> 10:05's 2.0; 103 @10:30 -> nothing ahead -> null;
+    // 104 B@10:04 -> B's only quote is behind -> null; 105/106 -> null.
+    assert(out === Map(100L -> 1.0, 101L -> 1.0, 102L -> 2.0, 103L -> null,
+                       104L -> null, 105L -> null, 106L -> null))
+  }
+
+  test("asof native forward: tolerance bounds rt - lt, boundary inclusive") {
+    val out = AsOfJoin
+      .native(trades, "sym", "tt", quotes.withColumnRenamed("sym", "qsym"), "qsym", "qt",
+        tolerance = Some(java.time.Duration.ofMinutes(1)), direction = "forward")
+      .select($"id", $"px")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    // 100: 10:00 is exactly 60s ahead -> boundary-inclusive match; 102: 1s ahead;
+    // everything else unchanged or null.
+    assert(out === Map(100L -> 1.0, 101L -> 1.0, 102L -> 2.0, 103L -> null,
+                       104L -> null, 105L -> null, 106L -> null))
+  }
+
+  test("asof native nearest: min |Δt| wins on either side, tolerance applies to the winner") {
+    val out = AsOfJoin
+      .native(trades, "sym", "tt", quotes.withColumnRenamed("sym", "qsym"), "qsym", "qt",
+        direction = "nearest")
+      .select($"id", $"px")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    // 100 @09:59: only the future 10:00 exists -> 1.0; 102 @10:04:59: 1s forward
+    // beats 299s backward -> 2.0; 103 @10:30: only the past 10:05 -> 2.0.
+    assert(out === Map(100L -> 1.0, 101L -> 1.0, 102L -> 2.0, 103L -> 2.0,
+                       104L -> 9.0, 105L -> null, 106L -> null))
+
+    val bounded = AsOfJoin
+      .native(trades, "sym", "tt", quotes.withColumnRenamed("sym", "qsym"), "qsym", "qt",
+        tolerance = Some(java.time.Duration.ofMinutes(2)), direction = "nearest")
+      .select($"id", $"px")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    // 103's nearest (25 min back) now exceeds tolerance -> null; others survive.
+    assert(bounded === Map(100L -> 1.0, 101L -> 1.0, 102L -> 2.0, 103L -> null,
+                           104L -> 9.0, 105L -> null, 106L -> null))
+  }
+
+  test("asof native nearest: exact distance tie resolves backward (merge_asof rule)") {
+    val t = Seq(("A", ts("2024-01-01 10:02:30"), 1L)).toDF("sym", "tt", "id")
+    val out = AsOfJoin
+      .native(t, "sym", "tt", quotes.withColumnRenamed("sym", "qsym"), "qsym", "qt",
+        direction = "nearest")
+      .select($"id", $"px")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // 150s to both 10:00 (1.0) and 10:05 (2.0): backward wins.
+    assert(out === Map(1L -> 1.0))
+  }
+
+  test("asof native: invalid direction and float keys are rejected up front") {
+    val q = quotes.withColumnRenamed("sym", "qsym")
+    val e1 = intercept[IllegalArgumentException] {
+      AsOfJoin.native(trades, "sym", "tt", q, "qsym", "qt", direction = "sideways")
+    }
+    assert(e1.getMessage.contains("backward|forward|nearest"))
+    val e2 = intercept[IllegalArgumentException] {
+      AsOfJoin.native(
+        trades.withColumn("sym", lit(1.0)), "sym", "tt",
+        q.withColumn("qsym", lit(1.0)), "qsym", "qt")
+    }
+    assert(e2.getMessage.contains("float keys are not supported"))
+  }
+
   test("asof native: compound (symbol, venue) key joins on all key columns") {
     val q2 = Seq(
       ("A", "X", ts("2024-01-01 10:00:00"), 1.0),
