@@ -63,4 +63,31 @@ object HeavyHitters {
       override def outputEncoder: Encoder[Seq[(String, Long)]] =
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(String, Long)]]()
     }
+
+  /** Weighted form of [[sketch]]: each input is an (item, weight) pair and
+    * the decrement-all step sheds `weight` units at once — exactly the merge
+    * rule, applied at reduce time. This is the second-stage aggregate of
+    * [[graft.streaming.RainStorm.trendingTopKSketch]]: stage one's exact
+    * per-(window, token) counts feed in as weights, so the sketch holds O(k)
+    * state per window instead of one row per distinct token. With
+    * `k >= |vocabulary|` no counter ever sheds and the counts stay exact
+    * (the parity gate in TrendingTopKSpec).
+    */
+  def weightedSketch(k: Int): Aggregator[(String, Long), Buf, Seq[(String, Long)]] =
+    new Aggregator[(String, Long), Buf, Seq[(String, Long)]] {
+      override def zero: Buf = Map.empty
+
+      override def reduce(buf: Buf, in: (String, Long)): Buf = admit(buf, in._1, in._2, k)
+
+      override def merge(a: Buf, b: Buf): Buf =
+        b.foldLeft(a) { case (acc, (item, w)) => admit(acc, item, w, k) }
+
+      override def finish(buf: Buf): Seq[(String, Long)] =
+        buf.toSeq.sortBy { case (item, cnt) => (-cnt, item) }
+
+      override def bufferEncoder: Encoder[Buf] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Buf]()
+      override def outputEncoder: Encoder[Seq[(String, Long)]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(String, Long)]]()
+    }
 }

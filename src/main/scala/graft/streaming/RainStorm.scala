@@ -510,8 +510,13 @@ object RainStorm {
     * key is the first's window), watermark-bounded state, append mode emits
     * one final top-k row per window. The per-window second aggregate only
     * ever sees |distinct tokens in window| rows — the heavy shuffle happened
-    * at stage one, partial-aggregated map-side; at 100 TB swap stage one's
-    * exact count for the Misra-Gries sketch if the token space explodes.
+    * at stage one, partial-aggregated map-side.
+    *
+    * SCALE CAVEAT: stage two's `collect_list` materializes every distinct
+    * token of a window into ONE aggregation buffer row — O(|window vocab|)
+    * state. Fine for bounded vocabularies (status codes, symbols); for open
+    * vocabularies at corpus scale use [[trendingTopKSketch]], whose
+    * second-stage buffer is O(slots) regardless of vocabulary.
     */
   def trendingTopK(
       tokenStream: DataFrame, // (tokenCol, tsCol) streaming
@@ -531,6 +536,40 @@ object RainStorm {
             .when(l.getField("token") < r.getField("token"), -1)
             .when(l.getField("token") > r.getField("token"), 1)
             .otherwise(0)), 1, k).as("topk"))
+  }
+
+  /** Bounded-state trending top-k: same two chained stateful aggregations and
+    * append-mode window emission as [[trendingTopK]], but stage two is the
+    * weighted Misra-Gries sketch
+    * ([[graft.functions.HeavyHitters.weightedSketch]]) instead of
+    * `collect_list` — the aggregation buffer holds at most `slots` counters
+    * per window (O(slots), not O(|window vocab|)), and partial buffers merge
+    * map-side like any other aggregate. The price is the standard MG bound:
+    * reported counts are lower bounds within `n/slots` of truth, and a token
+    * needs frequency > n/slots to be guaranteed present — with
+    * `slots >= |window vocab|` nothing ever sheds and the result equals
+    * [[trendingTopK]] exactly (the TrendingTopKSpec parity gate).
+    *
+    * Output schema matches [[trendingTopK]] (`window`, `topk` =
+    * array<struct<n, token>>) so the two are drop-in interchangeable.
+    */
+  def trendingTopKSketch(
+      tokenStream: DataFrame, // (tokenCol, tsCol) streaming
+      tokenCol: String, tsCol: String,
+      k: Int, slots: Int = 1024,
+      windowLen: String = "1 hour", watermark: String = "10 minutes"
+  ): DataFrame = {
+    require(slots >= k, s"slots ($slots) must be >= k ($k): the sketch can only report what it tracks")
+    val mg = udaf(graft.functions.HeavyHitters.weightedSketch(slots))
+    tokenStream
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col(tokenCol).as("token"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("window"))
+      .agg(mg(col("token"), col("n")).as("sketch"))
+      .select(col("window"),
+        slice(transform(col("sketch"),
+          s => struct(s.getField("_2").as("n"), s.getField("_1").as("token"))), 1, k).as("topk"))
   }
 
   /** Generic 3-stage pipeline runner mirroring the `RainStorm op1 op2 src dest
