@@ -61,6 +61,53 @@ class RainStormStreamingSpec extends AnyFunSuite {
     assert(streamed == batchWordCount(src), "final state after kill/restart must equal batch oracle")
   }
 
+  test("commit-log source: offset-based resume is exactly-once across a mid-batch crash AND same-file appends") {
+    import graft.sources.CommitLog
+    import org.apache.spark.sql.streaming.Trigger
+    val log  = tmpDir("cl") + "/events.log"
+    val dest = tmpDir("cl_dest")
+    val ckpt = tmpDir("cl_ckpt")
+    CommitLog.append(log, (0 until 50).map(i => s"rec$i"))
+
+    // Sink that crashes mid-run: batch 2 throws AFTER writing its output —
+    // the worst case (output landed, offset never committed). On replay the
+    // same [start, end) range re-runs into the same batch_id dir, so the
+    // idempotent sink overwrites rather than duplicates.
+    val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def crashingSink(batch: org.apache.spark.sql.DataFrame, id: Long): Unit = {
+      RainStorm.idempotentParquetSink(dest)(batch, id)
+      if (id == 2 && crashed.compareAndSet(false, true))
+        throw new RuntimeException("injected crash after partial write")
+    }
+    def start(sink: (org.apache.spark.sql.DataFrame, Long) => Unit) =
+      CommitLog.readStream(spark, log, maxLinesPerTrigger = Some(10L))
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch(sink)
+        .start()
+
+    val q1 = start(crashingSink)
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.awaitTermination()
+    }
+    assert(crashed.get, "the injected crash must have fired")
+
+    // Records appended to the SAME file while the query is down — the case
+    // the whole-file source cannot replay from an offset.
+    CommitLog.append(log, (50 until 100).map(i => s"rec$i"))
+
+    val q2 = start(RainStorm.idempotentParquetSink(dest))
+    q2.awaitTermination(120000)
+
+    val out = spark.read.parquet(dest + "/batch_id=*")
+      .select(col("offset"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.length == 100, s"exactly-once: expected 100 rows, got ${out.length}")
+    assert(out.map(_._1).toSet == (0L until 100L).toSet, "offsets must be gapless and unduplicated")
+    assert(out.toMap.forall { case (o, v) => v == s"rec$o" }, "every offset must carry its own record")
+  }
+
   test("generic RainStorm.run pipeline (op1 -> op2) matches batch") {
     import graft.operators.RainStormOps
     val src  = writeCorpus()
