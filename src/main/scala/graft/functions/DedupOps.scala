@@ -66,18 +66,32 @@ object DedupOps {
     * (the pair kernel's contract); pair expansion runs in the codegen'd
     * [[NativeExprs IdPairsExpr]] kernel — a nested interpreted-HOF pipeline
     * here paid per-element lambda dispatch on every bucket.
+    *
+    * Oversized buckets (hash collisions / degenerate bands) are TRUNCATED to
+    * their `maxBucketSize` smallest ids, not dropped: dropping made recall
+    * fall off a cliff to zero for every member of a hot bucket the moment it
+    * crossed the cap, silently. Truncation bounds the work at
+    * maxBucketSize²/2 pairs per bucket while keeping deterministic partial
+    * recall. The cap is enforced BEFORE `collect_list` by a `row_number`
+    * over the same (band, bucket) keys — the window's hash partitioning is
+    * the aggregation's partitioning, so no extra exchange is introduced and
+    * no aggregation buffer ever materializes an unbounded bucket.
     */
-  def pairsFromBuckets(banded: DataFrame, idCol: String, maxBucketSize: Int): DataFrame =
+  def pairsFromBuckets(banded: DataFrame, idCol: String, maxBucketSize: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bucket"))
+      .orderBy(col("__pid"))
     banded
+      .select(col("band"), col("bucket"), col(idCol).cast("long").as("__pid"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxBucketSize)
       .groupBy(col("band"), col("bucket"))
-      .agg(sort_array(collect_list(col(idCol).cast("long"))).as("ids"))
-      // Oversized buckets are degenerate for dedup (a bucket of B ids emits
-      // B²/2 pairs); cap them. At high-threshold banding (r=8) real buckets
-      // are tiny — the cap only trims pathological collisions.
-      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucketSize)
+      .agg(sort_array(collect_list(col("__pid"))).as("ids"))
+      .filter(size(col("ids")) > 1)
       .select(explode(NativeFns.id_pairs(col("ids"))).as("pair"))
       .select(col("pair.id_a"), col("pair.id_b"))
       .distinct()
+  }
 
   /** End-to-end MinHash near-dup detection: shingle → minhash → LSH candidates
     * → exact-Jaccard verification at `threshold`. Returns (id_a, id_b,
@@ -204,5 +218,61 @@ object DedupOps {
       .join(b, "id_b")
       .select(col("id_a"), col("id_b"), NativeFns.cosine_sim(col("__va"), col("__vb")).as("cos"))
       .filter(col("cos") >= threshold)
+  }
+
+  /** [[embeddingNearDups]] with corpus-size-adaptive SRP geometry — the form
+    * that survives a 100× scale-up. Fixed geometry (a constant `nPlanes`)
+    * has a constant bucket count, so expected bucket occupancy grows
+    * linearly with the corpus and within-bucket pair expansion grows
+    * QUADRATICALLY — measured 64× runtime at 10× rows before this existed.
+    * Here the bucket count grows with n instead:
+    *
+    *   nPlanes = ⌈log₂(n / targetOccupancy)⌉ (clamped [4, 20]) keeps
+    *     expected occupancy ≈ targetOccupancy, so candidate volume per table
+    *     stays ≈ n·occupancy/2 — linear in n;
+    *   tables  = ⌈ln(1−targetRecall) / ln(1−p^nPlanes)⌉ (clamped [2, 64]),
+    *     p = 1 − acos(threshold)/π, restores the recall the deeper planes
+    *     cost. Tables grow ~(n/occ)^(−log₂ p) — the classic LSH n^ρ factor
+    *     (ρ ≈ 0.2 at threshold 0.9), giving ~n^1.2 total work instead of n².
+    *
+    * The one count() action prices the geometry; on a parquet source it is
+    * metadata-cheap. Meant for the NEAR-DUP regime (threshold ≥ ~0.7, output
+    * linear in n). At low thresholds the qualifying-pair count itself is
+    * typically quadratic in n — no candidate scheme makes a quadratic answer
+    * linear — so [[embeddingNearDups]]'s explicit shallow geometry is the
+    * honest operating point there.
+    */
+  def embeddingNearDupsAuto(
+      embs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      targetRecall: Double = 0.999,
+      targetOccupancy: Int = 32,
+      dim: Int = 64,
+      maxBucketSize: Int = 2000
+  ): DataFrame = {
+    val (nPlanes, tables) = autoSrpGeometry(embs.count(), threshold, targetRecall, targetOccupancy)
+    embeddingNearDups(embs, idCol, vecCol, threshold, nPlanes, tables, dim, maxBucketSize)
+  }
+
+  /** The (nPlanes, tables) pair [[embeddingNearDupsAuto]] derives from the
+    * corpus size — exposed for tests and for callers that already know n.
+    */
+  def autoSrpGeometry(
+      n: Long,
+      threshold: Double,
+      targetRecall: Double = 0.999,
+      targetOccupancy: Int = 32
+  ): (Int, Int) = {
+    require(threshold > 0.0 && threshold < 1.0, s"threshold in (0,1), got $threshold")
+    require(targetRecall > 0.0 && targetRecall < 1.0, s"targetRecall in (0,1), got $targetRecall")
+    val nPlanes = math.max(4, math.min(20,
+      math.ceil(math.log(math.max(1.0, n.toDouble / targetOccupancy)) / math.log(2.0)).toInt))
+    val p = 1.0 - math.acos(threshold) / math.Pi
+    val q = math.pow(p, nPlanes)
+    val tables = math.max(2, math.min(64,
+      math.ceil(math.log(1.0 - targetRecall) / math.log1p(-q)).toInt))
+    (nPlanes, tables)
   }
 }

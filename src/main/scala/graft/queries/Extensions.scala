@@ -415,6 +415,32 @@ object Extensions {
         .orderBy("id_a", "id_b")
   )
 
+  /** Embedding near-dup pairs in the regime dedup actually runs at
+    * (cosine ≥ 0.9), via [[DedupOps.embeddingNearDupsAuto]]'s
+    * corpus-size-adaptive SRP geometry — bucket count grows with n so
+    * candidate volume stays ~linear (SCALING.md measures it). Carries the
+    * exact all-pairs DuckDB oracle: false positives are impossible (every
+    * candidate is verified by exact cosine) and per-pair detection at the
+    * auto geometry's targetRecall=0.999 makes a miss on qualifying pairs
+    * vanishingly unlikely; EmbeddingNearDupSpec proves non-vacuous exact
+    * parity on planted near-identical vectors, since the driver testdata
+    * contains no pairs above cosine 0.61 and this query is rightly empty
+    * there. Output is id-only — cosine values stay out of the hash compare
+    * so float association order can never flip a bit.
+    */
+  val dedupEmbeddingNearDup = Q(
+    "x_dedup_embedding_neardup",
+    (s, d) =>
+      DedupOps
+        .embeddingNearDupsAuto(Tables.embeddings(s, d), "vec_id", "embedding", threshold = 0.9)
+        .select(col("id_a"), col("id_b"))
+        .orderBy("id_a", "id_b"),
+    Some("""SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9
+            ORDER BY id_a, id_b""")
+  )
+
   /** Brute-force exact cosine top-5 for the first 10 vectors — the ANN
     * baseline. Output is rank-only (ints) so the oracle hash is float-safe.
     */
@@ -726,7 +752,8 @@ object Extensions {
     textStats, textQuality, textLangId, textFingerprint, approxDistinct, jsonExtract, jsonStruct, jsonVariant,
     heavyHitters, ngramFreq, quantiles, textRepetition, splitTrainTest, sampleStratified,
     packSequences,
-    dedupExact, dedupMinhash, dedupSimhash, dedupNgram, dedupEmbedding, dedupContainment,
+    dedupExact, dedupMinhash, dedupSimhash, dedupNgram, dedupEmbedding, dedupEmbeddingNearDup,
+    dedupContainment,
     streamSetSimilarity,
     annBruteForce, annLsh, annIvf,
     multimodalMeta, multimodalFrames
