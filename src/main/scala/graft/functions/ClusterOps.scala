@@ -1,0 +1,138 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Graph clustering for corpus dedup: near-dup PAIRS (from the LSH pipelines
+  * in [[DedupOps]]) are only half the dedup story — production pipelines must
+  * then group transitively-linked docs into CLUSTERS and keep one canonical
+  * doc per cluster (a~b and b~c must not keep both a and c). The reference
+  * has no equivalent; this follows the alternating large-star/small-star
+  * algorithm of Kiveris et al., "Connected Components in MapReduce and
+  * Beyond" (SoCC'14), which converges in O(log n) rounds on any graph — the
+  * published at-scale answer, vs O(diameter) rounds for naive min-label
+  * propagation (a 100 TB corpus with boilerplate chains can have long paths).
+  *
+  * Everything is DataFrame ops: each round is two window-aggregations and two
+  * `distinct`s, all hash-partitioned on the node id — no driver-side graph,
+  * no adjacency materialization. The driver loop only compares a (count,
+  * hash-sum) fingerprint per round for the convergence test.
+  */
+object ClusterOps {
+
+  /** Connected components of an undirected edge list. Returns
+    * (id BIGINT, cluster_id BIGINT) for every node that appears in an edge,
+    * where cluster_id is the smallest node id in the component (so roots map
+    * to themselves). Callers union in isolated nodes if they need them.
+    *
+    * Edge orientation invariant maintained between rounds: every stored edge
+    * is (u, v) with v < u. At the fixpoint the edge set is a union of stars
+    * (every u points directly at its component minimum).
+    */
+  def connectedComponents(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxIter: Int = 25
+  ): DataFrame = {
+    // localCheckpoint per round, NOT cache: both star steps reference their
+    // input twice (symmetrization / the x∪{u} union), so the LOGICAL plan
+    // grows 4^round deep even when the data is cached — by round ~7 the
+    // analyzer itself is the bottleneck (observed: minutes of pure planning
+    // on a 64-node path). Checkpointing truncates lineage to the materialized
+    // blocks each round, the same move GraphFrames makes; on a cluster with a
+    // checkpoint dir configured, swap for reliable `checkpoint`.
+    var e = edges
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+      .distinct()
+      .localCheckpoint(true)
+
+    var fp    = fingerprint(e)
+    var iter  = 0
+    var done  = false
+    while (!done && iter < maxIter) {
+      val next   = smallStar(largeStar(e)).localCheckpoint(true)
+      val nextFp = fingerprint(next)
+      done = nextFp == fp
+      fp = nextFp
+      e = next
+      iter += 1
+    }
+
+    // At the fixpoint each u's single neighbor is the root; min() also makes
+    // the answer correct (= current best label) if maxIter cut iteration short.
+    val nonRoots = e.groupBy(col("u").as("id")).agg(min(col("v")).as("cluster_id"))
+    val roots    = e.select(col("v").as("id"), col("v").as("cluster_id")).distinct()
+    // A root never appears as a u at fixpoint, but union+min tolerates both.
+    nonRoots.union(roots).groupBy("id").agg(min("cluster_id").as("cluster_id"))
+  }
+
+  /** (count, XOR of row hashes) — an order-independent edge-set fingerprint;
+    * equal fingerprints across rounds = converged (one aggregate job, no
+    * collect of edges). XOR, not sum: the edge set is distinct so XOR is
+    * collision-safe to 64 bits, and it cannot overflow under ANSI mode.
+    */
+  private def fingerprint(e: DataFrame): (Long, Long) = {
+    val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
+  /** Large-star: every node connects its LARGER neighbors to its minimum
+    * neighbor (or itself if smaller). Needs the symmetric adjacency, hence
+    * the union; the window's hash partitioning on u is the only shuffle.
+    */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val m   = least(min(col("v")).over(Window.partitionBy("u")), col("u"))
+    sym
+      .withColumn("m", m)
+      .filter(col("v") > col("u") && col("v") =!= col("m"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .distinct()
+  }
+
+  /** Small-star: every node connects its smaller-or-equal neighborhood (and
+    * itself) to its minimum neighbor. Input/output edges both hold v < u, so
+    * no symmetrization is needed here.
+    */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val withM = e.withColumn("m", min(col("v")).over(Window.partitionBy("u")))
+    withM
+      .select(col("v").as("x"), col("m"))
+      .union(withM.select(col("u").as("x"), col("m")))
+      .filter(col("x") =!= col("m"))
+      .select(col("x").as("u"), col("m").as("v"))
+      .distinct()
+  }
+
+  /** End-to-end fuzzy-dedup clustering: MinHash+LSH near-dup pairs →
+    * connected components → canonical selection (smallest doc id per cluster
+    * is kept — "first wins", matching the exact-dedup policy). Returns one
+    * row per INPUT doc: (idCol, cluster_id, keep) with keep ∈ {0, 1};
+    * singletons are their own cluster and always kept. Filtering `keep = 1`
+    * is the dedup; grouping by cluster_id inspects the duplicate groups.
+    */
+  def dedupClusters(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      k: Int = 64,
+      bands: Int = 8,
+      threshold: Double = 0.8
+  ): DataFrame = {
+    val pairs = DedupOps.minhashNearDups(docs, idCol, textCol, shingleN, k, bands, threshold)
+    val cc    = connectedComponents(pairs, "id_a", "id_b")
+    val lbl   = coalesce(col("cluster_id"), col(idCol))
+    docs
+      .select(col(idCol).cast("long").as(idCol))
+      .join(cc.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(
+        col(idCol),
+        lbl.as("cluster_id"),
+        when(lbl === col(idCol), 1).otherwise(0).cast("int").as("keep"))
+  }
+}

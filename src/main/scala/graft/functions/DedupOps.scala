@@ -93,6 +93,35 @@ object DedupOps {
       .distinct()
   }
 
+  /** Train/eval contamination scan: flags every training doc sharing at
+    * least one word n-gram with a benchmark/eval set — the pre-training
+    * hygiene check that keeps test-set text out of the corpus. Returns
+    * (train_id, n_eval_docs, n_shared_shingles).
+    *
+    * Scale shape: benchmark suites are tiny next to a 100 TB corpus, so the
+    * eval shingle set is BROADCAST and the train side is never shuffled —
+    * the shingle explode is map-side, the join is a broadcast hash join, and
+    * the only exchange is the final per-train-doc aggregation over matches
+    * (a vanishingly small fraction of the corpus). Contrast with joining two
+    * corpus-scale sides, which would shuffle every shingle.
+    */
+  def contamination(
+      train: DataFrame,
+      eval: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 5
+  ): DataFrame = {
+    val tsh = train.select(col(idCol).as("train_id"), explode(shingles(col(textCol), n)).as("sh"))
+    val esh = eval.select(col(idCol).as("eval_id"), explode(shingles(col(textCol), n)).as("sh"))
+    tsh
+      .join(broadcast(esh), "sh")
+      .groupBy("train_id")
+      .agg(
+        countDistinct(col("eval_id")).as("n_eval_docs"),
+        countDistinct(col("sh")).as("n_shared_shingles"))
+  }
+
   /** End-to-end MinHash near-dup detection: shingle → minhash → LSH candidates
     * → exact-Jaccard verification at `threshold`. Returns (id_a, id_b,
     * jaccard) for verified pairs.

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
-import graft.functions.{AnnSearch, DedupOps, TextAnalysis, RollingHash}
+import graft.functions.{AnnSearch, ClusterOps, DedupOps, TextAnalysis, RollingHash}
 import graft.multimodal.Multimodal
 
 /** Training-data-pipeline extension operators (the north-star surface beyond
@@ -508,6 +508,84 @@ object Extensions {
     }
   )
 
+  /** Fuzzy-dedup CLUSTERING: the near-dup pairs from [[dedupMinhash]] grouped
+    * into transitive components (alternating large-star/small-star,
+    * [[graft.functions.ClusterOps.connectedComponents]]) with first-wins
+    * canonical selection — one row per doc with its cluster id and a keep
+    * flag. Oracle: exact all-pairs Jaccard pairs (same oracle-validity
+    * argument as [[dedupMinhash]]) closed transitively by a recursive CTE,
+    * then min-id per component.
+    */
+  val dedupClusters = Q(
+    "x_dedup_clusters",
+    (s, d) =>
+      ClusterOps
+        .dedupClusters(Tables.documents(s, d), "doc_id", "text", shingleN = 3, k = 64, bands = 8, threshold = 0.8)
+        .orderBy("doc_id"),
+    Some("""WITH RECURSIVE toks AS (
+              SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS t FROM documents),
+            sh AS (
+              SELECT doc_id,
+                CASE WHEN len(t) >= 3
+                  THEN list_distinct(list_transform(range(1, len(t) - 1),
+                         i -> array_to_string(t[i:i+2], ' ')))
+                  ELSE [array_to_string(t, ' ')] END AS s
+              FROM toks),
+            pairs AS (
+              SELECT a.doc_id AS ida, b.doc_id AS idb
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                  / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
+            edges AS (
+              SELECT ida AS u, idb AS v FROM pairs
+              UNION SELECT idb, ida FROM pairs),
+            walk(node, reach) AS (
+              SELECT u, u FROM edges
+              UNION
+              SELECT w.node, e.v FROM walk w JOIN edges e ON e.u = w.reach),
+            lbl AS (SELECT node, MIN(reach) AS cid FROM walk GROUP BY node)
+            SELECT d.doc_id,
+              COALESCE(l.cid, d.doc_id) AS cluster_id,
+              CAST(CASE WHEN COALESCE(l.cid, d.doc_id) = d.doc_id THEN 1 ELSE 0 END AS INT) AS keep
+            FROM documents d LEFT JOIN lbl l ON l.node = d.doc_id
+            ORDER BY doc_id""")
+  )
+
+  /** Train/eval contamination scan ([[DedupOps.contamination]]): training docs
+    * sharing any word 5-gram with the benchmark split (doc_id % 40 = 3 plays
+    * the benchmark here). Eval side broadcast — the corpus side never
+    * shuffles pre-aggregation.
+    */
+  val contaminationScan = Q(
+    "x_contamination",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      DedupOps
+        .contamination(
+          docs.filter(col("doc_id") % 40 =!= 3),
+          docs.filter(col("doc_id") % 40 === 3),
+          "doc_id", "text", n = 5)
+        .orderBy("train_id")
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS t FROM documents),
+            sh AS (
+              SELECT doc_id,
+                CASE WHEN len(t) >= 5
+                  THEN list_distinct(list_transform(range(1, len(t) - 3),
+                         i -> array_to_string(t[i:i+4], ' ')))
+                  ELSE [array_to_string(t, ' ')] END AS s
+              FROM toks),
+            tr AS (SELECT doc_id AS train_id, unnest(s) AS g FROM sh WHERE doc_id % 40 <> 3),
+            ev AS (SELECT doc_id AS eval_id, unnest(s) AS g FROM sh WHERE doc_id % 40 = 3)
+            SELECT tr.train_id,
+              COUNT(DISTINCT ev.eval_id) AS n_eval_docs,
+              COUNT(DISTINCT tr.g) AS n_shared_shingles
+            FROM tr JOIN ev ON tr.g = ev.g
+            GROUP BY tr.train_id
+            ORDER BY train_id""")
+  )
+
   /** Batch-equivalent surface of the streaming set-similarity join
     * ([[graft.streaming.RainStorm.setSimilarityJoinBatch]]): same banded
     * minhash candidate generation, bucket equi-join, time bound, and exact
@@ -753,7 +831,7 @@ object Extensions {
     heavyHitters, ngramFreq, quantiles, textRepetition, splitTrainTest, sampleStratified,
     packSequences,
     dedupExact, dedupMinhash, dedupSimhash, dedupNgram, dedupEmbedding, dedupEmbeddingNearDup,
-    dedupContainment,
+    dedupContainment, dedupClusters, contaminationScan,
     streamSetSimilarity,
     annBruteForce, annLsh, annIvf,
     multimodalMeta, multimodalFrames
