@@ -157,7 +157,7 @@ object GenData {
           .when(u("dlang", base) < 0.71, "es").when(u("dlang", base) < 0.86, "fr")
           .otherwise("zh").as("lang"),
         concat(lit("src"), um("dsrc", 20, col("id"))).as("source"),
-        length(text).as("n_chars"))
+        length(text).cast("long").as("n_chars"))
     }
 
     // embeddings: 64-dim, ~N(0, 0.15)-scaled via sum of two uniforms;
@@ -170,7 +170,8 @@ object GenData {
         val noise = when(isNear, (u("enoise", col("id"), j) - 0.5) * 0.01).otherwise(lit(0.0))
         (core + noise).cast("float")
       })
-      df.select(col("id").as("vec_id"), vec.as("embedding"), um("elabel", 10, col("id")).as("label"))
+      df.select(col("id").as("vec_id"), vec.as("embedding"),
+        um("elabel", 10, col("id")).cast("int").as("label"))
     }
 
     Console.err.println(s"[gendata] wrote scale=$scale to $outDir")
