@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
-import graft.functions.{AnnSearch, ClusterOps, DedupOps, TextAnalysis, RollingHash}
+import graft.functions.{AnnSearch, ClusterOps, Curation, DedupOps, TextAnalysis, RollingHash}
 import graft.multimodal.Multimodal
 
 /** Training-data-pipeline extension operators (the north-star surface beyond
@@ -586,6 +586,114 @@ object Extensions {
             ORDER BY train_id""")
   )
 
+  /** PII redaction ([[Curation.redactPii]]): typed placeholder substitution
+    * for emails / SSN-like ids / IPv4s / phones, plus per-category counts on
+    * the raw text. The corpus has no organic PII, so the query plants a
+    * deterministic PII tail on every 5th doc — identically on both sides —
+    * making every pattern (and the redaction ORDER, ids before phones) hot.
+    * Pure projection: no shuffle, codegen'd regex, scan-speed at any scale.
+    */
+  val piiRedact = Q(
+    "x_pii_redact",
+    (s, d) => {
+      val raw = when(col("doc_id") % 5 === 0,
+        concat(col("text"), lit(" contact u"), col("doc_id"), lit("@ex.com from 10.0."),
+          col("doc_id") % 256, lit(".7 ssn 123-45-6789 call +1 (555) 123-4567")))
+        .otherwise(col("text"))
+      val base = Tables.documents(s, d).select(col("doc_id"), raw.as("raw"))
+      val (e, ids, ip, ph) = Curation.piiCounts(col("raw"))
+      base.select(
+        col("doc_id"),
+        Curation.redactPii(col("raw")).as("clean"),
+        e.cast("long").as("n_emails"),
+        ids.cast("long").as("n_ids"),
+        ip.cast("long").as("n_ips"),
+        ph.cast("long").as("n_phones"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH raw AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 5 = 0
+                  THEN text || ' contact u' || CAST(doc_id AS VARCHAR) || '@ex.com from 10.0.'
+                       || CAST(doc_id % 256 AS VARCHAR) || '.7 ssn 123-45-6789 call +1 (555) 123-4567'
+                  ELSE text END AS raw
+              FROM documents)
+            SELECT doc_id,
+              regexp_replace(regexp_replace(regexp_replace(regexp_replace(raw,
+                '${graft.functions.Curation.emailRe}', '<EMAIL>', 'g'),
+                '${graft.functions.Curation.ssnRe}', '<ID>', 'g'),
+                '${graft.functions.Curation.ipRe}', '<IP>', 'g'),
+                '${graft.functions.Curation.phoneRe}', '<PHONE>', 'g') AS clean,
+              CAST(len(regexp_extract_all(raw, '${graft.functions.Curation.emailRe}')) AS BIGINT) AS n_emails,
+              CAST(len(regexp_extract_all(raw, '${graft.functions.Curation.ssnRe}')) AS BIGINT) AS n_ids,
+              CAST(len(regexp_extract_all(raw, '${graft.functions.Curation.ipRe}')) AS BIGINT) AS n_ips,
+              CAST(len(regexp_extract_all(raw, '${graft.functions.Curation.phoneRe}')) AS BIGINT) AS n_phones
+            FROM raw ORDER BY doc_id""")
+  )
+
+  /** Deterministic weighted source mixing ([[Curation.sampleMixture]]):
+    * target rate per source bucket (srcK → (K mod 4 + 1)·0.25), decided by
+    * salted md5 of the doc id — reproducible across engines and
+    * partitionings, map-side only. Row-level oracle: DuckDB computes the
+    * identical md5 decision per doc.
+    */
+  val mixSources = Q(
+    "x_mix_sources",
+    (s, d) => {
+      val k    = substring(col("source"), 4, 10).cast("int")
+      val rate = (pmod(k, lit(4)).cast("double") + 1.0) * 0.25
+      Curation
+        .sampleMixture(Tables.documents(s, d), "doc_id", rate, "mix42")
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH r AS (
+              SELECT doc_id, source,
+                (CAST(substr(source, 4) AS INT) % 4 + 1) * 0.25 AS rate
+              FROM documents)
+            SELECT doc_id, source FROM r
+            WHERE rate >= 1.0
+               OR substr(md5(CAST(doc_id AS VARCHAR) || ':mix42'), 1, 4)
+                    < printf('%04x', CAST(rate * 65536 AS INT))
+            ORDER BY doc_id""")
+  )
+
+  /** Decontamination = [[contaminationScan]]'s flagged ids anti-joined back
+    * out of the training split. The contaminated id set is tiny next to the
+    * corpus (it only contains docs overlapping the benchmark), so it
+    * broadcasts and the corpus side passes through map-side — the removal
+    * costs one scan.
+    */
+  val decontaminate = Q(
+    "x_decontaminate",
+    (s, d) => {
+      val docs  = Tables.documents(s, d)
+      val train = docs.filter(col("doc_id") % 40 =!= 3)
+      val bad = DedupOps
+        .contamination(train, docs.filter(col("doc_id") % 40 === 3), "doc_id", "text", n = 5)
+        .select(col("train_id").as("doc_id"))
+      train
+        .join(broadcast(bad), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS t FROM documents),
+            sh AS (
+              SELECT doc_id,
+                CASE WHEN len(t) >= 5
+                  THEN list_distinct(list_transform(range(1, len(t) - 3),
+                         i -> array_to_string(t[i:i+4], ' ')))
+                  ELSE [array_to_string(t, ' ')] END AS s
+              FROM toks),
+            tr AS (SELECT doc_id AS train_id, unnest(s) AS g FROM sh WHERE doc_id % 40 <> 3),
+            ev AS (SELECT doc_id AS eval_id, unnest(s) AS g FROM sh WHERE doc_id % 40 = 3),
+            bad AS (SELECT DISTINCT tr.train_id FROM tr JOIN ev ON tr.g = ev.g)
+            SELECT d.doc_id, d.lang, d.source FROM documents d
+            WHERE d.doc_id % 40 <> 3 AND d.doc_id NOT IN (SELECT train_id FROM bad)
+            ORDER BY doc_id""")
+  )
+
   /** Batch-equivalent surface of the streaming set-similarity join
     * ([[graft.streaming.RainStorm.setSimilarityJoinBatch]]): same banded
     * minhash candidate generation, bucket equi-join, time bound, and exact
@@ -832,6 +940,7 @@ object Extensions {
     packSequences,
     dedupExact, dedupMinhash, dedupSimhash, dedupNgram, dedupEmbedding, dedupEmbeddingNearDup,
     dedupContainment, dedupClusters, contaminationScan,
+    piiRedact, mixSources, decontaminate,
     streamSetSimilarity,
     annBruteForce, annLsh, annIvf,
     multimodalMeta, multimodalFrames

@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.Curation
+
+/** PII redaction and deterministic mixture sampling. */
+class CurationSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def redact(s: String): String = {
+    import spark.implicits._
+    Seq(s).toDF("t").select(Curation.redactPii(col("t"))).head().getString(0)
+  }
+
+  test("redactPii: every category replaced with its typed token") {
+    assert(redact("mail bob.smith+x@corp.example.org now") == "mail <EMAIL> now")
+    assert(redact("ssn 123-45-6789 on file") == "ssn <ID> on file")
+    assert(redact("host 192.168.0.254 down") == "host <IP> down")
+    assert(redact("call +1 (555) 123-4567 today") == "call <PHONE> today")
+    assert(redact("no pii here at all") == "no pii here at all")
+  }
+
+  test("redactPii: order — SSN-like ids win over the phone shape") {
+    assert(redact("id 123-45-6789") == "id <ID>")
+  }
+
+  test("piiCounts: counts match plants on raw text") {
+    import spark.implicits._
+    val (e, i, p, ph) = Curation.piiCounts(col("t"))
+    val r = Seq("a@b.co and c@d.org, 10.0.0.1, 123-45-6789")
+      .toDF("t").select(e.as("e"), i.as("i"), p.as("p"), ph.as("ph")).head()
+    // Counts are per-pattern on the RAW text: the SSN-shaped id also matches
+    // the phone shape (redaction order resolves the overlap; counts don't).
+    assert((r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)) == ((2, 1, 1, 1)))
+  }
+
+  test("sampleMixture: deterministic, rate-monotone, map-side (no exchange)") {
+    import spark.implicits._
+    val df = spark.range(0, 20000).toDF("id")
+    def kept(rate: Double): Set[Long] =
+      Curation.sampleMixture(df, "id", lit(rate), "s42").collect().map(_.getLong(0)).toSet
+    val half = kept(0.5)
+    assert(kept(0.5) == half, "same salt+rate must reproduce exactly")
+    assert(math.abs(half.size / 20000.0 - 0.5) < 0.02, s"realized ${half.size / 20000.0}")
+    val quarter = kept(0.25)
+    assert(quarter.subsetOf(half), "lower rate must be a subset (nested samples)")
+    assert(kept(1.0).size == 20000, "rate 1.0 keeps everything")
+    val plan = Curation.sampleMixture(df, "id", lit(0.5), "s42")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "mixture sampling must not shuffle")
+  }
+
+  test("sampleMixture: different salts decorrelate") {
+    import spark.implicits._
+    val df = spark.range(0, 20000).toDF("id")
+    val a = Curation.sampleMixture(df, "id", lit(0.5), "saltA").collect().map(_.getLong(0)).toSet
+    val b = Curation.sampleMixture(df, "id", lit(0.5), "saltB").collect().map(_.getLong(0)).toSet
+    val overlap = (a & b).size / 20000.0
+    assert(math.abs(overlap - 0.25) < 0.02, s"independent halves overlap ~25%, got $overlap")
+  }
+}
