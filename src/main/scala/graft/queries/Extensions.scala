@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
-import graft.functions.{AnnSearch, ClusterOps, Curation, DedupOps, TextAnalysis, RollingHash}
+import graft.functions.{AnnSearch, BloomDedup, ClusterOps, Curation, DedupOps, TextAnalysis, RollingHash}
 import graft.multimodal.Multimodal
 
 /** Training-data-pipeline extension operators (the north-star surface beyond
@@ -694,6 +694,35 @@ object Extensions {
             ORDER BY doc_id""")
   )
 
+  /** Incremental ingestion dedup ([[BloomDedup.newAgainstCorpus]]): batch
+    * rows whose text is new vs an existing corpus, via a distributed Bloom
+    * filter (bitset = (word_idx, bits) DataFrame, `bit_or` aggregate) probed
+    * map-side, with the maybe-sliver exact-verified. Even ids play the
+    * corpus, odd ids the arriving batch; the corpus additionally contains
+    * the doc_id ≡ 1 (mod 25) slice — odd members of that slice model
+    * RE-DELIVERED docs (upstream at-least-once delivery), the everyday case
+    * incremental dedup exists for, and are filtered at every sf. Exact
+    * semantics ⇒ plain NOT IN oracle.
+    */
+  val dedupIncremental = Q(
+    "x_dedup_incremental",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      BloomDedup
+        .newAgainstCorpus(
+          docs.filter(col("doc_id") % 2 === 0 || col("doc_id") % 25 === 1),
+          docs.filter(col("doc_id") % 2 =!= 0),
+          "doc_id", "text", fpp = 0.01)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, n_chars FROM documents
+            WHERE doc_id % 2 <> 0
+              AND text NOT IN (SELECT text FROM documents
+                               WHERE doc_id % 2 = 0 OR doc_id % 25 = 1)
+            ORDER BY doc_id""")
+  )
+
   /** Batch-equivalent surface of the streaming set-similarity join
     * ([[graft.streaming.RainStorm.setSimilarityJoinBatch]]): same banded
     * minhash candidate generation, bucket equi-join, time bound, and exact
@@ -939,7 +968,7 @@ object Extensions {
     heavyHitters, ngramFreq, quantiles, textRepetition, splitTrainTest, sampleStratified,
     packSequences,
     dedupExact, dedupMinhash, dedupSimhash, dedupNgram, dedupEmbedding, dedupEmbeddingNearDup,
-    dedupContainment, dedupClusters, contaminationScan,
+    dedupContainment, dedupClusters, contaminationScan, dedupIncremental,
     piiRedact, mixSources, decontaminate,
     streamSetSimilarity,
     annBruteForce, annLsh, annIvf,
