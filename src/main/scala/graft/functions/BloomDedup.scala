@@ -95,7 +95,24 @@ object BloomDedup {
   ): DataFrame = {
     val ckeys = corpus.select(xxhash64(col(textCol)).as("__ck")).distinct()
     val (nBits, k) = geometry(ckeys.count(), fpp)
-    val filt  = buildFilter(ckeys, "__ck", nBits, k)
+    val filt = buildFilter(ckeys, "__ck", nBits, k)
+    newAgainstFilter(batch, idCol, textCol, ckeys, filt, nBits, k, exactVerify)
+  }
+
+  /** The per-batch probe against a PREBUILT (ideally persisted) filter — the
+    * incremental/streaming entry point: the corpus pass behind `ckeys`/`filt`
+    * happens once, every arriving batch pays only this.
+    */
+  def newAgainstFilter(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      ckeys: DataFrame,
+      filt: DataFrame,
+      nBits: Long,
+      k: Int,
+      exactVerify: Boolean = true
+  ): DataFrame = {
     val keyed = batch.withColumn("__ck", xxhash64(col(textCol)))
     val maybe = maybeContains(keyed.select(col(idCol), col("__ck")), idCol, "__ck", filt, nBits, k)
     val miss  = keyed.join(maybe, Seq(idCol), "left_anti")

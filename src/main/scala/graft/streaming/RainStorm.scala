@@ -504,6 +504,40 @@ object RainStorm {
       }
       .start()
 
+  /** Streaming incremental ingestion dedup: each micro-batch keeps only docs
+    * whose text is NEW vs a static corpus, via the distributed Bloom filter
+    * of [[graft.functions.BloomDedup]]. The corpus is paid for ONCE at query
+    * start — corpus hashes and the (word_idx, bits) bitset are persisted —
+    * and every batch then probes the broadcast bitset map-side, with only
+    * the maybe-duplicate sliver exact-verified against the persisted hashes.
+    * foreachBatch (the [[enrichAsOf]] pattern): the probe's per-id bit-count
+    * is an aggregation append-mode streaming would refuse; per batch it is
+    * plain batch algebra. Duplicates WITHIN the stream are upstream's
+    * business — chain `dropDuplicatesWithinWatermark` before this stage.
+    */
+  def incrementalDedupStream(
+      stream: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      sink: DataFrame => Unit,
+      fpp: Double = 0.01,
+      trigger: Trigger = Trigger.AvailableNow()
+  ): StreamingQuery = {
+    import graft.functions.BloomDedup
+    val ckeys = corpus.select(xxhash64(col(textCol)).as("__ck")).distinct().persist()
+    val (nBits, k) = BloomDedup.geometry(ckeys.count(), fpp)
+    val filt = BloomDedup.buildFilter(ckeys, "__ck", nBits, k).persist()
+    filt.count() // materialize both once, before the first batch arrives
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(BloomDedup.newAgainstFilter(batch, idCol, textCol, ckeys, filt, nBits, k))
+      }
+      .start()
+  }
+
   /** Streaming trending top-k: per-window token counts, then the k heaviest
     * tokens of each closed window — two CHAINED stateful aggregations (the
     * multi-stateful-operator pattern Spark allows when the second grouping

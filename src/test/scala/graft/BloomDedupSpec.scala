@@ -55,6 +55,30 @@ class BloomDedupSpec extends AnyFunSuite {
     assert(lost.size <= 30, s"~1% of 1000 fresh docs may be lost to fps, got ${lost.size}")
   }
 
+  test("incrementalDedupStream: per-batch results equal the batch operator") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val corpus = docs(0 until 300, i => s"corpus $i")
+    def text(i: Long) = if (i % 4 == 0) s"corpus ${i % 300}" else s"new $i"
+    val b1 = (300L until 400L).map(i => (i, text(i)))
+    val b2 = (400L until 500L).map(i => (i, text(i)))
+
+    val in  = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = graft.streaming.RainStorm.incrementalDedupStream(
+      in.toDS().toDF("doc_id", "text"), corpus, "doc_id", "text",
+      b => got.synchronized { got ++= b.select("doc_id").collect().map(_.getLong(0)) },
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      in.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+      in.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    val want = (300L until 500L).filter(_ % 4 != 0)
+    assert(got.sorted.toSeq == want)
+  }
+
   test("probe is corpus-free: batch plan broadcasts the bitset words") {
     val corpus = docs(0 until 100, i => s"c$i")
     val batch  = docs(100 until 200, i => s"b$i")
