@@ -112,8 +112,10 @@ object DedupOps {
       textCol: String,
       n: Int = 5
   ): DataFrame = {
-    val tsh = train.select(col(idCol).as("train_id"), explode(shingles(col(textCol), n)).as("sh"))
-    val esh = eval.select(col(idCol).as("eval_id"), explode(shingles(col(textCol), n)).as("sh"))
+    // Shingle HASHES, not strings: the broadcast side and the join keys are
+    // 8-byte longs (collision odds ~1e-15 per shared shingle).
+    val tsh = train.select(col(idCol).as("train_id"), explode(NativeFns.word_shingle_hashes(col(textCol), n)).as("sh"))
+    val esh = eval.select(col(idCol).as("eval_id"), explode(NativeFns.word_shingle_hashes(col(textCol), n)).as("sh"))
     tsh
       .join(broadcast(esh), "sh")
       .groupBy("train_id")
@@ -136,8 +138,14 @@ object DedupOps {
       threshold: Double = 0.5
   ): DataFrame = {
     val rowsPerBand = k / bands
-    val withSh  = docs.select(col(idCol), shingles(col(textCol), shingleN).as("sh"))
-    val withSig = withSh.withColumn("sig", minhashSignature(col("sh"), k))
+    // String-free shingle path: the codegen'd word_shingle_hashes kernel
+    // emits sorted distinct shingle HASHES (array<long>) straight from the
+    // text bytes — no token strings, no shingle strings — and minhash bands
+    // over them. The verify joins then move 8-byte elements and intersect
+    // longs. Hashed-set Jaccard == string-set Jaccard absent a within-pair
+    // 64-bit collision (~1e-15).
+    val withSh  = docs.select(col(idCol), NativeFns.word_shingle_hashes(col(textCol), shingleN).as("sh"))
+    val withSig = withSh.withColumn("sig", NativeFns.minhash_sig_long(col("sh"), k))
     val cands   = lshCandidatePairs(withSig.select(col(idCol), col("sig")), idCol, "sig", bands, rowsPerBand)
     val a = withSh.select(col(idCol).as("id_a"), col("sh").as("sh_a"))
     val b = withSh.select(col(idCol).as("id_b"), col("sh").as("sh_b"))
@@ -167,8 +175,9 @@ object DedupOps {
       threshold: Double = 0.9
   ): DataFrame = {
     val rowsPerBand = k / bands
-    val withSh  = docs.select(col(idCol), shingles(col(textCol), shingleN).as("sh"))
-    val withSig = withSh.withColumn("sig", minhashSignature(col("sh"), k))
+    // Same string-free shingle-hash path as [[minhashNearDups]].
+    val withSh  = docs.select(col(idCol), NativeFns.word_shingle_hashes(col(textCol), shingleN).as("sh"))
+    val withSig = withSh.withColumn("sig", NativeFns.minhash_sig_long(col("sh"), k))
     val cands   = lshCandidatePairs(withSig.select(col(idCol), col("sig")), idCol, "sig", bands, rowsPerBand)
     val a = withSh.select(col(idCol).as("id_a"), col("sh").as("sh_a"))
     val b = withSh.select(col(idCol).as("id_b"), col("sh").as("sh_b"))

@@ -65,6 +65,89 @@ object VecMath {
     new GenericArrayData(out)
   }
 
+  /** Distinct word n-gram shingle HASHES — the allocation-free sibling of
+    * [[wordShingles]] for pipelines that only ever hash the shingles
+    * (MinHash banding, Jaccard-by-intersection, shingle equi-joins): no
+    * token strings, no shingle strings, no UTF8String output array. Words
+    * are found by scanning the raw UTF8 bytes for spaces and hashed in
+    * place; a shingle's hash chains its n word hashes through xxhash64, so
+    * the value depends only on the word SEQUENCE (not on the whitespace
+    * between them). Output is sorted distinct — order is immaterial to every
+    * consumer and sorted output is deterministic.
+    *
+    * Two docs share a shingle hash iff they share the word n-gram, up to a
+    * 64-bit collision (~10⁻¹⁵ per within-doc pair) — the same trade every
+    * hashed-set operator in this repo documents.
+    */
+  def wordShingleHashes(text: org.apache.spark.unsafe.types.UTF8String, n: Int): ArrayData = {
+    val base  = text.getBaseObject
+    val off   = text.getBaseOffset
+    val len   = text.numBytes
+    // Pass 1: word spans (start, end) over the raw bytes.
+    var starts = new Array[Int](16)
+    var ends   = new Array[Int](16)
+    var nw     = 0
+    var i      = 0
+    while (i <= len) {
+      if (i == len || org.apache.spark.unsafe.Platform.getByte(base, off + i) == ' '.toByte) {
+        // token ended at i (empty tokens dropped implicitly below)
+      } else {
+        val start = i
+        while (i < len && org.apache.spark.unsafe.Platform.getByte(base, off + i) != ' '.toByte) i += 1
+        if (nw == starts.length) {
+          starts = java.util.Arrays.copyOf(starts, nw * 2)
+          ends   = java.util.Arrays.copyOf(ends, nw * 2)
+        }
+        starts(nw) = start; ends(nw) = i; nw += 1
+      }
+      i += 1
+    }
+    val wh = new Array[Long](nw)
+    i = 0
+    while (i < nw) {
+      wh(i) = XXH64.hashUnsafeBytes(base, off + starts(i), ends(i) - starts(i), 0x517cc1b727220a95L)
+      i += 1
+    }
+    // Pass 2: chain word hashes per window; sort + unique.
+    val m   = if (nw >= n) nw - n + 1 else 1
+    val out = new Array[Long](m)
+    i = 0
+    while (i < m) {
+      var h = 0x9e3779b97f4a7c15L
+      var j = i
+      val end = if (nw >= n) i + n else nw
+      while (j < end) { h = XXH64.hashLong(wh(j), h); j += 1 }
+      out(i) = h
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    var uniq = 1
+    i = 1
+    while (i < m) { if (out(i) != out(i - 1)) { out(uniq) = out(i); uniq += 1 }; i += 1 }
+    new GenericArrayData(if (uniq == m) out else java.util.Arrays.copyOf(out, uniq))
+  }
+
+  /** MinHash signature over shingle HASHES: element i = min over shingles of
+    * xxhash64(shingleHash, seed=i) — [[minhashSig]] for the string-free path.
+    */
+  def minhashSigLong(hashes: ArrayData, k: Int): ArrayData = {
+    val n   = hashes.numElements()
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      val s = hashes.getLong(j)
+      var i = 0
+      while (i < k) {
+        val h = XXH64.hashLong(s, i.toLong)
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(sig)
+  }
+
   /** MinHash signature: element i = min over shingles of xxhash64(shingle,
     * seed=i). One tight loop, k×|shingles| hashes, no boxing.
     */
@@ -169,6 +252,33 @@ case class MinHashSigExpr(child: Expression, k: Int) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.VecMath.minhashSig($c, $k)")
   override protected def withNewChildInternal(c: Expression): MinHashSigExpr = copy(child = c)
+}
+
+/** word_shingle_hashes(string, n) → sorted distinct array<bigint>, codegen'd
+  * — the string-free shingle path (see [[VecMath.wordShingleHashes]]).
+  */
+case class WordShingleHashesExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"word_shingle_hashes expects string, got ${child.dataType.simpleString}")
+  override protected def nullSafeEval(input: Any): Any =
+    VecMath.wordShingleHashes(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecMath.wordShingleHashes($c, $n)")
+  override protected def withNewChildInternal(c: Expression): WordShingleHashesExpr = copy(child = c)
+}
+
+/** minhash_sig_long(array<bigint>, k) → array<bigint>, codegen'd. */
+case class MinHashSigLongExpr(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    NativeExprs.requireArrayOf(child, LongType, "minhash_sig_long")
+  override protected def nullSafeEval(input: Any): Any =
+    VecMath.minhashSigLong(input.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecMath.minhashSigLong($c, $k)")
+  override protected def withNewChildInternal(c: Expression): MinHashSigLongExpr = copy(child = c)
 }
 
 /** simhash64(array<string>) → bigint, codegen'd. */
@@ -515,4 +625,8 @@ object NativeFns {
     ColumnBridge.column(SrpBucketsExpr(ColumnBridge.expression(vec), planes, probes))
   def word_shingles(text: Column, n: Int): Column =
     ColumnBridge.column(WordShinglesExpr(ColumnBridge.expression(text), n))
+  def word_shingle_hashes(text: Column, n: Int): Column =
+    ColumnBridge.column(WordShingleHashesExpr(ColumnBridge.expression(text), n))
+  def minhash_sig_long(hashes: Column, k: Int): Column =
+    ColumnBridge.column(MinHashSigLongExpr(ColumnBridge.expression(hashes), k))
 }
