@@ -723,6 +723,112 @@ object Extensions {
             ORDER BY doc_id""")
   )
 
+  /** The END-TO-END corpus curation pipeline — the stages above COMPOSED the
+    * way a real pre-training data build runs them, as one declarative plan:
+    * language gate → length gate → exact dedup (first-wins) → near-dup
+    * CLUSTER dedup (canonical per component) → decontamination vs the
+    * benchmark split → weighted source mixing. Row-level DuckDB oracle: every
+    * stage is mirrored in SQL, including the transitive near-dup closure
+    * (recursive CTE) and the identical md5 mixing decision. One query proving
+    * the library's pieces compose without glue code — each stage consumes the
+    * previous stage's DataFrame.
+    */
+  val curationPipeline = Q(
+    "x_curation_pipeline",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val gated = docs.filter(
+        col("lang").isin("en", "de", "es", "fr") && col("n_chars").between(30, 600))
+      val exact = gated
+        .withColumn("__rk", row_number().over(Window.partitionBy(col("text")).orderBy(col("doc_id"))))
+        .filter(col("__rk") === 1).drop("__rk")
+      val kept = exact.join(
+        ClusterOps.dedupClusters(exact, "doc_id", "text", shingleN = 3, k = 64, bands = 8, threshold = 0.8)
+          .filter(col("keep") === 1).select("doc_id"),
+        Seq("doc_id"))
+      val bad = DedupOps
+        .contamination(
+          kept.filter(col("doc_id") % 40 =!= 3),
+          docs.filter(col("doc_id") % 40 === 3),
+          "doc_id", "text", n = 5)
+        .select(col("train_id").as("doc_id"))
+      val clean = kept
+        .filter(col("doc_id") % 40 =!= 3)
+        .join(broadcast(bad), Seq("doc_id"), "left_anti")
+      val srcK = substring(col("source"), 4, 10).cast("int")
+      val rate = (pmod(srcK, lit(4)).cast("double") + 1.0) * 0.25
+      Curation
+        .sampleMixture(clean, "doc_id", rate, "mix42")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH RECURSIVE gated AS (
+              SELECT * FROM documents
+              WHERE lang IN ('en','de','es','fr') AND n_chars BETWEEN 30 AND 600),
+            exact AS (
+              SELECT * FROM gated
+              WHERE doc_id IN (SELECT min(doc_id) FROM gated GROUP BY text)),
+            toks AS (
+              SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS t FROM exact),
+            sh3 AS (
+              SELECT doc_id,
+                CASE WHEN len(t) >= 3
+                  THEN list_distinct(list_transform(range(1, len(t) - 1),
+                         i -> array_to_string(t[i:i+2], ' ')))
+                  ELSE [array_to_string(t, ' ')] END AS s
+              FROM toks),
+            pairs AS (
+              SELECT a.doc_id AS ida, b.doc_id AS idb
+              FROM sh3 a JOIN sh3 b ON a.doc_id < b.doc_id
+              WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                  / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
+            edges AS (
+              SELECT ida AS u, idb AS v FROM pairs
+              UNION SELECT idb, ida FROM pairs),
+            walk(node, reach) AS (
+              SELECT u, u FROM edges
+              UNION
+              SELECT w.node, e.v FROM walk w JOIN edges e ON e.u = w.reach),
+            lbl AS (SELECT node, MIN(reach) AS cid FROM walk GROUP BY node),
+            kept AS (
+              SELECT e.* FROM exact e LEFT JOIN lbl l ON l.node = e.doc_id
+              WHERE COALESCE(l.cid, e.doc_id) = e.doc_id),
+            sh5t AS (
+              SELECT k.doc_id,
+                CASE WHEN len(t.t) >= 5
+                  THEN list_distinct(list_transform(range(1, len(t.t) - 3),
+                         i -> array_to_string(t.t[i:i+4], ' ')))
+                  ELSE [array_to_string(t.t, ' ')] END AS s
+              FROM kept k JOIN toks t ON t.doc_id = k.doc_id
+              WHERE k.doc_id % 40 <> 3),
+            evtoks AS (
+              SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS t
+              FROM documents WHERE doc_id % 40 = 3),
+            sh5e AS (
+              SELECT doc_id,
+                CASE WHEN len(t) >= 5
+                  THEN list_distinct(list_transform(range(1, len(t) - 3),
+                         i -> array_to_string(t[i:i+4], ' ')))
+                  ELSE [array_to_string(t, ' ')] END AS s
+              FROM evtoks),
+            bad AS (
+              SELECT DISTINCT tr.doc_id
+              FROM (SELECT doc_id, unnest(s) AS g FROM sh5t) tr
+              JOIN (SELECT unnest(s) AS g FROM sh5e) ev ON tr.g = ev.g),
+            clean AS (
+              SELECT * FROM kept
+              WHERE doc_id % 40 <> 3 AND doc_id NOT IN (SELECT doc_id FROM bad)),
+            mixed AS (
+              SELECT doc_id, lang, source, n_chars,
+                (CAST(substr(source, 4) AS INT) % 4 + 1) * 0.25 AS rate
+              FROM clean)
+            SELECT doc_id, lang, source, n_chars FROM mixed
+            WHERE rate >= 1.0
+               OR substr(md5(CAST(doc_id AS VARCHAR) || ':mix42'), 1, 4)
+                    < printf('%04x', CAST(rate * 65536 AS INT))
+            ORDER BY doc_id""")
+  )
+
   /** Batch-equivalent surface of the streaming set-similarity join
     * ([[graft.streaming.RainStorm.setSimilarityJoinBatch]]): same banded
     * minhash candidate generation, bucket equi-join, time bound, and exact
@@ -969,7 +1075,7 @@ object Extensions {
     packSequences,
     dedupExact, dedupMinhash, dedupSimhash, dedupNgram, dedupEmbedding, dedupEmbeddingNearDup,
     dedupContainment, dedupClusters, contaminationScan, dedupIncremental,
-    piiRedact, mixSources, decontaminate,
+    piiRedact, mixSources, decontaminate, curationPipeline,
     streamSetSimilarity,
     annBruteForce, annLsh, annIvf,
     multimodalMeta, multimodalFrames
