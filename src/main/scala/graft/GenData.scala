@@ -141,7 +141,13 @@ object GenData {
     // (same word stream + one appended vocab word, Jaccard >= ~0.95) and
     // ~0.17% an EXACT copy — the sf0.1 rates. Word stream is keyed by the
     // BASE id so the pair shares its shingles.
-    gen("documents", nDoc, math.max(1, (nDoc / 100000).toInt)) { df =>
+    // documents/embeddings: small row counts but heavy per-row work
+    // downstream (regex, shingling, SRP signatures) — and a parquet file is
+    // only task-split at row-group boundaries, so ONE output file means ONE
+    // task no matter how many cores scan it (measured: single-task regex at
+    // sf1 made x_pii_redact 6.9 s; 12 files → parallel scan). Shard these
+    // two tables much finer than the fact tables.
+    gen("documents", nDoc, math.max(4, (nDoc / 10000).toInt)) { df =>
       val isNear  = col("id") % 20 === 7 && col("id") > 0
       val isExact = col("id") % 600 === 1 && col("id") > 0
       val base    = when(isNear || isExact, col("id") - 1).otherwise(col("id"))
@@ -162,7 +168,7 @@ object GenData {
 
     // embeddings: 64-dim, ~N(0, 0.15)-scaled via sum of two uniforms;
     // ~1% planted near-identical pairs (cosine ~0.999) like the driver's.
-    gen("embeddings", nVec, math.max(1, (nVec / 100000).toInt)) { df =>
+    gen("embeddings", nVec, math.max(4, (nVec / 5000).toInt)) { df =>
       val isNear = col("id") % 100 === 1 && col("id") > 0
       val base   = when(isNear, col("id") - 1).otherwise(col("id"))
       val vec = transform(sequence(lit(0), lit(63)), j => {

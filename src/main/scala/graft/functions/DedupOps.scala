@@ -150,8 +150,8 @@ object DedupOps {
     val a = withSh.select(col(idCol).as("id_a"), col("sh").as("sh_a"))
     val b = withSh.select(col(idCol).as("id_b"), col("sh").as("sh_b"))
     cands
-      .join(a, "id_a")
-      .join(b, "id_b")
+      .join(a.hint("shuffle_hash"), "id_a")
+      .join(b.hint("shuffle_hash"), "id_b")
       .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
@@ -182,8 +182,8 @@ object DedupOps {
     val a = withSh.select(col(idCol).as("id_a"), col("sh").as("sh_a"))
     val b = withSh.select(col(idCol).as("id_b"), col("sh").as("sh_b"))
     cands
-      .join(a, "id_a")
-      .join(b, "id_b")
+      .join(a.hint("shuffle_hash"), "id_a")
+      .join(b.hint("shuffle_hash"), "id_b")
       .select(
         col("id_a"),
         col("id_b"),
@@ -239,7 +239,8 @@ object DedupOps {
       nPlanes: Int = 8,
       tables: Int = 8,
       dim: Int = 64,
-      maxBucketSize: Int = 2000
+      maxBucketSize: Int = 2000,
+      verifyHint: Option[String] = None
   ): DataFrame = {
     val planes: Array[Array[Array[Double]]] =
       (0 until tables).map(t => AnnSearch.hyperplanes(nPlanes, dim, seed = 42L + t).map(_.toArray).toArray).toArray
@@ -249,8 +250,19 @@ object DedupOps {
       posexplode(NativeFns.srp_buckets(col("__vec"), planes)).as(Seq("band", "bucket"))
     )
     val cands = pairsFromBuckets(banded, "__id", maxBucketSize)
-    val a     = ids.select(col("__id").as("id_a"), col("__vec").as("__va"))
-    val b     = ids.select(col("__id").as("id_b"), col("__vec").as("__vb"))
+    // Verify-join strategy: by default the planner broadcasts the vector
+    // side while it fits the session threshold — the right plan. Just past
+    // that cliff it falls back to sort-merge, which SORTS the candidate side
+    // (100-1000x the vector side: every within-bucket pair) twice for no
+    // downstream benefit; callers that KNOW the vector side is past the
+    // threshold (embeddingNearDupsAuto computes this from its count) pass
+    // verifyHint=shuffle_hash to get a hash join instead. Measured at the
+    // 60k-vector / 31M-candidate point: SMJ 63 s, shuffled hash 33 s; at
+    // 20k vectors, broadcast 2.2 s vs a blanket shuffle_hash's 5.8 s —
+    // which is why this is a knob, not a hardcoded hint.
+    def sided(df: DataFrame) = verifyHint.fold(df)(df.hint(_))
+    val a = sided(ids.select(col("__id").as("id_a"), col("__vec").as("__va")))
+    val b = sided(ids.select(col("__id").as("id_b"), col("__vec").as("__vb")))
     cands
       .join(a, "id_a")
       .join(b, "id_b")
@@ -290,8 +302,14 @@ object DedupOps {
       dim: Int = 64,
       maxBucketSize: Int = 2000
   ): DataFrame = {
-    val (nPlanes, tables) = autoSrpGeometry(embs.count(), threshold, targetRecall, targetOccupancy)
-    embeddingNearDups(embs, idCol, vecCol, threshold, nPlanes, tables, dim, maxBucketSize)
+    val n = embs.count()
+    val (nPlanes, tables) = autoSrpGeometry(n, threshold, targetRecall, targetOccupancy)
+    // The count prices the verify join too: past the broadcast threshold the
+    // planner would sort-merge — force the hash join instead (see
+    // [[embeddingNearDups]]'s verifyHint note).
+    val thr  = org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+    val hint = if (thr > 0 && n * dim * 4L > thr) Some("shuffle_hash") else None
+    embeddingNearDups(embs, idCol, vecCol, threshold, nPlanes, tables, dim, maxBucketSize, hint)
   }
 
   /** The (nPlanes, tables) pair [[embeddingNearDupsAuto]] derives from the
