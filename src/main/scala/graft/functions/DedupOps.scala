@@ -239,35 +239,38 @@ object DedupOps {
       nPlanes: Int = 8,
       tables: Int = 8,
       dim: Int = 64,
-      maxBucketSize: Int = 2000,
-      verifyHint: Option[String] = None
+      maxBucketSize: Int = 2000
   ): DataFrame = {
     val planes: Array[Array[Array[Double]]] =
       (0 until tables).map(t => AnnSearch.hyperplanes(nPlanes, dim, seed = 42L + t).map(_.toArray).toArray).toArray
     val ids = embs.select(col(idCol).cast("long").as("__id"), col(vecCol).as("__vec"))
-    val banded = ids.select(
-      col("__id"),
-      posexplode(NativeFns.srp_buckets(col("__vec"), planes)).as(Seq("band", "bucket"))
-    )
-    val cands = pairsFromBuckets(banded, "__id", maxBucketSize)
-    // Verify-join strategy: by default the planner broadcasts the vector
-    // side while it fits the session threshold — the right plan. Just past
-    // that cliff it falls back to sort-merge, which SORTS the candidate side
-    // (100-1000x the vector side: every within-bucket pair) twice for no
-    // downstream benefit; callers that KNOW the vector side is past the
-    // threshold (embeddingNearDupsAuto computes this from its count) pass
-    // verifyHint=shuffle_hash to get a hash join instead. Measured at the
-    // 60k-vector / 31M-candidate point: SMJ 63 s, shuffled hash 33 s; at
-    // 20k vectors, broadcast 2.2 s vs a blanket shuffle_hash's 5.8 s —
-    // which is why this is a knob, not a hardcoded hint.
-    def sided(df: DataFrame) = verifyHint.fold(df)(df.hint(_))
-    val a = sided(ids.select(col("__id").as("id_a"), col("__vec").as("__va")))
-    val b = sided(ids.select(col("__id").as("id_b"), col("__vec").as("__vb")))
-    cands
-      .join(a, "id_a")
-      .join(b, "id_b")
-      .select(col("id_a"), col("id_b"), NativeFns.cosine_sim(col("__va"), col("__vb")).as("cos"))
-      .filter(col("cos") >= threshold)
+    // Vectors travel WITH their bucket rows and every bucket scores its own
+    // pairs inside the codegen'd cosine_pairs kernel — candidate pairs are
+    // never materialized as rows, so the former per-pair verify JOINs (and
+    // their broadcast-threshold cliff: sort-merge sorting 31M candidate
+    // rows at the 60k-vector point, 63 s) are gone from the plan. Cost
+    // model: one (band, bucket) shuffle of n·tables vector rows vs a pair
+    // shuffle of n·tables·occupancy/2 skinny rows PLUS two vector joins —
+    // the fused form wins whenever occupancy > ~2, i.e. always. A true
+    // near-dup is scored once per co-occurring table (~q·tables times);
+    // `distinct` collapses the bit-identical scores. Row cap before
+    // collect_list identical to [[pairsFromBuckets]] (same window, same
+    // exchange-free partitioning, deterministic truncation).
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bucket"))
+      .orderBy(col("__id"))
+    ids
+      .select(
+        col("__id"), col("__vec"),
+        posexplode(NativeFns.srp_buckets(col("__vec"), planes)).as(Seq("band", "bucket")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxBucketSize)
+      .groupBy(col("band"), col("bucket"))
+      .agg(collect_list(struct(col("__id").as("id"), col("__vec").as("vec"))).as("items"))
+      .filter(size(col("items")) > 1)
+      .select(explode(NativeFns.cosine_pairs(col("items"), threshold)).as("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.cos"))
+      .distinct()
   }
 
   /** [[embeddingNearDups]] with corpus-size-adaptive SRP geometry — the form
@@ -302,14 +305,8 @@ object DedupOps {
       dim: Int = 64,
       maxBucketSize: Int = 2000
   ): DataFrame = {
-    val n = embs.count()
-    val (nPlanes, tables) = autoSrpGeometry(n, threshold, targetRecall, targetOccupancy)
-    // The count prices the verify join too: past the broadcast threshold the
-    // planner would sort-merge — force the hash join instead (see
-    // [[embeddingNearDups]]'s verifyHint note).
-    val thr  = org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
-    val hint = if (thr > 0 && n * dim * 4L > thr) Some("shuffle_hash") else None
-    embeddingNearDups(embs, idCol, vecCol, threshold, nPlanes, tables, dim, maxBucketSize, hint)
+    val (nPlanes, tables) = autoSrpGeometry(embs.count(), threshold, targetRecall, targetOccupancy)
+    embeddingNearDups(embs, idCol, vecCol, threshold, nPlanes, tables, dim, maxBucketSize)
   }
 
   /** The (nPlanes, tables) pair [[embeddingNearDupsAuto]] derives from the

@@ -169,6 +169,53 @@ object VecMath {
     new GenericArrayData(sig)
   }
 
+  /** Within-bucket exact-cosine pair scoring: input is one LSH bucket's
+    * (id, vector) items; output is every i<j pair with cosine ≥ threshold.
+    * This fuses candidate expansion and verification into the aggregation
+    * output row — the pair list is never materialized as a DataFrame, so
+    * the per-pair verify JOINs (and their broadcast-threshold cliff)
+    * disappear from the embedding dedup plan entirely. Norms are computed
+    * once per item, dots once per pair; accumulation order matches
+    * [[cosineFF]] bit-for-bit.
+    */
+  def cosinePairs(items: ArrayData, threshold: Double): ArrayData = {
+    val n     = items.numElements()
+    val ids   = new Array[Long](n)
+    val vecs  = new Array[Array[Float]](n)
+    val norms = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val row = items.getStruct(i, 2)
+      ids(i)  = row.getLong(0)
+      val v   = row.getArray(1).toFloatArray()
+      vecs(i) = v
+      var na = 0.0; var j = 0
+      while (j < v.length) { val x = v(j).toDouble; na += x * x; j += 1 }
+      norms(i) = math.sqrt(na)
+      i += 1
+    }
+    val out = new java.util.ArrayList[Any]()
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        val a = vecs(i); val b = vecs(j)
+        val m = math.min(a.length, b.length)
+        var dot = 0.0; var k = 0
+        while (k < m) { dot += a(k).toDouble * b(k).toDouble; k += 1 }
+        val den = norms(i) * norms(j)
+        val cos = if (den == 0.0) 0.0 else dot / den
+        if (cos >= threshold && ids(i) != ids(j)) {
+          val (lo, hi) = if (ids(i) < ids(j)) (ids(i), ids(j)) else (ids(j), ids(i))
+          out.add(org.apache.spark.sql.catalyst.InternalRow(lo, hi, cos))
+        }
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** All ordered index pairs (i<j) of a bigint id array as one flat
     * struct array — the within-bucket candidate-pair expansion. One tight
     * loop replacing a nested interpreted-HOF pipeline (transform∘transform∘
@@ -252,6 +299,33 @@ case class MinHashSigExpr(child: Expression, k: Int) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.VecMath.minhashSig($c, $k)")
   override protected def withNewChildInternal(c: Expression): MinHashSigExpr = copy(child = c)
+}
+
+/** cosine_pairs(array<struct<id bigint, vec array<float>>>, threshold) →
+  * array<struct<id_a, id_b, cos>>, codegen'd — fused within-bucket pair
+  * expansion + exact-cosine verification (see [[VecMath.cosinePairs]]).
+  */
+case class CosinePairsExpr(child: Expression, threshold: Double) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("id_a", LongType, nullable = false),
+      StructField("id_b", LongType, nullable = false),
+      StructField("cos", DoubleType, nullable = false))),
+    containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StructType(Array(a, b)), _)
+        if a.dataType == LongType && b.dataType.isInstanceOf[ArrayType] &&
+          b.dataType.asInstanceOf[ArrayType].elementType == FloatType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(
+        s"cosine_pairs expects array<struct<bigint, array<float>>>, got ${other.simpleString(8)}")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    VecMath.cosinePairs(input.asInstanceOf[ArrayData], threshold)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecMath.cosinePairs($c, ${threshold}D)")
+  override protected def withNewChildInternal(c: Expression): CosinePairsExpr = copy(child = c)
 }
 
 /** word_shingle_hashes(string, n) → sorted distinct array<bigint>, codegen'd
@@ -629,4 +703,6 @@ object NativeFns {
     ColumnBridge.column(WordShingleHashesExpr(ColumnBridge.expression(text), n))
   def minhash_sig_long(hashes: Column, k: Int): Column =
     ColumnBridge.column(MinHashSigLongExpr(ColumnBridge.expression(hashes), k))
+  def cosine_pairs(items: Column, threshold: Double): Column =
+    ColumnBridge.column(CosinePairsExpr(ColumnBridge.expression(items), threshold))
 }
