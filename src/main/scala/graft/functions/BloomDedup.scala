@@ -50,11 +50,13 @@ object BloomDedup {
 
   /** (word_idx, bit) of a probe position — `div`/`pmod` so the arithmetic is
     * exact, SQL `shiftleft` because the Scala helper only takes literal
-    * shift amounts.
+    * shift amounts. Carries every non-`pos` column through.
     */
-  private def wordAndBit(c: DataFrame): DataFrame =
-    c.select(col(c.columns.head), expr("pos div 64").as("word_idx"),
-      expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("bit"))
+  private def wordAndBit(c: DataFrame): DataFrame = {
+    val carried = c.columns.filterNot(_ == "pos").map(col)
+    c.select(carried :+ expr("pos div 64").as("word_idx") :+
+      expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("bit"): _*)
+  }
 
   /** Build the filter over a single-LONG-column frame of keys: one shuffle
     * on word_idx (at most m/64 groups), output (word_idx BIGINT, bits BIGINT).
@@ -67,18 +69,26 @@ object BloomDedup {
 
   /** Ids from `batch` whose key MAY be in the filter (all k probe bits set).
     * The filter side broadcasts; the batch side stays map-side until the
-    * per-id count — one shuffle on the batch ids, none on any corpus data.
+    * per-pair count — one shuffle on the batch keys, none on any corpus data.
+    *
+    * Probing runs over DISTINCT (id, key) pairs and the all-k-bits test is
+    * per pair, not per id: a batch that re-delivers the same row twice (the
+    * at-least-once case this module exists for) would otherwise sum to 2k
+    * hits and fail an `=== k` test, silently passing a true duplicate as
+    * new. Output ids are distinct.
     */
   def maybeContains(batch: DataFrame, idCol: String, keyCol: String, filter: DataFrame,
       nBits: Long, k: Int): DataFrame =
-    wordAndBit(batch.select(col(idCol),
-        explode(positions(col(keyCol), nBits, k)).as("pos")))
+    wordAndBit(batch.select(col(idCol), col(keyCol)).distinct()
+        .select(col(idCol), col(keyCol),
+          explode(positions(col(keyCol), nBits, k)).as("pos")))
       .join(broadcast(filter), Seq("word_idx"), "left")
-      .groupBy(col(idCol))
+      .groupBy(col(idCol), col(keyCol))
       .agg(sum(when(col("bits").isNotNull && (col("bits").bitwiseAND(col("bit")) =!= 0), 1)
         .otherwise(0)).as("__hits"))
       .filter(col("__hits") === k)
       .select(col(idCol))
+      .distinct()
 
   /** Batch rows whose `textCol` does NOT already appear in `corpus` — exact
     * semantics (bloom false positives are removed by the verify join). Set
@@ -93,10 +103,17 @@ object BloomDedup {
       fpp: Double = 0.01,
       exactVerify: Boolean = true
   ): DataFrame = {
-    val ckeys = corpus.select(xxhash64(col(textCol)).as("__ck")).distinct()
-    val (nBits, k) = geometry(ckeys.count(), fpp)
-    val filt = buildFilter(ckeys, "__ck", nBits, k)
-    newAgainstFilter(batch, idCol, textCol, ckeys, filt, nBits, k, exactVerify)
+    // ckeys feeds three consumers (geometry count, filter build, the exact-
+    // verify anti-join) — persist so the corpus is scanned and hashed once.
+    val ckeys = corpus.select(xxhash64(col(textCol)).as("__ck")).distinct().persist()
+    try {
+      val (nBits, k) = geometry(ckeys.count(), fpp)
+      val filt = buildFilter(ckeys, "__ck", nBits, k)
+      // Materialize the result before unpersisting the corpus keys the
+      // verify join depends on.
+      newAgainstFilter(batch, idCol, textCol, ckeys, filt, nBits, k, exactVerify)
+        .localCheckpoint(eager = true)
+    } finally ckeys.unpersist()
   }
 
   /** The per-batch probe against a PREBUILT (ideally persisted) filter — the

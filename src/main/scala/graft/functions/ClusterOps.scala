@@ -61,9 +61,17 @@ object ClusterOps {
       e = next
       iter += 1
     }
+    if (!done)
+      // Not a silent degradation: at a non-converged cut-off, min(v) is only
+      // each node's current best label, NOT the component minimum — callers
+      // would get wrong cluster ids with no signal. O(log n) convergence
+      // means hitting this indicates maxIter far too small for the graph.
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within maxIter=$maxIter rounds; " +
+        "labels at a non-converged fixpoint are not component minima — raise maxIter " +
+        "(rounds needed grow ~log2 of the largest component)")
 
-    // At the fixpoint each u's single neighbor is the root; min() also makes
-    // the answer correct (= current best label) if maxIter cut iteration short.
+    // At the fixpoint each u's single neighbor is the root.
     val nonRoots = e.groupBy(col("u").as("id")).agg(min(col("v")).as("cluster_id"))
     val roots    = e.select(col("v").as("id"), col("v").as("cluster_id")).distinct()
     // A root never appears as a u at fixpoint, but union+min tolerates both.

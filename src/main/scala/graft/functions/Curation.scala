@@ -13,14 +13,24 @@ object Curation {
   /** PII patterns, deliberately RE2-compatible (no lookaround, no backrefs)
     * so the same strings run under Java regex (Spark) and RE2 (DuckDB, and
     * the common at-scale regex engines). Redaction order matters: SSN-like
-    * ids are replaced before phones (a bare 123-45-6789 also matches the
-    * phone shape), and emails/IPs before phones so their digits can't be
-    * re-matched.
+    * ids and emails/IPs are replaced before phones so their digits can't be
+    * re-matched by the phone shapes.
+    *
+    * The phone pattern is a SHAPE alternation, every branch carrying ≥7
+    * digits — international `+CC …` (≥7), parenthesized-area
+    * `(NNN) NNN NNNN` (10), and separated `NNN-NNN-NNNN` (10, separators
+    * space/dot/dash). A generic loose digit-run class here redacted prices,
+    * number columns ("100 200 300") and ISO dates; the shapes leave those
+    * untouched (dates are 4-2-2 / 2-2-4, never 3-3-4, and slash separators
+    * are excluded entirely).
     */
   val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val ssnRe   = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
   val ipRe    = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
-  val phoneRe = "\\+?[0-9][0-9 ()./-]{7,}[0-9]"
+  val phoneRe =
+    "\\+[0-9]{1,3}[ .-]?\\(?[0-9]{2,4}\\)?(?:[ .-]?[0-9]{2,4}){2,3}" +
+    "|\\([0-9]{3}\\)[ .-]?[0-9]{3}[ .-]?[0-9]{4}" +
+    "|[0-9]{3}[ .-][0-9]{3}[ .-][0-9]{4}"
 
   /** Per-category match counts on the RAW text (before redaction). */
   def piiCounts(text: Column): (Column, Column, Column, Column) = (

@@ -194,27 +194,43 @@ object DedupOps {
 
   /** SimHash near-dup candidates: fingerprint + 4-way band partition of the 64
     * bits; equal band ⇒ candidate; verified by Hamming distance ≤ maxHamming.
+    *
+    * Candidate generation goes through the shared row_number-capped
+    * [[pairsFromBuckets]] core — the same truncate-don't-drop bound every
+    * other dedup path uses. An uncapped band self-join looked identical on
+    * test data but is exactly the shape that detonates on the data dedup
+    * sees at corpus scale: duplicate-heavy corpora concentrate identical
+    * 16-bit bands into hot buckets, and one 10⁶-row bucket is 5·10¹¹ join
+    * rows. With the cap, per-bucket work is ≤ maxBucketSize²/2 pairs and
+    * hot buckets degrade to deterministic partial recall instead of a
+    * quadratic stage.
     */
-  def simhashNearDups(docs: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
-    val withSim = docs.select(col(idCol), TextAnalysis.simHash64(col(textCol)).as("simhash"))
+  def simhashNearDups(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3,
+      maxBucketSize: Int = 200
+  ): DataFrame = {
+    val withSim = docs.select(
+      col(idCol).cast("long").as("__sid"),
+      TextAnalysis.simHash64(col(textCol)).as("simhash"))
     val banded = withSim.select(
-      col(idCol),
-      col("simhash"),
+      col("__sid"),
       posexplode(
         transform(sequence(lit(0), lit(3)), b =>
           call_function("shiftrightunsigned", col("simhash"), (b * 16).cast("int")).bitwiseAND(0xffffL))
       ).as(Seq("band", "bucket"))
     )
-    val pairs = banded.as("x")
-      .join(banded.as("y"), Seq("band", "bucket"))
-      .filter(col(s"x.$idCol") < col(s"y.$idCol"))
-      .select(
-        col(s"x.$idCol").as("id_a"),
-        col(s"y.$idCol").as("id_b"),
-        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming")
-      )
-      .distinct()
-    pairs.filter(col("hamming") <= maxHamming)
+    val cands = pairsFromBuckets(banded, "__sid", maxBucketSize)
+    val a = withSim.select(col("__sid").as("id_a"), col("simhash").as("sim_a"))
+    val b = withSim.select(col("__sid").as("id_b"), col("simhash").as("sim_b"))
+    cands
+      .join(a.hint("shuffle_hash"), "id_a")
+      .join(b.hint("shuffle_hash"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
   }
 
   /** Embedding-cosine near-dup pairs above `threshold`, sub-quadratic via

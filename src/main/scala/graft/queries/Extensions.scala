@@ -871,6 +871,138 @@ object Extensions {
             ORDER BY id_a, id_b""")
   )
 
+  /** Batch-equivalent surface of the streaming trending top-k
+    * ([[graft.streaming.RainStorm.trendingTopK]]): the SAME operator code —
+    * two chained aggregations, per-window count then top-k with the
+    * deterministic (n desc, token asc) tie-break — run over the batch events
+    * table (`withWatermark` is eliminated on batch plans), the per-window
+    * top-k array exploded to rows so the plain window/ORDER BY oracle can
+    * hash-match it. TrendingTopKSpec separately pins the bounded-state
+    * sketch form equal to this exact form whenever slots ≥ window vocab.
+    */
+  val trendingTopK = Q(
+    "x_trending_topk",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"), col("ts"))
+      graft.streaming.RainStorm
+        .trendingTopK(ev, "event_type", "ts", k = 3, windowLen = "1 hour")
+        .select(col("window.start").cast("timestamp_ntz").as("hour"),
+          posexplode(col("topk")).as(Seq("pos", "t")))
+        .select(col("hour"), (col("pos") + 1).cast("long").as("rank"),
+          col("t.token").as("token"), col("t.n").as("n"))
+        .orderBy("hour", "rank")
+    },
+    Some("""WITH wc AS (
+              SELECT date_trunc('hour', ts) AS hour, event_type AS token, count(*) AS n
+              FROM events GROUP BY 1, 2),
+            rk AS (
+              SELECT hour, token, n,
+                row_number() OVER (PARTITION BY hour ORDER BY n DESC, token ASC) AS rank
+              FROM wc)
+            SELECT hour, rank, token, n FROM rk WHERE rank <= 3 ORDER BY hour, rank""")
+  )
+
+  /** The INCREMENTAL-dedup stream's per-batch semantics, driver-checked:
+    * the Bloom filter is built ONCE from the corpus (even doc_ids), then two
+    * successive "micro-batches" (odd doc_ids split by doc_id mod 4) each
+    * probe the SAME prebuilt filter via
+    * [[BloomDedup.newAgainstFilter]] — exactly what
+    * [[graft.streaming.RainStorm.incrementalDedupStream]] runs per
+    * foreachBatch (BloomDedupSpec pins stream == batch on live
+    * MemoryStream batches). Exact verify ⇒ each batch keeps precisely its
+    * docs whose text is absent from the corpus, so the union has a plain
+    * NOT IN oracle.
+    */
+  val dedupIncrementalStream = Q(
+    "x_dedup_incremental_stream",
+    (s, d) => {
+      val docs   = Tables.documents(s, d)
+      val corpus = docs.filter(col("doc_id") % 2 === 0)
+      val ckeys  = corpus.select(xxhash64(col("text")).as("__ck")).distinct().persist()
+      val filtize =
+        try {
+          val (nBits, k) = BloomDedup.geometry(ckeys.count(), 0.01)
+          val filt = BloomDedup.buildFilter(ckeys, "__ck", nBits, k).persist()
+          try {
+            val b1 = docs.filter(pmod(col("doc_id"), lit(4)) === 1)
+            val b2 = docs.filter(pmod(col("doc_id"), lit(4)) === 3)
+            BloomDedup.newAgainstFilter(b1, "doc_id", "text", ckeys, filt, nBits, k)
+              .unionByName(BloomDedup.newAgainstFilter(b2, "doc_id", "text", ckeys, filt, nBits, k))
+              .select(col("doc_id"), col("n_chars"))
+              .orderBy("doc_id")
+              .localCheckpoint(eager = true) // materialize before unpersist
+          } finally filt.unpersist()
+        } finally ckeys.unpersist()
+      filtize
+    },
+    Some("""SELECT doc_id, n_chars FROM documents
+            WHERE doc_id % 2 = 1
+              AND text NOT IN (SELECT text FROM documents WHERE doc_id % 2 = 0)
+            ORDER BY doc_id""")
+  )
+
+  /** The streaming NEAR-DUP filter's greedy kept-only semantics,
+    * driver-checked via [[graft.streaming.RainStorm.nearDupFilterBatch]] —
+    * same single-band bucket keying and first-wins scan as
+    * [[graft.streaming.RainStorm.nearDupFilterStream]]
+    * (RainStormStreamingSpec pins stream == batch on the same input).
+    * SimHash itself is not reproducible in DuckDB, so the fingerprint here
+    * is CONSTRUCTED identically on both engines from doc_id: a multiplicative
+    * 61-bit base per group of 8 docs, XOR a per-member flip mask with flips
+    * confined to bits 16-60 (so a group shares its band-0 bucket). The mask
+    * hammings (see RainStormStreamingSpec) make every semantic branch hot:
+    * member 1 drops against the kept base; member 2 is within 6 of DROPPED
+    * member 1 but 7 from the base, so it passes — proving dropped dups never
+    * shadow later docs (an "any earlier row" oracle would fail here); member
+    * 4 drops against kept member 2; members 5-7 are far from everything and
+    * pass. The oracle replays the same greedy scan as a recursive CTE
+    * carrying each bucket's kept-fingerprint list.
+    */
+  val neardupFilter = Q(
+    "x_neardup_filter",
+    (s, d) => {
+      val base = pmod(expr("doc_id div 8") * lit(1099511628211L), lit(2305843009213693952L))
+      val mask = element_at(
+        array(lit(0L), lit(131072L), lit(9150170671480832L), lit(2233928253440L),
+          lit(9150171762262016L), lit(73201374098096128L), lit(1189522187360927744L),
+          lit(722863483319746560L)),
+        (pmod(col("doc_id"), lit(8)) + 1).cast("int"))
+      val fps = Tables.documents(s, d).select(col("doc_id"), base.bitwiseXOR(mask).as("fp"))
+      graft.streaming.RainStorm
+        .nearDupFilterBatch(s, fps, "doc_id", "fp", maxHamming = 6)
+        .orderBy("doc_id")
+    },
+    Some("""WITH RECURSIVE fps AS (
+              SELECT doc_id,
+                xor((doc_id // 8 * 1099511628211) % 2305843009213693952,
+                    CASE doc_id % 8
+                      WHEN 0 THEN 0 WHEN 1 THEN 131072
+                      WHEN 2 THEN 9150170671480832 WHEN 3 THEN 2233928253440
+                      WHEN 4 THEN 9150171762262016 WHEN 5 THEN 73201374098096128
+                      WHEN 6 THEN 1189522187360927744 ELSE 722863483319746560 END) AS fp
+              FROM documents),
+            ranked AS (
+              SELECT doc_id, fp, fp % 65536 AS bucket,
+                row_number() OVER (PARTITION BY fp % 65536 ORDER BY doc_id) AS rn,
+                count(*) OVER (PARTITION BY fp % 65536) AS bsize
+              FROM fps),
+            greedy AS (
+              SELECT bucket, CAST(0 AS BIGINT) AS rn, CAST([] AS BIGINT[]) AS kept,
+                     CAST([] AS BIGINT[]) AS outs, bsize
+              FROM (SELECT DISTINCT bucket, bsize FROM ranked)
+              UNION ALL
+              SELECT g.bucket, g.rn + 1,
+                CASE WHEN len(list_filter(g.kept, x -> bit_count(xor(x, r.fp)) <= 6)) = 0
+                     THEN list_append(g.kept, r.fp) ELSE g.kept END,
+                CASE WHEN len(list_filter(g.kept, x -> bit_count(xor(x, r.fp)) <= 6)) = 0
+                     THEN list_append(g.outs, r.doc_id) ELSE g.outs END,
+                g.bsize
+              FROM greedy g JOIN ranked r ON r.bucket = g.bucket AND r.rn = g.rn + 1)
+            SELECT f.doc_id, f.fp
+            FROM (SELECT unnest(outs) AS doc_id FROM greedy WHERE rn = bsize) o
+            JOIN fps f USING (doc_id) ORDER BY doc_id""")
+  )
+
   /** Multimodal metadata extraction over the binary payload column (column
     * path — no decode).
     */
@@ -1076,7 +1208,7 @@ object Extensions {
     dedupExact, dedupMinhash, dedupSimhash, dedupNgram, dedupEmbedding, dedupEmbeddingNearDup,
     dedupContainment, dedupClusters, contaminationScan, dedupIncremental,
     piiRedact, mixSources, decontaminate, curationPipeline,
-    streamSetSimilarity,
+    streamSetSimilarity, trendingTopK, dedupIncrementalStream, neardupFilter,
     annBruteForce, annLsh, annIvf,
     multimodalMeta, multimodalFrames
   )

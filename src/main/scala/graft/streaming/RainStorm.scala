@@ -270,6 +270,30 @@ object RainStorm {
     */
   final case class SeenFingerprints(fps: List[Long])
 
+  /** The per-bucket greedy first-wins scan both near-dup-filter faces share:
+    * rows in ascending id order, a row passes iff no KEPT fingerprint of the
+    * bucket lies within `maxHamming`; only kept fingerprints enter the seen
+    * set (a dropped dup never shadows a later doc), capped at
+    * `maxPerBucket`. Returns (updated seen set, passed rows).
+    */
+  private def greedyNearDupScan[T](
+      rows: Seq[(Long, Long, T)], // (id, fingerprint, payload), any order
+      seen0: List[Long],
+      maxHamming: Int,
+      maxPerBucket: Int
+  ): (List[Long], Seq[T]) = {
+    var seen = seen0
+    val out  = scala.collection.mutable.ArrayBuffer.empty[T]
+    rows.sortBy(_._1).foreach { case (_, fp, payload) =>
+      val isDup = seen.exists(f => java.lang.Long.bitCount(f ^ fp) <= maxHamming)
+      if (!isDup) {
+        out += payload
+        if (seen.size < maxPerBucket) seen = fp :: seen
+      }
+    }
+    (seen, out.toSeq)
+  }
+
   def nearDupFilterStream(
       spark: SparkSession,
       docs: Dataset[(Long, String)], // (doc_id, text)
@@ -289,19 +313,44 @@ object RainStorm {
         OutputMode.Append(),
         GroupStateTimeout.NoTimeout
       ) { (_, rows, state) =>
-        var seen = state.getOption.getOrElse(SeenFingerprints(Nil)).fps
-        val out  = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
-        // doc_id order within the batch => deterministic first-wins
-        rows.toSeq.sortBy(_._1).foreach { case (id, text, sim, _) =>
-          val isDup = seen.exists(f => java.lang.Long.bitCount(f ^ sim) <= maxHamming)
-          if (!isDup) {
-            out += ((id, text))
-            if (seen.size < maxPerBucket) seen = sim :: seen
-          }
-        }
+        val (seen, passed) = greedyNearDupScan(
+          rows.toSeq.map { case (id, text, sim, _) => (id, sim, (id, text)) },
+          state.getOption.getOrElse(SeenFingerprints(Nil)).fps,
+          maxHamming, maxPerBucket)
         state.update(SeenFingerprints(seen))
-        out.iterator
+        passed.iterator
       }
+  }
+
+  /** Batch face of [[nearDupFilterStream]] over a PRECOMPUTED fingerprint
+    * column — the same bucket keying (fingerprint bits 0-15), the same
+    * greedy kept-only scan in global id order, run as one distributed
+    * `flatMapGroups` over the 2^16 buckets. Because a whole bucket's history
+    * is in hand, one batch pass equals any micro-batch slicing of the same
+    * id-ordered input (state carries across batches in the stream; here the
+    * scan just runs to the end) — RainStormStreamingSpec pins that equality.
+    * Per-bucket work is bounded by maxPerBucket exactly like the stream's
+    * state. Returns the passing (idCol, fpCol) rows.
+    */
+  def nearDupFilterBatch(
+      spark: SparkSession,
+      docs: DataFrame, // (idCol, fpCol)
+      idCol: String,
+      fpCol: String,
+      maxHamming: Int = 6,
+      maxPerBucket: Int = 1024
+  ): DataFrame = {
+    import spark.implicits._
+    docs
+      .select(col(idCol).cast("long"), col(fpCol).cast("long"))
+      .as[(Long, Long)]
+      .groupByKey(_._2 & 0xffffL)
+      .flatMapGroups { (_, rows) =>
+        greedyNearDupScan(
+          rows.toSeq.map { case (id, fp) => (id, fp, (id, fp)) },
+          Nil, maxHamming, maxPerBucket)._2.iterator
+      }
+      .toDF(idCol, fpCol)
   }
 
   /** Streaming SET-SIMILARITY join (the shape of "Distributed Streaming Set

@@ -88,6 +88,28 @@ class AccuracySpec extends AnyFunSuite {
       s"simhash recall=$recall < 0.6 on ${truth.size} planted pairs (hit ${(truth & got).size})")
   }
 
+  test("simhash hot bucket (10^3 identical-band docs) stays capped, not quadratic") {
+    // 1000 identical texts: every doc lands in the SAME bucket of all 4
+    // bands — the degenerate case the old uncapped band self-join expanded
+    // to n²/2 pairs (499_500 here; 5·10¹¹ at a 10⁶-row corpus bucket). The
+    // capped core must truncate each bucket to its maxBucketSize smallest
+    // ids: exactly C(cap, 2) pairs, all Hamming 0, all ids < cap.
+    import spark.implicits._
+    val cap  = 100
+    val docs = (0L until 1000L).map(i => (i, "identical hot bucket text payload"))
+      .toDF("doc_id", "text")
+    val got = DedupOps
+      .simhashNearDups(docs, "doc_id", "text", maxHamming = 3, maxBucketSize = cap)
+      .collect()
+    assert(got.length == cap * (cap - 1) / 2,
+      s"expected C($cap,2)=${cap * (cap - 1) / 2} capped pairs, got ${got.length}")
+    got.foreach { r =>
+      assert(r.getAs[Long]("id_a") < cap && r.getAs[Long]("id_b") < cap,
+        "truncation must keep the smallest ids (deterministic partial recall)")
+      assert(r.getAs[Int]("hamming") == 0)
+    }
+  }
+
   test("ANN LSH recall vs brute force on the registry's own config") {
     val embs    = Tables.embeddings(spark, TestSpark.sf0001)
     val queries = embs.filter(col("vec_id") < 10)

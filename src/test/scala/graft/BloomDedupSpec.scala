@@ -79,6 +79,22 @@ class BloomDedupSpec extends AnyFunSuite {
     assert(got.sorted.toSeq == want)
   }
 
+  test("re-delivered rows (duplicate ids) still caught as corpus duplicates") {
+    // At-least-once delivery: the batch contains each row TWICE. A per-id
+    // hit-sum would see 2k hits, fail an `=== k` test, and silently pass
+    // every true duplicate as new; the per-(id,key) probe must not.
+    import spark.implicits._
+    val corpus = docs(0 until 200, i => s"c$i")
+    val once   = (200L until 400L).map(i => (i, if (i % 5 == 0) s"c${i % 200}" else s"b$i"))
+    val batch  = (once ++ once).toDF("doc_id", "text") // every row delivered twice
+    val got = BloomDedup.newAgainstCorpus(corpus, batch, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0))
+    val dups  = (200L until 400L).filter(_ % 5 == 0).toSet
+    assert(got.toSet.intersect(dups).isEmpty,
+      "a corpus duplicate must be dropped even when its row is re-delivered")
+    assert(got.toSet == (200L until 400L).filter(_ % 5 != 0).toSet)
+  }
+
   test("probe is corpus-free: batch plan broadcasts the bitset words") {
     val corpus = docs(0 until 100, i => s"c$i")
     val batch  = docs(100 until 200, i => s"b$i")

@@ -29,6 +29,17 @@ class ClusterOpsSpec extends AnyFunSuite {
     assert(got.size == 64 && got.values.forall(_ == 0L))
   }
 
+  test("connected components: non-convergence at maxIter throws, never silently wrong") {
+    // At a cut-off fixpoint min(v) is only the current best label, not the
+    // component minimum — the operator must refuse, not return it.
+    import spark.implicits._
+    val path = (0L until 63L).map(i => (i, i + 1)).toDF("a", "b")
+    val ex = intercept[IllegalStateException] {
+      ClusterOps.connectedComponents(path, "a", "b", maxIter = 1).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
   test("connected components: duplicate/reversed/self edges collapse") {
     val got = components(Seq((2L, 1L), (1L, 2L), (2L, 2L), (3L, 1L)))
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))

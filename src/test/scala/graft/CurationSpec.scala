@@ -25,13 +25,33 @@ class CurationSpec extends AnyFunSuite {
     assert(redact("id 123-45-6789") == "id <ID>")
   }
 
+  test("redactPii: phone shapes — intl, parenthesized, separated all match") {
+    assert(redact("call +44 20 7946 0958 now") == "call <PHONE> now")
+    assert(redact("call (555) 123-4567 now") == "call <PHONE> now")
+    assert(redact("call 555-123-4567 now") == "call <PHONE> now")
+    assert(redact("call 555.123.4567 now") == "call <PHONE> now")
+  }
+
+  test("redactPii: precision — prices, number columns, dates survive unredacted") {
+    // The old loose digit-run phone class redacted all of these.
+    for (s <- Seq(
+        "total $1,234.56 and 12345678 units",
+        "row 100 200 300 end",
+        "on 2026-08-13 and 13-08-2026 and 2026.08.13",
+        "range 100-2000 kg",
+        "pi is 3.14159265358979",
+        "versions 1.2.3 and 10.20.30"))
+      assert(redact(s) == s, s"must survive unredacted: $s")
+  }
+
   test("piiCounts: counts match plants on raw text") {
     import spark.implicits._
     val (e, i, p, ph) = Curation.piiCounts(col("t"))
-    val r = Seq("a@b.co and c@d.org, 10.0.0.1, 123-45-6789")
+    val r = Seq("a@b.co and c@d.org, 10.0.0.1, 123-45-6789, +1 (555) 123-4567")
       .toDF("t").select(e.as("e"), i.as("i"), p.as("p"), ph.as("ph")).head()
-    // Counts are per-pattern on the RAW text: the SSN-shaped id also matches
-    // the phone shape (redaction order resolves the overlap; counts don't).
+    // Counts are per-pattern on the RAW text. The SSN-shaped id no longer
+    // matches the ≥7-digit phone shapes (3-2-4 grouping), so categories are
+    // disjoint here.
     assert((r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)) == ((2, 1, 1, 1)))
   }
 

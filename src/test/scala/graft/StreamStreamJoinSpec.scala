@@ -137,6 +137,40 @@ class StreamStreamJoinSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("near-dup filter: stream over id-ordered micro-batches == one batch pass") {
+    // The registry's x_neardup_filter surfaces nearDupFilterBatch; this pins
+    // it to the streaming operator: same bucket keying, same greedy
+    // kept-only scan, state carrying across micro-batches == one batch scan.
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.functions.TextAnalysis
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val (b1, b2) = docs.splitAt(docs.length / 2)
+
+    val in = MemoryStream[(Long, String)]
+    val q = RainStorm.nearDupFilterStream(spark, in.toDS(), maxHamming = 6)
+      .toDF("doc_id", "text")
+      .writeStream.outputMode("append").format("memory").queryName("neardup_eq").start()
+    try {
+      in.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+      in.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.sql("SELECT doc_id FROM neardup_eq")
+      .collect().map(_.getLong(0)).toSet
+
+    val fps = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), TextAnalysis.simHash64(col("text")).as("fp"))
+    val batched = RainStorm.nearDupFilterBatch(spark, fps, "doc_id", "fp", maxHamming = 6)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    assert(streamed == batched,
+      s"stream-only ${streamed -- batched}, batch-only ${batched -- streamed}")
+  }
+
   test("stream-static enrichment join broadcasts the dimension and enriches every event") {
     val eventsDir = Files.createTempDirectory("enrich_events").toString
     Tables.events(spark, TestSpark.sf0001)

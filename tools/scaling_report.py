@@ -24,11 +24,7 @@ rows = []
 for q in common:
     tb, tc = b[q], c[q]
     ratio = tc / tb if tb > 0 else float("inf")
-    # overhead-adjusted ratio: subtract the sub-linear floor estimated from
-    # the fastest queries (pure fixed cost) so tiny queries aren't misread.
     rows.append((q, a.get(q), tb, tc, ratio))
-
-floor = sorted(t for _, _, t, _, _ in rows)[max(1, len(rows) // 20)]
 print(f"| query | t_sf0.1 driver (s) | t_sf0.1 gen (s) | t_sf1 gen (s) | x (sf1/sf0.1) |")
 print("|---|---|---|---|---|")
 for q, ta, tb, tc, r in sorted(rows, key=lambda x: -x[4]):
