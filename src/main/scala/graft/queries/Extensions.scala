@@ -1165,15 +1165,25 @@ object Extensions {
     * count. The sketch is engine-specific (no cross-engine oracle), but at
     * 100 TB it is the difference between one pass with bounded memory and a
     * full distinct shuffle — rows-only check, accuracy asserted in ScalaTest.
+    *
+    * The two aggregates run as SEPARATE plans joined on a trivially-true
+    * 1×1 condition, not one `agg(approx, count_distinct)`: mixing them makes
+    * Spark's distinct-aggregate rewrite group the partial stage by the
+    * distinct key, so a multi-KB HLL++ buffer (rsd 0.02) is allocated PER
+    * DISTINCT KEY — millions of sketches, GBs of aggregation state, a memory
+    * cliff the r7 sf3 sweep caught at 19× runtime for 3× data (fine at sf1,
+    * where the buffers still fit). Split, the sketch runs scan-side with ONE
+    * buffer per partition (its whole point) and the exact count pays the
+    * ordinary map-side-combined distinct shuffle: 59.7 s → 2.1 s at sf3.
     */
   val approxDistinct = Q(
     "x_approx_distinct_sketch",
-    (s, d) =>
-      Tables.lineitem(s, d)
-        .agg(
-          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-          count_distinct(col("l_partkey")).as("exact_parts")
-        )
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val ap = li.agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+      val ex = li.select(col("l_partkey")).distinct().agg(count(col("l_partkey")).as("exact_parts"))
+      ap.join(ex, lit(true), "inner") // 1×1 rows — a trivial nested-loop join
+    }
   )
 
   /** Quantiles over a fact column: EXACT interpolated percentiles (oracled
