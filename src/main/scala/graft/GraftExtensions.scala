@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, HyperLogLogPlusPlus}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import graft.functions.{CosineSimExpr, DeflateRatioExpr, IdPairsExpr, LangIdExpr, MinHashSigExpr, RollingHashExpr, SimHash64Expr, TextAnalysis, WordShinglesExpr}
+import graft.functions.{C4LineCleanExpr, CosineSimExpr, DeflateRatioExpr, IdPairsExpr, LangIdExpr, MinHashSigExpr, RollingHashExpr, SimHash64Expr, TextAnalysis, WordShinglesExpr}
 
 /** Opt-in approximation mode (the BlinkDB-style interactive-exploration
   * lever): when `spark.graft.approx.countDistinct=true`, every exact
@@ -115,6 +115,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier("deflate_ratio"),
        info("deflate_ratio", "deflate_ratio(str) - DEFLATE compressed/raw size ratio (entropy signal)"),
        (args: Seq[Expression]) => DeflateRatioExpr(args.head))
+    )
+    ext.injectFunction(
+      (FunctionIdentifier("c4_line_clean"),
+       info("c4_line_clean", "c4_line_clean(str[, min_words]) - C4 line-level cleaning: struct<clean, n_kept, n_dropped>"),
+       (args: Seq[Expression]) =>
+         C4LineCleanExpr(args.head, if (args.length > 1) intArg(args(1), "c4_line_clean min_words") else 3))
     )
     ext.injectOptimizerRule(_ => ApproxCountDistinctRule)
     ext.injectOptimizerRule(_ => ApproxPercentileRule)

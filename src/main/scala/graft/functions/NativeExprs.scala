@@ -639,6 +639,82 @@ case class TokenCountsExpr(child: Expression, stopwords: Seq[String]) extends Un
   override protected def withNewChildInternal(c: Expression): TokenCountsExpr = copy(child = c)
 }
 
+/** c4_line_clean(string) → struct<clean string, n_kept int, n_dropped int>:
+  * the C4 line-level cleaning rules (Raffel et al., "Exploring the Limits of
+  * Transfer Learning with a Unified Text-to-Text Transformer", JMLR 2020,
+  * §2.2 — the public web-corpus recipe behind C4) applied in ONE codegen'd
+  * pass per document:
+  *
+  *   - keep only lines ending in terminal punctuation (`.` `!` `?` `"`);
+  *   - drop lines with fewer than `minWords` space-separated words;
+  *   - drop lines whose lowercase form contains "lorem ipsum" (placeholder
+  *     text) or "javascript" (browser-warning boilerplate);
+  *   - drop lines containing `{` (leaked code).
+  *
+  * Kept lines re-join with `\n`; kept/dropped counts ride along for corpus
+  * stats. An `array_join(filter(split(...), lambda), ...)` spelling of the
+  * same rules runs the lambda INTERPRETED per line (the SCALING.md item-2
+  * trap); this is a single scan-speed projection. Rules are exactly
+  * mirrorable in ANSI SQL (regexp `[.!?"]$` + contains), so the registry row
+  * carries a full row-level DuckDB oracle.
+  */
+case class C4LineCleanExpr(child: Expression, minWords: Int) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("clean", StringType, nullable = false),
+    StructField("n_kept", IntegerType, nullable = false),
+    StructField("n_dropped", IntegerType, nullable = false)))
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"c4_line_clean expects string, got ${child.dataType.simpleString}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  private def keep(line: String): Boolean = {
+    if (line.isEmpty) return false
+    val last = line.charAt(line.length - 1)
+    if (last != '.' && last != '!' && last != '?' && last != '"') return false
+    var words = 0
+    var inWord = false
+    var i = 0
+    while (i < line.length) {
+      val c = line.charAt(i)
+      if (c == ' ') inWord = false
+      else if (!inWord) { words += 1; inWord = true }
+      i += 1
+    }
+    if (words < minWords) return false
+    if (line.indexOf('{') >= 0) return false
+    val lower = line.toLowerCase(java.util.Locale.ROOT)
+    lower.indexOf("lorem ipsum") < 0 && lower.indexOf("javascript") < 0
+  }
+
+  /** Public so generated code can call it. */
+  def compute(text: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val lines   = text.toString.split("\n", -1)
+    val sb      = new java.lang.StringBuilder
+    var kept    = 0
+    var dropped = 0
+    var i       = 0
+    while (i < lines.length) {
+      if (keep(lines(i))) {
+        if (kept > 0) sb.append('\n')
+        sb.append(lines(i))
+        kept += 1
+      } else dropped += 1
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString), kept, dropped)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("c4CleanExpr", this, classOf[C4LineCleanExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+  override protected def withNewChildInternal(c: Expression): C4LineCleanExpr = copy(child = c)
+}
+
 /** deflate_ratio(string) → double: compressed-size / raw-size under DEFLATE
   * (level 6) — the standard corpus quality signal for boilerplate and
   * near-random text (low ratio ⇒ repetitive, ~1 ⇒ high-entropy). One pass,
@@ -693,6 +769,8 @@ object NativeFns {
     ColumnBridge.column(TokenCountsExpr(ColumnBridge.expression(text), stopwords))
   def deflate_ratio(text: Column): Column =
     ColumnBridge.column(DeflateRatioExpr(ColumnBridge.expression(text)))
+  def c4_line_clean(text: Column, minWords: Int = 3): Column =
+    ColumnBridge.column(C4LineCleanExpr(ColumnBridge.expression(text), minWords))
   def ivf_probes(vec: Column, centroids: Array[Array[Double]], nProbe: Int): Column =
     ColumnBridge.column(IvfProbesExpr(ColumnBridge.expression(vec), centroids, nProbe))
   def srp_buckets(vec: Column, planes: Array[Array[Array[Double]]], probes: Int = 1): Column =

@@ -1003,6 +1003,69 @@ object Extensions {
             JOIN fps f USING (doc_id) ORDER BY doc_id""")
   )
 
+  /** C4-style line-level corpus cleaning ([[graft.functions.NativeFns
+    * c4_line_clean]] — Raffel et al. JMLR 2020 §2.2, the public web-corpus
+    * recipe): terminal-punctuation gate, min-words gate, lorem-ipsum /
+    * javascript / brace filters, one codegen'd pass. The documents table has
+    * no newlines or punctuation, so the query synthesizes a PAGE per doc —
+    * identically on both engines — lines of 8 words whose `(doc_id + line) %
+    * 10` decides the planted defect: 0 → no terminal punctuation, 1 → lorem
+    * ipsum, 2 → javascript, 3 → a brace, 4 → a 2-word line (under the
+    * min-words gate), else a clean "."-terminated line. Every rule is hot at
+    * every sf and the oracle replays rules AND synthesis row-level in SQL.
+    * (The synthesis HOF is test scaffolding; the operator under test is the
+    * kernel projection.)
+    */
+  val c4LineClean = Q(
+    "x_c4_line_clean",
+    (s, d) => {
+      val page = Tables.documents(s, d)
+        .selectExpr("doc_id", "split(text, ' ') AS ws")
+        .selectExpr("doc_id",
+          """array_join(transform(sequence(0, int((size(ws) + 7) div 8) - 1),
+               i -> concat(
+                 array_join(slice(ws, int(i*8+1),
+                   CASE WHEN pmod(doc_id + i, 10) = 4 THEN 2 ELSE 8 END), ' '),
+                 CASE pmod(doc_id + i, 10)
+                   WHEN 0 THEN '' WHEN 1 THEN ' lorem ipsum.'
+                   WHEN 2 THEN ' javascript ok.' WHEN 3 THEN ' { config }.'
+                   ELSE '.' END)),
+             '\n') AS page""")
+      page
+        .select(col("doc_id"), graft.functions.NativeFns.c4_line_clean(col("page")).as("c"))
+        .select(col("doc_id"), col("c.clean").as("clean"),
+          col("c.n_kept").cast("long").as("n_kept"),
+          col("c.n_dropped").cast("long").as("n_dropped"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH w AS (
+              SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            pg AS (
+              SELECT doc_id,
+                array_to_string(list_transform(range(0, (len(ws) + 7) // 8),
+                  i -> array_to_string(ws[i*8+1 : i*8 + CASE WHEN (doc_id+i)%10 = 4 THEN 2 ELSE 8 END], ' ')
+                       || CASE (doc_id+i)%10
+                            WHEN 0 THEN '' WHEN 1 THEN ' lorem ipsum.'
+                            WHEN 2 THEN ' javascript ok.' WHEN 3 THEN ' { config }.'
+                            ELSE '.' END),
+                  chr(10)) AS page
+              FROM w),
+            cl AS (
+              SELECT doc_id, page,
+                list_filter(string_split(page, chr(10)), l ->
+                  regexp_matches(l, '[.!?"]$')
+                  AND len(list_filter(string_split(l, ' '), t -> t <> '')) >= 3
+                  AND NOT contains(l, '{')
+                  AND NOT contains(lower(l), 'lorem ipsum')
+                  AND NOT contains(lower(l), 'javascript')) AS kept
+              FROM pg)
+            SELECT doc_id,
+              COALESCE(array_to_string(kept, chr(10)), '') AS clean,
+              CAST(len(kept) AS BIGINT) AS n_kept,
+              CAST(len(string_split(page, chr(10))) - len(kept) AS BIGINT) AS n_dropped
+            FROM cl ORDER BY doc_id""")
+  )
+
   /** Multimodal metadata extraction over the binary payload column (column
     * path — no decode).
     */
@@ -1218,7 +1281,7 @@ object Extensions {
     dedupExact, dedupMinhash, dedupSimhash, dedupNgram, dedupEmbedding, dedupEmbeddingNearDup,
     dedupContainment, dedupClusters, contaminationScan, dedupIncremental,
     piiRedact, mixSources, decontaminate, curationPipeline,
-    streamSetSimilarity, trendingTopK, dedupIncrementalStream, neardupFilter,
+    streamSetSimilarity, trendingTopK, dedupIncrementalStream, neardupFilter, c4LineClean,
     annBruteForce, annLsh, annIvf,
     multimodalMeta, multimodalFrames
   )

@@ -77,6 +77,36 @@ class OperatorSpec extends AnyFunSuite {
     assert(hs(0) != hs(2))
   }
 
+  test("c4_line_clean applies every C4 rule, counts kept/dropped, stays map-side") {
+    import spark.implicits._
+    val page = Seq(
+      "A good long sentence that survives cleaning.",   // kept
+      "Ends with a bang!",                              // kept (terminal !)
+      "no terminal punctuation here",                   // dropped: no punct
+      "Too short.",                                     // dropped: < 3 words
+      "This page has Lorem Ipsum filler text inside.",  // dropped: lorem ipsum (case-insensitive)
+      "Please enable JavaScript to view this page.",    // dropped: javascript
+      "function f() { return 1; } is code.",            // dropped: brace
+      "He said \"this is quoted\"",                     // kept (terminal quote)
+      "Is this kept? Yes it ends well?"                 // kept (terminal ?)
+    ).mkString("\n")
+    val df  = Seq(page).toDF("t")
+      .select(graft.functions.NativeFns.c4_line_clean(col("t")).as("c"))
+      .select(col("c.clean"), col("c.n_kept"), col("c.n_dropped"))
+    val r = df.head()
+    assert(r.getInt(1) == 4 && r.getInt(2) == 5, r.toString)
+    assert(r.getString(0) == Seq(
+      "A good long sentence that survives cleaning.",
+      "Ends with a bang!",
+      "He said \"this is quoted\"",
+      "Is this kept? Yes it ends well?").mkString("\n"))
+    // empty document: one empty line, dropped; clean is "" not null
+    val e = Seq("").toDF("t").select(graft.functions.NativeFns.c4_line_clean(col("t")).as("c")).head()
+    assert(e.getStruct(0).getString(0) == "" && e.getStruct(0).getInt(2) == 1)
+    assert(!df.queryExecution.executedPlan.toString.contains("Exchange"),
+      "line cleaning must be a pure projection")
+  }
+
   test("langId picks english for english stopwords") {
     import spark.implicits._
     val out = Seq("the cat sat on a mat of dust", "xyzzy plugh").toDF("text")

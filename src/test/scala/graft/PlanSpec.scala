@@ -260,13 +260,15 @@ class PlanSpec extends AnyFunSuite {
       "cosine_sim(array(CAST(1.0 AS FLOAT)), array(CAST(1.0 AS FLOAT))) AS c, " +
       "size(minhash_sig(array('x'), 16)) AS k, size(word_shingles('a b c d', 2)) AS w, " +
       "size(id_pairs(array(CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(3 AS BIGINT)))) AS p, " +
-      "lang_id('the a of and cat') AS l, deflate_ratio('aaaaaaaaaaaaaaaaaaaaaaaa') AS d").collect()(0)
+      "lang_id('the a of and cat') AS l, deflate_ratio('aaaaaaaaaaaaaaaaaaaaaaaa') AS d, " +
+      "c4_line_clean('Keep this full line.\nno').n_kept AS c4").collect()(0)
     assert(r.getDouble(2) == 1.0)
     assert(r.getInt(3) == 16)
     assert(r.getInt(4) == 3)
     assert(r.getInt(5) == 3)
     assert(r.getString(6) == "en")
     assert(r.getDouble(7) < 1.0)
+    assert(r.getInt(8) == 1)
   }
 
   test("x_sample_stratified: rank filter becomes WindowGroupLimit (per-partition top-N heaps)") {

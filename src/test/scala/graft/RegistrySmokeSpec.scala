@@ -28,7 +28,8 @@ class RegistrySmokeSpec extends AnyFunSuite {
     "x_dedup_minhash_lsh", "x_dedup_ngram_jaccard", "x_dedup_containment",
     "x_text_stats", "x_text_langid", "x_text_fingerprint", "x_approx_distinct_sketch",
     "x_dedup_exact", "x_dedup_simhash",
-    "x_ann_bruteforce", "x_multimodal_meta", "x_multimodal_frames"
+    "x_ann_bruteforce", "x_multimodal_meta", "x_multimodal_frames",
+    "x_trending_topk", "x_dedup_incremental_stream", "x_neardup_filter", "x_c4_line_clean"
   )
 
   Registry.all.foreach { q =>
