@@ -192,6 +192,63 @@ object DedupOps {
       .filter(col("containment") >= threshold)
   }
 
+  /** Corpus-wide SPAN dedup — C4's signature global cleaning move (Raffel et
+    * al. JMLR 2020 §2.2: "we discarded all but one of any three-sentence
+    * span occurring more than once in the data set"), here over LINE spans:
+    * every `spanLines`-consecutive-line window is hashed (positional
+    * codegen'd [[NativeFns line_span_hashes]] kernel), the globally FIRST
+    * occurrence of each span (min (doc_id, line_idx)) keeps its lines, and
+    * every line covered by any other occurrence of a duplicated span is
+    * removed; documents are rebuilt from their surviving lines. A document
+    * duplicated wholesale elsewhere in the corpus loses all its covered
+    * lines (clean = "") — exact-dup removal falls out as a special case.
+    *
+    * Scale shape: span explode is map-side; the global first-occurrence pass
+    * is ONE hash-partitioned aggregation on the span hash with map-side
+    * partial min/count; only DUPLICATED spans (a tiny fraction of a real
+    * corpus) flow into the occurrence join; line removal is a keyed
+    * anti-join and the rebuild one groupBy(doc). Nothing is quadratic and
+    * nothing collects. Boilerplate spans repeated millions of times make the
+    * occurrence join's hash side skewed — AQE's skew-join splitting handles
+    * that at runtime (enabled in every session here).
+    *
+    * Returns one row per input doc: (idCol, clean, n_kept, n_removed).
+    */
+  def dedupSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      spanLines: Int = 3
+  ): DataFrame = {
+    val base = docs.select(col(idCol).cast("long").as("__id"), col(textCol).as("__t"))
+    val spans = base.select(col("__id"),
+      posexplode(NativeFns.line_span_hashes(col("__t"), spanLines)).as(Seq("__idx", "__h")))
+    val dupFirst = spans.groupBy("__h")
+      .agg(min(struct(col("__id"), col("__idx"))).as("__first"), count(lit(1)).as("__n"))
+      .filter(col("__n") > 1)
+      .select(col("__h"), col("__first"))
+    val removed = spans.join(dupFirst, "__h")
+      .filter(struct(col("__id"), col("__idx")) =!= col("__first"))
+      .select(col("__id"),
+        explode(sequence(col("__idx"), col("__idx") + lit(spanLines - 1))).as("__line"))
+      .distinct()
+    val lines = base.select(col("__id"),
+      posexplode(split(col("__t"), "\n")).as(Seq("__line", "__l")))
+    val rebuilt = lines.join(removed, Seq("__id", "__line"), "left_anti")
+      .groupBy("__id")
+      .agg(
+        array_join(array_sort(collect_list(struct(col("__line"), col("__l"))))
+          .getField("__l"), "\n").as("clean"),
+        count(lit(1)).as("__k"))
+    base.select(col("__id"), size(split(col("__t"), "\n")).as("__total"))
+      .join(rebuilt, Seq("__id"), "left")
+      .select(
+        col("__id").as(idCol),
+        coalesce(col("clean"), lit("")).as("clean"),
+        coalesce(col("__k"), lit(0L)).as("n_kept"),
+        (col("__total") - coalesce(col("__k"), lit(0L))).as("n_removed"))
+  }
+
   /** SimHash near-dup candidates: fingerprint + 4-way band partition of the 64
     * bits; equal band ⇒ candidate; verified by Hamming distance ≤ maxHamming.
     *

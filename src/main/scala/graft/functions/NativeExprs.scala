@@ -127,6 +127,39 @@ object VecMath {
     new GenericArrayData(if (uniq == m) out else java.util.Arrays.copyOf(out, uniq))
   }
 
+  /** POSITIONAL hashes of every n-LINE span of a document: element i is the
+    * chained xxhash64 of lines i..i+n-1 (split on '\n'). Unlike
+    * [[wordShingleHashes]] the output is NOT sorted or deduplicated — the
+    * array index IS the span's starting line, which span-level dedup needs to
+    * map a duplicate hash back to the lines it covers. Fewer than n lines →
+    * empty array (no spans, document untouched by span dedup). Hash-of-line-
+    * hashes equality stands in for span-string equality with the usual
+    * ~1e-15 per-pair collision odds.
+    */
+  def lineSpanHashes(text: org.apache.spark.unsafe.types.UTF8String, n: Int): ArrayData = {
+    val lines = text.toString.split("\n", -1)
+    if (lines.length < n) return new GenericArrayData(Array.emptyLongArray)
+    val lh = new Array[Long](lines.length)
+    var i  = 0
+    while (i < lines.length) {
+      val b = lines(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      lh(i) = XXH64.hashUnsafeBytes(b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+        b.length, 0x517cc1b727220a95L)
+      i += 1
+    }
+    val m   = lines.length - n + 1
+    val out = new Array[Long](m)
+    i = 0
+    while (i < m) {
+      var h = 0x9e3779b97f4a7c15L
+      var j = i
+      while (j < i + n) { h = XXH64.hashLong(lh(j), h); j += 1 }
+      out(i) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** MinHash signature over shingle HASHES: element i = min over shingles of
     * xxhash64(shingleHash, seed=i) — [[minhashSig]] for the string-free path.
     */
@@ -341,6 +374,21 @@ case class WordShingleHashesExpr(child: Expression, n: Int) extends UnaryExpress
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.VecMath.wordShingleHashes($c, $n)")
   override protected def withNewChildInternal(c: Expression): WordShingleHashesExpr = copy(child = c)
+}
+
+/** line_span_hashes(string, n) → positional array<bigint>, codegen'd
+  * (see [[VecMath.lineSpanHashes]]).
+  */
+case class LineSpanHashesExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"line_span_hashes expects string, got ${child.dataType.simpleString}")
+  override protected def nullSafeEval(input: Any): Any =
+    VecMath.lineSpanHashes(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecMath.lineSpanHashes($c, $n)")
+  override protected def withNewChildInternal(c: Expression): LineSpanHashesExpr = copy(child = c)
 }
 
 /** minhash_sig_long(array<bigint>, k) → array<bigint>, codegen'd. */
@@ -781,6 +829,8 @@ object NativeFns {
     ColumnBridge.column(WordShingleHashesExpr(ColumnBridge.expression(text), n))
   def minhash_sig_long(hashes: Column, k: Int): Column =
     ColumnBridge.column(MinHashSigLongExpr(ColumnBridge.expression(hashes), k))
+  def line_span_hashes(text: Column, n: Int): Column =
+    ColumnBridge.column(LineSpanHashesExpr(ColumnBridge.expression(text), n))
   def cosine_pairs(items: Column, threshold: Double): Column =
     ColumnBridge.column(CosinePairsExpr(ColumnBridge.expression(items), threshold))
 }

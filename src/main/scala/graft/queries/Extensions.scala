@@ -1066,6 +1066,87 @@ object Extensions {
             FROM cl ORDER BY doc_id""")
   )
 
+  /** Global three-line-SPAN dedup ([[DedupOps.dedupSpans]] — C4's "discard
+    * all but one of any three-sentence span occurring more than once",
+    * corpus-wide). Pages are synthesized as in [[c4LineClean]] (8-word
+    * "."-terminated lines) and two duplication regimes are planted on top,
+    * identically in both engines: doc_id % 4 == 1 docs append the SAME
+    * 3-line boilerplate block (cross-doc duplication — the minimum such
+    * doc_id keeps it, every other loses exactly those 3 lines), and
+    * doc_id % 6 == 2 docs append one line repeated 6 times (intra-doc span
+    * repetition). The corpus's planted exact-duplicate texts additionally
+    * exercise the whole-document case (clean = "" for the later copy). The
+    * oracle replays first-occurrence selection over span STRINGS (row_number
+    * over (doc_id, idx)) — hash-vs-string grouping equivalence is the same
+    * argument as the contamination oracle.
+    */
+  val dedupSpans = Q(
+    "x_dedup_spans",
+    (s, d) => {
+      val page = Tables.documents(s, d)
+        .selectExpr("doc_id", "split(text, ' ') AS ws")
+        .selectExpr("doc_id",
+          """concat(
+               array_join(transform(sequence(0, int((size(ws) + 7) div 8) - 1),
+                 i -> concat(array_join(slice(ws, int(i*8+1), 8), ' '), '.')), '\n'),
+               CASE WHEN doc_id % 4 = 1
+                 THEN '\nsubscribe to our newsletter today.\nfollow us on social media now.\nall rights reserved by site.'
+                 WHEN doc_id % 6 = 2
+                 THEN repeat('\nrepeat this exact line now.', 6)
+                 ELSE '' END) AS page""")
+      DedupOps.dedupSpans(page, "doc_id", "page", spanLines = 3)
+        .select(col("doc_id"), col("clean"),
+          col("n_kept").cast("long").as("n_kept"),
+          col("n_removed").cast("long").as("n_removed"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH w AS (
+              SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            pg AS (
+              SELECT doc_id,
+                array_to_string(list_transform(range(0, (len(ws) + 7) // 8),
+                  i -> array_to_string(ws[i*8+1 : i*8+8], ' ') || '.'), chr(10))
+                || CASE WHEN doc_id % 4 = 1
+                     THEN chr(10) || 'subscribe to our newsletter today.' || chr(10) ||
+                          'follow us on social media now.' || chr(10) || 'all rights reserved by site.'
+                     WHEN doc_id % 6 = 2
+                     THEN repeat(chr(10) || 'repeat this exact line now.', 6)
+                     ELSE '' END AS page
+              FROM w),
+            ls AS (SELECT doc_id, string_split(page, chr(10)) AS lines FROM pg),
+            ln AS (
+              SELECT doc_id, unnest(lines) AS l,
+                generate_subscripts(lines, 1) - 1 AS i
+              FROM ls),
+            sp AS (
+              SELECT doc_id, unnest(range(0, greatest(len(lines) - 2, 0))) AS i, lines
+              FROM ls),
+            spans AS (
+              SELECT doc_id, i, array_to_string(lines[i+1 : i+3], chr(10)) AS span FROM sp),
+            marked AS (
+              SELECT doc_id, i,
+                row_number() OVER (PARTITION BY span ORDER BY doc_id, i) AS rn,
+                count(*) OVER (PARTITION BY span) AS n
+              FROM spans),
+            removed AS (
+              SELECT DISTINCT doc_id, unnest(range(i, i + 3)) AS line
+              FROM marked WHERE n > 1 AND rn > 1),
+            kept AS (
+              SELECT ln.doc_id, ln.i, ln.l FROM ln
+              WHERE NOT EXISTS (SELECT 1 FROM removed r
+                                WHERE r.doc_id = ln.doc_id AND r.line = ln.i)),
+            rebuilt AS (
+              SELECT doc_id, array_to_string(list(l ORDER BY i), chr(10)) AS clean,
+                count(*) AS k
+              FROM kept GROUP BY doc_id)
+            SELECT p.doc_id,
+              COALESCE(r.clean, '') AS clean,
+              CAST(COALESCE(r.k, 0) AS BIGINT) AS n_kept,
+              CAST(len(string_split(p.page, chr(10))) - COALESCE(r.k, 0) AS BIGINT) AS n_removed
+            FROM pg p LEFT JOIN rebuilt r ON r.doc_id = p.doc_id
+            ORDER BY p.doc_id""")
+  )
+
   /** Multimodal metadata extraction over the binary payload column (column
     * path — no decode).
     */
@@ -1281,7 +1362,7 @@ object Extensions {
     dedupExact, dedupMinhash, dedupSimhash, dedupNgram, dedupEmbedding, dedupEmbeddingNearDup,
     dedupContainment, dedupClusters, contaminationScan, dedupIncremental,
     piiRedact, mixSources, decontaminate, curationPipeline,
-    streamSetSimilarity, trendingTopK, dedupIncrementalStream, neardupFilter, c4LineClean,
+    streamSetSimilarity, trendingTopK, dedupIncrementalStream, neardupFilter, c4LineClean, dedupSpans,
     annBruteForce, annLsh, annIvf,
     multimodalMeta, multimodalFrames
   )

@@ -107,6 +107,40 @@ class OperatorSpec extends AnyFunSuite {
       "line cleaning must be a pure projection")
   }
 
+  test("dedupSpans: first span occurrence wins, bridges survive, whole-doc dup empties") {
+    import spark.implicits._
+    import graft.functions.DedupOps
+    val a = "alpha line one x.\nbeta line two y.\ngamma line three z."
+    val docs = Seq(
+      (1L, a),                                        // first occurrence — keeps all 3
+      (2L, "prefix line p.\nprefix line q.\n" + a),   // loses a's 3 lines, keeps its 2
+      (3L, "totally unrelated r.\nanother unique s."),// < 3 lines — no spans, untouched
+      (4L, a)                                         // whole-doc duplicate — emptied
+    ).toDF("doc_id", "text")
+    val got = DedupOps.dedupSpans(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((a, 3L, 0L)))
+    assert(got(2L) == (("prefix line p.\nprefix line q.", 2L, 3L)),
+      "bridge spans are unique so the prefix lines must survive")
+    assert(got(3L) == (("totally unrelated r.\nanother unique s.", 2L, 0L)))
+    assert(got(4L) == (("", 0L, 3L)))
+  }
+
+  test("line_span_hashes is positional: index = starting line, equal spans collide") {
+    import spark.implicits._
+    val r = Seq("a.\nb.\nc.\nd.\na.\nb.\nc.").toDF("t")
+      .select(graft.functions.NativeFns.line_span_hashes(col("t"), 3).as("h"))
+      .head().getSeq[Long](0)
+    assert(r.length == 5) // 7 lines -> 5 spans
+    assert(r(0) == r(4), "span (a,b,c) at lines 0 and 4 must hash equal")
+    assert(r.distinct.length == 4, "the other four spans are distinct")
+    // fewer lines than the span width -> no spans
+    val e = Seq("only.\ntwo.").toDF("t")
+      .select(graft.functions.NativeFns.line_span_hashes(col("t"), 3).as("h"))
+      .head().getSeq[Long](0)
+    assert(e.isEmpty)
+  }
+
   test("langId picks english for english stopwords") {
     import spark.implicits._
     val out = Seq("the cat sat on a mat of dust", "xyzzy plugh").toDF("text")

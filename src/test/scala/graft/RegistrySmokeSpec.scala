@@ -29,7 +29,8 @@ class RegistrySmokeSpec extends AnyFunSuite {
     "x_text_stats", "x_text_langid", "x_text_fingerprint", "x_approx_distinct_sketch",
     "x_dedup_exact", "x_dedup_simhash",
     "x_ann_bruteforce", "x_multimodal_meta", "x_multimodal_frames",
-    "x_trending_topk", "x_dedup_incremental_stream", "x_neardup_filter", "x_c4_line_clean"
+    "x_trending_topk", "x_dedup_incremental_stream", "x_neardup_filter", "x_c4_line_clean",
+    "x_dedup_spans"
   )
 
   Registry.all.foreach { q =>
