@@ -48,6 +48,51 @@ object Curation {
     regexp_replace(i, phoneRe, "<PHONE>")
   }
 
+  /** The Gopher/MassiveText document-quality rules (Rae et al.,
+    * arXiv:2112.11446, table A1 — the third canonical public curation recipe
+    * next to C4's line rules and span dedup), as ONE map-side projection:
+    *
+    *   - word count in [minWords, maxWords] (paper: 50..100k);
+    *   - mean word length in [3, 10];
+    *   - symbol-to-word ratio (`#` or `...`) ≤ 0.1;
+    *   - ≤ 90% of lines starting with a bullet, ≤ 30% ending with `...`;
+    *   - ≥ 80% of words containing an alphabetic character;
+    *   - ≥ 2 occurrences of the paper's 8 English stop words.
+    *
+    * Everything is built-ins plus the one-pass `token_counts` kernel (which
+    * carries the per-word alphabetic test — the only rule that would
+    * otherwise need an interpreted per-word lambda); line rules are `(?m)`
+    * multiline regex counts, RE2-compatible, so the whole diagnostic row is
+    * DuckDB-mirrorable. Returns (n_words, mean_word_len, symbol_ratio,
+    * bullet_frac, ellipsis_frac, alpha_frac, n_stop, keep).
+    */
+  val gopherStopwords: Seq[String] = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  def gopherQuality(text: Column, minWords: Long = 50L, maxWords: Long = 100000L): Seq[Column] = {
+    val tc      = NativeFns.token_counts(text, gopherStopwords)
+    val nWords  = tc.getField("n_tokens")
+    val nStop   = tc.getField("n_stop")
+    val nAlpha  = tc.getField("n_alpha")
+    val nLines  = size(split(text, "\n")).cast("long")
+    val meanLen = length(translate(text, " \n", "")).cast("double") / nWords.cast("double")
+    val symbols = (regexp_count(text, lit("#")) + regexp_count(text, lit("\\.\\.\\."))).cast("double")
+    val symRat  = symbols / nWords.cast("double")
+    val bullets = regexp_count(text, lit("(?m)^[-*] ")).cast("double") / nLines.cast("double")
+    val ellip   = regexp_count(text, lit("(?m)\\.\\.\\.$")).cast("double") / nLines.cast("double")
+    val alphaF  = nAlpha.cast("double") / nWords.cast("double")
+    val keep = nWords.between(minWords, maxWords) && meanLen.between(3.0, 10.0) &&
+      symRat <= 0.1 && bullets <= 0.9 && ellip <= 0.3 && alphaF >= 0.8 && nStop >= 2
+    Seq(
+      nWords.as("n_words"),
+      meanLen.as("mean_word_len"),
+      symRat.as("symbol_ratio"),
+      bullets.as("bullet_frac"),
+      ellip.as("ellipsis_frac"),
+      alphaF.as("alpha_frac"),
+      nStop.as("n_stop"),
+      keep.cast("long").as("keep"))
+  }
+
   /** Deterministic weighted mixture sampling: keep each row with probability
     * `rate` (a per-row Column, typically a function of the row's
     * source/domain), decided by a salted md5 of the row id — reproducible

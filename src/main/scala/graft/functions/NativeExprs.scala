@@ -641,15 +641,19 @@ case class LangIdExpr(child: Expression, langs: Seq[(String, Seq[String])]) exte
   override protected def withNewChildInternal(c: Expression): LangIdExpr = copy(child = c)
 }
 
-/** token_counts(string, stopwords) → struct<n_tokens, n_stop>: whitespace
-  * token count and non-distinct stopword occurrence count in ONE pass —
-  * replaces two interpreted `filter` lambdas (split → filter ≠"" → size, and
-  * split → filter-in-list → size) that each re-tokenized the text per row.
+/** token_counts(string, stopwords) → struct<n_tokens, n_stop, n_alpha>:
+  * whitespace token count, non-distinct stopword occurrence count, and count
+  * of tokens containing at least one ASCII letter, in ONE pass — replaces
+  * interpreted `filter` lambdas that each re-tokenized the text per row
+  * (n_alpha in particular would otherwise be a per-word rlike lambda — the
+  * SCALING.md interpreted-HOF trap). Tokens split on BOTH space and newline
+  * so multi-line pages count the same as flat text.
   */
 case class TokenCountsExpr(child: Expression, stopwords: Seq[String]) extends UnaryExpression {
   override def dataType: DataType = StructType(Seq(
     StructField("n_tokens", LongType, nullable = false),
-    StructField("n_stop", LongType, nullable = false)))
+    StructField("n_stop", LongType, nullable = false),
+    StructField("n_alpha", LongType, nullable = false)))
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(s"token_counts expects string, got ${child.dataType.simpleString}")
@@ -665,19 +669,28 @@ case class TokenCountsExpr(child: Expression, stopwords: Seq[String]) extends Un
 
   /** Public so generated code can call it. */
   def compute(text: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
-    val toks   = text.toString.split(" ")
+    val toks   = text.toString.split("[ \n]")
     var nTok   = 0L
     var nStop  = 0L
+    var nAlpha = 0L
     var i      = 0
     while (i < toks.length) {
       val t = toks(i)
       if (t.nonEmpty) {
         nTok += 1
         if (stopSet.contains(t)) nStop += 1
+        var j = 0
+        var alpha = false
+        while (!alpha && j < t.length) {
+          val c = t.charAt(j)
+          alpha = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+          j += 1
+        }
+        if (alpha) nAlpha += 1
       }
       i += 1
     }
-    org.apache.spark.sql.catalyst.InternalRow(nTok, nStop)
+    org.apache.spark.sql.catalyst.InternalRow(nTok, nStop, nAlpha)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {

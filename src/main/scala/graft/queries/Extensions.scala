@@ -1147,6 +1147,79 @@ object Extensions {
             ORDER BY p.doc_id""")
   )
 
+  /** Gopher/MassiveText document-quality gate ([[Curation.gopherQuality]] —
+    * Rae et al. 2021, table A1). Pages are synthesized as in [[c4LineClean]]
+    * and `doc_id % 7` plants one violation class per slice, identically in
+    * both engines: 0 → engineered PASS (stopword octet + padding past the
+    * 50-word floor), 1 → `#` symbol flood, 2 → numeric-token flood (alpha
+    * fraction), 3 → every line bulleted, 4 → every line ellipsis-terminated,
+    * 5/6 → untouched (naturally failing word-count/stop-word floors). Every
+    * rule's diagnostic AND the composite keep flag are row-level oracled.
+    */
+  val gopherQuality = Q(
+    "x_gopher_quality",
+    (s, d) => {
+      val page = Tables.documents(s, d)
+        .selectExpr("doc_id", "split(text, ' ') AS ws")
+        .selectExpr("doc_id",
+          """array_join(transform(sequence(0, int((size(ws) + 7) div 8) - 1),
+               i -> concat(array_join(slice(ws, int(i*8+1), 8), ' '), '.')), '\n') AS p""")
+        .selectExpr("doc_id",
+          """CASE doc_id % 7
+               WHEN 0 THEN concat(p, ' the be to of and that have with', repeat(' padd', 60))
+               WHEN 1 THEN concat(p, repeat(' #', 40))
+               WHEN 2 THEN concat(p, repeat(' 12345', 40))
+               WHEN 3 THEN concat('- ', replace(p, '\n', '\n- '))
+               WHEN 4 THEN concat(replace(p, '\n', '...\n'), '...')
+               ELSE p END AS page""")
+      page.select(col("doc_id") +: Curation.gopherQuality(col("page")): _*).orderBy("doc_id")
+    },
+    Some("""WITH w AS (
+              SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            pp AS (
+              SELECT doc_id,
+                array_to_string(list_transform(range(0, (len(ws) + 7) // 8),
+                  i -> array_to_string(ws[i*8+1 : i*8+8], ' ') || '.'), chr(10)) AS p
+              FROM w),
+            pg AS (
+              SELECT doc_id,
+                CASE doc_id % 7
+                  WHEN 0 THEN p || ' the be to of and that have with' || repeat(' padd', 60)
+                  WHEN 1 THEN p || repeat(' #', 40)
+                  WHEN 2 THEN p || repeat(' 12345', 40)
+                  WHEN 3 THEN '- ' || replace(p, chr(10), chr(10) || '- ')
+                  WHEN 4 THEN replace(p, chr(10), '...' || chr(10)) || '...'
+                  ELSE p END AS page
+              FROM pp),
+            t AS (
+              SELECT doc_id, page,
+                list_filter(regexp_split_to_array(page, '[ \n]'), x -> x <> '') AS toks,
+                CAST(len(string_split(page, chr(10))) AS DOUBLE) AS n_lines
+              FROM pg),
+            m AS (
+              SELECT doc_id,
+                CAST(len(toks) AS BIGINT) AS n_words,
+                CAST(length(translate(page, ' ' || chr(10), '')) AS DOUBLE) / len(toks) AS mean_word_len,
+                CAST(len(regexp_extract_all(page, '#')) + len(regexp_extract_all(page, '\.\.\.')) AS DOUBLE)
+                  / len(toks) AS symbol_ratio,
+                len(regexp_extract_all(page, '(?m)^[-*] ')) / n_lines AS bullet_frac,
+                len(regexp_extract_all(page, '(?m)\.\.\.$')) / n_lines AS ellipsis_frac,
+                CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+                  / len(toks) AS alpha_frac,
+                CAST(len(list_filter(toks,
+                  x -> x IN ('the','be','to','of','and','that','have','with'))) AS BIGINT) AS n_stop
+              FROM t)
+            SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+              ellipsis_frac, alpha_frac, n_stop,
+              CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+                         AND mean_word_len BETWEEN 3.0 AND 10.0
+                         AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+                         AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+                         AND n_stop >= 2
+                    THEN 1 ELSE 0 END AS BIGINT) AS keep
+            FROM m ORDER BY doc_id""")
+  )
+
   /** Multimodal metadata extraction over the binary payload column (column
     * path — no decode).
     */
@@ -1363,6 +1436,7 @@ object Extensions {
     dedupContainment, dedupClusters, contaminationScan, dedupIncremental,
     piiRedact, mixSources, decontaminate, curationPipeline,
     streamSetSimilarity, trendingTopK, dedupIncrementalStream, neardupFilter, c4LineClean, dedupSpans,
+    gopherQuality,
     annBruteForce, annLsh, annIvf,
     multimodalMeta, multimodalFrames
   )

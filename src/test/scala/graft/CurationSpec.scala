@@ -55,6 +55,40 @@ class CurationSpec extends AnyFunSuite {
     assert((r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)) == ((2, 1, 1, 1)))
   }
 
+  private def gopher(s: String): (Long, Long) = {
+    import spark.implicits._
+    val r = Seq(s).toDF("t")
+      .select(col("t") +: Curation.gopherQuality(col("t")): _*).head()
+    (r.getAs[Long]("n_words"), r.getAs[Long]("keep"))
+  }
+
+  test("gopherQuality: each rule gates independently, composite keep flag") {
+    val good = (1 to 25).map(i => s"word$i also").mkString(" ") +
+      " the be to of and that have with" // 58 words, stopword octet, all-alpha
+    assert(gopher(good)._2 == 1L, "engineered pass must keep")
+    assert(gopher(good + (" #" * 10))._2 == 0L, "symbol ratio > 0.1 must drop")
+    assert(gopher(good + (" 12345" * 20))._2 == 0L, "alpha fraction < 0.8 must drop")
+    assert(gopher("the be to of and that have with")._2 == 0L, "8 words < 50 must drop")
+    assert(gopher(("aa " * 60) + "the be to of and that have with")._2 == 0L,
+      "mean word length < 3 must drop")
+    val lines = (1 to 20).map(i => s"- bullet line number $i here.").mkString("\n") +
+      "\nthe be to of and that have with more padding words going on here now."
+    assert(gopher(lines)._2 == 0L, "> 90% bulleted lines must drop")
+    val ell = (1 to 20).map(i => s"line number $i trails off...").mkString("\n") +
+      "\nthe be to of and that have with more padding words going on here now."
+    assert(gopher(ell)._2 == 0L, "> 30% ellipsis-terminated lines must drop")
+    val few = good.replace("the be to of and that have with", "no stop words at all present")
+    assert(gopher(few)._2 == 0L, "< 2 Gopher stopwords must drop")
+  }
+
+  test("gopherQuality is a pure projection (no exchange)") {
+    import spark.implicits._
+    val plan = Seq("x").toDF("t")
+      .select(Curation.gopherQuality(col("t")): _*)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+
   test("sampleMixture: deterministic, rate-monotone, map-side (no exchange)") {
     import spark.implicits._
     val df = spark.range(0, 20000).toDF("id")
