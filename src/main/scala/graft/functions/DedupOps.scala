@@ -232,6 +232,15 @@ object DedupOps {
       .select(col("__id"),
         explode(sequence(col("__idx"), col("__idx") + lit(spanLines - 1))).as("__line"))
       .distinct()
+    rebuildWithoutLines(base, removed, idCol)
+  }
+
+  /** Rebuild documents minus a removal set: `base` is (__id, __t), `removed`
+    * is (__id, __line) line indices to drop. Keyed anti-join + one
+    * groupBy(doc); docs that lose every line come back with clean = "".
+    * Shared tail of [[dedupSpans]] and [[dedupSpansAgainstCorpus]].
+    */
+  private def rebuildWithoutLines(base: DataFrame, removed: DataFrame, idCol: String): DataFrame = {
     val lines = base.select(col("__id"),
       posexplode(split(col("__t"), "\n")).as(Seq("__line", "__l")))
     val rebuilt = lines.join(removed, Seq("__id", "__line"), "left_anti")
@@ -247,6 +256,50 @@ object DedupOps {
         coalesce(col("clean"), lit("")).as("clean"),
         coalesce(col("__k"), lit(0L)).as("n_kept"),
         (col("__total") - coalesce(col("__k"), lit(0L))).as("n_removed"))
+  }
+
+  /** INCREMENTAL span dedup — the ingestion-time face of [[dedupSpans]]:
+    * every span of an arriving batch that ALREADY EXISTS anywhere in a
+    * static corpus loses its lines (the corpus copy is the first occurrence
+    * by definition; within-batch repetition is [[dedupSpans]]'s business).
+    * The corpus is paid for ONCE: its distinct span hashes feed the
+    * [[BloomDedup]] distributed bitset (MBs for billions of spans,
+    * reusable across batches), each batch probes map-side, and only the
+    * maybe-present sliver (true hits + fpp) is exact-verified against the
+    * corpus hash set — the corpus is never re-joined wholesale per batch,
+    * the same shape [[BloomDedup.newAgainstCorpus]] proves for whole-text
+    * dedup. Returns (idCol, clean, n_kept, n_removed) for the batch.
+    */
+  def dedupSpansAgainstCorpus(
+      corpus: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      spanLines: Int = 3,
+      fpp: Double = 0.01
+  ): DataFrame = {
+    val ck = corpus
+      .select(explode(NativeFns.line_span_hashes(col(textCol), spanLines)).as("__ck"))
+      .distinct().persist()
+    try {
+      val (nBits, k) = BloomDedup.geometry(ck.count(), fpp)
+      val filt = BloomDedup.buildFilter(ck, "__ck", nBits, k)
+      val base = batch.select(col(idCol).cast("long").as("__id"), col(textCol).as("__t"))
+      val spans = base.select(col("__id"),
+        posexplode(NativeFns.line_span_hashes(col("__t"), spanLines)).as(Seq("__idx", "__h")))
+      // Probe DISTINCT batch span hashes (hash doubles as its own id), then
+      // exact-verify the sliver so fpp never removes an innocent line.
+      val maybe = BloomDedup.maybeContains(
+        spans.select(col("__h").as("__mid"), col("__h").as("__mk")),
+        "__mid", "__mk", filt, nBits, k)
+      val dupHashes = maybe.select(col("__mid").as("__h"))
+        .join(ck.withColumnRenamed("__ck", "__h"), Seq("__h"), "left_semi")
+      val removed = spans.join(dupHashes, Seq("__h"), "left_semi")
+        .select(col("__id"),
+          explode(sequence(col("__idx"), col("__idx") + lit(spanLines - 1))).as("__line"))
+        .distinct()
+      rebuildWithoutLines(base, removed, idCol).localCheckpoint(eager = true)
+    } finally ck.unpersist()
   }
 
   /** SimHash near-dup candidates: fingerprint + 4-way band partition of the 64

@@ -1220,6 +1220,82 @@ object Extensions {
             FROM m ORDER BY doc_id""")
   )
 
+  /** Incremental span dedup ([[DedupOps.dedupSpansAgainstCorpus]]): arriving
+    * batch docs (odd doc_ids) lose every line of every span already present
+    * in the static corpus (even doc_ids), via the Bloom-bitset probe + exact
+    * verify — the corpus is span-hashed once, never re-joined per batch.
+    * Pages as in [[dedupSpans]] but the boilerplate block plants on
+    * doc_id % 3 == 0, which hits BOTH parities, so cross-side span overlap
+    * is guaranteed; organic exact-duplicate texts straddling the parity
+    * split additionally exercise the whole-document case. Oracle: batch
+    * span strings ∩ corpus span strings → covered lines → rebuild.
+    */
+  val dedupSpansIncremental = Q(
+    "x_dedup_spans_incremental",
+    (s, d) => {
+      val page = Tables.documents(s, d)
+        .selectExpr("doc_id", "split(text, ' ') AS ws")
+        .selectExpr("doc_id",
+          """concat(
+               array_join(transform(sequence(0, int((size(ws) + 7) div 8) - 1),
+                 i -> concat(array_join(slice(ws, int(i*8+1), 8), ' '), '.')), '\n'),
+               CASE WHEN doc_id % 3 = 0
+                 THEN '\nsubscribe to our newsletter today.\nfollow us on social media now.\nall rights reserved by site.'
+                 ELSE '' END) AS page""")
+      DedupOps
+        .dedupSpansAgainstCorpus(
+          page.filter(col("doc_id") % 2 === 0),
+          page.filter(col("doc_id") % 2 === 1),
+          "doc_id", "page", spanLines = 3)
+        .select(col("doc_id"), col("clean"),
+          col("n_kept").cast("long").as("n_kept"),
+          col("n_removed").cast("long").as("n_removed"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH w AS (
+              SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            pg AS (
+              SELECT doc_id,
+                array_to_string(list_transform(range(0, (len(ws) + 7) // 8),
+                  i -> array_to_string(ws[i*8+1 : i*8+8], ' ') || '.'), chr(10))
+                || CASE WHEN doc_id % 3 = 0
+                     THEN chr(10) || 'subscribe to our newsletter today.' || chr(10) ||
+                          'follow us on social media now.' || chr(10) || 'all rights reserved by site.'
+                     ELSE '' END AS page
+              FROM w),
+            ls AS (SELECT doc_id, string_split(page, chr(10)) AS lines FROM pg),
+            sp AS (
+              SELECT doc_id, unnest(range(0, greatest(len(lines) - 2, 0))) AS i, lines
+              FROM ls),
+            spans AS (
+              SELECT doc_id, i, array_to_string(lines[i+1 : i+3], chr(10)) AS span FROM sp),
+            corpus_spans AS (
+              SELECT DISTINCT span FROM spans WHERE doc_id % 2 = 0),
+            removed AS (
+              SELECT DISTINCT s.doc_id, unnest(range(s.i, s.i + 3)) AS line
+              FROM spans s WHERE s.doc_id % 2 = 1
+                AND s.span IN (SELECT span FROM corpus_spans)),
+            ln AS (
+              SELECT doc_id, unnest(lines) AS l,
+                generate_subscripts(lines, 1) - 1 AS i
+              FROM ls WHERE doc_id % 2 = 1),
+            kept AS (
+              SELECT ln.doc_id, ln.i, ln.l FROM ln
+              WHERE NOT EXISTS (SELECT 1 FROM removed r
+                                WHERE r.doc_id = ln.doc_id AND r.line = ln.i)),
+            rebuilt AS (
+              SELECT doc_id, array_to_string(list(l ORDER BY i), chr(10)) AS clean,
+                count(*) AS k
+              FROM kept GROUP BY doc_id)
+            SELECT p.doc_id,
+              COALESCE(r.clean, '') AS clean,
+              CAST(COALESCE(r.k, 0) AS BIGINT) AS n_kept,
+              CAST(len(string_split(p.page, chr(10))) - COALESCE(r.k, 0) AS BIGINT) AS n_removed
+            FROM pg p LEFT JOIN rebuilt r ON r.doc_id = p.doc_id
+            WHERE p.doc_id % 2 = 1
+            ORDER BY p.doc_id""")
+  )
+
   /** Multimodal metadata extraction over the binary payload column (column
     * path — no decode).
     */
@@ -1436,7 +1512,7 @@ object Extensions {
     dedupContainment, dedupClusters, contaminationScan, dedupIncremental,
     piiRedact, mixSources, decontaminate, curationPipeline,
     streamSetSimilarity, trendingTopK, dedupIncrementalStream, neardupFilter, c4LineClean, dedupSpans,
-    gopherQuality,
+    gopherQuality, dedupSpansIncremental,
     annBruteForce, annLsh, annIvf,
     multimodalMeta, multimodalFrames
   )

@@ -126,6 +126,25 @@ class OperatorSpec extends AnyFunSuite {
     assert(got(4L) == (("", 0L, 3L)))
   }
 
+  test("dedupSpansAgainstCorpus: corpus-seen spans removed, fresh spans kept, verify beats fpp") {
+    import spark.implicits._
+    import graft.functions.DedupOps
+    val shared = "shared boiler one x.\nshared boiler two y.\nshared boiler three z."
+    val corpus = Seq((100L, "corpus filler line a.\n" + shared)).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "fresh opening line p.\nfresh second line q.\n" + shared), // loses shared 3
+      (2L, "all original here r.\nnothing shared here s.\nthird unique line t."), // untouched
+      (3L, shared)                                                   // emptied
+    ).toDF("doc_id", "text")
+    // fpp = 0.5 floods the probe with false positives; exact verify must
+    // still leave fresh spans untouched.
+    val got = DedupOps.dedupSpansAgainstCorpus(corpus, batch, "doc_id", "text", fpp = 0.5)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == (("fresh opening line p.\nfresh second line q.", 2L, 3L)))
+    assert(got(2L)._2 == 3L && got(2L)._3 == 0L, s"fresh doc must be untouched: ${got(2L)}")
+    assert(got(3L) == (("", 0L, 3L)))
+  }
+
   test("line_span_hashes is positional: index = starting line, equal spans collide") {
     import spark.implicits._
     val r = Seq("a.\nb.\nc.\nd.\na.\nb.\nc.").toDF("t")
