@@ -134,4 +134,47 @@ class CorpusPipelineSpec extends AnyFunSuite {
       s"batch set-similarity join diverged from exact: missing=${(exact -- batched).take(3)} " +
         s"spurious=${(batched -- exact).take(3)}")
   }
+
+  test("streaming curation trilogy: C4 clean + Gopher gate per micro-batch == batch") {
+    // The C4 line cleaner and Gopher quality gate are pure projections, so
+    // they compose into a stream with NO state and NO semantic drift: the
+    // same kernel columns applied per micro-batch must equal one batch pass.
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.functions.{Curation, NativeFns}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val pages = (0L until 40L).map { i =>
+      val body = (1 to 30).map(w => s"body line doc${i}x token tok${w}y okay.").mkString("\n")
+      val page = i % 4 match {
+        case 0 => body + "\nthe be to of and that have with all here."
+        case 1 => body + "\nplease enable javascript to continue now."
+        case 2 => body + ("\n- bullet item." * 40)
+        case _ => body
+      }
+      (i, page)
+    }
+    def curate(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), NativeFns.c4_line_clean(col("page")).as("c"))
+        .select(col("doc_id"), col("c.clean").as("clean"))
+        .select(col("doc_id") +: Curation.gopherQuality(col("clean"), minWords = 20): _*)
+        .select(col("doc_id"), col("n_words"), col("keep"))
+
+    val in = MemoryStream[(Long, String)]
+    val q = curate(in.toDF().toDF("doc_id", "page"))
+      .writeStream.outputMode("append").format("memory").queryName("curation_stream").start()
+    try {
+      in.addData(pages.take(20): _*); q.processAllAvailable()
+      in.addData(pages.drop(20): _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.sql("SELECT * FROM curation_stream")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = curate(pages.toDF("doc_id", "page"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+    // sanity: the gates are live — javascript docs lose a line, bullet docs fail keep
+    val byId = batch.map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(byId(0L)._2 == 1L, "stopword-endowed doc must pass")
+    assert(byId(2L)._2 == 0L, "bullet-flooded doc must fail the Gopher gate")
+  }
 }
