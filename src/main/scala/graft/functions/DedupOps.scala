@@ -399,6 +399,71 @@ object DedupOps {
       .distinct()
   }
 
+  /** SemDeDup (Abbas et al., arXiv:2303.09540): semantic deduplication by
+    * k-means-cluster-then-prune — assign every embedding to its nearest
+    * centroid, then WITHIN each cluster drop every vector that has an
+    * earlier (lower-id) cluster-mate with cosine ≥ `threshold`. Clustering
+    * makes the pair search local: only within-cluster pairs are scored, so
+    * the work is Σ|cluster|²/2 instead of n²/2, and cross-cluster near-dups
+    * are the accepted approximation (the paper's recall/cost dial is k).
+    *
+    * `centroids` is the k×dim matrix — small model state, exactly like
+    * [[AnnSearch]]'s IVF centroids (and [[AnnSearch.trainCentroids]] is the
+    * production way to fit it, on a sample). It broadcasts; assignment is a
+    * map-side broadcast nested-loop over k rows + one row_number window.
+    * Within-cluster scoring rides the same fused [[NativeFns.cosine_pairs]]
+    * kernel as [[embeddingNearDups]] — vectors travel with their cluster
+    * rows, candidate pairs never materialize, and the per-cluster
+    * `row_number` cap bounds a degenerate cluster at maxBucketSize²/2 pairs
+    * (truncate-don't-drop, same contract as [[pairsFromBuckets]]). At scale
+    * k grows with n (k ≈ n / target cluster size), keeping per-cluster work
+    * constant — the same occupancy argument as [[embeddingNearDupsAuto]].
+    *
+    * Returns the KEPT rows: (idCol, cluster), one per surviving vector.
+    *
+    * Single-plan note: the assignment subtree feeds both the pair stage and
+    * the final anti-join, so it executes twice here (the plan stays one
+    * lazily-optimizable tree, the repo's registry convention). A production
+    * pipeline at corpus scale materializes the assignment once
+    * (checkpoint/write) between the two consumers.
+    */
+  def semDedup(
+      embs: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      maxBucketSize: Int = 2000
+  ): DataFrame = {
+    val ids   = embs.select(col(idCol).cast("long").as("__id"), col(vecCol).as("__vec"))
+    val cents = centroids.select(col(idCol).cast("long").as("__cid"), col(vecCol).as("__cvec"))
+    val aw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__id"))
+      .orderBy(col("__cos").desc, col("__cid"))
+    val assigned = ids
+      .join(broadcast(cents))
+      .select(col("__id"), col("__vec"), col("__cid"),
+        NativeFns.cosine_sim(col("__vec"), col("__cvec")).as("__cos"))
+      .withColumn("__rn", row_number().over(aw))
+      .filter(col("__rn") === 1)
+      .select(col("__id"), col("__vec"), col("__cid").as("cluster"))
+    val pw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster"))
+      .orderBy(col("__id"))
+    val dropped = assigned
+      .withColumn("__rn", row_number().over(pw))
+      .filter(col("__rn") <= maxBucketSize)
+      .groupBy(col("cluster"))
+      .agg(collect_list(struct(col("__id").as("id"), col("__vec").as("vec"))).as("items"))
+      .filter(size(col("items")) > 1)
+      .select(explode(NativeFns.cosine_pairs(col("items"), threshold)).as("p"))
+      .select(col("p.id_b").as("__id"))
+      .distinct()
+    assigned
+      .join(dropped, Seq("__id"), "left_anti")
+      .select(col("__id").as(idCol), col("cluster"))
+  }
+
   /** [[embeddingNearDups]] with corpus-size-adaptive SRP geometry — the form
     * that survives a 100× scale-up. Fixed geometry (a constant `nPlanes`)
     * has a constant bucket count, so expected bucket occupancy grows

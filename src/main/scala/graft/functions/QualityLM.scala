@@ -1,0 +1,139 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Model-based corpus quality scoring — the two canonical public recipes a
+  * pre-training pipeline runs after rule-based cleaning:
+  *
+  *   - CCNet-style LM perplexity (Wenzek et al., LREC 2020): train a language
+  *     model on a trusted reference corpus (CCNet: Wikipedia per language),
+  *     score every candidate document by per-token perplexity, and keep the
+  *     low-perplexity (reference-like) fraction. Here the LM is an additive
+  *     (Lidstone) smoothed unigram model — the full KenLM 5-gram of the paper
+  *     is an external binary artifact; the Spark-side shape (train = one
+  *     aggregation, model = broadcast state, score = map-side join + one
+  *     per-doc aggregation) is identical at any n-gram order.
+  *
+  *   - DSIR hashed-n-gram importance weights (Xie et al., NeurIPS 2023):
+  *     estimate target and raw feature distributions over HASHED bigram
+  *     buckets, and weight every raw document by its log importance ratio
+  *     log p_target(doc)/p_raw(doc) under a bag-of-features model. Sampling
+  *     proportional to these weights selects raw data that looks like the
+  *     target domain.
+  *
+  * Scale design (both): the model side is sublinear in the corpus (unigram
+  * vocabulary follows Heaps' law ~O(corpus^0.5); DSIR is a FIXED bucket
+  * count), so it always broadcasts; the corpus side is touched exactly twice
+  * — one map-side tokenize/explode + broadcast-probe, and ONE shuffle: the
+  * per-document aggregation, which map-side-combines each document's tokens
+  * (co-located by explode) down to one partial row per document before the
+  * exchange. Nothing collects to the driver; the scalar normalizers (token
+  * count, vocabulary size) travel as a broadcast 1-row frame inside the same
+  * plan.
+  */
+object QualityLM {
+
+  /** (id, tok) frame: whitespace tokenization of `textCol`. Map-side only. */
+  def tokens(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+
+  /** Per-document unigram perplexity of `docs` under a Lidstone-smoothed
+    * (add-`alpha`) unigram LM trained on `ref`:
+    *
+    *   p(w) = (c(w) + alpha) / (N + alpha*(V+1))
+    *
+    * with c(w) the reference count, N the reference token total, V the
+    * reference vocabulary size (the +1 reserves one share of mass for the
+    * unseen-token class, which out-of-vocabulary tokens take with c=0).
+    * Perplexity = 2^(-mean log2 p over the document's tokens).
+    *
+    * Returns (idCol, n_tokens, ppl) — `ppl` is a raw double; callers that
+    * need a hash-stable form quantize it (see the registry query).
+    */
+  def unigramPerplexity(
+      docs: DataFrame,
+      ref: DataFrame,
+      idCol: String,
+      textCol: String,
+      alpha: Double = 0.5
+  ): DataFrame = {
+    val refTok = tokens(ref, idCol, textCol)
+    val counts = refTok.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    // N and V derive from the count frame (one aggregate over Heaps-law-many
+    // rows), NOT from a second tokenize pass over the reference corpus.
+    val scal = counts.agg(
+      sum(col("cnt")).cast("double").as("__n"),
+      count(lit(1)).cast("double").as("__v"))
+    // The scalar normalizers attach to the CORPUS side (1-row broadcast
+    // nested-loop — every row matches), NOT to the model: an out-of-vocab
+    // token misses the model left-join entirely, and scalars riding the
+    // model side would null out with it, nulling the whole score.
+    tokens(docs, idCol, textCol)
+      .join(broadcast(counts), Seq("tok"), "left")
+      .join(broadcast(scal))
+      .select(
+        col(idCol),
+        log2((coalesce(col("cnt"), lit(0L)).cast("double") + lit(alpha)) /
+          (col("__n") + lit(alpha) * (col("__v") + lit(1.0)))).as("__lp"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), (-avg(col("__lp"))).as("__h"))
+      .select(col(idCol), col("n_tokens"), pow(lit(2.0), col("__h")).as("ppl"))
+  }
+
+  /** DSIR importance weight per raw document: features are bigrams hashed
+    * into 16^`hexChars` buckets (bucket = first `hexChars` hex chars of
+    * md5(bigram) — engine-portable, no seed), distributions are Lidstone-
+    * smoothed per side, and
+    *
+    *   logw(doc) = Σ_{bigram b ∈ doc} log( p_target(h(b)) / p_raw(h(b)) ).
+    *
+    * `target` is the trusted/domain corpus, `raw` the pool being weighted
+    * (the paper's raw distribution; scoring raw docs against it makes the
+    * weight a likelihood ratio under the bag-of-hashed-bigrams model).
+    * Returns (idCol, n_bigrams, logw). The bucket table is FIXED size
+    * (16^hexChars rows) regardless of corpus scale — it always broadcasts.
+    */
+  def dsirWeights(
+      raw: DataFrame,
+      target: DataFrame,
+      idCol: String,
+      textCol: String,
+      hexChars: Int = 2,
+      alpha: Double = 0.5
+  ): DataFrame = {
+    val nBuckets = math.pow(16.0, hexChars)
+    // zip_with over the two shifted views of the token array — NOT
+    // sequence(1, n-1), which Spark generates DESCENDING ([1,0]) for a
+    // single-token document. slice(_, _, 0) is [] so token-less and
+    // one-token docs safely produce zero bigrams (and drop out of the
+    // result, mirrored by the oracle's GROUP BY).
+    def feats(df: DataFrame) = df
+      .select(col(idCol), split(col(textCol), " ").as("__ws"))
+      .select(col(idCol), explode(zip_with(
+        slice(col("__ws"), lit(1), greatest(size(col("__ws")) - 1, lit(0))),
+        slice(col("__ws"), lit(2), greatest(size(col("__ws")) - 1, lit(0))),
+        (a, b) => substring(md5(concat_ws(" ", a, b)), 1, hexChars))).as("bucket"))
+    val tCnt = feats(target).groupBy("bucket").agg(count(lit(1)).as("t_cnt"))
+    val rCnt = feats(raw).groupBy("bucket").agg(count(lit(1)).as("r_cnt"))
+    // Totals from the ≤nBuckets-row count frames — not a second
+    // tokenize/explode pass over either corpus.
+    val tTot = tCnt.agg(sum(col("t_cnt")).cast("double").as("__tn"))
+    val rTot = rCnt.agg(sum(col("r_cnt")).cast("double").as("__rn"))
+    // Both count frames are ≤ nBuckets rows; the model is their outer join
+    // (a bucket can be present on one side only) plus the scalar totals.
+    val model = tCnt.join(rCnt, Seq("bucket"), "full_outer")
+      .join(broadcast(tTot)).join(broadcast(rTot))
+      .select(
+        col("bucket"),
+        (log(((coalesce(col("t_cnt"), lit(0L)).cast("double") + lit(alpha)) /
+          (col("__tn") + lit(alpha) * nBuckets))) -
+          log(((coalesce(col("r_cnt"), lit(0L)).cast("double") + lit(alpha)) /
+            (col("__rn") + lit(alpha) * nBuckets)))).as("__lr"))
+    feats(raw)
+      .join(broadcast(model), Seq("bucket"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__lr")).as("logw"))
+  }
+}

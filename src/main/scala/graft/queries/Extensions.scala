@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
-import graft.functions.{AnnSearch, BloomDedup, ClusterOps, Curation, DedupOps, TextAnalysis, RollingHash}
+import graft.functions.{AnnSearch, BloomDedup, ClusterOps, Curation, DedupOps, QualityLM, TextAnalysis, RollingHash}
 import graft.multimodal.Multimodal
 
 /** Training-data-pipeline extension operators (the north-star surface beyond
@@ -1504,6 +1504,122 @@ object Extensions {
             FROM lineitem""")
   )
 
+  /** CCNet-style LM quality scoring ([[QualityLM.unigramPerplexity]],
+    * Wenzek et al. LREC 2020): a unigram LM trained on the `lang = 'en'`
+    * slice (the trusted reference, standing in for the paper's Wikipedia)
+    * scores every document's per-token perplexity. Perplexity is quantized
+    * to centi-units (floor(ppl·100 + 0.5) as bigint) so the oracle hash
+    * never rides on cross-engine floating-point summation order — the same
+    * int-only discipline as the ANN rank outputs. The plan is
+    * broadcast-model + one per-doc aggregation (see the module doc for the
+    * 100 TB shape: Heaps'-law vocabulary always broadcasts).
+    */
+  val qualityPerplexity = Q(
+    "x_quality_perplexity",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      QualityLM
+        .unigramPerplexity(docs, docs.filter(col("lang") === "en"), "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"),
+          floor(col("ppl") * 100 + 0.5).cast("long").as("ppl_q2"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH ref AS (
+              SELECT unnest(string_split(text, ' ')) AS tok FROM documents WHERE lang = 'en'),
+            counts AS (SELECT tok, count(*) AS cnt FROM ref WHERE tok <> '' GROUP BY tok),
+            scal AS (SELECT CAST(count(*) AS DOUBLE) AS n, CAST(count(DISTINCT tok) AS DOUBLE) AS v
+                     FROM ref WHERE tok <> ''),
+            toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+            lp AS (SELECT t.doc_id,
+                     log2((CAST(COALESCE(c.cnt, 0) AS DOUBLE) + 0.5) / (s.n + 0.5 * (s.v + 1))) AS l
+                   FROM toks t LEFT JOIN counts c USING (tok) CROSS JOIN scal s WHERE t.tok <> ''),
+            sc AS (SELECT doc_id, count(*) AS n_tokens, -avg(l) AS h FROM lp GROUP BY doc_id)
+            SELECT doc_id, n_tokens, CAST(floor(pow(2.0, h) * 100 + 0.5) AS BIGINT) AS ppl_q2
+            FROM sc ORDER BY doc_id""")
+  )
+
+  /** DSIR hashed-bigram importance weights ([[QualityLM.dsirWeights]], Xie
+    * et al. NeurIPS 2023): every document weighted by
+    * log p_target/p_raw under bag-of-hashed-bigrams distributions
+    * (target = the `lang = 'en'` slice, raw = the full table). Buckets are
+    * the first 2 hex chars of md5(bigram) — engine-portable, fixed 256-row
+    * model, always broadcast. Weight quantized at 1e-4 (bigint) for the
+    * same float-free-hash reason as [[qualityPerplexity]].
+    */
+  val dsirWeights = Q(
+    "x_dsir_weights",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      QualityLM
+        .dsirWeights(docs, docs.filter(col("lang") === "en"), "doc_id", "text")
+        .select(col("doc_id"), col("n_bigrams"),
+          floor(col("logw") * 10000 + 0.5).cast("long").as("logw_q4"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH ws AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+            feats AS (
+              SELECT doc_id, lang, unnest(list_transform(range(1, len(w)), i ->
+                substr(md5(w[i] || ' ' || w[i+1]), 1, 2))) AS bucket
+              FROM ws),
+            t_cnt AS (SELECT bucket, count(*) AS tc FROM feats WHERE lang = 'en' GROUP BY bucket),
+            r_cnt AS (SELECT bucket, count(*) AS rc FROM feats GROUP BY bucket),
+            t_tot AS (SELECT CAST(count(*) AS DOUBLE) AS tn FROM feats WHERE lang = 'en'),
+            r_tot AS (SELECT CAST(count(*) AS DOUBLE) AS rn FROM feats),
+            model AS (
+              SELECT COALESCE(t.bucket, r.bucket) AS bucket,
+                ln((CAST(COALESCE(tc, 0) AS DOUBLE) + 0.5) / (tn + 0.5 * 256)) -
+                ln((CAST(COALESCE(rc, 0) AS DOUBLE) + 0.5) / (rn + 0.5 * 256)) AS lr
+              FROM t_cnt t FULL OUTER JOIN r_cnt r ON t.bucket = r.bucket, t_tot, r_tot)
+            SELECT f.doc_id, count(*) AS n_bigrams,
+              CAST(floor(sum(m.lr) * 10000 + 0.5) AS BIGINT) AS logw_q4
+            FROM feats f JOIN model m USING (bucket)
+            GROUP BY f.doc_id ORDER BY f.doc_id""")
+  )
+
+  /** SemDeDup ([[DedupOps.semDedup]], Abbas et al. 2023): cluster-then-prune
+    * semantic dedup over the embeddings table. Centroids here are the first
+    * 8 vectors (a fixed seed assignment — deterministic on both engines;
+    * [[AnnSearch.trainCentroids]] is the production fit, and its KMeans
+    * output is exercised by `x_ann_ivf`'s recall gates). Threshold 0.4 sits
+    * in this corpus's near-dup tail (59 global pairs at sf0.01) so the
+    * dropped set is non-trivial. The oracle spells cosine out as the
+    * explicit double dot/norm formula — same accumulation order as the
+    * [[graft.functions.NativeFns.cosine_pairs]] kernel — instead of
+    * DuckDB's float-typed `list_cosine_similarity`, keeping both engines'
+    * threshold decisions bit-comparable.
+    */
+  val semDedup = Q(
+    "x_semdedup",
+    (s, d) => {
+      val embs = Tables.embeddings(s, d)
+      DedupOps
+        .semDedup(embs, embs.filter(col("vec_id") < 8), "vec_id", "embedding", threshold = 0.4)
+        .orderBy("vec_id")
+    },
+    Some("""WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),
+            cos_ac AS (
+              SELECT e.vec_id, c.cid,
+                list_sum(list_transform(list_zip(e.embedding, c.ce),
+                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                 * sqrt(list_sum(list_transform(c.ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+              FROM embeddings e, c),
+            asg AS (SELECT vec_id, cid AS cluster FROM (
+                SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+                FROM cos_ac) WHERE rn = 1),
+            dropped AS (
+              SELECT DISTINCT b.vec_id
+              FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+              JOIN embeddings ea ON ea.vec_id = a.vec_id
+              JOIN embeddings eb ON eb.vec_id = b.vec_id
+              WHERE list_sum(list_transform(list_zip(ea.embedding, eb.embedding),
+                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                / (sqrt(list_sum(list_transform(ea.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                 * sqrt(list_sum(list_transform(eb.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) >= 0.4)
+            SELECT vec_id, cluster FROM asg WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+            ORDER BY vec_id""")
+  )
+
   val qs: Seq[Q] = Seq(
     textStats, textQuality, textLangId, textFingerprint, approxDistinct, jsonExtract, jsonStruct, jsonVariant,
     heavyHitters, ngramFreq, quantiles, textRepetition, splitTrainTest, sampleStratified,
@@ -1513,6 +1629,7 @@ object Extensions {
     piiRedact, mixSources, decontaminate, curationPipeline,
     streamSetSimilarity, trendingTopK, dedupIncrementalStream, neardupFilter, c4LineClean, dedupSpans,
     gopherQuality, dedupSpansIncremental,
+    qualityPerplexity, dsirWeights, semDedup,
     annBruteForce, annLsh, annIvf,
     multimodalMeta, multimodalFrames
   )

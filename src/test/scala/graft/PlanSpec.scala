@@ -277,6 +277,34 @@ class PlanSpec extends AnyFunSuite {
       s"row_number<=N must rewrite to WindowGroupLimit so no full per-stratum sort materializes:\n$p")
   }
 
+  test("x_quality_perplexity: model probe broadcasts, corpus scan reads only id+text") {
+    val p = plan(graft.queries.Extensions.qualityPerplexity)
+    assert(p.contains("BroadcastHashJoin"),
+      s"the Heaps-law vocabulary model must broadcast — a shuffled model join re-shuffles the corpus:\n$p")
+    assert(!p.contains("CartesianProduct"), "scalars ride a broadcast 1-row frame, never a cartesian")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "corpus scan must prune to the two referenced columns")
+    assert(p.contains("partial_count"), "per-doc aggregation must map-side-combine before its exchange")
+  }
+
+  test("x_dsir_weights: fixed-size bucket model broadcasts onto the raw corpus") {
+    val p = plan(graft.queries.Extensions.dsirWeights)
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 256-bucket model must broadcast onto the scoring pass:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("x_semdedup: centroids broadcast; per-cluster cap is WindowGroupLimit, pairs stay fused") {
+    val p = plan(graft.queries.Extensions.semDedup)
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"k-row centroid assignment must be a broadcast nested-loop, not a shuffle:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      "the maxBucketSize row_number cap must rewrite to WindowGroupLimit (no full per-cluster sort)")
+    assert(p.toLowerCase.contains("cosinepairsexpr"),
+      s"within-cluster scoring must ride the fused kernel — no per-pair verify joins:\n${p.take(800)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("runtime bloom-filter join pruning: selective dim filter injects might_contain on the fact side") {
     import org.apache.spark.sql.functions._
     // Shuffle-join regime (broadcast off) with thresholds at 0 so the tiny
