@@ -42,6 +42,38 @@ object AnnSearch {
       .filter(col("rank") <= k)
   }
 
+  /** Symmetric per-vector int8 quantization — the standard 4× index
+    * compression an embedding store applies before ANN at corpus scale
+    * (100 TB of float32 embeddings is 25 TB at int8 with ~1e-2 cosine
+    * error):
+    *
+    *   scale = max_i |x_i| / 127,   q_i = round_half_up(x_i / scale)
+    *
+    * so q ∈ [-127, 127] by construction (the max-|x| element maps to ±127
+    * exactly; no clamp needed) and an all-zero vector quantizes to zeros.
+    * All arithmetic is float→double exact casts plus one division — both
+    * engines make bit-identical decisions. Output is EXPLODED to
+    * (id, pos, q, scale_q6) rows: scalar columns hash engine-portably,
+    * where a float-array column's textual form would not.
+    *
+    * Shape at scale: pure map-side projection — the per-row `array_max ∘
+    * transform` scale pass is an interpreted HOF but runs once per VECTOR
+    * (not inside any join loop — the r6 interpreted-HOF trap was HOFs on
+    * the hot side of a pair expansion); posexplode and the quantize
+    * arithmetic stay in whole-stage codegen. No shuffle anywhere.
+    */
+  def quantizeInt8(embs: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val scale = array_max(transform(col(vecCol), x => abs(x.cast("double")))) / lit(127.0)
+    embs
+      .select(col(idCol), scale.as("__scale"), posexplode(col(vecCol)).as(Seq("pos", "__x")))
+      .select(col(idCol),
+        col("pos").cast("long").as("pos"),
+        when(col("__scale") === 0.0, lit(0L))
+          .otherwise(floor(col("__x").cast("double") / col("__scale") + 0.5).cast("long"))
+          .as("q"),
+        floor(col("__scale") * 1e6 + 0.5).cast("long").as("scale_q6"))
+  }
+
   /** Train IVF coarse centroids with Spark ML KMeans (cosine distance,
     * seed-fixed). At 100 TB you train on a sample (`trainFraction`) — k-means
     * cost is per-row×k×iters, and a 1% sample pins the same cell structure —

@@ -82,6 +82,48 @@ object QualityLM {
       .select(col(idCol), col("n_tokens"), pow(lit(2.0), col("__h")).as("ppl"))
   }
 
+  /** Top-`k` TF-IDF keywords per document (classic corpus keyword
+    * extraction — Salton & Buckley 1988; the per-doc salient-term summary a
+    * corpus-exploration pipeline runs before curation decisions):
+    *
+    *   score(d, w) = tf(d, w) · ln(N / df(w))
+    *
+    * with df computed from the (doc, token) frame — so the document-frequency
+    * model is derived from the already-aggregated tf frame (Heaps-law rows),
+    * never by a second corpus pass — and N the total document count riding a
+    * broadcast 1-row frame. Scores are quantized to 1e-4 BEFORE ranking so
+    * the rank decision compares integers: both engines rank identical
+    * BIGINTs and the `(score, token)` tie-break can never flip on a
+    * last-ulp `ln` difference between JVM and oracle libm.
+    *
+    * Shape at scale: one corpus-sized shuffle for tf, one Heaps-law-sized
+    * aggregation for df (broadcast back), one corpus-keyed window whose
+    * `row_number <= k` rewrites to WindowGroupLimit (per-partition top-k
+    * heaps, no full per-doc sort). Returns (idCol, rank, tok, score_q4).
+    */
+  def tfidfKeywords(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3
+  ): DataFrame = {
+    val tf = tokens(docs, idCol, textCol)
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).cast("double").as("__n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("score_q4").desc, col("tok"))
+    tf.join(broadcast(dfreq), Seq("tok"))
+      .join(broadcast(n))
+      .select(col(idCol), col("tok"),
+        floor(col("tf") * log(col("__n") / col("df")) * 10000 + 0.5)
+          .cast("long").as("score_q4"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank").cast("long").as("rank"),
+        col("tok"), col("score_q4"))
+  }
+
   /** DSIR importance weight per raw document: features are bigrams hashed
     * into 16^`hexChars` buckets (bucket = first `hexChars` hex chars of
     * md5(bigram) — engine-portable, no seed), distributions are Lidstone-

@@ -1620,6 +1620,60 @@ object Extensions {
             ORDER BY vec_id""")
   )
 
+  /** Top-3 TF-IDF keywords per document ([[QualityLM.tfidfKeywords]]).
+    * Ranking happens on the 1e-4-quantized BIGINT score (see the module doc:
+    * integer ranks can't flip on a last-ulp `ln` divergence between JVM and
+    * DuckDB libm), with token as the deterministic tie-break.
+    */
+  val tfidfKeywords = Q(
+    "x_tfidf_keywords",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      QualityLM.tfidfKeywords(docs, "doc_id", "text", k = 3)
+        .orderBy("doc_id", "rank")
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+            tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks WHERE tok <> '' GROUP BY doc_id, tok),
+            df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+            n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+            sc AS (SELECT t.doc_id, t.tok,
+                     CAST(floor(t.tf * ln(n.n / d.df) * 10000 + 0.5) AS BIGINT) AS score_q4
+                   FROM tf t JOIN df d USING (tok) CROSS JOIN n),
+            rk AS (SELECT doc_id, tok, score_q4,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY score_q4 DESC, tok) AS rn
+                   FROM sc)
+            SELECT doc_id, CAST(rn AS BIGINT) AS rank, tok, score_q4
+            FROM rk WHERE rn <= 3 ORDER BY doc_id, rank""")
+  )
+
+  /** Symmetric int8 embedding quantization ([[AnnSearch.quantizeInt8]]) —
+    * the 4× ANN-index compression pass. Exploded scalar rows; scale at 1e-6
+    * (bigint). Every arithmetic step is an exact float→double cast, one
+    * division, and round-half-up — bit-identical across engines, so the
+    * oracle is row-level exact.
+    */
+  val embeddingQuantize = Q(
+    "x_embedding_quantize",
+    (s, d) => {
+      AnnSearch.quantizeInt8(Tables.embeddings(s, d), "vec_id", "embedding")
+        .orderBy("vec_id", "pos")
+    },
+    Some("""WITH s AS (
+              SELECT vec_id, embedding,
+                list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+              FROM embeddings),
+            e AS (SELECT vec_id, scale,
+                    unnest(range(len(embedding))) AS pos,
+                    unnest(embedding) AS x
+                  FROM s)
+            SELECT vec_id, CAST(pos AS BIGINT) AS pos,
+              CASE WHEN scale = 0 THEN 0
+                   ELSE CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT) END AS q,
+              CAST(floor(scale * 1e6 + 0.5) AS BIGINT) AS scale_q6
+            FROM e ORDER BY vec_id, pos""")
+  )
+
   val qs: Seq[Q] = Seq(
     textStats, textQuality, textLangId, textFingerprint, approxDistinct, jsonExtract, jsonStruct, jsonVariant,
     heavyHitters, ngramFreq, quantiles, textRepetition, splitTrainTest, sampleStratified,
@@ -1629,7 +1683,7 @@ object Extensions {
     piiRedact, mixSources, decontaminate, curationPipeline,
     streamSetSimilarity, trendingTopK, dedupIncrementalStream, neardupFilter, c4LineClean, dedupSpans,
     gopherQuality, dedupSpansIncremental,
-    qualityPerplexity, dsirWeights, semDedup,
+    qualityPerplexity, dsirWeights, semDedup, tfidfKeywords, embeddingQuantize,
     annBruteForce, annLsh, annIvf,
     multimodalMeta, multimodalFrames
   )

@@ -305,6 +305,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("x_tfidf_keywords: df model broadcasts back onto tf; top-k is WindowGroupLimit") {
+    val p = plan(graft.queries.Extensions.tfidfKeywords)
+    assert(p.contains("BroadcastHashJoin"),
+      s"the Heaps-law df model must broadcast onto the tf frame:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      "row_number<=k must rewrite to WindowGroupLimit (per-partition top-k heaps, no full per-doc sort)")
+    assert(!p.contains("CartesianProduct"), "the 1-row N scalar rides a broadcast, never a cartesian")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "corpus scan must prune to the two referenced columns")
+  }
+
+  test("x_embedding_quantize: pure map-side projection — zero exchanges") {
+    // The registry form appends an orderBy for the oracle dump; the operator
+    // itself must plan with ZERO exchanges (projection + generate only).
+    val unsorted = graft.functions.AnnSearch
+      .quantizeInt8(Tables.embeddings(spark, TestSpark.sf0001), "vec_id", "embedding")
+      .queryExecution.executedPlan.toString
+    assert(!unsorted.contains("Exchange"),
+      s"unsorted quantize must plan with ZERO exchanges (map-side only):\n$unsorted")
+    assert(unsorted.contains("Generate"), "posexplode should plan as Generate")
+  }
+
   test("runtime bloom-filter join pruning: selective dim filter injects might_contain on the fact side") {
     import org.apache.spark.sql.functions._
     // Shuffle-join regime (broadcast off) with thresholds at 0 so the tiny

@@ -71,6 +71,49 @@ class QualityLMSpec extends AnyFunSuite {
     assert(r.map(_.getLong(0)).toSet == Set(2L))
   }
 
+  test("tfidfKeywords: distinctive terms outrank ubiquitous ones; short docs emit < k rows") {
+    val docs = Seq(
+      (1L, "apple apple banana the the the"),
+      (2L, "the the banana cherry"),
+      (3L, "the dog")
+    ).toDF("id", "text")
+    val r = QualityLM.tfidfKeywords(docs, "id", "text", k = 3).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> (x.getString(2), x.getLong(3))).toMap
+    // df: apple 1, banana 2, cherry 1, dog 1, the 3 (idf=ln(1)=0 — worthless).
+    assert(r((1L, 1L))._1 == "apple", s"doc1 top keyword must be apple: $r")
+    assert(r((2L, 1L))._1 == "cherry", s"rarer cherry must beat commoner banana: $r")
+    assert(r((3L, 1L))._1 == "dog")
+    // "the" appears in every doc -> score exactly 0, still ranked but last.
+    assert(r((1L, 3L)) == ("the", 0L))
+    // doc3 has only 2 distinct tokens -> exactly 2 rows, no padding.
+    assert(!r.contains((3L, 3L)))
+    // closed form: apple in doc1 = floor(2*ln(3/1)*1e4 + .5)
+    assert(r((1L, 1L))._2 == math.floor(2 * math.log(3.0) * 10000 + 0.5).toLong)
+  }
+
+  test("quantizeInt8: closed-form values, max maps to ±127, zero vector safe, error bound holds") {
+    import graft.functions.AnnSearch
+    val embs = Seq(
+      (1L, Array(1f, -2f, 4f, 0f)),
+      (2L, Array(0f, 0f, 0f, 0f)),
+      (3L, Array(-3f, 3f, 1.5f, -0.1f))
+    ).toDF("vec_id", "embedding")
+    val r = AnnSearch.quantizeInt8(embs, "vec_id", "embedding").collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> (x.getLong(2), x.getLong(3))).toMap
+    // vec 1: scale 4/127; q = round_half_up(x*127/4) = 32, -63, 127, 0.
+    assert(r((1L, 0L))._1 == 32L && r((1L, 1L))._1 == -63L &&
+      r((1L, 2L))._1 == 127L && r((1L, 3L))._1 == 0L, s"$r")
+    // max-|x| element maps to exactly +-127 (vec 3 has the max NEGATIVE).
+    assert(r((3L, 0L))._1 == -127L && r((3L, 1L))._1 == 127L)
+    // all-zero vector: q=0 everywhere, scale 0 — no division blowup.
+    assert((0L to 3L).forall(p => r((2L, p)) == (0L, 0L)))
+    // reconstruction error bound: |q*scale - x| <= scale/2 for every element.
+    val sc1 = 4.0 / 127
+    Seq((0, 1f), (1, -2f), (2, 4f), (3, 0f)).foreach { case (p, x) =>
+      assert(math.abs(r((1L, p.toLong))._1 * sc1 - x) <= sc1 / 2 + 1e-12)
+    }
+  }
+
   test("semDedup: planted near-identical vectors pruned within cluster, lowest id kept") {
     // 4 centroid seeds (ids 0-3) along axes; ids 10/11 ~ axis0 near-dups,
     // id 20 ~ axis1 alone, id 30 opposite axis2 (cos<=0 with everything).
