@@ -74,6 +74,60 @@ object AnnSearch {
         floor(col("__scale") * 1e6 + 0.5).cast("long").as("scale_q6"))
   }
 
+  /** [[quantizeInt8]]'s vector-form sibling: the same symmetric per-vector
+    * int8 quantization, kept as (id, qvec array<bigint>, scale double) rows —
+    * the layout a quantized ANN index actually serves from. Same arithmetic
+    * (exact float→double casts, one division, round-half-up), so the
+    * exploded form of this output is bit-identical to [[quantizeInt8]].
+    * Pure map-side projection; the per-vector HOF runs once per vector.
+    */
+  def quantizeInt8Vec(embs: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val scale = array_max(transform(col(vecCol), x => abs(x.cast("double")))) / lit(127.0)
+    embs.select(
+      col(idCol),
+      scale.as("__s"),
+      col(vecCol).as("__v"))
+      .select(
+        col(idCol),
+        when(col("__s") === 0.0, transform(col("__v"), _ => lit(0L)))
+          .otherwise(transform(col("__v"), x => floor(x.cast("double") / col("__s") + 0.5).cast("long")))
+          .as("qvec"),
+        col("__s").as("scale"))
+  }
+
+  /** Exact top-k over the int8-QUANTIZED index — the serving path that makes
+    * [[quantizeInt8]] a functional component rather than a storage trick.
+    * Score(q, c) = scale_q · scale_c · Σᵢ qᵢcᵢ: the dot product is EXACT
+    * integer arithmetic in the codegen'd [[NativeFns.int8_dot]] kernel (an
+    * interpreted `zip_with`+`aggregate` here would pay per-element lambda
+    * dispatch inside the |queries|×|corpus| score loop — the r6 trap), and
+    * the two scale factors are reapplied outside it. Same plan shape as
+    * [[bruteForceTopK]]: broadcast queries, score map-side, per-query
+    * row_number (WindowGroupLimit caps it map-side) — corpus is never
+    * shuffled. Against 100 TB of float32 embeddings this serves from 25 TB,
+    * at ~1e-2 cosine error (bounded in the spec).
+    *
+    * Ranking compares `score` doubles: both factors and the product are
+    * single IEEE operations on exactly-derived values, so the order is
+    * engine-portable (no transcendentals, no float summation order).
+    */
+  def int8TopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String, k: Int
+  ): DataFrame = {
+    val c = quantizeInt8Vec(corpus, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("qvec").as("c_q"), col("scale").as("c_s"))
+    val q = quantizeInt8Vec(queries, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col("qvec").as("q_q"), col("scale").as("q_s"))
+    val scored = c
+      .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (col("q_s") * col("c_s") * NativeFns.int8_dot(col("q_q"), col("c_q")).cast("double")).as("score"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Train IVF coarse centroids with Spark ML KMeans (cosine distance,
     * seed-fixed). At 100 TB you train on a sample (`trainFraction`) — k-means
     * cost is per-row×k×iters, and a 1% sample pins the same cell structure —

@@ -271,6 +271,20 @@ object VecMath {
     new GenericArrayData(out)
   }
 
+  /** Exact integer dot product of two int8-quantized vectors stored as
+    * array<bigint> (the [[graft.functions.AnnSearch.quantizeInt8Vec]]
+    * layout). 64 products of |q| ≤ 127 sum to ≤ ~10⁶ — nowhere near long
+    * overflow — and integer addition is order-independent, so the result is
+    * exact and engine-portable with NO floating-point summation caveats.
+    */
+  def int8Dot(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) { s += a.getLong(i) * b.getLong(i); i += 1 }
+    s
+  }
+
   /** 64-bit SimHash over tokens: bit b set iff Σ ±1 (by bit b of
     * xxhash64(token, 42)) is positive.
     */
@@ -319,6 +333,25 @@ case class CosineSimExpr(left: Expression, right: Expression) extends BinaryExpr
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecMath.cosineFF($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimExpr =
+    copy(left = l, right = r)
+}
+
+/** int8_dot(array<bigint>, array<bigint>) → bigint, codegen'd — exact
+  * integer dot product for quantized-vector ANN scoring (see
+  * [[VecMath.int8Dot]]).
+  */
+case class Int8DotExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val l = NativeExprs.requireArrayOf(left, LongType, "int8_dot")
+    if (l != TypeCheckResult.TypeCheckSuccess) l
+    else NativeExprs.requireArrayOf(right, LongType, "int8_dot")
+  }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecMath.int8Dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecMath.int8Dot($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Int8DotExpr =
     copy(left = l, right = r)
 }
 
@@ -846,4 +879,6 @@ object NativeFns {
     ColumnBridge.column(LineSpanHashesExpr(ColumnBridge.expression(text), n))
   def cosine_pairs(items: Column, threshold: Double): Column =
     ColumnBridge.column(CosinePairsExpr(ColumnBridge.expression(items), threshold))
+  def int8_dot(a: Column, b: Column): Column =
+    ColumnBridge.column(Int8DotExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

@@ -508,6 +508,47 @@ object Extensions {
     }
   )
 
+  /** Top-k search over the int8-QUANTIZED index ([[graft.functions.AnnSearch
+    * .int8TopK]]) — proves the 4× compression of `x_embedding_quantize`
+    * actually SERVES queries. Every arithmetic step is exact (integer dot in
+    * the codegen'd `int8_dot` kernel; scale factors are single IEEE ops on
+    * exactly-derived doubles), so the full quantize→score→rank pipeline is
+    * replayed in SQL and hash-compared — not recall-gated like the
+    * approximate ANN paths.
+    */
+  val annInt8 = Q(
+    "x_ann_int8",
+    (s, d) => {
+      val embs = Tables.embeddings(s, d)
+      AnnSearch
+        .int8TopK(embs, embs.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    },
+    Some("""WITH s AS (
+              SELECT vec_id, embedding,
+                list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+              FROM embeddings),
+            qz AS (
+              SELECT vec_id, scale,
+                CASE WHEN scale = 0
+                  THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+                  ELSE list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT))
+                END AS qvec
+              FROM s),
+            q AS (SELECT vec_id AS query_id, qvec AS qq, scale AS qs FROM qz WHERE vec_id < 10),
+            scored AS (
+              SELECT q.query_id, c.vec_id AS neighbor_id,
+                q.qs * c.scale * CAST(list_sum(list_transform(range(len(q.qq)),
+                  i -> q.qq[i+1] * c.qvec[i+1])) AS DOUBLE) AS score
+              FROM qz c, q WHERE c.vec_id <> q.query_id)
+            SELECT query_id, neighbor_id, rank FROM (
+              SELECT query_id, neighbor_id,
+                row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+              FROM scored)
+            WHERE rank <= 5 ORDER BY query_id, rank""")
+  )
+
   /** Fuzzy-dedup CLUSTERING: the near-dup pairs from [[dedupMinhash]] grouped
     * into transitive components (alternating large-star/small-star,
     * [[graft.functions.ClusterOps.connectedComponents]]) with first-wins
@@ -1684,7 +1725,7 @@ object Extensions {
     streamSetSimilarity, trendingTopK, dedupIncrementalStream, neardupFilter, c4LineClean, dedupSpans,
     gopherQuality, dedupSpansIncremental,
     qualityPerplexity, dsirWeights, semDedup, tfidfKeywords, embeddingQuantize,
-    annBruteForce, annLsh, annIvf,
+    annBruteForce, annLsh, annIvf, annInt8,
     multimodalMeta, multimodalFrames
   )
 }

@@ -147,6 +147,22 @@ class AccuracySpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall=$recall < 0.5 (bf=${bf.size}, hit=${(bf & ivf).size})")
   }
 
+  test("int8-quantized ANN agrees with float brute force on the registry config") {
+    val embs    = Tables.embeddings(spark, TestSpark.sf0001)
+    val queries = embs.filter(col("vec_id") < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("query_id").cast("long"), col("neighbor_id").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bf   = pairs(AnnSearch.bruteForceTopK(embs, queries, "vec_id", "embedding", k = 5))
+    val int8 = pairs(AnnSearch.int8TopK(embs, queries, "vec_id", "embedding", k = 5))
+    // Quantization perturbs each cosine by ~1e-2; on this clusterless corpus
+    // (near-tied neighbors, the worst case for rank stability) the top-5 sets
+    // still overlap heavily. Gate at 0.8 — an arithmetic regression collapses
+    // to ~0, rank jitter between near-ties stays well above the gate.
+    val agree = (bf & int8).size.toDouble / bf.size
+    assert(agree >= 0.8, s"int8 top-5 agreement=$agree < 0.8 (bf=${bf.size}, hit=${(bf & int8).size})")
+  }
+
   test("embedding near-dups finds a planted near-identical pair, rejects noise") {
     import spark.implicits._
     val rng  = new scala.util.Random(7)

@@ -327,6 +327,17 @@ class PlanSpec extends AnyFunSuite {
     assert(unsorted.contains("Generate"), "posexplode should plan as Generate")
   }
 
+  test("x_ann_int8: queries broadcast, integer dot rides the codegen kernel, top-k is WindowGroupLimit") {
+    val p = plan(graft.queries.Extensions.annInt8)
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the query set must broadcast (non-equi self-exclusion join) — corpus never shuffles for scoring:\n$p")
+    assert(p.toLowerCase.contains("int8dot"),
+      s"scoring must ride the codegen'd int8_dot kernel, not an interpreted zip_with/aggregate:\n${p.take(800)}")
+    assert(p.contains("WindowGroupLimit"),
+      "rank<=k must rewrite to WindowGroupLimit (per-partition top-k heaps)")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("runtime bloom-filter join pruning: selective dim filter injects might_contain on the fact side") {
     import org.apache.spark.sql.functions._
     // Shuffle-join regime (broadcast off) with thresholds at 0 so the tiny

@@ -114,6 +114,27 @@ class QualityLMSpec extends AnyFunSuite {
     }
   }
 
+  test("int8TopK: closed-form ranking, self-exclusion, quantized scores exact") {
+    import graft.functions.AnnSearch
+    // Query (1,0); corpus: exact match (excluded by id), cos 0.8 vector, orthogonal.
+    val corpus = Seq(
+      (0L, Array(1f, 0f)),   // same id as the query -> self-excluded
+      (2L, Array(0.8f, 0.6f)),
+      (3L, Array(0f, 1f))
+    ).toDF("vec_id", "embedding")
+    val queries = Seq((0L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    val r = AnnSearch.int8TopK(corpus, queries, "vec_id", "embedding", k = 3)
+      .orderBy("rank")
+      .collect().map(x => (x.getLong(1), x.getInt(3), x.getDouble(2)))
+    assert(r.map(t => (t._1, t._2)).toSeq == Seq((2L, 1), (3L, 2)),
+      s"expected neighbors (2 rank1, 3 rank2), self excluded: ${r.toSeq}")
+    // Exact quantized score for neighbor 2: q=(127,95), scale=0.8f/127 —
+    // replay the same float->double arithmetic.
+    val s2 = (1.0 / 127) * (0.8f.toDouble / 127) * (127L * 127 + 0L * 95).toDouble
+    assert(r(0)._3 == s2, s"score must be exactly the quantized arithmetic: ${r(0)._3} vs $s2")
+    assert(r(1)._3 == 0.0, "orthogonal vector scores exactly 0 in integer dot")
+  }
+
   test("semDedup: planted near-identical vectors pruned within cluster, lowest id kept") {
     // 4 centroid seeds (ids 0-3) along axes; ids 10/11 ~ axis0 near-dups,
     // id 20 ~ axis1 alone, id 30 opposite axis2 (cos<=0 with everything).
