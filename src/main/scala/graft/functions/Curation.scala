@@ -93,6 +93,80 @@ object Curation {
       keep.cast("long").as("keep"))
   }
 
+  /** EXACT top-`fraction` selection by an integral score — the
+    * quality-threshold data-selection step of the current curation recipes
+    * (FineWeb / DCLM: "keep the top X% of documents by classifier score") —
+    * WITHOUT a global sort of the corpus. A naive
+    * `row_number() OVER (ORDER BY score)` ranks 100 TB through one range
+    * exchange + total order; here the total order is never built:
+    *
+    *   1. histogram: one hash aggregation (score → count) — the frame is
+    *      score-CARDINALITY-sized (model state, not corpus state);
+    *   2. threshold: a running sum over the histogram (single-partition
+    *      window over the small frame) finds T = the highest score whose
+    *      descending cumulative count reaches K = ⌈fraction·n⌉, and
+    *      `take` = how many of the boundary-score docs are still needed;
+    *   3. selection: `score > T` is a broadcast map-side filter; only the
+    *      docs AT the boundary score (one histogram bucket) pay a
+    *      row_number to pick the `take` smallest ids.
+    *
+    * Deterministic and exactly engine-replayable: counts are integers, the
+    * boundary tie-break is id order. |kept| == K always. The score must be
+    * integral (quantize first — the repo's scores already are, see
+    * `x_tfidf_keywords`/`x_quality_perplexity`); a double score here would
+    * make the histogram group-by float-keyed.
+    *
+    * Returns the kept rows of `df` (original columns).
+    */
+  def selectTopFraction(df: DataFrame, idCol: String, scoreCol: String, fraction: Double): DataFrame = {
+    require(fraction > 0.0 && fraction <= 1.0, s"fraction in (0,1], got $fraction")
+    val cols = df.columns.map(col).toSeq
+    val hist = df.groupBy(col(scoreCol).as("__s")).agg(count(lit(1)).as("__c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__s").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val thr = hist
+      .withColumn("__cum", sum(col("__c")).over(w))
+      .join(broadcast(hist.agg(ceil(lit(fraction) * sum(col("__c"))).cast("long").as("__k"))))
+      .filter(col("__cum") >= col("__k"))
+      .orderBy(col("__s").desc)
+      .limit(1)
+      .select(col("__s").as("__t"), (col("__k") - (col("__cum") - col("__c"))).as("__take"))
+    val withThr = df.join(broadcast(thr))
+    val above = withThr.filter(col(scoreCol) > col("__t")).select(cols: _*)
+    // Only the boundary bucket flows into this window — c(T) rows, not n.
+    val bw = org.apache.spark.sql.expressions.Window.orderBy(col(idCol))
+    val boundary = withThr
+      .filter(col(scoreCol) === col("__t"))
+      .withColumn("__rn", row_number().over(bw))
+      .filter(col("__rn") <= col("__take"))
+      .select(cols: _*)
+    above.unionByName(boundary)
+  }
+
+  /** Per-domain contribution cap (the RefinedWeb/CCNet move against
+    * domain-level over-representation: no single site may contribute more
+    * than `cap` documents): keep at most `cap` docs per domain, selected by
+    * a salted-md5 priority — i.e. a REPRODUCIBLE uniform sample of `cap`
+    * docs from every oversized domain, independent of partitioning and
+    * engine (same determinism contract as [[sampleMixture]]).
+    *
+    * Scale shape: `row_number ≤ cap` rewrites to WindowGroupLimit, which
+    * applies the rank cap MAP-SIDE before the window exchange — each map
+    * task forwards at most `cap` rows per domain, so a hot domain (the
+    * exact case the operator exists for) never concentrates its full row
+    * set on one reducer.
+    */
+  def capPerDomain(df: DataFrame, idCol: String, domainCol: String, cap: Int, salt: String): DataFrame = {
+    val pri = md5(concat(col(idCol).cast("string"), lit(":" + salt)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(domainCol))
+      .orderBy(pri.asc, col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= cap)
+      .drop("__rn")
+  }
+
   /** Deterministic weighted mixture sampling: keep each row with probability
     * `rate` (a per-row Column, typically a function of the row's
     * source/domain), decided by a salted md5 of the row id — reproducible

@@ -699,6 +699,65 @@ object Extensions {
             ORDER BY doc_id""")
   )
 
+  /** Exact top-25%-by-score data selection ([[Curation.selectTopFraction]]
+    * — the FineWeb/DCLM quality-threshold step) via the histogram-threshold
+    * shape: no global sort, the corpus pays one hash aggregation + one
+    * broadcast filter; only the boundary-score bucket is ranked. Row-level
+    * oracle: DuckDB replays histogram, threshold, and boundary tie-break.
+    */
+  val selectTopQuantile = Q(
+    "x_select_top_quantile",
+    (s, d) => {
+      Curation
+        .selectTopFraction(
+          Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+          "doc_id", "n_chars", fraction = 0.25)
+        .orderBy("doc_id")
+    },
+    Some("""WITH h AS (SELECT n_chars AS s, count(*) AS c FROM documents GROUP BY 1),
+            cum AS (
+              SELECT s, c,
+                sum(c) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM h),
+            k AS (SELECT CAST(ceil(0.25 * sum(c)) AS BIGINT) AS k FROM h),
+            thr AS (
+              SELECT s AS t, k.k - (cum - c) AS take
+              FROM cum, k WHERE cum >= k.k ORDER BY s DESC LIMIT 1)
+            SELECT doc_id, n_chars FROM (
+              SELECT d.doc_id, d.n_chars FROM documents d, thr WHERE d.n_chars > thr.t
+              UNION ALL
+              SELECT doc_id, n_chars FROM (
+                SELECT d.doc_id, d.n_chars,
+                  row_number() OVER (ORDER BY d.doc_id) AS rn, thr.take AS take
+                FROM documents d, thr WHERE d.n_chars = thr.t)
+              WHERE rn <= take)
+            ORDER BY doc_id""")
+  )
+
+  /** Per-domain contribution cap ([[Curation.capPerDomain]] — RefinedWeb's
+    * guard against any one site dominating the mix): ≤10 docs per source,
+    * chosen by salted-md5 priority so the sample is reproducible across
+    * engines/partitionings. WindowGroupLimit applies the cap map-side (hot
+    * domains never concentrate on one reducer). Row-level oracle: identical
+    * md5 priority ranking in DuckDB.
+    */
+  val domainCap = Q(
+    "x_domain_cap",
+    (s, d) => {
+      Curation
+        .capPerDomain(
+          Tables.documents(s, d).select(col("doc_id"), col("source")),
+          "doc_id", "source", cap = 10, salt = "cap42")
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, source FROM (
+              SELECT doc_id, source,
+                row_number() OVER (PARTITION BY source
+                  ORDER BY md5(CAST(doc_id AS VARCHAR) || ':cap42'), doc_id) AS rn
+              FROM documents)
+            WHERE rn <= 10 ORDER BY doc_id""")
+  )
+
   /** Decontamination = [[contaminationScan]]'s flagged ids anti-joined back
     * out of the training split. The contaminated id set is tiny next to the
     * corpus (it only contains docs overlapping the benchmark), so it
@@ -1721,7 +1780,7 @@ object Extensions {
     packSequences,
     dedupExact, dedupMinhash, dedupSimhash, dedupNgram, dedupEmbedding, dedupEmbeddingNearDup,
     dedupContainment, dedupClusters, contaminationScan, dedupIncremental,
-    piiRedact, mixSources, decontaminate, curationPipeline,
+    piiRedact, mixSources, decontaminate, curationPipeline, selectTopQuantile, domainCap,
     streamSetSimilarity, trendingTopK, dedupIncrementalStream, neardupFilter, c4LineClean, dedupSpans,
     gopherQuality, dedupSpansIncremental,
     qualityPerplexity, dsirWeights, semDedup, tfidfKeywords, embeddingQuantize,

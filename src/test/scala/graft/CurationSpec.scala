@@ -113,4 +113,64 @@ class CurationSpec extends AnyFunSuite {
     val overlap = (a & b).size / 20000.0
     assert(math.abs(overlap - 0.25) < 0.02, s"independent halves overlap ~25%, got $overlap")
   }
+
+  test("selectTopFraction: closed-form boundary ties broken by smallest id") {
+    import spark.implicits._
+    // Scores: 3×10, 4×5, 3×1; f=0.5 over 10 rows → K=5: all 10s + the TWO
+    // smallest-id docs at the boundary score 5.
+    val df = Seq(
+      (1L, 10L), (2L, 10L), (3L, 10L),
+      (4L, 5L), (5L, 5L), (6L, 5L), (7L, 5L),
+      (8L, 1L), (9L, 1L), (10L, 1L)
+    ).toDF("id", "score")
+    val kept = Curation.selectTopFraction(df, "id", "score", 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 3L, 4L, 5L), s"got $kept")
+  }
+
+  test("selectTopFraction: |kept| == ceil(f*n) exactly; kept scores dominate dropped") {
+    val docs = Tables.documents(spark, TestSpark.sf0001).select(col("doc_id"), col("n_chars"))
+    val n = docs.count()
+    Seq(0.1, 0.25, 1.0).foreach { f =>
+      val kept = Curation.selectTopFraction(docs, "doc_id", "n_chars", f)
+      assert(kept.count() == math.ceil(f * n).toLong, s"exact-K property failed at f=$f")
+    }
+    val kept = Curation.selectTopFraction(docs, "doc_id", "n_chars", 0.25)
+    val minKept = kept.agg(min("n_chars")).head().getLong(0)
+    val dropped = docs.join(kept.select("doc_id"), Seq("doc_id"), "left_anti")
+    val maxDroppedAtOrAbove = dropped.filter(col("n_chars") > minKept).count()
+    assert(maxDroppedAtOrAbove == 0, "no dropped doc may out-score a kept doc")
+  }
+
+  test("selectTopFraction: no global sort of the corpus (no range exchange)") {
+    val docs = Tables.documents(spark, TestSpark.sf0001).select(col("doc_id"), col("n_chars"))
+    val plan = Curation.selectTopFraction(docs, "doc_id", "n_chars", 0.25)
+      .queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("rangepartitioning"),
+      s"top-fraction selection must not build a corpus total order:\n$plan")
+  }
+
+  test("capPerDomain: exact per-domain counts, deterministic, nested in cap") {
+    val docs = Tables.documents(spark, TestSpark.sf0001).select(col("doc_id"), col("source"))
+    val capped = Curation.capPerDomain(docs, "doc_id", "source", cap = 10, salt = "cap42")
+    val perDomain = capped.groupBy("source").count().collect().map(_.getLong(1))
+    assert(perDomain.nonEmpty && perDomain.forall(_ == 10L),
+      "every source has 25 docs at sf0.001, so each must cap at exactly 10")
+    val again = Curation.capPerDomain(docs, "doc_id", "source", cap = 10, salt = "cap42")
+      .collect().map(_.getLong(0)).toSet
+    assert(again == capped.collect().map(_.getLong(0)).toSet, "same salt must reproduce exactly")
+    // A smaller cap selects a SUBSET of the larger cap's picks (priority
+    // order is fixed, the cap only truncates it).
+    val five = Curation.capPerDomain(docs, "doc_id", "source", cap = 5, salt = "cap42")
+      .collect().map(_.getLong(0)).toSet
+    assert(five.subsetOf(again), "cap=5 picks must nest inside cap=10 picks")
+  }
+
+  test("capPerDomain: rank cap is WindowGroupLimit (map-side hot-domain bound)") {
+    val docs = Tables.documents(spark, TestSpark.sf0001).select(col("doc_id"), col("source"))
+    val plan = Curation.capPerDomain(docs, "doc_id", "source", cap = 10, salt = "cap42")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"row_number<=cap must rewrite to WindowGroupLimit so hot domains cap map-side:\n$plan")
+  }
 }
