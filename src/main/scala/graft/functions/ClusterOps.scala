@@ -143,4 +143,45 @@ object ClusterOps {
         lbl.as("cluster_id"),
         when(lbl === col(idCol), 1).otherwise(0).cast("int").as("keep"))
   }
+
+  /** [[dedupClusters]] with QUALITY-based representative selection — the
+    * Dolma/RedPajama refinement of fuzzy dedup: within each duplicate
+    * cluster keep the BEST document by `scoreCol` (ties: smallest id), not
+    * the first-by-id. First-wins discards information whenever a later copy
+    * is the cleaner one (the common case for boilerplate-wrapped mirrors);
+    * argmax-by-quality keeps it. Returns one row per input doc:
+    * (idCol, cluster_id, keep).
+    *
+    * Scale shape: identical to [[dedupClusters]] up to the labeling; the
+    * representative choice is one window partitioned by cluster_id —
+    * cluster-sized partitions (bounded by the LSH bucket caps upstream),
+    * never a global order. The keep flag needs every row, so this is a full
+    * window, not a WindowGroupLimit rank filter.
+    */
+  def keepBestInClusters(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      scoreCol: String,
+      shingleN: Int = 3,
+      k: Int = 64,
+      bands: Int = 8,
+      threshold: Double = 0.8
+  ): DataFrame = {
+    val pairs = DedupOps.minhashNearDups(docs, idCol, textCol, shingleN, k, bands, threshold)
+    val cc    = connectedComponents(pairs, "id_a", "id_b")
+    val lbl   = coalesce(col("cluster_id"), col(idCol))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    docs
+      .select(col(idCol).cast("long").as(idCol), col(scoreCol))
+      .join(cc.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol), lbl.as("cluster_id"), col(scoreCol))
+      .withColumn("__rn", row_number().over(w))
+      .select(
+        col(idCol),
+        col("cluster_id"),
+        when(col("__rn") === 1, 1).otherwise(0).cast("int").as("keep"))
+  }
 }

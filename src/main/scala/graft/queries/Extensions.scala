@@ -592,6 +592,55 @@ object Extensions {
             ORDER BY doc_id""")
   )
 
+  /** [[graft.functions.ClusterOps.keepBestInClusters]] — fuzzy dedup with
+    * the Dolma/RedPajama representative policy: within each duplicate
+    * cluster keep the argmax-by-quality doc (here n_chars; ties by id), not
+    * the smallest id. Same oracle-validity argument as [[dedupClusters]]
+    * (exact all-pairs Jaccard closed by a recursive CTE), with the min-id
+    * canonical selection replaced by a window argmax.
+    */
+  val dedupKeepBest = Q(
+    "x_dedup_keep_best",
+    (s, d) =>
+      ClusterOps
+        .keepBestInClusters(Tables.documents(s, d), "doc_id", "text", "n_chars",
+          shingleN = 3, k = 64, bands = 8, threshold = 0.8)
+        .orderBy("doc_id"),
+    Some("""WITH RECURSIVE toks AS (
+              SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS t FROM documents),
+            sh AS (
+              SELECT doc_id,
+                CASE WHEN len(t) >= 3
+                  THEN list_distinct(list_transform(range(1, len(t) - 1),
+                         i -> array_to_string(t[i:i+2], ' ')))
+                  ELSE [array_to_string(t, ' ')] END AS s
+              FROM toks),
+            pairs AS (
+              SELECT a.doc_id AS ida, b.doc_id AS idb
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                  / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
+            edges AS (
+              SELECT ida AS u, idb AS v FROM pairs
+              UNION SELECT idb, ida FROM pairs),
+            walk(node, reach) AS (
+              SELECT u, u FROM edges
+              UNION
+              SELECT w.node, e.v FROM walk w JOIN edges e ON e.u = w.reach),
+            lbl AS (SELECT node, MIN(reach) AS cid FROM walk GROUP BY node),
+            lab AS (
+              SELECT d.doc_id, COALESCE(l.cid, d.doc_id) AS cluster_id, d.n_chars
+              FROM documents d LEFT JOIN lbl l ON l.node = d.doc_id),
+            r AS (
+              SELECT doc_id, cluster_id,
+                row_number() OVER (PARTITION BY cluster_id
+                  ORDER BY n_chars DESC, doc_id) AS rn
+              FROM lab)
+            SELECT doc_id, cluster_id,
+              CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS INT) AS keep
+            FROM r ORDER BY doc_id""")
+  )
+
   /** Train/eval contamination scan ([[DedupOps.contamination]]): training docs
     * sharing any word 5-gram with the benchmark split (doc_id % 40 = 3 plays
     * the benchmark here). Eval side broadcast — the corpus side never
@@ -1779,7 +1828,7 @@ object Extensions {
     heavyHitters, ngramFreq, quantiles, textRepetition, splitTrainTest, sampleStratified,
     packSequences,
     dedupExact, dedupMinhash, dedupSimhash, dedupNgram, dedupEmbedding, dedupEmbeddingNearDup,
-    dedupContainment, dedupClusters, contaminationScan, dedupIncremental,
+    dedupContainment, dedupClusters, dedupKeepBest, contaminationScan, dedupIncremental,
     piiRedact, mixSources, decontaminate, curationPipeline, selectTopQuantile, domainCap,
     streamSetSimilarity, trendingTopK, dedupIncrementalStream, neardupFilter, c4LineClean, dedupSpans,
     gopherQuality, dedupSpansIncremental,

@@ -63,6 +63,45 @@ class ClusterOpsSpec extends AnyFunSuite {
     assert(got === Seq((10L, 10L, 1), (11L, 10L, 0), (12L, 10L, 0), (13L, 13L, 1)))
   }
 
+  test("keepBestInClusters: highest-score doc kept even when it is not the smallest id") {
+    import spark.implicits._
+    // Same planted cluster as above, plus per-doc quality scores where the
+    // LAST member (id 12) is the best — first-wins would keep 10, the
+    // quality policy must keep 12. Singleton 13 always keeps.
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (10L, base + " alpha", 5L),
+      (11L, base + " beta", 7L),
+      (12L, base + " alpha gamma", 9L),
+      (13L, "completely different text about nothing shared at all here", 1L)
+    ).toDF("doc_id", "text", "quality")
+    val got = ClusterOps
+      .keepBestInClusters(docs, "doc_id", "text", "quality",
+        shingleN = 3, k = 64, bands = 16, threshold = 0.7)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .sortBy(_._1)
+    assert(got === Seq((10L, 10L, 0), (11L, 10L, 0), (12L, 10L, 1), (13L, 13L, 1)))
+  }
+
+  test("keepBestInClusters: score ties fall back to smallest id; one keep per cluster") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"v$i").mkString(" ")
+    val docs = Seq(
+      (20L, base + " x", 3L),
+      (21L, base + " y", 3L),
+      (22L, base + " z", 3L)
+    ).toDF("doc_id", "text", "quality")
+    val got = ClusterOps
+      .keepBestInClusters(docs, "doc_id", "text", "quality",
+        shingleN = 3, k = 64, bands = 16, threshold = 0.7)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(2)))
+      .sortBy(_._1)
+    assert(got === Seq((20L, 1), (21L, 0), (22L, 0)),
+      "equal scores must keep exactly the smallest id")
+  }
+
   test("contamination: shared 5-grams flagged, clean docs absent, eval side broadcast") {
     import spark.implicits._
     val leak = "the quick brown fox jumps over the lazy dog"
