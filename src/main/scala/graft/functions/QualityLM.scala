@@ -124,6 +124,60 @@ object QualityLM {
         col("tok"), col("score_q4"))
   }
 
+  /** BM25 ranked retrieval over the corpus (Robertson et al., the Okapi
+    * TREC-3 formulation; the standard keyword-search scorer a corpus
+    * exploration/debugging workflow runs against its training data):
+    *
+    *   score(d) = Σ_{t ∈ terms} ln((N − df + 0.5)/(df + 0.5) + 1) ·
+    *              tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *
+    * Shape at scale: the token explode is map-side; `dl` (per-doc length)
+    * and `tf` (per-doc counts of the ≤handful of query terms, pre-filtered
+    * map-side by `isin`) are the two corpus-keyed aggregations; `df` and
+    * the (N, avgdl) scalars derive from those frames and broadcast back —
+    * the corpus is never joined with anything non-broadcast, and the final
+    * top-k is `TakeOrderedAndProject` (no global sort materializes).
+    *
+    * Cross-engine determinism: each per-(doc, term) score is one chain of
+    * IEEE ops + one `ln`, quantized to a BIGINT at 1e-6 BEFORE the per-doc
+    * sum — integer sums are order-independent, so neither partial
+    * aggregation order nor last-ulp `ln` divergence can flip ranks (the
+    * [[tfidfKeywords]] lesson). N counts docs with ≥1 token (both engines
+    * derive it from the dl frame).
+    *
+    * Returns the top `topK` rows (idCol, score) by (score desc, id).
+    */
+  def bm25TopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      topK: Int = 20,
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): DataFrame = {
+    val toks = tokens(docs, idCol, textCol)
+    val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("__dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("__n"), avg(col("__dl")).as("__avgdl"))
+    val tf = toks.filter(col("tok").isin(terms: _*))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("__tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).cast("double").as("__df"))
+    tf.join(dl, Seq(idCol))
+      .join(broadcast(dfreq), Seq("tok"))
+      .join(broadcast(stats))
+      .select(col(idCol),
+        floor(
+          log((col("__n") - col("__df") + 0.5) / (col("__df") + 0.5) + 1.0) *
+            (col("__tf").cast("double") * (k1 + 1.0)) /
+            (col("__tf").cast("double") + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl").cast("double") / col("__avgdl"))) *
+            1e6 + 0.5
+        ).cast("long").as("__sq"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__sq")).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(topK)
+  }
+
   /** DSIR importance weight per raw document: features are bigrams hashed
     * into 16^`hexChars` buckets (bucket = first `hexChars` hex chars of
     * md5(bigram) — engine-portable, no seed), distributions are Lidstone-

@@ -592,6 +592,40 @@ object Extensions {
             ORDER BY doc_id""")
   )
 
+  /** BM25 ranked retrieval ([[graft.functions.QualityLM.bm25TopK]], Okapi
+    * TREC-3 formulation) for a fixed 3-term query. Per-(doc, term) scores
+    * quantize to BIGINT at 1e-6 before the per-doc sum, so the ranking is
+    * integer-exact across engines (the tfidf lesson); the oracle replays
+    * tokenize → dl/tf/df/stats → score → top-20 in SQL with structurally
+    * identical floating-point expressions.
+    */
+  val bm25Search = Q(
+    "x_bm25_search",
+    (s, d) =>
+      QualityLM.bm25TopK(Tables.documents(s, d), "doc_id", "text",
+        terms = Seq("hash", "join", "stream"), topK = 20),
+    Some("""WITH toks AS (
+              SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+              FROM documents),
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+            stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+            tf AS (
+              SELECT doc_id, tok, count(*) AS tf FROM toks
+              WHERE tok IN ('hash', 'join', 'stream') GROUP BY 1, 2),
+            dfreq AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+            ts AS (
+              SELECT tf.doc_id,
+                CAST(floor(
+                  ln((stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0) *
+                  (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0)) /
+                  (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / stats.avgdl)) *
+                  1e6 + 0.5) AS BIGINT) AS sq
+              FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+                      JOIN dfreq ON tf.tok = dfreq.tok, stats)
+            SELECT doc_id, CAST(sum(sq) AS BIGINT) AS score
+            FROM ts GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 20""")
+  )
+
   /** [[graft.functions.ClusterOps.keepBestInClusters]] — fuzzy dedup with
     * the Dolma/RedPajama representative policy: within each duplicate
     * cluster keep the argmax-by-quality doc (here n_chars; ties by id), not
@@ -1832,7 +1866,7 @@ object Extensions {
     piiRedact, mixSources, decontaminate, curationPipeline, selectTopQuantile, domainCap,
     streamSetSimilarity, trendingTopK, dedupIncrementalStream, neardupFilter, c4LineClean, dedupSpans,
     gopherQuality, dedupSpansIncremental,
-    qualityPerplexity, dsirWeights, semDedup, tfidfKeywords, embeddingQuantize,
+    qualityPerplexity, dsirWeights, semDedup, tfidfKeywords, embeddingQuantize, bm25Search,
     annBruteForce, annLsh, annIvf, annInt8,
     multimodalMeta, multimodalFrames
   )

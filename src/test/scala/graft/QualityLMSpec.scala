@@ -114,6 +114,48 @@ class QualityLMSpec extends AnyFunSuite {
     }
   }
 
+  test("bm25TopK: closed-form score, tf saturation, rare-term boost") {
+    import graft.functions.QualityLM
+    // dl: d1=3, d2=2, d3=4 → N=3, avgdl=3.0. Term "x": df=2 (d1, d2).
+    val docs = Seq(
+      (1L, "x x y"),
+      (2L, "x z"),
+      (3L, "z z z z")
+    ).toDF("id", "text")
+    val r = QualityLM.bm25TopK(docs, "id", "text", Seq("x"), topK = 10)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r.keySet == Set(1L, 2L), "only docs containing the term score")
+    def score(tf: Long, dl: Long): Long = {
+      val idf = math.log((3.0 - 2.0 + 0.5) / (2.0 + 0.5) + 1.0)
+      math.floor(idf * (tf.toDouble * (1.2 + 1.0)) /
+        (tf.toDouble + 1.2 * (0.25 + 0.75 * dl.toDouble / 3.0)) * 1e6 + 0.5).toLong
+    }
+    assert(r(1L) == score(2, 3), s"closed-form mismatch: ${r(1L)} vs ${score(2, 3)}")
+    assert(r(2L) == score(1, 2))
+    assert(r(1L) > r(2L), "tf=2 in a near-average doc must outrank tf=1")
+    // Rare-term boost: "y" (df=1) at tf=1/dl=3 must outscore "x" (df=2) at
+    // the same tf and dl — idf is the only differing factor.
+    val r2 = QualityLM.bm25TopK(docs, "id", "text", Seq("y"), topK = 10)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r2.keySet == Set(1L))
+    assert(r2(1L) > score(1, 3), "df=1 term must outscore a df=2 term at equal tf/dl")
+  }
+
+  test("bm25TopK: registry config returns topK docs, descending, all containing a term") {
+    import graft.functions.QualityLM
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val r = QualityLM.bm25TopK(docs, "doc_id", "text", Seq("hash", "join", "stream"), topK = 20)
+      .collect()
+    assert(r.length == 20)
+    val scores = r.map(_.getLong(1))
+    assert(scores.sameElements(scores.sortBy(-_)), "rows must come back rank-ordered")
+    val ids = r.map(_.getLong(0)).toSet
+    val withTerm = docs
+      .filter(col("text").contains("hash") || col("text").contains("join") || col("text").contains("stream"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.subsetOf(withTerm), "every hit must contain a query term")
+  }
+
   test("int8TopK: closed-form ranking, self-exclusion, quantized scores exact") {
     import graft.functions.AnnSearch
     // Query (1,0); corpus: exact match (excluded by id), cos 0.8 vector, orthogonal.
