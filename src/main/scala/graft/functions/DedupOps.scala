@@ -258,6 +258,73 @@ object DedupOps {
         (col("__total") - coalesce(col("__k"), lit(0L))).as("n_removed"))
   }
 
+  /** Token-level EXACT-SUBSTRING dedup — Lee et al.'s ExactSubstr rule
+    * ("Deduplicating Training Data Makes Language Models Better", ACL
+    * 2022): any `spanTokens`-consecutive-token window occurring more than
+    * once in the corpus keeps only its globally first occurrence (min
+    * (doc_id, token_idx)); every token covered by another occurrence is
+    * removed and documents are rebuilt from their surviving tokens. The
+    * token-granularity sibling of [[dedupSpans]] (C4's line rule) — same
+    * global first-occurrence aggregation, duplicated-occurrence join, and
+    * anti-join rebuild, driven by the positional codegen'd
+    * `token_span_hashes` kernel.
+    *
+    * The paper's suffix array finds variable-length duplicated substrings
+    * ≥ 50 tokens; fixed-k windows with covered-token union remove exactly
+    * the tokens of every duplicated run of length ≥ k (a run of length
+    * L ≥ k is covered by its L−k+1 windows), which is the standard
+    * distributed reformulation — no corpus-wide suffix array to build or
+    * shard, just one hash-partitioned aggregation. Same scale shape as
+    * [[dedupSpans]]: span explode map-side, only duplicated spans flow into
+    * the occurrence join, AQE skew-join absorbs hot boilerplate spans.
+    *
+    * Returns one row per input doc: (idCol, clean, n_kept, n_removed),
+    * counts in TOKENS.
+    */
+  def dedupTokenSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      spanTokens: Int = 20
+  ): DataFrame = {
+    val base = docs.select(col(idCol).cast("long").as("__id"), col(textCol).as("__t"))
+    val spans = base.select(col("__id"),
+      posexplode(NativeFns.token_span_hashes(col("__t"), spanTokens)).as(Seq("__idx", "__h")))
+    val dupFirst = spans.groupBy("__h")
+      .agg(min(struct(col("__id"), col("__idx"))).as("__first"), count(lit(1)).as("__n"))
+      .filter(col("__n") > 1)
+      .select(col("__h"), col("__first"))
+    val removed = spans.join(dupFirst, "__h")
+      .filter(struct(col("__id"), col("__idx")) =!= col("__first"))
+      .select(col("__id"),
+        explode(sequence(col("__idx"), col("__idx") + lit(spanTokens - 1))).as("__p"))
+      .distinct()
+    rebuildWithoutTokens(base, removed, idCol)
+  }
+
+  /** Rebuild documents minus a token-position removal set — the
+    * token-granularity sibling of [[rebuildWithoutLines]]. `split(" ", -1)`
+    * (keep empties) matches the `token_span_hashes` kernel's positional
+    * tokenization exactly.
+    */
+  private def rebuildWithoutTokens(base: DataFrame, removed: DataFrame, idCol: String): DataFrame = {
+    val toks = base.select(col("__id"),
+      posexplode(split(col("__t"), " ", -1)).as(Seq("__p", "__w")))
+    val rebuilt = toks.join(removed, Seq("__id", "__p"), "left_anti")
+      .groupBy("__id")
+      .agg(
+        array_join(array_sort(collect_list(struct(col("__p"), col("__w"))))
+          .getField("__w"), " ").as("clean"),
+        count(lit(1)).as("__k"))
+    base.select(col("__id"), size(split(col("__t"), " ", -1)).as("__total"))
+      .join(rebuilt, Seq("__id"), "left")
+      .select(
+        col("__id").as(idCol),
+        coalesce(col("clean"), lit("")).as("clean"),
+        coalesce(col("__k"), lit(0L)).as("n_kept"),
+        (col("__total") - coalesce(col("__k"), lit(0L))).as("n_removed"))
+  }
+
   /** INCREMENTAL span dedup — the ingestion-time face of [[dedupSpans]]:
     * every span of an arriving batch that ALREADY EXISTS anywhere in a
     * static corpus loses its lines (the corpus copy is the first occurrence

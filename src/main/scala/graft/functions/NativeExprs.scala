@@ -271,6 +271,37 @@ object VecMath {
     new GenericArrayData(out)
   }
 
+  /** Positional k-token window hashes — the token-granularity sibling of
+    * [[lineSpanHashes]]: element i is the order-sensitive chained xxhash of
+    * tokens i..i+k−1. Splits on single spaces KEEPING empties
+    * (`split(" ", -1)`) so window positions line up exactly with a rebuild
+    * via `posexplode(split(text, " ", -1))`. Texts shorter than k tokens
+    * yield no windows (they cannot host a ≥k-token duplicated run).
+    */
+  def tokenSpanHashes(text: org.apache.spark.unsafe.types.UTF8String, k: Int): ArrayData = {
+    val toks = text.toString.split(" ", -1)
+    if (toks.length < k) return new GenericArrayData(Array.emptyLongArray)
+    val th = new Array[Long](toks.length)
+    var i  = 0
+    while (i < toks.length) {
+      val b = toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      th(i) = XXH64.hashUnsafeBytes(b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+        b.length, 0x9ae16a3b2f90404fL)
+      i += 1
+    }
+    val m   = toks.length - k + 1
+    val out = new Array[Long](m)
+    i = 0
+    while (i < m) {
+      var h = 0x517cc1b727220a95L
+      var j = i
+      while (j < i + k) { h = XXH64.hashLong(th(j), h); j += 1 }
+      out(i) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Exact integer dot product of two int8-quantized vectors stored as
     * array<bigint> (the [[graft.functions.AnnSearch.quantizeInt8Vec]]
     * layout). 64 products of |q| ≤ 127 sum to ≤ ~10⁶ — nowhere near long
@@ -334,6 +365,21 @@ case class CosineSimExpr(left: Expression, right: Expression) extends BinaryExpr
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecMath.cosineFF($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimExpr =
     copy(left = l, right = r)
+}
+
+/** token_span_hashes(string, k) → positional array<bigint>, codegen'd
+  * (see [[VecMath.tokenSpanHashes]]).
+  */
+case class TokenSpanHashesExpr(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"token_span_hashes expects string, got ${child.dataType.simpleString}")
+  override protected def nullSafeEval(input: Any): Any =
+    VecMath.tokenSpanHashes(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecMath.tokenSpanHashes($c, $k)")
+  override protected def withNewChildInternal(c: Expression): TokenSpanHashesExpr = copy(child = c)
 }
 
 /** int8_dot(array<bigint>, array<bigint>) → bigint, codegen'd — exact
@@ -881,4 +927,6 @@ object NativeFns {
     ColumnBridge.column(CosinePairsExpr(ColumnBridge.expression(items), threshold))
   def int8_dot(a: Column, b: Column): Column =
     ColumnBridge.column(Int8DotExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def token_span_hashes(text: Column, k: Int): Column =
+    ColumnBridge.column(TokenSpanHashesExpr(ColumnBridge.expression(text), k))
 }

@@ -1479,6 +1479,70 @@ object Extensions {
             ORDER BY p.doc_id""")
   )
 
+  /** Token-level exact-substring dedup ([[graft.functions.DedupOps
+    * .dedupTokenSpans]] — Lee et al. ACL 2022's ExactSubstr rule as fixed-k
+    * windows): every duplicated 10-token window loses all but its globally
+    * first occurrence. A 12-token boilerplate tail is planted on a quarter
+    * of the docs (duplicated hundreds of times — the hot-span regime) on
+    * top of whatever duplication the corpus carries organically (exact-dup
+    * docs empty out wholesale). Row-level oracle: DuckDB replays the window
+    * strings, global first-occurrence ranking, covered-token union, and
+    * rebuild.
+    */
+  val dedupTokenSpans = Q(
+    "x_dedup_token_spans",
+    (s, d) => {
+      val page = Tables.documents(s, d)
+        .selectExpr("doc_id",
+          """concat(text,
+               CASE WHEN doc_id % 4 = 1
+                 THEN ' subscribe to our newsletter today for updates and exclusive offers now'
+                 ELSE '' END) AS page""")
+      DedupOps.dedupTokenSpans(page, "doc_id", "page", spanTokens = 10)
+        .select(col("doc_id"), col("clean"),
+          col("n_kept").cast("long").as("n_kept"),
+          col("n_removed").cast("long").as("n_removed"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH pg AS (
+              SELECT doc_id,
+                text || CASE WHEN doc_id % 4 = 1
+                  THEN ' subscribe to our newsletter today for updates and exclusive offers now'
+                  ELSE '' END AS page
+              FROM documents),
+            t AS (SELECT doc_id, string_split(page, ' ') AS ws FROM pg),
+            sp AS (
+              SELECT doc_id, unnest(range(0, greatest(len(ws) - 9, 0))) AS i, ws
+              FROM t),
+            spans AS (
+              SELECT doc_id, i, array_to_string(ws[i+1 : i+10], ' ') AS span FROM sp),
+            marked AS (
+              SELECT doc_id, i,
+                row_number() OVER (PARTITION BY span ORDER BY doc_id, i) AS rn,
+                count(*) OVER (PARTITION BY span) AS n
+              FROM spans),
+            removed AS (
+              SELECT DISTINCT doc_id, unnest(range(i, i + 10)) AS p
+              FROM marked WHERE n > 1 AND rn > 1),
+            tok AS (
+              SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) - 1 AS p
+              FROM t),
+            kept AS (
+              SELECT tok.doc_id, tok.p, tok.w FROM tok
+              WHERE NOT EXISTS (SELECT 1 FROM removed r
+                                WHERE r.doc_id = tok.doc_id AND r.p = tok.p)),
+            rebuilt AS (
+              SELECT doc_id, array_to_string(list(w ORDER BY p), ' ') AS clean,
+                count(*) AS k
+              FROM kept GROUP BY doc_id)
+            SELECT g.doc_id,
+              COALESCE(r.clean, '') AS clean,
+              CAST(COALESCE(r.k, 0) AS BIGINT) AS n_kept,
+              CAST(len(string_split(g.page, ' ')) - COALESCE(r.k, 0) AS BIGINT) AS n_removed
+            FROM pg g LEFT JOIN rebuilt r ON r.doc_id = g.doc_id
+            ORDER BY g.doc_id""")
+  )
+
   /** Multimodal metadata extraction over the binary payload column (column
     * path — no decode).
     */
@@ -1865,7 +1929,7 @@ object Extensions {
     dedupContainment, dedupClusters, dedupKeepBest, contaminationScan, dedupIncremental,
     piiRedact, mixSources, decontaminate, curationPipeline, selectTopQuantile, domainCap,
     streamSetSimilarity, trendingTopK, dedupIncrementalStream, neardupFilter, c4LineClean, dedupSpans,
-    gopherQuality, dedupSpansIncremental,
+    gopherQuality, dedupSpansIncremental, dedupTokenSpans,
     qualityPerplexity, dsirWeights, semDedup, tfidfKeywords, embeddingQuantize, bm25Search,
     annBruteForce, annLsh, annIvf, annInt8,
     multimodalMeta, multimodalFrames

@@ -145,6 +145,41 @@ class OperatorSpec extends AnyFunSuite {
     assert(got(3L) == (("", 0L, 3L)))
   }
 
+  test("dedupTokenSpans: duplicated token runs lose all but first occurrence") {
+    import spark.implicits._
+    import graft.functions.DedupOps
+    // A 4-token boilerplate run duplicated across docs at spanTokens=3: a
+    // run of length 4 is covered by its 2 windows in every later occurrence.
+    val boiler = "subscribe to newsletter now"
+    val docs = Seq(
+      (1L, "alpha beta gamma " + boiler),        // first occurrence — keeps all
+      (2L, "delta epsilon " + boiler + " zeta"), // loses the 4 boiler tokens only
+      (3L, "one two"),                           // < 3 tokens — no windows, untouched
+      (4L, boiler)                               // nothing but the duplicated run — emptied
+    ).toDF("doc_id", "text")
+    val got = DedupOps.dedupTokenSpans(docs, "doc_id", "text", spanTokens = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == (("alpha beta gamma " + boiler, 7L, 0L)))
+    assert(got(2L) == (("delta epsilon zeta", 3L, 4L)),
+      "only the duplicated run's tokens go; unique neighbors survive")
+    assert(got(3L) == (("one two", 2L, 0L)))
+    assert(got(4L) == (("", 0L, 4L)))
+  }
+
+  test("token_span_hashes is positional: index = starting token, equal windows collide") {
+    import spark.implicits._
+    val r = Seq("a b c d a b c").toDF("t")
+      .select(graft.functions.NativeFns.token_span_hashes(col("t"), 3).as("h"))
+      .head().getSeq[Long](0)
+    assert(r.length == 5) // 7 tokens -> 5 windows
+    assert(r(0) == r(4), "window (a,b,c) at tokens 0 and 4 must hash equal")
+    assert(r.distinct.length == 4, "the other four windows are distinct")
+    val e = Seq("only two").toDF("t")
+      .select(graft.functions.NativeFns.token_span_hashes(col("t"), 3).as("h"))
+      .head().getSeq[Long](0)
+    assert(e.isEmpty, "fewer tokens than the window width -> no windows")
+  }
+
   test("line_span_hashes is positional: index = starting line, equal spans collide") {
     import spark.implicits._
     val r = Seq("a.\nb.\nc.\nd.\na.\nb.\nc.").toDF("t")
