@@ -348,6 +348,42 @@ object Extensions {
     Some(exactJaccardOracle(3))
   )
 
+  /** Cross-corpus MinHash near-dup ([[graft.functions.DedupOps
+    * .minhashNearDupsAgainstCorpus]] — "dedupe the new crawl against the
+    * existing corpus"): odd doc_ids are the arriving batch, even the static
+    * corpus. Same oracle-validity argument as [[dedupMinhash]] (exact
+    * all-pairs Jaccard across the split; LSH detection probability at the
+    * qualifying pairs' J is ~1 with the fixed seeds).
+    */
+  val dedupMinhashIncremental = Q(
+    "x_dedup_minhash_incremental",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      DedupOps
+        .minhashNearDupsAgainstCorpus(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text", shingleN = 3, k = 64, bands = 8, threshold = 0.8)
+        .orderBy("batch_id", "corpus_id")
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS t FROM documents),
+            sh AS (
+              SELECT doc_id,
+                CASE WHEN len(t) >= 3
+                  THEN list_distinct(list_transform(range(1, len(t) - 1),
+                         i -> array_to_string(t[i:i+2], ' ')))
+                  ELSE [array_to_string(t, ' ')] END AS s
+              FROM toks)
+            SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+              CAST(len(list_intersect(b.s, c.s)) AS DOUBLE)
+                / (len(b.s) + len(c.s) - len(list_intersect(b.s, c.s))) AS jaccard
+            FROM sh b JOIN sh c ON b.doc_id % 2 = 1 AND c.doc_id % 2 = 0
+            WHERE CAST(len(list_intersect(b.s, c.s)) AS DOUBLE)
+                / (len(b.s) + len(c.s) - len(list_intersect(b.s, c.s))) >= 0.8
+            ORDER BY batch_id, corpus_id""")
+  )
+
   /** SimHash fingerprints (near-dup = small Hamming distance). */
   val dedupSimhash = Q(
     "x_dedup_simhash",
@@ -1543,6 +1579,72 @@ object Extensions {
             ORDER BY g.doc_id""")
   )
 
+  /** Incremental token-span dedup ([[graft.functions.DedupOps
+    * .dedupTokenSpansAgainstCorpus]]) — batch windows already present
+    * anywhere in the static corpus lose their tokens, via the corpus-side
+    * Bloom bitset + exact verify. Even doc_ids = corpus, odd = batch; a
+    * 12-token boilerplate planted on doc_id%3==0 puts hot spans on BOTH
+    * sides of the split.
+    */
+  val dedupTokenSpansIncremental = Q(
+    "x_dedup_token_spans_incremental",
+    (s, d) => {
+      val page = Tables.documents(s, d)
+        .selectExpr("doc_id",
+          """concat(text,
+               CASE WHEN doc_id % 3 = 0
+                 THEN ' subscribe to our newsletter today for updates and exclusive offers now'
+                 ELSE '' END) AS page""")
+      DedupOps
+        .dedupTokenSpansAgainstCorpus(
+          page.filter(col("doc_id") % 2 === 0),
+          page.filter(col("doc_id") % 2 === 1),
+          "doc_id", "page", spanTokens = 10)
+        .select(col("doc_id"), col("clean"),
+          col("n_kept").cast("long").as("n_kept"),
+          col("n_removed").cast("long").as("n_removed"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH pg AS (
+              SELECT doc_id,
+                text || CASE WHEN doc_id % 3 = 0
+                  THEN ' subscribe to our newsletter today for updates and exclusive offers now'
+                  ELSE '' END AS page
+              FROM documents),
+            t AS (SELECT doc_id, string_split(page, ' ') AS ws FROM pg),
+            bsp AS (
+              SELECT doc_id, unnest(range(0, greatest(len(ws) - 9, 0))) AS i, ws
+              FROM t WHERE doc_id % 2 = 1),
+            bspans AS (
+              SELECT doc_id, i, array_to_string(ws[i+1 : i+10], ' ') AS span FROM bsp),
+            csp AS (
+              SELECT unnest(range(0, greatest(len(ws) - 9, 0))) AS i, ws
+              FROM t WHERE doc_id % 2 = 0),
+            cspans AS (
+              SELECT DISTINCT array_to_string(ws[i+1 : i+10], ' ') AS span FROM csp),
+            removed AS (
+              SELECT DISTINCT b.doc_id, unnest(range(b.i, b.i + 10)) AS p
+              FROM bspans b JOIN cspans c ON b.span = c.span),
+            tok AS (
+              SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) - 1 AS p
+              FROM t WHERE doc_id % 2 = 1),
+            kept AS (
+              SELECT tok.doc_id, tok.p, tok.w FROM tok
+              WHERE NOT EXISTS (SELECT 1 FROM removed r
+                                WHERE r.doc_id = tok.doc_id AND r.p = tok.p)),
+            rebuilt AS (
+              SELECT doc_id, array_to_string(list(w ORDER BY p), ' ') AS clean,
+                count(*) AS k
+              FROM kept GROUP BY doc_id)
+            SELECT g.doc_id,
+              COALESCE(r.clean, '') AS clean,
+              CAST(COALESCE(r.k, 0) AS BIGINT) AS n_kept,
+              CAST(len(string_split(g.page, ' ')) - COALESCE(r.k, 0) AS BIGINT) AS n_removed
+            FROM pg g LEFT JOIN rebuilt r ON r.doc_id = g.doc_id
+            WHERE g.doc_id % 2 = 1
+            ORDER BY g.doc_id""")
+  )
+
   /** Multimodal metadata extraction over the binary payload column (column
     * path — no decode).
     */
@@ -1926,10 +2028,10 @@ object Extensions {
     heavyHitters, ngramFreq, quantiles, textRepetition, splitTrainTest, sampleStratified,
     packSequences,
     dedupExact, dedupMinhash, dedupSimhash, dedupNgram, dedupEmbedding, dedupEmbeddingNearDup,
-    dedupContainment, dedupClusters, dedupKeepBest, contaminationScan, dedupIncremental,
+    dedupContainment, dedupClusters, dedupKeepBest, dedupMinhashIncremental, contaminationScan, dedupIncremental,
     piiRedact, mixSources, decontaminate, curationPipeline, selectTopQuantile, domainCap,
     streamSetSimilarity, trendingTopK, dedupIncrementalStream, neardupFilter, c4LineClean, dedupSpans,
-    gopherQuality, dedupSpansIncremental, dedupTokenSpans,
+    gopherQuality, dedupSpansIncremental, dedupTokenSpans, dedupTokenSpansIncremental,
     qualityPerplexity, dsirWeights, semDedup, tfidfKeywords, embeddingQuantize, bm25Search,
     annBruteForce, annLsh, annIvf, annInt8,
     multimodalMeta, multimodalFrames

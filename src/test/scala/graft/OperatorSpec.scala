@@ -166,6 +166,47 @@ class OperatorSpec extends AnyFunSuite {
     assert(got(4L) == (("", 0L, 4L)))
   }
 
+  test("dedupTokenSpansAgainstCorpus: corpus-seen runs removed, fresh kept, verify beats fpp") {
+    import spark.implicits._
+    import graft.functions.DedupOps
+    val shared = "shared boiler one two"
+    val corpus = Seq((100L, "corpus filler words here " + shared)).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "fresh opening words " + shared),        // loses the 4 shared tokens
+      (2L, "all original content nothing shared"),  // untouched
+      (3L, shared)                                  // emptied
+    ).toDF("doc_id", "text")
+    val got = DedupOps
+      .dedupTokenSpansAgainstCorpus(corpus, batch, "doc_id", "text", spanTokens = 3, fpp = 0.5)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == (("fresh opening words", 3L, 4L)))
+    assert(got(2L) == (("all original content nothing shared", 5L, 0L)),
+      "fpp=0.5 floods the probe; exact verify must keep fresh text whole")
+    assert(got(3L) == (("", 0L, 4L)))
+  }
+
+  test("minhashNearDupsAgainstCorpus: planted cross near-dup found, within-side pairs absent") {
+    import spark.implicits._
+    import graft.functions.DedupOps
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val corpus = Seq(
+      (100L, base + " alpha"),
+      (101L, "totally different corpus text with nothing shared at all here")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, base + " beta"),   // near-dup of corpus 100
+      (2L, base + " gamma"),  // ALSO near-dup of corpus 100 (and of batch 1 — must NOT pair)
+      (3L, "unrelated batch text entirely its own words throughout")
+    ).toDF("doc_id", "text")
+    val got = DedupOps
+      .minhashNearDupsAgainstCorpus(corpus, batch, "doc_id", "text",
+        shingleN = 3, k = 64, bands = 16, threshold = 0.7)
+      .select("batch_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 100L), (2L, 100L)),
+      s"cross pairs only — batch-batch and corpus-corpus must not appear: $got")
+  }
+
   test("token_span_hashes is positional: index = starting token, equal windows collide") {
     import spark.implicits._
     val r = Seq("a b c d a b c").toDF("t")
