@@ -294,11 +294,15 @@ object DedupOps {
       .agg(min(struct(col("__id"), col("__idx"))).as("__first"), count(lit(1)).as("__n"))
       .filter(col("__n") > 1)
       .select(col("__h"), col("__first"))
-    val removed = spans.join(dupFirst, "__h")
+    // shuffle_hash: the dup-hash side is far past the broadcast threshold at
+    // corpus scale but hash-buildable per partition — an SMJ here sorts the
+    // full span frame (measured: the sort dominated the stage). No distinct:
+    // overlapping windows' duplicate positions collapse in the rebuild
+    // kernel's position set, so the extra corpus-sized shuffle buys nothing.
+    val removed = spans.join(dupFirst.hint("shuffle_hash"), "__h")
       .filter(struct(col("__id"), col("__idx")) =!= col("__first"))
       .select(col("__id"),
         explode(sequence(col("__idx"), col("__idx") + lit(spanTokens - 1))).as("__p"))
-      .distinct()
     rebuildWithoutTokens(base, removed, idCol)
   }
 
@@ -316,17 +320,19 @@ object DedupOps {
     * `token_span_hashes` kernel's positional tokenization exactly.
     */
   private def rebuildWithoutTokens(base: DataFrame, removed: DataFrame, idCol: String): DataFrame = {
+    // collect_set: map-side partial dedup of overlapping-window positions —
+    // the removal sliver shuffles once, doc-keyed, already deduplicated.
     val remArr = removed.groupBy("__id")
-      .agg(collect_list(col("__p").cast("int")).as("__rm"))
-    val toksArr = split(col("__t"), " ", -1)
-    val keptPos = array_except(sequence(lit(0), size(toksArr) - 1), col("__rm"))
+      .agg(collect_set(col("__p").cast("int")).as("__rm"))
     base.join(remArr, Seq("__id"), "left")
-      .withColumn("__rm", coalesce(col("__rm"), array().cast("array<int>")))
+      .select(col("__id"),
+        NativeFns.remove_token_positions(
+          col("__t"), coalesce(col("__rm"), array().cast("array<int>"))).as("__r"))
       .select(
         col("__id").as(idCol),
-        array_join(transform(keptPos, p => element_at(toksArr, p + 1)), " ").as("clean"),
-        size(keptPos).cast("long").as("n_kept"),
-        (size(toksArr) - size(keptPos)).cast("long").as("n_removed"))
+        col("__r").getField("clean").as("clean"),
+        col("__r").getField("n_kept").as("n_kept"),
+        col("__r").getField("n_removed").as("n_removed"))
   }
 
   /** INCREMENTAL span dedup — the ingestion-time face of [[dedupSpans]]:
@@ -406,7 +412,6 @@ object DedupOps {
       val removed = spans.join(dupHashes, Seq("__h"), "left_semi")
         .select(col("__id"),
           explode(sequence(col("__idx"), col("__idx") + lit(spanTokens - 1))).as("__p"))
-        .distinct()
       rebuildWithoutTokens(base, removed, idCol).localCheckpoint(eager = true)
     } finally ck.unpersist()
   }

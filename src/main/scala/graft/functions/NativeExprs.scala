@@ -302,6 +302,42 @@ object VecMath {
     new GenericArrayData(out)
   }
 
+  /** One-pass positional token removal: drop the tokens of `text` (split on
+    * single spaces, empties kept) whose positions appear in `rm`; returns
+    * (clean, n_kept, n_removed). Duplicate / out-of-range positions are
+    * ignored via the hash set, so callers can feed raw overlapping-window
+    * position lists without a distinct. This replaces a
+    * `transform(keptPos, p -> element_at(split(text), p+1))` projection
+    * whose interpreted lambda RE-SPLIT the text per element — O(L²) per
+    * document, measured ~6× the whole operator's cost at the 500k-doc
+    * point; the kernel is one O(L) pass.
+    */
+  def removeTokenPositions(text: org.apache.spark.unsafe.types.UTF8String, rm: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val toks = text.toString.split(" ", -1)
+    val rmSet = new java.util.HashSet[Int]()
+    var i = 0
+    while (i < rm.numElements()) {
+      val p = rm.getInt(i)
+      if (p >= 0 && p < toks.length) rmSet.add(p)
+      i += 1
+    }
+    val sb = new java.lang.StringBuilder()
+    var kept = 0
+    i = 0
+    while (i < toks.length) {
+      if (!rmSet.contains(i)) {
+        if (kept > 0) sb.append(' ')
+        sb.append(toks(i))
+        kept += 1
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString),
+      kept.toLong,
+      (toks.length - kept).toLong)
+  }
+
   /** Exact integer dot product of two int8-quantized vectors stored as
     * array<bigint> (the [[graft.functions.AnnSearch.quantizeInt8Vec]]
     * layout). 64 products of |q| ≤ 127 sum to ≤ ~10⁶ — nowhere near long
@@ -380,6 +416,28 @@ case class TokenSpanHashesExpr(child: Expression, k: Int) extends UnaryExpressio
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.VecMath.tokenSpanHashes($c, $k)")
   override protected def withNewChildInternal(c: Expression): TokenSpanHashesExpr = copy(child = c)
+}
+
+/** remove_token_positions(string, array<int>) →
+  * struct<clean string, n_kept bigint, n_removed bigint>, codegen'd (see
+  * [[VecMath.removeTokenPositions]]).
+  */
+case class RemoveTokenPositionsExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("clean", StringType, nullable = false),
+    StructField("n_kept", LongType, nullable = false),
+    StructField("n_removed", LongType, nullable = false)))
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(s"remove_token_positions expects string, got ${left.dataType.simpleString}")
+    else NativeExprs.requireArrayOf(right, IntegerType, "remove_token_positions")
+  override protected def nullSafeEval(t: Any, r: Any): Any =
+    VecMath.removeTokenPositions(
+      t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], r.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, r) => s"graft.functions.VecMath.removeTokenPositions($t, $r)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): RemoveTokenPositionsExpr =
+    copy(left = l, right = r)
 }
 
 /** int8_dot(array<bigint>, array<bigint>) → bigint, codegen'd — exact
@@ -929,4 +987,6 @@ object NativeFns {
     ColumnBridge.column(Int8DotExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def token_span_hashes(text: Column, k: Int): Column =
     ColumnBridge.column(TokenSpanHashesExpr(ColumnBridge.expression(text), k))
+  def remove_token_positions(text: Column, rm: Column): Column =
+    ColumnBridge.column(RemoveTokenPositionsExpr(ColumnBridge.expression(text), ColumnBridge.expression(rm)))
 }

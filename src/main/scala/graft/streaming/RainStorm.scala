@@ -270,6 +270,51 @@ object RainStorm {
     */
   final case class SeenFingerprints(fps: List[Long])
 
+  /** Admitted-count state of [[domainQuotaStream]] — one long per domain. */
+  final case class DomainQuota(admitted: Long)
+
+  /** Streaming per-domain quota — ingestion-time admission control, the
+    * streaming face of [[graft.functions.Curation.capPerDomain]]: admit at
+    * most `cap` docs per domain over the WHOLE stream, the admitted count
+    * carried in per-domain state (one long — total state is
+    * |domains| longs regardless of stream length). Within a micro-batch a
+    * domain's rows are ranked by the same salted-md5 priority (ties: id) as
+    * the batch operator, so a single-batch stream admits EXACTLY the batch
+    * operator's picks (spec-pinned); across batches the quota drains
+    * monotonically — arrival order decides between batches, priority order
+    * within one.
+    */
+  def domainQuotaStream(
+      spark: SparkSession,
+      docs: Dataset[(Long, String)], // (doc_id, domain)
+      cap: Int,
+      salt: String
+  ): Dataset[(Long, String)] = {
+    import spark.implicits._
+    docs
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[DomainQuota, (Long, String)](
+        OutputMode.Append(),
+        GroupStateTimeout.NoTimeout
+      ) { (_, rows, state) =>
+        val used      = state.getOption.map(_.admitted).getOrElse(0L)
+        val remaining = math.max(0L, cap.toLong - used).toInt
+        val picked = rows.toSeq
+          .sortBy { case (id, _) => (md5Hex(s"$id:$salt"), id) }
+          .take(remaining)
+        state.update(DomainQuota(used + picked.size))
+        picked.iterator
+      }
+  }
+
+  /** Lowercase hex md5 of a UTF-8 string — byte-identical to SQL `md5()`,
+    * so the stream's priority order matches the batch operator's exactly.
+    */
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
+
   /** The per-bucket greedy first-wins scan both near-dup-filter faces share:
     * rows in ascending id order, a row passes iff no KEPT fingerprint of the
     * bucket lies within `maxHamming`; only kept fingerprints enter the seen

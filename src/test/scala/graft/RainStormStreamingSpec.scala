@@ -294,6 +294,42 @@ class RainStormStreamingSpec extends AnyFunSuite {
     assert(streamed == batchWordCount(src))
   }
 
+  test("domainQuotaStream: one batch == capPerDomain picks; quota carries across batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = (0L until 60L).map(i => (i, s"dom${i % 2}"))
+
+    def run(name: String, batches: Seq[Seq[(Long, String)]]): Seq[Set[Long]] = {
+      val in = MemoryStream[(Long, String)]
+      val q = graft.streaming.RainStorm.domainQuotaStream(spark, in.toDS(), cap = 10, salt = "q42")
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      val snaps = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+      try {
+        batches.foreach { b =>
+          in.addData(b.toIndexedSeq: _*); q.processAllAvailable()
+          snaps += spark.table(name).select(col("_1")).collect().map(_.getLong(0)).toSet
+        }
+      } finally q.stop()
+      snaps.toSeq
+    }
+
+    val batchPicks = graft.functions.Curation.capPerDomain(
+      rows.toDF("doc_id", "source"), "doc_id", "source", cap = 10, salt = "q42")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val single = run("quota_single", Seq(rows))
+    assert(single.last == batchPicks,
+      "a one-batch stream must admit exactly the batch operator's picks (same priority order)")
+
+    val Seq(after1, after2) = run("quota_two", Seq(rows.take(12), rows.drop(12)))
+    assert(after1.size == 12, "an under-quota first batch admits everything")
+    val perDomain = after2.groupBy(_ % 2).view.mapValues(_.size).toMap
+    assert(perDomain == Map(0L -> 10, 1L -> 10),
+      s"the quota must cap each domain at 10 across batches: $perDomain")
+    assert(after1.subsetOf(after2), "append mode: earlier admissions never retract")
+  }
+
   test("RainStorm CLI dokill flag: kill + recover mid-run, output still exactly-once") {
     import graft.streaming.RainStormCli
     assert(RainStormCli.parse("RainStorm split value count word /s /d 4 dokill").dokill)
