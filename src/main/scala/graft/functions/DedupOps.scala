@@ -227,35 +227,34 @@ object DedupOps {
       .agg(min(struct(col("__id"), col("__idx"))).as("__first"), count(lit(1)).as("__n"))
       .filter(col("__n") > 1)
       .select(col("__h"), col("__first"))
-    val removed = spans.join(dupFirst, "__h")
+    // Same shape fixes as [[dedupTokenSpans]]: hash-join past the sort, no
+    // distinct (the rebuild kernel's position set absorbs overlap dups).
+    val removed = spans.join(dupFirst.hint("shuffle_hash"), "__h")
       .filter(struct(col("__id"), col("__idx")) =!= col("__first"))
       .select(col("__id"),
         explode(sequence(col("__idx"), col("__idx") + lit(spanLines - 1))).as("__line"))
-      .distinct()
     rebuildWithoutLines(base, removed, idCol)
   }
 
   /** Rebuild documents minus a removal set: `base` is (__id, __t), `removed`
-    * is (__id, __line) line indices to drop. Keyed anti-join + one
-    * groupBy(doc); docs that lose every line come back with clean = "".
-    * Shared tail of [[dedupSpans]] and [[dedupSpansAgainstCorpus]].
+    * is (__id, __line) line indices to drop — the line face of
+    * [[rebuildWithoutTokens]], sharing the one-pass `remove_positions`
+    * kernel (sep = "\n"). Only docs that actually lost lines aggregate and
+    * join back; everything else is a map-side projection. Shared tail of
+    * [[dedupSpans]] and [[dedupSpansAgainstCorpus]].
     */
   private def rebuildWithoutLines(base: DataFrame, removed: DataFrame, idCol: String): DataFrame = {
-    val lines = base.select(col("__id"),
-      posexplode(split(col("__t"), "\n")).as(Seq("__line", "__l")))
-    val rebuilt = lines.join(removed, Seq("__id", "__line"), "left_anti")
-      .groupBy("__id")
-      .agg(
-        array_join(array_sort(collect_list(struct(col("__line"), col("__l"))))
-          .getField("__l"), "\n").as("clean"),
-        count(lit(1)).as("__k"))
-    base.select(col("__id"), size(split(col("__t"), "\n")).as("__total"))
-      .join(rebuilt, Seq("__id"), "left")
+    val remArr = removed.groupBy("__id")
+      .agg(collect_set(col("__line").cast("int")).as("__rm"))
+    base.join(remArr, Seq("__id"), "left")
+      .select(col("__id"),
+        NativeFns.remove_positions(
+          col("__t"), coalesce(col("__rm"), array().cast("array<int>")), "\n").as("__r"))
       .select(
         col("__id").as(idCol),
-        coalesce(col("clean"), lit("")).as("clean"),
-        coalesce(col("__k"), lit(0L)).as("n_kept"),
-        (col("__total") - coalesce(col("__k"), lit(0L))).as("n_removed"))
+        col("__r").getField("clean").as("clean"),
+        col("__r").getField("n_kept").as("n_kept"),
+        col("__r").getField("n_removed").as("n_removed"))
   }
 
   /** Token-level EXACT-SUBSTRING dedup — Lee et al.'s ExactSubstr rule
@@ -326,8 +325,8 @@ object DedupOps {
       .agg(collect_set(col("__p").cast("int")).as("__rm"))
     base.join(remArr, Seq("__id"), "left")
       .select(col("__id"),
-        NativeFns.remove_token_positions(
-          col("__t"), coalesce(col("__rm"), array().cast("array<int>"))).as("__r"))
+        NativeFns.remove_positions(
+          col("__t"), coalesce(col("__rm"), array().cast("array<int>")), " ").as("__r"))
       .select(
         col("__id").as(idCol),
         col("__r").getField("clean").as("clean"),
@@ -374,7 +373,6 @@ object DedupOps {
       val removed = spans.join(dupHashes, Seq("__h"), "left_semi")
         .select(col("__id"),
           explode(sequence(col("__idx"), col("__idx") + lit(spanLines - 1))).as("__line"))
-        .distinct()
       rebuildWithoutLines(base, removed, idCol).localCheckpoint(eager = true)
     } finally ck.unpersist()
   }

@@ -302,18 +302,19 @@ object VecMath {
     new GenericArrayData(out)
   }
 
-  /** One-pass positional token removal: drop the tokens of `text` (split on
-    * single spaces, empties kept) whose positions appear in `rm`; returns
+  /** One-pass positional segment removal: drop the segments of `text`
+    * (split on `sep`, empties kept) whose positions appear in `rm`; returns
     * (clean, n_kept, n_removed). Duplicate / out-of-range positions are
     * ignored via the hash set, so callers can feed raw overlapping-window
     * position lists without a distinct. This replaces a
     * `transform(keptPos, p -> element_at(split(text), p+1))` projection
     * whose interpreted lambda RE-SPLIT the text per element — O(L²) per
     * document, measured ~6× the whole operator's cost at the 500k-doc
-    * point; the kernel is one O(L) pass.
+    * point; the kernel is one O(L) pass. `sep = " "` is the token face,
+    * `sep = "\n"` the line face.
     */
-  def removeTokenPositions(text: org.apache.spark.unsafe.types.UTF8String, rm: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
-    val toks = text.toString.split(" ", -1)
+  def removePositions(text: org.apache.spark.unsafe.types.UTF8String, rm: ArrayData, sep: String): org.apache.spark.sql.catalyst.InternalRow = {
+    val toks = text.toString.split(java.util.regex.Pattern.quote(sep), -1)
     val rmSet = new java.util.HashSet[Int]()
     var i = 0
     while (i < rm.numElements()) {
@@ -326,7 +327,7 @@ object VecMath {
     i = 0
     while (i < toks.length) {
       if (!rmSet.contains(i)) {
-        if (kept > 0) sb.append(' ')
+        if (kept > 0) sb.append(sep)
         sb.append(toks(i))
         kept += 1
       }
@@ -418,25 +419,27 @@ case class TokenSpanHashesExpr(child: Expression, k: Int) extends UnaryExpressio
   override protected def withNewChildInternal(c: Expression): TokenSpanHashesExpr = copy(child = c)
 }
 
-/** remove_token_positions(string, array<int>) →
+/** remove_positions(string, array<int>, sep) →
   * struct<clean string, n_kept bigint, n_removed bigint>, codegen'd (see
-  * [[VecMath.removeTokenPositions]]).
+  * [[VecMath.removePositions]]).
   */
-case class RemoveTokenPositionsExpr(left: Expression, right: Expression) extends BinaryExpression {
+case class RemovePositionsExpr(left: Expression, right: Expression, sep: String) extends BinaryExpression {
   override def dataType: DataType = StructType(Seq(
     StructField("clean", StringType, nullable = false),
     StructField("n_kept", LongType, nullable = false),
     StructField("n_removed", LongType, nullable = false)))
   override def checkInputDataTypes(): TypeCheckResult =
     if (left.dataType != StringType)
-      TypeCheckResult.TypeCheckFailure(s"remove_token_positions expects string, got ${left.dataType.simpleString}")
-    else NativeExprs.requireArrayOf(right, IntegerType, "remove_token_positions")
+      TypeCheckResult.TypeCheckFailure(s"remove_positions expects string, got ${left.dataType.simpleString}")
+    else NativeExprs.requireArrayOf(right, IntegerType, "remove_positions")
   override protected def nullSafeEval(t: Any, r: Any): Any =
-    VecMath.removeTokenPositions(
-      t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], r.asInstanceOf[ArrayData])
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (t, r) => s"graft.functions.VecMath.removeTokenPositions($t, $r)")
-  override protected def withNewChildrenInternal(l: Expression, r: Expression): RemoveTokenPositionsExpr =
+    VecMath.removePositions(
+      t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], r.asInstanceOf[ArrayData], sep)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sepRef = ctx.addReferenceObj("sep", sep, "java.lang.String")
+    defineCodeGen(ctx, ev, (t, r) => s"graft.functions.VecMath.removePositions($t, $r, $sepRef)")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): RemovePositionsExpr =
     copy(left = l, right = r)
 }
 
@@ -987,6 +990,6 @@ object NativeFns {
     ColumnBridge.column(Int8DotExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def token_span_hashes(text: Column, k: Int): Column =
     ColumnBridge.column(TokenSpanHashesExpr(ColumnBridge.expression(text), k))
-  def remove_token_positions(text: Column, rm: Column): Column =
-    ColumnBridge.column(RemoveTokenPositionsExpr(ColumnBridge.expression(text), ColumnBridge.expression(rm)))
+  def remove_positions(text: Column, rm: Column, sep: String): Column =
+    ColumnBridge.column(RemovePositionsExpr(ColumnBridge.expression(text), ColumnBridge.expression(rm), sep))
 }
