@@ -1645,6 +1645,88 @@ object Extensions {
             ORDER BY g.doc_id""")
   )
 
+  /** Second composed curation pipeline — the ROUND-7 operators chained in
+    * one plan, each stage consuming the previous stage's DataFrame:
+    * ExactSubstr token-span dedup → post-dedup length gate → exact top-50%
+    * selection by surviving-token count (histogram threshold) → per-domain
+    * cap (salted-md5 priority) → deterministic weighted mixing. Row-level
+    * oracle: every stage replayed as SQL CTEs (window strings + first-
+    * occurrence ranking, gate, histogram/threshold/boundary tie-break,
+    * md5-priority cap, md5 mix decision).
+    */
+  val curationPipeline2 = Q(
+    "x_curation_pipeline2",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val deduped = DedupOps.dedupTokenSpans(docs, "doc_id", "text", spanTokens = 10)
+        .select(col("doc_id"), col("n_kept"))
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      val gated = deduped.filter(col("n_kept") >= 30)
+      val selected = Curation.selectTopFraction(gated, "doc_id", "n_kept", fraction = 0.5)
+      val capped = Curation.capPerDomain(selected, "doc_id", "source", cap = 15, salt = "p2cap")
+      val srcK = substring(col("source"), 4, 10).cast("int")
+      val rate = (pmod(srcK, lit(4)).cast("double") + 1.0) * 0.25
+      Curation
+        .sampleMixture(capped, "doc_id", rate, "p2mix")
+        .select(col("doc_id"), col("source"), col("n_kept"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            sp AS (
+              SELECT doc_id, unnest(range(0, greatest(len(ws) - 9, 0))) AS i, ws FROM t),
+            spans AS (
+              SELECT doc_id, i, array_to_string(ws[i+1 : i+10], ' ') AS span FROM sp),
+            marked AS (
+              SELECT doc_id, i,
+                row_number() OVER (PARTITION BY span ORDER BY doc_id, i) AS rn,
+                count(*) OVER (PARTITION BY span) AS n
+              FROM spans),
+            removed AS (
+              SELECT DISTINCT doc_id, unnest(range(i, i + 10)) AS p
+              FROM marked WHERE n > 1 AND rn > 1),
+            nk AS (
+              SELECT t.doc_id,
+                CAST(len(t.ws) - (SELECT count(*) FROM removed r WHERE r.doc_id = t.doc_id) AS BIGINT) AS n_kept
+              FROM t),
+            gated AS (
+              SELECT nk.doc_id, nk.n_kept, d.source FROM nk
+              JOIN documents d ON d.doc_id = nk.doc_id
+              WHERE nk.n_kept >= 30),
+            h AS (SELECT n_kept AS s, count(*) AS c FROM gated GROUP BY 1),
+            cum AS (
+              SELECT s, c,
+                sum(c) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM h),
+            k AS (SELECT CAST(ceil(0.5 * sum(c)) AS BIGINT) AS k FROM h),
+            thr AS (
+              SELECT s AS t, k.k - (cum - c) AS take
+              FROM cum, k WHERE cum >= k.k ORDER BY s DESC LIMIT 1),
+            selected AS (
+              SELECT g.doc_id, g.n_kept, g.source FROM gated g, thr WHERE g.n_kept > thr.t
+              UNION ALL
+              SELECT doc_id, n_kept, source FROM (
+                SELECT g.doc_id, g.n_kept, g.source,
+                  row_number() OVER (ORDER BY g.doc_id) AS rn, thr.take AS take
+                FROM gated g, thr WHERE g.n_kept = thr.t)
+              WHERE rn <= take),
+            capped AS (
+              SELECT doc_id, n_kept, source FROM (
+                SELECT doc_id, n_kept, source,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY md5(CAST(doc_id AS VARCHAR) || ':p2cap'), doc_id) AS rn
+                FROM selected)
+              WHERE rn <= 15),
+            mixed AS (
+              SELECT doc_id, source, n_kept,
+                (CAST(substr(source, 4) AS INT) % 4 + 1) * 0.25 AS rate
+              FROM capped)
+            SELECT doc_id, source, n_kept FROM mixed
+            WHERE rate >= 1.0
+               OR substr(md5(CAST(doc_id AS VARCHAR) || ':p2mix'), 1, 4)
+                    < printf('%04x', CAST(rate * 65536 AS INT))
+            ORDER BY doc_id""")
+  )
+
   /** Multimodal metadata extraction over the binary payload column (column
     * path — no decode).
     */
@@ -2029,7 +2111,7 @@ object Extensions {
     packSequences,
     dedupExact, dedupMinhash, dedupSimhash, dedupNgram, dedupEmbedding, dedupEmbeddingNearDup,
     dedupContainment, dedupClusters, dedupKeepBest, dedupMinhashIncremental, contaminationScan, dedupIncremental,
-    piiRedact, mixSources, decontaminate, curationPipeline, selectTopQuantile, domainCap,
+    piiRedact, mixSources, decontaminate, curationPipeline, curationPipeline2, selectTopQuantile, domainCap,
     streamSetSimilarity, trendingTopK, dedupIncrementalStream, neardupFilter, c4LineClean, dedupSpans,
     gopherQuality, dedupSpansIncremental, dedupTokenSpans, dedupTokenSpansIncremental,
     qualityPerplexity, dsirWeights, semDedup, tfidfKeywords, embeddingQuantize, bm25Search,
