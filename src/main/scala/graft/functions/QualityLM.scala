@@ -191,6 +191,41 @@ object QualityLM {
       .limit(topK)
   }
 
+  /** Vocabulary-coverage curve — the tokenizer-sizing audit a pipeline runs
+    * before committing to a vocab size: for each rank cutoff V, what
+    * fraction of all token OCCURRENCES do the top-V token types cover
+    * (equivalently, 1 − OOV rate at vocab size V)? Returns one row per
+    * cutoff present in the vocabulary: (v, coverage_ppm, n_types,
+    * n_tokens), coverage in parts-per-million by INTEGER division — no
+    * doubles anywhere, so the result is bit-exact across engines.
+    *
+    * Shape at scale: one corpus-keyed aggregation (token → count,
+    * Heaps-law rows); the rank/cumulative windows and the scalar totals run
+    * over that model-sized frame, never the corpus.
+    */
+  def vocabCoverage(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      cutoffs: Seq[Int] = Seq(10, 100, 1000)
+  ): DataFrame = {
+    val tf = tokens(docs, idCol, textCol).groupBy("tok").agg(count(lit(1)).as("__c"))
+    val ow = org.apache.spark.sql.expressions.Window.orderBy(col("__c").desc, col("tok"))
+    val ranked = tf
+      .withColumn("__r", row_number().over(ow))
+      .withColumn("__cum", sum(col("__c")).over(
+        ow.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    val tot = tf.agg(sum(col("__c")).as("__total"), count(lit(1)).as("__types"))
+    ranked
+      .filter(col("__r").isin(cutoffs: _*))
+      .join(broadcast(tot))
+      .selectExpr(
+        "CAST(__r AS BIGINT) AS v",
+        "CAST((__cum * 1000000) DIV __total AS BIGINT) AS coverage_ppm",
+        "CAST(__types AS BIGINT) AS n_types",
+        "CAST(__total AS BIGINT) AS n_tokens")
+  }
+
   /** DSIR importance weight per raw document: features are bigrams hashed
     * into 16^`hexChars` buckets (bucket = first `hexChars` hex chars of
     * md5(bigram) — engine-portable, no seed), distributions are Lidstone-

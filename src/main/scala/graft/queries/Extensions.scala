@@ -662,6 +662,35 @@ object Extensions {
             FROM ts GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 20""")
   )
 
+  /** Vocabulary-coverage curve ([[graft.functions.QualityLM
+    * .vocabCoverage]]): coverage of the top-{10,100,1000} token types in
+    * parts-per-million by INTEGER division — bit-exact cross-engine, no
+    * doubles. One corpus aggregation; everything after runs on the
+    * Heaps-law type frame.
+    */
+  val vocabCoverage = Q(
+    "x_vocab_coverage",
+    (s, d) =>
+      QualityLM.vocabCoverage(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("v"),
+    Some("""WITH toks AS (
+              SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+              FROM documents),
+            tf AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
+            ranked AS (
+              SELECT tok, c,
+                row_number() OVER (ORDER BY c DESC, tok) AS r,
+                sum(c) OVER (ORDER BY c DESC, tok
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM tf),
+            tot AS (SELECT sum(c) AS total, count(*) AS types FROM tf)
+            SELECT CAST(r AS BIGINT) AS v,
+              CAST((cum * 1000000) // total AS BIGINT) AS coverage_ppm,
+              CAST(types AS BIGINT) AS n_types,
+              CAST(total AS BIGINT) AS n_tokens
+            FROM ranked, tot WHERE r IN (10, 100, 1000) ORDER BY v""")
+  )
+
   /** [[graft.functions.ClusterOps.keepBestInClusters]] — fuzzy dedup with
     * the Dolma/RedPajama representative policy: within each duplicate
     * cluster keep the argmax-by-quality doc (here n_chars; ties by id), not
@@ -2114,7 +2143,7 @@ object Extensions {
     piiRedact, mixSources, decontaminate, curationPipeline, curationPipeline2, selectTopQuantile, domainCap,
     streamSetSimilarity, trendingTopK, dedupIncrementalStream, neardupFilter, c4LineClean, dedupSpans,
     gopherQuality, dedupSpansIncremental, dedupTokenSpans, dedupTokenSpansIncremental,
-    qualityPerplexity, dsirWeights, semDedup, tfidfKeywords, embeddingQuantize, bm25Search,
+    qualityPerplexity, dsirWeights, semDedup, tfidfKeywords, embeddingQuantize, bm25Search, vocabCoverage,
     annBruteForce, annLsh, annIvf, annInt8,
     multimodalMeta, multimodalFrames
   )

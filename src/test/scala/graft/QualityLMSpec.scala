@@ -156,6 +156,23 @@ class QualityLMSpec extends AnyFunSuite {
     assert(ids.subsetOf(withTerm), "every hit must contain a query term")
   }
 
+  test("vocabCoverage: closed-form ppm, monotone curve, cutoffs beyond vocab absent") {
+    import graft.functions.QualityLM
+    // Counts: a=5, b=3, c=1, d=1 → total 10, types 4.
+    val docs = Seq(
+      (1L, "a a a b b"),
+      (2L, "a a b c"),
+      (3L, "d")
+    ).toDF("id", "text")
+    val r = QualityLM.vocabCoverage(docs, "id", "text", cutoffs = Seq(1, 2, 3, 100))
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    assert(r.keySet == Set(1L, 2L, 3L), "cutoff 100 exceeds the 4-type vocab and must be absent")
+    assert(r(1L) == ((500000L, 4L, 10L)), s"top-1 'a' covers 5/10 exactly: ${r(1L)}")
+    assert(r(2L)._1 == 800000L, "top-2 adds b: 8/10")
+    // rank 3 is the tie (c, d) broken by token order: c first -> 9/10.
+    assert(r(3L)._1 == 900000L)
+  }
+
   test("int8TopK: closed-form ranking, self-exclusion, quantized scores exact") {
     import graft.functions.AnnSearch
     // Query (1,0); corpus: exact match (excluded by id), cos 0.8 vector, orthogonal.
