@@ -662,6 +662,42 @@ object Extensions {
             FROM ts GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 20""")
   )
 
+  /** Per-source corpus report card — the summary every curation run emits
+    * before/after each stage: per source (plus the ROLLUP total row), doc
+    * count, mean tokens and chars, and the short-doc rate. All means are
+    * ppm by INTEGER division over integer sums — order-independent and
+    * bit-exact cross-engine (a double `avg` here would hash-diverge on
+    * partial-aggregation order). Token counts ride the one-pass
+    * `token_counts` kernel; the whole query is one rollup aggregation.
+    */
+  val qualityBySource = Q(
+    "x_quality_by_source",
+    (s, d) => {
+      val tok = graft.functions.NativeFns.token_counts(col("text"), Nil).getField("n_tokens")
+      Tables.documents(s, d)
+        .select(col("source"), tok.as("__t"), col("n_chars"))
+        .rollup(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          expr("CAST((sum(__t) * 1000000) DIV count(1) AS BIGINT)").as("mean_tokens_ppm"),
+          expr("CAST((sum(n_chars) * 1000000) DIV count(1) AS BIGINT)").as("mean_chars_ppm"),
+          expr("CAST((sum(CASE WHEN __t < 50 THEN 1 ELSE 0 END) * 1000000) DIV count(1) AS BIGINT)")
+            .as("short_rate_ppm"))
+        .orderBy(col("source").asc_nulls_first)
+    },
+    Some("""WITH t AS (
+              SELECT source,
+                len(list_filter(string_split(text, ' '), x -> x <> '')) AS tok,
+                n_chars
+              FROM documents)
+            SELECT source, count(*) AS n_docs,
+              CAST((sum(tok) * 1000000) // count(*) AS BIGINT) AS mean_tokens_ppm,
+              CAST((sum(n_chars) * 1000000) // count(*) AS BIGINT) AS mean_chars_ppm,
+              CAST((sum(CASE WHEN tok < 50 THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT) AS short_rate_ppm
+            FROM t GROUP BY ROLLUP(source)
+            ORDER BY source NULLS FIRST""")
+  )
+
   /** Vocabulary-coverage curve ([[graft.functions.QualityLM
     * .vocabCoverage]]): coverage of the top-{10,100,1000} token types in
     * parts-per-million by INTEGER division — bit-exact cross-engine, no
@@ -2143,7 +2179,7 @@ object Extensions {
     piiRedact, mixSources, decontaminate, curationPipeline, curationPipeline2, selectTopQuantile, domainCap,
     streamSetSimilarity, trendingTopK, dedupIncrementalStream, neardupFilter, c4LineClean, dedupSpans,
     gopherQuality, dedupSpansIncremental, dedupTokenSpans, dedupTokenSpansIncremental,
-    qualityPerplexity, dsirWeights, semDedup, tfidfKeywords, embeddingQuantize, bm25Search, vocabCoverage,
+    qualityPerplexity, dsirWeights, semDedup, tfidfKeywords, embeddingQuantize, bm25Search, vocabCoverage, qualityBySource,
     annBruteForce, annLsh, annIvf, annInt8,
     multimodalMeta, multimodalFrames
   )
