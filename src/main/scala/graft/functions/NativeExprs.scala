@@ -339,6 +339,32 @@ object VecMath {
       (toks.length - kept).toLong)
   }
 
+  /** Within-document duplicate-line removal (the CCNet per-document cleanup:
+    * drop every repeat of a line already seen in the SAME doc, keeping first
+    * occurrences in order). One pass, one hash set per row; returns
+    * (clean, n_kept, n_removed). Corpus-level dedup is [[DedupOps]]'
+    * business — this is the map-side, shuffle-free, per-row face.
+    */
+  def dedupLines(text: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val lines = text.toString.split("\n", -1)
+    val seen  = new java.util.HashSet[String]()
+    val sb    = new java.lang.StringBuilder()
+    var kept  = 0
+    var i     = 0
+    while (i < lines.length) {
+      if (seen.add(lines(i))) {
+        if (kept > 0) sb.append('\n')
+        sb.append(lines(i))
+        kept += 1
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString),
+      kept.toLong,
+      (lines.length - kept).toLong)
+  }
+
   /** Exact integer dot product of two int8-quantized vectors stored as
     * array<bigint> (the [[graft.functions.AnnSearch.quantizeInt8Vec]]
     * layout). 64 products of |q| ≤ 127 sum to ≤ ~10⁶ — nowhere near long
@@ -417,6 +443,24 @@ case class TokenSpanHashesExpr(child: Expression, k: Int) extends UnaryExpressio
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.VecMath.tokenSpanHashes($c, $k)")
   override protected def withNewChildInternal(c: Expression): TokenSpanHashesExpr = copy(child = c)
+}
+
+/** dedup_lines(string) → struct<clean string, n_kept bigint,
+  * n_removed bigint>, codegen'd (see [[VecMath.dedupLines]]).
+  */
+case class DedupLinesExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("clean", StringType, nullable = false),
+    StructField("n_kept", LongType, nullable = false),
+    StructField("n_removed", LongType, nullable = false)))
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"dedup_lines expects string, got ${child.dataType.simpleString}")
+  override protected def nullSafeEval(input: Any): Any =
+    VecMath.dedupLines(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecMath.dedupLines($c)")
+  override protected def withNewChildInternal(c: Expression): DedupLinesExpr = copy(child = c)
 }
 
 /** remove_positions(string, array<int>, sep) →
@@ -992,4 +1036,6 @@ object NativeFns {
     ColumnBridge.column(TokenSpanHashesExpr(ColumnBridge.expression(text), k))
   def remove_positions(text: Column, rm: Column, sep: String): Column =
     ColumnBridge.column(RemovePositionsExpr(ColumnBridge.expression(text), ColumnBridge.expression(rm), sep))
+  def dedup_lines(text: Column): Column =
+    ColumnBridge.column(DedupLinesExpr(ColumnBridge.expression(text)))
 }

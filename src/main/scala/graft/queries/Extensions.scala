@@ -1644,6 +1644,64 @@ object Extensions {
             ORDER BY g.doc_id""")
   )
 
+  /** Within-document duplicate-line removal (`dedup_lines` kernel — the
+    * CCNet per-document cleanup, distinct from the corpus-level span rules:
+    * every repeat of a line inside the SAME doc drops, first occurrences
+    * keep their order). Pure map-side projection — no shuffle at any
+    * corpus size. Pages synthesized with planted within-doc repeats on a
+    * doc_id slice, replayed row-level in SQL.
+    */
+  val dedupLinesWithin = Q(
+    "x_dedup_lines_within",
+    (s, d) => {
+      val page = Tables.documents(s, d)
+        .selectExpr("doc_id", "split(text, ' ') AS ws")
+        .selectExpr("doc_id",
+          """concat(
+               array_join(transform(sequence(0, int((size(ws) + 7) div 8) - 1),
+                 i -> concat(array_join(slice(ws, int(i*8+1), 8), ' '), '.')), '\n'),
+               CASE WHEN doc_id % 6 = 2
+                 THEN repeat('\nrepeat this exact line now.', 6)
+                 ELSE '' END) AS page""")
+      page
+        .select(col("doc_id"), graft.functions.NativeFns.dedup_lines(col("page")).as("__r"))
+        .select(col("doc_id"),
+          col("__r").getField("clean").as("clean"),
+          col("__r").getField("n_kept").as("n_kept"),
+          col("__r").getField("n_removed").as("n_removed"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH w AS (
+              SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            pg AS (
+              SELECT doc_id,
+                array_to_string(list_transform(range(0, (len(ws) + 7) // 8),
+                  i -> array_to_string(ws[i*8+1 : i*8+8], ' ') || '.'), chr(10))
+                || CASE WHEN doc_id % 6 = 2
+                     THEN repeat(chr(10) || 'repeat this exact line now.', 6)
+                     ELSE '' END AS page
+              FROM w),
+            ls AS (SELECT doc_id, string_split(page, chr(10)) AS lines FROM pg),
+            ln AS (
+              SELECT doc_id, unnest(lines) AS l,
+                generate_subscripts(lines, 1) - 1 AS i
+              FROM ls),
+            first AS (
+              SELECT doc_id, l, i,
+                row_number() OVER (PARTITION BY doc_id, l ORDER BY i) AS rn
+              FROM ln),
+            kept AS (SELECT doc_id, i, l FROM first WHERE rn = 1),
+            rebuilt AS (
+              SELECT doc_id, array_to_string(list(l ORDER BY i), chr(10)) AS clean,
+                count(*) AS k
+              FROM kept GROUP BY doc_id)
+            SELECT p.doc_id, r.clean,
+              CAST(r.k AS BIGINT) AS n_kept,
+              CAST(len(string_split(p.page, chr(10))) - r.k AS BIGINT) AS n_removed
+            FROM pg p JOIN rebuilt r USING (doc_id)
+            ORDER BY p.doc_id""")
+  )
+
   /** Incremental token-span dedup ([[graft.functions.DedupOps
     * .dedupTokenSpansAgainstCorpus]]) — batch windows already present
     * anywhere in the static corpus lose their tokens, via the corpus-side
@@ -2178,7 +2236,7 @@ object Extensions {
     dedupContainment, dedupClusters, dedupKeepBest, dedupMinhashIncremental, contaminationScan, dedupIncremental,
     piiRedact, mixSources, decontaminate, curationPipeline, curationPipeline2, selectTopQuantile, domainCap,
     streamSetSimilarity, trendingTopK, dedupIncrementalStream, neardupFilter, c4LineClean, dedupSpans,
-    gopherQuality, dedupSpansIncremental, dedupTokenSpans, dedupTokenSpansIncremental,
+    gopherQuality, dedupSpansIncremental, dedupTokenSpans, dedupTokenSpansIncremental, dedupLinesWithin,
     qualityPerplexity, dsirWeights, semDedup, tfidfKeywords, embeddingQuantize, bm25Search, vocabCoverage, qualityBySource,
     annBruteForce, annLsh, annIvf, annInt8,
     multimodalMeta, multimodalFrames

@@ -207,6 +207,18 @@ class OperatorSpec extends AnyFunSuite {
       s"cross pairs only — batch-batch and corpus-corpus must not appear: $got")
   }
 
+  test("dedup_lines: within-doc repeats drop, first occurrences keep order, map-side") {
+    import spark.implicits._
+    val df = Seq("a.\nb.\na.\nc.\nb.", "x.\nx.\nx.", "solo line").toDF("t")
+      .select(graft.functions.NativeFns.dedup_lines(col("t")).as("r"))
+    val got = df.collect().map(r => (r.getStruct(0).getString(0), r.getStruct(0).getLong(1), r.getStruct(0).getLong(2)))
+    assert(got(0) == (("a.\nb.\nc.", 3L, 2L)))
+    assert(got(1) == (("x.", 1L, 2L)))
+    assert(got(2) == (("solo line", 1L, 0L)))
+    assert(!df.queryExecution.executedPlan.toString.contains("Exchange"),
+      "within-doc line dedup must be a pure projection")
+  }
+
   test("token_span_hashes is positional: index = starting token, equal windows collide") {
     import spark.implicits._
     val r = Seq("a b c d a b c").toDF("t")
