@@ -482,6 +482,52 @@ object DedupOps {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Cross-corpus embedding near-dup — "are these new embeddings already in
+    * the index": candidate pairs are (batch vector, corpus vector) sharing
+    * an SRP bucket in any table, verified by exact cosine. The embedding
+    * sibling of [[minhashNearDupsAgainstCorpus]], same shape: skinny
+    * (id, band, bucket) frames join on buckets (batch side capped per
+    * bucket), vectors ride two shuffle-hash-hinted verify joins; the
+    * corpus is never self-joined. For identical/near-identical vectors SRP
+    * recall is ~1 (equal vectors share every bucket). Returns
+    * (batch_id, corpus_id, cos) for pairs ≥ threshold.
+    */
+  def embeddingNearDupsAgainstCorpus(
+      corpus: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      nPlanes: Int = 8,
+      tables: Int = 8,
+      dim: Int = 64,
+      maxBatchPerBucket: Int = 2000
+  ): DataFrame = {
+    val planes: Array[Array[Array[Double]]] =
+      (0 until tables).map(t => AnnSearch.hyperplanes(nPlanes, dim, seed = 42L + t).map(_.toArray).toArray).toArray
+    def banded(df: DataFrame, outId: String): DataFrame =
+      df.select(col(idCol).cast("long").as(outId),
+        posexplode(NativeFns.srp_buckets(col(vecCol), planes)).as(Seq("band", "bucket")))
+    val bw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bucket")).orderBy(col("batch_id"))
+    val b = banded(batch, "batch_id")
+      .withColumn("__rn", row_number().over(bw))
+      .filter(col("__rn") <= maxBatchPerBucket)
+      .drop("__rn")
+    val cands = banded(corpus, "corpus_id")
+      .join(b, Seq("band", "bucket"))
+      .select(col("batch_id"), col("corpus_id"))
+      .distinct()
+    val vb = batch.select(col(idCol).cast("long").as("batch_id"), col(vecCol).as("__vb"))
+    val vc = corpus.select(col(idCol).cast("long").as("corpus_id"), col(vecCol).as("__vc"))
+    cands
+      .join(vb.hint("shuffle_hash"), "batch_id")
+      .join(vc.hint("shuffle_hash"), "corpus_id")
+      .select(col("batch_id"), col("corpus_id"),
+        NativeFns.cosine_sim(col("__vb"), col("__vc")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** SimHash near-dup candidates: fingerprint + 4-way band partition of the 64
     * bits; equal band ⇒ candidate; verified by Hamming distance ≤ maxHamming.
     *

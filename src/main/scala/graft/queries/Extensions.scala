@@ -464,6 +464,41 @@ object Extensions {
     * there. Output is id-only — cosine values stay out of the hash compare
     * so float association order can never flip a bit.
     */
+  /** Cross-corpus embedding near-dup ([[graft.functions.DedupOps
+    * .embeddingNearDupsAgainstCorpus]] — "are these new embeddings already
+    * in the index"). Even vec_ids are the corpus; odd the batch, with every
+    * vec_id ≡ 1 (mod 10) REPLACED by its even neighbor's vector — planted
+    * exact copies whose SRP recall is exactly 1 (identical vectors share
+    * every bucket) and whose cosine sits at 1.0, far from the threshold, so
+    * the exact all-pairs oracle is boundary-safe and live (50 pairs at
+    * sf0.001).
+    */
+  val dedupEmbeddingIncremental = Q(
+    "x_dedup_embedding_incremental",
+    (s, d) => {
+      val embs   = Tables.embeddings(s, d)
+      val corpus = embs.filter(col("vec_id") % 2 === 0)
+      val batch = embs.filter(col("vec_id") % 2 === 1)
+        .join(corpus.select(col("vec_id").as("__src"), col("embedding").as("__e")),
+          col("vec_id") - 1 === col("__src"), "left")
+        .select(col("vec_id"),
+          when(col("vec_id") % 10 === 1, col("__e")).otherwise(col("embedding")).as("embedding"))
+      DedupOps
+        .embeddingNearDupsAgainstCorpus(corpus, batch, "vec_id", "embedding", threshold = 0.9)
+        .select(col("batch_id"), col("corpus_id"))
+        .orderBy("batch_id", "corpus_id")
+    },
+    Some("""WITH c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
+            b AS (
+              SELECT o.vec_id,
+                CASE WHEN o.vec_id % 10 = 1 THEN s.embedding ELSE o.embedding END AS embedding
+              FROM embeddings o LEFT JOIN c s ON s.vec_id = o.vec_id - 1
+              WHERE o.vec_id % 2 = 1)
+            SELECT b.vec_id AS batch_id, c.vec_id AS corpus_id
+            FROM b JOIN c ON list_cosine_similarity(b.embedding, c.embedding) >= 0.9
+            ORDER BY batch_id, corpus_id""")
+  )
+
   val dedupEmbeddingNearDup = Q(
     "x_dedup_embedding_neardup",
     (s, d) =>
@@ -2233,7 +2268,7 @@ object Extensions {
     heavyHitters, ngramFreq, quantiles, textRepetition, splitTrainTest, sampleStratified,
     packSequences,
     dedupExact, dedupMinhash, dedupSimhash, dedupNgram, dedupEmbedding, dedupEmbeddingNearDup,
-    dedupContainment, dedupClusters, dedupKeepBest, dedupMinhashIncremental, contaminationScan, dedupIncremental,
+    dedupContainment, dedupClusters, dedupKeepBest, dedupMinhashIncremental, dedupEmbeddingIncremental, contaminationScan, dedupIncremental,
     piiRedact, mixSources, decontaminate, curationPipeline, curationPipeline2, selectTopQuantile, domainCap,
     streamSetSimilarity, trendingTopK, dedupIncrementalStream, neardupFilter, c4LineClean, dedupSpans,
     gopherQuality, dedupSpansIncremental, dedupTokenSpans, dedupTokenSpansIncremental, dedupLinesWithin,

@@ -93,4 +93,22 @@ class EmbeddingNearDupSpec extends AnyFunSuite {
     val expected = (for { a <- 0L until 5L; b <- (a + 1) until 5L } yield (a, b)).toSet + ((100L, 101L))
     assert(pairs == expected, s"got $pairs")
   }
+
+  test("embeddingNearDupsAgainstCorpus: planted cross pairs found, within-side pairs absent") {
+    import spark.implicits._
+    val rng  = new scala.util.Random(11)
+    val base = Array.fill(64)(rng.nextGaussian().toFloat)
+    val corpus = (Seq(100L -> base) ++
+      (101L to 120L).map(i => i -> Array.fill(64)(rng.nextGaussian().toFloat))).toDF("id", "vec")
+    val near = base.zipWithIndex.map { case (v, i) => if (i == 0) v + 0.01f else v }
+    val batch = (Seq(1L -> near, 2L -> base) ++ // 2 is an exact copy of corpus 100
+      (3L to 10L).map(i => i -> Array.fill(64)(rng.nextGaussian().toFloat))).toDF("id", "vec")
+    val got = DedupOps
+      .embeddingNearDupsAgainstCorpus(corpus, batch, "id", "vec", threshold = 0.9)
+      .select("batch_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 100L)) && got.contains((2L, 100L)),
+      s"planted near-copy and exact copy must pair with corpus 100: $got")
+    assert(got.forall(_._2 == 100L), s"random vectors must not pair: $got")
+  }
 }
