@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, HyperLogLogPlusPlus}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import graft.functions.{C4LineCleanExpr, CosineSimExpr, DeflateRatioExpr, IdPairsExpr, LangIdExpr, MinHashSigExpr, RollingHashExpr, SimHash64Expr, TextAnalysis, WordShinglesExpr}
+import graft.functions.{C4LineCleanExpr, CosineSimExpr, DeflateRatioExpr, IdPairsExpr, LangIdExpr, MinHashSigExpr, RepetitionSignalsExpr, RollingHashExpr, SimHash64Expr, TextAnalysis, WordShinglesExpr}
 
 /** Opt-in approximation mode (the BlinkDB-style interactive-exploration
   * lever): when `spark.graft.approx.countDistinct=true`, every exact
@@ -121,6 +121,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
        info("c4_line_clean", "c4_line_clean(str[, min_words]) - C4 line-level cleaning: struct<clean, n_kept, n_dropped>"),
        (args: Seq[Expression]) =>
          C4LineCleanExpr(args.head, if (args.length > 1) intArg(args(1), "c4_line_clean min_words") else 3))
+    )
+    ext.injectFunction(
+      (FunctionIdentifier("repetition_signals"),
+       info("repetition_signals", "repetition_signals(str) - Gopher repetition diagnostics (ppm ints) + keep flag"),
+       (args: Seq[Expression]) => RepetitionSignalsExpr(args.head))
     )
     ext.injectOptimizerRule(_ => ApproxCountDistinctRule)
     ext.injectOptimizerRule(_ => ApproxPercentileRule)

@@ -998,6 +998,183 @@ case class DeflateRatioExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): DeflateRatioExpr = copy(child = c)
 }
 
+/** repetition_signals(string) → struct of 11 ppm-quantized repetition
+  * diagnostics + composite keep flag — the repetition half of the
+  * Gopher/MassiveText filter (Rae et al., arXiv:2112.11446, table A1; the
+  * quality half is [[Curation.gopherQuality]]):
+  *
+  *   - duplicate-LINE fraction and duplicate-line CHARACTER fraction (an
+  *     occurrence is "duplicate" when its line value appears ≥2 times in
+  *     the doc — all occurrences of a repeated value count, the paper's
+  *     convention);
+  *   - top word-n-gram character fraction for n = 2, 3, 4 (characters of
+  *     the single most frequent n-gram × its count / total token
+  *     characters; count ties broken by lexicographically smallest n-gram
+  *     so the value is deterministic and engine-portable — tokens here are
+  *     ASCII, where Java UTF-16 order == DuckDB byte order);
+  *   - duplicate word-n-gram character COVERAGE fraction for n = 5..10
+  *     (characters at token positions covered by at least one n-gram
+  *     occurring ≥2 times, each position counted ONCE — the union, not the
+  *     sum, so overlapping windows don't double-count).
+  *
+  * All fractions are ppm BIGINTs by integer division (⌊10⁶·num/den⌋, 0
+  * when the denominator is 0): integer outputs cannot hash-diverge on FP
+  * rounding or summation order across engines. `keep` applies the paper's
+  * thresholds (0.30 / 0.20; 0.20 / 0.18 / 0.16; 0.15 / 0.14 / 0.13 / 0.12
+  * / 0.11 / 0.10). Tokens = text split on space/newline, empties dropped;
+  * lines = split on newline (empties kept) — matching the SQL replay
+  * exactly. One pass per n-gram size over one doc's tokens, bounded
+  * per-row hash maps, pure map-side projection: ZERO shuffle at any
+  * corpus size.
+  */
+case class RepetitionSignalsExpr(child: Expression) extends UnaryExpression {
+  import RepetitionSignalsExpr._
+  override def dataType: DataType = StructType(
+    fieldNames.map(f => StructField(f, LongType, nullable = false)))
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"repetition_signals expects string, got ${child.dataType.simpleString}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  /** Public so generated code can call it. */
+  def compute(text: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val s     = text.toString
+    val out   = new Array[Long](12)
+
+    // Lines: split on \n, empties kept (an all-empty pair of lines IS a
+    // duplicate — same as the SQL replay's string_split).
+    val lines = s.split("\n", -1)
+    val lineCnt = new java.util.HashMap[String, Integer]()
+    var i = 0
+    while (i < lines.length) {
+      inc(lineCnt, lines(i))
+      i += 1
+    }
+    var lineChars = 0L; var dupOcc = 0L; var dupChars = 0L
+    val it = lineCnt.entrySet().iterator()
+    while (it.hasNext) {
+      val e  = it.next()
+      val c  = e.getValue.toLong
+      val ll = e.getKey.length.toLong
+      lineChars += c * ll
+      if (c >= 2) { dupOcc += c; dupChars += c * ll }
+    }
+    out(0) = ppm(dupOcc, lines.length.toLong)
+    out(1) = ppm(dupChars, lineChars)
+
+    // Tokens: split on space OR newline, empties dropped.
+    val rawToks = s.split("[ \n]", -1)
+    var nTok = 0
+    i = 0
+    while (i < rawToks.length) { if (!rawToks(i).isEmpty) nTok += 1; i += 1 }
+    val toks = new Array[String](nTok)
+    var j = 0
+    i = 0
+    while (i < rawToks.length) {
+      if (!rawToks(i).isEmpty) { toks(j) = rawToks(i); j += 1 }
+      i += 1
+    }
+    var tokChars = 0L
+    i = 0
+    while (i < nTok) { tokChars += toks(i).length.toLong; i += 1 }
+
+    // Top n-gram char fraction, n = 2..4. Keys are space-joined (tokens
+    // contain no spaces), so concat-length = key.length - (n-1).
+    var n = 2
+    while (n <= 4) {
+      val cnt = ngramCounts(toks, nTok, n)
+      var bestC = 0
+      var bestK: String = null
+      val e = cnt.entrySet().iterator()
+      while (e.hasNext) {
+        val kv = e.next()
+        val c  = kv.getValue.intValue
+        if (c > bestC || (c == bestC && bestK != null && kv.getKey.compareTo(bestK) < 0)) {
+          bestC = c; bestK = kv.getKey
+        }
+      }
+      val mass = if (bestK == null) 0L else bestC.toLong * (bestK.length - (n - 1)).toLong
+      out(n) = ppm(mass, tokChars)
+      n += 1
+    }
+
+    // Duplicate n-gram coverage fraction, n = 5..10: positions covered by
+    // ≥1 n-gram with count ≥2, each counted once.
+    val covered = new Array[Boolean](nTok)
+    n = 5
+    while (n <= 10) {
+      val cnt = ngramCounts(toks, nTok, n)
+      java.util.Arrays.fill(covered, false)
+      var p = 0
+      while (p + n <= nTok) {
+        if (cnt.get(joinRange(toks, p, n)).intValue >= 2) {
+          var q = p
+          while (q < p + n) { covered(q) = true; q += 1 }
+        }
+        p += 1
+      }
+      var mass = 0L
+      p = 0
+      while (p < nTok) { if (covered(p)) mass += toks(p).length.toLong; p += 1 }
+      out(n) = ppm(mass, tokChars)
+      n += 1
+    }
+
+    out(11) =
+      if (out(0) <= 300000L && out(1) <= 200000L &&
+          out(2) <= 200000L && out(3) <= 180000L && out(4) <= 160000L &&
+          out(5) <= 150000L && out(6) <= 140000L && out(7) <= 130000L &&
+          out(8) <= 120000L && out(9) <= 110000L && out(10) <= 100000L) 1L
+      else 0L
+    org.apache.spark.sql.catalyst.InternalRow(out(0), out(1), out(2), out(3),
+      out(4), out(5), out(6), out(7), out(8), out(9), out(10), out(11))
+  }
+
+  private def inc(m: java.util.HashMap[String, Integer], k: String): Unit = {
+    val v = m.get(k)
+    m.put(k, if (v == null) Integer.valueOf(1) else Integer.valueOf(v.intValue + 1))
+  }
+
+  private def ngramCounts(toks: Array[String], nTok: Int, n: Int): java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    var p = 0
+    while (p + n <= nTok) {
+      inc(m, joinRange(toks, p, n))
+      p += 1
+    }
+    m
+  }
+
+  private def joinRange(toks: Array[String], from: Int, n: Int): String = {
+    val sb = new java.lang.StringBuilder()
+    var q = from
+    while (q < from + n) {
+      if (q > from) sb.append(' ')
+      sb.append(toks(q))
+      q += 1
+    }
+    sb.toString
+  }
+
+  private def ppm(num: Long, den: Long): Long = if (den <= 0L) 0L else num * 1000000L / den
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("repSigExpr", this, classOf[RepetitionSignalsExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+  override protected def withNewChildInternal(c: Expression): RepetitionSignalsExpr = copy(child = c)
+}
+
+object RepetitionSignalsExpr {
+  val fieldNames: Seq[String] = Seq(
+    "dup_line_ppm", "dup_line_char_ppm",
+    "top2_ppm", "top3_ppm", "top4_ppm",
+    "dup5_ppm", "dup6_ppm", "dup7_ppm", "dup8_ppm", "dup9_ppm", "dup10_ppm",
+    "keep")
+}
+
 /** Column API for the native kernels. */
 object NativeFns {
   def cosine_sim(a: Column, b: Column): Column =
@@ -1038,4 +1215,6 @@ object NativeFns {
     ColumnBridge.column(RemovePositionsExpr(ColumnBridge.expression(text), ColumnBridge.expression(rm), sep))
   def dedup_lines(text: Column): Column =
     ColumnBridge.column(DedupLinesExpr(ColumnBridge.expression(text)))
+  def repetition_signals(text: Column): Column =
+    ColumnBridge.column(RepetitionSignalsExpr(ColumnBridge.expression(text)))
 }

@@ -1539,6 +1539,143 @@ object Extensions {
             FROM m ORDER BY doc_id""")
   )
 
+  /** The repetition half of the Gopher filter
+    * ([[graft.functions.RepetitionSignalsExpr]] — Rae et al. 2021 table A1;
+    * [[gopherQuality]] is the quality half): duplicate-line fractions, top
+    * 2/3/4-gram char fractions, duplicate 5..10-gram char COVERAGE
+    * fractions, all ppm integers, plus the composite keep flag. Pages
+    * synthesized as in [[gopherQuality]]; `doc_id % 4` plants one
+    * repetition class per slice, identically in both engines: 0 → the same
+    * footer line 4× (duplicate-line fractions), 1 → a 3-token phrase 30×
+    * (top-n-gram mass), 2 → a 12-token run twice on one line (duplicate
+    * 5..10-gram coverage without duplicate lines), 3 → untouched (the
+    * small test vocabulary keeps organic 2-gram repetition hot). Every
+    * diagnostic is row-level oracled: the full line/n-gram statistics —
+    * including the count-then-lexicographic top-n-gram tie-break and the
+    * covered-position UNION — are replayed in SQL, and the ppm integer
+    * division makes the comparison exact across engines.
+    */
+  val gopherRepetition = Q(
+    "x_gopher_repetition",
+    (s, d) => {
+      val page = Tables.documents(s, d)
+        .selectExpr("doc_id", "split(text, ' ') AS ws")
+        .selectExpr("doc_id",
+          """array_join(transform(sequence(0, int((size(ws) + 7) div 8) - 1),
+               i -> concat(array_join(slice(ws, int(i*8+1), 8), ' '), '.')), '\n') AS p""")
+        .selectExpr("doc_id",
+          """CASE doc_id % 4
+               WHEN 0 THEN concat(p, repeat('\nechoed boilerplate footer line.', 4))
+               WHEN 1 THEN concat(p, repeat(' click here now', 30))
+               WHEN 2 THEN concat(p, '\none two three four five six seven eight nine ten eleven twelve one two three four five six seven eight nine ten eleven twelve')
+               ELSE p END AS page""")
+      val r = graft.functions.NativeFns.repetition_signals(col("page")).as("r")
+      page.select(col("doc_id"), r)
+        .select(col("doc_id") +:
+          graft.functions.RepetitionSignalsExpr.fieldNames.map(f => col(s"r.$f").as(f)): _*)
+        .orderBy("doc_id")
+    },
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            pp AS (
+              SELECT doc_id,
+                array_to_string(list_transform(range(0, (len(ws) + 7) // 8),
+                  i -> array_to_string(ws[i*8+1 : i*8+8], ' ') || '.'), chr(10)) AS p
+              FROM w),
+            pg AS (
+              SELECT doc_id,
+                CASE doc_id % 4
+                  WHEN 0 THEN p || repeat(chr(10) || 'echoed boilerplate footer line.', 4)
+                  WHEN 1 THEN p || repeat(' click here now', 30)
+                  WHEN 2 THEN p || chr(10) || 'one two three four five six seven eight nine ten eleven twelve one two three four five six seven eight nine ten eleven twelve'
+                  ELSE p END AS page
+              FROM pp),
+            t AS (
+              SELECT doc_id, page,
+                list_filter(regexp_split_to_array(page, '[ \n]'), x -> x <> '') AS toks,
+                string_split(page, chr(10)) AS lines
+              FROM pg),
+            lo AS (SELECT doc_id, unnest(lines) AS l FROM t),
+            lc AS (SELECT doc_id, l, count(*) AS c FROM lo GROUP BY doc_id, l),
+            lstat AS (
+              SELECT doc_id, sum(c) AS n_lines, sum(c * length(l)) AS line_chars,
+                sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_occ,
+                sum(CASE WHEN c >= 2 THEN c * length(l) ELSE 0 END) AS dup_chars
+              FROM lc GROUP BY doc_id),
+            tok AS (
+              SELECT doc_id, toks, len(toks) AS ntok,
+                length(array_to_string(toks, '')) AS tokchars
+              FROM t),
+            ng AS (
+              SELECT doc_id, n, i,
+                array_to_string(toks[i+1 : i+n], ' ') AS g,
+                length(array_to_string(toks[i+1 : i+n], '')) AS glen
+              FROM (
+                SELECT doc_id, toks, nn.n AS n,
+                  unnest(range(0, greatest(ntok - nn.n + 1, 0))) AS i
+                FROM tok CROSS JOIN (VALUES (2),(3),(4),(5),(6),(7),(8),(9),(10)) nn(n))),
+            ngc AS (SELECT doc_id, n, g, glen, count(*) AS c FROM ng GROUP BY doc_id, n, g, glen),
+            top AS (
+              SELECT doc_id, n, c * glen AS mass FROM (
+                SELECT doc_id, n, glen, c,
+                  row_number() OVER (PARTITION BY doc_id, n ORDER BY c DESC, g ASC) AS rn
+                FROM ngc WHERE n <= 4)
+              WHERE rn = 1),
+            tp AS (
+              SELECT doc_id,
+                coalesce(max(CASE WHEN n = 2 THEN mass END), 0) AS m2,
+                coalesce(max(CASE WHEN n = 3 THEN mass END), 0) AS m3,
+                coalesce(max(CASE WHEN n = 4 THEN mass END), 0) AS m4
+              FROM top GROUP BY doc_id),
+            cov AS (
+              SELECT DISTINCT doc_id, n, p FROM (
+                SELECT ng.doc_id, ng.n, unnest(range(ng.i, ng.i + ng.n)) AS p
+                FROM ng JOIN ngc ON ngc.doc_id = ng.doc_id AND ngc.n = ng.n AND ngc.g = ng.g
+                WHERE ng.n >= 5 AND ngc.c >= 2)),
+            tl AS (
+              SELECT doc_id, unnest(toks) AS tokv,
+                generate_subscripts(toks, 1) - 1 AS p
+              FROM tok),
+            covm AS (
+              SELECT c.doc_id, c.n, sum(length(tl.tokv)) AS mass
+              FROM cov c JOIN tl ON tl.doc_id = c.doc_id AND tl.p = c.p
+              GROUP BY c.doc_id, c.n),
+            cp AS (
+              SELECT doc_id,
+                coalesce(max(CASE WHEN n = 5 THEN mass END), 0) AS m5,
+                coalesce(max(CASE WHEN n = 6 THEN mass END), 0) AS m6,
+                coalesce(max(CASE WHEN n = 7 THEN mass END), 0) AS m7,
+                coalesce(max(CASE WHEN n = 8 THEN mass END), 0) AS m8,
+                coalesce(max(CASE WHEN n = 9 THEN mass END), 0) AS m9,
+                coalesce(max(CASE WHEN n = 10 THEN mass END), 0) AS m10
+              FROM covm GROUP BY doc_id),
+            fin AS (
+              SELECT k.doc_id,
+                CASE WHEN ls.n_lines > 0 THEN 1000000 * ls.dup_occ // ls.n_lines ELSE 0 END AS dup_line_ppm,
+                CASE WHEN ls.line_chars > 0 THEN 1000000 * ls.dup_chars // ls.line_chars ELSE 0 END AS dup_line_char_ppm,
+                CASE WHEN k.tokchars > 0 THEN 1000000 * coalesce(tp.m2, 0) // k.tokchars ELSE 0 END AS top2_ppm,
+                CASE WHEN k.tokchars > 0 THEN 1000000 * coalesce(tp.m3, 0) // k.tokchars ELSE 0 END AS top3_ppm,
+                CASE WHEN k.tokchars > 0 THEN 1000000 * coalesce(tp.m4, 0) // k.tokchars ELSE 0 END AS top4_ppm,
+                CASE WHEN k.tokchars > 0 THEN 1000000 * coalesce(cp.m5, 0) // k.tokchars ELSE 0 END AS dup5_ppm,
+                CASE WHEN k.tokchars > 0 THEN 1000000 * coalesce(cp.m6, 0) // k.tokchars ELSE 0 END AS dup6_ppm,
+                CASE WHEN k.tokchars > 0 THEN 1000000 * coalesce(cp.m7, 0) // k.tokchars ELSE 0 END AS dup7_ppm,
+                CASE WHEN k.tokchars > 0 THEN 1000000 * coalesce(cp.m8, 0) // k.tokchars ELSE 0 END AS dup8_ppm,
+                CASE WHEN k.tokchars > 0 THEN 1000000 * coalesce(cp.m9, 0) // k.tokchars ELSE 0 END AS dup9_ppm,
+                CASE WHEN k.tokchars > 0 THEN 1000000 * coalesce(cp.m10, 0) // k.tokchars ELSE 0 END AS dup10_ppm
+              FROM tok k
+              LEFT JOIN lstat ls ON ls.doc_id = k.doc_id
+              LEFT JOIN tp ON tp.doc_id = k.doc_id
+              LEFT JOIN cp ON cp.doc_id = k.doc_id)
+            SELECT doc_id, dup_line_ppm, dup_line_char_ppm,
+              top2_ppm, top3_ppm, top4_ppm,
+              dup5_ppm, dup6_ppm, dup7_ppm, dup8_ppm, dup9_ppm, dup10_ppm,
+              CAST(CASE WHEN dup_line_ppm <= 300000 AND dup_line_char_ppm <= 200000
+                         AND top2_ppm <= 200000 AND top3_ppm <= 180000 AND top4_ppm <= 160000
+                         AND dup5_ppm <= 150000 AND dup6_ppm <= 140000 AND dup7_ppm <= 130000
+                         AND dup8_ppm <= 120000 AND dup9_ppm <= 110000 AND dup10_ppm <= 100000
+                    THEN 1 ELSE 0 END AS BIGINT) AS keep
+            FROM fin ORDER BY doc_id""")
+  )
+
   /** Incremental span dedup ([[DedupOps.dedupSpansAgainstCorpus]]): arriving
     * batch docs (odd doc_ids) lose every line of every span already present
     * in the static corpus (even doc_ids), via the Bloom-bitset probe + exact
@@ -2271,7 +2408,7 @@ object Extensions {
     dedupContainment, dedupClusters, dedupKeepBest, dedupMinhashIncremental, dedupEmbeddingIncremental, contaminationScan, dedupIncremental,
     piiRedact, mixSources, decontaminate, curationPipeline, curationPipeline2, selectTopQuantile, domainCap,
     streamSetSimilarity, trendingTopK, dedupIncrementalStream, neardupFilter, c4LineClean, dedupSpans,
-    gopherQuality, dedupSpansIncremental, dedupTokenSpans, dedupTokenSpansIncremental, dedupLinesWithin,
+    gopherQuality, gopherRepetition, dedupSpansIncremental, dedupTokenSpans, dedupTokenSpansIncremental, dedupLinesWithin,
     qualityPerplexity, dsirWeights, semDedup, tfidfKeywords, embeddingQuantize, bm25Search, vocabCoverage, qualityBySource,
     annBruteForce, annLsh, annIvf, annInt8,
     multimodalMeta, multimodalFrames

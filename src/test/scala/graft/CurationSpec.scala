@@ -89,6 +89,60 @@ class CurationSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"))
   }
 
+  private def rep(s: String): Map[String, Long] = {
+    import spark.implicits._
+    val row = Seq(s).toDF("t")
+      .select(graft.functions.NativeFns.repetition_signals(col("t")).as("r"))
+      .select(graft.functions.RepetitionSignalsExpr.fieldNames.map(f => col(s"r.$f")): _*)
+      .head()
+    graft.functions.RepetitionSignalsExpr.fieldNames.zipWithIndex
+      .map { case (f, i) => f -> row.getLong(i) }.toMap
+  }
+
+  test("repetitionSignals: duplicate-line fractions (closed form)") {
+    val r = rep("xx\nyy\nxx")
+    assert(r("dup_line_ppm") == 1000000L * 2 / 3)
+    assert(r("dup_line_char_ppm") == 1000000L * 4 / 6)
+    val u = rep("aa\nbb\ncc")
+    assert(u("dup_line_ppm") == 0L && u("dup_line_char_ppm") == 0L)
+  }
+
+  test("repetitionSignals: top n-gram mass and lexicographic tie-break") {
+    // "a b" occurs 3x among 5 bigram windows; chars 2 of 6 total.
+    val r = rep("a b a b a b")
+    assert(r("top2_ppm") == 1000000L * (3 * 2) / 6)
+    assert(r("keep") == 0L, "top-2-gram 100% must drop")
+    // All bigrams unique -> tie on count 1, smallest string "a b" wins.
+    val t = rep("b a c a b c")
+    assert(t("top2_ppm") == 1000000L * 2 / 6)
+  }
+
+  test("repetitionSignals: duplicate n-gram coverage is a position UNION") {
+    // A 6-token run twice: the matching 5-windows cover ALL 12 positions
+    // (0-4,1-5 from the first copy, 6-10,7-11 from the second) once each.
+    val r = rep("p q r s t u p q r s t u")
+    assert(r("dup5_ppm") == 1000000L)
+    assert(r("dup6_ppm") == 1000000L)
+    // n=7 windows span the copy boundary; "q r s t u p q" (1..7) vs (7..13)
+    // out of range -> each distinct, zero coverage.
+    assert(r("dup7_ppm") == 0L)
+    assert(r("keep") == 0L)
+  }
+
+  test("repetitionSignals: short/clean docs keep, empty denominators are 0") {
+    val r = rep("hi")
+    assert(r("top2_ppm") == 0L && r("dup5_ppm") == 0L && r("keep") == 1L)
+    assert(rep("")("keep") == 1L)
+  }
+
+  test("repetitionSignals is a pure projection (no exchange)") {
+    import spark.implicits._
+    val plan = Seq("x").toDF("t")
+      .select(graft.functions.NativeFns.repetition_signals(col("t")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "repetition signals must not shuffle")
+  }
+
   test("sampleMixture: deterministic, rate-monotone, map-side (no exchange)") {
     import spark.implicits._
     val df = spark.range(0, 20000).toDF("id")
