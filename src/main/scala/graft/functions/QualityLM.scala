@@ -239,6 +239,90 @@ object QualityLM {
     * Returns (idCol, n_bigrams, logw). The bucket table is FIXED size
     * (16^hexChars rows) regardless of corpus scale — it always broadcasts.
     */
+  /** Trained quality classifier — the third canonical model-based recipe
+    * (GPT-3 appendix A / DCLM / FineWeb-Edu: train a classifier to separate
+    * a TRUSTED reference slice from the raw pool, keep raw docs the
+    * classifier scores reference-like). The model is multinomial Naive
+    * Bayes with Laplace smoothing over HASHED unigram buckets
+    * (md5-prefix, `16^hexChars` buckets — the engine-portable stand-in for
+    * fastText's hashed bag-of-n-grams; the Spark-side shape is identical
+    * for any linear text classifier: train = one aggregation, model =
+    * broadcast frame, score = map-side probe + one per-doc aggregation).
+    *
+    * Per-bucket log-likelihood ratios and the class-prior log-odds are
+    * quantized to BIGINT micro-units (⌊10⁶·x⌋) BEFORE the per-document
+    * sum: identical tokens contribute identical integers, integer sums are
+    * order-independent, so the score — and therefore the keep decision —
+    * cannot flip on partial-aggregation order or last-ulp FP divergence,
+    * and the whole train+score pipeline is row-level oracle-able.
+    *
+    * The bucket model is built over the FULL 16^hexChars bucket domain
+    * (buckets unseen in training get the smoothing-only ratio), so corpus
+    * tokens never miss the broadcast join. Scale: the model is a FIXED
+    * ≤16^hexChars rows — always broadcasts; the corpus is touched once
+    * map-side (tokenize → bucket → probe) plus ONE doc-keyed shuffle with
+    * map-side combine. `labeled` must contain both classes (fails fast
+    * otherwise — a one-class prior is ±∞).
+    *
+    * Returns (idCol, n_feats, score_micro, pred) for every corpus doc with
+    * ≥1 token: score_micro = prior_q + Σ llr_q[bucket(tok)], pred =
+    * score_micro > 0.
+    */
+  def nbClassifier(
+      labeled: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      labelCol: String,
+      hexChars: Int = 2
+  ): DataFrame = {
+    val nBuckets = math.pow(16.0, hexChars)
+    def feats(df: DataFrame, extra: Column*) = df
+      .select((col(idCol) +: extra) :+ explode(filter(split(col(textCol), " "), _ =!= "")).as("__tok"): _*)
+      .withColumn("bucket", substring(md5(col("__tok")), 1, hexChars))
+    // One aggregation over the labeled slice → per-bucket class counts.
+    val cnt = feats(labeled, col(labelCol).as("__lbl"))
+      .groupBy("bucket")
+      .agg(
+        sum(when(col("__lbl") === 1, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("__lbl") === 0, 1L).otherwise(0L)).as("c0"))
+    // Class token totals from the ≤nBuckets-row count frame; doc-count
+    // priors from one tiny agg over the labeled docs themselves.
+    val tot = cnt.agg(
+      sum(col("c1")).cast("double").as("__t1"),
+      sum(col("c0")).cast("double").as("__t0"))
+    val prior = labeled.agg(
+      sum(when(col(labelCol) === 1, 1L).otherwise(0L)).cast("double").as("__n1"),
+      sum(when(col(labelCol) === 0, 1L).otherwise(0L)).cast("double").as("__n0"))
+    // Full bucket domain so unseen buckets carry the smoothing-only ratio
+    // instead of dropping out of the probe join.
+    val domain = corpus.sparkSession.range(0, nBuckets.toLong)
+      .select(format_string(s"%0${hexChars}x", col("id")).as("bucket"))
+    val model = domain.join(cnt, Seq("bucket"), "left")
+      .join(broadcast(tot))
+      .select(
+        col("bucket"),
+        floor((log((coalesce(col("c1"), lit(0L)).cast("double") + lit(1.0)) /
+                 (col("__t1") + lit(nBuckets))) -
+               log((coalesce(col("c0"), lit(0L)).cast("double") + lit(1.0)) /
+                 (col("__t0") + lit(nBuckets)))) * lit(1000000.0)).cast("long").as("llr_q"))
+    val priorQ = prior.select(
+      when(col("__n1") === 0.0 || col("__n0") === 0.0,
+        raise_error(lit("nbClassifier: labeled must contain both classes")))
+        .otherwise(floor(log(col("__n1") / col("__n0")) * lit(1000000.0)).cast("long"))
+        .as("prior_q"))
+    feats(corpus)
+      .join(broadcast(model), Seq("bucket"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_feats"), sum(col("llr_q")).as("__s"))
+      .join(broadcast(priorQ))
+      .select(
+        col(idCol),
+        col("n_feats"),
+        (col("prior_q") + col("__s")).as("score_micro"),
+        when(col("prior_q") + col("__s") > 0, 1L).otherwise(0L).as("pred"))
+  }
+
   def dsirWeights(
       raw: DataFrame,
       target: DataFrame,

@@ -2400,6 +2400,62 @@ object Extensions {
             FROM e ORDER BY vec_id, pos""")
   )
 
+  /** Trained NB quality classifier ([[QualityLM.nbClassifier]] — the GPT-3
+    * appendix-A / DCLM recipe: learn trusted-vs-pool on a labeled slice,
+    * score the whole corpus). Labeled slice = every third doc, positive
+    * where `lang IN ('en','de')` — a deterministic stand-in for "looks like
+    * the reference corpus". Both the training aggregation (per-bucket class
+    * counts over the full 256-bucket domain, Laplace-smoothed LLRs) and the
+    * scoring pass (broadcast probe + per-doc integer sum of micro-quantized
+    * LLRs + prior) are replayed in SQL row-level; integer score units make
+    * the comparison exact across engines.
+    */
+  val qualityClassifier = Q(
+    "x_quality_classifier",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val labeled = docs.filter(col("doc_id") % 3 === 0)
+        .withColumn("label", when(col("lang").isin("en", "de"), 1L).otherwise(0L))
+      QualityLM.nbClassifier(labeled, docs, "doc_id", "text", "label")
+        .orderBy("doc_id")
+    },
+    Some("""WITH lab AS (
+              SELECT doc_id, text,
+                CASE WHEN lang IN ('en','de') THEN 1 ELSE 0 END AS label
+              FROM documents WHERE doc_id % 3 = 0),
+            ltok AS (
+              SELECT label, substr(md5(t.tok), 1, 2) AS bucket
+              FROM lab, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t(tok)),
+            cnt AS (
+              SELECT bucket,
+                sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS c1,
+                sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS c0
+              FROM ltok GROUP BY bucket),
+            tot AS (SELECT CAST(sum(c1) AS DOUBLE) AS t1, CAST(sum(c0) AS DOUBLE) AS t0 FROM cnt),
+            pri AS (
+              SELECT CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n1,
+                     CAST(sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS n0
+              FROM lab),
+            dom AS (SELECT printf('%02x', i) AS bucket FROM range(256) r(i)),
+            model AS (
+              SELECT d.bucket,
+                CAST(floor((ln((CAST(coalesce(c.c1, 0) AS DOUBLE) + 1.0) / (t.t1 + 256.0)) -
+                            ln((CAST(coalesce(c.c0, 0) AS DOUBLE) + 1.0) / (t.t0 + 256.0))) * 1000000.0) AS BIGINT) AS llr_q
+              FROM dom d LEFT JOIN cnt c ON c.bucket = d.bucket CROSS JOIN tot t),
+            pq AS (SELECT CAST(floor(ln(n1 / n0) * 1000000.0) AS BIGINT) AS prior_q FROM pri),
+            ctok AS (
+              SELECT doc_id, substr(md5(t.tok), 1, 2) AS bucket
+              FROM documents, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t(tok)),
+            sc AS (
+              SELECT ct.doc_id, count(*) AS n_feats, sum(m.llr_q) AS s
+              FROM ctok ct JOIN model m ON m.bucket = ct.bucket
+              GROUP BY ct.doc_id)
+            SELECT sc.doc_id, CAST(sc.n_feats AS BIGINT) AS n_feats,
+              pq.prior_q + sc.s AS score_micro,
+              CAST(CASE WHEN pq.prior_q + sc.s > 0 THEN 1 ELSE 0 END AS BIGINT) AS pred
+            FROM sc CROSS JOIN pq ORDER BY doc_id""")
+  )
+
   val qs: Seq[Q] = Seq(
     textStats, textQuality, textLangId, textFingerprint, approxDistinct, jsonExtract, jsonStruct, jsonVariant,
     heavyHitters, ngramFreq, quantiles, textRepetition, splitTrainTest, sampleStratified,
@@ -2410,6 +2466,7 @@ object Extensions {
     streamSetSimilarity, trendingTopK, dedupIncrementalStream, neardupFilter, c4LineClean, dedupSpans,
     gopherQuality, gopherRepetition, dedupSpansIncremental, dedupTokenSpans, dedupTokenSpansIncremental, dedupLinesWithin,
     qualityPerplexity, dsirWeights, semDedup, tfidfKeywords, embeddingQuantize, bm25Search, vocabCoverage, qualityBySource,
+    qualityClassifier,
     annBruteForce, annLsh, annIvf, annInt8,
     multimodalMeta, multimodalFrames
   )

@@ -230,4 +230,51 @@ class QualityLMSpec extends AnyFunSuite {
       .orderBy("vec_id").collect().toSeq
     assert(a == b)
   }
+
+  test("nbClassifier: closed-form LLR and prior (balanced classes)") {
+    // md5 prefixes: good→75, bad→ba (distinct buckets). Balanced priors
+    // (1 doc each) ⇒ prior_q = ⌊ln(1)·10⁶⌋ = 0. llr("good"-bucket) =
+    // ln((2+1)/(2+256)) − ln((0+1)/(2+256)) = ln 3 ⇒ 1098612 micro-units;
+    // the "bad" bucket is symmetric: ⌊−ln 3·10⁶⌋ = −1098613 (floor).
+    val labeled = Seq((0L, "good good", 1L), (1L, "bad bad", 0L)).toDF("id", "text", "label")
+    val corpus  = Seq((10L, "good"), (11L, "bad"), (12L, "good good bad")).toDF("id", "text")
+    val r = QualityLM.nbClassifier(labeled, corpus, "id", "text", "label")
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r(10L) == ((1L, 1098612L, 1L)))
+    assert(r(11L) == ((1L, -1098613L, 0L)))
+    // Integer scores add exactly: 2·ln3 − ln3(floored) micro-units.
+    assert(r(12L) == ((3L, 2 * 1098612L - 1098613L, 1L)))
+  }
+
+  test("nbClassifier: class-imbalanced prior shifts every score") {
+    // 2 pos docs, 1 neg ⇒ prior_q = ⌊ln 2·10⁶⌋ = 693147, added to all docs.
+    val labeled = Seq((0L, "good", 1L), (1L, "good", 1L), (2L, "bad", 0L))
+      .toDF("id", "text", "label")
+    val corpus = Seq((10L, "neutralword")).toDF("id", "text")
+    val Array(row) = QualityLM.nbClassifier(labeled, corpus, "id", "text", "label").collect()
+    // Unseen bucket: llr = ln((0+1)/(2+256)) − ln((0+1)/(1+256)) — only the
+    // totals differ; compute it the same way the engine does.
+    val expectLlr = math.floor((math.log(1.0 / 258.0) - math.log(1.0 / 257.0)) * 1e6).toLong
+    assert(row.getLong(2) == 693147L + expectLlr)
+  }
+
+  test("nbClassifier: one-class labeled set fails fast") {
+    val labeled = Seq((0L, "good", 1L)).toDF("id", "text", "label")
+    val corpus  = Seq((10L, "x")).toDF("id", "text")
+    val e = intercept[Exception] {
+      QualityLM.nbClassifier(labeled, corpus, "id", "text", "label").collect()
+    }
+    assert(e.getMessage.contains("both classes") ||
+      Option(e.getCause).exists(_.getMessage.contains("both classes")))
+  }
+
+  test("nbClassifier: model probe is broadcast, corpus never sort-merge joins") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val labeled = docs.filter(col("doc_id") % 3 === 0)
+      .withColumn("label", when(col("lang").isin("en", "de"), 1L).otherwise(0L))
+    val plan = QualityLM.nbClassifier(labeled, docs, "doc_id", "text", "label")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "model join must broadcast")
+    assert(!plan.contains("SortMergeJoin"), s"corpus must not sort-merge join:\n$plan")
+  }
 }
