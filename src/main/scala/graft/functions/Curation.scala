@@ -185,4 +185,49 @@ object Curation {
     val thr = format_string("%04x", (least(greatest(rate, lit(0.0)), lit(1.0)) * 65536).cast("int"))
     df.filter(rate >= 1.0 || u < thr)
   }
+
+  /** Temperature-scaled domain mixing (the multilingual/multi-source
+    * rebalancing step of XLM-R / mT5: sample domain i proportional to
+    * n_i^α, α < 1, so small domains are up-weighted relative to their raw
+    * share). α is FIXED at 0.5: IEEE sqrt is exactly rounded on every
+    * engine, where a general pow() is not — so the whole rate computation
+    * stays bit-exact cross-engine (the Spark-side structure is identical
+    * for any α). All arithmetic after the one sqrt is integer:
+    *
+    *   s_i       = ⌊√n_i · 10⁶⌋                  (exact: sqrt + one exactly-
+    *                                              rounded multiply + floor)
+    *   targetN   = (targetPpm · n_tot) div 10⁶
+    *   rate_ppm  = min(10⁶, (10⁶ · targetN · s_i) div (Σs · n_i))
+    *
+    * evaluated in DECIMAL(38,0) (safe to ~10¹² docs/domain), and the
+    * per-row keep decision is the salted-md5 test of [[sampleMixture]]
+    * with an INTEGER threshold (⌊rate_ppm·65536/10⁶⌋) — no double appears
+    * anywhere after the sqrt, so keep decisions cannot flip on FP
+    * divergence and the operator is row-level oracle-able. Plan shape: one
+    * tiny domain-count aggregation, broadcast rates back, map-side filter
+    * — the corpus itself never shuffles.
+    *
+    * Expected kept total ≈ targetPpm·n_tot/10⁶ (exactly proportional
+    * within each domain's binomial concentration); a domain whose fair
+    * share exceeds its size saturates at rate 1 (standard α-sampling
+    * behavior — the shortfall is not redistributed).
+    */
+  def temperatureMixture(df: DataFrame, idCol: String, domainCol: String,
+      targetPpm: Long, salt: String): DataFrame = {
+    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("__n"))
+      .withColumn("__s", floor(sqrt(col("__n").cast("double")) * lit(1000000.0)).cast("long"))
+    val tot = counts.agg(sum(col("__n")).as("__ntot"), sum(col("__s")).as("__stot"))
+    val rates = counts.join(broadcast(tot))
+      .withColumn("__tn",
+        expr(s"CAST(CAST($targetPpm AS DECIMAL(38,0)) * CAST(__ntot AS DECIMAL(38,0)) DIV 1000000 AS DECIMAL(38,0))"))
+      .select(col(domainCol),
+        expr("""least(CAST(1000000 AS BIGINT),
+                      CAST(1000000 AS DECIMAL(38,0)) * __tn * CAST(__s AS DECIMAL(38,0))
+                        DIV (CAST(__stot AS DECIMAL(38,0)) * CAST(__n AS DECIMAL(38,0))))""")
+          .as("rate_ppm"))
+    val u   = substring(md5(concat(col(idCol).cast("string"), lit(":" + salt))), 1, 4)
+    val thr = format_string("%04x", expr("(rate_ppm * 65536) div 1000000").cast("int"))
+    df.join(broadcast(rates), Seq(domainCol))
+      .filter(col("rate_ppm") >= 1000000L || u < thr)
+  }
 }

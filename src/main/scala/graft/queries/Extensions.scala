@@ -2456,6 +2456,46 @@ object Extensions {
             FROM sc CROSS JOIN pq ORDER BY doc_id""")
   )
 
+  /** Temperature-scaled domain mixing ([[Curation.temperatureMixture]] —
+    * the XLM-R/mT5 α-sampling rebalance, α = 0.5). The input is skewed on
+    * purpose (three domains keep all docs, the rest one in four) so the
+    * sqrt-weighting is visible: big domains get sub-proportional rates.
+    * Rates are pure integer arithmetic after one exactly-rounded sqrt, and
+    * the keep decision is the salted-md5 integer-threshold test — the whole
+    * pipeline (counts → weights → rates → per-row decision) is replayed in
+    * SQL row-level, HUGEINT on the DuckDB side mirroring DECIMAL(38,0).
+    */
+  val mixTemperature = Q(
+    "x_mix_temperature",
+    (s, d) => {
+      val base = Tables.documents(s, d)
+        .filter(col("doc_id") % 4 === 0 || col("source").isin("src3", "src7", "src11"))
+      Curation.temperatureMixture(base, "doc_id", "source", 500000L, "tmix")
+        .select(col("doc_id"), col("source"), col("rate_ppm"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH base AS (
+              SELECT doc_id, source FROM documents
+              WHERE doc_id % 4 = 0 OR source IN ('src3','src7','src11')),
+            cnt AS (
+              SELECT source, count(*) AS n,
+                CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1000000.0) AS BIGINT) AS s
+              FROM base GROUP BY source),
+            tot AS (SELECT sum(n) AS ntot, sum(s) AS stot FROM cnt),
+            r AS (
+              SELECT c.source,
+                CAST(least(1000000::HUGEINT,
+                  (1000000::HUGEINT * ((500000::HUGEINT * t.ntot) // 1000000) * c.s)
+                    // (t.stot::HUGEINT * c.n)) AS BIGINT) AS rate_ppm
+              FROM cnt c CROSS JOIN tot t)
+            SELECT b.doc_id, b.source, r.rate_ppm
+            FROM base b JOIN r ON r.source = b.source
+            WHERE r.rate_ppm >= 1000000
+               OR substr(md5(CAST(b.doc_id AS VARCHAR) || ':tmix'), 1, 4)
+                    < printf('%04x', (r.rate_ppm * 65536) // 1000000)
+            ORDER BY b.doc_id""")
+  )
+
   val qs: Seq[Q] = Seq(
     textStats, textQuality, textLangId, textFingerprint, approxDistinct, jsonExtract, jsonStruct, jsonVariant,
     heavyHitters, ngramFreq, quantiles, textRepetition, splitTrainTest, sampleStratified,
@@ -2466,7 +2506,7 @@ object Extensions {
     streamSetSimilarity, trendingTopK, dedupIncrementalStream, neardupFilter, c4LineClean, dedupSpans,
     gopherQuality, gopherRepetition, dedupSpansIncremental, dedupTokenSpans, dedupTokenSpansIncremental, dedupLinesWithin,
     qualityPerplexity, dsirWeights, semDedup, tfidfKeywords, embeddingQuantize, bm25Search, vocabCoverage, qualityBySource,
-    qualityClassifier,
+    qualityClassifier, mixTemperature,
     annBruteForce, annLsh, annIvf, annInt8,
     multimodalMeta, multimodalFrames
   )

@@ -159,6 +159,41 @@ class CurationSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), "mixture sampling must not shuffle")
   }
 
+  test("temperatureMixture: closed-form rates, saturation, small-domain upweighting") {
+    import spark.implicits._
+    val df = (0L until 10000L).map(i => (i, "big")) ++ (10000L until 10100L).map(i => (i, "small"))
+    val in = df.toDF("id", "dom")
+    val out = Curation.temperatureMixture(in, "id", "dom", 500000L, "t1")
+      .select(col("id"), col("dom"), col("rate_ppm")).collect()
+    val rates = out.map(r => r.getString(1) -> r.getLong(2)).toMap
+    // ntot=10100, targetN=5050, s_big=10⁸, s_small=10⁷, Σs=1.1·10⁸:
+    // rate_big = ⌊10⁶·5050·10⁸/(1.1·10⁸·10⁴)⌋; small saturates at 10⁶.
+    assert(rates("big") == 1000000L * 5050L * 100L / (110L * 10000L))
+    assert(rates("small") == 1000000L)
+    val keptSmall = out.count(_.getString(1) == "small")
+    assert(keptSmall == 100, "saturated domain keeps everything")
+    val keptBig = out.count(_.getString(1) == "big")
+    val expect = 10000.0 * rates("big") / 1e6
+    assert(math.abs(keptBig - expect) < 250, s"realized $keptBig vs expected ~$expect")
+  }
+
+  test("temperatureMixture: deterministic, sqrt-monotone, broadcast-only joins") {
+    import spark.implicits._
+    val in = (0L until 3000L).map(i => (i, s"d${i % 3}")).toDF("id", "dom")
+      .filter(col("id") % 5 === 0 || col("dom") =!= "d0")
+    val a = Curation.temperatureMixture(in, "id", "dom", 300000L, "t2")
+      .select(col("id"), col("dom"), col("rate_ppm")).orderBy("id").collect().toSeq
+    val b = Curation.temperatureMixture(in, "id", "dom", 300000L, "t2")
+      .select(col("id"), col("dom"), col("rate_ppm")).orderBy("id").collect().toSeq
+    assert(a == b, "same salt must reproduce exactly")
+    val byDom = a.map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(byDom("d0") >= byDom("d1"), "smaller domain must get the >= rate")
+    val plan = Curation.temperatureMixture(in, "id", "dom", 300000L, "t2")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"),
+      "rates must broadcast back onto the corpus")
+  }
+
   test("sampleMixture: different salts decorrelate") {
     import spark.implicits._
     val df = spark.range(0, 20000).toDF("id")
