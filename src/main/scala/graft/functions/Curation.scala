@@ -186,6 +186,36 @@ object Curation {
     df.filter(rate >= 1.0 || u < thr)
   }
 
+  /** URL canonicalization — the key for the FIRST dedup stage of every
+    * web-crawl pipeline (CC-style: collapse scheme/host case, http vs
+    * https, `www.`, default ports, fragments, tracking params, trailing
+    * slash, and query-param ORDER before exact-dedup by URL). Pure
+    * column-level transform: two regexp_extracts split the URL
+    * structurally into host and path+query (no backreferences anywhere, so
+    * every pattern runs identically under Java regex and RE2), the
+    * query-param filter/sort is an array HOF over the handful of params,
+    * and everything else is lower/replace/concat — map-side at scan speed.
+    *
+    * Rules: scheme → `http` (https collapsed), host lowercased, leading
+    * `www.` and `:80`/`:443` stripped; fragment dropped; `utm_*` params
+    * dropped, the rest SORTED (param order never distinguishes documents);
+    * single trailing slash stripped from non-root paths.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val host0 = lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    val host  = regexp_replace(regexp_replace(host0, ":(80|443)$", ""), "^www\\.", "")
+    val rest  = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$", 1)
+    val noFrag = regexp_replace(rest, "#.*$", "")
+    val path0  = regexp_replace(noFrag, "\\?.*$", "")
+    val path = when(path0 =!= "/" && path0.endsWith("/"),
+      path0.substr(lit(1), length(path0) - 1)).otherwise(path0)
+    val query  = regexp_extract(noFrag, "\\?(.*)$", 1)
+    val params = array_sort(filter(split(query, "&"),
+      x => x =!= "" && !x.startsWith("utm_")))
+    val cq = when(size(params) > 0, concat(lit("?"), array_join(params, "&"))).otherwise(lit(""))
+    concat(lit("http://"), host, path, cq)
+  }
+
   /** Temperature-scaled domain mixing (the multilingual/multi-source
     * rebalancing step of XLM-R / mT5: sample domain i proportional to
     * n_i^α, α < 1, so small domains are up-weighted relative to their raw

@@ -2496,6 +2496,74 @@ object Extensions {
             ORDER BY b.doc_id""")
   )
 
+  /** URL-canonicalization dedup ([[Curation.canonicalizeUrl]] — the
+    * crawl-side stage 0 that runs before any content dedup). URLs are
+    * synthesized from doc_id with five messy variants per article id
+    * (mixed case, https, `www.`, default ports, trailing slash, fragment,
+    * unordered `utm_*`-polluted queries): variants 0/1 collapse to the
+    * bare path, 2/3 to `?id=7`, 4 keeps its sorted non-tracking params —
+    * so first-wins keeps ids ≡ 0, 2, 4 (mod 5). Every canonicalization
+    * rule is replayed in SQL (no regex backreference is used anywhere, so
+    * the same patterns run under Java regex and RE2), and the keep flag is
+    * a window-min — row-level oracle over all rows.
+    */
+  val dedupUrl = Q(
+    "x_dedup_url",
+    (s, d) => {
+      val urls = Tables.documents(s, d).selectExpr("doc_id",
+        """CASE doc_id % 5
+             WHEN 0 THEN concat('http://www.Example.com/articles/', doc_id div 5)
+             WHEN 1 THEN concat('HTTPS://WWW.EXAMPLE.COM:443/articles/', doc_id div 5, '/')
+             WHEN 2 THEN concat('http://example.com:80/articles/', doc_id div 5, '?utm_source=feed&id=7&utm_campaign=x')
+             WHEN 3 THEN concat('http://Example.COM/articles/', doc_id div 5, '?id=7#section-2')
+             ELSE concat('https://example.com/articles/', doc_id div 5, '?ref=home&lang=en')
+           END AS url""")
+      val canon = urls.withColumn("canonical_url", Curation.canonicalizeUrl(col("url")))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("canonical_url"))
+      canon
+        .withColumn("keep",
+          when(col("doc_id") === min(col("doc_id")).over(w), 1L).otherwise(0L))
+        .select(col("doc_id"), col("url"), col("canonical_url"), col("keep"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH u AS (
+              SELECT doc_id,
+                CASE doc_id % 5
+                  WHEN 0 THEN 'http://www.Example.com/articles/' || (doc_id // 5)
+                  WHEN 1 THEN 'HTTPS://WWW.EXAMPLE.COM:443/articles/' || (doc_id // 5) || '/'
+                  WHEN 2 THEN 'http://example.com:80/articles/' || (doc_id // 5) || '?utm_source=feed&id=7&utm_campaign=x'
+                  WHEN 3 THEN 'http://Example.COM/articles/' || (doc_id // 5) || '?id=7#section-2'
+                  ELSE 'https://example.com/articles/' || (doc_id // 5) || '?ref=home&lang=en'
+                END AS url
+              FROM documents),
+            c AS (
+              SELECT doc_id, url,
+                regexp_replace(regexp_replace(
+                  lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+                  ':(80|443)$', ''), '^www\.', '') AS host,
+                regexp_replace(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1),
+                  '#.*$', '') AS nofrag
+              FROM u),
+            p AS (
+              SELECT doc_id, url, host,
+                regexp_replace(nofrag, '\?.*$', '') AS path0,
+                list_sort(list_filter(string_split(regexp_extract(nofrag, '\?(.*)$', 1), '&'),
+                  x -> x <> '' AND NOT starts_with(x, 'utm_'))) AS params
+              FROM c),
+            k AS (
+              SELECT doc_id, url,
+                'http://' || host ||
+                CASE WHEN path0 <> '/' AND path0 LIKE '%/'
+                     THEN substr(path0, 1, length(path0) - 1) ELSE path0 END ||
+                CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&') ELSE '' END
+                  AS canonical_url
+              FROM p)
+            SELECT doc_id, url, canonical_url,
+              CAST(CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY canonical_url)
+                   THEN 1 ELSE 0 END AS BIGINT) AS keep
+            FROM k ORDER BY doc_id""")
+  )
+
   val qs: Seq[Q] = Seq(
     textStats, textQuality, textLangId, textFingerprint, approxDistinct, jsonExtract, jsonStruct, jsonVariant,
     heavyHitters, ngramFreq, quantiles, textRepetition, splitTrainTest, sampleStratified,
@@ -2506,7 +2574,7 @@ object Extensions {
     streamSetSimilarity, trendingTopK, dedupIncrementalStream, neardupFilter, c4LineClean, dedupSpans,
     gopherQuality, gopherRepetition, dedupSpansIncremental, dedupTokenSpans, dedupTokenSpansIncremental, dedupLinesWithin,
     qualityPerplexity, dsirWeights, semDedup, tfidfKeywords, embeddingQuantize, bm25Search, vocabCoverage, qualityBySource,
-    qualityClassifier, mixTemperature,
+    qualityClassifier, mixTemperature, dedupUrl,
     annBruteForce, annLsh, annIvf, annInt8,
     multimodalMeta, multimodalFrames
   )

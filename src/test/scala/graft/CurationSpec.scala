@@ -194,6 +194,34 @@ class CurationSpec extends AnyFunSuite {
       "rates must broadcast back onto the corpus")
   }
 
+  private def canon(s: String): String = {
+    import spark.implicits._
+    Seq(s).toDF("u").select(Curation.canonicalizeUrl(col("u"))).head().getString(0)
+  }
+
+  test("canonicalizeUrl: scheme/host/port/www collapse") {
+    assert(canon("HTTPS://WWW.Example.COM:443/A/b") == "http://example.com/A/b")
+    assert(canon("http://example.com:80/x") == "http://example.com/x")
+    assert(canon("http://sub.example.com/x") == "http://sub.example.com/x")
+  }
+
+  test("canonicalizeUrl: fragment, tracking params, param order, trailing slash") {
+    assert(canon("http://e.com/p#frag") == "http://e.com/p")
+    assert(canon("http://e.com/p?utm_source=a&id=7&utm_campaign=b") == "http://e.com/p?id=7")
+    assert(canon("http://e.com/p?b=2&a=1") == "http://e.com/p?a=1&b=2")
+    assert(canon("http://e.com/p/") == "http://e.com/p")
+    assert(canon("http://e.com/") == "http://e.com/")
+    assert(canon("http://e.com/p?utm_only=1") == "http://e.com/p")
+  }
+
+  test("canonicalizeUrl is a pure projection (no exchange)") {
+    import spark.implicits._
+    val plan = Seq("http://e.com/").toDF("u")
+      .select(Curation.canonicalizeUrl(col("u")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+
   test("sampleMixture: different salts decorrelate") {
     import spark.implicits._
     val df = spark.range(0, 20000).toDF("id")
