@@ -1175,6 +1175,98 @@ object RepetitionSignalsExpr {
     "keep")
 }
 
+/** bpe_apply(array<string>, a, b) → array<string>: one BPE merge applied
+  * greedily left-to-right (Sennrich et al., ACL 2016: after a merge at i
+  * the scan continues at i+2, so "aaa" under (a,a) → [aa, a]). The merge
+  * pair is a per-ROUND scalar, not per-row data — it rides the expression
+  * as reference objects, keeping the kernel codegen'd with no extra
+  * columns.
+  */
+case class BpeApplyExpr(child: Expression, a: String, b: String) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    NativeExprs.requireArrayOf(child, StringType, "bpe_apply")
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  /** Public so generated code can call it. */
+  def compute(syms: ArrayData): ArrayData = {
+    val n   = syms.numElements()
+    val out = new java.util.ArrayList[org.apache.spark.unsafe.types.UTF8String](n)
+    val ua  = org.apache.spark.unsafe.types.UTF8String.fromString(a)
+    val ub  = org.apache.spark.unsafe.types.UTF8String.fromString(b)
+    val uab = org.apache.spark.unsafe.types.UTF8String.fromString(a + b)
+    var i = 0
+    while (i < n) {
+      if (i < n - 1 && syms.getUTF8String(i) == ua && syms.getUTF8String(i + 1) == ub) {
+        out.add(uab); i += 2
+      } else {
+        out.add(syms.getUTF8String(i)); i += 1
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeApplyExpr", this, classOf[BpeApplyExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+  override protected def withNewChildInternal(c: Expression): BpeApplyExpr = copy(child = c)
+}
+
+/** bpe_token_count(string) → bigint: tokens the text encodes to under an
+  * ORDERED learned merge list (the serving face of BPE training): each
+  * whitespace word → chars + `</w>`, every merge applied greedily in
+  * training order, counts summed across words. Map-side only — the merge
+  * list is a broadcast-sized reference object, the corpus never shuffles.
+  * Engine-specific sequential semantics (greedy in-word merging) ⇒ the
+  * registry row is rows-only; values are closed-form-gated in ScalaTest.
+  */
+case class BpeTokenCountExpr(child: Expression, merges: Seq[(String, String)]) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"bpe_token_count expects string, got ${child.dataType.simpleString}")
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  /** Public so generated code can call it. */
+  def compute(text: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val words = text.toString.split("[ \n]", -1)
+    var total = 0L
+    var w = 0
+    while (w < words.length) {
+      if (!words(w).isEmpty) {
+        var syms = new java.util.ArrayList[String](words(w).length + 1)
+        var c = 0
+        while (c < words(w).length) { syms.add(String.valueOf(words(w).charAt(c))); c += 1 }
+        syms.add("</w>")
+        val it = merges.iterator
+        while (it.hasNext && syms.size > 1) {
+          val (a, b) = it.next()
+          val merged = new java.util.ArrayList[String](syms.size)
+          var i = 0
+          while (i < syms.size) {
+            if (i < syms.size - 1 && syms.get(i) == a && syms.get(i + 1) == b) {
+              merged.add(a + b); i += 2
+            } else { merged.add(syms.get(i)); i += 1 }
+          }
+          syms = merged
+        }
+        total += syms.size
+      }
+      w += 1
+    }
+    total
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeCountExpr", this, classOf[BpeTokenCountExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+  override protected def withNewChildInternal(c: Expression): BpeTokenCountExpr = copy(child = c)
+}
+
 /** Column API for the native kernels. */
 object NativeFns {
   def cosine_sim(a: Column, b: Column): Column =
@@ -1217,4 +1309,8 @@ object NativeFns {
     ColumnBridge.column(DedupLinesExpr(ColumnBridge.expression(text)))
   def repetition_signals(text: Column): Column =
     ColumnBridge.column(RepetitionSignalsExpr(ColumnBridge.expression(text)))
+  def bpe_apply(syms: Column, a: String, b: String): Column =
+    ColumnBridge.column(BpeApplyExpr(ColumnBridge.expression(syms), a, b))
+  def bpe_token_count(text: Column, merges: Seq[(String, String)]): Column =
+    ColumnBridge.column(BpeTokenCountExpr(ColumnBridge.expression(text), merges))
 }

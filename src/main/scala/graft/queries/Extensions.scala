@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
-import graft.functions.{AnnSearch, BloomDedup, ClusterOps, Curation, DedupOps, QualityLM, TextAnalysis, RollingHash}
+import graft.functions.{AnnSearch, BloomDedup, BpeTrain, ClusterOps, Curation, DedupOps, QualityLM, TextAnalysis, RollingHash}
 import graft.multimodal.Multimodal
 
 /** Training-data-pipeline extension operators (the north-star surface beyond
@@ -2564,6 +2564,70 @@ object Extensions {
             FROM k ORDER BY doc_id""")
   )
 
+  /** BPE training, round-0 statistics ([[BpeTrain.pairCounts]] over
+    * [[BpeTrain.wordFreqs]]): the frequency-weighted adjacent-symbol-pair
+    * counts that drive the first merge decision, top-20 under the trainer's
+    * own deterministic total order. This is the fully-SQL-expressible face
+    * of the trainer (word dict → initial symbols → pair explode → weighted
+    * count), so it carries an exact oracle; the sequential merge rounds are
+    * gated in BpeTrainSpec instead.
+    */
+  val bpePairCounts = Q(
+    "x_bpe_pair_counts",
+    (s, d) =>
+      BpeTrain.pairCounts(BpeTrain.wordFreqs(Tables.documents(s, d), "text"))
+        .orderBy(desc("pair_count"), asc("lsym"), asc("rsym")).limit(20)
+        .select(col("lsym"), col("rsym"), col("pair_count")),
+    Some("""WITH wd AS (
+              SELECT t.w AS w, count(*) AS wc
+              FROM documents,
+                unnest(list_filter(regexp_split_to_array(text, '[ \n]'), x -> x <> '')) AS t(w)
+              GROUP BY t.w),
+            sy AS (SELECT wc, list_append(string_split(w, ''), '</w>') AS syms FROM wd),
+            pr AS (SELECT wc, syms, unnest(range(len(syms) - 1)) AS i FROM sy),
+            pc AS (
+              SELECT syms[i+1] AS lsym, syms[i+2] AS rsym, sum(wc) AS pair_count
+              FROM pr GROUP BY 1, 2)
+            SELECT lsym, rsym, CAST(pair_count AS BIGINT) AS pair_count
+            FROM pc ORDER BY pair_count DESC, lsym, rsym LIMIT 20""")
+  )
+
+  /** The learned k=8 BPE merge table ([[BpeTrain.train]] — corpus touched
+    * once for word frequencies, each round one vocab-frame aggregation +
+    * one map-side merge application). Greedy in-word merge application is
+    * sequential per word and not ANSI-SQL-expressible, so rounds ≥ 1 are
+    * rows-only here; BpeTrainSpec pins the full table against an
+    * independent in-memory reference BPE and the determinism gate.
+    */
+  val bpeMerges = Q(
+    "x_bpe_merges",
+    (s, d) =>
+      BpeTrain.mergesDf(s, BpeTrain.train(Tables.documents(s, d), "text", 8))
+        .orderBy("round"),
+    None
+  )
+
+  /** BPE tokenization serving face ([[graft.functions.BpeTokenCountExpr]]):
+    * per-doc token counts under the k=8 merges trained on the same corpus —
+    * chars+`</w>` per word collapsed by the ordered merge list, pure
+    * map-side, merges riding as reference objects. Rows-only (sequential
+    * merge semantics); BpeTrainSpec holds the closed-form and
+    * monotonicity gates.
+    */
+  val bpeTokenize = Q(
+    "x_bpe_tokenize",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = BpeTrain.train(docs, "text", 8).map(m => (m.left, m.right))
+      docs.select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        graft.functions.NativeFns.bpe_token_count(col("text"), merges).as("n_bpe_tokens"))
+        .orderBy("doc_id")
+    },
+    None
+  )
+
   val qs: Seq[Q] = Seq(
     textStats, textQuality, textLangId, textFingerprint, approxDistinct, jsonExtract, jsonStruct, jsonVariant,
     heavyHitters, ngramFreq, quantiles, textRepetition, splitTrainTest, sampleStratified,
@@ -2574,7 +2638,7 @@ object Extensions {
     streamSetSimilarity, trendingTopK, dedupIncrementalStream, neardupFilter, c4LineClean, dedupSpans,
     gopherQuality, gopherRepetition, dedupSpansIncremental, dedupTokenSpans, dedupTokenSpansIncremental, dedupLinesWithin,
     qualityPerplexity, dsirWeights, semDedup, tfidfKeywords, embeddingQuantize, bm25Search, vocabCoverage, qualityBySource,
-    qualityClassifier, mixTemperature, dedupUrl,
+    qualityClassifier, mixTemperature, dedupUrl, bpePairCounts, bpeMerges, bpeTokenize,
     annBruteForce, annLsh, annIvf, annInt8,
     multimodalMeta, multimodalFrames
   )

@@ -1,0 +1,90 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.{BpeTrain, NativeFns}
+
+/** BPE vocabulary induction: the distributed trainer against an independent
+  * in-memory reference implementation, the merge-application kernel's greedy
+  * semantics, and the encode face's gates.
+  */
+class BpeTrainSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** Independent reference BPE (word-dict formulation, same tie-break). */
+  private def refBpe(words: Map[String, Long], k: Int): Seq[(String, String, Long)] = {
+    var dict = words.map { case (w, c) => (w.map(_.toString).toVector :+ "</w>") -> c }.toSeq
+    val out = Seq.newBuilder[(String, String, Long)]
+    for (_ <- 0 until k) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      for ((syms, c) <- dict; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) = counts.getOrElse((syms(i), syms(i + 1)), 0L) + c
+      if (counts.nonEmpty) {
+        val ((l, r), c) = counts.toSeq.minBy { case ((l, r), c) => (-c, l, r) }
+        out += ((l, r, c))
+        dict = dict.map { case (syms, wc) =>
+          val m = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) { m += l + r; i += 2 }
+            else { m += syms(i); i += 1 }
+          }
+          (m.result(), wc)
+        }
+      }
+    }
+    out.result()
+  }
+
+  test("train matches an independent reference BPE on the paper-style corpus") {
+    import spark.implicits._
+    // Word frequencies low:5 lower:2 newest:6 widest:3 (Sennrich et al. §3).
+    val docs = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val df = docs.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("id", "text")
+    val got = BpeTrain.train(df, "text", 6).map(m => (m.left, m.right, m.pairCount))
+    val want = refBpe(Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L), 6)
+    assert(got == want, s"got $got\nwant $want")
+  }
+
+  test("train is deterministic across runs") {
+    val docs = Tables.documents(spark, TestSpark.sf0001).limit(100)
+    val a = BpeTrain.train(docs, "text", 4)
+    val b = BpeTrain.train(docs, "text", 4)
+    assert(a == b)
+  }
+
+  test("bpe_apply: greedy left-to-right, overlapping runs do not double-merge") {
+    import spark.implicits._
+    def apply1(syms: Seq[String], a: String, b: String): Seq[String] =
+      Seq(Tuple1(syms)).toDF("s")
+        .select(NativeFns.bpe_apply(col("s"), a, b)).head().getSeq[String](0)
+    assert(apply1(Seq("a", "a", "a"), "a", "a") == Seq("aa", "a"))
+    assert(apply1(Seq("a", "b", "a", "b"), "a", "b") == Seq("ab", "ab"))
+    assert(apply1(Seq("x", "y"), "a", "b") == Seq("x", "y"))
+    assert(apply1(Seq.empty[String], "a", "b") == Seq.empty[String])
+  }
+
+  test("bpe_token_count: zero merges = chars+1 per word; more merges never increase") {
+    import spark.implicits._
+    val df = Seq((0L, "low lower newest")).toDF("id", "text")
+    def count(merges: Seq[(String, String)]): Long =
+      df.select(NativeFns.bpe_token_count(col("text"), merges)).head().getLong(0)
+    // 3+1 + 5+1 + 6+1 = 17 symbols with no merges.
+    assert(count(Nil) == 17L)
+    val trained = BpeTrain.train(df, "text", 8).map(m => (m.left, m.right))
+    val counts = (0 to trained.length).map(k => count(trained.take(k)))
+    assert(counts.zip(counts.tail).forall { case (a, b) => b <= a },
+      s"token count must be monotone non-increasing in merges: $counts")
+    assert(counts.last < counts.head, "8 merges must actually compress")
+  }
+
+  test("wordFreqs touches the corpus once; pair counts run on the vocab frame") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val plan = BpeTrain.pairCounts(BpeTrain.wordFreqs(docs, "text"))
+      .queryExecution.executedPlan.toString
+    // Two aggregations (word count, pair count) — and no join of any kind:
+    // the corpus is never re-read per round.
+    assert(!plan.contains("Join"), s"trainer must not join:\n$plan")
+  }
+}
