@@ -30,7 +30,9 @@ class RegistrySmokeSpec extends AnyFunSuite {
     "x_dedup_exact", "x_dedup_simhash",
     "x_ann_bruteforce", "x_multimodal_meta", "x_multimodal_frames",
     "x_trending_topk", "x_dedup_incremental_stream", "x_neardup_filter", "x_c4_line_clean",
-    "x_dedup_spans", "x_gopher_quality", "x_dedup_spans_incremental"
+    "x_dedup_spans", "x_gopher_quality", "x_dedup_spans_incremental",
+    "x_gopher_repetition", "x_quality_classifier", "x_mix_temperature", "x_dedup_url",
+    "x_bpe_pair_counts", "x_bpe_merges", "x_bpe_tokenize"
   )
 
   Registry.all.foreach { q =>
