@@ -147,7 +147,11 @@ object GenData {
     // task no matter how many cores scan it (measured: single-task regex at
     // sf1 made x_pii_redact 6.9 s; 12 files → parallel scan). Shard these
     // two tables much finer than the fact tables.
-    gen("documents", nDoc, math.max(4, (nDoc / 10000).toInt)) { df =>
+    // 2 500 docs/file: sf1's 50 k docs → 20 tasks (5 under the old 10 000
+    // divisor — measured capping the scan-speed text kernels at 5/32 cores:
+    // x_gopher_repetition was flat 5.1 → 5.5 s from sf1 to sf3 because the
+    // extra data arrived as extra PARALLELISM, not extra per-task work).
+    gen("documents", nDoc, math.max(4, (nDoc / 2500).toInt)) { df =>
       val isNear  = col("id") % 20 === 7 && col("id") > 0
       val isExact = col("id") % 600 === 1 && col("id") > 0
       val base    = when(isNear || isExact, col("id") - 1).otherwise(col("id"))
