@@ -186,6 +186,33 @@ object Curation {
     df.filter(rate >= 1.0 || u < thr)
   }
 
+  /** Sliding-window document chunking — the retrieval-corpus preparation
+    * step (RAG: embed fixed-size overlapping chunks, not whole documents).
+    * Each doc becomes ⌈(n_tok − overlap)/stride⌉ chunks starting at
+    * 0, stride, 2·stride, …; the last chunk may be short. One map-side
+    * explode — token arrays never leave their row before the explode, no
+    * shuffle, linear in corpus size with output ≈ n_tok/stride·window
+    * tokens. All list arithmetic (sequence starts, slices, joins) exists
+    * identically in ANSI engines, so the operator is row-level
+    * oracle-able.
+    */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(stride > 0 && window >= stride, s"need window >= stride > 0, got $window/$stride")
+    df
+      .select(col(idCol), split(col(textCol), " ").as("__toks"))
+      .withColumn("__starts",
+        when(size(col("__toks")) > 0,
+          sequence(lit(0), greatest(size(col("__toks")) - 1, lit(0)), lit(stride)))
+          .otherwise(array().cast("array<int>")))
+      .select(col(idCol), col("__toks"), explode(col("__starts")).as("__start"))
+      .select(
+        col(idCol),
+        expr(s"__start div $stride").cast("long").as("chunk_id"),
+        least(lit(window), size(col("__toks")) - col("__start")).cast("long").as("n_tokens"),
+        array_join(slice(col("__toks"), col("__start") + 1, lit(window)), " ").as("chunk_text"))
+  }
+
   /** URL canonicalization — the key for the FIRST dedup stage of every
     * web-crawl pipeline (CC-style: collapse scheme/host case, http vs
     * https, `www.`, default ports, fragments, tracking params, trailing

@@ -2628,6 +2628,248 @@ object Extensions {
     None
   )
 
+  /** RAG chunking ([[Curation.chunkDocuments]], window 32 / stride 24):
+    * overlapping fixed-token chunks per document — starts, short-tail
+    * lengths, and chunk text all replayed in SQL (Spark `sequence` with
+    * step == DuckDB `range` with step, 1-based slices on both sides).
+    */
+  val chunkDocuments = Q(
+    "x_chunk_documents",
+    (s, d) =>
+      Curation.chunkDocuments(Tables.documents(s, d), "doc_id", "text", 32, 24)
+        .orderBy("doc_id", "chunk_id"),
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+            st AS (
+              SELECT doc_id, toks, unnest(range(0, greatest(len(toks), 1), 24)) AS s
+              FROM t WHERE len(toks) > 0)
+            SELECT doc_id,
+              CAST(s // 24 AS BIGINT) AS chunk_id,
+              CAST(least(32, len(toks) - s) AS BIGINT) AS n_tokens,
+              array_to_string(toks[s+1 : s+32], ' ') AS chunk_text
+            FROM st ORDER BY doc_id, chunk_id""")
+  )
+
+  /** Third composed curation pipeline — the late-round-7 operators chained
+    * in crawl order, each stage consuming the previous stage's DataFrame in
+    * ONE plan: (0) URL-canonicalization first-wins dedup (five messy
+    * variants per article as in [[dedupUrl]]); (1) Gopher repetition gate
+    * on the raw text ([[graft.functions.RepetitionSignalsExpr]] keep flag);
+    * (2) NB classifier gate — the model TRAINS INSIDE the pipeline on the
+    * repetition survivors' `doc_id % 3` slice, labeled by a text-derived
+    * signal (`contains 'spark'`) so the classifier genuinely learns
+    * token evidence, then keeps docs scoring positive; (3) temperature-
+    * scaled source mixing of the survivors. Every stage's exact SQL replay
+    * already exists on its own registry row; here they compose into one
+    * WITH chain, so the full pipeline is row-level oracled end to end.
+    */
+  val curationPipeline3 = Q(
+    "x_curation_pipeline3",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      // (0) URL dedup.
+      val urls = docs.selectExpr("doc_id", "text", "lang", "source",
+        """CASE doc_id % 5
+             WHEN 0 THEN concat('http://www.Example.com/articles/', doc_id div 5)
+             WHEN 1 THEN concat('HTTPS://WWW.EXAMPLE.COM:443/articles/', doc_id div 5, '/')
+             WHEN 2 THEN concat('http://example.com:80/articles/', doc_id div 5, '?utm_source=feed&id=7&utm_campaign=x')
+             WHEN 3 THEN concat('http://Example.COM/articles/', doc_id div 5, '?id=7#section-2')
+             ELSE concat('https://example.com/articles/', doc_id div 5, '?ref=home&lang=en')
+           END AS url""")
+        .withColumn("__curl", Curation.canonicalizeUrl(col("url")))
+      val w  = org.apache.spark.sql.expressions.Window.partitionBy(col("__curl"))
+      val s0 = urls
+        .withColumn("__m", min(col("doc_id")).over(w))
+        .filter(col("doc_id") === col("__m"))
+        .select("doc_id", "text", "lang", "source")
+      // (1) Repetition gate.
+      val s1 = s0
+        .withColumn("__rep", graft.functions.NativeFns.repetition_signals(col("text")))
+        .filter(col("__rep.keep") === 1)
+        .drop("__rep")
+      // (2) Classifier gate, trained in-pipeline on the survivors.
+      val labeled = s1.filter(col("doc_id") % 3 === 0)
+        .withColumn("label", when(col("text").contains("spark"), 1L).otherwise(0L))
+      val keepIds = QualityLM.nbClassifier(labeled, s1, "doc_id", "text", "label")
+        .filter(col("pred") === 1).select("doc_id")
+      val s2 = s1.join(keepIds, Seq("doc_id"), "left_semi")
+      // (3) Temperature mix.
+      Curation.temperatureMixture(s2, "doc_id", "source", 600000L, "p3")
+        .select(col("doc_id"), col("source"), col("rate_ppm"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH u AS (
+              SELECT doc_id, text, lang, source,
+                CASE doc_id % 5
+                  WHEN 0 THEN 'http://www.Example.com/articles/' || (doc_id // 5)
+                  WHEN 1 THEN 'HTTPS://WWW.EXAMPLE.COM:443/articles/' || (doc_id // 5) || '/'
+                  WHEN 2 THEN 'http://example.com:80/articles/' || (doc_id // 5) || '?utm_source=feed&id=7&utm_campaign=x'
+                  WHEN 3 THEN 'http://Example.COM/articles/' || (doc_id // 5) || '?id=7#section-2'
+                  ELSE 'https://example.com/articles/' || (doc_id // 5) || '?ref=home&lang=en'
+                END AS url
+              FROM documents),
+            uc AS (
+              SELECT doc_id, text, lang, source,
+                regexp_replace(regexp_replace(
+                  lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+                  ':(80|443)$', ''), '^www\.', '') AS host,
+                regexp_replace(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1),
+                  '#.*$', '') AS nofrag
+              FROM u),
+            up AS (
+              SELECT doc_id, text, lang, source, host,
+                regexp_replace(nofrag, '\?.*$', '') AS path0,
+                list_sort(list_filter(string_split(regexp_extract(nofrag, '\?(.*)$', 1), '&'),
+                  x -> x <> '' AND NOT starts_with(x, 'utm_'))) AS params
+              FROM uc),
+            uk AS (
+              SELECT doc_id, text, lang, source,
+                'http://' || host ||
+                CASE WHEN path0 <> '/' AND path0 LIKE '%/'
+                     THEN substr(path0, 1, length(path0) - 1) ELSE path0 END ||
+                CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&') ELSE '' END
+                  AS curl
+              FROM up),
+            s0 AS (
+              SELECT doc_id, text, lang, source FROM (
+                SELECT *, min(doc_id) OVER (PARTITION BY curl) AS m FROM uk)
+              WHERE doc_id = m),
+            rt AS (
+              SELECT doc_id, text,
+                list_filter(regexp_split_to_array(text, '[ \n]'), x -> x <> '') AS toks,
+                string_split(text, chr(10)) AS lines
+              FROM s0),
+            rlo AS (SELECT doc_id, unnest(lines) AS l FROM rt),
+            rlc AS (SELECT doc_id, l, count(*) AS c FROM rlo GROUP BY doc_id, l),
+            rls AS (
+              SELECT doc_id, sum(c) AS n_lines, sum(c * length(l)) AS line_chars,
+                sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_occ,
+                sum(CASE WHEN c >= 2 THEN c * length(l) ELSE 0 END) AS dup_chars
+              FROM rlc GROUP BY doc_id),
+            rtok AS (
+              SELECT doc_id, toks, len(toks) AS ntok,
+                length(array_to_string(toks, '')) AS tokchars
+              FROM rt),
+            rng AS (
+              SELECT doc_id, n, i,
+                array_to_string(toks[i+1 : i+n], ' ') AS g,
+                length(array_to_string(toks[i+1 : i+n], '')) AS glen
+              FROM (
+                SELECT doc_id, toks, nn.n AS n,
+                  unnest(range(0, greatest(ntok - nn.n + 1, 0))) AS i
+                FROM rtok CROSS JOIN (VALUES (2),(3),(4),(5),(6),(7),(8),(9),(10)) nn(n))),
+            rngc AS (SELECT doc_id, n, g, glen, count(*) AS c FROM rng GROUP BY doc_id, n, g, glen),
+            rtop AS (
+              SELECT doc_id, n, c * glen AS mass FROM (
+                SELECT doc_id, n, glen, c,
+                  row_number() OVER (PARTITION BY doc_id, n ORDER BY c DESC, g ASC) AS rn
+                FROM rngc WHERE n <= 4)
+              WHERE rn = 1),
+            rtp AS (
+              SELECT doc_id,
+                coalesce(max(CASE WHEN n = 2 THEN mass END), 0) AS m2,
+                coalesce(max(CASE WHEN n = 3 THEN mass END), 0) AS m3,
+                coalesce(max(CASE WHEN n = 4 THEN mass END), 0) AS m4
+              FROM rtop GROUP BY doc_id),
+            rcov AS (
+              SELECT DISTINCT doc_id, n, p FROM (
+                SELECT rng.doc_id, rng.n, unnest(range(rng.i, rng.i + rng.n)) AS p
+                FROM rng JOIN rngc ON rngc.doc_id = rng.doc_id AND rngc.n = rng.n AND rngc.g = rng.g
+                WHERE rng.n >= 5 AND rngc.c >= 2)),
+            rtl AS (
+              SELECT doc_id, unnest(toks) AS tokv,
+                generate_subscripts(toks, 1) - 1 AS p
+              FROM rtok),
+            rcovm AS (
+              SELECT c.doc_id, c.n, sum(length(rtl.tokv)) AS mass
+              FROM rcov c JOIN rtl ON rtl.doc_id = c.doc_id AND rtl.p = c.p
+              GROUP BY c.doc_id, c.n),
+            rcp AS (
+              SELECT doc_id,
+                coalesce(max(CASE WHEN n = 5 THEN mass END), 0) AS m5,
+                coalesce(max(CASE WHEN n = 6 THEN mass END), 0) AS m6,
+                coalesce(max(CASE WHEN n = 7 THEN mass END), 0) AS m7,
+                coalesce(max(CASE WHEN n = 8 THEN mass END), 0) AS m8,
+                coalesce(max(CASE WHEN n = 9 THEN mass END), 0) AS m9,
+                coalesce(max(CASE WHEN n = 10 THEN mass END), 0) AS m10
+              FROM rcovm GROUP BY doc_id),
+            rfin AS (
+              SELECT k.doc_id,
+                CASE WHEN ls.n_lines > 0 THEN 1000000 * ls.dup_occ // ls.n_lines ELSE 0 END AS v0,
+                CASE WHEN ls.line_chars > 0 THEN 1000000 * ls.dup_chars // ls.line_chars ELSE 0 END AS v1,
+                CASE WHEN k.tokchars > 0 THEN 1000000 * coalesce(tp.m2, 0) // k.tokchars ELSE 0 END AS v2,
+                CASE WHEN k.tokchars > 0 THEN 1000000 * coalesce(tp.m3, 0) // k.tokchars ELSE 0 END AS v3,
+                CASE WHEN k.tokchars > 0 THEN 1000000 * coalesce(tp.m4, 0) // k.tokchars ELSE 0 END AS v4,
+                CASE WHEN k.tokchars > 0 THEN 1000000 * coalesce(cp.m5, 0) // k.tokchars ELSE 0 END AS v5,
+                CASE WHEN k.tokchars > 0 THEN 1000000 * coalesce(cp.m6, 0) // k.tokchars ELSE 0 END AS v6,
+                CASE WHEN k.tokchars > 0 THEN 1000000 * coalesce(cp.m7, 0) // k.tokchars ELSE 0 END AS v7,
+                CASE WHEN k.tokchars > 0 THEN 1000000 * coalesce(cp.m8, 0) // k.tokchars ELSE 0 END AS v8,
+                CASE WHEN k.tokchars > 0 THEN 1000000 * coalesce(cp.m9, 0) // k.tokchars ELSE 0 END AS v9,
+                CASE WHEN k.tokchars > 0 THEN 1000000 * coalesce(cp.m10, 0) // k.tokchars ELSE 0 END AS v10
+              FROM rtok k
+              LEFT JOIN rls ls ON ls.doc_id = k.doc_id
+              LEFT JOIN rtp tp ON tp.doc_id = k.doc_id
+              LEFT JOIN rcp cp ON cp.doc_id = k.doc_id),
+            s1 AS (
+              SELECT s0.doc_id, s0.text, s0.lang, s0.source
+              FROM s0 JOIN rfin f ON f.doc_id = s0.doc_id
+              WHERE f.v0 <= 300000 AND f.v1 <= 200000
+                AND f.v2 <= 200000 AND f.v3 <= 180000 AND f.v4 <= 160000
+                AND f.v5 <= 150000 AND f.v6 <= 140000 AND f.v7 <= 130000
+                AND f.v8 <= 120000 AND f.v9 <= 110000 AND f.v10 <= 100000),
+            lab AS (
+              SELECT doc_id, text,
+                CASE WHEN contains(text, 'spark') THEN 1 ELSE 0 END AS label
+              FROM s1 WHERE doc_id % 3 = 0),
+            ltok AS (
+              SELECT label, substr(md5(t.tok), 1, 2) AS bucket
+              FROM lab, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t(tok)),
+            ccnt AS (
+              SELECT bucket,
+                sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS c1,
+                sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS c0
+              FROM ltok GROUP BY bucket),
+            ctot AS (SELECT CAST(sum(c1) AS DOUBLE) AS t1, CAST(sum(c0) AS DOUBLE) AS t0 FROM ccnt),
+            cpri AS (
+              SELECT CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n1,
+                     CAST(sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS n0
+              FROM lab),
+            cdom AS (SELECT printf('%02x', i) AS bucket FROM range(256) r(i)),
+            cmodel AS (
+              SELECT d.bucket,
+                CAST(floor((ln((CAST(coalesce(c.c1, 0) AS DOUBLE) + 1.0) / (t.t1 + 256.0)) -
+                            ln((CAST(coalesce(c.c0, 0) AS DOUBLE) + 1.0) / (t.t0 + 256.0))) * 1000000.0) AS BIGINT) AS llr_q
+              FROM cdom d LEFT JOIN ccnt c ON c.bucket = d.bucket CROSS JOIN ctot t),
+            cpq AS (SELECT CAST(floor(ln(n1 / n0) * 1000000.0) AS BIGINT) AS prior_q FROM cpri),
+            cstok AS (
+              SELECT doc_id, substr(md5(t.tok), 1, 2) AS bucket
+              FROM s1, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t(tok)),
+            csc AS (
+              SELECT ct.doc_id, sum(m.llr_q) AS sc
+              FROM cstok ct JOIN cmodel m ON m.bucket = ct.bucket
+              GROUP BY ct.doc_id),
+            s2 AS (
+              SELECT s1.doc_id, s1.source
+              FROM s1 JOIN csc ON csc.doc_id = s1.doc_id CROSS JOIN cpq
+              WHERE cpq.prior_q + csc.sc > 0),
+            mcnt AS (
+              SELECT source, count(*) AS n,
+                CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1000000.0) AS BIGINT) AS s
+              FROM s2 GROUP BY source),
+            mtot AS (SELECT sum(n) AS ntot, sum(s) AS stot FROM mcnt),
+            mr AS (
+              SELECT c.source,
+                CAST(least(1000000::HUGEINT,
+                  (1000000::HUGEINT * ((600000::HUGEINT * t.ntot) // 1000000) * c.s)
+                    // (t.stot::HUGEINT * c.n)) AS BIGINT) AS rate_ppm
+              FROM mcnt c CROSS JOIN mtot t)
+            SELECT b.doc_id, b.source, r.rate_ppm
+            FROM s2 b JOIN mr r ON r.source = b.source
+            WHERE r.rate_ppm >= 1000000
+               OR substr(md5(CAST(b.doc_id AS VARCHAR) || ':p3'), 1, 4)
+                    < printf('%04x', (r.rate_ppm * 65536) // 1000000)
+            ORDER BY b.doc_id""")
+  )
+
   val qs: Seq[Q] = Seq(
     textStats, textQuality, textLangId, textFingerprint, approxDistinct, jsonExtract, jsonStruct, jsonVariant,
     heavyHitters, ngramFreq, quantiles, textRepetition, splitTrainTest, sampleStratified,
@@ -2638,7 +2880,7 @@ object Extensions {
     streamSetSimilarity, trendingTopK, dedupIncrementalStream, neardupFilter, c4LineClean, dedupSpans,
     gopherQuality, gopherRepetition, dedupSpansIncremental, dedupTokenSpans, dedupTokenSpansIncremental, dedupLinesWithin,
     qualityPerplexity, dsirWeights, semDedup, tfidfKeywords, embeddingQuantize, bm25Search, vocabCoverage, qualityBySource,
-    qualityClassifier, mixTemperature, dedupUrl, bpePairCounts, bpeMerges, bpeTokenize,
+    qualityClassifier, mixTemperature, dedupUrl, bpePairCounts, bpeMerges, bpeTokenize, chunkDocuments, curationPipeline3,
     annBruteForce, annLsh, annIvf, annInt8,
     multimodalMeta, multimodalFrames
   )

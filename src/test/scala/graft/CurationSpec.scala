@@ -222,6 +222,21 @@ class CurationSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"))
   }
 
+  test("chunkDocuments: overlap, short tail, exact boundaries (closed form)") {
+    import spark.implicits._
+    // 10 tokens, window 4, stride 3 -> starts 0,3,6,9: lengths 4,4,4,1.
+    val df = Seq((7L, (1 to 10).map(i => s"t$i").mkString(" "))).toDF("id", "text")
+    val got = Curation.chunkDocuments(df, "id", "text", 4, 3)
+      .orderBy("chunk_id")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(got == Seq(
+      (0L, 4L, "t1 t2 t3 t4"), (1L, 4L, "t4 t5 t6 t7"),
+      (2L, 4L, "t7 t8 t9 t10"), (3L, 1L, "t10")))
+    val plan = Curation.chunkDocuments(df, "id", "text", 4, 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "chunking must not shuffle")
+  }
+
   test("sampleMixture: different salts decorrelate") {
     import spark.implicits._
     val df = spark.range(0, 20000).toDF("id")
