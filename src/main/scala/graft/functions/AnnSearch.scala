@@ -42,6 +42,40 @@ object AnnSearch {
       .filter(col("rank") <= k)
   }
 
+  /** Hard-negative mining — the contrastive-training data-preparation step
+    * (DPR / SimCSE recipe: for each anchor, the strongest-scoring corpus
+    * items of a DIFFERENT class are the informative negatives). Exact by
+    * construction: per anchor, top-k by cosine over every corpus vector
+    * whose `labelCol` differs from the anchor's (self and same-class rows —
+    * the would-be positives — are excluded before scoring, not after, so
+    * the returned k are all usable negatives).
+    *
+    * Same scale shape as [[bruteForceTopK]]: the anchor set broadcasts
+    * (mining runs over a training slice, not the whole corpus), scoring is
+    * map-side over the corpus via the codegen'd `cosine_sim` kernel, and
+    * `row_number ≤ k` rewrites to WindowGroupLimit so each map task
+    * forwards at most k candidates per anchor before the rank exchange.
+    * For corpus-scale anchor sets, swap the broadcast for the LSH/IVF
+    * bucket path ([[lshTopK]]) — the ranking contract is unchanged.
+    */
+  def hardNegatives(
+      corpus: DataFrame, anchors: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, k: Int
+  ): DataFrame = {
+    val q = anchors.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      col(labelCol).as("q_label"))
+    val c = corpus.select(col(idCol).as("neg_id"), col(vecCol).as("c_vec"),
+      col(labelCol).as("c_label"))
+    val scored = c
+      .join(broadcast(q), col("q_label") =!= col("c_label"))
+      .select(col("query_id"), col("neg_id"),
+        NativeFns.cosine_sim(col("q_vec"), col("c_vec")).as("cos"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neg_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Symmetric per-vector int8 quantization — the standard 4× index
     * compression an embedding store applies before ANN at corpus scale
     * (100 TB of float32 embeddings is 25 TB at int8 with ~1e-2 cosine

@@ -243,6 +243,139 @@ object Curation {
     concat(lit("http://"), host, path, cq)
   }
 
+  /** HTML text extraction — the crawl-side stage that turns raw page markup
+    * into the `text` column every downstream curation operator consumes
+    * (the WET-extraction step of a CC-style pipeline, as a deterministic
+    * regex cascade rather than a DOM parse so it runs as ONE codegen'd
+    * map-side projection at scan speed):
+    *
+    *   1. `<script>…</script>` and `<style>…</style>` blocks drop WITH
+    *      their content ((?is) dotall + case-fold, non-greedy — both
+    *      supported identically by Java regex and RE2);
+    *   2. `<!-- … -->` comments drop;
+    *   3. every remaining tag collapses to a space (so adjacent block
+    *      elements cannot weld words together);
+    *   4. the five core entities decode (`&lt; &gt; &quot; &#39; &nbsp;`,
+    *      then `&amp;` LAST so escaped ampersands cannot re-trigger);
+    *   5. whitespace runs collapse to one space (explicit `[ \t\n\r]+`
+    *      class — Java's `\s` includes `\x0B`, RE2's does not) and the
+    *      result is trimmed.
+    *
+    * No pattern uses backreferences or lookaround, so the cascade replays
+    * verbatim under RE2 (DuckDB with the 'g' flag) — row-level
+    * oracle-able. A real fetch pipeline would put charset/encoding repair
+    * in front; that is I/O-side, not operator-side.
+    */
+  def extractHtmlText(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle  = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noCmt    = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags   = regexp_replace(noCmt, "<[^>]*>", " ")
+    val ent = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+      "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (from, to)) => regexp_replace(c, from, to) }
+    trim(regexp_replace(ent, "[ \t\n\r]+", " "))
+  }
+
+  /** `<title>` contents (first match, tags inside dropped by the body
+    * cascade's rules not needed here — titles are flat), trimmed. */
+  def htmlTitle(html: Column): Column =
+    trim(regexp_extract(html, "(?is)<title[^>]*>(.*?)</title>", 1))
+
+  /** Outbound-link count — the page-level crawl-frontier/quality feature
+    * (link farms score high, text pages low). */
+  def htmlLinkCount(html: Column): Column =
+    regexp_count(html, lit("(?i)<a[ \t\n\r]")).cast("long")
+
+  /** Deterministic training-shard assignment — the corpus-writing step of a
+    * training pipeline (WebDataset/TFRecord practice: documents are dealt
+    * pseudo-randomly into N shard files, readers stream shards in order, so
+    * the shard deal IS the global shuffle). Each row gets
+    *
+    *   shard_id = hex4(md5(id:salt)) mod nShards,   pos = rank of
+    *   (md5, id) within the shard
+    *
+    * — reproducible across runs, engines, and partitionings (same salted-md5
+    * determinism contract as [[sampleMixture]]), and uniform: the first 4
+    * md5 hex chars are a uniform 16-bit integer, and `nShards` is required
+    * to divide 65536 so the modulus is exactly unbiased. Shard sizes are
+    * n/N ± binomial noise, which is the real-world contract (shard files
+    * are equal-sized in expectation, not exactly).
+    *
+    * Scale shape: the hash is map-side; `pos` is one row_number per shard
+    * partition — per-shard row counts are ~n/N, and nShards grows with the
+    * corpus (a 100 TB run uses 10⁴–10⁵ shards), so no partition ever holds
+    * more than a shard's worth of rows and there is no global total order
+    * anywhere (the classic `row_number() OVER (ORDER BY hash)` corpus
+    * enumeration ranks everything through ONE range exchange — this never
+    * builds it).
+    */
+  def assignShards(df: DataFrame, idCol: String, nShards: Int, salt: String): DataFrame = {
+    require(nShards > 0 && 65536 % nShards == 0,
+      s"nShards must divide 65536 for an unbiased modulus, got $nShards")
+    val hx = substring(md5(concat(col(idCol).cast("string"), lit(":" + salt))), 1, 4)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__shard")).orderBy(col("__hx"), col(idCol))
+    df.withColumn("__hx", hx)
+      .withColumn("__shard", (conv(col("__hx"), 16, 10).cast("long") % nShards))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .withColumn("shard_id", col("__shard"))
+      .drop("__hx", "__shard")
+  }
+
+  /** All dot-suffixes of a hostname (`a.b.c` → [`a.b.c`, `b.c`, `c`]) — the
+    * join key for domain-blocklist matching, where a blocklist entry
+    * `example.com` must block every subdomain. Pure array arithmetic
+    * (split + sequence + slice), identical in ANSI engines.
+    */
+  def hostSuffixes(host: Column): Column = {
+    val parts = split(host, "\\.")
+    transform(sequence(lit(1), size(parts)),
+      i => array_join(slice(parts, i, size(parts) - i + 1), "."))
+  }
+
+  /** Lowercased URL host with any `:port` stripped (NOT `www.`-stripped —
+    * suffix matching in [[hostSuffixes]] already covers `www.x.y` via its
+    * `x.y` suffix). */
+  def urlHost(url: Column): Column =
+    regexp_replace(
+      lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)),
+      ":[0-9]+$", "")
+
+  /** URL blocklist filtering — the UT1-style stage 0 gate of a web-crawl
+    * pipeline: a URL is blocked when (a) any dot-suffix of its host appears
+    * in the domain blocklist (so `cdn.ads.example.com` is caught by an
+    * `ads.example.com` entry), or (b) the lowercased URL matches a keyword
+    * pattern. Returns `df` plus `host` and `blocked_by` ∈
+    * {'host','keyword','ok'} (host wins when both hit, matching blocklist
+    * precedence).
+    *
+    * Scale shape: the keyword test is map-side; the domain test explodes
+    * each URL into its ≤ host-label-count suffixes and semi-joins the
+    * blocklist — with a UT1-sized list (millions of domains) that join
+    * hash-partitions both sides on the suffix string and the per-doc flag
+    * comes back over ONE id-keyed shuffle; nothing is ever collected and
+    * the corpus text never moves (only (id, suffix) pairs do). With a
+    * small list the blocklist side broadcasts and the flag join is the
+    * only exchange.
+    */
+  def urlBlockFilter(df: DataFrame, idCol: String, urlCol: String,
+      blocklist: DataFrame, keywordRe: String): DataFrame = {
+    val withHost = df.withColumn("host", urlHost(col(urlCol)))
+    val hostHits = withHost
+      .select(col(idCol), explode(hostSuffixes(col("host"))).as("__suf"))
+      .join(blocklist.select(col("domain").as("__suf")), Seq("__suf"), "left_semi")
+      .select(col(idCol)).distinct()
+      .withColumn("__bh", lit(1L))
+    withHost
+      .join(hostHits, Seq(idCol), "left")
+      .withColumn("blocked_by",
+        when(col("__bh").isNotNull, "host")
+          .when(lower(col(urlCol)).rlike(keywordRe), "keyword")
+          .otherwise("ok"))
+      .drop("__bh")
+  }
+
   /** Temperature-scaled domain mixing (the multilingual/multi-source
     * rebalancing step of XLM-R / mT5: sample domain i proportional to
     * n_i^α, α < 1, so small domains are up-weighted relative to their raw

@@ -2870,6 +2870,190 @@ object Extensions {
             ORDER BY b.doc_id""")
   )
 
+  /** HTML text extraction ([[Curation.extractHtmlText]] — the WET step that
+    * produces the `text` column the rest of the curation stack consumes).
+    * Pages are synthesized from the documents deterministically — head with
+    * a `&amp;`-bearing title, a style block, a script block whose content
+    * contains `<`/`>`/quotes (the classic tag-stripper trap: its CONTENT
+    * must drop, not just its tags), a comment, nav links, and the document
+    * text entity-escaped into a `<p>` — and the full cascade (block drops,
+    * tag collapse, 6-entity decode in fixed order, whitespace normalize)
+    * plus title/link-count features is replayed step-for-step in SQL with
+    * RE2's 'g' flag standing in for Java's replace-all. Row-level oracle.
+    */
+  val htmlExtract = Q(
+    "x_html_extract",
+    (s, d) => {
+      val esc = regexp_replace(regexp_replace(regexp_replace(
+        col("text"), "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+      val html = concat(
+        lit("<html><head><title>Doc "), col("doc_id").cast("string"), lit(" &amp; Friends</title>"),
+        lit("<style type=\"text/css\">p { margin: 0; }</style>"),
+        lit("<script>if (1 < 2 && 2 > 1) { var x = \"<p>\"; }</script></head><body>"),
+        lit("<!-- crawl id "), col("doc_id").cast("string"), lit(" -->"),
+        lit("<nav><a href=\"/\">Home</a> <a href=\"/about\">About</a></nav><h1>Doc "),
+        col("doc_id").cast("string"),
+        lit("</h1><p>"), esc,
+        lit("</p><div class=\"footer\">Example &amp; Sons &nbsp; 2026</div></body></html>"))
+      Tables.documents(s, d)
+        .withColumn("__html", html)
+        .select(
+          col("doc_id"),
+          Curation.htmlTitle(col("__html")).as("title"),
+          Curation.htmlLinkCount(col("__html")).as("n_links"),
+          Curation.extractHtmlText(col("__html")).as("body"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH h AS (
+              SELECT doc_id,
+                '<html><head><title>Doc ' || doc_id || ' &amp; Friends</title>' ||
+                '<style type="text/css">p { margin: 0; }</style>' ||
+                '<script>if (1 < 2 && 2 > 1) { var x = "<p>"; }</script></head><body>' ||
+                '<!-- crawl id ' || doc_id || ' -->' ||
+                '<nav><a href="/">Home</a> <a href="/about">About</a></nav><h1>Doc ' || doc_id ||
+                '</h1><p>' ||
+                regexp_replace(regexp_replace(regexp_replace(text,
+                  '&', '&amp;', 'g'), '<', '&lt;', 'g'), '>', '&gt;', 'g') ||
+                '</p><div class="footer">Example &amp; Sons &nbsp; 2026</div></body></html>' AS html
+              FROM documents),
+            x AS (
+              SELECT doc_id, html,
+                regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+                  '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                  '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                  '(?s)<!--.*?-->', ' ', 'g'),
+                  '<[^>]*>', ' ', 'g') AS t0
+              FROM h),
+            e AS (
+              SELECT doc_id, html,
+                regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t0,
+                  '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'), '&#39;', '''', 'g'),
+                  '&nbsp;', ' ', 'g'), '&amp;', '&', 'g') AS t1
+              FROM x)
+            SELECT doc_id,
+              trim(regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1)) AS title,
+              CAST(len(regexp_extract_all(html, '(?i)<a[ \t\n\r]')) AS BIGINT) AS n_links,
+              trim(regexp_replace(t1, '[ \t\n\r]+', ' ', 'g')) AS body
+            FROM e ORDER BY doc_id""")
+  )
+
+  /** Training-shard assignment ([[Curation.assignShards]], 8 shards): the
+    * deterministic pseudo-random deal that IS the training-data global
+    * shuffle. shard = hex4(md5) mod 8 (unbiased: 8 | 65536), pos = rank of
+    * (md5, id) within the shard — both replayed in SQL (DuckDB parses
+    * '0x…' hex casts natively; Spark uses `conv`). Row-level oracle over
+    * every row.
+    */
+  val shardAssign = Q(
+    "x_shard_assign",
+    (s, d) =>
+      Curation.assignShards(
+          Tables.documents(s, d).select("doc_id", "source"), "doc_id", 8, "shard")
+        .select(col("doc_id"), col("source"), col("shard_id"), col("pos"))
+        .orderBy("doc_id"),
+    Some("""WITH k AS (
+              SELECT doc_id, source,
+                md5(CAST(doc_id AS VARCHAR) || ':shard') AS h
+              FROM documents),
+            s AS (
+              SELECT doc_id, source, substr(h, 1, 4) AS hx,
+                CAST(CAST(('0x' || substr(h, 1, 4)) AS INTEGER) % 8 AS BIGINT) AS shard_id
+              FROM k)
+            SELECT doc_id, source, shard_id,
+              CAST(row_number() OVER (PARTITION BY shard_id ORDER BY hx, doc_id) AS BIGINT) AS pos
+            FROM s ORDER BY doc_id""")
+  )
+
+  /** Hard-negative mining ([[AnnSearch.hardNegatives]], k=5): for each
+    * anchor (vec_id < 10), the top-5 highest-cosine corpus vectors of a
+    * DIFFERENT label — the contrastive-training negatives. Exact
+    * all-pairs-minus-same-class replay in SQL (identical fold order for the
+    * double cosine, identical (cos desc, id) tie-break), so unlike the
+    * LSH/IVF rows this ANN-adjacent surface carries a full oracle.
+    */
+  val hardNegativesQ = Q(
+    "x_hard_negatives",
+    (s, d) => {
+      val embs = Tables.embeddings(s, d)
+      AnnSearch
+        .hardNegatives(embs, embs.filter(col("vec_id") < 10), "vec_id", "embedding", "label", 5)
+        .select(col("query_id"), col("neg_id"), col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    },
+    Some("""WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label AS ql
+                       FROM embeddings WHERE vec_id < 10),
+            scored AS (
+              SELECT q.query_id, e.vec_id AS neg_id,
+                list_sum(list_transform(list_zip(q.qe, e.embedding),
+                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                / (sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                 * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+              FROM embeddings e, q WHERE e.label <> q.ql)
+            SELECT query_id, neg_id, rank FROM (
+              SELECT query_id, neg_id,
+                row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neg_id) AS rank
+              FROM scored)
+            WHERE rank <= 5 ORDER BY query_id, rank""")
+  )
+
+  /** URL blocklist filter ([[Curation.urlBlockFilter]] — the UT1-style
+    * stage-0 crawl gate). Six URL shapes per article id: two hit the domain
+    * blocklist (one directly, one as a SUBDOMAIN of a blocked entry behind
+    * a non-default port — the suffix-join case), one hits the keyword
+    * pattern, one exercises host case-folding, two pass. The suffix
+    * explode + semi-join, host-wins precedence, and keyword regex are all
+    * replayed in SQL — row-level oracle with every row present (blocked
+    * rows carry their reason, they are not dropped).
+    */
+  val urlFilter = Q(
+    "x_url_filter",
+    (s, d) => {
+      import s.implicits._
+      val urls = Tables.documents(s, d).selectExpr("doc_id",
+        """CASE doc_id % 6
+             WHEN 0 THEN concat('https://news.example.com/story/', doc_id)
+             WHEN 1 THEN concat('http://ads.tracker.net/click?id=', doc_id)
+             WHEN 2 THEN concat('https://blog.example.com/post/', doc_id)
+             WHEN 3 THEN concat('http://lucky-casino.com/play/', doc_id)
+             WHEN 4 THEN concat('https://cdn.ads.example.com:8080/banner/', doc_id)
+             ELSE concat('https://Example.org/about/', doc_id)
+           END AS url""")
+      val blocklist = Seq("tracker.net", "ads.example.com").toDF("domain")
+      Curation
+        .urlBlockFilter(urls, "doc_id", "url", blocklist, "casino|xxx|adult-content")
+        .select(col("doc_id"), col("url"), col("host"), col("blocked_by"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH u AS (
+              SELECT doc_id,
+                CASE doc_id % 6
+                  WHEN 0 THEN 'https://news.example.com/story/' || doc_id
+                  WHEN 1 THEN 'http://ads.tracker.net/click?id=' || doc_id
+                  WHEN 2 THEN 'https://blog.example.com/post/' || doc_id
+                  WHEN 3 THEN 'http://lucky-casino.com/play/' || doc_id
+                  WHEN 4 THEN 'https://cdn.ads.example.com:8080/banner/' || doc_id
+                  ELSE 'https://Example.org/about/' || doc_id
+                END AS url
+              FROM documents),
+            h AS (
+              SELECT doc_id, url,
+                regexp_replace(lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+                  ':[0-9]+$', '') AS host
+              FROM u),
+            bl AS (SELECT * FROM (VALUES ('tracker.net'), ('ads.example.com')) b(domain)),
+            sfx AS (
+              SELECT doc_id, t.s AS suf
+              FROM h, unnest(list_transform(range(1, len(string_split(host, '.')) + 1),
+                i -> array_to_string(string_split(host, '.')[i:], '.'))) AS t(s)),
+            hit AS (SELECT DISTINCT sfx.doc_id FROM sfx JOIN bl ON bl.domain = sfx.suf)
+            SELECT h.doc_id, h.url, h.host,
+              CASE WHEN hit.doc_id IS NOT NULL THEN 'host'
+                   WHEN regexp_matches(lower(h.url), 'casino|xxx|adult-content') THEN 'keyword'
+                   ELSE 'ok' END AS blocked_by
+            FROM h LEFT JOIN hit ON hit.doc_id = h.doc_id
+            ORDER BY h.doc_id""")
+  )
+
   val qs: Seq[Q] = Seq(
     textStats, textQuality, textLangId, textFingerprint, approxDistinct, jsonExtract, jsonStruct, jsonVariant,
     heavyHitters, ngramFreq, quantiles, textRepetition, splitTrainTest, sampleStratified,
@@ -2881,6 +3065,7 @@ object Extensions {
     gopherQuality, gopherRepetition, dedupSpansIncremental, dedupTokenSpans, dedupTokenSpansIncremental, dedupLinesWithin,
     qualityPerplexity, dsirWeights, semDedup, tfidfKeywords, embeddingQuantize, bm25Search, vocabCoverage, qualityBySource,
     qualityClassifier, mixTemperature, dedupUrl, bpePairCounts, bpeMerges, bpeTokenize, chunkDocuments, curationPipeline3,
+    htmlExtract, shardAssign, hardNegativesQ, urlFilter,
     annBruteForce, annLsh, annIvf, annInt8,
     multimodalMeta, multimodalFrames
   )

@@ -255,4 +255,22 @@ class AccuracySpec extends AnyFunSuite {
     assert(a.nonEmpty)
     assert(a == b, "SRP-bucketed dedup must be deterministic (seed-fixed hyperplanes)")
   }
+
+  test("hardNegatives: self and same-label rows never surface; ranking is by cosine") {
+    import spark.implicits._
+    // Anchor 0 (label 0); row 1 is an identical-vector POSITIVE (label 0 —
+    // must be excluded, it would otherwise rank first); row 2 is the hard
+    // negative (near, label 1); row 3 a far negative (orthogonal, label 1).
+    val rows = Seq(
+      (0L, Array(1f, 0f, 0f), 0),
+      (1L, Array(1f, 0f, 0f), 0),
+      (2L, Array(0.9f, 0.1f, 0f), 1),
+      (3L, Array(0f, 1f, 0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = AnnSearch
+      .hardNegatives(rows, rows.filter(col("vec_id") === 0), "vec_id", "embedding", "label", 5)
+      .orderBy("rank").collect()
+    assert(got.map(_.getAs[Long]("neg_id")).toSeq == Seq(2L, 3L))
+    assert(got.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2))
+  }
 }

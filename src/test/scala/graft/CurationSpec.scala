@@ -305,4 +305,75 @@ class CurationSpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"),
       s"row_number<=cap must rewrite to WindowGroupLimit so hot domains cap map-side:\n$plan")
   }
+
+  test("extractHtmlText: script/style CONTENT drops, entities decode in order, whitespace collapses") {
+    import spark.implicits._
+    val html = "<html><head><title> T </title><style>p{x:1}</style>" +
+      "<script>if (1 < 2 && 2 > 1) { var s = \"<p>\"; }</script></head>" +
+      "<body><!-- note --><p>a &amp;&nbsp;b</p>\n<div>c&lt;d&gt;e</div></body></html>"
+    val out = Seq(html).toDF("h")
+      .select(
+        Curation.extractHtmlText(col("h")).as("b"),
+        Curation.htmlTitle(col("h")).as("t"),
+        Curation.htmlLinkCount(col("h")).as("n"))
+      .head()
+    // The script's `1 < 2` / `"<p>"` content must vanish WITH the block (the
+    // classic tag-stripper trap), the title text legitimately survives the
+    // tag strip, and `&amp;` decodes last so it cannot re-trigger.
+    assert(out.getString(0) == "T a & b c<d>e")
+    assert(out.getString(1) == "T")
+    assert(out.getLong(2) == 0L)
+  }
+
+  test("htmlLinkCount: counts <a> across case/whitespace, not <abbr>") {
+    import spark.implicits._
+    val h = "<a href=\"/x\">x</a> text <A\nhref=\"/y\">y</A> <abbr>not a link</abbr>"
+    assert(Seq(h).toDF("h").select(Curation.htmlLinkCount(col("h"))).head().getLong(0) == 2L)
+  }
+
+  test("assignShards: full shard range, contiguous per-shard positions, deterministic, unbiased-ish") {
+    import spark.implicits._
+    val df = (0L until 1000L).toDF("id")
+    def run() = Curation.assignShards(df, "id", 8, "s1").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("shard_id"), r.getAs[Long]("pos")))
+    val a = run()
+    val byShard = a.groupBy(_._2)
+    assert(byShard.keySet == (0L until 8L).toSet)
+    byShard.values.foreach { rows =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq,
+        "positions must be 1..n contiguous within each shard")
+      // 1000/8 = 125 expected; ±6σ (σ ≈ 10.5) — a modulus-bias bug lands far outside.
+      assert(rows.length > 60 && rows.length < 190, s"shard size ${rows.length} implausible")
+    }
+    assert(run().toSet == a.toSet, "same salt must reproduce the exact deal")
+    intercept[IllegalArgumentException](Curation.assignShards(df, "id", 7, "s1"))
+  }
+
+  test("assignShards: no corpus total order (no range exchange)") {
+    import spark.implicits._
+    val plan = Curation.assignShards((0L until 100L).toDF("id"), "id", 8, "s1")
+      .queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("rangepartitioning"),
+      s"the shard deal must never build a global total order:\n$plan")
+  }
+
+  test("hostSuffixes: closed form") {
+    import spark.implicits._
+    val s = Seq("a.b.c").toDF("h").select(Curation.hostSuffixes(col("h"))).head().getSeq[String](0)
+    assert(s == Seq("a.b.c", "b.c", "c"))
+  }
+
+  test("urlBlockFilter: subdomain suffix blocks, keyword blocks, host wins on both") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "https://cdn.ads.example.com:8080/x"),
+      (2L, "http://ok.example.org/casino-review"),
+      (3L, "https://fine.example.org/page"),
+      (4L, "http://tracker.net/casino")
+    ).toDF("id", "url")
+    val bl = Seq("ads.example.com", "tracker.net").toDF("domain")
+    val got = Curation.urlBlockFilter(df, "id", "url", bl, "casino")
+      .select("id", "blocked_by").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "host", 2L -> "keyword", 3L -> "ok", 4L -> "host"))
+  }
 }
