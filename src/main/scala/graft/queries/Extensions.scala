@@ -1665,9 +1665,18 @@ object Extensions {
               LEFT JOIN lstat ls ON ls.doc_id = k.doc_id
               LEFT JOIN tp ON tp.doc_id = k.doc_id
               LEFT JOIN cp ON cp.doc_id = k.doc_id)
-            SELECT doc_id, dup_line_ppm, dup_line_char_ppm,
-              top2_ppm, top3_ppm, top4_ppm,
-              dup5_ppm, dup6_ppm, dup7_ppm, dup8_ppm, dup9_ppm, dup10_ppm,
+            SELECT doc_id,
+              CAST(dup_line_ppm AS BIGINT) AS dup_line_ppm,
+              CAST(dup_line_char_ppm AS BIGINT) AS dup_line_char_ppm,
+              CAST(top2_ppm AS BIGINT) AS top2_ppm,
+              CAST(top3_ppm AS BIGINT) AS top3_ppm,
+              CAST(top4_ppm AS BIGINT) AS top4_ppm,
+              CAST(dup5_ppm AS BIGINT) AS dup5_ppm,
+              CAST(dup6_ppm AS BIGINT) AS dup6_ppm,
+              CAST(dup7_ppm AS BIGINT) AS dup7_ppm,
+              CAST(dup8_ppm AS BIGINT) AS dup8_ppm,
+              CAST(dup9_ppm AS BIGINT) AS dup9_ppm,
+              CAST(dup10_ppm AS BIGINT) AS dup10_ppm,
               CAST(CASE WHEN dup_line_ppm <= 300000 AND dup_line_char_ppm <= 200000
                          AND top2_ppm <= 200000 AND top3_ppm <= 180000 AND top4_ppm <= 160000
                          AND dup5_ppm <= 150000 AND dup6_ppm <= 140000 AND dup7_ppm <= 130000
@@ -2451,7 +2460,7 @@ object Extensions {
               FROM ctok ct JOIN model m ON m.bucket = ct.bucket
               GROUP BY ct.doc_id)
             SELECT sc.doc_id, CAST(sc.n_feats AS BIGINT) AS n_feats,
-              pq.prior_q + sc.s AS score_micro,
+              CAST(pq.prior_q + sc.s AS BIGINT) AS score_micro,
               CAST(CASE WHEN pq.prior_q + sc.s > 0 THEN 1 ELSE 0 END AS BIGINT) AS pred
             FROM sc CROSS JOIN pq ORDER BY doc_id""")
   )
