@@ -69,16 +69,25 @@ object Bench {
       val m = min2(name)
       name -> (if (med > 0 && m > math.max(8 * med, 5.0)) math.min(m, runOne(name, fn, "retry")) else m)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    def fmt(entries: Seq[(String, Double)]): String =
+      entries.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
+    // The launcher keeps only the last ~2000 chars of stdout and parses the
+    // JSON line from that tail — a full 118-query map (~5 KB) pushes its own
+    // opening brace out of the window and the round's numbers are lost
+    // (observed r03–r08: parsed=null). So stdout carries a COMPACT line —
+    // total, count, and the slowest 20 queries — guaranteed to fit, while the
+    // complete per-query map goes to BENCH_LOCAL.json (committed).
     // "sink" names the measurement methodology so cross-round totals are only
     // compared like-for-like (r1 used count(), which undercounted projections).
-    val line  = s"""{"metric":"total","value":$total,"unit":"sec","sink":"noop-min-of-2-passes-outlier-retry","queries":$qs,"sf":"$sfDir"}"""
+    val slowest = results.sortBy(-_._2).take(20)
+    val line = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","sink":"noop-min-of-2-passes-outlier-retry","n_queries":${results.size},"queries":${fmt(slowest)},"detail":"BENCH_LOCAL.json","sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","sink":"noop-min-of-2-passes-outlier-retry","queries":${fmt(results)},"sf":"$sfDir"}"""
     println(line)
-    // Backup artifact in case stdout is decorated by the launcher.
+    // Full per-query artifact (also a backup in case stdout is decorated).
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
-      (line + "\n").getBytes("UTF-8"))
+      (full + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
     spark.stop()
   }

@@ -20,15 +20,25 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** `events.ts` is a nanosecond parquet timestamp, which Spark's vectorized
-    * reader rejects; sessions set `spark.sql.legacy.parquet.nanosAsLong` and
-    * the ns→µs truncation happens here (integer `div`, matching DuckDB's
-    * TIMESTAMP_NS→TIMESTAMP cast). NTZ to align with the oracle's naive
-    * timestamps.
+  /** `events.ts` normalization, adaptive to how the driver generated the
+    * parquet. Older generations wrote nanosecond parquet timestamps, which
+    * Spark's vectorized reader rejects; sessions set
+    * `spark.sql.legacy.parquet.nanosAsLong` and the column then surfaces as a
+    * LongType of epoch-nanos — truncated here with integer `div` (matching
+    * DuckDB's TIMESTAMP_NS→TIMESTAMP cast). Newer generations write
+    * microsecond timestamps directly, which need only an NTZ cast to align
+    * with the oracle's naive timestamps. Branching on the scanned data type
+    * keeps both generations readable without config changes.
     */
-  def events(s: SparkSession, d: String): DataFrame =
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp_ntz"))
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }
