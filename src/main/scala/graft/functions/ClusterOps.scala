@@ -184,4 +184,75 @@ object ClusterOps {
         col("cluster_id"),
         when(col("__rn") === 1, 1).otherwise(0).cast("int").as("keep"))
   }
+
+  /** Distributed Lloyd k-means over embedding vectors — the cluster-analysis
+    * face of curation (SemDeDup's published recipe clusters with k-means
+    * before pruning; mixture audits bucket corpora by embedding cluster).
+    * Integer-exact and engine-portable end to end: vectors quantize to
+    * micro-units (`floor(x·1e6)` — exact under IEEE double for |x| ≲ 2⁴⁰),
+    * assignment is exact-integer argmin-L2² in the codegen'd
+    * [[NativeFns.nearest_centroid_l2]] kernel (pure map-side projection — no
+    * join, no shuffle), and centroid updates are integer sums + floor
+    * division, so results CANNOT vary with partitioning or aggregation order
+    * the way float-mean k-means silently does.
+    *
+    * Scale shape per iteration: one kernel pass over the corpus + ONE
+    * aggregation whose map-side combine collapses each task to ≤ k·dim rows
+    * — shuffle volume is tasks·k·dim, independent of corpus size. The only
+    * driver-side state is the k·dim centroid model (the [[BpeTrain]]
+    * per-round-argmax move; ~k·dim·8 bytes, config-sized); the corpus is
+    * never collected or cached — each iteration re-streams the scan, the
+    * right trade at 100 TB where caching the input is impossible anyway.
+    * Seeding is the k smallest ids — deterministic and SQL-replayable
+    * (production swaps in k-means‖ sampling; the iteration machinery is
+    * identical). A cluster that loses all members drops out (standard
+    * Lloyd); distance ties take the smallest cid on both engines.
+    *
+    * Returns (idCol, cluster, dist2) under the final centroids, where
+    * `cluster` is the seed vector's id and `dist2` the exact integer L2² in
+    * micro-units².
+    */
+  def kMeans(
+      embs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int
+  ): DataFrame = {
+    require(k > 0 && iters >= 0, s"need k > 0, iters >= 0, got $k/$iters")
+    val q = embs.select(
+      col(idCol).cast("long").as("__id"),
+      transform(col(vecCol), x => floor(x.cast("double") * lit(1e6))).as("__qv"))
+    // The centroid MODEL (k·dim scalars) lives on the driver between
+    // iterations, like BpeTrain's merge table — the corpus never does.
+    var cents: Array[(Long, Array[Long])] =
+      q.orderBy("__id").limit(k).collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    var it = 0
+    while (it < iters && cents.nonEmpty) {
+      val cids = cents.map(_._1)
+      val cvs  = cents.map(_._2)
+      val sums = q
+        .select(
+          NativeFns.nearest_centroid_l2(col("__qv"), cids, cvs)
+            .getField("cluster").as("__cid"),
+          posexplode(col("__qv")).as(Seq("__dim", "__v")))
+        .groupBy("__cid", "__dim")
+        .agg(sum(col("__v")).as("__s"), count(lit(1)).as("__n"))
+        .collect() // ≤ k·dim rows — the model update, not the data
+      cents = sums.groupBy(_.getLong(0)).toArray.sortBy(_._1).map {
+        case (cid, rows) =>
+          val cv = new Array[Long](rows.map(_.getInt(1)).max + 1)
+          rows.foreach(r => cv(r.getInt(1)) = Math.floorDiv(r.getLong(2), r.getLong(3)))
+          (cid, cv)
+      }
+      it += 1
+    }
+    val cids = cents.map(_._1)
+    val cvs  = cents.map(_._2)
+    q.select(
+        col("__id").as(idCol),
+        NativeFns.nearest_centroid_l2(col("__qv"), cids, cvs).as("__a"))
+      .select(col(idCol), col("__a.cluster").as("cluster"), col("__a.dist2").as("dist2"))
+  }
 }

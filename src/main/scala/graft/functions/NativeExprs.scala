@@ -707,6 +707,52 @@ case class SrpBucketsExpr(child: Expression, planes: Array[Array[Array[Double]]]
   * rationale as [[SrpBucketsExpr]]: a k×dim literal tree would dominate
   * analysis time).
   */
+/** nearest_centroid_l2(array<bigint>) → struct<cluster bigint, dist2 bigint>:
+  * exact-integer argmin-L2² assignment of a micro-quantized vector against a
+  * model-sized centroid table riding in as a reference object (the
+  * [[IvfProbesExpr]] pattern) — the Lloyd-iteration hot loop with NO join,
+  * NO shuffle, and NO floating point, so the assignment is order-independent
+  * and bit-identical on any engine. `cids`/`cents` must be parallel arrays
+  * sorted cid-ascending: the scan uses strict `<`, so distance ties
+  * deterministically take the smallest cid (mirroring the oracle's
+  * `ORDER BY d, cid` row_number tie-break).
+  */
+case class NearestCentroidExpr(child: Expression, cids: Array[Long], cents: Array[Array[Long]])
+    extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("cluster", LongType, nullable = false),
+    StructField("dist2", LongType, nullable = false)))
+  override def checkInputDataTypes(): TypeCheckResult =
+    NativeExprs.requireArrayOf(child, LongType, "nearest_centroid_l2")
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  /** Public so generated code can call it. */
+  def compute(arr: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val v = arr.toLongArray()
+    var bestC = -1L
+    var bestD = Long.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      val cen = cents(c)
+      val n   = math.min(v.length, cen.length)
+      var d   = 0L
+      var j   = 0
+      while (j < n) { val t = v(j) - cen(j); d += t * t; j += 1 }
+      if (d < bestD) { bestD = d; bestC = cids(c) }
+      c += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(bestC, bestD)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ncExpr", this, classOf[NearestCentroidExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+  override protected def withNewChildInternal(c: Expression): NearestCentroidExpr = copy(child = c)
+}
+
 case class IvfProbesExpr(child: Expression, centroids: Array[Array[Double]], nProbe: Int)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
@@ -1301,6 +1347,8 @@ object NativeFns {
     ColumnBridge.column(CosinePairsExpr(ColumnBridge.expression(items), threshold))
   def int8_dot(a: Column, b: Column): Column =
     ColumnBridge.column(Int8DotExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def nearest_centroid_l2(qv: Column, cids: Array[Long], cents: Array[Array[Long]]): Column =
+    ColumnBridge.column(NearestCentroidExpr(ColumnBridge.expression(qv), cids, cents))
   def token_span_hashes(text: Column, k: Int): Column =
     ColumnBridge.column(TokenSpanHashesExpr(ColumnBridge.expression(text), k))
   def remove_positions(text: Column, rm: Column, sep: String): Column =

@@ -2355,6 +2355,65 @@ object Extensions {
             ORDER BY vec_id""")
   )
 
+  /** Distributed Lloyd k-means over the embeddings table
+    * ([[ClusterOps.kMeans]], k=8, 2 iterations) — integer-exact end to end
+    * (micro-quantized vectors, exact-integer argmin-L2² assignment in the
+    * codegen'd `nearest_centroid_l2` kernel, integer-sum/floor-division
+    * centroid updates), which is what makes a full iterative-clustering run
+    * row-level oracle-able: the DuckDB replay chains one
+    * assign→sum→floor-mean CTE block per iteration and every intermediate is
+    * a BIGINT. Seeds are the 8 smallest vec_ids; ties take the smaller cid
+    * on both engines.
+    */
+  val kMeansQ = Q(
+    "x_kmeans",
+    (s, d) => {
+      ClusterOps.kMeans(Tables.embeddings(s, d), "vec_id", "embedding", k = 8, iters = 2)
+        .orderBy("vec_id")
+    },
+    Some("""WITH q AS (
+              SELECT vec_id, list_transform(embedding,
+                x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+              FROM embeddings),
+            c0 AS (SELECT vec_id AS cid, qv AS cv FROM q ORDER BY vec_id LIMIT 8),
+            a1 AS (
+              SELECT vec_id, qv, cid FROM (
+                SELECT q.vec_id, q.qv, c.cid,
+                  row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                    list_sum(list_transform(range(1, len(q.qv)+1),
+                      i -> (q.qv[i]-c.cv[i])*(q.qv[i]-c.cv[i]))), c.cid) AS rn
+                FROM q, c0 c) WHERE rn = 1),
+            s1 AS (
+              SELECT cid, i, sum(qv[i]) AS s, count(*) AS n
+              FROM a1, unnest(range(1, 65)) AS t(i) GROUP BY cid, i),
+            c1 AS (
+              SELECT cid, list((s - ((s % n + n) % n)) // n ORDER BY i) AS cv
+              FROM s1 GROUP BY cid),
+            a2 AS (
+              SELECT vec_id, qv, cid FROM (
+                SELECT q.vec_id, q.qv, c.cid,
+                  row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                    list_sum(list_transform(range(1, len(q.qv)+1),
+                      i -> (q.qv[i]-c.cv[i])*(q.qv[i]-c.cv[i]))), c.cid) AS rn
+                FROM q, c1 c) WHERE rn = 1),
+            s2 AS (
+              SELECT cid, i, sum(qv[i]) AS s, count(*) AS n
+              FROM a2, unnest(range(1, 65)) AS t(i) GROUP BY cid, i),
+            c2 AS (
+              SELECT cid, list((s - ((s % n + n) % n)) // n ORDER BY i) AS cv
+              FROM s2 GROUP BY cid),
+            fin AS (
+              SELECT vec_id, cid, d FROM (
+                SELECT q.vec_id, c.cid,
+                  list_sum(list_transform(range(1, len(q.qv)+1),
+                    i -> (q.qv[i]-c.cv[i])*(q.qv[i]-c.cv[i]))) AS d,
+                  row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                    list_sum(list_transform(range(1, len(q.qv)+1),
+                      i -> (q.qv[i]-c.cv[i])*(q.qv[i]-c.cv[i]))), c.cid) AS rn
+                FROM q, c2 c) WHERE rn = 1)
+            SELECT vec_id, cid AS cluster, d AS dist2 FROM fin ORDER BY vec_id""")
+  )
+
   /** Top-3 TF-IDF keywords per document ([[QualityLM.tfidfKeywords]]).
     * Ranking happens on the 1e-4-quantized BIGINT score (see the module doc:
     * integer ranks can't flip on a last-ulp `ln` divergence between JVM and
@@ -3072,7 +3131,7 @@ object Extensions {
     piiRedact, mixSources, decontaminate, curationPipeline, curationPipeline2, selectTopQuantile, domainCap,
     streamSetSimilarity, trendingTopK, dedupIncrementalStream, neardupFilter, c4LineClean, dedupSpans,
     gopherQuality, gopherRepetition, dedupSpansIncremental, dedupTokenSpans, dedupTokenSpansIncremental, dedupLinesWithin,
-    qualityPerplexity, dsirWeights, semDedup, tfidfKeywords, embeddingQuantize, bm25Search, vocabCoverage, qualityBySource,
+    qualityPerplexity, dsirWeights, semDedup, kMeansQ, tfidfKeywords, embeddingQuantize, bm25Search, vocabCoverage, qualityBySource,
     qualityClassifier, mixTemperature, dedupUrl, bpePairCounts, bpeMerges, bpeTokenize, chunkDocuments, curationPipeline3,
     htmlExtract, shardAssign, hardNegativesQ, urlFilter,
     annBruteForce, annLsh, annIvf, annInt8,

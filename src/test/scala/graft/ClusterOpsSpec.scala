@@ -119,4 +119,81 @@ class ClusterOpsSpec extends AnyFunSuite {
     assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
       "eval side must broadcast — corpus side must not shuffle before the aggregation")
   }
+
+  test("kMeans: well-separated blobs recover their clusters; dist2 exact") {
+    import spark.implicits._
+    // Two blobs far apart in dim 4; seeds (ids 1,2) land one in each blob.
+    val vecs = Seq(
+      (1L, Array(10f, 10f, 10f, 10f)),
+      (2L, Array(-10f, -10f, -10f, -10f)),
+      (3L, Array(10.2f, 9.8f, 10.1f, 9.9f)),
+      (4L, Array(-9.9f, -10.1f, -10.2f, -9.8f)),
+      (5L, Array(9.5f, 10.5f, 10f, 10f)),
+      (6L, Array(-10.5f, -9.5f, -10f, -10f))
+    ).toDF("vec_id", "embedding")
+    val got = ClusterOps.kMeans(vecs, "vec_id", "embedding", k = 2, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(got === Seq((1L, 1L), (2L, 2L), (3L, 1L), (4L, 2L), (5L, 1L), (6L, 2L)))
+    // Exact integer dist2 for a point sitting ON the centroid of its blob:
+    // blob A members quantize to known micro-values; recompute one by hand.
+    val gotD = ClusterOps.kMeans(vecs, "vec_id", "embedding", k = 2, iters = 3)
+      .filter(col("vec_id") === 1L).collect().head.getLong(2)
+    // centroid A = floorDiv(sum of quantized components) over ids {1,3,5}
+    val qa = Seq(
+      Array(10f, 10f, 10f, 10f),
+      Array(10.2f, 9.8f, 10.1f, 9.9f),
+      Array(9.5f, 10.5f, 10f, 10f)
+    ).map(_.map(x => math.floor(x.toDouble * 1e6).toLong))
+    val cent = (0 until 4).map(d => Math.floorDiv(qa.map(_(d)).sum, 3L))
+    val q1   = qa.head
+    val expD = (0 until 4).map(d => { val t = q1(d) - cent(d); t * t }).sum
+    assert(gotD === expD, "dist2 must be the exact integer L2^2 vs the floor-mean centroid")
+  }
+
+  test("kMeans: distance ties take the smallest cid; partitioning-invariant") {
+    import spark.implicits._
+    // Identical vectors: every point is equidistant (0) from both seed
+    // centroids after any number of iterations -> all assign to cid 1.
+    val vecs = Seq.tabulate(6)(i => ((i + 1).toLong, Array(1f, 2f, 3f)))
+      .toDF("vec_id", "embedding")
+    val a = ClusterOps.kMeans(vecs, "vec_id", "embedding", k = 2, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(a.forall { case (_, c, d) => c === 1L && d === 0L })
+    val b = ClusterOps.kMeans(vecs.repartition(5), "vec_id", "embedding", k = 2, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(a === b, "integer arithmetic must make the result partitioning-invariant")
+  }
+
+  test("kMeans: emptied cluster drops out; iters=0 assigns to raw seeds") {
+    import spark.implicits._
+    // Seeds are ids 1,2 — both inside blob A. After one update, every point
+    // assigns to one of the two (cid 2's cell is empty: all points are
+    // nearer cid 1's region... construct so cid 2 empties).
+    val vecs = Seq(
+      (1L, Array(0f, 0f)),
+      (2L, Array(100f, 100f)),
+      (3L, Array(1f, 1f)),
+      (4L, Array(2f, 2f)),
+      (5L, Array(3f, 3f))
+    ).toDF("vec_id", "embedding")
+    // iters=0: pure seed assignment, nobody near (100,100) except itself.
+    val z = ClusterOps.kMeans(vecs, "vec_id", "embedding", k = 2, iters = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(z === Seq((1L, 1L), (2L, 2L), (3L, 1L), (4L, 1L), (5L, 1L)))
+    // One iteration: centroid 2 moves onto vec 2 exactly; still 2 clusters.
+    val one = ClusterOps.kMeans(vecs, "vec_id", "embedding", k = 2, iters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(one.map(t => (t._1, t._2)) === Seq((1L, 1L), (2L, 2L), (3L, 1L), (4L, 1L), (5L, 1L)))
+    assert(one.find(_._1 == 2L).get._3 === 0L, "singleton cluster centroid == its member")
+  }
+
+  test("kMeans: assignment plan is a pure map-side projection — zero Exchange") {
+    import spark.implicits._
+    val vecs = Seq.tabulate(8)(i => ((i + 1).toLong, Array(i.toFloat, 1f)))
+      .toDF("vec_id", "embedding")
+    val plan = ClusterOps.kMeans(vecs, "vec_id", "embedding", k = 2, iters = 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"final assignment must not shuffle or join; got:\n$plan")
+  }
 }

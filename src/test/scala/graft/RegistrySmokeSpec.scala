@@ -25,7 +25,7 @@ class RegistrySmokeSpec extends AnyFunSuite {
     "x_ngram_freq", "x_quantiles", "x_text_repetition",
     "x_split_train_test", "x_sample_stratified", "x_json_extract", "x_json_struct", "x_json_variant",
     "x_pack_sequences",
-    "x_dedup_minhash_lsh", "x_dedup_ngram_jaccard", "x_dedup_containment",
+    "x_dedup_minhash_lsh", "x_dedup_ngram_jaccard", "x_dedup_containment", "x_kmeans",
     "x_text_stats", "x_text_langid", "x_text_fingerprint", "x_approx_distinct_sketch",
     "x_dedup_exact", "x_dedup_simhash",
     "x_ann_bruteforce", "x_multimodal_meta", "x_multimodal_frames",
