@@ -157,6 +157,36 @@ object Curation {
     * exact case the operator exists for) never concentrates its full row
     * set on one reducer.
     */
+  /** Deterministic epoch upsampling — the half of mixture construction that
+    * [[sampleMixture]] cannot express: a source weighted ABOVE 1.0 must
+    * repeat (an "epoch" per integer multiple plus a fractional remainder),
+    * not merely survive a keep/drop test. Each row is emitted
+    * ⌊w⌋ + Bernoulli(frac(w)) times, the Bernoulli decided by the same
+    * salted-md5-vs-threshold test as [[sampleMixture]] — reproducible
+    * across runs, engines, and partitionings, so the exact replication
+    * multiset of a trained mix is auditable. Weights < 1.0 degenerate to
+    * keep/drop sampling, so one operator covers the full weight line.
+    *
+    * `weightPpm` is an INTEGER parts-per-million weight (2_500_000 = 2.5
+    * epochs): the epoch count and the 16-bit md5 threshold are then pure
+    * integer arithmetic (`div`/`%`), bit-identical on any engine — a double
+    * weight would round differently under Spark's truncating cast vs
+    * DuckDB's rounding cast.
+    *
+    * Scale shape: one map-side projection + filter + explode — no shuffle,
+    * no state; output size = Σ epochs. The `epoch` column (1-based) lets
+    * downstream stages distinguish copies (e.g. pack each epoch separately).
+    */
+  def upsampleEpochs(df: DataFrame, idCol: String, weightPpm: Column, salt: String): DataFrame = {
+    val u   = substring(md5(concat(col(idCol).cast("string"), lit(":" + salt))), 1, 4)
+    val thr = format_string("%04x", expr("((__wp % 1000000) * 65536) div 1000000").cast("int"))
+    df.withColumn("__wp", greatest(weightPpm.cast("long"), lit(0L)))
+      .withColumn("__n", expr("__wp div 1000000") + when(u < thr, 1L).otherwise(0L))
+      .filter(col("__n") > 0) // sequence(1,0) would generate DESCENDING [1,0]
+      .select(df.columns.map(col) :+
+        explode(sequence(lit(1L), col("__n"))).as("epoch"): _*)
+  }
+
   def capPerDomain(df: DataFrame, idCol: String, domainCol: String, cap: Int, salt: String): DataFrame = {
     val pri = md5(concat(col(idCol).cast("string"), lit(":" + salt)))
     val w = org.apache.spark.sql.expressions.Window

@@ -2524,6 +2524,40 @@ object Extensions {
             FROM sc CROSS JOIN pq ORDER BY doc_id""")
   )
 
+  /** Deterministic epoch upsampling ([[Curation.upsampleEpochs]]): the
+    * over-1.0 half of mixture construction — sources weighted 2.5/1.25/1.0/
+    * 0.6 epochs (ppm integers) repeat ⌊w⌋ times plus a salted-md5 Bernoulli
+    * for the remainder. Integer arithmetic end to end, so the full emitted
+    * multiset (row × epoch) replays row-level in SQL.
+    */
+  val upsampleEpochs = Q(
+    "x_upsample_epochs",
+    (s, d) => {
+      val wp = when(col("source").isin("src0", "src1", "src2"), 2500000L)
+        .when(col("source").isin("src3", "src4", "src5"), 1250000L)
+        .when(col("source").isin("src6", "src7"), 1000000L)
+        .otherwise(600000L)
+      Curation
+        .upsampleEpochs(Tables.documents(s, d).select("doc_id", "source"), "doc_id", wp, "ep1")
+        .orderBy("doc_id", "epoch")
+    },
+    Some("""WITH w AS (SELECT doc_id, source,
+              CASE WHEN source IN ('src0','src1','src2') THEN CAST(2500000 AS BIGINT)
+                   WHEN source IN ('src3','src4','src5') THEN 1250000
+                   WHEN source IN ('src6','src7') THEN 1000000
+                   ELSE 600000 END AS wp
+              FROM documents),
+            cnt AS (SELECT doc_id, source,
+              wp // 1000000
+              + CASE WHEN substring(md5(doc_id || ':ep1'), 1, 4)
+                       < printf('%04x', CAST(((wp % 1000000) * 65536) // 1000000 AS INT))
+                     THEN 1 ELSE 0 END AS n
+              FROM w)
+            SELECT doc_id, source,
+              CAST(unnest(range(1, CAST(n AS BIGINT) + 1)) AS BIGINT) AS epoch
+            FROM cnt ORDER BY doc_id, epoch""")
+  )
+
   /** Temperature-scaled domain mixing ([[Curation.temperatureMixture]] —
     * the XLM-R/mT5 α-sampling rebalance, α = 0.5). The input is skewed on
     * purpose (three domains keep all docs, the rest one in four) so the
@@ -3132,7 +3166,7 @@ object Extensions {
     streamSetSimilarity, trendingTopK, dedupIncrementalStream, neardupFilter, c4LineClean, dedupSpans,
     gopherQuality, gopherRepetition, dedupSpansIncremental, dedupTokenSpans, dedupTokenSpansIncremental, dedupLinesWithin,
     qualityPerplexity, dsirWeights, semDedup, kMeansQ, tfidfKeywords, embeddingQuantize, bm25Search, vocabCoverage, qualityBySource,
-    qualityClassifier, mixTemperature, dedupUrl, bpePairCounts, bpeMerges, bpeTokenize, chunkDocuments, curationPipeline3,
+    qualityClassifier, mixTemperature, upsampleEpochs, dedupUrl, bpePairCounts, bpeMerges, bpeTokenize, chunkDocuments, curationPipeline3,
     htmlExtract, shardAssign, hardNegativesQ, urlFilter,
     annBruteForce, annLsh, annIvf, annInt8,
     multimodalMeta, multimodalFrames

@@ -363,6 +363,39 @@ class CurationSpec extends AnyFunSuite {
     assert(s == Seq("a.b.c", "b.c", "c"))
   }
 
+  test("upsampleEpochs: integer epochs exact, fractional epochs bounded, zero drops") {
+    import spark.implicits._
+    val df = Seq.tabulate(400)(i => (i.toLong, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "src")
+    // w=3.0 exactly: every 'a' row appears exactly 3 times, epochs 1..3.
+    val wEx = when(col("src") === "a", 3000000L).otherwise(0L)
+    val ex  = Curation.upsampleEpochs(df, "id", wEx, "t1").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(ex.length === 200 * 3)
+    assert(ex.forall(_._2 == "a"), "weight 0 must drop every row")
+    assert(ex.groupBy(_._1).forall { case (_, g) => g.map(_._3).sorted.toSeq == Seq(1L, 2L, 3L) })
+    // w=1.5: every row at least once, ~half twice; realized count within
+    // binomial bounds (200 rows, p=.5 -> stddev ~7).
+    val fr = Curation.upsampleEpochs(df.filter(col("src") === "a"), "id", lit(1500000L), "t1")
+      .groupBy("id").count().collect().map(_.getLong(1))
+    assert(fr.length === 200 && fr.forall(c => c == 1L || c == 2L))
+    val twos = fr.count(_ == 2L)
+    assert(twos > 60 && twos < 140, s"fraction-epoch rate off: $twos/200")
+  }
+
+  test("upsampleEpochs: deterministic across partitionings; map-side (no exchange)") {
+    import spark.implicits._
+    val df = Seq.tabulate(100)(i => (i.toLong, "s")).toDF("id", "src")
+    val a = Curation.upsampleEpochs(df, "id", lit(1700000L), "t2").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq
+    val b = Curation.upsampleEpochs(df.repartition(7), "id", lit(1700000L), "t2").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq
+    assert(a === b)
+    val plan = Curation.upsampleEpochs(df, "id", lit(1700000L), "t2")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"upsampling must be map-side:\n$plan")
+  }
+
   test("urlBlockFilter: subdomain suffix blocks, keyword blocks, host wins on both") {
     import spark.implicits._
     val df = Seq(
