@@ -2558,6 +2558,93 @@ object Extensions {
             FROM cnt ORDER BY doc_id, epoch""")
   )
 
+  /** Cluster-balanced resampling — a fourth composed pipeline, chaining this
+    * round's operators: k-means clusters the embedding space
+    * ([[ClusterOps.kMeans]]), each cluster gets an inverse-size ppm weight
+    * (target mass = ⌊total/k⌋ docs per cluster, capped at 3 epochs — the
+    * embedding-space analog of temperature mixing's domain rebalance), and
+    * [[Curation.upsampleEpochs]] materializes the balanced multiset.
+    * Over-represented clusters downsample below 1.0, under-represented ones
+    * repeat — one deterministic integer pipeline, replayed end-to-end
+    * (including both Lloyd iterations) in the oracle. Scalars (total, k)
+    * ride as a broadcast one-row frame; per-cluster sizes broadcast onto the
+    * corpus — the corpus itself shuffles only for the tiny size aggregation.
+    */
+  val curationPipeline4 = Q(
+    "x_curation_pipeline4",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val clusters =
+        ClusterOps.kMeans(Tables.embeddings(s, d), "vec_id", "embedding", k = 8, iters = 2)
+      val j = docs.select(col("doc_id"), col("source"))
+        .join(clusters.select(col("vec_id").as("doc_id"), col("cluster")), Seq("doc_id"))
+      val sz  = j.groupBy("cluster").agg(count(lit(1)).as("csz"))
+      val tot = j.agg(count(lit(1)).as("__t"), countDistinct(col("cluster")).as("__k"))
+      val wgt = j.join(broadcast(sz), Seq("cluster")).join(broadcast(tot))
+        .withColumn("wp", least(lit(3000000L), expr("((__t div __k) * 1000000) div csz")))
+        .select("doc_id", "source", "cluster", "wp")
+      Curation.upsampleEpochs(wgt, "doc_id", col("wp"), "p4")
+        .select(col("doc_id"), col("cluster"), col("wp").as("weight_ppm"), col("epoch"))
+        .orderBy("doc_id", "epoch")
+    },
+    Some("""WITH q AS (
+              SELECT vec_id, list_transform(embedding,
+                x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+              FROM embeddings),
+            c0 AS (SELECT vec_id AS cid, qv AS cv FROM q ORDER BY vec_id LIMIT 8),
+            a1 AS (
+              SELECT vec_id, qv, cid FROM (
+                SELECT q.vec_id, q.qv, c.cid,
+                  row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                    list_sum(list_transform(range(1, len(q.qv)+1),
+                      i -> (q.qv[i]-c.cv[i])*(q.qv[i]-c.cv[i]))), c.cid) AS rn
+                FROM q, c0 c) WHERE rn = 1),
+            s1 AS (
+              SELECT cid, i, sum(qv[i]) AS s, count(*) AS n
+              FROM a1, unnest(range(1, 65)) AS t(i) GROUP BY cid, i),
+            c1 AS (
+              SELECT cid, list((s - ((s % n + n) % n)) // n ORDER BY i) AS cv
+              FROM s1 GROUP BY cid),
+            a2 AS (
+              SELECT vec_id, qv, cid FROM (
+                SELECT q.vec_id, q.qv, c.cid,
+                  row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                    list_sum(list_transform(range(1, len(q.qv)+1),
+                      i -> (q.qv[i]-c.cv[i])*(q.qv[i]-c.cv[i]))), c.cid) AS rn
+                FROM q, c1 c) WHERE rn = 1),
+            s2 AS (
+              SELECT cid, i, sum(qv[i]) AS s, count(*) AS n
+              FROM a2, unnest(range(1, 65)) AS t(i) GROUP BY cid, i),
+            c2 AS (
+              SELECT cid, list((s - ((s % n + n) % n)) // n ORDER BY i) AS cv
+              FROM s2 GROUP BY cid),
+            asg AS (
+              SELECT vec_id, cid AS cluster FROM (
+                SELECT q.vec_id, c.cid,
+                  row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                    list_sum(list_transform(range(1, len(q.qv)+1),
+                      i -> (q.qv[i]-c.cv[i])*(q.qv[i]-c.cv[i]))), c.cid) AS rn
+                FROM q, c2 c) WHERE rn = 1),
+            j AS (
+              SELECT d.doc_id, d.source, a.cluster
+              FROM documents d JOIN asg a ON a.vec_id = d.doc_id),
+            sz AS (SELECT cluster, count(*) AS csz FROM j GROUP BY cluster),
+            tot AS (SELECT count(*) AS t, count(DISTINCT cluster) AS k FROM j),
+            wgt AS (
+              SELECT j.doc_id, j.source, j.cluster,
+                least(CAST(3000000 AS BIGINT), ((tot.t // tot.k) * 1000000) // sz.csz) AS wp
+              FROM j JOIN sz USING (cluster) CROSS JOIN tot),
+            cnt AS (SELECT doc_id, source, cluster, wp,
+              wp // 1000000
+              + CASE WHEN substring(md5(doc_id || ':p4'), 1, 4)
+                       < printf('%04x', CAST(((wp % 1000000) * 65536) // 1000000 AS INT))
+                     THEN 1 ELSE 0 END AS n
+              FROM wgt)
+            SELECT doc_id, cluster, wp AS weight_ppm,
+              CAST(unnest(range(1, CAST(n AS BIGINT) + 1)) AS BIGINT) AS epoch
+            FROM cnt ORDER BY doc_id, epoch""")
+  )
+
   /** Temperature-scaled domain mixing ([[Curation.temperatureMixture]] —
     * the XLM-R/mT5 α-sampling rebalance, α = 0.5). The input is skewed on
     * purpose (three domains keep all docs, the rest one in four) so the
@@ -3167,7 +3254,7 @@ object Extensions {
     gopherQuality, gopherRepetition, dedupSpansIncremental, dedupTokenSpans, dedupTokenSpansIncremental, dedupLinesWithin,
     qualityPerplexity, dsirWeights, semDedup, kMeansQ, tfidfKeywords, embeddingQuantize, bm25Search, vocabCoverage, qualityBySource,
     qualityClassifier, mixTemperature, upsampleEpochs, dedupUrl, bpePairCounts, bpeMerges, bpeTokenize, chunkDocuments, curationPipeline3,
-    htmlExtract, shardAssign, hardNegativesQ, urlFilter,
+    htmlExtract, shardAssign, hardNegativesQ, urlFilter, curationPipeline4,
     annBruteForce, annLsh, annIvf, annInt8,
     multimodalMeta, multimodalFrames
   )
