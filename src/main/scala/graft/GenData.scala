@@ -44,6 +44,12 @@ object GenData {
   def main(args: Array[String]): Unit = {
     val outDir = args(0)
     val scale  = if (args.length > 1) args(1).toDouble else 1.0
+    // Optional 3rd arg: comma-separated table subset (e.g.
+    // "documents,embeddings") — a scale-ladder point for a docs-only
+    // operator batch shouldn't pay for a 60 M-row lineitem it never reads.
+    val only: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(",").map(_.trim).toSet) else None
+    def wanted(name: String): Boolean = only.forall(_.contains(name))
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -64,16 +70,18 @@ object GenData {
     val nDoc   = n(50000)
     val nVec   = n(20000)
 
-    def gen(name: String, rows: Long, parts: Int)(build: DataFrame => DataFrame): Unit = {
-      val df = build(spark.range(0, rows, 1, parts).toDF("id"))
-      df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
-      Console.err.println(s"[gendata] $name: $rows rows")
-    }
+    def gen(name: String, rows: Long, parts: Int)(build: DataFrame => DataFrame): Unit =
+      if (wanted(name)) {
+        val df = build(spark.range(0, rows, 1, parts).toDF("id"))
+        df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+        Console.err.println(s"[gendata] $name: $rows rows")
+      }
 
-    spark.createDataFrame(Seq(
-      (0, "AFRICA"), (1, "AMERICA"), (2, "ASIA"), (3, "EUROPE"), (4, "MIDDLE EAST")))
-      .toDF("r_regionkey", "r_name")
-      .write.mode("overwrite").parquet(s"$outDir/region.parquet")
+    if (wanted("region"))
+      spark.createDataFrame(Seq(
+        (0, "AFRICA"), (1, "AMERICA"), (2, "ASIA"), (3, "EUROPE"), (4, "MIDDLE EAST")))
+        .toDF("r_regionkey", "r_name")
+        .write.mode("overwrite").parquet(s"$outDir/region.parquet")
 
     gen("nation", 25, 1)(df => df.select(
       col("id").cast("int").as("n_nationkey"),
