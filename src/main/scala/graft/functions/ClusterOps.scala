@@ -218,11 +218,23 @@ object ClusterOps {
       vecCol: String,
       k: Int,
       iters: Int
-  ): DataFrame = {
+  ): DataFrame =
+    assignToCentroids(embs, idCol, vecCol, kMeansModel(embs, idCol, vecCol, k, iters))
+
+  /** The training loop alone: returns the final (cid, centroid) model,
+    * cid-ascending — pass to [[assignToCentroids]] (batch) or
+    * [[graft.streaming.RainStorm.clusterAssignStream]] (streaming) to route
+    * NEW data onto clusters trained offline.
+    */
+  def kMeansModel(
+      embs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int
+  ): Array[(Long, Array[Long])] = {
     require(k > 0 && iters >= 0, s"need k > 0, iters >= 0, got $k/$iters")
-    val q = embs.select(
-      col(idCol).cast("long").as("__id"),
-      transform(col(vecCol), x => floor(x.cast("double") * lit(1e6))).as("__qv"))
+    val q = quantized(embs, idCol, vecCol)
     // The centroid MODEL (k·dim scalars) lives on the driver between
     // iterations, like BpeTrain's merge table — the corpus never does.
     var cents: Array[(Long, Array[Long])] =
@@ -248,11 +260,31 @@ object ClusterOps {
       }
       it += 1
     }
-    val cids = cents.map(_._1)
-    val cvs  = cents.map(_._2)
-    q.select(
+    cents
+  }
+
+  /** Map-side assignment of (idCol, vecCol) rows to a fixed centroid model:
+    * one kernel projection, zero joins/shuffles — identical semantics on a
+    * batch frame and inside a micro-batch, which is what makes the
+    * streaming face bit-equal to the batch one.
+    */
+  def assignToCentroids(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      model: Array[(Long, Array[Long])]
+  ): DataFrame = {
+    val cids = model.map(_._1)
+    val cvs  = model.map(_._2)
+    quantized(df, idCol, vecCol)
+      .select(
         col("__id").as(idCol),
         NativeFns.nearest_centroid_l2(col("__qv"), cids, cvs).as("__a"))
       .select(col(idCol), col("__a.cluster").as("cluster"), col("__a.dist2").as("dist2"))
   }
+
+  private def quantized(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("__id"),
+      transform(col(vecCol), x => floor(x.cast("double") * lit(1e6))).as("__qv"))
 }

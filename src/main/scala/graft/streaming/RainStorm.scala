@@ -543,6 +543,25 @@ object RainStorm {
     stream.join(d, Seq(joinKey), "left")
   }
 
+  /** Streaming cluster routing: micro-batches of embedding rows assign to a
+    * FIXED centroid model trained offline
+    * ([[graft.functions.ClusterOps.kMeansModel]]) via the same map-side
+    * integer kernel as the batch path — the "cluster once, route forever"
+    * ingestion shape (tag each incoming doc with its semantic bucket for
+    * downstream per-cluster quotas/mixing). STATELESS: a pure projection,
+    * so there is no watermark, no state store, no retraction — and the
+    * stream's output over any micro-batch slicing is bit-equal to the batch
+    * [[graft.functions.ClusterOps.assignToCentroids]] on the same rows
+    * (pinned in RainStormStreamingSpec).
+    */
+  def clusterAssignStream(
+      stream: DataFrame,
+      idCol: String,
+      vecCol: String,
+      model: Array[(Long, Array[Long])]
+  ): DataFrame =
+    graft.functions.ClusterOps.assignToCentroids(stream, idCol, vecCol, model)
+
   /** Streaming ANN: a stream of query vectors answered against a STATIC
     * SRP-indexed corpus (the "index once, serve forever" shape — PAPERS.md's
     * streaming-similarity setting with the index on the static side).

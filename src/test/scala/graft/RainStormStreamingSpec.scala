@@ -343,4 +343,31 @@ class RainStormStreamingSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(streamed == batchWordCount(src), "dokill recovery must not change the final answer")
   }
+
+  test("clusterAssignStream: any micro-batch slicing bit-equals the batch assignment") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // Two separated blobs; model trained offline on the same rows.
+    val rows = (0L until 40L).map(i =>
+      (i, Array.tabulate(4)(d => (if (i % 2 == 0) 5f else -5f) + (i + d).toFloat * 0.01f)))
+    val train = rows.toDF("vec_id", "embedding")
+    val model = graft.functions.ClusterOps.kMeansModel(train, "vec_id", "embedding", k = 2, iters = 2)
+    val batch = graft.functions.ClusterOps.assignToCentroids(train, "vec_id", "embedding", model)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+
+    val in = MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.RainStorm
+      .clusterAssignStream(in.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding", model)
+      .writeStream.format("memory").queryName("cluster_route").outputMode("append").start()
+    try {
+      Seq(rows.take(7), rows.slice(7, 25), rows.drop(25)).foreach { b =>
+        in.addData(b.toIndexedSeq: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.table("cluster_route")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(streamed === batch,
+      "stateless routing must make the stream bit-equal to the batch assignment")
+  }
 }
