@@ -2414,6 +2414,60 @@ object Extensions {
             SELECT vec_id, cid AS cluster, d AS dist2 FROM fin ORDER BY vec_id""")
   )
 
+  /** The trained k-means MODEL itself ([[ClusterOps.kMeansModel]], same
+    * k=8/iters=2 run as `x_kmeans`) surfaced as a (cluster, dim, value)
+    * table — the artifact a serving layer ships (IVF coarse quantizer,
+    * cluster router). Every centroid component is an integer
+    * (sum-div-count), so the full two-iteration training run is hash-exact
+    * against the oracle's replay; the frame is model-sized (k·dim rows)
+    * by construction.
+    */
+  val kMeansModelQ = Q(
+    "x_kmeans_model",
+    (s, d) => {
+      val model =
+        ClusterOps.kMeansModel(Tables.embeddings(s, d), "vec_id", "embedding", k = 8, iters = 2)
+      import s.implicits._
+      model.toSeq
+        .flatMap { case (cid, cv) =>
+          cv.iterator.zipWithIndex.map { case (v, i) => (cid, (i + 1).toLong, v) }
+        }
+        .toDF("cluster", "dim", "value")
+        .orderBy("cluster", "dim")
+    },
+    Some("""WITH q AS (
+              SELECT vec_id, list_transform(embedding,
+                x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+              FROM embeddings),
+            c0 AS (SELECT vec_id AS cid, qv AS cv FROM q ORDER BY vec_id LIMIT 8),
+            a1 AS (
+              SELECT vec_id, qv, cid FROM (
+                SELECT q.vec_id, q.qv, c.cid,
+                  row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                    list_sum(list_transform(range(1, len(q.qv)+1),
+                      i -> (q.qv[i]-c.cv[i])*(q.qv[i]-c.cv[i]))), c.cid) AS rn
+                FROM q, c0 c) WHERE rn = 1),
+            s1 AS (
+              SELECT cid, i, sum(qv[i]) AS s, count(*) AS n
+              FROM a1, unnest(range(1, 65)) AS t(i) GROUP BY cid, i),
+            c1 AS (
+              SELECT cid, list((s - ((s % n + n) % n)) // n ORDER BY i) AS cv
+              FROM s1 GROUP BY cid),
+            a2 AS (
+              SELECT vec_id, qv, cid FROM (
+                SELECT q.vec_id, q.qv, c.cid,
+                  row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                    list_sum(list_transform(range(1, len(q.qv)+1),
+                      i -> (q.qv[i]-c.cv[i])*(q.qv[i]-c.cv[i]))), c.cid) AS rn
+                FROM q, c1 c) WHERE rn = 1),
+            s2 AS (
+              SELECT cid, i, sum(qv[i]) AS s, count(*) AS n
+              FROM a2, unnest(range(1, 65)) AS t(i) GROUP BY cid, i)
+            SELECT cid AS cluster, CAST(i AS BIGINT) AS dim,
+              (s - ((s % n + n) % n)) // n AS value
+            FROM s2 ORDER BY cluster, dim""")
+  )
+
   /** Top-3 TF-IDF keywords per document ([[QualityLM.tfidfKeywords]]).
     * Ranking happens on the 1e-4-quantized BIGINT score (see the module doc:
     * integer ranks can't flip on a last-ulp `ln` divergence between JVM and
@@ -3252,7 +3306,7 @@ object Extensions {
     piiRedact, mixSources, decontaminate, curationPipeline, curationPipeline2, selectTopQuantile, domainCap,
     streamSetSimilarity, trendingTopK, dedupIncrementalStream, neardupFilter, c4LineClean, dedupSpans,
     gopherQuality, gopherRepetition, dedupSpansIncremental, dedupTokenSpans, dedupTokenSpansIncremental, dedupLinesWithin,
-    qualityPerplexity, dsirWeights, semDedup, kMeansQ, tfidfKeywords, embeddingQuantize, bm25Search, vocabCoverage, qualityBySource,
+    qualityPerplexity, dsirWeights, semDedup, kMeansQ, kMeansModelQ, tfidfKeywords, embeddingQuantize, bm25Search, vocabCoverage, qualityBySource,
     qualityClassifier, mixTemperature, upsampleEpochs, dedupUrl, bpePairCounts, bpeMerges, bpeTokenize, chunkDocuments, curationPipeline3,
     htmlExtract, shardAssign, hardNegativesQ, urlFilter, curationPipeline4,
     annBruteForce, annLsh, annIvf, annInt8,

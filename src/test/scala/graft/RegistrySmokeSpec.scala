@@ -25,7 +25,7 @@ class RegistrySmokeSpec extends AnyFunSuite {
     "x_ngram_freq", "x_quantiles", "x_text_repetition",
     "x_split_train_test", "x_sample_stratified", "x_json_extract", "x_json_struct", "x_json_variant",
     "x_pack_sequences",
-    "x_dedup_minhash_lsh", "x_dedup_ngram_jaccard", "x_dedup_containment", "x_kmeans",
+    "x_dedup_minhash_lsh", "x_dedup_ngram_jaccard", "x_dedup_containment", "x_kmeans", "x_kmeans_model",
     "x_text_stats", "x_text_langid", "x_text_fingerprint", "x_approx_distinct_sketch",
     "x_dedup_exact", "x_dedup_simhash",
     "x_ann_bruteforce", "x_multimodal_meta", "x_multimodal_frames",
@@ -51,5 +51,11 @@ class RegistrySmokeSpec extends AnyFunSuite {
   test("every oracle key has a query") {
     val qs = SparkEntry.queries.keySet
     assert(SparkEntry.oracleSql.keySet.subsetOf(qs))
+  }
+
+  test("registry names are unique — toMap must not silently shadow a query") {
+    val names = Registry.all.map(_.name)
+    val dups  = names.groupBy(identity).filter(_._2.size > 1).keys
+    assert(dups.isEmpty, s"duplicate registry names would drop queries: ${dups.mkString(", ")}")
   }
 }
