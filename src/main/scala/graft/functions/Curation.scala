@@ -144,19 +144,55 @@ object Curation {
     above.unionByName(boundary)
   }
 
-  /** Per-domain contribution cap (the RefinedWeb/CCNet move against
-    * domain-level over-representation: no single site may contribute more
-    * than `cap` documents): keep at most `cap` docs per domain, selected by
-    * a salted-md5 priority — i.e. a REPRODUCIBLE uniform sample of `cap`
-    * docs from every oversized domain, independent of partitioning and
-    * engine (same determinism contract as [[sampleMixture]]).
-    *
-    * Scale shape: `row_number ≤ cap` rewrites to WindowGroupLimit, which
-    * applies the rank cap MAP-SIDE before the window exchange — each map
-    * task forwards at most `cap` rows per domain, so a hot domain (the
-    * exact case the operator exists for) never concentrates its full row
-    * set on one reducer.
+  /** Per-group EXACT top-`fraction` selection — the stratified form of
+    * [[selectTopFraction]] (FineWeb applies its quality threshold PER
+    * LANGUAGE: a single global cut lets high-resource languages absorb the
+    * whole budget and deletes low-resource ones wholesale). Same
+    * no-global-sort histogram shape, with every stage keyed by `groupCol`:
+    * the histogram aggregates (group, score); the running sum windows
+    * WITHIN each group (partitions are score-cardinality-sized, one per
+    * group — never the corpus); each group gets its own K = ⌈fraction·n_g⌉
+    * and boundary take; the per-group threshold frame (group-cardinality
+    * rows) broadcasts back for a map-side filter. Only boundary-score docs
+    * pay a per-group row_number. |kept per group| == K_g exactly; integral
+    * scores, id-order tie-break — engine-replayable row-level.
     */
+  def selectTopFractionByGroup(
+      df: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      groupCol: String,
+      fraction: Double
+  ): DataFrame = {
+    require(fraction > 0.0 && fraction <= 1.0, s"fraction in (0,1], got $fraction")
+    val cols = df.columns.map(col).toSeq
+    val W    = org.apache.spark.sql.expressions.Window
+    val hist = df.groupBy(col(groupCol).as("__g"), col(scoreCol).as("__s"))
+      .agg(count(lit(1)).as("__c"))
+    val ks = hist.groupBy("__g")
+      .agg(ceil(lit(fraction) * sum(col("__c"))).cast("long").as("__k"))
+    val cw = W.partitionBy(col("__g")).orderBy(col("__s").desc)
+      .rowsBetween(W.unboundedPreceding, 0)
+    val rw = W.partitionBy(col("__g")).orderBy(col("__s").desc)
+    val thr = hist
+      .withColumn("__cum", sum(col("__c")).over(cw))
+      .join(ks, "__g") // histogram-sized both sides
+      .filter(col("__cum") >= col("__k"))
+      .withColumn("__rn", row_number().over(rw))
+      .filter(col("__rn") === 1)
+      .select(col("__g"), col("__s").as("__t"),
+        (col("__k") - (col("__cum") - col("__c"))).as("__take"))
+    val withThr = df.join(broadcast(thr), col(groupCol) === col("__g"))
+    val above   = withThr.filter(col(scoreCol) > col("__t")).select(cols: _*)
+    val bw = W.partitionBy(col("__g")).orderBy(col(idCol))
+    val boundary = withThr
+      .filter(col(scoreCol) === col("__t"))
+      .withColumn("__rn", row_number().over(bw))
+      .filter(col("__rn") <= col("__take"))
+      .select(cols: _*)
+    above.unionByName(boundary)
+  }
+
   /** Deterministic epoch upsampling — the half of mixture construction that
     * [[sampleMixture]] cannot express: a source weighted ABOVE 1.0 must
     * repeat (an "epoch" per integer multiple plus a fractional remainder),
@@ -187,6 +223,19 @@ object Curation {
         explode(sequence(lit(1L), col("__n"))).as("epoch"): _*)
   }
 
+  /** Per-domain contribution cap (the RefinedWeb/CCNet move against
+    * domain-level over-representation: no single site may contribute more
+    * than `cap` documents): keep at most `cap` docs per domain, selected by
+    * a salted-md5 priority — i.e. a REPRODUCIBLE uniform sample of `cap`
+    * docs from every oversized domain, independent of partitioning and
+    * engine (same determinism contract as [[sampleMixture]]).
+    *
+    * Scale shape: `row_number ≤ cap` rewrites to WindowGroupLimit, which
+    * applies the rank cap MAP-SIDE before the window exchange — each map
+    * task forwards at most `cap` rows per domain, so a hot domain (the
+    * exact case the operator exists for) never concentrates its full row
+    * set on one reducer.
+    */
   def capPerDomain(df: DataFrame, idCol: String, domainCol: String, cap: Int, salt: String): DataFrame = {
     val pri = md5(concat(col(idCol).cast("string"), lit(":" + salt)))
     val w = org.apache.spark.sql.expressions.Window

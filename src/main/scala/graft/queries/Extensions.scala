@@ -953,6 +953,46 @@ object Extensions {
             ORDER BY doc_id""")
   )
 
+  /** Language-stratified top-quantile selection
+    * ([[Curation.selectTopFractionByGroup]]): the per-language form of the
+    * FineWeb quality cut — each language keeps its own exact top 25% by
+    * score instead of competing in one global pool. Same
+    * histogram/no-global-sort shape, windows partitioned by language.
+    */
+  val selectTopQuantileLang = Q(
+    "x_select_top_quantile_lang",
+    (s, d) => {
+      Curation
+        .selectTopFractionByGroup(
+          Tables.documents(s, d).select(col("doc_id"), col("lang"), col("n_chars")),
+          "doc_id", "n_chars", "lang", fraction = 0.25)
+        .orderBy("doc_id")
+    },
+    Some("""WITH h AS (SELECT lang AS g, n_chars AS s, count(*) AS c FROM documents GROUP BY 1, 2),
+            cum AS (
+              SELECT g, s, c,
+                sum(c) OVER (PARTITION BY g ORDER BY s DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM h),
+            k AS (SELECT g, CAST(ceil(0.25 * sum(c)) AS BIGINT) AS k FROM h GROUP BY g),
+            thr AS (
+              SELECT g, t, take FROM (
+                SELECT cum.g, cum.s AS t, k.k - (cum.cum - cum.c) AS take,
+                  row_number() OVER (PARTITION BY cum.g ORDER BY cum.s DESC) AS rn
+                FROM cum JOIN k USING (g) WHERE cum.cum >= k.k) WHERE rn = 1)
+            SELECT doc_id, lang, n_chars FROM (
+              SELECT d.doc_id, d.lang, d.n_chars
+              FROM documents d JOIN thr ON thr.g = d.lang WHERE d.n_chars > thr.t
+              UNION ALL
+              SELECT doc_id, lang, n_chars FROM (
+                SELECT d.doc_id, d.lang, d.n_chars,
+                  row_number() OVER (PARTITION BY d.lang ORDER BY d.doc_id) AS rn,
+                  thr.take AS take
+                FROM documents d JOIN thr ON thr.g = d.lang WHERE d.n_chars = thr.t)
+              WHERE rn <= take)
+            ORDER BY doc_id""")
+  )
+
   /** Per-domain contribution cap ([[Curation.capPerDomain]] — RefinedWeb's
     * guard against any one site dominating the mix): ≤10 docs per source,
     * chosen by salted-md5 priority so the sample is reproducible across
@@ -3303,7 +3343,7 @@ object Extensions {
     packSequences,
     dedupExact, dedupMinhash, dedupSimhash, dedupNgram, dedupEmbedding, dedupEmbeddingNearDup,
     dedupContainment, dedupClusters, dedupKeepBest, dedupMinhashIncremental, dedupEmbeddingIncremental, contaminationScan, dedupIncremental,
-    piiRedact, mixSources, decontaminate, curationPipeline, curationPipeline2, selectTopQuantile, domainCap,
+    piiRedact, mixSources, decontaminate, curationPipeline, curationPipeline2, selectTopQuantile, selectTopQuantileLang, domainCap,
     streamSetSimilarity, trendingTopK, dedupIncrementalStream, neardupFilter, c4LineClean, dedupSpans,
     gopherQuality, gopherRepetition, dedupSpansIncremental, dedupTokenSpans, dedupTokenSpansIncremental, dedupLinesWithin,
     qualityPerplexity, dsirWeights, semDedup, kMeansQ, kMeansModelQ, tfidfKeywords, embeddingQuantize, bm25Search, vocabCoverage, qualityBySource,

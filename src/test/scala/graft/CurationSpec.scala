@@ -363,6 +363,25 @@ class CurationSpec extends AnyFunSuite {
     assert(s == Seq("a.b.c", "b.c", "c"))
   }
 
+  test("selectTopFractionByGroup: exact per-group K, boundary ties by id, no cross-group leakage") {
+    import spark.implicits._
+    // Group a: 40 rows scores 1..40 (K=10 -> scores 31..40). Group b: 10 rows
+    // ALL the same score (pure boundary: K=3 -> smallest 3 ids win).
+    val df = (Seq.tabulate(40)(i => (i.toLong, "a", (i + 1).toLong)) ++
+      Seq.tabulate(10)(i => ((100 + i).toLong, "b", 7L)))
+      .toDF("id", "grp", "score")
+    val got = Curation.selectTopFractionByGroup(df, "id", "score", "grp", 0.25)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val (ga, gb) = got.partition(_._2 == "a")
+    assert(ga.map(_._1).toSeq === (30L until 40L).toSeq, "group a keeps exactly its top-10 scores")
+    assert(gb.map(_._1).toSeq === Seq(100L, 101L, 102L), "all-tied group keeps its 3 smallest ids")
+    // Stratification vs global: a global 25% cut on this data would take 12
+    // rows from 'a' (scores 29..40, since b's 7s lose) and 0-1 from 'b'.
+    val global = Curation.selectTopFraction(df, "id", "score", 0.25)
+      .collect().map(_.getString(1))
+    assert(global.count(_ == "b") <= 1, "sanity: the global cut starves group b")
+  }
+
   test("upsampleEpochs: integer epochs exact, fractional epochs bounded, zero drops") {
     import spark.implicits._
     val df = Seq.tabulate(400)(i => (i.toLong, if (i % 2 == 0) "a" else "b"))

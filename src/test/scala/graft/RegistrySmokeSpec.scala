@@ -31,7 +31,7 @@ class RegistrySmokeSpec extends AnyFunSuite {
     "x_ann_bruteforce", "x_multimodal_meta", "x_multimodal_frames",
     "x_trending_topk", "x_dedup_incremental_stream", "x_neardup_filter", "x_c4_line_clean",
     "x_dedup_spans", "x_gopher_quality", "x_dedup_spans_incremental",
-    "x_gopher_repetition", "x_quality_classifier", "x_mix_temperature", "x_upsample_epochs", "x_dedup_url",
+    "x_gopher_repetition", "x_quality_classifier", "x_mix_temperature", "x_upsample_epochs", "x_select_top_quantile_lang", "x_dedup_url",
     "x_bpe_pair_counts", "x_bpe_merges", "x_bpe_tokenize", "x_chunk_documents", "x_curation_pipeline3", "x_curation_pipeline4",
     "x_html_extract", "x_shard_assign", "x_hard_negatives", "x_url_filter"
   )
