@@ -402,6 +402,34 @@ object Curation {
       .drop("__hx", "__shard")
   }
 
+  /** Per-shard reproducibility manifest — the audit artifact a dataloader
+    * run records next to its shards: doc count, size mass, id range, and an
+    * ORDER-INDEPENDENT integer checksum (the sum of each member's 32-bit
+    * salted-md5 prefix — integer sums commute, so the manifest is identical
+    * however the shard was partitioned, ordered, or written). Verifying a
+    * later rebuild is one shard-keyed aggregation + a manifest compare — no
+    * re-read of the content. One aggregation over the [[assignShards]]
+    * deal; manifest size = nShards rows.
+    */
+  def shardManifest(
+      df: DataFrame,
+      idCol: String,
+      sizeCol: String,
+      nShards: Int,
+      salt: String
+  ): DataFrame =
+    assignShards(df, idCol, nShards, salt)
+      .withColumn("__ck",
+        conv(substring(md5(concat(col(idCol).cast("string"), lit(":" + salt + ":ck"))), 1, 8),
+          16, 10).cast("long"))
+      .groupBy("shard_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col(sizeCol)).as("total_size"),
+        min(col(idCol)).as("min_id"),
+        max(col(idCol)).as("max_id"),
+        sum(col("__ck")).as("checksum"))
+
   /** All dot-suffixes of a hostname (`a.b.c` → [`a.b.c`, `b.c`, `c`]) — the
     * join key for domain-blocklist matching, where a blocklist entry
     * `example.com` must block every subdomain. Pure array arithmetic

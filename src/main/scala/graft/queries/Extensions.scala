@@ -3247,6 +3247,30 @@ object Extensions {
             FROM s ORDER BY doc_id""")
   )
 
+  /** Per-shard reproducibility manifest ([[Curation.shardManifest]] over the
+    * same 8-shard deal as `x_shard_assign`): counts, size mass, id range,
+    * and an order-independent salted-md5 checksum per shard — the audit
+    * record that makes a shard rebuild verifiable without re-reading
+    * content. All integers; row-level oracle.
+    */
+  val shardManifestQ = Q(
+    "x_shard_manifest",
+    (s, d) =>
+      Curation.shardManifest(
+          Tables.documents(s, d).select("doc_id", "n_chars"), "doc_id", "n_chars", 8, "shard")
+        .orderBy("shard_id"),
+    Some("""WITH s AS (
+              SELECT doc_id, n_chars,
+                CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shard'), 1, 4)) AS INTEGER) % 8 AS BIGINT) AS shard_id,
+                CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shard:ck'), 1, 8)) AS BIGINT) AS ck
+              FROM documents)
+            SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(n_chars) AS BIGINT) AS total_size,
+              min(doc_id) AS min_id, max(doc_id) AS max_id,
+              CAST(sum(ck) AS BIGINT) AS checksum
+            FROM s GROUP BY shard_id ORDER BY shard_id""")
+  )
+
   /** Hard-negative mining ([[AnnSearch.hardNegatives]], k=5): for each
     * anchor (vec_id < 10), the top-5 highest-cosine corpus vectors of a
     * DIFFERENT label — the contrastive-training negatives. Exact
@@ -3348,7 +3372,7 @@ object Extensions {
     gopherQuality, gopherRepetition, dedupSpansIncremental, dedupTokenSpans, dedupTokenSpansIncremental, dedupLinesWithin,
     qualityPerplexity, dsirWeights, semDedup, kMeansQ, kMeansModelQ, tfidfKeywords, embeddingQuantize, bm25Search, vocabCoverage, qualityBySource,
     qualityClassifier, mixTemperature, upsampleEpochs, dedupUrl, bpePairCounts, bpeMerges, bpeTokenize, chunkDocuments, curationPipeline3,
-    htmlExtract, shardAssign, hardNegativesQ, urlFilter, curationPipeline4,
+    htmlExtract, shardAssign, shardManifestQ, hardNegativesQ, urlFilter, curationPipeline4,
     annBruteForce, annLsh, annIvf, annInt8,
     multimodalMeta, multimodalFrames
   )

@@ -363,6 +363,21 @@ class CurationSpec extends AnyFunSuite {
     assert(s == Seq("a.b.c", "b.c", "c"))
   }
 
+  test("shardManifest: partitioning-invariant; checksum catches a membership change") {
+    import spark.implicits._
+    val df = Seq.tabulate(100)(i => (i.toLong, (i * 3 + 1).toLong)).toDF("id", "sz")
+    def m(d: org.apache.spark.sql.DataFrame) =
+      Curation.shardManifest(d, "id", "sz", 4, "t")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(5))).sortBy(_._1).toSeq
+    val base = m(df)
+    assert(m(df.repartition(7).orderBy(col("id").desc)) === base,
+      "integer-sum checksums must not depend on partitioning or order")
+    val without = m(df.filter(col("id") =!= 50L))
+    assert(base.count { case (sid, n, sz, ck) =>
+      without.find(_._1 == sid).exists(w => (w._2, w._3, w._4) != ((n, sz, ck))) } === 1,
+      "dropping one doc must change exactly its shard's manifest row")
+  }
+
   test("selectTopFractionByGroup: exact per-group K, boundary ties by id, no cross-group leakage") {
     import spark.implicits._
     // Group a: 40 rows scores 1..40 (K=10 -> scores 31..40). Group b: 10 rows
