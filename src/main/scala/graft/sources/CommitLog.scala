@@ -39,11 +39,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * `core_process_stream_DS.go:443-721`'s TCP tuple stream, re-expressed as a
   * planned, replayable scan).
   *
-  * The reader is O(offset) per partition open (it skips from the file head),
-  * which is the honest cost of line offsets on a plain file; a production log
-  * would keep a byte-offset index per record batch. The contract this class
-  * exists to prove — deterministic range replay from a durable offset — is
-  * identical either way.
+  * Partition opens are O(gap-from-nearest-index-point): the producer writes
+  * a `(lineCount, byteOffset)` entry to a `<path>.idx` sidecar per append
+  * batch, and readers (and `latestOffset` polling) seek to the floor entry
+  * before skipping lines. The sidecar is derived state that can only lag —
+  * missing, stale, or torn entries degrade to a longer skip, never a wrong
+  * position — so the replay contract is index-independent.
   */
 class CommitLog extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = CommitLog.schema
@@ -65,14 +66,86 @@ object CommitLog {
   /** Producer helper: append records as newline-terminated UTF-8 lines,
     * forced to disk before returning — a reader never sees a torn record
     * (values must not contain newlines; offsets are line numbers).
+    *
+    * Each append also records a `(lineCount, byteOffset)` entry in a
+    * `<path>.idx` sidecar AFTER the data is durable, so readers seek to the
+    * nearest indexed byte instead of skipping from the file head (the
+    * production byte-index the class scaladoc used to defer). The sidecar is
+    * strictly DERIVED state with a one-sided failure mode: it can only LAG
+    * the log (crash between data force and index write, out-of-band
+    * appends, a torn last line — all leave valid-but-stale entries), and
+    * every consumer treats a missing/stale index as "seek less, skip more",
+    * falling back to the head when absent. Correctness never depends on it.
     */
   def append(path: String, values: Seq[String]): Unit = {
     require(values.forall(!_.contains("\n")), "commit-log records are single lines")
+    if (values.isEmpty) return
+    val p       = Paths.get(path)
+    val preSize = if (Files.exists(p)) Files.size(p) else 0L
     val bytes = values.map(_ + "\n").mkString.getBytes(StandardCharsets.UTF_8)
     val ch = java.nio.channels.FileChannel.open(
-      Paths.get(path),
-      StandardOpenOption.CREATE, StandardOpenOption.WRITE, StandardOpenOption.APPEND)
+      p, StandardOpenOption.CREATE, StandardOpenOption.WRITE, StandardOpenOption.APPEND)
     try { ch.write(java.nio.ByteBuffer.wrap(bytes)); ch.force(true) } finally ch.close()
+    // Index update: pre-append lines = nearest index point + bounded scan.
+    val preLines = linesUpTo(path, preSize)
+    Files.writeString(Paths.get(path + ".idx"),
+      s"${preLines + values.size} ${preSize + bytes.length}\n",
+      StandardOpenOption.CREATE, StandardOpenOption.WRITE, StandardOpenOption.APPEND)
+  }
+
+  /** Largest `(lines, bytes)` index entry with `bytes <= maxBytes` (and, when
+    * `maxLines` is given, `lines <= maxLines`); (0, 0) when no usable entry.
+    * Tolerates a missing sidecar, torn last lines, and entries beyond the
+    * current file (an index ahead of a truncated log is simply unusable —
+    * the bytes bound rejects it).
+    */
+  private[sources] def indexFloor(
+      path: String, maxBytes: Long, maxLines: Long = Long.MaxValue): (Long, Long) = {
+    val ip = Paths.get(path + ".idx")
+    if (!Files.exists(ip)) (0L, 0L)
+    else {
+      var best = (0L, 0L)
+      Files.readAllLines(ip, StandardCharsets.UTF_8).asScala.foreach { l =>
+        l.trim.split(" ") match {
+          case Array(ls, bs) if ls.forall(_.isDigit) && bs.forall(_.isDigit) =>
+            val (lines, bytes) = (ls.toLong, bs.toLong)
+            if (bytes <= maxBytes && lines <= maxLines && lines > best._1)
+              best = (lines, bytes)
+          case _ => () // torn or foreign line — ignore
+        }
+      }
+      best
+    }
+  }
+
+  /** Complete lines in `path`'s first `uptoBytes` bytes — index floor plus a
+    * bounded tail scan (newlines only; a final partial line contributes 0).
+    */
+  private def linesUpTo(path: String, uptoBytes: Long): Long = {
+    val (l0, b0) = indexFloor(path, uptoBytes)
+    val p = Paths.get(path)
+    if (!Files.exists(p) || uptoBytes <= b0) l0
+    else {
+      val ch = java.nio.channels.FileChannel.open(p, StandardOpenOption.READ)
+      try {
+        ch.position(b0)
+        var n = l0
+        var remaining = uptoBytes - b0
+        val buf = java.nio.ByteBuffer.allocate(64 * 1024)
+        while (remaining > 0) {
+          buf.clear()
+          if (remaining < buf.capacity()) buf.limit(remaining.toInt)
+          val read = ch.read(buf)
+          if (read <= 0) remaining = 0
+          else {
+            var i = 0
+            while (i < read) { if (buf.get(i) == '\n') n += 1; i += 1 }
+            remaining -= read
+          }
+        }
+        n
+      } finally ch.close()
+    }
   }
 
   /** Reader entry point: `(offset long, value string)` micro-batch stream. */
@@ -82,24 +155,13 @@ object CommitLog {
     r.load(path)
   }
 
-  /** Number of COMPLETE (newline-terminated) records in the log. */
+  /** Number of COMPLETE (newline-terminated) records in the log — index
+    * floor + bounded tail scan, so polling `latestOffset` stays cheap as the
+    * log grows.
+    */
   private[sources] def completeLines(path: String): Long = {
     val p = Paths.get(path)
-    if (!Files.exists(p)) 0L
-    else {
-      val in = Files.newInputStream(p)
-      try {
-        var n = 0L
-        val buf = new Array[Byte](64 * 1024)
-        var read = in.read(buf)
-        while (read > 0) {
-          var i = 0
-          while (i < read) { if (buf(i) == '\n') n += 1; i += 1 }
-          read = in.read(buf)
-        }
-        n
-      } finally in.close()
-    }
+    if (!Files.exists(p)) 0L else linesUpTo(path, Files.size(p))
   }
 }
 
@@ -186,11 +248,21 @@ private[sources] object CommitLogReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[CommitLogInputPartition]
     new PartitionReader[InternalRow] {
-      private val reader = Files.newBufferedReader(Paths.get(p.path), StandardCharsets.UTF_8)
-      private var line: Long = 0L
+      // Seek to the nearest index point at-or-below the start offset, then
+      // skip only the gap — O(gap) per partition open instead of O(offset).
+      // A missing/stale sidecar degrades to the head (floor (0,0)), never to
+      // a wrong position: index entries only ever lag the log.
+      private val (idxLines, idxBytes) = CommitLog.indexFloor(
+        p.path, Long.MaxValue, maxLines = p.start)
+      private val channel = java.nio.channels.FileChannel.open(
+        Paths.get(p.path), StandardOpenOption.READ)
+      private val reader = {
+        channel.position(idxBytes)
+        new java.io.BufferedReader(
+          java.nio.channels.Channels.newReader(channel, StandardCharsets.UTF_8))
+      }
+      private var line: Long = idxLines
       private var current: String = _
-      // Skip to the partition's start offset (line offsets on a plain file
-      // have no index; see class scaladoc for the production trade-off).
       while (line < p.start && reader.readLine() != null) line += 1
 
       override def next(): Boolean =

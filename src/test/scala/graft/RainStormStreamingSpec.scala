@@ -108,6 +108,42 @@ class RainStormStreamingSpec extends AnyFunSuite {
     assert(out.toMap.forall { case (o, v) => v == s"rec$o" }, "every offset must carry its own record")
   }
 
+  test("commit-log byte index: seeks equal head-skips; missing/torn sidecar degrades, never corrupts") {
+    import graft.sources.CommitLog
+    import org.apache.spark.sql.streaming.Trigger
+    def drain(log: String, tag: String): Seq[(Long, String)] = {
+      val q = CommitLog.readStream(spark, log, maxLinesPerTrigger = Some(7L))
+        .writeStream.format("memory").queryName(tag)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      spark.table(tag).collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    }
+    val dir = tmpDir("clidx")
+    val expected = (0 until 300).map(i => (i.toLong, s"v$i"))
+
+    // Indexed log: several append batches -> several index points.
+    val indexed = dir + "/indexed.log"
+    (0 until 300).grouped(40).foreach(g => CommitLog.append(indexed, g.map(i => s"v$i")))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(indexed + ".idx")),
+      "producer must write the sidecar")
+    assert(drain(indexed, "cl_indexed") === expected)
+
+    // Same log, sidecar deleted -> pure head-skip fallback, same rows.
+    val bare = dir + "/bare.log"
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(indexed), java.nio.file.Paths.get(bare))
+    assert(drain(bare, "cl_bare") === expected)
+
+    // Torn/garbage sidecar lines are skipped, stale entries only lag.
+    val torn = dir + "/torn.log"
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(indexed), java.nio.file.Paths.get(torn))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(torn + ".idx"),
+      "40 " + java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get(indexed + ".idx")).get(0).split(" ")(1) + "\ngarbage li")
+    assert(drain(torn, "cl_torn") === expected)
+  }
+
   test("generic RainStorm.run pipeline (op1 -> op2) matches batch") {
     import graft.operators.RainStormOps
     val src  = writeCorpus()
