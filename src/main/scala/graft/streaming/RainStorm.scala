@@ -562,6 +562,21 @@ object RainStorm {
   ): DataFrame =
     graft.functions.ClusterOps.assignToCentroids(stream, idCol, vecCol, model)
 
+  /** Streaming epoch upsampling: ingestion-time mixture materialization —
+    * each arriving row repeats ⌊w⌋ + Bernoulli(frac(w)) times exactly as in
+    * the batch operator ([[graft.functions.Curation.upsampleEpochs]]).
+    * STATELESS (the decision is a pure function of (id, salt), the repeat a
+    * per-row explode), so any micro-batch slicing emits the batch multiset
+    * bit-exactly — no watermark, no state store, append mode.
+    */
+  def upsampleEpochsStream(
+      stream: DataFrame,
+      idCol: String,
+      weightPpm: org.apache.spark.sql.Column,
+      salt: String
+  ): DataFrame =
+    graft.functions.Curation.upsampleEpochs(stream, idCol, weightPpm, salt)
+
   /** Streaming ANN: a stream of query vectors answered against a STATIC
     * SRP-indexed corpus (the "index once, serve forever" shape — PAPERS.md's
     * streaming-similarity setting with the index on the static side).

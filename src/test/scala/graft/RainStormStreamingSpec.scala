@@ -108,6 +108,31 @@ class RainStormStreamingSpec extends AnyFunSuite {
     assert(out.toMap.forall { case (o, v) => v == s"rec$o" }, "every offset must carry its own record")
   }
 
+  test("upsampleEpochsStream: any micro-batch slicing emits the batch multiset") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows  = (0L until 80L).map(i => (i, s"src${i % 3}"))
+    val wp    = when(col("_2") === "src0", 2500000L)
+      .when(col("_2") === "src1", 1000000L).otherwise(400000L)
+    val batch = graft.functions.Curation
+      .upsampleEpochs(rows.toDF("_1", "_2"), "_1", wp, "se1")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq
+
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.RainStorm
+      .upsampleEpochsStream(in.toDF(), "_1", wp, "se1")
+      .writeStream.format("memory").queryName("upsample_stream").outputMode("append").start()
+    try {
+      Seq(rows.take(13), rows.slice(13, 55), rows.drop(55)).foreach { b =>
+        in.addData(b.toIndexedSeq: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.table("upsample_stream")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq
+    assert(streamed === batch)
+  }
+
   test("commit-log byte index: seeks equal head-skips; missing/torn sidecar degrades, never corrupts") {
     import graft.sources.CommitLog
     import org.apache.spark.sql.streaming.Trigger
