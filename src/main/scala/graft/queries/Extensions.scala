@@ -3271,6 +3271,53 @@ object Extensions {
             FROM s GROUP BY shard_id ORDER BY shard_id""")
   )
 
+  /** 2-D Z-order layout key ([[graft.functions.Layout.zorder2]] on lineitem
+    * (l_quantity, l_suppkey), 256 equi-depth buckets each): the Morton sort
+    * key that write-time clustering orders by so parquet min/max pruning
+    * works on BOTH columns. Bucket ranks from exact histogram arithmetic,
+    * interleave from shift/mask integer arithmetic — the whole key is
+    * BIGINT-exact and replayed row-level in SQL (stepwise spread CTEs).
+    */
+  val zorderQ = Q(
+    "x_zorder",
+    (s, d) => {
+      graft.functions.Layout
+        .zorder2(
+          Tables.lineitem(s, d).select("l_orderkey", "l_linenumber", "l_quantity", "l_suppkey"),
+          "l_quantity", "l_suppkey", buckets = 256)
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          col("zvalue"))
+        .orderBy("l_orderkey", "l_linenumber", "zvalue")
+    },
+    Some("""WITH n AS (SELECT count(*) AS n FROM lineitem),
+            hx AS (SELECT l_quantity AS v, count(*) AS c FROM lineitem GROUP BY 1),
+            bxt AS (
+              SELECT v, (COALESCE(sum(c) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 256) // n.n AS b
+              FROM hx, n),
+            hy AS (SELECT l_suppkey AS v, count(*) AS c FROM lineitem GROUP BY 1),
+            byt AS (
+              SELECT v, (COALESCE(sum(c) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 256) // n.n AS b
+              FROM hy, n),
+            sp AS (
+              SELECT l.l_orderkey, l.l_linenumber, bxt.b AS x0, byt.b AS y0
+              FROM lineitem l
+              JOIN bxt ON l.l_quantity = bxt.v
+              JOIN byt ON l.l_suppkey = byt.v),
+            m1 AS (SELECT l_orderkey, l_linenumber,
+              ((x0 | (x0 << 8)) & 16711935) AS x1, ((y0 | (y0 << 8)) & 16711935) AS y1 FROM sp),
+            m2 AS (SELECT l_orderkey, l_linenumber,
+              ((x1 | (x1 << 4)) & 252645135) AS x2, ((y1 | (y1 << 4)) & 252645135) AS y2 FROM m1),
+            m3 AS (SELECT l_orderkey, l_linenumber,
+              ((x2 | (x2 << 2)) & 858993459) AS x3, ((y2 | (y2 << 2)) & 858993459) AS y3 FROM m2),
+            m4 AS (SELECT l_orderkey, l_linenumber,
+              ((x3 | (x3 << 1)) & 1431655765) AS x4, ((y3 | (y3 << 1)) & 1431655765) AS y4 FROM m3)
+            SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+              (x4 | (y4 << 1)) AS zvalue
+            FROM m4 ORDER BY l_orderkey, l_linenumber, zvalue""")
+  )
+
   /** Hard-negative mining ([[AnnSearch.hardNegatives]], k=5): for each
     * anchor (vec_id < 10), the top-5 highest-cosine corpus vectors of a
     * DIFFERENT label — the contrastive-training negatives. Exact
@@ -3372,7 +3419,7 @@ object Extensions {
     gopherQuality, gopherRepetition, dedupSpansIncremental, dedupTokenSpans, dedupTokenSpansIncremental, dedupLinesWithin,
     qualityPerplexity, dsirWeights, semDedup, kMeansQ, kMeansModelQ, tfidfKeywords, embeddingQuantize, bm25Search, vocabCoverage, qualityBySource,
     qualityClassifier, mixTemperature, upsampleEpochs, dedupUrl, bpePairCounts, bpeMerges, bpeTokenize, chunkDocuments, curationPipeline3,
-    htmlExtract, shardAssign, shardManifestQ, hardNegativesQ, urlFilter, curationPipeline4,
+    htmlExtract, shardAssign, shardManifestQ, hardNegativesQ, urlFilter, curationPipeline4, zorderQ,
     annBruteForce, annLsh, annIvf, annInt8,
     multimodalMeta, multimodalFrames
   )

@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.Layout
+
+class LayoutSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("spread16/morton2: closed-form bit interleave") {
+    import spark.implicits._
+    // spread(3)=0b101, spread(1)=0b1 -> morton(3,1) = 0b101 | 0b10 = 7.
+    // morton(x, y) puts x bits at even positions, y bits at odd.
+    val df = Seq((3L, 1L), (0L, 0L), (65535L, 0L), (0L, 65535L), (255L, 255L))
+      .toDF("x", "y")
+      .select(Layout.morton2(col("x"), col("y")).as("z"))
+    val got = df.collect().map(_.getLong(0)).toSeq
+    def spread(v: Long): Long = {
+      var x = v & 0xFFFFL
+      x = (x | x << 8) & 0x00FF00FFL
+      x = (x | x << 4) & 0x0F0F0F0FL
+      x = (x | x << 2) & 0x33333333L
+      (x | x << 1) & 0x55555555L
+    }
+    val exp = Seq((3L, 1L), (0L, 0L), (65535L, 0L), (0L, 65535L), (255L, 255L))
+      .map { case (x, y) => spread(x) | (spread(y) << 1) }
+    assert(got === exp)
+    assert(got.head === 7L)
+    assert(got(2) === 0x55555555L, "all-ones x fills exactly the even bits")
+    assert(got(3) === 0xAAAAAAAAL, "all-ones y fills exactly the odd bits")
+  }
+
+  test("quantileBucketMap: exact equi-depth on uniform values; heavy value keeps one bucket") {
+    import spark.implicits._
+    val uniform = Seq.tabulate(64)(i => i.toLong).toDF("v")
+    val m = Layout.quantileBucketMap(uniform, "v", 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0 until 64).forall(i => m(i.toLong) === i / 8), "uniform -> 8 docs per bucket")
+    // One value holding half the mass: it gets ONE bucket id; later values
+    // start past the mass it consumed.
+    val skew = (Seq.fill(32)(5L) ++ Seq.tabulate(32)(i => 100L + i)).toDF("v")
+    val sm = Layout.quantileBucketMap(skew, "v", 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sm(5L) === 0L)
+    assert(sm(100L) === 4L, "values after the heavy one start at its cumulative rank")
+  }
+
+  test("zorder2: partitioning-invariant; write-time clustering narrows BOTH columns' per-file ranges") {
+    import spark.implicits._
+    // 2-D grid: two independent uniform dims.
+    val rows = for (x <- 0 until 64; y <- 0 until 64) yield (x.toLong * 64 + y, x.toLong, y.toLong)
+    val df = rows.toDF("id", "cx", "cy")
+    val z1 = Layout.zorder2(df, "cx", "cy", 64).select("id", "zvalue")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val z2 = Layout.zorder2(df.repartition(7), "cx", "cy", 64).select("id", "zvalue")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(z1 === z2, "bucket maps + interleave must not depend on partitioning")
+
+    // Layout benefit: split into 16 files by (a) cx order vs (b) z order and
+    // compare per-file value ranges. cx-sort clusters cx perfectly but leaves
+    // cy's full range in every file; z-sort narrows both.
+    def fileRanges(sorted: org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val withFile = sorted.withColumn("__f", ntile(16).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("__k"))))
+      val r = withFile.groupBy("__f")
+        .agg((max("cx") - min("cx")).as("rx"), (max("cy") - min("cy")).as("ry"))
+        .agg(avg("rx"), avg("ry")).head()
+      (r.getDouble(0), r.getDouble(1))
+    }
+    val zdf = Layout.zorder2(df, "cx", "cy", 64)
+    val (zx, zy) = fileRanges(zdf.withColumn("__k", col("zvalue")))
+    val (lx, ly) = fileRanges(df.withColumn("__k", col("cx")))
+    assert(lx < 8.0, s"sanity: cx-sort clusters cx tightly, got $lx")
+    assert(ly > 50.0, s"sanity: cx-sort leaves cy unclustered, got $ly")
+    assert(zx < 20.0 && zy < 20.0,
+      s"z-order must cluster BOTH dimensions (got cx range $zx, cy range $zy vs full 63)")
+  }
+}
