@@ -22,10 +22,12 @@ object Verify {
     val selected =
       if (rest.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => rest.exists(n.contains) }
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failures(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -44,6 +46,16 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Failure manifest, written even when empty: a query that throws leaves
+    // no parquet dir and would otherwise just SILENTLY VANISH from the
+    // round's correctness table (a driver-side testdata change once dropped
+    // 20 events queries this way, caught a round late). An artifact beats a
+    // stderr line the launcher may discard.
+    Files.writeString(Paths.get(s"$outDir/_failures.json"),
+      failures.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    if (failures.nonEmpty) {
+      System.err.println(s"[verify] ${failures.size} quer${if (failures.size == 1) "y" else "ies"} FAILED — see _failures.json")
+    }
     spark.stop()
   }
 }
