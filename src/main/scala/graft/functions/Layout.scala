@@ -40,6 +40,24 @@ object Layout {
   def morton2(x: Column, y: Column): Column =
     spread16(x).bitwiseOR(shiftleft(spread16(y), 1))
 
+  /** Every-third-bit spread of a 10-bit value: bit i lands at bit 3i (the
+    * 3-D Morton building block; magic masks from the standard 32-bit
+    * dilation sequence).
+    */
+  def spread10(x: Column): Column = {
+    val a = x.bitwiseAND(lit(0x3FFL))
+    val b = a.bitwiseOR(shiftleft(a, 16)).bitwiseAND(lit(0x030000FFL))
+    val c = b.bitwiseOR(shiftleft(b, 8)).bitwiseAND(lit(0x0300F00FL))
+    val d = c.bitwiseOR(shiftleft(c, 4)).bitwiseAND(lit(0x030C30C3L))
+    d.bitwiseOR(shiftleft(d, 2)).bitwiseAND(lit(0x09249249L))
+  }
+
+  /** 3-D Morton code of three ≤10-bit bucket ranks. */
+  def morton3(x: Column, y: Column, z: Column): Column =
+    spread10(x)
+      .bitwiseOR(shiftleft(spread10(y), 1))
+      .bitwiseOR(shiftleft(spread10(z), 2))
+
   /** Exact equi-depth bucket map `(value → bucket ∈ [0, buckets))`: bucket =
     * ⌊rank_before · buckets / n⌋ with rank from the value HISTOGRAM — one
     * hash aggregation plus a cumulative window over the value-cardinality
@@ -73,5 +91,24 @@ object Layout {
       .join(broadcast(by), col(colY) === col("__vy"))
       .withColumn("zvalue", morton2(col("__bx"), col("__by")))
       .drop("__vx", "__bx", "__vy", "__by")
+  }
+
+  /** [[zorder2]] for three columns (≤1024 equi-depth buckets each — 10 bits
+    * per dimension of the 30-bit key).
+    */
+  def zorder3(df: DataFrame, colX: String, colY: String, colZ: String,
+      buckets: Int = 1024): DataFrame = {
+    require(buckets > 0 && buckets <= 1024, s"3-D buckets in (0, 1024], got $buckets")
+    val bx = quantileBucketMap(df, colX, buckets)
+      .select(col("__v").as("__vx"), col("__b").as("__bx"))
+    val by = quantileBucketMap(df, colY, buckets)
+      .select(col("__v").as("__vy"), col("__b").as("__by"))
+    val bz = quantileBucketMap(df, colZ, buckets)
+      .select(col("__v").as("__vz"), col("__b").as("__bz"))
+    df.join(broadcast(bx), col(colX) === col("__vx"))
+      .join(broadcast(by), col(colY) === col("__vy"))
+      .join(broadcast(bz), col(colZ) === col("__vz"))
+      .withColumn("zvalue", morton3(col("__bx"), col("__by"), col("__bz")))
+      .drop("__vx", "__bx", "__vy", "__by", "__vz", "__bz")
   }
 }

@@ -30,6 +30,25 @@ class LayoutSpec extends AnyFunSuite {
     assert(got(3) === 0xAAAAAAAAL, "all-ones y fills exactly the odd bits")
   }
 
+  test("spread10/morton3: closed-form three-way interleave") {
+    import spark.implicits._
+    def spread(v: Long): Long = {
+      var x = v & 0x3FFL
+      x = (x | x << 16) & 0x030000FFL
+      x = (x | x << 8) & 0x0300F00FL
+      x = (x | x << 4) & 0x030C30C3L
+      (x | x << 2) & 0x09249249L
+    }
+    val cases = Seq((1L, 1L, 1L), (1023L, 0L, 0L), (0L, 1023L, 0L), (0L, 0L, 1023L), (5L, 3L, 7L))
+    val got = cases.toDF("x", "y", "z")
+      .select(Layout.morton3(col("x"), col("y"), col("z")).as("m"))
+      .collect().map(_.getLong(0)).toSeq
+    val exp = cases.map { case (x, y, z) => spread(x) | (spread(y) << 1) | (spread(z) << 2) }
+    assert(got === exp)
+    assert(got.head === 7L, "morton3(1,1,1) packs the three low bits")
+    assert(got(1) === 0x09249249L, "x occupies exactly bits 0,3,6,…")
+  }
+
   test("quantileBucketMap: exact equi-depth on uniform values; heavy value keeps one bucket") {
     import spark.implicits._
     val uniform = Seq.tabulate(64)(i => i.toLong).toDF("v")
