@@ -2451,7 +2451,7 @@ object Extensions {
                     list_sum(list_transform(range(1, len(q.qv)+1),
                       i -> (q.qv[i]-c.cv[i])*(q.qv[i]-c.cv[i]))), c.cid) AS rn
                 FROM q, c2 c) WHERE rn = 1)
-            SELECT vec_id, cid AS cluster, d AS dist2 FROM fin ORDER BY vec_id""")
+            SELECT vec_id, cid AS cluster, CAST(d AS BIGINT) AS dist2 FROM fin ORDER BY vec_id""")
   )
 
   /** The trained k-means MODEL itself ([[ClusterOps.kMeansModel]], same
@@ -2504,7 +2504,7 @@ object Extensions {
               SELECT cid, i, sum(qv[i]) AS s, count(*) AS n
               FROM a2, unnest(range(1, 65)) AS t(i) GROUP BY cid, i)
             SELECT cid AS cluster, CAST(i AS BIGINT) AS dim,
-              (s - ((s % n + n) % n)) // n AS value
+              CAST((s - ((s % n + n) % n)) // n AS BIGINT) AS value
             FROM s2 ORDER BY cluster, dim""")
   )
 
@@ -3314,7 +3314,7 @@ object Extensions {
             m4 AS (SELECT l_orderkey, l_linenumber,
               ((x3 | (x3 << 1)) & 1431655765) AS x4, ((y3 | (y3 << 1)) & 1431655765) AS y4 FROM m3)
             SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
-              (x4 | (y4 << 1)) AS zvalue
+              CAST((x4 | (y4 << 1)) AS BIGINT) AS zvalue
             FROM m4 ORDER BY l_orderkey, l_linenumber, zvalue""")
   )
 
