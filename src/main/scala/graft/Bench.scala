@@ -21,6 +21,13 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // The registry is ~125 queries x ~3 generated classes per plan; the
+      // default 100-entry codegen class cache evicts between the two bench
+      // passes, so every pass re-pays janino compile (the slowest single
+      // class costs ~1.4 s — observed as a phantom x_gopher_quality
+      // "regression" once the registry outgrew the cache). A long-lived
+      // session serving a fixed workload should size the cache to hold it.
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -70,8 +77,12 @@ object Bench {
       name -> (if (med > 0 && m > math.max(8 * med, 5.0)) math.min(m, runOne(name, fn, "retry")) else m)
     }
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // Locale.ROOT: a comma-decimal default locale would render 1,234 and
+    // break the launcher's JSON tail-parse — the exact failure the compact
+    // stdout line exists to prevent.
+    def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def fmt(entries: Seq[(String, Double)]): String =
-      entries.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      entries.map { case (k, v) => "\"" + k + "\":" + num(v) }
         .mkString("{", ",", "}")
     // The launcher keeps only the last ~2000 chars of stdout and parses the
     // JSON line from that tail — a full 118-query map (~5 KB) pushes its own
@@ -82,11 +93,14 @@ object Bench {
     // "sink" names the measurement methodology so cross-round totals are only
     // compared like-for-like (r1 used count(), which undercounted projections).
     val slowest = results.sortBy(-_._2).take(20)
-    val line = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","sink":"noop-min-of-2-passes-outlier-retry","n_queries":${results.size},"queries":${fmt(slowest)},"detail":"BENCH_LOCAL.json","sf":"$sfDir"}"""
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","sink":"noop-min-of-2-passes-outlier-retry","queries":${fmt(results)},"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${num(total)},"unit":"sec","sink":"noop-min-of-2-passes-outlier-retry","n_queries":${results.size},"queries":${fmt(slowest)},"detail":"BENCH_LOCAL.json","sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${num(total)},"unit":"sec","sink":"noop-min-of-2-passes-outlier-retry","queries":${fmt(results)},"sf":"$sfDir"}"""
     println(line)
     // Full per-query artifact (also a backup in case stdout is decorated).
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+    // Subset runs (local iteration with name args) go to a scratch file so
+    // they can't overwrite the committed full-registry numbers.
+    val artifact = if (args.isEmpty) "BENCH_LOCAL.json" else "BENCH_SUBSET.json"
+    try java.nio.file.Files.write(java.nio.file.Paths.get(artifact),
       (full + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
     spark.stop()

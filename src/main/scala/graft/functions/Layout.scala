@@ -17,10 +17,17 @@ import org.apache.spark.sql.functions._
   * [[Curation.selectTopFraction]] (value-cardinality frames, integer
   * division — no sampling, no RNG), and the bit interleave is shift/mask
   * arithmetic that whole-stage codegen compiles to a handful of ALU ops.
-  * The histogram shape means the value→bucket maps stay broadcast-sized
-  * whenever the columns' CARDINALITY is corpus-small (true for quantized
-  * scores, sizes, categorical keys — quantize first for raw doubles, the
-  * same contract as selectTopFraction).
+  *
+  * Scale shape, per column: the value→bucket map is value-CARDINALITY-sized.
+  * Bounded-cardinality columns (quantized scores, sizes, categorical keys)
+  * take the exact path — histogram + distributed prefix sum + broadcast
+  * map-side join. Near-unique columns (timestamps, ids) would make that map
+  * corpus-sized, so [[zorder2]]/[[zorder3]] probe cardinality first (one
+  * aggregate job) and route wide columns through [[rangeBinnedBucketMap]]:
+  * a min/max linear pre-bin (pure arithmetic, no join key explosion) whose
+  * BIN histogram is bounded, trading exact equi-depth for bin-granularity
+  * equi-depth — the right trade for a layout key, where bucket balance only
+  * has to hold approximately for file skipping to work.
   */
 object Layout {
 
@@ -58,37 +65,160 @@ object Layout {
       .bitwiseOR(shiftleft(spread10(y), 1))
       .bitwiseOR(shiftleft(spread10(z), 2))
 
+  /** Exact global cumulative count STRICTLY BEFORE each value, computed as a
+    * distributed two-level prefix sum instead of one unpartitioned window:
+    * range-partition the histogram by value, prefix-sum WITHIN each range
+    * partition (a partitioned window — every task sees only its slice), then
+    * add per-partition offsets (a partition-count-sized frame, bounded by
+    * `spark.sql.shuffle.partitions` — model state, not data state). The
+    * output is identical to `sum(c) OVER (ORDER BY v ROWS UNBOUNDED
+    * PRECEDING TO 1 PRECEDING)` for ANY cardinality, but no task ever holds
+    * more than its range slice — an arbitrarily wide histogram (near-unique
+    * column) cannot funnel through one task.
+    *
+    * Input: (`__v` value, `__c` count). Output: adds `__cb` (rank before).
+    */
+  private def distributedPrefix(hist: DataFrame): DataFrame = {
+    val parts = hist.sparkSession.sessionState.conf.numShufflePartitions
+    // Pin the slice id in a projection AFTER the range exchange: the window
+    // below then re-clusters by that id. NULL values sort into the first
+    // range slice (NULLS FIRST), matching the unpartitioned window's order.
+    val sliced = hist
+      .repartitionByRange(parts, col("__v"))
+      .withColumn("__p", spark_partition_id())
+    val inner = Window.partitionBy(col("__p")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // Per-slice totals: ≤`parts` rows, so this window's frame is bounded by
+    // config, never by data. The constant partitionBy marks that boundedness
+    // structurally (and keeps the "No Partition Defined" warning reserved
+    // for windows that could actually see a corpus-sized frame).
+    val offW = Window.partitionBy(lit(0)).orderBy(col("__p"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sliced.groupBy(col("__p")).agg(sum(col("__c")).as("__pt"))
+      .withColumn("__off", coalesce(sum(col("__pt")).over(offW), lit(0L)))
+      .select(col("__p"), col("__off"))
+    sliced
+      .withColumn("__ci", coalesce(sum(col("__c")).over(inner), lit(0L)))
+      .join(broadcast(offsets), "__p")
+      .withColumn("__cb", col("__ci") + col("__off"))
+      .drop("__p", "__ci", "__off")
+  }
+
   /** Exact equi-depth bucket map `(value → bucket ∈ [0, buckets))`: bucket =
     * ⌊rank_before · buckets / n⌋ with rank from the value HISTOGRAM — one
-    * hash aggregation plus a cumulative window over the value-cardinality
-    * frame, never a corpus total order (same shape and same integral-value
-    * contract as [[Curation.selectTopFraction]]). Heavily-repeated values
-    * keep one bucket (equi-depth up to value granularity). Returns
+    * hash aggregation plus a [[distributedPrefix]] over the value-cardinality
+    * frame, never a corpus total order (same integral-value contract as
+    * [[Curation.selectTopFraction]]). Heavily-repeated values keep one
+    * bucket (equi-depth up to value granularity). NULL is its own histogram
+    * row and sorts first, so it deterministically maps to bucket 0. Returns
     * (`__v` value, `__b` bucket).
+    *
+    * The MAP itself is value-cardinality-sized; callers that broadcast it
+    * ([[zorder2]]/[[zorder3]]) must bound that cardinality — they probe it
+    * and fall back to [[rangeBinnedBucketMap]] past `maxExactMapCard`.
     */
   def quantileBucketMap(df: DataFrame, valueCol: String, buckets: Int): DataFrame = {
     require(buckets > 0 && buckets <= 65536, s"buckets in (0, 65536], got $buckets")
     val hist = df.groupBy(col(valueCol).as("__v")).agg(count(lit(1)).as("__c"))
-    val w = Window.orderBy(col("__v")).rowsBetween(Window.unboundedPreceding, -1)
-    hist
-      .withColumn("__cb", coalesce(sum(col("__c")).over(w), lit(0L)))
+    distributedPrefix(hist)
       .join(broadcast(hist.agg(sum(col("__c")).as("__n"))))
       .select(col("__v"), expr(s"(__cb * $buckets) div __n").as("__b"))
   }
 
+  /** Equi-depth-over-BINS bucket map for near-unique numeric columns, where
+    * the per-value map of [[quantileBucketMap]] would be corpus-sized and
+    * unbroadcastable. Values are linearly pre-binned by (min, max) into
+    * ≤`bins` ranges — pure map-side arithmetic, monotone, no per-value join
+    * key — and the equi-depth histogram runs over the BIN frame (bounded by
+    * `bins`, so its map broadcasts at any corpus size). Equi-depth holds at
+    * bin granularity: with 2^16 bins over 2^8 buckets, a bucket's mass is
+    * off only by what a single bin holds — immaterial for file skipping.
+    *
+    * Returns (binExpr to apply to the raw column, (`__v` bin, `__b` bucket)
+    * map). NULL bins to NULL and joins null-safely to bucket 0's slot like
+    * the exact path. `minV`/`maxV` come from the caller's stats probe (one
+    * tiny row — model state).
+    */
+  def rangeBinnedBucketMap(
+      df: DataFrame,
+      valueCol: String,
+      buckets: Int,
+      minV: BigDecimal,
+      maxV: BigDecimal,
+      bins: Int = 1 << 16
+  ): (Column, DataFrame) = {
+    require(buckets > 0 && buckets <= bins, s"buckets in (0, $bins], got $buckets")
+    // step ≥ smallest value that keeps (max-min)/step < bins; exact decimal
+    // arithmetic so the bin id is engine-replayable.
+    val span = (maxV - minV).max(BigDecimal(0))
+    val step = (span / (bins - 1)).max(BigDecimal(1) / BigDecimal(1000000))
+    val binExpr = floor((col(valueCol).cast("decimal(38,6)") - lit(minV.toString).cast("decimal(38,6)"))
+      / lit(step.toString).cast("decimal(38,6)")).cast("long")
+    val binned = df.select(binExpr.as(valueCol))
+    (binExpr, quantileBucketMap(binned, valueCol, buckets))
+  }
+
+  /** Per-column bucket attach plan: the join key to compute on the raw
+    * column and the broadcastable (key → bucket) map.
+    */
+  private def bucketPlan(
+      df: DataFrame,
+      c: String,
+      buckets: Int,
+      card: Option[Long],
+      minV: Option[BigDecimal],
+      maxV: Option[BigDecimal],
+      maxExactMapCard: Long
+  ): (Column, DataFrame) =
+    if (card.forall(_ <= maxExactMapCard) || minV.isEmpty || maxV.isEmpty)
+      (col(c), quantileBucketMap(df, c, buckets))
+    else
+      rangeBinnedBucketMap(df, c, buckets, minV.get, maxV.get)
+
+  /** One aggregate job probing every layout column's approximate distinct
+    * count and min/max (a single small row — model state). Skipped entirely
+    * when `maxExactMapCard` is `Long.MaxValue` (caller vouches for bounded
+    * cardinality and keeps the exact path unconditionally).
+    */
+  private def probeStats(df: DataFrame, cols: Seq[String], maxExactMapCard: Long)
+      : Map[String, (Option[Long], Option[BigDecimal], Option[BigDecimal])] =
+    if (maxExactMapCard == Long.MaxValue)
+      cols.map(c => c -> ((None: Option[Long], None: Option[BigDecimal], None: Option[BigDecimal]))).toMap
+    else {
+      val aggs = cols.flatMap { c =>
+        Seq(approx_count_distinct(col(c)).as(s"__cd_$c"),
+          min(col(c)).cast("decimal(38,6)").as(s"__mn_$c"),
+          max(col(c)).cast("decimal(38,6)").as(s"__mx_$c"))
+      }
+      val r = df.agg(aggs.head, aggs.tail: _*).head()
+      def dec(i: Int): Option[BigDecimal] =
+        if (r.isNullAt(i)) None else Some(BigDecimal(r.getDecimal(i)))
+      cols.zipWithIndex.map { case (c, i) =>
+        c -> ((Some(r.getLong(3 * i)), dec(3 * i + 1), dec(3 * i + 2)))
+      }.toMap
+    }
+
   /** Attach a 2-D Z-order key: `df` plus a `zvalue` column interleaving the
     * equi-depth bucket ranks of `colX` and `colY`. The two value→bucket maps
-    * broadcast onto the corpus (map-side joins — the corpus itself never
-    * shuffles here); write-time clustering is then
+    * broadcast onto the corpus (null-safe map-side joins — the corpus itself
+    * never shuffles here, and NULL layout values keep their rows, landing in
+    * bucket 0 like Delta/Iceberg ZORDER); write-time clustering is then
     * `repartitionByRange(col("zvalue")).sortWithinPartitions("zvalue")`.
+    *
+    * Columns whose probed distinct count exceeds `maxExactMapCard` take the
+    * range-pre-binned path (see [[rangeBinnedBucketMap]]) so the broadcast
+    * stays bounded on near-unique columns; pass `Long.MaxValue` to skip the
+    * probe job when cardinality is known-bounded.
     */
-  def zorder2(df: DataFrame, colX: String, colY: String, buckets: Int = 256): DataFrame = {
-    val bx = quantileBucketMap(df, colX, buckets)
-      .select(col("__v").as("__vx"), col("__b").as("__bx"))
-    val by = quantileBucketMap(df, colY, buckets)
-      .select(col("__v").as("__vy"), col("__b").as("__by"))
-    df.join(broadcast(bx), col(colX) === col("__vx"))
-      .join(broadcast(by), col(colY) === col("__vy"))
+  def zorder2(df: DataFrame, colX: String, colY: String, buckets: Int = 256,
+      maxExactMapCard: Long = 1L << 20): DataFrame = {
+    val st = probeStats(df, Seq(colX, colY), maxExactMapCard)
+    val (kx, bx0) = bucketPlan(df, colX, buckets, st(colX)._1, st(colX)._2, st(colX)._3, maxExactMapCard)
+    val (ky, by0) = bucketPlan(df, colY, buckets, st(colY)._1, st(colY)._2, st(colY)._3, maxExactMapCard)
+    val bx = bx0.select(col("__v").as("__vx"), col("__b").as("__bx"))
+    val by = by0.select(col("__v").as("__vy"), col("__b").as("__by"))
+    df.join(broadcast(bx), kx <=> col("__vx"))
+      .join(broadcast(by), ky <=> col("__vy"))
       .withColumn("zvalue", morton2(col("__bx"), col("__by")))
       .drop("__vx", "__bx", "__vy", "__by")
   }
@@ -97,17 +227,19 @@ object Layout {
     * per dimension of the 30-bit key).
     */
   def zorder3(df: DataFrame, colX: String, colY: String, colZ: String,
-      buckets: Int = 1024): DataFrame = {
+      buckets: Int = 1024, maxExactMapCard: Long = 1L << 20): DataFrame = {
     require(buckets > 0 && buckets <= 1024, s"3-D buckets in (0, 1024], got $buckets")
-    val bx = quantileBucketMap(df, colX, buckets)
-      .select(col("__v").as("__vx"), col("__b").as("__bx"))
-    val by = quantileBucketMap(df, colY, buckets)
-      .select(col("__v").as("__vy"), col("__b").as("__by"))
-    val bz = quantileBucketMap(df, colZ, buckets)
-      .select(col("__v").as("__vz"), col("__b").as("__bz"))
-    df.join(broadcast(bx), col(colX) === col("__vx"))
-      .join(broadcast(by), col(colY) === col("__vy"))
-      .join(broadcast(bz), col(colZ) === col("__vz"))
+    val st = probeStats(df, Seq(colX, colY, colZ), maxExactMapCard)
+    def plan(c: String) = bucketPlan(df, c, buckets, st(c)._1, st(c)._2, st(c)._3, maxExactMapCard)
+    val (kx, bx0) = plan(colX)
+    val (ky, by0) = plan(colY)
+    val (kz, bz0) = plan(colZ)
+    val bx = bx0.select(col("__v").as("__vx"), col("__b").as("__bx"))
+    val by = by0.select(col("__v").as("__vy"), col("__b").as("__by"))
+    val bz = bz0.select(col("__v").as("__vz"), col("__b").as("__bz"))
+    df.join(broadcast(bx), kx <=> col("__vx"))
+      .join(broadcast(by), ky <=> col("__vy"))
+      .join(broadcast(bz), kz <=> col("__vz"))
       .withColumn("zvalue", morton3(col("__bx"), col("__by"), col("__bz")))
       .drop("__vx", "__bx", "__vy", "__by", "__vz", "__bz")
   }

@@ -94,4 +94,55 @@ class LayoutSpec extends AnyFunSuite {
     assert(zx < 20.0 && zy < 20.0,
       s"z-order must cluster BOTH dimensions (got cx range $zx, cy range $zy vs full 63)")
   }
+
+  test("zorder2 keeps NULL rows: null layout values land in bucket 0, not dropped") {
+    import spark.implicits._
+    val df = Seq[(Long, java.lang.Long, java.lang.Long)](
+      (1L, 5L, 7L), (2L, null, 7L), (3L, 5L, null), (4L, null, null), (5L, 9L, 2L))
+      .toDF("id", "cx", "cy")
+    val z = Layout.zorder2(df, "cx", "cy", 4)
+    assert(z.count() === 5L, "inner-joining the bucket maps must not lose NULL rows")
+    val byId = z.collect().map(r => r.getLong(0) -> r.getLong(r.fieldIndex("zvalue"))).toMap
+    assert(byId(4L) === 0L, "all-NULL row takes bucket 0 in both dims -> zvalue 0")
+    assert(z.filter(col("zvalue").isNull).count() === 0L, "zvalue is always defined")
+  }
+
+  test("near-unique column routes through the range-binned path: bounded map, monotone buckets") {
+    import spark.implicits._
+    // 10k distinct values with a forced tiny exact-map cap: the per-value
+    // map would be "corpus-sized", so the column must pre-bin.
+    val df = Seq.tabulate(10000)(i => (i.toLong, i.toLong * 1000L + 17L, (i % 16).toLong))
+      .toDF("id", "ts", "cat")
+    val z = Layout.zorder2(df, "ts", "cat", buckets = 16, maxExactMapCard = 100L)
+    assert(z.count() === 10000L)
+    // Monotone: bucket rank of ts must be non-decreasing in ts, and roughly
+    // equi-depth (bin-granularity: each of 16 buckets ~625 rows).
+    val (binExpr, binnedMap) = Layout.rangeBinnedBucketMap(
+      df, "ts", 16, BigDecimal(17L), BigDecimal(9999L * 1000L + 17L))
+    val m = binnedMap.collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    assert(m.sliding(2).forall { case Array((_, b1), (_, b2)) => b1 <= b2; case _ => true },
+      "bin -> bucket map must be monotone")
+    assert(m.length <= (1 << 16), "bin map stays bounded regardless of value cardinality")
+    val depth = df.select(binExpr.as("__bin")).join(
+        binnedMap.withColumnRenamed("__v", "__bin"), "__bin")
+      .groupBy("__b").count().collect().map(_.getLong(1))
+    assert(depth.forall(c => c > 300 && c < 1000),
+      s"bin-granularity equi-depth: each of 16 buckets near 625 rows, got ${depth.toSeq}")
+    // Invariance under input partitioning still holds on the binned path.
+    val z2 = Layout.zorder2(df.repartition(7), "ts", "cat", buckets = 16, maxExactMapCard = 100L)
+      .select("id", "zvalue").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val z1 = z.select("id", "zvalue").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(z1 === z2)
+  }
+
+  test("distributedPrefix keeps quantileBucketMap exact at cardinality far above one range slice") {
+    import spark.implicits._
+    // 5k distinct values across 8 shuffle partitions: every range slice sees
+    // only its share, yet the global rank (and so the bucket) is exact.
+    val df = Seq.tabulate(5000)(i => i.toLong).toDF("v")
+    val m = Layout.quantileBucketMap(df, "v", 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0 until 5000).forall(i => m(i.toLong) === i / 500),
+      "two-level prefix sum must equal the single-window cumulative rank")
+  }
 }
