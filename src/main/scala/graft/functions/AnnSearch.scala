@@ -258,4 +258,70 @@ object AnnSearch {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  private val intModelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[(Long, Array[Long])]]()
+
+  /** IVF top-k over the INTEGER-EXACT coarse quantizer
+    * ([[ClusterOps.kMeansModel]]: micro-quantized vectors, exact-integer
+    * argmin-L2² assignment, floor-division centroid updates) instead of the
+    * float ML k-means of [[ivfTopK]] — same cell/probe plan shape, but every
+    * routing decision (training iterations, corpus cell assignment, query
+    * probe ranking) is BIGINT arithmetic with a deterministic (dist², cid)
+    * tie-break, so the ENTIRE pipeline — train → assign → probe → exact
+    * within-cell cosine → rank — replays row-level in ANSI SQL the way
+    * `x_ann_int8` replays quantize → score → rank. Cell routing from integer
+    * L2² on micro-quantized vectors picks the same cells as float L2 except
+    * within quantization slack — immaterial for a coarse quantizer whose own
+    * approximation (unprobed cells) dominates; recall is additionally gated
+    * against brute force in AccuracySpec.
+    *
+    * Scale shape is unchanged from [[ivfTopK]]: the model is k·dim driver
+    * state (trained once per `cacheKey`), corpus assignment is one map-side
+    * kernel projection, queries broadcast with their probe fan-out, and the
+    * per-query top-k is a WindowGroupLimit — the corpus never shuffles.
+    */
+  def ivfIntTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nCells: Int = 16, nProbe: Int = 4, iters: Int = 2,
+      cacheKey: Option[String] = None
+  ): DataFrame = {
+    def train() = ClusterOps.kMeansModel(corpus, idCol, vecCol, nCells, iters)
+    val model = cacheKey match {
+      case Some(key) =>
+        intModelCache.computeIfAbsent(s"$key|$vecCol|$nCells|$iters", _ => train())
+      case None => train()
+    }
+    val cids = model.map(_._1)
+    val cvs  = model.map(_._2)
+    val qexp = (v: Column) => transform(v, x => floor(x.cast("double") * lit(1e6)))
+    val c = corpus.select(
+      col(idCol).as("neighbor_id"),
+      col(vecCol).as("c_vec"),
+      NativeFns.nearest_centroid_l2(qexp(col(vecCol)), cids, cvs)
+        .getField("cluster").as("cell"))
+    // Query probes: the query set is broadcast-small, so the top-nProbe cells
+    // come from a plain cross join against the model frame (k rows) — the
+    // integer dist² here is the same arithmetic the corpus-side kernel runs.
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centDf = model.toSeq.map { case (cid, cv) => (cid, cv.toSeq) }.toDF("cell", "cv")
+    val pw = Window.partitionBy(col("query_id")).orderBy(col("__d2"), col("cell"))
+    val q = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"), qexp(col(vecCol)).as("__qv"))
+      .crossJoin(broadcast(centDf))
+      .withColumn("__d2", aggregate(
+        zip_with(col("__qv"), col("cv"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x))
+      .withColumn("__rn", row_number().over(pw))
+      .filter(col("__rn") <= nProbe)
+      .select(col("query_id"), col("q_vec"), col("cell"))
+    val rw = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    c.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        NativeFns.cosine_sim(col("q_vec"), col("c_vec")).as("cos"))
+      .withColumn("rank", row_number().over(rw))
+      .filter(col("rank") <= k)
+  }
 }

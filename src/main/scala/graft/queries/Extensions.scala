@@ -539,11 +539,78 @@ object Extensions {
             WHERE rank <= 5 ORDER BY query_id, rank""")
   )
 
-  /** LSH-bucketed ANN (sign random projection) — the scale path. This
-    * corpus has no planted clusters (top-neighbor cosine ≈ 0.45-0.5), so the
-    * query uses a shallow 4-plane / 8-table config whose theoretical recall
-    * at that angle is ~0.8; AccuracySpec pins the measured recall against
-    * `x_ann_bruteforce`. Clustered production data uses deeper planes.
+  /** The registry LSH config (4 planes × 8 tables, 2 probes): shallow
+    * because this corpus has no planted clusters (top-neighbor cosine
+    * ≈ 0.45-0.5) — theoretical recall at that angle is ~0.8, and AccuracySpec
+    * pins the measured recall against `x_ann_bruteforce`. Clustered
+    * production data uses deeper planes.
+    */
+  private val lshPlanesT = 8
+  private val lshPlanesP = 4
+
+  /** Row-level SQL replay of [[AnnSearch.lshTopK]] under the registry
+    * config. The seed-fixed hyperplanes are MODEL STATE known at build time
+    * (like `x_ann_int8`'s scale rule), so they embed as literal DOUBLE
+    * lists; every downstream decision is then engine-portable: the sign dot
+    * is the same sequential float→double product chain the `srp_buckets`
+    * kernel folds (the proven `x_ann_bruteforce` list_sum pattern), the
+    * multi-probe flip picks the min-|margin| plane with the same
+    * (|dot|, plane) tie-break as the kernel's strict-< ascending scan, and
+    * candidate pairs dedup across tables before the exact-cosine rank.
+    */
+  private def lshOracleSql: String = {
+    val values = (for {
+      t <- 0 until lshPlanesT
+      planes = graft.functions.AnnSearch.hyperplanes(lshPlanesP, 64, seed = 42L + t)
+      p <- 0 until lshPlanesP
+    } yield s"($t, $p, [${planes(p).map(_.toString).mkString(", ")}])")
+      .mkString(", ")
+    s"""WITH planes(tbl, pl, pv) AS (VALUES $values),
+        dots AS (
+          SELECT e.vec_id, p.tbl, p.pl,
+            list_sum(list_transform(range(len(e.embedding)),
+              i -> CAST(e.embedding[i+1] AS DOUBLE) * p.pv[i+1])) AS dot
+          FROM embeddings e, planes p),
+        buck AS (
+          SELECT vec_id, tbl,
+            CAST(sum(CASE WHEN dot >= 0 THEN (1 << pl) ELSE 0 END) AS INT) AS b0
+          FROM dots GROUP BY vec_id, tbl),
+        flip AS (
+          SELECT vec_id, tbl, pl AS fpl FROM (
+            SELECT vec_id, tbl, pl,
+              row_number() OVER (PARTITION BY vec_id, tbl ORDER BY abs(dot), pl) AS rn
+            FROM dots WHERE vec_id < 10) WHERE rn = 1),
+        qb AS (
+          SELECT vec_id AS query_id, tbl, b0 AS bucket FROM buck WHERE vec_id < 10
+          UNION ALL
+          SELECT b.vec_id, b.tbl, xor(b.b0, (1 << f.fpl))
+          FROM buck b JOIN flip f ON f.vec_id = b.vec_id AND f.tbl = b.tbl
+          WHERE b.vec_id < 10),
+        cand AS (
+          SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+          FROM qb q JOIN buck c ON c.tbl = q.tbl AND c.b0 = q.bucket
+          WHERE c.vec_id <> q.query_id),
+        scored AS (
+          SELECT cd.query_id, cd.neighbor_id,
+            list_sum(list_transform(list_zip(eq.embedding, en.embedding),
+              pz -> CAST(pz[1] AS DOUBLE) * CAST(pz[2] AS DOUBLE)))
+            / (sqrt(list_sum(list_transform(eq.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             * sqrt(list_sum(list_transform(en.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+          FROM cand cd
+          JOIN embeddings eq ON eq.vec_id = cd.query_id
+          JOIN embeddings en ON en.vec_id = cd.neighbor_id)
+        SELECT query_id, neighbor_id, rank FROM (
+          SELECT query_id, neighbor_id,
+            row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+          FROM scored)
+        WHERE rank <= 5 ORDER BY query_id, rank"""
+  }
+
+  /** LSH-bucketed ANN (sign random projection) — the scale path, and since
+    * r10 fully oracled: bucket membership, multi-probe flips, and the
+    * within-candidate exact cosine all replay in SQL (see [[lshOracleSql]]),
+    * so the hash compare covers the whole approximate pipeline, not just a
+    * recall bound.
     */
   val annLsh = Q(
     "x_ann_lsh",
@@ -551,32 +618,97 @@ object Extensions {
       val embs = Tables.embeddings(s, d)
       AnnSearch
         .lshTopK(embs, embs.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5,
-          nPlanes = 4, tables = 8, probes = 2)
+          nPlanes = lshPlanesP, tables = lshPlanesT, probes = 2)
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
-    }
+    },
+    Some(lshOracleSql)
   )
 
-  /** IVF ANN (KMeans coarse quantizer, cosine) — the second scale path:
-    * corpus partitioned into nearest-centroid cells, queries probe their
-    * nProbe nearest cells, exact cosine only within probed cells. Recall
-    * gated vs brute force in AccuracySpec (same trainFraction config).
-    *
-    * `trainFraction = 0.25` exercises the sampled-training path — the actual
-    * 100 TB story ([[AnnSearch.trainCentroids]]): k-means cost is
-    * per-row×k×iters, so at corpus scale you train the coarse quantizer on a
-    * sample and assign the full corpus with the cheap probe kernel.
+  /** IVF ANN — the second scale path: corpus partitioned into
+    * nearest-centroid cells, queries probe their nProbe nearest cells, exact
+    * cosine only within probed cells. Since r10 the registry runs the
+    * INTEGER coarse quantizer ([[AnnSearch.ivfIntTopK]] over
+    * [[graft.functions.ClusterOps.kMeansModel]], k=16 cells, 2 Lloyd
+    * iterations, nProbe=6), which makes the whole pipeline row-level
+    * oracle-able: the SQL replays quantize → 2 training iterations → corpus
+    * cell assignment → per-query probe ranking (all BIGINT-exact, the
+    * `x_kmeans` CTE chain) and exact cosine within probed cells (the
+    * `x_ann_bruteforce` pattern). The float ML-KMeans path
+    * ([[AnnSearch.ivfTopK]], sampled training — the 100 TB
+    * train-on-a-sample story) stays recall-gated in AccuracySpec alongside
+    * this variant.
     */
   val annIvf = Q(
     "x_ann_ivf",
     (s, d) => {
       val embs = Tables.embeddings(s, d)
       AnnSearch
-        .ivfTopK(embs, embs.filter(col("vec_id") < 10), "vec_id", "embedding",
-          k = 5, nCells = 16, nProbe = 6, trainFraction = 0.25, cacheKey = Some(d))
+        .ivfIntTopK(embs, embs.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 5, nCells = 16, nProbe = 6, iters = 2, cacheKey = Some(d))
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
-    }
+    },
+    Some("""WITH q AS (
+              SELECT vec_id, embedding, list_transform(embedding,
+                x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+              FROM embeddings),
+            c0 AS (SELECT vec_id AS cid, qv AS cv FROM q ORDER BY vec_id LIMIT 16),
+            a1 AS (
+              SELECT vec_id, qv, cid FROM (
+                SELECT q.vec_id, q.qv, c.cid,
+                  row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                    list_sum(list_transform(range(1, len(q.qv)+1),
+                      i -> (q.qv[i]-c.cv[i])*(q.qv[i]-c.cv[i]))), c.cid) AS rn
+                FROM q, c0 c) WHERE rn = 1),
+            s1 AS (
+              SELECT cid, i, sum(qv[i]) AS s, count(*) AS n
+              FROM a1, unnest(range(1, 65)) AS t(i) GROUP BY cid, i),
+            c1 AS (
+              SELECT cid, list((s - ((s % n + n) % n)) // n ORDER BY i) AS cv
+              FROM s1 GROUP BY cid),
+            a2 AS (
+              SELECT vec_id, qv, cid FROM (
+                SELECT q.vec_id, q.qv, c.cid,
+                  row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                    list_sum(list_transform(range(1, len(q.qv)+1),
+                      i -> (q.qv[i]-c.cv[i])*(q.qv[i]-c.cv[i]))), c.cid) AS rn
+                FROM q, c1 c) WHERE rn = 1),
+            s2 AS (
+              SELECT cid, i, sum(qv[i]) AS s, count(*) AS n
+              FROM a2, unnest(range(1, 65)) AS t(i) GROUP BY cid, i),
+            c2 AS (
+              SELECT cid, list((s - ((s % n + n) % n)) // n ORDER BY i) AS cv
+              FROM s2 GROUP BY cid),
+            cells AS (
+              SELECT vec_id, cid AS cell FROM (
+                SELECT q.vec_id, c.cid,
+                  row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                    list_sum(list_transform(range(1, len(q.qv)+1),
+                      i -> (q.qv[i]-c.cv[i])*(q.qv[i]-c.cv[i]))), c.cid) AS rn
+                FROM q, c2 c) WHERE rn = 1),
+            probes AS (
+              SELECT vec_id AS query_id, cid AS cell FROM (
+                SELECT q.vec_id, c.cid,
+                  row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                    list_sum(list_transform(range(1, len(q.qv)+1),
+                      i -> (q.qv[i]-c.cv[i])*(q.qv[i]-c.cv[i]))), c.cid) AS rn
+                FROM q, c2 c WHERE q.vec_id < 10) WHERE rn <= 6),
+            scored AS (
+              SELECT p.query_id, ce.vec_id AS neighbor_id,
+                list_sum(list_transform(list_zip(eq.embedding, en.embedding),
+                  pz -> CAST(pz[1] AS DOUBLE) * CAST(pz[2] AS DOUBLE)))
+                / (sqrt(list_sum(list_transform(eq.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                 * sqrt(list_sum(list_transform(en.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+              FROM probes p
+              JOIN cells ce ON ce.cell = p.cell AND ce.vec_id <> p.query_id
+              JOIN q eq ON eq.vec_id = p.query_id
+              JOIN q en ON en.vec_id = ce.vec_id)
+            SELECT query_id, neighbor_id, rank FROM (
+              SELECT query_id, neighbor_id,
+                row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+              FROM scored)
+            WHERE rank <= 5 ORDER BY query_id, rank""")
   )
 
   /** Top-k search over the int8-QUANTIZED index ([[graft.functions.AnnSearch
