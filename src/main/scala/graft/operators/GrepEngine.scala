@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The distributed-grep (MP1) query surface as a single Spark job.
@@ -10,16 +11,38 @@ import org.apache.spark.sql.functions._
   * 259-349,455-478`). Here the whole surface is one DataFrame scan: per-file
   * parallelism comes from input splits, liveness from the scheduler, and the
   * documented flag surface (`README.md:266-348` in the reference: `-c`, `-i`,
-  * `-v`, `-E`, pipe chains) becomes a chain of `rlike` filters.
+  * `-v`, `-E`, pipe chains — plus the shell-grep long tail `-n`, `-o`,
+  * `-A/-B/-C` the reference gets for free by shelling out) becomes a chain
+  * of per-stage transforms.
   *
   * At 100 TB scale this shape matters: the regex filter is applied inside the
   * scan stage (no shuffle at all for full-line mode; a single partial→final
-  * agg for count mode), so throughput is bounded by IO, not coordination.
+  * agg for count mode). Line-numbered mode ([[logsWithLineNo]]) trades split
+  * granularity for exact line numbers — parallelism is per FILE, which is
+  * exactly the reference's unit of distribution (one log per node); a single
+  * file too big for one task is the commit-log byte-index's territory
+  * ([[graft.sources.CommitLog]]), not grep's.
   */
 object GrepEngine {
 
-  /** One stage of a grep pipe chain. */
-  final case class GrepStage(pattern: String, invert: Boolean = false, ignoreCase: Boolean = false)
+  /** One stage of a grep pipe chain. `after`/`before` are the `-A`/`-B`
+    * context radii (`-C n` sets both); `onlyMatching` is `-o` (the stage
+    * emits each regex MATCH as its own row, so a downstream pipe stage sees
+    * match strings — faithful shell-pipe semantics).
+    */
+  final case class GrepStage(
+      pattern: String,
+      invert: Boolean = false,
+      ignoreCase: Boolean = false,
+      onlyMatching: Boolean = false,
+      after: Int = 0,
+      before: Int = 0)
+
+  /** A parsed grep command chain. `countMode`/`lineNumbers` are presentation
+    * flags (`-c`, `-n`) — they shape the OUTPUT of [[run]], while the other
+    * flags transform rows stage by stage.
+    */
+  final case class GrepCmd(stages: Seq[GrepStage], countMode: Boolean, lineNumbers: Boolean)
 
   /** Load a logs directory as a `(file, value)` table — the Spark analog of
     * per-node `vm(i).log` files (`core_process.go:157-162`).
@@ -29,15 +52,59 @@ object GrepEngine {
       .textFile(path)
       .select(input_file_name().as("file"), col("value"))
 
+  /** Line-NUMBERED logs table `(file, line_no, value)`, 1-based like grep
+    * `-n`. Line numbers need per-file order, which a split-parallel text
+    * scan cannot provide, so each file loads as one unit (`wholetext`) and
+    * explodes — per-file parallelism, the reference's own distribution grain.
+    */
+  def logsWithLineNo(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("wholetext", "true")
+      .textFile(path)
+      .select(input_file_name().as("file"),
+        posexplode(split(col("value"), "\n", -1)).as(Seq("idx", "value")))
+      .select(col("file"), (col("idx") + 1).cast("long").as("line_no"), col("value"))
+
   private def applyStage(df: DataFrame, s: GrepStage): DataFrame = {
     val pat     = if (s.ignoreCase) "(?i)" + s.pattern else s.pattern
     val matches = col("value").rlike(pat)
-    df.filter(if (s.invert) !matches else matches)
+    val hit     = if (s.invert) !matches else matches
+    val base =
+      if (s.after > 0 || s.before > 0) {
+        require(df.columns.contains("line_no"),
+          "context flags (-A/-B/-C) need a line-numbered logs table — use GrepEngine.logsWithLineNo")
+        // Line X is emitted iff a hit exists in [X-after, X+before] of ITS
+        // file — the frame asks each row "am I within some hit's context
+        // window". One partitioned window per context stage, no shuffle of
+        // anything but the (file)-keyed frame. `__pos` orders rows that
+        // share a line_no after an upstream -o explosion.
+        val ord =
+          if (df.columns.contains("__pos")) Seq(col("line_no"), col("__pos"))
+          else Seq(col("line_no"))
+        val w = Window.partitionBy(col("file")).orderBy(ord: _*)
+          .rowsBetween(-s.after, s.before)
+        df.withColumn("__hit", hit.cast("int"))
+          .withColumn("__emit", max(col("__hit")).over(w) === 1)
+          .filter(col("__emit"))
+          .drop("__hit", "__emit")
+      } else df.filter(hit)
+    if (s.onlyMatching) {
+      // -v -o emits nothing (inverted survivors contain no match) — the
+      // empty extract array drops the row in the explode, exactly grep.
+      val keep = base.columns.filterNot(c => c == "value" || c == "__pos").map(col).toSeq
+      base.select(keep :+
+        posexplode(regexp_extract_all(col("value"), lit(pat), lit(0)))
+          .as(Seq("__pos", "value")): _*)
+    } else base
   }
 
-  /** Full-line mode: all matching lines with their source file. */
-  def matchLines(logs: DataFrame, stages: Seq[GrepStage]): DataFrame =
-    stages.foldLeft(logs)(applyStage)
+  /** Full-line mode: all rows surviving the stage chain, with their source
+    * file (and `line_no` when the input table carries it).
+    */
+  def matchLines(logs: DataFrame, stages: Seq[GrepStage]): DataFrame = {
+    val out = stages.foldLeft(logs)(applyStage)
+    if (out.columns.contains("__pos")) out.drop("__pos") else out
+  }
 
   /** `grep -c` mode: per-file match counts (the reference's per-machine
     * counts, `core_process.go:292-344`).
@@ -49,31 +116,82 @@ object GrepEngine {
   def countTotal(logs: DataFrame, stages: Seq[GrepStage]): DataFrame =
     matchLines(logs, stages).agg(count(lit(1)).as("matches"))
 
-  /** Command-line translator for the documented surface:
-    * `grep [-c] [-i] [-v] [-E] PATTERN [| grep ...]`. Quote-aware: `|` inside
-    * a quoted pattern is regex alternation, not a pipe (`grep 'a|b'` is ONE
-    * stage), and a quoted pattern is never mistaken for a flag even if it
-    * starts with `-`. Returns the stages and whether count mode was requested
-    * anywhere in the chain.
+  /** Command-line translator for the shell-grep surface:
+    * `grep [-c] [-i] [-v] [-E] [-n] [-o] [-A n] [-B n] [-C n] PATTERN
+    * [| grep ...]`. Quote-aware: `|` inside a quoted pattern is regex
+    * alternation, not a pipe (`grep 'a|b'` is ONE stage), and a quoted
+    * pattern is never mistaken for a flag even if it starts with `-`.
+    * Context radii accept both `-A 3` and `-A3`. An unknown dash token
+    * starts the pattern (so un-flag-like patterns never need quoting).
     */
-  private val knownFlags = Set("-c", "-i", "-v", "-E")
-
-  def parse(cmd: String): (Seq[GrepStage], Boolean) = {
-    var countMode = false
+  def parseCmd(cmd: String): GrepCmd = {
+    var countMode   = false
+    var lineNumbers = false
     val stages = Cli.splitUnquoted(cmd, '|').map(_.trim).filter(_.nonEmpty).map { seg =>
-      val toks          = Cli.splitWithQuotes(seg).filterNot(t => !t.quoted && t.text == "grep")
-      val (flags, rest) = toks.span(t => !t.quoted && knownFlags.contains(t.text))
-      val pat           = rest.map(_.text).mkString(" ")
-      if (flags.exists(_.text == "-c")) countMode = true
-      GrepStage(pat, invert = flags.exists(_.text == "-v"), ignoreCase = flags.exists(_.text == "-i"))
+      val toks =
+        Cli.splitWithQuotes(seg).filterNot(t => !t.quoted && t.text == "grep").toIndexedSeq
+      var i      = 0
+      var inv    = false
+      var ic     = false
+      var om     = false
+      var after  = 0
+      var before = 0
+      var done   = false
+      val ctxNum = "-([ABC])(\\d+)".r
+      while (i < toks.length && !done) {
+        val t = toks(i)
+        if (t.quoted || !t.text.startsWith("-") || t.text.length <= 1) done = true
+        else t.text match {
+          case "-c" => countMode = true; i += 1
+          case "-i" => ic = true; i += 1
+          case "-v" => inv = true; i += 1
+          case "-E" => i += 1
+          case "-n" => lineNumbers = true; i += 1
+          case "-o" => om = true; i += 1
+          case f @ ("-A" | "-B" | "-C")
+              if i + 1 < toks.length && !toks(i + 1).quoted && toks(i + 1).text.forall(_.isDigit) =>
+            val n = toks(i + 1).text.toInt
+            f match {
+              case "-A" => after = n
+              case "-B" => before = n
+              case _    => after = n; before = n
+            }
+            i += 2
+          case ctxNum(which, digits) =>
+            val n = digits.toInt
+            which match {
+              case "A" => after = n
+              case "B" => before = n
+              case _   => after = n; before = n
+            }
+            i += 1
+          case _ => done = true
+        }
+      }
+      val pat = toks.drop(i).map(_.text).mkString(" ")
+      GrepStage(pat, invert = inv, ignoreCase = ic, onlyMatching = om,
+        after = after, before = before)
     }
-    (stages, countMode)
+    GrepCmd(stages, countMode, lineNumbers)
   }
 
-  /** End-to-end: translate a grep command and run it over a logs table. */
+  /** Back-compat form of [[parseCmd]]: (stages, countMode). */
+  def parse(cmd: String): (Seq[GrepStage], Boolean) = {
+    val c = parseCmd(cmd)
+    (c.stages, c.countMode)
+  }
+
+  /** End-to-end: translate a grep command and run it over a logs table.
+    * `-n` keeps the `line_no` column when the table has one (load with
+    * [[logsWithLineNo]]); without `-n` it is dropped from the output, like
+    * grep's default presentation.
+    */
   def run(logs: DataFrame, cmd: String): DataFrame = {
-    val (stages, countMode) = parse(cmd)
-    if (countMode) countPerFile(logs, stages) else matchLines(logs, stages)
+    val c   = parseCmd(cmd)
+    val out = matchLines(logs, c.stages)
+    if (c.countMode) out.groupBy(col("file")).agg(count(lit(1)).as("matches"))
+    else if (!c.lineNumbers && out.columns.contains("line_no")) out.drop("line_no")
+    else out
   }
 
   /** Deterministic test-log generator, reimplementing the reference's

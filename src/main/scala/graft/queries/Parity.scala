@@ -300,6 +300,30 @@ object Parity {
             ORDER BY doc_id""")
   )
 
+  /** G1 long-tail: `grep -o` (only-matching — one row per regex MATCH with
+    * its in-text position, the shape [[graft.operators.GrepEngine]] emits
+    * for `-o` stages). The reference gets `-o` for free by shelling out to
+    * real grep (`core_process.go:91-124`); here it is a codegen'd
+    * regexp_extract_all + posexplode — still a pure scan-stage map, no
+    * shuffle before the presentation sort.
+    */
+  val g4 = Q(
+    "g4_grep_only_matching",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(regexp_extract_all(col("text"), lit("merge|stream"), lit(0)))
+            .as(Seq("pos", "m")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("m"))
+        .orderBy("doc_id", "pos"),
+    Some("""SELECT doc_id, CAST(u.i AS BIGINT) AS pos, u.m AS m FROM (
+              SELECT doc_id, unnest(list_transform(range(len(ms)),
+                i -> {'i': i, 'm': ms[i+1]})) AS u
+              FROM (SELECT doc_id, regexp_extract_all(text, 'merge|stream') AS ms
+                    FROM documents))
+            ORDER BY doc_id, pos""")
+  )
+
   /** U2 again through the two-phase salted aggregation — identical results
     * (same oracle), different physical plan: the skew-resilient form for hot
     * keys. Both stay in the registry so the driver checks the equivalence.
@@ -315,5 +339,5 @@ object Parity {
   )
 
   val qs: Seq[Q] =
-    Seq(f1, f2, f3, f4, f4b, f6, f7, u1, u2, u2salted, u3, u4, u5, u6, u7u8, u9u10, u11, u12, g1, g2, g3)
+    Seq(f1, f2, f3, f4, f4b, f6, f7, u1, u2, u2salted, u3, u4, u5, u6, u7u8, u9u10, u11, u12, g1, g2, g3, g4)
 }

@@ -51,6 +51,77 @@ class GrepEngineSpec extends AnyFunSuite {
                      GrepStage("xyz", invert = true)))
   }
 
+  // Fixture layout per file (generateTestLog with the 3 patterns above):
+  // lines 1-10 "ERROR", 11-20 "WARNING", 21-30 "DEBUG",
+  // 31-130 "Random text", 131-1130 "100 200 300".
+
+  test("-n: exact 1-based line numbers from the wholetext loader") {
+    val dir  = writeLogs(2)
+    val logs = GrepEngine.logsWithLineNo(spark, dir)
+    val rows = GrepEngine.run(logs, "grep -n 'ERROR'").collect()
+    assert(rows.length == 20, "10 ERROR lines x 2 files")
+    val perFile = rows.groupBy(_.getString(0))
+    perFile.values.foreach { rs =>
+      assert(rs.map(_.getLong(rs.head.fieldIndex("line_no"))).sorted.toSeq == (1L to 10L),
+        "ERROR occupies exactly lines 1-10 of each file")
+    }
+    // Without -n the column is dropped (grep's default presentation).
+    assert(!GrepEngine.run(logs, "grep 'ERROR'").columns.contains("line_no"))
+  }
+
+  test("-o: one row per regex MATCH, not per line") {
+    val dir  = writeLogs(1)
+    val logs = GrepEngine.logs(spark, dir)
+    // '200' matches once per "100 200 300" line -> 1000.
+    assert(GrepEngine.run(logs, "grep -o '200'").count() == 1000L)
+    // '0' matches twice in each of 100/200/300 -> 6 per line -> 6000.
+    assert(GrepEngine.run(logs, "grep -o '0'").count() == 6000L)
+    // The match string itself becomes the row value.
+    val vals = GrepEngine.run(logs, "grep -o '[0-9]+'").select("value").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(vals == Set("100", "200", "300"))
+  }
+
+  test("-A/-B/-C: context windows in file order, closed-form row counts") {
+    val dir  = writeLogs(1)
+    val logs = GrepEngine.logsWithLineNo(spark, dir)
+    // DEBUG at 21-30; -A 2 adds lines 31,32 -> 12 rows.
+    assert(GrepEngine.run(logs, "grep -n -A 2 'DEBUG'").count() == 12L)
+    // Random at 31-130; -B 3 adds 28,29,30 -> 103 rows.
+    assert(GrepEngine.run(logs, "grep -B 3 'Random'").count() == 103L)
+    // WARNING at 11-20; -C 1 adds 10 and 21 -> 12 rows (attached -C1 form).
+    assert(GrepEngine.run(logs, "grep -C1 'WARNING'").count() == 12L)
+    // Context flags on a table without line numbers fail loudly.
+    val flat = GrepEngine.logs(spark, dir)
+    assertThrows[IllegalArgumentException] {
+      GrepEngine.run(flat, "grep -A 1 'DEBUG'")
+    }
+  }
+
+  test("-o feeds downstream pipe stages match strings, not lines") {
+    val dir  = writeLogs(1)
+    val logs = GrepEngine.logs(spark, dir)
+    // Stage 1 explodes each number; stage 2 greps the MATCHES: all of
+    // 100/200/300 contain '00' -> 3000; only '300' survives 'grep 300'.
+    assert(GrepEngine.run(logs, "grep -o '[0-9]+' | grep '00'").count() == 3000L)
+    assert(GrepEngine.run(logs, "grep -o '[0-9]+' | grep '300'").count() == 1000L)
+    // -v -o emits nothing: inverted survivors cannot contain the pattern.
+    assert(GrepEngine.run(logs, "grep -v -o 'Random'").count() == 0L)
+  }
+
+  test("parser: context radii in both spaced and attached forms") {
+    import GrepEngine.GrepStage
+    val c1 = GrepEngine.parseCmd("grep -n -A 3 'x' | grep -B2 -o 'y'")
+    assert(c1.lineNumbers)
+    assert(c1.stages == Seq(
+      GrepStage("x", after = 3),
+      GrepStage("y", onlyMatching = true, before = 2)))
+    val c2 = GrepEngine.parseCmd("grep -C 4 'z'")
+    assert(c2.stages == Seq(GrepStage("z", after = 4, before = 4)))
+    // Quoted dash-led tokens stay patterns even with the new flags.
+    assert(GrepEngine.parseCmd("grep '-A 3'").stages == Seq(GrepStage("-A 3")))
+  }
+
   test("pipe chain with -v and -i via command parser") {
     val dir  = writeLogs(1)
     val logs = GrepEngine.logs(spark, dir)
