@@ -76,6 +76,14 @@ object CommitLog {
     * appends, a torn last line — all leave valid-but-stale entries), and
     * every consumer treats a missing/stale index as "seek less, skip more",
     * falling back to the head when absent. Correctness never depends on it.
+    *
+    * SINGLE-PRODUCER contract (the Kafka-partition rule: one leader writes a
+    * partition's log): the `(lineCount, byteOffset)` entry is derived from a
+    * pre-write size snapshot, so two producers appending to the SAME path
+    * concurrently could record an entry whose line count maps to a byte
+    * offset preceding interleaved foreign bytes. Multiple producers must
+    * write DIFFERENT partition files (see [[CommitLogTopic]]); the one-sided
+    * "index can only lag" failure mode holds per single-writer file.
     */
   def append(path: String, values: Seq[String]): Unit = {
     require(values.forall(!_.contains("\n")), "commit-log records are single lines")
@@ -244,44 +252,242 @@ private[sources] class CommitLogMicroBatchStream(path: String, maxPerTrigger: Op
 private[sources] case class CommitLogInputPartition(path: String, start: Long, end: Long)
   extends InputPartition
 
+/** Shared seek-and-scan over one file's planned `[start, end)` line range —
+  * the reading half of both the single-log and topic partition readers.
+  *
+  * Seeks to the nearest index point at-or-below the start offset, then skips
+  * only the gap — O(gap) per partition open instead of O(offset). A
+  * missing/stale sidecar degrades to the head (floor (0,0)), never to a
+  * wrong position: index entries only ever lag the log. The byte bound is
+  * the CURRENT file size (0 if the log vanished), so an index entry
+  * surviving a truncated/replaced log can't position past EOF and silently
+  * read zero rows — truncation below a planned offset surfaces as the
+  * explicit corruption error in [[next]] instead.
+  */
+private[sources] final class LineRangeReader(path: String, start: Long, end: Long) {
+  private val (idxLines, idxBytes) = CommitLog.indexFloor(
+    path,
+    maxBytes = if (Files.exists(Paths.get(path))) Files.size(Paths.get(path)) else 0L,
+    maxLines = start)
+  private val channel = java.nio.channels.FileChannel.open(
+    Paths.get(path), StandardOpenOption.READ)
+  private val reader = {
+    channel.position(idxBytes)
+    new java.io.BufferedReader(
+      java.nio.channels.Channels.newReader(channel, StandardCharsets.UTF_8))
+  }
+  private var line: Long = idxLines
+  private var current: String = _
+  while (line < start && reader.readLine() != null) line += 1
+
+  def next(): Boolean =
+    if (line >= end) false
+    else {
+      current = reader.readLine()
+      // The planned range only covers lines complete at planning time, so
+      // a null here means the file shrank — corruption, not laziness.
+      if (current == null)
+        throw new IllegalStateException(
+          s"commit log $path truncated below planned offset $end (at $line)")
+      line += 1
+      true
+    }
+
+  def offset: Long = line - 1
+  def value: String = current
+  def close(): Unit = reader.close()
+}
+
 private[sources] object CommitLogReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[CommitLogInputPartition]
     new PartitionReader[InternalRow] {
-      // Seek to the nearest index point at-or-below the start offset, then
-      // skip only the gap — O(gap) per partition open instead of O(offset).
-      // A missing/stale sidecar degrades to the head (floor (0,0)), never to
-      // a wrong position: index entries only ever lag the log.
-      private val (idxLines, idxBytes) = CommitLog.indexFloor(
-        p.path, Long.MaxValue, maxLines = p.start)
-      private val channel = java.nio.channels.FileChannel.open(
-        Paths.get(p.path), StandardOpenOption.READ)
-      private val reader = {
-        channel.position(idxBytes)
-        new java.io.BufferedReader(
-          java.nio.channels.Channels.newReader(channel, StandardCharsets.UTF_8))
+      private val r = new LineRangeReader(p.path, p.start, p.end)
+      override def next(): Boolean = r.next()
+      override def get(): InternalRow = InternalRow(r.offset, UTF8String.fromString(r.value))
+      override def close(): Unit = r.close()
+    }
+  }
+}
+
+/** Multi-partition commit-log TOPIC: N single-writer partition files under
+  * one directory, consumed as ONE stream with a composite per-file offset —
+  * the full Kafka topic shape (a topic is nothing but a set of append-only
+  * partition logs whose record offsets commit together), built on the same
+  * replay guarantees as [[CommitLog]]:
+  *
+  *  - the streaming offset is a `{partitionFile: lineCount}` map, serialized
+  *    with sorted keys so offset equality is textual equality in the WAL;
+  *  - each partition file keeps its own record offsets and byte-index
+  *    sidecar; a planned composite range replays deterministically per file
+  *    after a crash (the single-log argument, applied per partition);
+  *  - admission control splits `maxLinesPerTrigger` across partitions
+  *    PROPORTIONALLY to their lag (floor division, remainder granted in
+  *    sorted-name order) — deterministic, and a hot partition cannot starve
+  *    the others;
+  *  - partition files appearing after the stream starts are picked up at
+  *    offset 0 (the add-partitions case); files named `*.log` in the topic
+  *    directory are the partition set.
+  */
+class CommitLogTopic extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = CommitLogTopic.schema
+
+  override def getTable(
+      schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    val dir = Option(properties.get("path")).getOrElse(
+      throw new IllegalArgumentException("commit-log topic source needs a directory: .load(dir)"))
+    new CommitLogTopicTable(dir)
+  }
+}
+
+object CommitLogTopic {
+  val schema: StructType = StructType(Seq(
+    StructField("partition", StringType, nullable = false),
+    StructField("offset", LongType, nullable = false),
+    StructField("value", StringType, nullable = false)))
+
+  /** The topic's partition files: `*.log` directly under `dir`, sorted by
+    * name (the sort makes every budget split and offset serialization
+    * deterministic).
+    */
+  private[sources] def partitionFiles(dir: String): Seq[String] = {
+    val d = Paths.get(dir)
+    if (!Files.isDirectory(d)) Seq.empty
+    else {
+      val s = Files.list(d)
+      try s.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(_.endsWith(".log"))
+        .toSeq.sorted
+      finally s.close()
+    }
+  }
+
+  private[sources] def offsetsToJson(m: Map[String, Long]): String =
+    m.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+
+  private[sources] def offsetsFromJson(s: String): Map[String, Long] =
+    "\"([^\"]+)\"\\s*:\\s*(\\d+)".r.findAllMatchIn(s)
+      .map(m => m.group(1) -> m.group(2).toLong).toMap
+
+  /** Reader entry point: `(partition string, offset long, value string)`. */
+  def readStream(spark: SparkSession, dir: String, maxLinesPerTrigger: Option[Long] = None): DataFrame = {
+    val r = spark.readStream.format(classOf[CommitLogTopic].getName)
+    maxLinesPerTrigger.foreach(n => r.option("maxLinesPerTrigger", n.toString))
+    r.load(dir)
+  }
+}
+
+private[sources] class CommitLogTopicTable(dir: String) extends Table with SupportsRead {
+  override def name(): String = s"commitlogtopic(`$dir`)"
+  override def schema(): StructType = CommitLogTopic.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.MICRO_BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val maxPerTrigger = Option(options.get("maxLinesPerTrigger")).map(_.toLong)
+    () => new Scan {
+      override def readSchema(): StructType = CommitLogTopic.schema
+      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+        new CommitLogTopicMicroBatchStream(dir, maxPerTrigger)
+    }
+  }
+}
+
+private[sources] case class CommitLogTopicOffset(lines: Map[String, Long]) extends Offset {
+  override def json(): String = CommitLogTopic.offsetsToJson(lines)
+}
+
+private[sources] class CommitLogTopicMicroBatchStream(dir: String, maxPerTrigger: Option[Long])
+  extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+
+  @volatile private var availableNowCap: Option[Map[String, Long]] = None
+
+  private def available(): Map[String, Long] =
+    CommitLogTopic.partitionFiles(dir)
+      .map(f => f -> CommitLog.completeLines(s"$dir/$f")).toMap
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(available())
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxPerTrigger.map(n => ReadLimit.maxRows(n)).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s     = start.asInstanceOf[CommitLogTopicOffset].lines
+    val avail = availableNowCap.getOrElse(available())
+    val lags = avail.toSeq.sortBy(_._1).map { case (f, av) =>
+      (f, s.getOrElse(f, 0L), math.max(0L, av - s.getOrElse(f, 0L)))
+    }
+    val total = lags.map(_._3).sum
+    val end = limit match {
+      case mr: ReadMaxRows if total > mr.maxRows() =>
+        // Proportional-to-lag split, deterministic: floor share first, then
+        // the remainder one line at a time in sorted-name order.
+        val budget = mr.maxRows()
+        val floors = lags.map { case (f, st, lag) => (f, st, lag, budget * lag / total) }
+        var left   = budget - floors.map(_._4).sum
+        floors.map { case (f, st, lag, share) =>
+          val extra = if (left > 0 && share < lag) { left -= 1; 1L } else 0L
+          f -> (st + math.min(lag, share + extra))
+        }.toMap
+      case _ => lags.map { case (f, st, lag) => f -> (st + lag) }.toMap
+    }
+    // Keys only ever accumulate: a partition file deleted out-of-band keeps
+    // its committed count, so restarts can't re-plan vanished ranges from 0.
+    CommitLogTopicOffset(s ++ end)
+  }
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException("admission-controlled source: latestOffset(start, limit)")
+
+  override def reportLatestOffset(): Offset = CommitLogTopicOffset(available())
+
+  override def initialOffset(): Offset = CommitLogTopicOffset(Map.empty)
+
+  override def deserializeOffset(json: String): Offset =
+    CommitLogTopicOffset(CommitLogTopic.offsetsFromJson(json))
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[CommitLogTopicOffset].lines
+    val e = end.asInstanceOf[CommitLogTopicOffset].lines
+    e.toSeq.sortBy(_._1).flatMap { case (f, endLine) =>
+      val startLine = s.getOrElse(f, 0L)
+      if (endLine <= startLine) Seq.empty
+      else {
+        // Same contiguous-split fan-out as the single log, per partition.
+        val n    = endLine - startLine
+        val splits = math.max(1L, math.min(4L, n / 256L)).toInt
+        val step   = (n + splits - 1) / splits
+        (0 until splits).iterator
+          .map(i => CommitLogTopicInputPartition(
+            s"$dir/$f", f, startLine + i * step, math.min(endLine, startLine + (i + 1) * step)))
+          .filter(p => p.end > p.start)
+          .toSeq
       }
-      private var line: Long = idxLines
-      private var current: String = _
-      while (line < p.start && reader.readLine() != null) line += 1
+    }.toArray
+  }
 
-      override def next(): Boolean =
-        if (line >= p.end) false
-        else {
-          current = reader.readLine()
-          // The planned range only covers lines complete at planning time, so
-          // a null here means the file shrank — corruption, not laziness.
-          if (current == null)
-            throw new IllegalStateException(
-              s"commit log ${p.path} truncated below planned offset ${p.end} (at $line)")
-          line += 1
-          true
-        }
+  override def createReaderFactory(): PartitionReaderFactory = CommitLogTopicReaderFactory
+}
 
-      override def get(): InternalRow =
-        InternalRow(line - 1, UTF8String.fromString(current))
+private[sources] case class CommitLogTopicInputPartition(
+    path: String, part: String, start: Long, end: Long) extends InputPartition
 
-      override def close(): Unit = reader.close()
+private[sources] object CommitLogTopicReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[CommitLogTopicInputPartition]
+    new PartitionReader[InternalRow] {
+      private val r       = new LineRangeReader(p.path, p.start, p.end)
+      private val partUtf = UTF8String.fromString(p.part)
+      override def next(): Boolean = r.next()
+      override def get(): InternalRow = InternalRow(partUtf, r.offset, UTF8String.fromString(r.value))
+      override def close(): Unit = r.close()
     }
   }
 }

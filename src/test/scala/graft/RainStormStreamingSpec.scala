@@ -108,6 +108,60 @@ class RainStormStreamingSpec extends AnyFunSuite {
     assert(out.toMap.forall { case (o, v) => v == s"rec$o" }, "every offset must carry its own record")
   }
 
+  test("commit-log TOPIC: composite per-partition offsets replay a 2-partition crash gaplessly") {
+    import graft.sources.{CommitLog, CommitLogTopic}
+    import org.apache.spark.sql.streaming.Trigger
+    val dir  = tmpDir("topic")
+    val dest = tmpDir("topic_dest")
+    val ckpt = tmpDir("topic_ckpt")
+    CommitLog.append(s"$dir/p0.log", (0 until 30).map(i => s"a$i"))
+    CommitLog.append(s"$dir/p1.log", (0 until 20).map(i => s"b$i"))
+
+    // Crash AFTER batch 2's output lands (offset never committed) — replay
+    // must re-run the same composite [start, end) per partition file.
+    val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def crashingSink(batch: org.apache.spark.sql.DataFrame, id: Long): Unit = {
+      RainStorm.idempotentParquetSink(dest)(batch, id)
+      if (id == 2 && crashed.compareAndSet(false, true))
+        throw new RuntimeException("injected crash after partial write")
+    }
+    def start(sink: (org.apache.spark.sql.DataFrame, Long) => Unit) =
+      CommitLogTopic.readStream(spark, dir, maxLinesPerTrigger = Some(8L))
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch(sink)
+        .start()
+
+    val q1 = start(crashingSink)
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.awaitTermination()
+    }
+    assert(crashed.get, "the injected crash must have fired")
+
+    // Appends to BOTH partition files while the query is down, plus a THIRD
+    // partition appearing mid-stream (the add-partitions case).
+    CommitLog.append(s"$dir/p0.log", (30 until 45).map(i => s"a$i"))
+    CommitLog.append(s"$dir/p1.log", (20 until 40).map(i => s"b$i"))
+    CommitLog.append(s"$dir/p2.log", (0 until 10).map(i => s"c$i"))
+
+    val q2 = start(RainStorm.idempotentParquetSink(dest))
+    q2.awaitTermination(120000)
+
+    val out = spark.read.parquet(dest + "/batch_id=*")
+      .select(col("partition"), col("offset"), col("value"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(out.length == 95, s"exactly-once: expected 45+40+10 rows, got ${out.length}")
+    val byPart = out.groupBy(_._1)
+    assert(byPart.keySet == Set("p0.log", "p1.log", "p2.log"))
+    assert(byPart("p0.log").map(_._2).toSet == (0L until 45L).toSet, "p0 offsets gapless")
+    assert(byPart("p1.log").map(_._2).toSet == (0L until 40L).toSet, "p1 offsets gapless")
+    assert(byPart("p2.log").map(_._2).toSet == (0L until 10L).toSet, "late partition from 0")
+    val prefix = Map("p0.log" -> "a", "p1.log" -> "b", "p2.log" -> "c")
+    assert(out.forall { case (p, o, v) => v == s"${prefix(p)}$o" },
+      "every (partition, offset) must carry its own record")
+  }
+
   test("upsampleEpochsStream: any micro-batch slicing emits the batch multiset") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
