@@ -31,6 +31,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Every unpartitioned window left in the registry runs over a frame
+    // bounded by something other than corpus size (value-cardinality
+    // histograms, Heaps-law vocabularies, shuffle-partition counts, the
+    // harness-only f2 ntile) — audited per site. WindowExec warns on all of
+    // them identically, ~40 lines per bench pass, which buries the one
+    // warning that would matter if a genuinely corpus-sized window ever
+    // appeared in a PLAN test. Silence the logger in the measurement mains
+    // only; library users still get the warning.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
 
     try SparkEntry.entry(spark).count()
     catch { case _: Throwable => () } // warmup only; failures surface below

@@ -18,6 +18,12 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Known-bounded global windows (histogram/vocab/harness frames — see the
+    // Bench.scala note) would otherwise spray dozens of WindowExec warnings
+    // over the dump log and mask real per-query failures.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     new java.io.File(outDir).mkdirs()
     val selected =
       if (rest.isEmpty) SparkEntry.queries

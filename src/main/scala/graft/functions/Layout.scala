@@ -88,11 +88,12 @@ object Layout {
       .withColumn("__p", spark_partition_id())
     val inner = Window.partitionBy(col("__p")).orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    // Per-slice totals: ≤`parts` rows, so this window's frame is bounded by
-    // config, never by data. The constant partitionBy marks that boundedness
-    // structurally (and keeps the "No Partition Defined" warning reserved
-    // for windows that could actually see a corpus-sized frame).
-    val offW = Window.partitionBy(lit(0)).orderBy(col("__p"))
+    // Per-slice totals: ≤`parts` rows, so this global window's frame is
+    // bounded by config (spark.sql.shuffle.partitions), never by data —
+    // the one shape where a single-partition window is correct at any
+    // corpus size. (A constant partitionBy would not even silence the
+    // WindowExec warning: the optimizer folds foldable partition keys away.)
+    val offW = Window.orderBy(col("__p"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = sliced.groupBy(col("__p")).agg(sum(col("__c")).as("__pt"))
       .withColumn("__off", coalesce(sum(col("__pt")).over(offW), lit(0L)))

@@ -210,6 +210,11 @@ object QualityLM {
       cutoffs: Seq[Int] = Seq(10, 100, 1000)
   ): DataFrame = {
     val tf = tokens(docs, idCol, textCol).groupBy("tok").agg(count(lit(1)).as("__c"))
+    // Global window over the VOCABULARY frame, not the corpus: distinct
+    // token types grow ~O(corpus^0.5) (Heaps' law — ~millions of types at
+    // 100 TB, not trillions of tokens), so the single-partition rank is
+    // model-sized by construction. A corpus-sized column must never flow
+    // through here — `tf` is always the post-aggregation type table.
     val ow = org.apache.spark.sql.expressions.Window.orderBy(col("__c").desc, col("tok"))
     val ranked = tf
       .withColumn("__r", row_number().over(ow))
