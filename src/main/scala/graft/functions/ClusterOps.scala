@@ -197,8 +197,9 @@ object ClusterOps {
     * the way float-mean k-means silently does.
     *
     * Scale shape per iteration: one kernel pass over the corpus + ONE
-    * aggregation whose map-side combine collapses each task to ≤ k·dim rows
-    * — shuffle volume is tasks·k·dim, independent of corpus size. The only
+    * explode-free aggregation (k groups × dim primitive sum buffers) whose
+    * map-side combine collapses each task to ≤ k dim-wide rows — shuffle
+    * volume is tasks·k·dim scalars, independent of corpus size. The only
     * driver-side state is the k·dim centroid model (the [[BpeTrain]]
     * per-round-argmax move; ~k·dim·8 bytes, config-sized); the corpus is
     * never collected or cached — each iteration re-streams the scan, the
@@ -241,22 +242,31 @@ object ClusterOps {
       q.orderBy("__id").limit(k).collect()
         .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
     var it = 0
+    // Per-iteration centroid update, explode-free: one codegen'd
+    // HashAggregate over k groups with dim primitive sum buffers. The
+    // earlier form posexploded the corpus dim× (12.8M rows at 200k×64)
+    // before aggregating on (cid, dim); summing `element_at(__qv, i)`
+    // per dimension keeps the corpus at its own row count and the
+    // shuffle at tasks·k rows of dim-wide buffers — same exact integer
+    // sums, same ≤ k·dim model update, ~dim× less aggregation input.
+    val dim = cents.headOption.map(_._2.length).getOrElse(0)
     while (it < iters && cents.nonEmpty) {
       val cids = cents.map(_._1)
       val cvs  = cents.map(_._2)
+      val aggs = count(lit(1)).as("__n") +:
+        (0 until dim).map(i => sum(element_at(col("__qv"), i + 1)).as(s"__s$i"))
       val sums = q
         .select(
           NativeFns.nearest_centroid_l2(col("__qv"), cids, cvs)
             .getField("cluster").as("__cid"),
-          posexplode(col("__qv")).as(Seq("__dim", "__v")))
-        .groupBy("__cid", "__dim")
-        .agg(sum(col("__v")).as("__s"), count(lit(1)).as("__n"))
-        .collect() // ≤ k·dim rows — the model update, not the data
-      cents = sums.groupBy(_.getLong(0)).toArray.sortBy(_._1).map {
-        case (cid, rows) =>
-          val cv = new Array[Long](rows.map(_.getInt(1)).max + 1)
-          rows.foreach(r => cv(r.getInt(1)) = Math.floorDiv(r.getLong(2), r.getLong(3)))
-          (cid, cv)
+          col("__qv"))
+        .groupBy("__cid")
+        .agg(aggs.head, aggs.tail: _*)
+        .collect() // ≤ k rows of dim sums — the model update, not the data
+      cents = sums.sortBy(_.getLong(0)).map { r =>
+        val n  = r.getLong(1)
+        val cv = Array.tabulate(dim)(i => Math.floorDiv(r.getLong(2 + i), n))
+        (r.getLong(0), cv)
       }
       it += 1
     }
