@@ -552,5 +552,108 @@ object Headline {
             GROUP BY window_id ORDER BY window_id""")
   )
 
-  val qs: Seq[Q] = Seq(h1, h2, h3, h4, h5, h6, h7, h7b, h7c, h7d, h8, h9, h10, h11, h12, h13, h14, h15, h16, h17, h18, h19, h20, h21)
+  /** Funnel analysis: ordered step progression view → click → purchase per
+    * user, with strict event-time ordering between steps (a click only
+    * counts after the user's FIRST view; a purchase only after that first
+    * qualifying click). The classic formulation self-joins the event log
+    * once per step; this plan instead chains three whole-partition window
+    * mins over ONE hash exchange on user_id — step k's window expression
+    * references step k-1's column, so Catalyst stacks three WindowExecs on
+    * the same partitioning (the sort/exchange is paid once) and the final
+    * per-user collapse reuses it too. Shuffle volume = the event log, once,
+    * regardless of funnel depth. Conversion lag is reported as an exact
+    * integer micros sum, so the row is hash-stable cross-engine.
+    */
+  val h22 = Q(
+    "h22_funnel",
+    (s, d) => {
+      val w  = Window.partitionBy(col("user_id"))
+      val tm = unix_micros(col("ts").cast("timestamp"))
+      val pu = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), tm.as("tm"))
+        .withColumn("t1", min(when(col("event_type") === "view", col("tm"))).over(w))
+        .withColumn(
+          "t2",
+          min(when(col("event_type") === "click" && col("tm") > col("t1"), col("tm"))).over(w))
+        .withColumn(
+          "t3",
+          min(when(col("event_type") === "purchase" && col("tm") > col("t2"), col("tm"))).over(w))
+        .groupBy(col("user_id"))
+        .agg(min(col("t1")).as("t1"), min(col("t2")).as("t2"), min(col("t3")).as("t3"))
+      pu.agg(
+          count(col("t1")).as("n1"),
+          count(col("t2")).as("n2"),
+          count(col("t3")).as("n3"),
+          coalesce(sum(when(col("t2").isNotNull, col("t2") - col("t1"))), lit(0L)).as("c2"),
+          coalesce(sum(when(col("t3").isNotNull, col("t3") - col("t1"))), lit(0L)).as("c3"))
+        .selectExpr(
+          """stack(3,
+               'view',                n1, CAST(0 AS BIGINT),
+               'view>click',          n2, c2,
+               'view>click>purchase', n3, c3) AS (step, n_users, conv_us_total)""")
+        .orderBy("step")
+    },
+    Some("""WITH m AS (
+              SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS tm FROM events),
+            p1 AS (
+              SELECT user_id, min(CASE WHEN event_type = 'view' THEN tm END) AS t1
+              FROM m GROUP BY user_id),
+            p2 AS (
+              SELECT m.user_id, any_value(p.t1) AS t1,
+                min(CASE WHEN m.event_type = 'click' AND m.tm > p.t1 THEN m.tm END) AS t2
+              FROM m JOIN p1 p USING (user_id) GROUP BY m.user_id),
+            p3 AS (
+              SELECT m.user_id, any_value(p.t1) AS t1, any_value(p.t2) AS t2,
+                min(CASE WHEN m.event_type = 'purchase' AND m.tm > p.t2 THEN m.tm END) AS t3
+              FROM m JOIN p2 p USING (user_id) GROUP BY m.user_id)
+            SELECT * FROM (
+              SELECT 'view' AS step, count(t1) AS n_users, CAST(0 AS BIGINT) AS conv_us_total FROM p3
+              UNION ALL
+              SELECT 'view>click', count(t2),
+                CAST(COALESCE(sum(t2 - t1) FILTER (WHERE t2 IS NOT NULL), 0) AS BIGINT) FROM p3
+              UNION ALL
+              SELECT 'view>click>purchase', count(t3),
+                CAST(COALESCE(sum(t3 - t1) FILTER (WHERE t3 IS NOT NULL), 0) AS BIGINT) FROM p3)
+            ORDER BY step""")
+  )
+
+  /** Cohort retention: users bucketed by first-activity day, retention
+    * counted as distinct users active at each day offset from their cohort.
+    * Shape: one whole-partition window min on user_id assigns cohorts (the
+    * h22 exchange-reuse pattern), then (user, cohort, offset) distinct
+    * collapses the log to ≤ users·days rows BEFORE the tiny
+    * (cohort, offset) count — the corpus is never aggregated on the
+    * low-cardinality matrix key directly, so one hot cohort day cannot
+    * skew a reducer. Output is the days×days retention matrix.
+    */
+  val h23 = Q(
+    "h23_cohort_retention",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), date_trunc("day", col("ts")).cast("date").as("day"))
+        .withColumn("cohort_day", min(col("day")).over(w))
+        .select(
+          col("user_id"),
+          col("cohort_day"),
+          datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+        .distinct()
+        .groupBy(col("cohort_day"), col("day_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    },
+    Some("""WITH d AS (
+              SELECT user_id, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day
+              FROM events),
+            c AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY user_id),
+            a AS (
+              SELECT DISTINCT d.user_id, c.cohort_day,
+                CAST(d.day - c.cohort_day AS BIGINT) AS day_offset
+              FROM d JOIN c USING (user_id))
+            SELECT cohort_day, day_offset, count(*) AS n_users
+            FROM a GROUP BY 1, 2 ORDER BY 1, 2""")
+  )
+
+  val qs: Seq[Q] = Seq(h1, h2, h3, h4, h5, h6, h7, h7b, h7c, h7d, h8, h9, h10, h11, h12, h13,
+    h14, h15, h16, h17, h18, h19, h20, h21, h22, h23)
 }

@@ -200,6 +200,54 @@ object RainStorm {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("sw.start").as("session_start"), col("n_events"))
 
+  /** Streaming funnel: per-user ordered step progression (the h22_funnel
+    * batch semantics) tracked in `flatMapGroupsWithState`. State is one
+    * first-completion time per step per user — fixed-size by construction,
+    * independent of event volume. A step-k event advances the state only
+    * when it is the first completion of step k AND step k-1 completed at a
+    * strictly earlier time; each advance emits a (user, step, time) row
+    * (Append shape: a completion is final — later events can only complete
+    * LATER steps).
+    *
+    * Ordering contract (same as [[sessionize]]): rows are sorted by event
+    * time within a micro-batch; across batches the monotone state assumes
+    * per-key event-time order — an out-of-order view arriving after a
+    * click has already been rejected cannot retroactively count that
+    * click. On an in-order stream the final states equal the batch chained
+    * window mins (FunnelCohortSpec replays a 2-batch split against the
+    * batch form).
+    */
+  final case class FunnelState(times: Seq[Long]) // Long.MinValue = not reached
+  final case class FunnelStep(userId: Long, step: Int, tm: Long)
+
+  def funnelStream(
+      spark: SparkSession,
+      events: Dataset[(Long, String, Long)], // (user_id, event_type, micros)
+      steps: Seq[String]
+  ): Dataset[FunnelStep] = {
+    import spark.implicits._
+    require(steps.nonEmpty && steps.distinct.size == steps.size, s"funnel steps must be distinct: $steps")
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelState, FunnelStep](
+        OutputMode.Append(),
+        GroupStateTimeout.NoTimeout
+      ) { (userId: Long, rows: Iterator[(Long, String, Long)], state: GroupState[FunnelState]) =>
+        val t   = state.getOption.map(_.times.toArray).getOrElse(Array.fill(steps.size)(Long.MinValue))
+        val out = scala.collection.mutable.ArrayBuffer.empty[FunnelStep]
+        rows.toSeq.sortBy(_._3).foreach { case (_, typ, tm) =>
+          val i = steps.indexOf(typ)
+          if (i >= 0 && t(i) == Long.MinValue &&
+              (i == 0 || (t(i - 1) != Long.MinValue && tm > t(i - 1)))) {
+            t(i) = tm
+            out += FunnelStep(userId, i, tm)
+          }
+        }
+        state.update(FunnelState(t.toSeq))
+        out.iterator
+      }
+  }
+
   /** F4's stated Spark mapping (SURVEY §2.1): exactly-once tuple dedup by
     * unique id with watermark-bounded state — the streaming seen-set
     * (`seen_storage_map`, `core_process_stream_DS.go:869-875,1170-1176`)

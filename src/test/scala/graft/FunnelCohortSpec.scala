@@ -1,0 +1,123 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.Headline
+import graft.streaming.RainStorm
+
+/** Closed-form semantics for the event-analytics pair h22_funnel /
+  * h23_cohort_retention, plus the streaming funnel face: hand-computed
+  * expectations on tiny constructed event logs (the registry oracle checks
+  * the same queries against DuckDB at sf0.01 — these pin the SEMANTICS on
+  * inputs where every intermediate is checkable by eye), and a 2-batch
+  * MemoryStream replay pinned against the batch chained-window form.
+  */
+class FunnelCohortSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val us = 1000000L // seconds → micros
+
+  /** Write a minimal events table (nanos LONG ts, like the generator) and
+    * return its directory for Registry-style `run(spark, dir)` calls.
+    */
+  private def eventsDir(rows: Seq[(Long, Long, String)]): String = {
+    // (user_id, tMicros, event_type)
+    import spark.implicits._
+    val dir = Files.createTempDirectory("funnel").toString
+    rows.zipWithIndex.map { case ((u, tm, typ), i) =>
+      (i.toLong, tm * 1000L, u, typ, 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  private val funnelRows = Seq[(Long, Long, String)](
+    (1L, 10 * us, "view"), (1L, 20 * us, "click"), (1L, 30 * us, "purchase"),
+    // u2: click BEFORE the first view must not count; purchase before the
+    // qualifying click must not count.
+    (2L, 10 * us, "click"), (2L, 20 * us, "view"), (2L, 25 * us, "click"), (2L, 22 * us, "purchase"),
+    (3L, 10 * us, "view"),
+    (4L, 5 * us, "purchase"), (4L, 6 * us, "click"))
+
+  test("h22_funnel: strict-order step mins, exact conversion-lag sums") {
+    val out = Headline.h22.run(spark, eventsDir(funnelRows))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toList
+    assert(out == List(
+      ("view", 3L, 0L),                          // u1, u2, u3
+      ("view>click", 2L, (10L + 5L) * us),       // u1: 20-10, u2: 25-20
+      ("view>click>purchase", 1L, 20L * us)))    // u1: 30-10
+  }
+
+  test("h22_funnel plan: one corpus exchange feeds all three window steps") {
+    val plan = Headline.h22.run(spark, eventsDir(funnelRows))
+      .queryExecution.executedPlan.toString
+    // Chained same-partitioning windows + the per-user collapse must reuse
+    // one hash exchange on user_id; the only other exchange is the final
+    // single-row aggregate/sort tail.
+    val exchanges = "Exchange hashpartitioning\\(user_id".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 user_id exchange, got $exchanges:\n$plan")
+  }
+
+  private val day = 86400L
+  private val cohortRows = Seq[(Long, Long, String)](
+    // noon of day d: (1704067200 + d*86400 + 43200) seconds, as micros
+    (1L, (1704110400L + 0 * day) * us, "view"),
+    (1L, (1704110400L + 0 * day + 60) * us, "click"), // same day — distinct collapses
+    (1L, (1704110400L + 1 * day) * us, "view"),
+    (1L, (1704110400L + 3 * day) * us, "view"),
+    (2L, (1704110400L + 1 * day) * us, "view"),
+    (2L, (1704110400L + 2 * day) * us, "view"),
+    (3L, (1704110400L + 0 * day) * us, "view"))
+
+  test("h23_cohort_retention: first-day cohorts, per-offset distinct users") {
+    val out = Headline.h23.run(spark, eventsDir(cohortRows))
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).toList
+    assert(out == List(
+      ("2024-01-01", 0L, 2L), // u1, u3
+      ("2024-01-01", 1L, 1L), // u1
+      ("2024-01-01", 3L, 1L), // u1
+      ("2024-01-02", 0L, 1L), // u2
+      ("2024-01-02", 1L, 1L))) // u2
+  }
+
+  test("funnelStream: 2-batch replay matches the batch step mins; state is monotone") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, String, Long)]
+    val q = RainStorm.funnelStream(spark, in.toDS(), Seq("view", "click", "purchase"))
+      .writeStream.format("memory").queryName("funnel_stream").outputMode("append").start()
+    try {
+      // Batch 1: u1's first view; u2's pre-view click (must be rejected and
+      // must STAY rejected after u2's view arrives in batch 2).
+      in.addData((1L, "view", 10 * us), (2L, "click", 10 * us))
+      q.processAllAvailable()
+      // Batch 2: u1 completes; u2 re-clicks after its view.
+      in.addData(
+        (1L, "click", 20 * us), (1L, "purchase", 30 * us),
+        (2L, "view", 20 * us), (2L, "click", 25 * us))
+      q.processAllAvailable()
+      val got = spark.table("funnel_stream")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(got == Set(
+        (1L, 0, 10 * us), (1L, 1, 20 * us), (1L, 2, 30 * us),
+        (2L, 0, 20 * us), (2L, 1, 25 * us)))
+    } finally q.stop()
+  }
+
+  test("funnelStream rejects unknown and duplicate steps only as designed") {
+    import spark.implicits._
+    // Batch execution of the same state machine: duplicate step events keep
+    // the FIRST completion; unknown event types are ignored.
+    val ds = Seq(
+      (9L, "view", 10 * us), (9L, "view", 5 * us), (9L, "error", 12 * us),
+      (9L, "click", 15 * us), (9L, "click", 11 * us)).toDS()
+    val got = RainStorm.funnelStream(spark, ds, Seq("view", "click"))
+      .collect().map(s => (s.userId, s.step, s.tm)).toSet
+    // Sorted by time within the batch: view@5 wins, click@11 wins.
+    assert(got == Set((9L, 0, 5 * us), (9L, 1, 11 * us)))
+  }
+}
