@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Funnel analysis over an event log: first-completion times for an ordered
+  * step list with strict event-time ordering between steps (step k counts
+  * only strictly after the user's step-k-1 completion), plus incremental
+  * maintenance of that state.
+  *
+  * Plan shape (the h22_funnel scale argument): [[stepTimes]] chains one
+  * whole-partition window min per step — step k's expression references
+  * step k-1's column, so Catalyst stacks k WindowExecs and the per-user
+  * collapse on ONE hash exchange over the user column. Shuffle volume is
+  * the event log once, regardless of funnel depth.
+  *
+  * Incremental maintenance ([[stateToEvents]]): the per-user state is
+  * itself a valid event log — replaying each recorded completion time as a
+  * pseudo-event of its step type and re-running [[stepTimes]] over
+  * (state-events ∪ delta) reproduces the full-history result EXACTLY,
+  * provided delta events are not earlier than the state's horizon (the
+  * standard append-only ingestion contract: if a delta view could undercut
+  * the recorded t0, base clicks between the two t0 candidates — dropped
+  * from the compact state — could be lost). Cost is O(|state| + |delta|):
+  * the 100 TB history is never rescanned.
+  */
+object Funnel {
+
+  /** Per-user first-completion times: one row per user, columns t0..t(k-1)
+    * (null = step not reached). `ev` needs (userCol, typeCol, tmCol) with
+    * tmCol an integral event time (micros).
+    */
+  def stepTimes(
+      ev: DataFrame,
+      steps: Seq[String],
+      userCol: String = "user_id",
+      typeCol: String = "event_type",
+      tmCol: String = "tm"
+  ): DataFrame = {
+    require(steps.nonEmpty && steps.distinct.size == steps.size, s"steps must be distinct: $steps")
+    val w = Window.partitionBy(col(userCol))
+    val withT = steps.zipWithIndex.foldLeft(ev) { case (df, (st, i)) =>
+      val hit =
+        if (i == 0) col(typeCol) === st
+        else col(typeCol) === st && col(tmCol) > col(s"t${i - 1}")
+      df.withColumn(s"t$i", min(when(hit, col(tmCol))).over(w))
+    }
+    withT
+      .groupBy(col(userCol))
+      .agg(
+        min(col("t0")).as("t0"),
+        steps.indices.drop(1).map(i => min(col(s"t$i")).as(s"t$i")): _*)
+  }
+
+  /** Collapse [[stepTimes]] output to the funnel report: one row per step
+    * with the users-reached count and the exact integer micros sum of
+    * (t_k − t_0) over users who reached step k.
+    */
+  def summary(perUser: DataFrame, steps: Seq[String]): DataFrame = {
+    val aggs = steps.indices.map(i => count(col(s"t$i")).as(s"n$i")) ++
+      steps.indices.drop(1).map(i =>
+        coalesce(sum(when(col(s"t$i").isNotNull, col(s"t$i") - col("t0"))), lit(0L)).as(s"c$i"))
+    val stackArgs = steps.indices.map { i =>
+      val label = steps.take(i + 1).mkString(">")
+      s"'$label', n$i, " + (if (i == 0) "CAST(0 AS BIGINT)" else s"c$i")
+    }.mkString(", ")
+    perUser
+      .agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${steps.size}, $stackArgs) AS (step, n_users, conv_us_total)")
+      .orderBy("step")
+  }
+
+  /** Replay a [[stepTimes]] state table as pseudo-events — one (user, step
+    * type, time) row per recorded completion, in a single pass (posexplode
+    * + null filter, no per-step scan of the state).
+    */
+  def stateToEvents(
+      state: DataFrame,
+      steps: Seq[String],
+      userCol: String = "user_id",
+      typeCol: String = "event_type",
+      tmCol: String = "tm"
+  ): DataFrame =
+    state
+      .select(
+        col(userCol),
+        posexplode(array(steps.indices.map(i => col(s"t$i")): _*)).as(Seq("__pos", tmCol)))
+      .filter(col(tmCol).isNotNull)
+      .select(
+        col(userCol),
+        element_at(array(steps.map(lit): _*), col("__pos") + 1).as(typeCol),
+        col(tmCol))
+}

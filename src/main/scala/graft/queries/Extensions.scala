@@ -3540,7 +3540,60 @@ object Extensions {
             ORDER BY h.doc_id""")
   )
 
+  /** Incremental funnel maintenance ([[graft.operators.Funnel]]): the
+    * per-user step-completion state computed over the history BEFORE a cut
+    * day is replayed as pseudo-events and merged with only the events at or
+    * after the cut — [[graft.operators.Funnel.stateToEvents]]'s exactness
+    * argument: each recorded completion time is a valid event of its step
+    * type, so re-running the chained step mins over (state ∪ delta)
+    * reproduces the full-history funnel EXACTLY under the append-only
+    * contract (delta not earlier than the state horizon). The oracle is the
+    * FULL-history replay — the query passes only if incremental ==
+    * recompute, which is the whole claim: at 100 TB the history is a
+    * compact per-user state table, and each ingest touches state + delta
+    * only.
+    */
+  val funnelIncremental = Q(
+    "x_funnel_incremental",
+    (s, d) => {
+      val steps = Seq("view", "click", "purchase")
+      val cutUs = 1705363200000000L // 2024-01-16T00:00Z — mid-corpus
+      val ev = Tables.events(s, d).select(col("user_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("tm"))
+      val state = graft.operators.Funnel.stepTimes(ev.filter(col("tm") < cutUs), steps)
+      val merged = graft.operators.Funnel.stepTimes(
+        graft.operators.Funnel.stateToEvents(state, steps)
+          .unionByName(ev.filter(col("tm") >= cutUs)),
+        steps)
+      graft.operators.Funnel.summary(merged, steps)
+    },
+    // Full-history recompute (h22's oracle): incremental must equal it.
+    Some("""WITH m AS (
+              SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS tm FROM events),
+            p1 AS (
+              SELECT user_id, min(CASE WHEN event_type = 'view' THEN tm END) AS t1
+              FROM m GROUP BY user_id),
+            p2 AS (
+              SELECT m.user_id, any_value(p.t1) AS t1,
+                min(CASE WHEN m.event_type = 'click' AND m.tm > p.t1 THEN m.tm END) AS t2
+              FROM m JOIN p1 p USING (user_id) GROUP BY m.user_id),
+            p3 AS (
+              SELECT m.user_id, any_value(p.t1) AS t1, any_value(p.t2) AS t2,
+                min(CASE WHEN m.event_type = 'purchase' AND m.tm > p.t2 THEN m.tm END) AS t3
+              FROM m JOIN p2 p USING (user_id) GROUP BY m.user_id)
+            SELECT * FROM (
+              SELECT 'view' AS step, count(t1) AS n_users, CAST(0 AS BIGINT) AS conv_us_total FROM p3
+              UNION ALL
+              SELECT 'view>click', count(t2),
+                CAST(COALESCE(sum(t2 - t1) FILTER (WHERE t2 IS NOT NULL), 0) AS BIGINT) FROM p3
+              UNION ALL
+              SELECT 'view>click>purchase', count(t3),
+                CAST(COALESCE(sum(t3 - t1) FILTER (WHERE t3 IS NOT NULL), 0) AS BIGINT) FROM p3)
+            ORDER BY step""")
+  )
+
   val qs: Seq[Q] = Seq(
+    funnelIncremental,
     textStats, textQuality, textLangId, textFingerprint, approxDistinct, jsonExtract, jsonStruct, jsonVariant,
     heavyHitters, ngramFreq, quantiles, textRepetition, splitTrainTest, sampleStratified,
     packSequences,

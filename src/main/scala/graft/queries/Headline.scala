@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
-import graft.operators.AsOfJoin
+import graft.operators.{AsOfJoin, Funnel}
 
 /** Headline analytical queries — the extension surface SURVEY §2.5 marks as
   * absent from the reference (joins, windows, sorts/top-k, set ops, event-time
@@ -556,42 +556,24 @@ object Headline {
     * user, with strict event-time ordering between steps (a click only
     * counts after the user's FIRST view; a purchase only after that first
     * qualifying click). The classic formulation self-joins the event log
-    * once per step; this plan instead chains three whole-partition window
-    * mins over ONE hash exchange on user_id — step k's window expression
-    * references step k-1's column, so Catalyst stacks three WindowExecs on
-    * the same partitioning (the sort/exchange is paid once) and the final
-    * per-user collapse reuses it too. Shuffle volume = the event log, once,
-    * regardless of funnel depth. Conversion lag is reported as an exact
-    * integer micros sum, so the row is hash-stable cross-engine.
+    * once per step; [[graft.operators.Funnel.stepTimes]] instead chains
+    * three whole-partition window mins over ONE hash exchange on user_id —
+    * step k's window expression references step k-1's column, so Catalyst
+    * stacks three WindowExecs on the same partitioning (the sort/exchange
+    * is paid once) and the final per-user collapse reuses it too. Shuffle
+    * volume = the event log, once, regardless of funnel depth. Conversion
+    * lag is reported as an exact integer micros sum, so the row is
+    * hash-stable cross-engine.
     */
+  private val funnelSteps = Seq("view", "click", "purchase")
+
   val h22 = Q(
     "h22_funnel",
     (s, d) => {
-      val w  = Window.partitionBy(col("user_id"))
-      val tm = unix_micros(col("ts").cast("timestamp"))
-      val pu = Tables.events(s, d)
-        .select(col("user_id"), col("event_type"), tm.as("tm"))
-        .withColumn("t1", min(when(col("event_type") === "view", col("tm"))).over(w))
-        .withColumn(
-          "t2",
-          min(when(col("event_type") === "click" && col("tm") > col("t1"), col("tm"))).over(w))
-        .withColumn(
-          "t3",
-          min(when(col("event_type") === "purchase" && col("tm") > col("t2"), col("tm"))).over(w))
-        .groupBy(col("user_id"))
-        .agg(min(col("t1")).as("t1"), min(col("t2")).as("t2"), min(col("t3")).as("t3"))
-      pu.agg(
-          count(col("t1")).as("n1"),
-          count(col("t2")).as("n2"),
-          count(col("t3")).as("n3"),
-          coalesce(sum(when(col("t2").isNotNull, col("t2") - col("t1"))), lit(0L)).as("c2"),
-          coalesce(sum(when(col("t3").isNotNull, col("t3") - col("t1"))), lit(0L)).as("c3"))
-        .selectExpr(
-          """stack(3,
-               'view',                n1, CAST(0 AS BIGINT),
-               'view>click',          n2, c2,
-               'view>click>purchase', n3, c3) AS (step, n_users, conv_us_total)""")
-        .orderBy("step")
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts").cast("timestamp")).as("tm"))
+      Funnel.summary(Funnel.stepTimes(ev, funnelSteps), funnelSteps)
     },
     Some("""WITH m AS (
               SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS tm FROM events),
@@ -654,6 +636,60 @@ object Headline {
             FROM a GROUP BY 1, 2 ORDER BY 1, 2""")
   )
 
+  /** Last-touch attribution: every purchase joined to the user's most
+    * recent PRECEDING click via the native as-of operator
+    * ([[graft.plans.AsOfJoinExec]]: one hash exchange per side, single-pass
+    * sort-merge, O(1) state per key — no window materialization of the
+    * touch log), then bounded to a 7-day lookback with an explicit
+    * post-filter applied identically on both engines (purchases whose
+    * latest click is older go unattributed, exactly like a
+    * tolerance-bounded merge_asof). Revenue sums in DECIMAL, lag sums in
+    * exact integer micros; per-day report so the output is a stable
+    * ~30-row frame at any corpus size.
+    */
+  val h24 = Q(
+    "h24_attribution",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").cast("timestamp_ntz").as("ts"), col("value"))
+      val touches = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("t_user"), col("ts").cast("timestamp_ntz").as("touch_ts"))
+      val lagUs = unix_micros(col("ts").cast("timestamp")) -
+        unix_micros(col("touch_ts").cast("timestamp"))
+      AsOfJoin.native(purchases, "user_id", "ts", touches, "t_user", "touch_ts")
+        .withColumn("attr", col("touch_ts").isNotNull && lagUs <= lit(7L * 86400L * 1000000L))
+        .groupBy(date_trunc("day", col("ts")).cast("date").as("purchase_day"))
+        .agg(
+          count(lit(1)).as("n_purchases"),
+          sum(when(col("attr"), 1L).otherwise(0L)).as("n_attributed"),
+          coalesce(sum(when(col("attr"), dec(col("value")))).cast("double"), lit(0.0))
+            .as("value_attributed"),
+          coalesce(sum(when(col("attr"), lagUs)), lit(0L)).as("lag_us_total"))
+        .orderBy("purchase_day")
+    },
+    Some("""WITH p AS (
+              SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+              FROM events WHERE event_type = 'purchase'),
+            t AS (
+              SELECT user_id AS t_user, CAST(ts AS TIMESTAMP) AS touch_ts
+              FROM events WHERE event_type = 'click'),
+            j AS (
+              SELECT p.ts, p.value, t.touch_ts,
+                t.touch_ts IS NOT NULL AND
+                  epoch_us(p.ts) - epoch_us(t.touch_ts) <= 604800000000 AS attr
+              FROM p ASOF LEFT JOIN t
+                ON p.user_id = t.t_user AND p.ts >= t.touch_ts)
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS purchase_day,
+              count(*) AS n_purchases,
+              CAST(COALESCE(sum(CASE WHEN attr THEN 1 END), 0) AS BIGINT) AS n_attributed,
+              COALESCE(CAST(sum(CASE WHEN attr THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 0.0)
+                AS value_attributed,
+              CAST(COALESCE(sum(CASE WHEN attr THEN epoch_us(ts) - epoch_us(touch_ts) END), 0) AS BIGINT)
+                AS lag_us_total
+            FROM j GROUP BY 1 ORDER BY 1""")
+  )
+
   val qs: Seq[Q] = Seq(h1, h2, h3, h4, h5, h6, h7, h7b, h7c, h7d, h8, h9, h10, h11, h12, h13,
-    h14, h15, h16, h17, h18, h19, h20, h21, h22, h23)
+    h14, h15, h16, h17, h18, h19, h20, h21, h22, h23, h24)
 }

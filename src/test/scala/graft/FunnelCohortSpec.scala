@@ -108,6 +108,47 @@ class FunnelCohortSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("incremental funnel == full recompute on a time-split log") {
+    import graft.operators.Funnel
+    val dir   = eventsDir(funnelRows)
+    val steps = Seq("view", "click", "purchase")
+    val ev = Headline.h22.run(spark, dir) // just to materialize the dir path contract
+    assert(ev.count() == 3)
+    val raw = TestSpark.spark.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id"), col("event_type"), expr("ts div 1000").as("tm"))
+    // Cut at 21s: base holds u1 view/click, u2 click(rejected)+view, u3
+    // view, u4 both; delta holds u1 purchase, u2 click@25 + purchase@22.
+    val cut    = 21 * us
+    val state  = Funnel.stepTimes(raw.filter(col("tm") < cut), steps)
+    val merged = Funnel.stepTimes(
+      Funnel.stateToEvents(state, steps).unionByName(raw.filter(col("tm") >= cut)), steps)
+    val inc  = Funnel.summary(merged, steps).collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toList
+    val full = Funnel.summary(Funnel.stepTimes(raw, steps), steps)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toList
+    assert(inc == full)
+    assert(inc == List(
+      ("view", 3L, 0L),
+      ("view>click", 2L, (10L + 5L) * us),
+      ("view>click>purchase", 1L, 20L * us)))
+    // The state table really is compact: one row per user seen in base.
+    assert(state.count() == 4)
+  }
+
+  test("h24_attribution: last preceding click within lookback, exact lag sums") {
+    // u1: purchase@30 after clicks@20,25 → attributed to click@25 (lag 5s).
+    // u2: purchase@22 with latest click@10 BEFORE its view — still a click,
+    //     attribution is touch-based only → attributed (lag 12s).
+    // u4: purchase@5 with no preceding click → unattributed.
+    val out = Headline.h24.run(spark, eventsDir(Seq[(Long, Long, String)](
+      (1L, 10 * us, "view"), (1L, 20 * us, "click"), (1L, 25 * us, "click"),
+      (1L, 30 * us, "purchase"),
+      (2L, 10 * us, "click"), (2L, 22 * us, "purchase"),
+      (4L, 5 * us, "purchase"))))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(4))).toList
+    // One day bucket: 3 purchases, 2 attributed, lag total (30-25)+(22-10)=17s.
+    assert(out == List((3L, 2L, 17L * us)))
+  }
+
   test("funnelStream rejects unknown and duplicate steps only as designed") {
     import spark.implicits._
     // Batch execution of the same state machine: duplicate step events keep
