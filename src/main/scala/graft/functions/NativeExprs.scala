@@ -17,6 +17,28 @@ import org.apache.spark.sql.catalyst.expressions.XXH64
   */
 object VecMath {
 
+  /** Carter-Wegman universal hash h(x) = (a·x + b) mod (2^61 − 1) — the
+    * 2-independent family whose KMV distinct-count guarantees are proven in
+    * Bar-Yossef et al. (RANDOM 2002). Chosen over xxh64 for ONE property:
+    * the arithmetic is pure integer mod a Mersenne prime, so an external
+    * SQL engine with 128-bit integers replays it in one line
+    * (`(a::HUGEINT * x + b) % (2^61-1)`) and sketch queries become
+    * row-level oracle-able. The 128-bit product is done in 64-bit ops:
+    * `Math.multiplyHigh` + the Mersenne fold 2^64 ≡ 8 (mod M).
+    */
+  def hash61(x: Long, a: Long, b: Long): Long = {
+    val M  = (1L << 61) - 1
+    val xm = ((x % M) + M) % M
+    val hi = Math.multiplyHigh(a, xm) // a, xm < 2^61 → product < 2^122, non-negative
+    val lo = a * xm                   // wrapping low 64 bits
+    var r  = hi * 8 + (lo >>> 61) + (lo & M) // hi < 2^58; each term < 2^61
+    r = (r & M) + (r >>> 61)
+    if (r >= M) r -= M
+    r += b % M
+    if (r >= M) r -= M
+    r
+  }
+
   /** Cosine similarity of two float vectors in double precision (sequential
     * fold order — bit-stable, matches the SQL-oracle formulation).
     */
@@ -504,6 +526,21 @@ case class Int8DotExpr(left: Expression, right: Expression) extends BinaryExpres
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecMath.int8Dot($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Int8DotExpr =
     copy(left = l, right = r)
+}
+
+/** hash61(bigint) → bigint in [0, 2^61−1): SQL-replayable universal hash
+  * (see [[VecMath.hash61]]), codegen'd.
+  */
+case class Hash61Expr(child: Expression, a: Long, b: Long) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"hash61 needs BIGINT, got ${child.dataType}")
+  override protected def nullSafeEval(input: Any): Any =
+    VecMath.hash61(input.asInstanceOf[Long], a, b)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecMath.hash61($c, ${a}L, ${b}L)")
+  override protected def withNewChildInternal(c: Expression): Hash61Expr = copy(child = c)
 }
 
 /** minhash_sig(array<string>, k) → array<bigint>, codegen'd. */
@@ -1317,6 +1354,8 @@ case class BpeTokenCountExpr(child: Expression, merges: Seq[(String, String)]) e
 object NativeFns {
   def cosine_sim(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSimExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def hash61(x: Column, a: Long, b: Long): Column =
+    ColumnBridge.column(Hash61Expr(ColumnBridge.expression(x), a, b))
   def minhash_sig(shingles: Column, k: Int): Column =
     ColumnBridge.column(MinHashSigExpr(ColumnBridge.expression(shingles), k))
   def simhash64(tokens: Column): Column =

@@ -2386,6 +2386,62 @@ object Extensions {
     }
   )
 
+  /** KMV (bottom-k) distinct-count sketch, fully oracled — the contrast to
+    * `x_approx_distinct_sketch` above, whose HLL++ registers are an opaque
+    * engine-internal blob that CANNOT be replayed. Here the entire sketch is
+    * exactly specified arithmetic: [[graft.functions.VecMath.hash61]]
+    * (Carter-Wegman mod the Mersenne prime 2^61−1 — one HUGEINT line in
+    * DuckDB), the bottom-1024 distinct hash state
+    * ([[graft.functions.KmvSketch]] — O(k) per partition, map-side partial
+    * merge, no distinct shuffle of the corpus), the kth-min order statistic,
+    * and the (k−1)·M/kth estimator evaluated with the IDENTICAL double
+    * expression shape on both engines (IEEE ops are exactly specified, so
+    * same shape ⇒ same bits). sf0.01 has 2 000 distinct part keys > k, so
+    * the oracle exercises the estimator path, not just the exact fill path.
+    * The exact distinct count rides along for an in-row error witness.
+    */
+  val distinctKmv = Q(
+    "x_distinct_kmv",
+    (s, d) => {
+      import org.apache.spark.sql.functions.udaf
+      val k  = 1024
+      val li = Tables.lineitem(s, d)
+      val kmv = udaf(graft.functions.KmvSketch.sketch(k))
+      val sk = li
+        .select(graft.functions.NativeFns
+          .hash61(col("l_partkey"), 1803442709493370165L, 784588716359925081L).as("hv"))
+        .agg(kmv(col("hv")).as("s"))
+        .select(col("s.kthMin").as("kth_min"), col("s.filled").as("filled"))
+      val ex = li.agg(count_distinct(col("l_partkey")).as("exact_parts"))
+      sk.join(ex, lit(true), "inner") // 1×1
+        .select(
+          lit(k.toLong).as("k"),
+          col("filled"),
+          col("kth_min"),
+          when(col("filled") < k, col("filled"))
+            .otherwise(floor(lit((k - 1).toDouble) *
+              (lit(2305843009213693951.0) / col("kth_min").cast("double"))).cast("long"))
+            .as("kmv_estimate"),
+          col("exact_parts"))
+    },
+    Some("""WITH h AS (
+              SELECT DISTINCT CAST(
+                (1803442709493370165::HUGEINT *
+                   ((l_partkey % 2305843009213693951 + 2305843009213693951) % 2305843009213693951)
+                 + 784588716359925081) % 2305843009213693951 AS BIGINT) AS hv
+              FROM lineitem),
+            s AS (
+              SELECT max(hv) AS kth_min, count(*) AS filled
+              FROM (SELECT hv FROM h ORDER BY hv LIMIT 1024)),
+            e AS (SELECT count(DISTINCT l_partkey) AS exact_parts FROM lineitem)
+            SELECT CAST(1024 AS BIGINT) AS k, CAST(filled AS BIGINT) AS filled, kth_min,
+              CASE WHEN filled < 1024 THEN CAST(filled AS BIGINT)
+                   ELSE CAST(floor(1023.0 * (2305843009213693951.0 / CAST(kth_min AS DOUBLE))) AS BIGINT)
+              END AS kmv_estimate,
+              exact_parts
+            FROM s, e""")
+  )
+
   /** Quantiles over a fact column: EXACT interpolated percentiles (oracled
     * against DuckDB's quantile_cont). At 100 TB the exact form's full sort is
     * the wrong tool — `approx_percentile` (KLL-style mergeable sketch, one
@@ -3593,7 +3649,7 @@ object Extensions {
   )
 
   val qs: Seq[Q] = Seq(
-    funnelIncremental,
+    funnelIncremental, distinctKmv,
     textStats, textQuality, textLangId, textFingerprint, approxDistinct, jsonExtract, jsonStruct, jsonVariant,
     heavyHitters, ngramFreq, quantiles, textRepetition, splitTrainTest, sampleStratified,
     packSequences,

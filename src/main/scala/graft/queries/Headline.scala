@@ -690,6 +690,45 @@ object Headline {
             FROM j GROUP BY 1 ORDER BY 1""")
   )
 
+  /** Trailing 7-day moving window over daily revenue: RANGE frame keyed on
+    * the day ordinal (missing days genuinely absent from the frame, unlike a
+    * ROWS frame). The corpus collapses to per-day partial aggregates FIRST —
+    * the unpartitioned window then runs over a calendar-bounded frame
+    * (days-in-corpus rows, ~30 here; never corpus-sized — the audited
+    * bounded-window pattern), so the plan is one exchange for the daily agg
+    * plus a single-task tail over the tiny series. Money stays DECIMAL
+    * through the window sum and casts to double only at the edge.
+    */
+  val h25 = Q(
+    "h25_moving_window",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+        .agg(sum(dec(col("value"))).as("rev"), count(lit(1)).as("n"))
+      val w = Window.orderBy(col("day_idx")).rangeBetween(-6, 0)
+      daily
+        .withColumn("day_idx", unix_date(col("day")))
+        .withColumn("trailing7_revenue", sum(col("rev")).over(w).cast("double"))
+        .withColumn("trailing7_purchases", sum(col("n")).over(w))
+        .select(
+          col("day"), col("rev").cast("double").as("revenue"), col("n").as("n_purchases"),
+          col("trailing7_revenue"), col("trailing7_purchases"))
+        .orderBy("day")
+    },
+    Some("""WITH daily AS (
+              SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+                sum(CAST(value AS DECIMAL(18,2))) AS rev, count(*) AS n
+              FROM events WHERE event_type = 'purchase' GROUP BY 1)
+            SELECT day, CAST(rev AS DOUBLE) AS revenue, n AS n_purchases,
+              CAST(sum(rev) OVER w AS DOUBLE) AS trailing7_revenue,
+              CAST(sum(n) OVER w AS BIGINT) AS trailing7_purchases
+            FROM daily
+            WINDOW w AS (ORDER BY CAST(day - DATE '1970-01-01' AS BIGINT)
+                         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+            ORDER BY day""")
+  )
+
   val qs: Seq[Q] = Seq(h1, h2, h3, h4, h5, h6, h7, h7b, h7c, h7d, h8, h9, h10, h11, h12, h13,
-    h14, h15, h16, h17, h18, h19, h20, h21, h22, h23, h24)
+    h14, h15, h16, h17, h18, h19, h20, h21, h22, h23, h24, h25)
 }

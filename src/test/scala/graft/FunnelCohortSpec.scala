@@ -149,6 +149,21 @@ class FunnelCohortSpec extends AnyFunSuite {
     assert(out == List((3L, 2L, 17L * us)))
   }
 
+  test("h25_moving_window: RANGE frame excludes absent days (not a ROWS frame)") {
+    // Purchases on days 0, 1, 8 (value 1.0 each): day 8's trailing-7 frame
+    // covers days 2..8 only — a ROWS 6-preceding frame would wrongly pull
+    // in days 0 and 1.
+    val out = Headline.h25.run(spark, eventsDir(Seq[(Long, Long, String)](
+      (1L, (1704110400L + 0 * day) * us, "purchase"),
+      (2L, (1704110400L + 1 * day) * us, "purchase"),
+      (3L, (1704110400L + 8 * day) * us, "purchase"))))
+      .collect().map(r => (r.getDate(0).toString, r.getDouble(3), r.getLong(4))).toList
+    assert(out == List(
+      ("2024-01-01", 1.0, 1L),
+      ("2024-01-02", 2.0, 2L),
+      ("2024-01-09", 1.0, 1L)))
+  }
+
   test("funnelStream rejects unknown and duplicate steps only as designed") {
     import spark.implicits._
     // Batch execution of the same state machine: duplicate step events keep

@@ -22,7 +22,8 @@ class RegistrySmokeSpec extends AnyFunSuite {
     "h4_window_topn_per_key", "h5_global_topk", "h7_asof_join", "h7b_asof_join_native",
     "h8_event_time_window", "h9_sessionize", "h10_semi_anti_join", "h11_rollup",
     "h18_cube", "h19_grouping_sets", "h20_pivot", "h21_interval_join",
-    "h22_funnel", "h23_cohort_retention", "h24_attribution", "x_funnel_incremental",
+    "h22_funnel", "h23_cohort_retention", "h24_attribution", "h25_moving_window",
+    "x_funnel_incremental", "x_distinct_kmv",
     "x_ngram_freq", "x_quantiles", "x_text_repetition",
     "x_split_train_test", "x_sample_stratified", "x_json_extract", "x_json_struct", "x_json_variant",
     "x_pack_sequences",
