@@ -21,6 +21,14 @@ import org.apache.spark.sql.expressions.Aggregator
   */
 object KmvSketch {
 
+  /** The Mersenne modulus and the registry's fixed hash parameters — the
+    * SAME literals appear in the x_distinct_kmv DuckDB oracle; change them
+    * only together.
+    */
+  val M: Long = (1L << 61) - 1
+  val A: Long = 1803442709493370165L
+  val B: Long = 784588716359925081L
+
   final case class KmvSummary(kthMin: Long, filled: Long)
 
   /** Merge two ascending distinct sequences, keep the k smallest. */

@@ -804,6 +804,38 @@ object RainStorm {
           s => struct(s.getField("_2").as("n"), s.getField("_1").as("token"))), 1, k).as("topk"))
   }
 
+  /** Windowed streaming distinct-count via the KMV bottom-k sketch
+    * ([[graft.functions.KmvSketch]]): per event-time window, state is the
+    * ≤ k smallest distinct [[graft.functions.VecMath.hash61]] values — a
+    * BOUNDED buffer per window regardless of how many distinct ids arrive
+    * (the exact-distinct formulation would hold one state row per id).
+    * Watermark + append emit each window's final estimate once, when it can
+    * no longer grow. Same estimator expression as the batch `x_distinct_kmv`
+    * surface, so closed-window results are bit-comparable to a batch sketch
+    * of the same rows (KmvSketchSpec pins it).
+    */
+  def distinctCountStream(
+      events: DataFrame, // streaming DF with (idCol: bigint, tsCol: timestamp)
+      idCol: String, tsCol: String,
+      k: Int = 1024,
+      windowLen: String = "1 hour", watermark: String = "10 minutes"
+  ): DataFrame = {
+    import graft.functions.{KmvSketch, NativeFns}
+    val kmv = udaf(KmvSketch.sketch(k))
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen).as("w"))
+      .agg(kmv(NativeFns.hash61(col(idCol), KmvSketch.A, KmvSketch.B)).as("s"))
+      .select(
+        col("w.start").as("window_start"),
+        col("s.filled").as("filled"),
+        col("s.kthMin").as("kth_min"),
+        when(col("s.filled") < k, col("s.filled"))
+          .otherwise(floor(lit((k - 1).toDouble) *
+            (lit(KmvSketch.M.toDouble) / col("s.kthMin").cast("double"))).cast("long"))
+          .as("n_distinct_est"))
+  }
+
   /** Generic 3-stage pipeline runner mirroring the `RainStorm op1 op2 src dest
     * num_tasks` terminal verb (`core_process_stream_DS.go:1645-1842`):
     * source → op1 (stateless transform) → shuffle on key → op2 (grouped agg),

@@ -69,6 +69,39 @@ class KmvSketchSpec extends AnyFunSuite {
     assert(empty.getLong(0) == -1L && empty.getLong(1) == 0L)
   }
 
+  test("distinctCountStream: closed window equals a batch sketch of the same rows") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    def ts(min: Int) = new java.sql.Timestamp(1704067200000L + min * 60000L)
+    val in = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = graft.streaming.RainStorm
+      .distinctCountStream(in.toDF().toDF("id", "ts"), "id", "ts",
+        k = 64, windowLen = "10 minutes", watermark = "5 minutes")
+      .writeStream.format("memory").queryName("kmv_stream").outputMode("append").start()
+    try {
+      // Window [00:00, 00:10): 300 distinct ids with duplicates, split
+      // across two micro-batches; then a far-future event closes it.
+      in.addData((1 to 200).map(i => (i.toLong, ts(1))): _*)
+      q.processAllAvailable()
+      in.addData((100 to 300).map(i => (i.toLong, ts(5))): _*)
+      q.processAllAvailable()
+      in.addData((999999L, ts(60)))
+      q.processAllAvailable()
+      val got = spark.table("kmv_stream").filter(col("window_start") === ts(0))
+        .select("filled", "kth_min", "n_distinct_est").head()
+      // Batch reference: same sketch over the same 300 distinct ids.
+      val agg = udaf(KmvSketch.sketch(64))
+      val ref = (1 to 300).map(_.toLong).toDF("id")
+        .select(NativeFns.hash61(col("id"), A, B).as("h"))
+        .agg(agg(col("h")).as("s")).select("s.filled", "s.kthMin").head()
+      assert(got.getLong(0) == ref.getLong(0))
+      assert(got.getLong(1) == ref.getLong(1))
+      val est = math.floor(63.0 * (M.toDouble / ref.getLong(1).toDouble)).toLong
+      assert(got.getLong(2) == est)
+    } finally q.stop()
+  }
+
   test("partition-invariant: same sketch at 1, 3 and 13 partitions (map-side merge exact)") {
     import spark.implicits._
     val data = (1 to 5000).map(i => (i % 1700).toLong) // dups across partitions
