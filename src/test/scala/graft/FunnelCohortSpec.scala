@@ -164,6 +164,71 @@ class FunnelCohortSpec extends AnyFunSuite {
       ("2024-01-09", 1.0, 1L)))
   }
 
+  test("h23/h24 plans: cohort reuses one user_id exchange; attribution runs the native as-of exec") {
+    val p23 = Headline.h23.run(spark, eventsDir(cohortRows))
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p23).size == 1,
+      s"cohort window + per-user collapse must share one user_id exchange:\n$p23")
+    val p24 = Headline.h24.run(spark, eventsDir(funnelRows))
+      .queryExecution.executedPlan.toString
+    assert(p24.contains("AsOfJoin"), s"attribution must plan through AsOfJoinExec:\n$p24")
+  }
+
+  test("funnel over a commit-log topic: crash replay yields exactly-once step completions") {
+    import graft.sources.{CommitLog, CommitLogTopic}
+    import graft.streaming.RainStorm
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val dir  = Files.createTempDirectory("funneltopic").toString
+    val dest = Files.createTempDirectory("funneldest").toString
+    val ckpt = Files.createTempDirectory("funnelckpt").toString
+    // 40 users complete the funnel; records are "user,type,micros" lines.
+    // Even users in p0, odd in p1 — a user never spans partitions, so
+    // per-key event-time order holds across micro-batches (the stream's
+    // ordering contract). Interleave types in time order per user.
+    def lines(users: Seq[Int]): Seq[String] = users.flatMap { u =>
+      Seq(s"$u,view,${1000 + u}", s"$u,click,${2000 + u}", s"$u,purchase,${3000 + u}")
+    }
+    CommitLog.append(s"$dir/p0.log", lines(0 until 40 by 2))
+    CommitLog.append(s"$dir/p1.log", lines(1 until 40 by 2))
+
+    val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def crashingSink(batch: org.apache.spark.sql.DataFrame, id: Long): Unit = {
+      RainStorm.idempotentParquetSink(dest)(batch, id)
+      if (id == 2 && crashed.compareAndSet(false, true))
+        throw new RuntimeException("injected crash after partial write")
+    }
+    def start(sink: (org.apache.spark.sql.DataFrame, Long) => Unit) = {
+      val ev = CommitLogTopic.readStream(spark, dir, maxLinesPerTrigger = Some(25L))
+        .select(split(col("value"), ",").as("f"))
+        .select(
+          col("f").getItem(0).cast("long").as("user"),
+          col("f").getItem(1).as("typ"),
+          col("f").getItem(2).cast("long").as("tm"))
+        .as[(Long, String, Long)]
+      RainStorm.funnelStream(spark, ev, Seq("view", "click", "purchase"))
+        .toDF()
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch(sink)
+        .start()
+    }
+    val q1 = start(crashingSink)
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] { q1.awaitTermination() }
+    assert(crashed.get, "the injected crash must have fired")
+    val q2 = start(RainStorm.idempotentParquetSink(dest))
+    q2.awaitTermination(120000)
+
+    val out = spark.read.parquet(dest + "/batch_id=*")
+      .select("userId", "step", "tm")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.length == 120, s"exactly-once: expected 40 users x 3 steps, got ${out.length}")
+    assert(out.toSet == (0 until 40).flatMap { u =>
+      Seq((u.toLong, 0, 1000L + u), (u.toLong, 1, 2000L + u), (u.toLong, 2, 3000L + u))
+    }.toSet, "every completion exactly once with its first-completion time")
+  }
+
   test("funnelStream rejects unknown and duplicate steps only as designed") {
     import spark.implicits._
     // Batch execution of the same state machine: duplicate step events keep
