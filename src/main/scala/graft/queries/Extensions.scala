@@ -384,13 +384,55 @@ object Extensions {
             ORDER BY batch_id, corpus_id""")
   )
 
-  /** SimHash fingerprints (near-dup = small Hamming distance). */
+  /** SimHash fingerprints (near-dup = small Hamming distance), fully
+    * oracled: 60-bit simhash whose per-token hash is the first 15 hex
+    * digits of md5 — an engine-neutral primitive both Spark and DuckDB
+    * evaluate natively, so the COMPLETE bit-vote pipeline (tokenize →
+    * per-token 60-bit hash → ±1 vote per bit position → majority bit
+    * assembly) replays row-level in SQL; was rows-only when the hash was
+    * xxh64. Same precedent as `x_neardup_filter`: the registry surface
+    * carries cross-engine-replayable fingerprints while the hot streaming
+    * path ([[graft.streaming.RainStorm.nearDupFilterStream]],
+    * [[graft.functions.DedupOps.simhashNearDups]]) keeps the fast xxh64
+    * codegen kernel, recall-gated in AccuracySpec. Plan shape: explode +
+    * ONE hash aggregation on doc_id with 60 primitive sum buffers (the
+    * explode-free-vote trick from the k-means update — no per-bit row
+    * blowup), then a pure projection assembles the bits.
+    */
   val dedupSimhash = Q(
     "x_dedup_simhash",
-    (s, d) =>
-      Tables.documents(s, d)
-        .select(col("doc_id"), TextAnalysis.simHash64(col("text")).as("simhash"))
+    (s, d) => {
+      val bits = 60
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .select(col("doc_id"),
+          conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("h"))
+      val voteAggs = (0 until bits).map(b =>
+        sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"v$b"))
+      tok.groupBy(col("doc_id"))
+        .agg(voteAggs.head, voteAggs.tail: _*)
+        .select(col("doc_id"),
+          (0 until bits).map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+            .reduce(_ + _).as("simhash"))
         .orderBy("doc_id")
+    },
+    Some("""WITH t AS (
+              SELECT doc_id, tok FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+              WHERE tok <> ''),
+            h AS (
+              SELECT doc_id,
+                list_reduce(list_transform(string_split(substr(md5(tok), 1, 15), ''),
+                  c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+                  (a, x) -> a * 16 + x) AS hv
+              FROM t),
+            v AS (
+              SELECT doc_id, b.b,
+                sum(CASE WHEN (hv >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+              FROM h, range(0, 60) b(b)
+              GROUP BY doc_id, b.b)
+            SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+            FROM v GROUP BY doc_id ORDER BY doc_id""")
   )
 
   /** Word-2-gram Jaccard near-dup pairs (LSH-prefiltered, exact-verified).
