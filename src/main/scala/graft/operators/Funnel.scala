@@ -39,11 +39,23 @@ object Funnel {
       tmCol: String = "tm"
   ): DataFrame = {
     require(steps.nonEmpty && steps.distinct.size == steps.size, s"steps must be distinct: $steps")
+    stepTimesWhere(ev, steps.map(st => st -> (col(typeCol) === st)), userCol, tmCol)
+  }
+
+  /** General form: each step is (label, predicate Column) — a step can be
+    * any row condition, not just an event-type match (e.g. a purchase above
+    * a value floor, a click on a given surface). Same plan shape.
+    */
+  def stepTimesWhere(
+      ev: DataFrame,
+      steps: Seq[(String, org.apache.spark.sql.Column)],
+      userCol: String = "user_id",
+      tmCol: String = "tm"
+  ): DataFrame = {
+    require(steps.nonEmpty, "need at least one step")
     val w = Window.partitionBy(col(userCol))
-    val withT = steps.zipWithIndex.foldLeft(ev) { case (df, (st, i)) =>
-      val hit =
-        if (i == 0) col(typeCol) === st
-        else col(typeCol) === st && col(tmCol) > col(s"t${i - 1}")
+    val withT = steps.zipWithIndex.foldLeft(ev) { case (df, ((_, pred), i)) =>
+      val hit = if (i == 0) pred else pred && col(tmCol) > col(s"t${i - 1}")
       df.withColumn(s"t$i", min(when(hit, col(tmCol))).over(w))
     }
     withT

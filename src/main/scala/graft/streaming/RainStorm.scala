@@ -804,6 +804,47 @@ object RainStorm {
           s => struct(s.getField("_2").as("n"), s.getField("_1").as("token"))), 1, k).as("topk"))
   }
 
+  /** Streaming cohort-retention increments (the h23_cohort_retention batch
+    * semantics, maintained online): per-user state is (cohort day, 64-bit
+    * seen-offset bitmask) — FIXED 16 bytes per user, with the retention
+    * horizon (≤ 64 days, the standard 30/90-day analyses fit) bounding the
+    * mask. First appearance pins the cohort; each first-activity at a new
+    * day offset emits one (user, cohort, offset) increment, so a downstream
+    * count by (cohort, offset) IS the retention matrix. Ordering contract
+    * as [[sessionize]]/[[funnelStream]]: per-key event-time order across
+    * batches (an out-of-order earlier day cannot re-pin a cohort).
+    */
+  final case class CohortState(cohortDay: Long, seen: Long)
+  final case class CohortHit(userId: Long, cohortDay: Long, dayOffset: Int)
+
+  def cohortStream(
+      spark: SparkSession,
+      events: Dataset[(Long, Long)], // (user_id, epoch day)
+      horizonDays: Int = 64
+  ): Dataset[CohortHit] = {
+    import spark.implicits._
+    require(horizonDays >= 1 && horizonDays <= 64, s"bitmask horizon is 1..64, got $horizonDays")
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[CohortState, CohortHit](
+        OutputMode.Append(),
+        GroupStateTimeout.NoTimeout
+      ) { (userId: Long, rows: Iterator[(Long, Long)], state: GroupState[CohortState]) =>
+        var st  = state.getOption.getOrElse(CohortState(Long.MaxValue, 0L))
+        val out = scala.collection.mutable.ArrayBuffer.empty[CohortHit]
+        rows.toSeq.sortBy(_._2).foreach { case (_, day) =>
+          if (st.cohortDay == Long.MaxValue) st = CohortState(day, 0L)
+          val off = day - st.cohortDay
+          if (off >= 0 && off < horizonDays && ((st.seen >> off) & 1L) == 0L) {
+            st = st.copy(seen = st.seen | (1L << off))
+            out += CohortHit(userId, st.cohortDay, off.toInt)
+          }
+        }
+        state.update(st)
+        out.iterator
+      }
+  }
+
   /** Windowed streaming distinct-count via the KMV bottom-k sketch
     * ([[graft.functions.KmvSketch]]): per event-time window, state is the
     * ≤ k smallest distinct [[graft.functions.VecMath.hash61]] values — a

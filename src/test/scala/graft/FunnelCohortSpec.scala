@@ -229,6 +229,47 @@ class FunnelCohortSpec extends AnyFunSuite {
     }.toSet, "every completion exactly once with its first-completion time")
   }
 
+  test("cohortStream: 2-batch replay reproduces the batch retention matrix; state is 16 bytes/user") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, Long)] // (user, epoch day)
+    val q = RainStorm.cohortStream(spark, in.toDS(), horizonDays = 30)
+      .writeStream.format("memory").queryName("cohort_stream").outputMode("append").start()
+    try {
+      // Same shape as cohortRows: u1 days 0,0,1,3; u2 days 1,2; u3 day 0 —
+      // split mid-user across batches (u1's day 3 and u2's day 2 arrive late).
+      in.addData((1L, 0L), (1L, 0L), (1L, 1L), (2L, 1L), (3L, 0L))
+      q.processAllAvailable()
+      in.addData((1L, 3L), (2L, 2L))
+      q.processAllAvailable()
+      val matrix = spark.table("cohort_stream")
+        .groupBy("cohortDay", "dayOffset").count()
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(matrix == Set(
+        (0L, 0, 2L), (0L, 1, 1L), (0L, 3, 1L), // cohort day 0: u1+u3, then u1
+        (1L, 0, 1L), (1L, 1, 1L)))             // cohort day 1: u2
+    } finally q.stop()
+  }
+
+  test("stepTimesWhere: predicate steps (value-floor purchase) beyond event-type matching") {
+    import graft.operators.Funnel
+    import spark.implicits._
+    // u1 purchases 5.0 then 50.0 — only the second clears the floor;
+    // u2's big purchase precedes its view and must not count.
+    val ev = Seq(
+      (1L, "view", 10L, 0.0), (1L, "purchase", 20L, 5.0), (1L, "purchase", 30L, 50.0),
+      (2L, "purchase", 5L, 99.0), (2L, "view", 10L, 0.0))
+      .toDF("user_id", "event_type", "tm", "value")
+    val pu = Funnel.stepTimesWhere(ev, Seq(
+      "view"        -> (col("event_type") === "view"),
+      "big_purchase" -> (col("event_type") === "purchase" && col("value") >= lit(10.0))))
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSet
+    assert(pu == Set(
+      (1L, Some(10L), Some(30L)),
+      (2L, Some(10L), None)))
+  }
+
   test("funnelStream rejects unknown and duplicate steps only as designed") {
     import spark.implicits._
     // Batch execution of the same state machine: duplicate step events keep
