@@ -12,8 +12,8 @@ import org.apache.spark.sql.functions._
   * parallelism comes from input splits, liveness from the scheduler, and the
   * documented flag surface (`README.md:266-348` in the reference: `-c`, `-i`,
   * `-v`, `-E`, pipe chains — plus the shell-grep long tail `-n`, `-o`,
-  * `-A/-B/-C` the reference gets for free by shelling out) becomes a chain
-  * of per-stage transforms.
+  * `-A/-B/-C`, `-F`, `-w`, `-x`, `-l`, `-m` the reference gets for free by
+  * shelling out) becomes a chain of per-stage transforms.
   *
   * At 100 TB scale this shape matters: the regex filter is applied inside the
   * scan stage (no shuffle at all for full-line mode; a single partial→final
@@ -36,13 +36,21 @@ object GrepEngine {
       ignoreCase: Boolean = false,
       onlyMatching: Boolean = false,
       after: Int = 0,
-      before: Int = 0)
+      before: Int = 0,
+      fixed: Boolean = false,      // -F: pattern is a literal string
+      wordMatch: Boolean = false,  // -w: match must be a whole word
+      lineMatch: Boolean = false,  // -x: match must be the whole line
+      maxCount: Int = 0)           // -m N: stop after N matching lines per file
 
-  /** A parsed grep command chain. `countMode`/`lineNumbers` are presentation
-    * flags (`-c`, `-n`) — they shape the OUTPUT of [[run]], while the other
-    * flags transform rows stage by stage.
+  /** A parsed grep command chain. `countMode`/`lineNumbers`/`filesOnly` are
+    * presentation flags (`-c`, `-n`, `-l`) — they shape the OUTPUT of
+    * [[run]], while the other flags transform rows stage by stage.
     */
-  final case class GrepCmd(stages: Seq[GrepStage], countMode: Boolean, lineNumbers: Boolean)
+  final case class GrepCmd(
+      stages: Seq[GrepStage],
+      countMode: Boolean,
+      lineNumbers: Boolean,
+      filesOnly: Boolean = false)
 
   /** Load a logs directory as a `(file, value)` table — the Spark analog of
     * per-node `vm(i).log` files (`core_process.go:157-162`).
@@ -66,13 +74,20 @@ object GrepEngine {
       .select(col("file"), (col("idx") + 1).cast("long").as("line_no"), col("value"))
 
   private def applyStage(df: DataFrame, s: GrepStage): DataFrame = {
-    val pat     = if (s.ignoreCase) "(?i)" + s.pattern else s.pattern
+    // -F/-w/-x shape the pattern: quote → whole-word lookarounds → whole-line
+    // anchors. -x wins over -w (an anchored match needs no word boundary).
+    val core = if (s.fixed) java.util.regex.Pattern.quote(s.pattern) else s.pattern
+    val shaped =
+      if (s.lineMatch) s"^(?:$core)$$"
+      else if (s.wordMatch) s"(?<![0-9A-Za-z_])(?:$core)(?![0-9A-Za-z_])"
+      else core
+    val pat     = if (s.ignoreCase) "(?i)" + shaped else shaped
     val matches = col("value").rlike(pat)
     val hit     = if (s.invert) !matches else matches
     val base =
-      if (s.after > 0 || s.before > 0) {
+      if (s.after > 0 || s.before > 0 || s.maxCount > 0) {
         require(df.columns.contains("line_no"),
-          "context flags (-A/-B/-C) need a line-numbered logs table — use GrepEngine.logsWithLineNo")
+          "context (-A/-B/-C) and max-count (-m) flags need a line-numbered logs table — use GrepEngine.logsWithLineNo")
         // Line X is emitted iff a hit exists in [X-after, X+before] of ITS
         // file — the frame asks each row "am I within some hit's context
         // window". One partitioned window per context stage, no shuffle of
@@ -81,12 +96,24 @@ object GrepEngine {
         val ord =
           if (df.columns.contains("__pos")) Seq(col("line_no"), col("__pos"))
           else Seq(col("line_no"))
-        val w = Window.partitionBy(col("file")).orderBy(ord: _*)
-          .rowsBetween(-s.after, s.before)
-        df.withColumn("__hit", hit.cast("int"))
-          .withColumn("__emit", max(col("__hit")).over(w) === 1)
-          .filter(col("__emit"))
-          .drop("__hit", "__emit")
+        // -m N: only the first N matching lines per file count as hits (the
+        // running-count-over-file-order form of grep's early stop; context
+        // radii then expand around the SURVIVING hits, like grep).
+        val marked =
+          if (s.maxCount > 0) {
+            val wRun = Window.partitionBy(col("file")).orderBy(ord: _*)
+              .rowsBetween(Window.unboundedPreceding, 0)
+            df.withColumn("__h0", hit.cast("int"))
+              .withColumn("__hit",
+                when(col("__h0") === 1 && sum(col("__h0")).over(wRun) <= s.maxCount, 1).otherwise(0))
+          } else df.withColumn("__hit", hit.cast("int"))
+        val emitted =
+          if (s.after > 0 || s.before > 0) {
+            val w = Window.partitionBy(col("file")).orderBy(ord: _*)
+              .rowsBetween(-s.after, s.before)
+            marked.withColumn("__emit", max(col("__hit")).over(w) === 1).filter(col("__emit"))
+          } else marked.filter(col("__hit") === 1)
+        emitted.drop("__h0", "__hit", "__emit")
       } else df.filter(hit)
     if (s.onlyMatching) {
       // -v -o emits nothing (inverted survivors contain no match) — the
@@ -117,8 +144,9 @@ object GrepEngine {
     matchLines(logs, stages).agg(count(lit(1)).as("matches"))
 
   /** Command-line translator for the shell-grep surface:
-    * `grep [-c] [-i] [-v] [-E] [-n] [-o] [-A n] [-B n] [-C n] PATTERN
-    * [| grep ...]`. Quote-aware: `|` inside a quoted pattern is regex
+    * `grep [-c] [-i] [-v] [-E] [-n] [-o] [-F] [-w] [-x] [-l] [-m n]
+    * [-A n] [-B n] [-C n] PATTERN [| grep ...]`.
+    * Quote-aware: `|` inside a quoted pattern is regex
     * alternation, not a pipe (`grep 'a|b'` is ONE stage), and a quoted
     * pattern is never mistaken for a flag even if it starts with `-`.
     * Context radii accept both `-A 3` and `-A3`. An unknown dash token
@@ -127,6 +155,7 @@ object GrepEngine {
   def parseCmd(cmd: String): GrepCmd = {
     var countMode   = false
     var lineNumbers = false
+    var filesOnly   = false
     val stages = Cli.splitUnquoted(cmd, '|').map(_.trim).filter(_.nonEmpty).map { seg =>
       val toks =
         Cli.splitWithQuotes(seg).filterNot(t => !t.quoted && t.text == "grep").toIndexedSeq
@@ -134,10 +163,14 @@ object GrepEngine {
       var inv    = false
       var ic     = false
       var om     = false
+      var fx     = false
+      var wm     = false
+      var lm     = false
+      var maxC   = 0
       var after  = 0
       var before = 0
       var done   = false
-      val ctxNum = "-([ABC])(\\d+)".r
+      val ctxNum = "-([ABCm])(\\d+)".r
       while (i < toks.length && !done) {
         val t = toks(i)
         if (t.quoted || !t.text.startsWith("-") || t.text.length <= 1) done = true
@@ -148,12 +181,17 @@ object GrepEngine {
           case "-E" => i += 1
           case "-n" => lineNumbers = true; i += 1
           case "-o" => om = true; i += 1
-          case f @ ("-A" | "-B" | "-C")
+          case "-F" => fx = true; i += 1
+          case "-w" => wm = true; i += 1
+          case "-x" => lm = true; i += 1
+          case "-l" => filesOnly = true; i += 1
+          case f @ ("-A" | "-B" | "-C" | "-m")
               if i + 1 < toks.length && !toks(i + 1).quoted && toks(i + 1).text.forall(_.isDigit) =>
             val n = toks(i + 1).text.toInt
             f match {
               case "-A" => after = n
               case "-B" => before = n
+              case "-m" => maxC = n
               case _    => after = n; before = n
             }
             i += 2
@@ -162,6 +200,7 @@ object GrepEngine {
             which match {
               case "A" => after = n
               case "B" => before = n
+              case "m" => maxC = n
               case _   => after = n; before = n
             }
             i += 1
@@ -170,9 +209,10 @@ object GrepEngine {
       }
       val pat = toks.drop(i).map(_.text).mkString(" ")
       GrepStage(pat, invert = inv, ignoreCase = ic, onlyMatching = om,
-        after = after, before = before)
+        after = after, before = before,
+        fixed = fx, wordMatch = wm, lineMatch = lm, maxCount = maxC)
     }
-    GrepCmd(stages, countMode, lineNumbers)
+    GrepCmd(stages, countMode, lineNumbers, filesOnly)
   }
 
   /** Back-compat form of [[parseCmd]]: (stages, countMode). */
@@ -189,7 +229,8 @@ object GrepEngine {
   def run(logs: DataFrame, cmd: String): DataFrame = {
     val c   = parseCmd(cmd)
     val out = matchLines(logs, c.stages)
-    if (c.countMode) out.groupBy(col("file")).agg(count(lit(1)).as("matches"))
+    if (c.filesOnly) out.select(col("file")).distinct().orderBy(col("file")) // -l beats -c, like grep
+    else if (c.countMode) out.groupBy(col("file")).agg(count(lit(1)).as("matches"))
     else if (!c.lineNumbers && out.columns.contains("line_no")) out.drop("line_no")
     else out
   }

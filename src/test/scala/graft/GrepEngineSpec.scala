@@ -131,4 +131,50 @@ class GrepEngineSpec extends AnyFunSuite {
     val counts = GrepEngine.run(logs, "grep -c 'Random'")
     assert(counts.collect()(0).getLong(1) == 100L)
   }
+
+  test("-F: the pattern is a literal, not a regex") {
+    val dir  = writeLogs(1)
+    val logs = GrepEngine.logs(spark, dir)
+    // As a regex '1.0' matches '100' (x1000 lines); as a literal it matches
+    // nothing in the fixture.
+    assert(GrepEngine.run(logs, "grep '1.0'").count() == 1000L)
+    assert(GrepEngine.run(logs, "grep -F '1.0'").count() == 0L)
+  }
+
+  test("-w: whole words only; -x: whole lines only") {
+    val dir  = writeLogs(1)
+    val logs = GrepEngine.logs(spark, dir)
+    // '00' occurs inside 100/200/300 but never as a whole word.
+    assert(GrepEngine.run(logs, "grep '00'").count() == 1000L)
+    assert(GrepEngine.run(logs, "grep -w '00'").count() == 0L)
+    assert(GrepEngine.run(logs, "grep -w '200'").count() == 1000L)
+    // -x: 'Random' is a substring of its line, 'Random text' IS the line.
+    assert(GrepEngine.run(logs, "grep -x 'Random'").count() == 0L)
+    assert(GrepEngine.run(logs, "grep -x 'Random text'").count() == 100L)
+  }
+
+  test("-l: files with matches, once each; beats -c like grep") {
+    val dir  = writeLogs(3)
+    val logs = GrepEngine.logs(spark, dir)
+    val files = GrepEngine.run(logs, "grep -l 'ERROR'").collect().map(_.getString(0))
+    assert(files.length == 3 && files.distinct.length == 3)
+    assert(GrepEngine.run(logs, "grep -c -l 'ERROR'").columns.toSeq == Seq("file"))
+    assert(GrepEngine.run(logs, "grep -l 'no_such_pattern_xyz'").count() == 0L)
+  }
+
+  test("-m: first N matching lines per file, in file order; context expands around survivors") {
+    val dir  = writeLogs(2)
+    val logs = GrepEngine.logsWithLineNo(spark, dir)
+    // ERROR lines are 1-10 per file; -m 4 keeps lines 1-4 of each.
+    val rows = GrepEngine.run(logs, "grep -n -m 4 'ERROR'")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.length == 8)
+    assert(rows.groupBy(_._1).values.forall(_.map(_._2).sorted.toSeq == Seq(1L, 2L, 3L, 4L)))
+    // -m with trailing context: 2 hits, context stretches one line past them.
+    val ctx = GrepEngine.run(logs, "grep -n -m 2 -A 1 'ERROR'")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(ctx.groupBy(_._1).values.forall(_.map(_._2).sorted.toSeq == Seq(1L, 2L, 3L)))
+    // Attached form parses too.
+    assert(GrepEngine.parseCmd("grep -m3 'x'").stages.head.maxCount == 3)
+  }
 }
