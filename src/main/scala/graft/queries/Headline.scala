@@ -729,6 +729,56 @@ object Headline {
             ORDER BY day""")
   )
 
+  /** Group-wise ordinary least squares (price vs quantity per return flag)
+    * from the five classic sufficient statistics — n, Σx, Σy, Σxy, Σx² —
+    * gathered in ONE map-side-combining aggregation over exact DECIMAL
+    * arithmetic; slope/intercept are then two scalar double expressions
+    * over the per-group row. This is the scale shape for ANY closed-form
+    * model fit: the corpus is touched once, the shuffle carries 5 numbers
+    * per group, and the "solve" is free. Cross-engine exactness: the sums
+    * are exact decimals whose double conversions are value-identical, and
+    * the slope/intercept expressions have the IDENTICAL IEEE shape on both
+    * engines (the oracle deliberately spells the formula out rather than
+    * calling DuckDB's regr_slope, whose internal accumulation differs).
+    */
+  val h26 = Q(
+    "h26_regression",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val q  = dec(col("l_quantity"))
+      val p  = dec(col("l_extendedprice"))
+      val nD = col("n").cast("double")
+      val sxD  = col("sx").cast("double")
+      val syD  = col("sy").cast("double")
+      val sxyD = col("sxy").cast("double")
+      val sxxD = col("sxx").cast("double")
+      li.groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(q).as("sx"), sum(p).as("sy"),
+          sum(q * p).as("sxy"), sum(q * q).as("sxx"))
+        .withColumn("slope", (nD * sxyD - sxD * syD) / (nD * sxxD - sxD * sxD))
+        .withColumn("intercept", (syD - col("slope") * sxD) / nD)
+        .select(col("l_returnflag"), col("n"), col("slope"), col("intercept"))
+        .orderBy("l_returnflag")
+    },
+    Some("""WITH a AS (
+              SELECT l_returnflag, count(*) AS n,
+                sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+                sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+                sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy,
+                sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sxx
+              FROM lineitem GROUP BY 1),
+            b AS (
+              SELECT l_returnflag, n, sx, sy,
+                (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope
+              FROM a)
+            SELECT l_returnflag, n, slope,
+              (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept
+            FROM b ORDER BY l_returnflag""")
+  )
+
   val qs: Seq[Q] = Seq(h1, h2, h3, h4, h5, h6, h7, h7b, h7c, h7d, h8, h9, h10, h11, h12, h13,
-    h14, h15, h16, h17, h18, h19, h20, h21, h22, h23, h24, h25)
+    h14, h15, h16, h17, h18, h19, h20, h21, h22, h23, h24, h25, h26)
 }

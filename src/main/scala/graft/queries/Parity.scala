@@ -324,6 +324,32 @@ object Parity {
             ORDER BY doc_id, pos""")
   )
 
+  /** G1 long-tail: `grep -w` (whole-word match) vs the plain substring scan
+    * — per-doc counts of word-`a` and any-`a` occurrences side by side, so
+    * the boundary semantics are visible in the data. The Spark side uses
+    * the Java-regex lookaround form [[graft.operators.GrepEngine]] emits
+    * for `-w`; the DuckDB replay uses RE2's `\b` — equivalent whenever the
+    * pattern starts and ends with word characters (RE2 has no lookarounds,
+    * Java's \b agrees with the lookaround form on word-char patterns).
+    */
+  val g5 = Q(
+    "g5_grep_word_count",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"),
+            lit("(?<![0-9A-Za-z_])a(?![0-9A-Za-z_])"), lit(0))).cast("long").as("word_a"),
+          size(regexp_extract_all(col("text"), lit("a"), lit(0))).cast("long").as("any_a"))
+        .filter(col("word_a") > 0)
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+              CAST(len(regexp_extract_all(text, '\ba\b')) AS BIGINT) AS word_a,
+              CAST(len(regexp_extract_all(text, 'a')) AS BIGINT) AS any_a
+            FROM documents
+            WHERE len(regexp_extract_all(text, '\ba\b')) > 0
+            ORDER BY doc_id""")
+  )
+
   /** U2 again through the two-phase salted aggregation — identical results
     * (same oracle), different physical plan: the skew-resilient form for hot
     * keys. Both stay in the registry so the driver checks the equivalence.
@@ -339,5 +365,5 @@ object Parity {
   )
 
   val qs: Seq[Q] =
-    Seq(f1, f2, f3, f4, f4b, f6, f7, u1, u2, u2salted, u3, u4, u5, u6, u7u8, u9u10, u11, u12, g1, g2, g3, g4)
+    Seq(f1, f2, f3, f4, f4b, f6, f7, u1, u2, u2salted, u3, u4, u5, u6, u7u8, u9u10, u11, u12, g1, g2, g3, g4, g5)
 }

@@ -17,7 +17,8 @@ class RegistrySmokeSpec extends AnyFunSuite {
     "u1_split_flatmap", "u2_wordcount", "u2_wordcount_salted", "u3_filter_contains_project",
     "u4_project", "u5_filter_eq_project", "u6_filter_numeric",
     "u9_u10_filter_pipeline", "u11_complex_agg", "u12_batch_oracle",
-    "g1_grep_per_file", "g2_grep_count", "g4_grep_only_matching",
+    "g1_grep_per_file", "g2_grep_count", "g4_grep_only_matching", "g5_grep_word_count",
+    "h26_regression",
     "h1_pricing_summary", "h2_join_topk_revenue", "h3_broadcast_join",
     "h4_window_topn_per_key", "h5_global_topk", "h7_asof_join", "h7b_asof_join_native",
     "h8_event_time_window", "h9_sessionize", "h10_semi_anti_join", "h11_rollup",
