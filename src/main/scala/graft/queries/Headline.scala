@@ -779,6 +779,86 @@ object Headline {
             FROM b ORDER BY l_returnflag""")
   )
 
+  /** Markov transition matrix over the per-user event stream: for every
+    * consecutive event pair (ordered by event time, event_id tie-break) count
+    * `from_step → to_step` and report the per-source transition probability
+    * as an exact integer ppm. Shape: ONE hash exchange on user_id feeds the
+    * `lead` window (the h22 exchange pattern — depth doesn't matter, the log
+    * shuffles once), the pair count is a partial→final hash agg, and the ppm
+    * normalization windows over the COLLAPSED pair frame (≤ |event_types|²
+    * rows — bounded, never corpus-sized). Integer floor division keeps the
+    * row hash-stable cross-engine.
+    */
+  val h27 = Q(
+    "h27_transition_matrix",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tm"), col("event_id"))
+      val wTot = Window.partitionBy(col("from_step"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts").cast("timestamp")).as("tm"))
+        .withColumn("next_step", lead(col("event_type"), 1).over(w))
+        .filter(col("next_step").isNotNull)
+        .groupBy(col("event_type").as("from_step"), col("next_step").as("to_step"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p_ppm", expr("1000000 * n div sum(n) over (partition by from_step)"))
+        .select(col("from_step"), col("to_step"), col("n"), col("p_ppm"))
+        .orderBy("from_step", "to_step")
+    },
+    Some("""WITH m AS (
+              SELECT user_id, event_id, event_type,
+                epoch_us(CAST(ts AS TIMESTAMP)) AS tm FROM events),
+            nx AS (
+              SELECT event_type AS from_step,
+                lead(event_type) OVER (PARTITION BY user_id ORDER BY tm, event_id) AS to_step
+              FROM m),
+            c AS (
+              SELECT from_step, to_step, count(*) AS n
+              FROM nx WHERE to_step IS NOT NULL GROUP BY 1, 2)
+            SELECT from_step, to_step, n,
+              1000000 * n // sum(n) OVER (PARTITION BY from_step) AS p_ppm
+            FROM c ORDER BY from_step, to_step""")
+  )
+
+  /** Top user journeys: each user's first five events (event-time order,
+    * event_id tie-break) joined into a `view>click>…` path string; the top
+    * 20 paths by frequency. A row_number window caps each user at five rows
+    * BEFORE the per-user collapse, so the collect state is ≤5 structs per
+    * key by construction (a user with a million events still contributes
+    * five rows) and the window + aggregation share ONE user_id exchange.
+    * The final ranking is TakeOrderedAndProject over the collapsed
+    * (path, count) frame: per-partition heaps, never a global sort.
+    */
+  val h28 = Q(
+    "h28_top_paths",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tm"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts").cast("timestamp")).as("tm"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .groupBy(col("user_id"))
+        .agg(collect_list(struct(col("tm"), col("event_id"), col("event_type"))).as("evs"))
+        .select(concat_ws(">",
+          expr("transform(array_sort(evs), x -> x.event_type)")).as("path"))
+        .groupBy(col("path"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("n_users").desc, col("path"))
+        .limit(20)
+    },
+    Some("""WITH m AS (
+              SELECT user_id, event_id, event_type,
+                epoch_us(CAST(ts AS TIMESTAMP)) AS tm FROM events),
+            p AS (
+              SELECT user_id,
+                array_to_string(list(event_type ORDER BY tm, event_id)[1:5], '>') AS path
+              FROM m GROUP BY user_id)
+            SELECT path, count(*) AS n_users
+            FROM p GROUP BY path
+            ORDER BY n_users DESC, path LIMIT 20""")
+  )
+
   val qs: Seq[Q] = Seq(h1, h2, h3, h4, h5, h6, h7, h7b, h7c, h7d, h8, h9, h10, h11, h12, h13,
-    h14, h15, h16, h17, h18, h19, h20, h21, h22, h23, h24, h25, h26)
+    h14, h15, h16, h17, h18, h19, h20, h21, h22, h23, h24, h25, h26, h27, h28)
 }
