@@ -3690,7 +3690,118 @@ object Extensions {
             ORDER BY step""")
   )
 
+  /** CDC changelog compaction — the core of every lakehouse MERGE/upsert
+    * (Delta/Hudi/Iceberg "merge-on-read" compaction, expressed Spark-first).
+    * The changelog is derived deterministically from lineitem: key =
+    * l_orderkey, sequence = l_linenumber (unique within key), op = D/U.
+    * Latest-state-per-key is ONE partial→final `max_by(struct, ord)` hash
+    * aggregation — map-side combine means the shuffle carries one struct per
+    * (key, mapper), NOT the full log, and there is no per-key window sort
+    * anywhere. Keys whose final op is a delete vanish from the table.
+    * The driver's lineitem repeats (orderkey, linenumber) pairs, so the
+    * ordering struct extends seq with the payload columns — a TOTAL order
+    * per key, making the winner deterministic on both engines even when the
+    * sequence column alone ties (real CDC logs guarantee unique sequence
+    * numbers; synthetic data doesn't get to).
+    */
+  val cdcApply = Q(
+    "x_cdc_apply",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .select(
+          col("l_orderkey").as("key"),
+          col("l_linenumber").cast("long").as("seq"),
+          when(col("l_quantity") < 3, "D").otherwise("U").as("op"),
+          col("l_quantity").as("quantity"),
+          col("l_extendedprice").as("price"))
+        .groupBy(col("key"))
+        .agg(max_by(struct(col("op"), col("quantity"), col("price")),
+            struct(col("seq"), col("quantity"), col("price"), col("op"))).as("last"),
+          max(col("seq")).as("last_seq"))
+        .filter(col("last.op") =!= "D")
+        .select(col("key"), col("last_seq"),
+          col("last.quantity").as("quantity"), col("last.price").as("price"))
+        .orderBy("key"),
+    Some("""WITH ch AS (
+              SELECT l_orderkey AS key, CAST(l_linenumber AS BIGINT) AS seq,
+                CASE WHEN l_quantity < 3 THEN 'D' ELSE 'U' END AS op,
+                l_quantity AS quantity, l_extendedprice AS price
+              FROM lineitem),
+            r AS (
+              SELECT key, op, quantity, price, max(seq) OVER (PARTITION BY key) AS last_seq,
+                row_number() OVER (PARTITION BY key
+                  ORDER BY seq DESC, quantity DESC, price DESC, op DESC) AS rn
+              FROM ch)
+            SELECT key, last_seq, quantity, price
+            FROM r WHERE rn = 1 AND op <> 'D' ORDER BY key""")
+  )
+
+  /** MERGE INTO: a compacted delta batch (seq ≥ 5 of the same changelog)
+    * upserted into a base snapshot (latest state of seq ≤ 4). Both sides
+    * compact with the x_cdc_apply aggregation first (delta collapses to one
+    * row per touched key BEFORE the join — the aggregate-before-join rule),
+    * then ONE full-outer hash join applies insert/update/delete: delta
+    * payload wins, a delta delete removes the key, a delete of an absent key
+    * is a no-op. At scale the base is bucketed by key, so the repeated
+    * nightly MERGE reshuffles only the (small) delta side.
+    */
+  val cdcMerge = Q(
+    "x_cdc_merge",
+    (s, d) => {
+      val ch = Tables.lineitem(s, d)
+        .select(
+          col("l_orderkey").as("key"),
+          col("l_linenumber").cast("long").as("seq"),
+          when(col("l_quantity") < 3, "D").otherwise("U").as("op"),
+          col("l_quantity").as("quantity"),
+          col("l_extendedprice").as("price"))
+      def compact(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy(col("key"))
+        .agg(max_by(struct(col("op"), col("quantity"), col("price")),
+          struct(col("seq"), col("quantity"), col("price"), col("op"))).as("last"))
+      val base = compact(ch.filter(col("seq") <= 4))
+        .filter(col("last.op") =!= "D")
+        .select(col("key"), col("last.quantity").as("b_qty"), col("last.price").as("b_price"))
+      val delta = compact(ch.filter(col("seq") >= 5))
+        .select(col("key").as("d_key"), col("last.op").as("d_op"),
+          col("last.quantity").as("d_qty"), col("last.price").as("d_price"))
+      base.join(delta, col("key") === col("d_key"), "full_outer")
+        .filter(!(col("d_key").isNotNull && col("d_op") === "D"))
+        .select(
+          coalesce(col("key"), col("d_key")).as("key"),
+          when(col("d_key").isNotNull, col("d_qty")).otherwise(col("b_qty")).as("quantity"),
+          when(col("d_key").isNotNull, col("d_price")).otherwise(col("b_price")).as("price"))
+        .orderBy("key")
+    },
+    Some("""WITH ch AS (
+              SELECT l_orderkey AS key, CAST(l_linenumber AS BIGINT) AS seq,
+                CASE WHEN l_quantity < 3 THEN 'D' ELSE 'U' END AS op,
+                l_quantity AS quantity, l_extendedprice AS price
+              FROM lineitem),
+            base AS (
+              SELECT key, quantity AS b_qty, price AS b_price
+              FROM (SELECT key, op, quantity, price,
+                      row_number() OVER (PARTITION BY key
+                        ORDER BY seq DESC, quantity DESC, price DESC, op DESC) AS rn
+                    FROM ch WHERE seq <= 4)
+              WHERE rn = 1 AND op <> 'D'),
+            delta AS (
+              SELECT key AS d_key, op AS d_op, quantity AS d_qty, price AS d_price
+              FROM (SELECT key, op, quantity, price,
+                      row_number() OVER (PARTITION BY key
+                        ORDER BY seq DESC, quantity DESC, price DESC, op DESC) AS rn
+                    FROM ch WHERE seq >= 5)
+              WHERE rn = 1)
+            SELECT coalesce(b.key, d.d_key) AS key,
+              CASE WHEN d.d_key IS NOT NULL THEN d.d_qty ELSE b.b_qty END AS quantity,
+              CASE WHEN d.d_key IS NOT NULL THEN d.d_price ELSE b.b_price END AS price
+            FROM base b FULL OUTER JOIN delta d ON b.key = d.d_key
+            WHERE NOT (d.d_key IS NOT NULL AND d.d_op = 'D')
+            ORDER BY key""")
+  )
+
   val qs: Seq[Q] = Seq(
+    cdcApply, cdcMerge,
     funnelIncremental, distinctKmv,
     textStats, textQuality, textLangId, textFingerprint, approxDistinct, jsonExtract, jsonStruct, jsonVariant,
     heavyHitters, ngramFreq, quantiles, textRepetition, splitTrainTest, sampleStratified,
