@@ -3800,8 +3800,91 @@ object Extensions {
             ORDER BY key""")
   )
 
+  /** Deequ-style data-quality constraint report in ONE aggregation pass:
+    * row count, key uniqueness, column completeness, accepted-value-set and
+    * numeric-range violation counts all ride the same partial→final agg,
+    * then `stack` unpivots the single row into a (check_name, metric)
+    * report. All metrics are exact integers (counts / ppm floor-div) so the
+    * row is hash-stable. The only non-map-side term is the exact
+    * `count_distinct` (an Expand + shuffle); at 100 TB flip
+    * `spark.graft.approx.countDistinct` and it becomes one-pass HLL++ like
+    * the rest of the report.
+    */
+  val dataQualityReport = Q(
+    "x_data_quality_report",
+    (s, d) =>
+      Tables.events(s, d)
+        .agg(
+          count(lit(1)).as("n"),
+          count(col("user_id")).as("nu"),
+          count_distinct(col("event_id")).as("nd"),
+          sum(when(!col("event_type").isin("view", "click", "purchase", "error"), 1L)
+            .otherwise(0L)).as("nset"),
+          sum(when(col("value") < 0 || col("value") > 500, 1L).otherwise(0L)).as("nrange"))
+        .select(expr("""stack(5,
+            'event_id_unique_ppm', 1000000 * nd div n,
+            'event_type_set_violations', nset,
+            'rows_total', n,
+            'user_id_complete_ppm', 1000000 * nu div n,
+            'value_range_violations', nrange) AS (check_name, metric)"""))
+        .orderBy("check_name"),
+    Some("""WITH a AS (
+              SELECT count(*) AS n, count(user_id) AS nu,
+                count(DISTINCT event_id) AS nd,
+                CAST(COALESCE(sum(CASE WHEN event_type NOT IN ('view','click','purchase','error')
+                  THEN 1 ELSE 0 END), 0) AS BIGINT) AS nset,
+                CAST(COALESCE(sum(CASE WHEN value < 0 OR value > 500
+                  THEN 1 ELSE 0 END), 0) AS BIGINT) AS nrange
+              FROM events)
+            SELECT check_name, metric FROM (
+              SELECT 'rows_total' AS check_name, n AS metric FROM a
+              UNION ALL SELECT 'event_id_unique_ppm', 1000000 * nd // n FROM a
+              UNION ALL SELECT 'user_id_complete_ppm', 1000000 * nu // n FROM a
+              UNION ALL SELECT 'event_type_set_violations', nset FROM a
+              UNION ALL SELECT 'value_range_violations', nrange FROM a)
+            ORDER BY check_name""")
+  )
+
+  /** Spike detection over the daily event series with INTEGER-exact
+    * arithmetic: a day is anomalous when its count exceeds 2× the trailing
+    * 7-day mean, tested by cross-multiplication (`n·c > 2·s`) so no
+    * float/sqrt ever enters the row. The corpus collapses to per-day
+    * partials FIRST (the h25 bounded-window discipline) — the RANGE frame
+    * then runs over the ~30-row calendar series, structurally flat in
+    * corpus size.
+    */
+  val anomalyDays = Q(
+    "x_anomaly_days",
+    (s, d) => {
+      val w = Window.orderBy(col("day_idx")).rangeBetween(-7, -1)
+      Tables.events(s, d)
+        .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("day_idx", unix_date(col("day")))
+        .withColumn("trail_sum", coalesce(sum(col("n")).over(w), lit(0L)))
+        .withColumn("trail_days", count(col("n")).over(w))
+        .withColumn("is_anomaly",
+          col("trail_days") > 0 && col("n") * col("trail_days") > lit(2L) * col("trail_sum"))
+        .select(col("day"), col("n"), col("trail_sum"), col("trail_days"), col("is_anomaly"))
+        .orderBy("day")
+    },
+    Some("""WITH daily AS (
+              SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+                count(*) AS n
+              FROM events GROUP BY 1)
+            SELECT day, n,
+              CAST(COALESCE(sum(n) OVER w, 0) AS BIGINT) AS trail_sum,
+              CAST(count(n) OVER w AS BIGINT) AS trail_days,
+              count(n) OVER w > 0 AND n * count(n) OVER w > 2 * COALESCE(sum(n) OVER w, 0)
+                AS is_anomaly
+            FROM daily
+            WINDOW w AS (ORDER BY CAST(day - DATE '1970-01-01' AS BIGINT)
+                         RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)
+            ORDER BY day""")
+  )
+
   val qs: Seq[Q] = Seq(
-    cdcApply, cdcMerge,
+    cdcApply, cdcMerge, dataQualityReport, anomalyDays,
     funnelIncremental, distinctKmv,
     textStats, textQuality, textLangId, textFingerprint, approxDistinct, jsonExtract, jsonStruct, jsonVariant,
     heavyHitters, ngramFreq, quantiles, textRepetition, splitTrainTest, sampleStratified,
