@@ -1,0 +1,67 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph analytics beyond the clustering in [[ClusterOps]]: centrality
+  * over an edge list, DataFrame-native (no driver-side graph, no adjacency
+  * materialization). The reference has no graph surface at all; this follows
+  * the original PageRank recipe (Page, Brin, Motwani, Winograd, "The PageRank
+  * Citation Ranking", Stanford InfoLab 1999) re-expressed as the standard
+  * join-aggregate iteration every MapReduce-era paper uses.
+  */
+object GraphOps {
+
+  /** PageRank over a directed edge list, `iters` fixed iterations, ALL
+    * arithmetic in scaled integers (total rank mass = `scale`, floor division
+    * at every step) — bit-identical on any engine that floors, which is what
+    * lets the registry oracle replay the full iteration in SQL. Dangling
+    * nodes (no out-edges) leak their mass per round — the classic
+    * simplification — and the 0.15 damping base term keeps every node
+    * positive. Returns (node BIGINT, rank_scaled BIGINT).
+    *
+    * Shape per iteration: edges ⋈ ranks on src (hash join on node id),
+    * contributions partial→final SUM on dst, left join back to the node
+    * universe — at most |E| rows per shuffle, lineage truncated per round
+    * via localCheckpoint (the [[ClusterOps.connectedComponents]] discipline).
+    * The only driver-side values are |V| and the derived base term — model
+    * state, not data. At cluster scale, pre-bucketing edges by src pins one
+    * side of every iteration's join so only the (|V|-sized) rank frame moves.
+    */
+  def pageRank(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iters: Int = 5,
+      scale: Long = 1000000000000L
+  ): DataFrame = {
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint(true)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val ew  = e.join(deg, "src")
+
+    val n        = nodes.count()
+    val baseTerm = (15L * scale) / (100L * n)
+
+    var ranks = nodes.withColumn("r", lit(scale / n))
+    for (_ <- 1 to iters) {
+      val contribs = ew
+        .join(ranks, col("src") === col("node"))
+        .select(col("dst").as("node"), expr("r div deg").as("c"))
+        .groupBy("node")
+        .agg(sum(col("c")).as("s"))
+      ranks = nodes
+        .join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit(baseTerm) + expr("(85 * coalesce(s, 0)) div 100")).as("r"))
+        .localCheckpoint(true)
+    }
+    ranks.select(col("node"), col("r").as("rank_scaled"))
+  }
+}

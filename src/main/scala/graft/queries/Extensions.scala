@@ -3883,8 +3883,53 @@ object Extensions {
             ORDER BY day""")
   )
 
+  /** The DuckDB replay of [[graft.functions.GraphOps.pageRank]]: the full
+    * integer iteration unrolled as chained CTEs (the x_kmeans precedent —
+    * an iterative model is oracle-able when every step is floor-division
+    * integer math). Sums widen to HUGEINT in DuckDB, so every rank CTE
+    * casts back to BIGINT to keep the arithmetic — and the driver's typed
+    * hash — aligned with Spark.
+    */
+  private def pagerankOracle(iters: Int): String = {
+    val head =
+      """WITH e AS (SELECT DISTINCT user_id % 211 AS src, event_id % 211 AS dst FROM events),
+         nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+         p AS (SELECT count(*) AS n FROM nodes),
+         r0 AS (SELECT node, CAST(1000000000000 // n AS BIGINT) AS r FROM nodes, p)"""
+    val rounds = (1 to iters).map { i =>
+      s""",
+         c$i AS (SELECT e.dst AS node, sum(r.r // d.deg) AS s
+                 FROM e JOIN r${i - 1} r ON e.src = r.node
+                 JOIN deg d ON e.src = d.src GROUP BY 1),
+         r$i AS (SELECT nodes.node,
+                 CAST(15 * 1000000000000 // (100 * p.n)
+                      + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS r
+                 FROM nodes CROSS JOIN p LEFT JOIN c$i c ON nodes.node = c.node)"""
+    }.mkString
+    head + rounds + s"\n         SELECT node, r AS rank_scaled FROM r$iters ORDER BY node"
+  }
+
+  /** PageRank centrality over a deterministic link graph derived from the
+    * event log (user and event ids folded to 211 nodes — the synthetic
+    * stand-in for a page/domain graph). Five fixed iterations of the
+    * integer-scaled recipe in [[graft.functions.GraphOps.pageRank]]; the
+    * oracle replays all five rounds in SQL, so this is row-level exact, not
+    * recall-gated.
+    */
+  val pagerankQ = Q(
+    "x_pagerank",
+    (s, d) =>
+      graft.functions.GraphOps.pageRank(
+        Tables.events(s, d)
+          .select((col("user_id") % 211).as("src"), (col("event_id") % 211).as("dst")),
+        "src", "dst", iters = 5)
+        .orderBy("node"),
+    Some(pagerankOracle(5))
+  )
+
   val qs: Seq[Q] = Seq(
-    cdcApply, cdcMerge, dataQualityReport, anomalyDays,
+    cdcApply, cdcMerge, dataQualityReport, anomalyDays, pagerankQ,
     funnelIncremental, distinctKmv,
     textStats, textQuality, textLangId, textFingerprint, approxDistinct, jsonExtract, jsonStruct, jsonVariant,
     heavyHitters, ngramFreq, quantiles, textRepetition, splitTrainTest, sampleStratified,
