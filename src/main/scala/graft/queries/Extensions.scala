@@ -3928,8 +3928,47 @@ object Extensions {
     Some(pagerankOracle(5))
   )
 
+  /** Blocked fuzzy self-join (entity resolution): customer names matched at
+    * edit distance ≤ 1 after BLOCKING on the name minus its last two chars —
+    * the standard length/prefix-filter trick that makes string-similarity
+    * joins sub-quadratic. Blocking here is LOSSLESS for this key shape
+    * (names differ only in the trailing digits) and, crucially, block size
+    * is bounded by construction (≤100 names share a 2-digit tail) no matter
+    * how large the corpus grows — more blocks, never bigger blocks, so the
+    * within-block candidate verify stays O(1) per block. `levenshtein` is a
+    * codegen'd builtin on the candidate pairs only; the report carries the
+    * candidate count so the pruning ratio is visible.
+    */
+  val fuzzyJoinEdit = Q(
+    "x_fuzzy_join_edit",
+    (s, d) => {
+      val c = Tables.customer(s, d)
+        .select(col("c_custkey").as("id"), col("c_name").as("name"))
+        .withColumn("blk", expr("substring(name, 1, length(name) - 2)"))
+      val a = c.select(col("blk"), col("id").as("id_a"), col("name").as("name_a"))
+      val b = c.select(col("blk"), col("id").as("id_b"), col("name").as("name_b"))
+      a.join(b, "blk")
+        .filter(col("id_a") < col("id_b"))
+        .groupBy(col("blk"))
+        .agg(
+          count(lit(1)).as("n_candidates"),
+          sum(when(levenshtein(col("name_a"), col("name_b")) <= 1, 1L).otherwise(0L))
+            .as("n_pairs"))
+        .orderBy("blk")
+    },
+    Some("""WITH c AS (
+              SELECT c_custkey AS id, c_name AS name,
+                substring(c_name, 1, length(c_name) - 2) AS blk
+              FROM customer)
+            SELECT a.blk, count(*) AS n_candidates,
+              CAST(COALESCE(sum(CASE WHEN levenshtein(a.name, b.name) <= 1
+                THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_pairs
+            FROM c a JOIN c b ON a.blk = b.blk AND a.id < b.id
+            GROUP BY a.blk ORDER BY a.blk""")
+  )
+
   val qs: Seq[Q] = Seq(
-    cdcApply, cdcMerge, dataQualityReport, anomalyDays, pagerankQ,
+    cdcApply, cdcMerge, dataQualityReport, anomalyDays, pagerankQ, fuzzyJoinEdit,
     funnelIncremental, distinctKmv,
     textStats, textQuality, textLangId, textFingerprint, approxDistinct, jsonExtract, jsonStruct, jsonVariant,
     heavyHitters, ngramFreq, quantiles, textRepetition, splitTrainTest, sampleStratified,
