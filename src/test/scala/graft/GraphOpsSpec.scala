@@ -1,0 +1,42 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.GraphOps
+
+/** Closed-form checks for the integer PageRank: on a star graph every
+  * quantity is computable by hand, so the test pins exact values, not
+  * tolerances (the registry's x_pagerank oracle replays the full iteration
+  * in SQL; this spec guards the operator against refactors independently of
+  * the synthetic event graph).
+  */
+class GraphOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("pageRank on a 4-node star: leaves hold exactly the damping base, center dominates") {
+    import spark.implicits._
+    val scale = 1000000000000L
+    val edges = Seq((1L, 0L), (2L, 0L), (3L, 0L)).toDF("src", "dst")
+    val r = GraphOps.pageRank(edges, "src", "dst", iters = 5, scale = scale)
+      .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
+
+    assert(r.size == 4)
+    // Leaves have no in-edges: rank = baseTerm from iteration 1 onward.
+    val baseTerm = (15L * scale) / (100L * 4)
+    assert(Seq(1L, 2L, 3L).forall(r(_) == baseTerm))
+    // Center: base + floor(85 * 3*floor(leafRank/1) / 100) at the fixpoint
+    // reached by iteration 2 (leaf ranks stop changing after iteration 1).
+    val center = baseTerm + (85L * (3L * baseTerm)) / 100L
+    assert(r(0L) == center, s"center=${r(0L)} expected=$center")
+    assert(r(0L) > r(1L))
+  }
+
+  test("pageRank total mass stays under scale (dangling leak is one-sided)") {
+    import spark.implicits._
+    // 0→1→2, 2 dangling: mass leaks, never inflates.
+    val edges = Seq((0L, 1L), (1L, 2L)).toDF("src", "dst")
+    val total = GraphOps.pageRank(edges, "src", "dst", iters = 4)
+      .agg(org.apache.spark.sql.functions.sum("rank_scaled")).head().getLong(0)
+    assert(total <= 1000000000000L)
+    assert(total > 0L)
+  }
+}

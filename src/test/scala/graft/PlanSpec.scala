@@ -411,4 +411,25 @@ class PlanSpec extends AnyFunSuite {
       assert(sqlPlan.contains("approx_count_distinct"))
     } finally spark.conf.set("spark.graft.approx.countDistinct", "false")
   }
+
+  test("h27/h28: the event log shuffles on user_id exactly once") {
+    for (q <- Seq(Headline.h27, Headline.h28)) {
+      val p = plan(q)
+      val n = "hashpartitioning\\(user_id".r.findAllIn(p).size
+      assert(n == 1, s"${q.name}: expected 1 user_id exchange, found $n in:\n${p.take(1500)}")
+    }
+  }
+
+  test("x_cdc_apply: latest-state is a hash aggregate, not a per-key window sort") {
+    val p = plan(graft.queries.Extensions.cdcApply)
+    assert(!p.contains("Window"), "compaction must not plan a window")
+    assert(p.contains("partial_max_by") || p.contains("max_by"),
+      "latest-state must ride the max_by aggregate")
+  }
+
+  test("x_fuzzy_join_edit: blocked join is an equi hash join, never a nested loop") {
+    val p = plan(graft.queries.Extensions.fuzzyJoinEdit)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"blocking key must make the fuzzy join equi:\n${p.take(1500)}")
+  }
 }

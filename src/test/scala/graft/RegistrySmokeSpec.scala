@@ -36,7 +36,10 @@ class RegistrySmokeSpec extends AnyFunSuite {
     "x_dedup_spans", "x_gopher_quality", "x_dedup_spans_incremental",
     "x_gopher_repetition", "x_quality_classifier", "x_mix_temperature", "x_upsample_epochs", "x_select_top_quantile_lang", "x_dedup_url",
     "x_bpe_pair_counts", "x_bpe_merges", "x_bpe_tokenize", "x_chunk_documents", "x_curation_pipeline3", "x_curation_pipeline4",
-    "x_html_extract", "x_shard_assign", "x_shard_manifest", "x_zorder", "x_hard_negatives", "x_url_filter"
+    "x_html_extract", "x_shard_assign", "x_shard_manifest", "x_zorder", "x_hard_negatives", "x_url_filter",
+    "h27_transition_matrix", "h28_top_paths",
+    "x_cdc_apply", "x_cdc_merge", "x_data_quality_report", "x_anomaly_days",
+    "x_pagerank", "x_fuzzy_join_edit"
   )
 
   Registry.all.foreach { q =>
