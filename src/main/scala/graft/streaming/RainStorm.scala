@@ -877,6 +877,42 @@ object RainStorm {
           .as("n_distinct_est"))
   }
 
+  final case class CdcOp(key: Long, seq: Long, op: String, value: Double)
+  final case class CdcLatest(key: Long, seq: Long, op: String, value: Double)
+
+  /** Streaming CDC latest-state materialization — the streaming face of the
+    * batch `x_cdc_apply` compaction: per key the state is ONE (seq, op,
+    * payload) triple (O(1) forever, any log length), and a row is emitted
+    * only when a strictly newer sequence number advances the state, so
+    * out-of-order or replayed changelog entries are absorbed silently
+    * (idempotent under at-least-once delivery — the same property the
+    * batch max_by gives). Deletes emit as tombstones (`op = "D"`) for the
+    * downstream sink to apply; a delete of an unseen key still records the
+    * tombstone so a late stale insert cannot resurrect it.
+    */
+  def cdcStream(
+      spark: SparkSession,
+      changes: Dataset[CdcOp]
+  ): Dataset[CdcLatest] = {
+    import spark.implicits._
+    changes
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[CdcLatest, CdcLatest](
+        OutputMode.Append(),
+        GroupStateTimeout.NoTimeout
+      ) { (key: Long, rows: Iterator[CdcOp], state: GroupState[CdcLatest]) =>
+        val prev = state.getOption
+        var cur  = prev
+        rows.toSeq.sortBy(_.seq).foreach { r =>
+          if (cur.forall(_.seq < r.seq)) cur = Some(CdcLatest(key, r.seq, r.op, r.value))
+        }
+        cur match {
+          case Some(c) if !prev.contains(c) => state.update(c); Iterator.single(c)
+          case _                            => Iterator.empty
+        }
+      }
+  }
+
   /** Generic 3-stage pipeline runner mirroring the `RainStorm op1 op2 src dest
     * num_tasks` terminal verb (`core_process_stream_DS.go:1645-1842`):
     * source → op1 (stateless transform) → shuffle on key → op2 (grouped agg),

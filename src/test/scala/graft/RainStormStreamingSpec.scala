@@ -335,6 +335,36 @@ class RainStormStreamingSpec extends AnyFunSuite {
     assert(out.select("id").collect().map(_.getLong(0)).toSeq.sorted == (1L to 8L).toSeq)
   }
 
+  test("cdcStream: strictly-newer wins, stale replays absorbed, deletes tombstone") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import RainStorm.{CdcOp, CdcLatest}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[CdcOp]
+    val q = RainStorm.cdcStream(spark, in.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("cdc_latest").start()
+    try {
+      in.addData(CdcOp(1L, 1L, "U", 10.0), CdcOp(1L, 2L, "U", 20.0), CdcOp(2L, 1L, "U", 5.0))
+      q.processAllAvailable()
+      val b1 = spark.table("cdc_latest").as[CdcLatest].collect().toSet
+      // Within one batch only the final state per key emits — not each hop.
+      assert(b1 == Set(CdcLatest(1L, 2L, "U", 20.0), CdcLatest(2L, 1L, "U", 5.0)))
+
+      // Stale replay (seq 1 for key 1) must not regress or re-emit; the
+      // delete advances key 2; key 3 is a delete of an unseen key — the
+      // tombstone still records so a later stale insert cannot resurrect.
+      in.addData(CdcOp(1L, 1L, "U", 99.0), CdcOp(2L, 3L, "D", 0.0), CdcOp(3L, 5L, "D", 0.0))
+      q.processAllAvailable()
+      val b2 = spark.table("cdc_latest").as[CdcLatest].collect().toSet -- b1
+      assert(b2 == Set(CdcLatest(2L, 3L, "D", 0.0), CdcLatest(3L, 5L, "D", 0.0)))
+
+      // The stale insert for key 3 arrives after its tombstone: absorbed.
+      in.addData(CdcOp(3L, 4L, "U", 7.0))
+      q.processAllAvailable()
+      assert(spark.table("cdc_latest").count() == 4)
+    } finally q.stop()
+  }
+
   test("sessionize emits sessions closed mid-batch, then the open session") {
     import spark.implicits._
     // One user, one batch: 3 events in session 1, a > gap jump, 2 events in
