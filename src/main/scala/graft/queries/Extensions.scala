@@ -3967,8 +3967,44 @@ object Extensions {
             GROUP BY a.blk ORDER BY a.blk""")
   )
 
+  /** Incremental materialized-view maintenance: the daily revenue MV is
+    * kept fresh by merging the stored MV with the DELTA batch's partial
+    * aggregate — `union → re-aggregate on the group key` is exactly Spark's
+    * partial→final combine applied across TIME, valid for any algebraic
+    * aggregate (sum/count here; min/max/HLL merge the same way). The 100 TB
+    * history is never rescanned: per refresh the work is O(|MV| + |delta|),
+    * and the oracle IS the full-history recompute, so the driver checks the
+    * incremental==full equality every round (the x_funnel_incremental
+    * discipline applied to aggregation state). DECIMAL through every sum;
+    * double only at the output edge.
+    */
+  val mvIncremental = Q(
+    "x_mv_incremental",
+    (s, d) => {
+      val split = "2024-01-20"
+      def daily(df: org.apache.spark.sql.DataFrame) = df
+        .filter(col("event_type") === "purchase")
+        .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+        .agg(sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))).as("rev"),
+          count(lit(1)).as("n"))
+      val ev    = Tables.events(s, d)
+      val mvOld = daily(ev.filter(col("ts") < to_timestamp(lit(split))))
+      val delta = daily(ev.filter(col("ts") >= to_timestamp(lit(split))))
+      mvOld.union(delta)
+        .groupBy(col("day"))
+        .agg(sum(col("rev")).as("rev"), sum(col("n")).as("n"))
+        .select(col("day"), col("rev").cast("double").as("revenue"), col("n"))
+        .orderBy("day")
+    },
+    Some("""SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+              count(*) AS n
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY 1 ORDER BY day""")
+  )
+
   val qs: Seq[Q] = Seq(
-    cdcApply, cdcMerge, dataQualityReport, anomalyDays, pagerankQ, fuzzyJoinEdit,
+    cdcApply, cdcMerge, dataQualityReport, anomalyDays, pagerankQ, fuzzyJoinEdit, mvIncremental,
     funnelIncremental, distinctKmv,
     textStats, textQuality, textLangId, textFingerprint, approxDistinct, jsonExtract, jsonStruct, jsonVariant,
     heavyHitters, ngramFreq, quantiles, textRepetition, splitTrainTest, sampleStratified,

@@ -877,6 +877,51 @@ object RainStorm {
           .as("n_distinct_est"))
   }
 
+  final case class UserEvent(userId: Long, tm: Long, eventId: Long, eventType: String)
+  final case class LastEvent(tm: Long, eventId: Long, eventType: String)
+  final case class TransitionHit(userId: Long, fromStep: String, toStep: String)
+
+  /** Streaming face of the h27 transition matrix: per user the state is the
+    * single LAST event seen (one triple, O(1) forever); each micro-batch
+    * emits one (from, to) hit per consecutive pair, bridging the batch
+    * boundary through the stored last event. Within a batch rows are put in
+    * (tm, event_id) order; ACROSS batches the operator assumes per-user
+    * in-order delivery (the per-key ordering a commit-log/Kafka partition
+    * source provides) — a cross-batch straggler older than the stored last
+    * event is dropped rather than emitted out of order, keeping the emitted
+    * pair stream consistent with SOME prefix of the true sequence.
+    * Downstream `count by (from, to)` reproduces h27's matrix exactly when
+    * delivery honors the contract (pinned by the batch-boundary-invariance
+    * test).
+    */
+  def transitionStream(
+      spark: SparkSession,
+      events: Dataset[UserEvent]
+  ): Dataset[TransitionHit] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[LastEvent, TransitionHit](
+        OutputMode.Append(),
+        GroupStateTimeout.NoTimeout
+      ) { (userId: Long, rows: Iterator[UserEvent], state: GroupState[LastEvent]) =>
+        var last = state.getOption
+        val out  = scala.collection.mutable.ArrayBuffer.empty[TransitionHit]
+        rows.toSeq.sortBy(e => (e.tm, e.eventId)).foreach { e =>
+          last match {
+            case Some(l) if l.tm < e.tm || (l.tm == e.tm && l.eventId < e.eventId) =>
+              out += TransitionHit(userId, l.eventType, e.eventType)
+              last = Some(LastEvent(e.tm, e.eventId, e.eventType))
+            case None =>
+              last = Some(LastEvent(e.tm, e.eventId, e.eventType))
+            case _ => // cross-batch straggler: drop, never emit out of order
+          }
+        }
+        last.foreach(state.update)
+        out.iterator
+      }
+  }
+
   final case class CdcOp(key: Long, seq: Long, op: String, value: Double)
   final case class CdcLatest(key: Long, seq: Long, op: String, value: Double)
 

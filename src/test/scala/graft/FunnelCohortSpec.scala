@@ -270,6 +270,50 @@ class FunnelCohortSpec extends AnyFunSuite {
       (2L, Some(10L), None)))
   }
 
+  test("transitionStream: any batch slicing emits the batch pair sequence; stragglers drop") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import RainStorm.{TransitionHit, UserEvent}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val evs = Seq(
+      UserEvent(1L, 10L, 1L, "view"), UserEvent(1L, 20L, 2L, "click"),
+      UserEvent(1L, 30L, 3L, "purchase"), UserEvent(2L, 10L, 4L, "view"),
+      UserEvent(2L, 40L, 5L, "view"))
+    val expect = Seq(
+      TransitionHit(1L, "view", "click"), TransitionHit(1L, "click", "purchase"),
+      TransitionHit(2L, "view", "view"))
+
+    // The batch-boundary invariance pin: every split point yields the same hits.
+    for (cut <- 1 until evs.length) {
+      val in = MemoryStream[UserEvent]
+      val name = s"transitions_$cut"
+      val q = RainStorm.transitionStream(spark, in.toDS())
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      try {
+        in.addData(evs.take(cut).toIndexedSeq: _*); q.processAllAvailable()
+        in.addData(evs.drop(cut).toIndexedSeq: _*); q.processAllAvailable()
+        val got = spark.table(name).as[TransitionHit].collect()
+        assert(got.toSet == expect.toSet && got.length == expect.length,
+          s"cut=$cut got=${got.toSeq}")
+      } finally q.stop()
+    }
+
+    // Cross-batch straggler (older than the stored last event) drops silently.
+    val in = MemoryStream[UserEvent]
+    val q = RainStorm.transitionStream(spark, in.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("transitions_late").start()
+    try {
+      in.addData(UserEvent(7L, 50L, 9L, "view")); q.processAllAvailable()
+      in.addData(UserEvent(7L, 40L, 8L, "click")); q.processAllAvailable()
+      assert(spark.table("transitions_late").count() == 0)
+      // State did not regress: the next in-order event pairs with view@50.
+      in.addData(UserEvent(7L, 60L, 10L, "purchase")); q.processAllAvailable()
+      val last = spark.table("transitions_late").as[TransitionHit].collect().toSeq
+      assert(last == Seq(TransitionHit(7L, "view", "purchase")))
+    } finally q.stop()
+  }
+
   test("funnelStream rejects unknown and duplicate steps only as designed") {
     import spark.implicits._
     // Batch execution of the same state machine: duplicate step events keep
