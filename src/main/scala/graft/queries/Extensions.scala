@@ -4003,8 +4003,165 @@ object Extensions {
             GROUP BY 1 ORDER BY day""")
   )
 
+  /** Weighted sampling without replacement via priority sampling (Duffield,
+    * Lund, Thorup, IEEE Trans. IT 2007): each row draws priority u/w — here
+    * the integer surrogate ⌊hash61(id)/w⌋ with the deterministic
+    * Carter-Wegman hash as u — and the k smallest priorities win, so
+    * selection probability rises with weight and the sample is reproducible
+    * across engines, partitionings, and reruns (no RNG state anywhere).
+    * Global k-smallest is `TakeOrderedAndProject`: per-partition heaps of k,
+    * never a corpus sort. Weights here: document length bands.
+    */
+  val sampleWeighted = Q(
+    "x_sample_weighted",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), expr("CAST(n_chars AS BIGINT) div 100 + 1").as("w"))
+        .withColumn("hv", graft.functions.NativeFns
+          .hash61(col("doc_id"), 1803442709493370165L, 784588716359925081L))
+        .select(col("doc_id"), col("w"), expr("hv div w").as("priority"))
+        .orderBy(col("priority"), col("doc_id"))
+        .limit(100),
+    Some("""WITH w AS (
+              SELECT doc_id, n_chars // 100 + 1 AS w FROM documents),
+            p AS (
+              SELECT doc_id, w,
+                CAST((1803442709493370165::HUGEINT *
+                        ((doc_id % 2305843009213693951 + 2305843009213693951)
+                          % 2305843009213693951)
+                      + 784588716359925081) % 2305843009213693951 AS BIGINT) // w AS priority
+              FROM w)
+            SELECT doc_id, w, priority FROM p
+            ORDER BY priority, doc_id LIMIT 100""")
+  )
+
+  /** Join-key skew diagnostics — the report you run BEFORE deciding between
+    * plain hash join, salting, and AQE skew splitting: per-key frequencies
+    * collapse the corpus first (partial→final count), then one tiny
+    * aggregate over the |keys|-sized frame yields max/median/p99 frequency
+    * and the max/mean skew ratio in exact integer ppm. Frequencies are
+    * integers, so the interpolated percentiles are exact in double on both
+    * engines (the x_quantiles argument).
+    */
+  val skewReport = Q(
+    "x_skew_report",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("freq"))
+        .agg(
+          count(lit(1)).as("n_keys"),
+          sum(col("freq")).as("n_rows"),
+          max(col("freq")).as("max_freq"),
+          expr("percentile(freq, 0.5)").as("p50_freq"),
+          expr("percentile(freq, 0.99)").as("p99_freq"))
+        .withColumn("skew_ratio_ppm",
+          expr("1000000 * max_freq * n_keys div n_rows")),
+    Some("""WITH f AS (SELECT l_orderkey, count(*) AS freq FROM lineitem GROUP BY 1),
+            a AS (
+              SELECT count(*) AS n_keys, CAST(sum(freq) AS BIGINT) AS n_rows,
+                max(freq) AS max_freq,
+                quantile_cont(freq, 0.5) AS p50_freq,
+                quantile_cont(freq, 0.99) AS p99_freq
+              FROM f)
+            SELECT n_keys, n_rows, max_freq, p50_freq, p99_freq,
+              1000000 * max_freq * n_keys // n_rows AS skew_ratio_ppm
+            FROM a""")
+  )
+
+  /** Right-to-be-forgotten purge: deletion-requested user ids (a
+    * deterministic slice standing in for the request table) are
+    * BROADCAST-anti-joined out of the event log — the corpus never
+    * shuffles; at 100 TB this is one map-side probe per row against a
+    * request set that is always dwarfed by the data. The report counts
+    * per-type rows before/after so the purge is auditable.
+    */
+  val gdprPurge = Q(
+    "x_gdpr_purge",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val tombstones = ev.select(col("user_id")).distinct()
+        .filter(col("user_id") % 97 === 0)
+      val kept = ev.join(broadcast(tombstones), Seq("user_id"), "left_anti")
+      val before = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n_before"))
+      val after  = kept.groupBy(col("event_type")).agg(count(lit(1)).as("n_after"))
+      before.join(after, Seq("event_type"), "left")
+        .select(col("event_type"), col("n_before"), coalesce(col("n_after"), lit(0L)).as("n_after"))
+        .orderBy("event_type")
+    },
+    Some("""WITH t AS (SELECT DISTINCT user_id FROM events WHERE user_id % 97 = 0),
+            b AS (SELECT event_type, count(*) AS n_before FROM events GROUP BY 1),
+            a AS (SELECT event_type, count(*) AS n_after FROM events
+                  WHERE user_id NOT IN (SELECT user_id FROM t) GROUP BY 1)
+            SELECT b.event_type, b.n_before, CAST(COALESCE(a.n_after, 0) AS BIGINT) AS n_after
+            FROM b LEFT JOIN a USING (event_type) ORDER BY event_type""")
+  )
+
+  /** Table time travel: diff two snapshots of the CDC-compacted table
+    * (seq ≤ 4 vs the full changelog — "yesterday" vs "today") into
+    * added/removed/changed/unchanged counts. ONE full-outer join on the key
+    * (both sides already compacted to |keys| rows by the x_cdc_apply
+    * aggregation), then a tiny status count — the audit a lakehouse runs
+    * after every MERGE, never touching row content twice.
+    */
+  val snapshotDiff = Q(
+    "x_snapshot_diff",
+    (s, d) => {
+      val ch = Tables.lineitem(s, d)
+        .select(
+          col("l_orderkey").as("key"),
+          col("l_linenumber").cast("long").as("seq"),
+          when(col("l_quantity") < 3, "D").otherwise("U").as("op"),
+          col("l_quantity").as("quantity"))
+      def state(df: org.apache.spark.sql.DataFrame, pre: String) = df
+        .groupBy(col("key"))
+        .agg(max_by(struct(col("op"), col("quantity")),
+          struct(col("seq"), col("quantity"), col("op"))).as("last"))
+        .filter(col("last.op") =!= "D")
+        .select(col("key").as(s"${pre}_key"), col("last.quantity").as(s"${pre}_qty"))
+      val old = state(ch.filter(col("seq") <= 4), "o")
+      val cur = state(ch, "c")
+      old.join(cur, col("o_key") === col("c_key"), "full_outer")
+        .select(
+          when(col("o_key").isNull, "added")
+            .when(col("c_key").isNull, "removed")
+            .when(col("o_qty") =!= col("c_qty"), "changed")
+            .otherwise("unchanged").as("status"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n_keys"))
+        .orderBy("status")
+    },
+    Some("""WITH ch AS (
+              SELECT l_orderkey AS key, CAST(l_linenumber AS BIGINT) AS seq,
+                CASE WHEN l_quantity < 3 THEN 'D' ELSE 'U' END AS op,
+                l_quantity AS quantity
+              FROM lineitem),
+            o AS (
+              SELECT key AS o_key, quantity AS o_qty
+              FROM (SELECT key, op, quantity,
+                      row_number() OVER (PARTITION BY key
+                        ORDER BY seq DESC, quantity DESC, op DESC) AS rn
+                    FROM ch WHERE seq <= 4)
+              WHERE rn = 1 AND op <> 'D'),
+            c AS (
+              SELECT key AS c_key, quantity AS c_qty
+              FROM (SELECT key, op, quantity,
+                      row_number() OVER (PARTITION BY key
+                        ORDER BY seq DESC, quantity DESC, op DESC) AS rn
+                    FROM ch)
+              WHERE rn = 1 AND op <> 'D')
+            SELECT CASE WHEN o_key IS NULL THEN 'added'
+                        WHEN c_key IS NULL THEN 'removed'
+                        WHEN o_qty <> c_qty THEN 'changed'
+                        ELSE 'unchanged' END AS status,
+              count(*) AS n_keys
+            FROM o FULL OUTER JOIN c ON o_key = c_key
+            GROUP BY 1 ORDER BY status""")
+  )
+
   val qs: Seq[Q] = Seq(
     cdcApply, cdcMerge, dataQualityReport, anomalyDays, pagerankQ, fuzzyJoinEdit, mvIncremental,
+    sampleWeighted, skewReport, gdprPurge, snapshotDiff,
     funnelIncremental, distinctKmv,
     textStats, textQuality, textLangId, textFingerprint, approxDistinct, jsonExtract, jsonStruct, jsonVariant,
     heavyHitters, ngramFreq, quantiles, textRepetition, splitTrainTest, sampleStratified,

@@ -39,7 +39,8 @@ class RegistrySmokeSpec extends AnyFunSuite {
     "x_html_extract", "x_shard_assign", "x_shard_manifest", "x_zorder", "x_hard_negatives", "x_url_filter",
     "h27_transition_matrix", "h28_top_paths",
     "x_cdc_apply", "x_cdc_merge", "x_data_quality_report", "x_anomaly_days",
-    "x_pagerank", "x_fuzzy_join_edit", "x_mv_incremental"
+    "x_pagerank", "x_fuzzy_join_edit", "x_mv_incremental",
+    "x_sample_weighted", "x_skew_report", "x_gdpr_purge", "x_snapshot_diff"
   )
 
   Registry.all.foreach { q =>
