@@ -42,6 +42,22 @@ object Funnel {
     stepTimesWhere(ev, steps.map(st => st -> (col(typeCol) === st)), userCol, tmCol)
   }
 
+  /** [[stepTimes]] with a conversion window: steps past the first count
+    * only within `withinUs` micros of the user's first-step time.
+    */
+  def stepTimesWithin(
+      ev: DataFrame,
+      steps: Seq[String],
+      withinUs: Long,
+      userCol: String = "user_id",
+      typeCol: String = "event_type",
+      tmCol: String = "tm"
+  ): DataFrame = {
+    require(steps.nonEmpty && steps.distinct.size == steps.size, s"steps must be distinct: $steps")
+    stepTimesWhere(ev, steps.map(st => st -> (col(typeCol) === st)), userCol, tmCol,
+      Some(withinUs))
+  }
+
   /** General form: each step is (label, predicate Column) — a step can be
     * any row condition, not just an event-type match (e.g. a purchase above
     * a value floor, a click on a given surface). Same plan shape.
@@ -50,12 +66,22 @@ object Funnel {
       ev: DataFrame,
       steps: Seq[(String, org.apache.spark.sql.Column)],
       userCol: String = "user_id",
-      tmCol: String = "tm"
+      tmCol: String = "tm",
+      withinUs: Option[Long] = None
   ): DataFrame = {
     require(steps.nonEmpty, "need at least one step")
     val w = Window.partitionBy(col(userCol))
     val withT = steps.zipWithIndex.foldLeft(ev) { case (df, ((_, pred), i)) =>
-      val hit = if (i == 0) pred else pred && col(tmCol) > col(s"t${i - 1}")
+      // Conversion window: steps past the first count only within
+      // `withinUs` of the user's t0 — the product-analytics "converted
+      // within N days" semantics. Same chained-window plan: the bound is
+      // one more predicate on the already-present t0 column, so depth-k
+      // windowed funnels still shuffle the log exactly once.
+      val inWindow = withinUs
+        .map(us => col(tmCol) <= col("t0") + lit(us))
+        .getOrElse(lit(true))
+      val hit =
+        if (i == 0) pred else pred && col(tmCol) > col(s"t${i - 1}") && inWindow
       df.withColumn(s"t$i", min(when(hit, col(tmCol))).over(w))
     }
     withT

@@ -859,6 +859,114 @@ object Headline {
             ORDER BY n_users DESC, path LIMIT 20""")
   )
 
+  /** h22 with a conversion window: clicks and purchases count only within
+    * 24 h of the user's first view — the product-analytics "converted
+    * within N" semantics every funnel tool defaults to. The bound is one
+    * extra predicate on the already-present t0 column inside the same
+    * chained-window plan ([[graft.operators.Funnel.stepTimesWithin]]), so a
+    * depth-k windowed funnel still shuffles the log exactly once.
+    */
+  val h29 = Q(
+    "h29_funnel_windowed",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts").cast("timestamp")).as("tm"))
+      Funnel.summary(
+        Funnel.stepTimesWithin(ev, funnelSteps, withinUs = 24L * 3600L * 1000000L),
+        funnelSteps)
+    },
+    Some("""WITH m AS (
+              SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS tm FROM events),
+            p1 AS (
+              SELECT user_id, min(CASE WHEN event_type = 'view' THEN tm END) AS t1
+              FROM m GROUP BY user_id),
+            p2 AS (
+              SELECT m.user_id, any_value(p.t1) AS t1,
+                min(CASE WHEN m.event_type = 'click' AND m.tm > p.t1
+                         AND m.tm <= p.t1 + 86400000000 THEN m.tm END) AS t2
+              FROM m JOIN p1 p USING (user_id) GROUP BY m.user_id),
+            p3 AS (
+              SELECT m.user_id, any_value(p.t1) AS t1, any_value(p.t2) AS t2,
+                min(CASE WHEN m.event_type = 'purchase' AND m.tm > p.t2
+                         AND m.tm <= p.t1 + 86400000000 THEN m.tm END) AS t3
+              FROM m JOIN p2 p USING (user_id) GROUP BY m.user_id)
+            SELECT * FROM (
+              SELECT 'view' AS step, count(t1) AS n_users, CAST(0 AS BIGINT) AS conv_us_total FROM p3
+              UNION ALL
+              SELECT 'view>click', count(t2),
+                CAST(COALESCE(sum(t2 - t1) FILTER (WHERE t2 IS NOT NULL), 0) AS BIGINT) FROM p3
+              UNION ALL
+              SELECT 'view>click>purchase', count(t3),
+                CAST(COALESCE(sum(t3 - t1) FILTER (WHERE t3 IS NOT NULL), 0) AS BIGINT) FROM p3)
+            ORDER BY step""")
+  )
+
+  /** Bitmap-rollup distinct counting — the Druid/ClickHouse warehouse trick:
+    * users pack into per-(day, bucket) 63-bit masks via `bit_or`, daily
+    * actives are popcount sums, and the trailing-7-day actives come from
+    * OR-ing the SAME daily bitmaps (a bucket-partitioned RANGE window) —
+    * any date-range distinct count is answerable from the daily bitmap
+    * table WITHOUT rescanning raw events. The dense day×bucket grid is
+    * |days| × |users|/63 rows (64× smaller than the distinct (day, user)
+    * frame); the exact count_distinct rides along as an in-row witness that
+    * the bitmap path is exact, not approximate. 63-bit slots: DuckDB
+    * refuses the 1<<63 BIGINT overflow Spark would wrap silently, so both
+    * engines stay in defined-behavior territory.
+    */
+  val h30 = Q(
+    "x_bitmap_distinct",
+    (s, d) => {
+      val e = Tables.events(s, d)
+        .select(date_trunc("day", col("ts")).cast("date").as("day"), col("user_id"))
+      val daily = e
+        .groupBy(col("day"), expr("user_id div 63").as("bucket"))
+        .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(user_id % 63 AS INT)))").as("mask"))
+      val days    = daily.select(col("day")).distinct()
+      val buckets = daily.select(col("bucket")).distinct()
+      val dense = buckets.crossJoin(broadcast(days))
+        .join(daily, Seq("day", "bucket"), "left")
+        .select(col("day"), col("bucket"), coalesce(col("mask"), lit(0L)).as("mask"))
+      val w = Window.partitionBy(col("bucket")).orderBy(col("day_idx")).rangeBetween(-6, 0)
+      val rolled = dense
+        .withColumn("day_idx", unix_date(col("day")))
+        .withColumn("wmask", expr("bit_or(mask)").over(w))
+      val agg = rolled.groupBy(col("day"))
+        .agg(
+          sum(expr("bit_count(mask)")).cast("long").as("dau_bitmap"),
+          sum(expr("bit_count(wmask)")).cast("long").as("wau_bitmap"))
+      val exact = e.groupBy(col("day")).agg(count_distinct(col("user_id")).as("dau_exact"))
+      agg.join(exact, Seq("day"))
+        .select(col("day"), col("dau_bitmap"), col("dau_exact"), col("wau_bitmap"))
+        .orderBy("day")
+    },
+    Some("""WITH e AS (
+              SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day, user_id
+              FROM events),
+            daily AS (
+              SELECT day, user_id // 63 AS bucket,
+                bit_or((1::BIGINT) << CAST(user_id % 63 AS INT)) AS mask
+              FROM e GROUP BY 1, 2),
+            days AS (SELECT DISTINCT day FROM daily),
+            buckets AS (SELECT DISTINCT bucket FROM daily),
+            dense AS (
+              SELECT d.day, b.bucket, COALESCE(daily.mask, 0) AS mask
+              FROM days d CROSS JOIN buckets b
+              LEFT JOIN daily ON d.day = daily.day AND b.bucket = daily.bucket),
+            rolled AS (
+              SELECT day, mask, bit_or(mask) OVER (PARTITION BY bucket
+                ORDER BY CAST(day - DATE '1970-01-01' AS BIGINT)
+                RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS wmask
+              FROM dense),
+            agg AS (
+              SELECT day, CAST(sum(bit_count(mask)) AS BIGINT) AS dau_bitmap,
+                CAST(sum(bit_count(wmask)) AS BIGINT) AS wau_bitmap
+              FROM rolled GROUP BY 1),
+            ex AS (SELECT day, count(DISTINCT user_id) AS dau_exact FROM e GROUP BY 1)
+            SELECT agg.day, dau_bitmap, dau_exact, wau_bitmap
+            FROM agg JOIN ex USING (day) ORDER BY day""")
+  )
+
   val qs: Seq[Q] = Seq(h1, h2, h3, h4, h5, h6, h7, h7b, h7c, h7d, h8, h9, h10, h11, h12, h13,
-    h14, h15, h16, h17, h18, h19, h20, h21, h22, h23, h24, h25, h26, h27, h28)
+    h14, h15, h16, h17, h18, h19, h20, h21, h22, h23, h24, h25, h26, h27, h28, h29, h30)
 }

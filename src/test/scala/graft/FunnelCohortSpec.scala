@@ -270,6 +270,26 @@ class FunnelCohortSpec extends AnyFunSuite {
       (2L, Some(10L), None)))
   }
 
+  test("stepTimesWithin: the conversion window is anchored at t0 and gates every later step") {
+    import spark.implicits._
+    val ev = Seq(
+      // u1: click inside the window, purchase outside (anchored at t0=0).
+      (1L, "view", 0L), (1L, "click", 10L), (1L, "purchase", 120L),
+      // u2: click entirely outside.
+      (2L, "view", 0L), (2L, "click", 105L),
+      // u3: full conversion inside.
+      (3L, "view", 50L), (3L, "click", 60L), (3L, "purchase", 149L)).toDF(
+      "user_id", "event_type", "tm")
+    val got = graft.operators.Funnel
+      .stepTimesWithin(ev, Seq("view", "click", "purchase"), withinUs = 100L)
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))).toSet
+    assert(got == Set(
+      (1L, Some(0L), Some(10L), None),   // purchase@120 > t0+100
+      (2L, Some(0L), None, None),        // click@105 > t0+100
+      (3L, Some(50L), Some(60L), Some(149L)))) // 149 <= 50+100 — boundary kept
+  }
+
   test("transitionStream: any batch slicing emits the batch pair sequence; stragglers drop") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
