@@ -4187,9 +4187,112 @@ object Extensions {
             GROUP BY 1 ORDER BY status""")
   )
 
+  /** Set operations on distinct sketches — the theta-sketch workflow every
+    * OLAP warehouse ships (Druid/DataSketches): per-segment bottom-k KMV
+    * sketches compose into union/intersection ESTIMATES without ever
+    * rescanning raw data. Union = bottom-k of the merged hash sets;
+    * intersection = Jaccard over the union's bottom-k (the fraction of its
+    * members present in both sides — Beyer et al. SIGMOD'07) times the
+    * union estimate. Everything is deterministic integer/exactly-specified
+    * arithmetic on the same Carter-Wegman hash as x_distinct_kmv, so the
+    * whole sketch algebra replays in SQL and the exact distinct counts ride
+    * along as in-row witnesses. Shape: distinct hash agg per side, bottom-k
+    * via TakeOrdered per-partition heaps, two broadcast semi-joins of a
+    * k-row frame — raw data is touched once per side.
+    */
+  val sketchSetOps = Q(
+    "x_sketch_setops",
+    (s, d) => {
+      val k = 256
+      val M = 2305843009213693951L // 2^61 - 1
+      def hashes(t: String) = Tables.events(s, d)
+        .filter(col("event_type") === t)
+        .select(graft.functions.NativeFns
+          .hash61(col("user_id"), 1803442709493370165L, 784588716359925081L).as("hv"))
+        .distinct()
+      val a = hashes("view")
+      val b = hashes("click")
+      def est(bk: org.apache.spark.sql.DataFrame, pre: String) = bk
+        .orderBy(col("hv")).limit(k)
+        .agg(max(col("hv")).as(s"${pre}_kth"), count(lit(1)).as(s"${pre}_filled"))
+        .select(when(col(s"${pre}_filled") < k, col(s"${pre}_filled"))
+          .otherwise(floor(lit((k - 1).toDouble) *
+            (lit(M.toDouble) / col(s"${pre}_kth").cast("double"))).cast("long"))
+          .as(s"est_$pre"))
+      val u    = a.union(b).distinct()
+      val bkU  = u.orderBy(col("hv")).limit(k)
+      val fu   = bkU.agg(count(lit(1)).as("filled_u"))
+      val j = bkU
+        .join(a.select(col("hv").as("hv_a")), col("hv") === col("hv_a"), "left_semi")
+        .join(b.select(col("hv").as("hv_b")), col("hv") === col("hv_b"), "left_semi")
+        .agg(count(lit(1)).as("j_count"))
+      val ex = Tables.events(s, d)
+        .filter(col("event_type").isin("view", "click"))
+        .agg(
+          count_distinct(when(col("event_type") === "view", col("user_id"))).as("exact_a"),
+          count_distinct(when(col("event_type") === "click", col("user_id"))).as("exact_b"),
+          count_distinct(col("user_id")).as("exact_union"))
+      est(a, "a").join(est(b, "b"), lit(true))
+        .join(est(u, "u"), lit(true))
+        .join(fu, lit(true))
+        .join(j, lit(true))
+        .join(ex, lit(true))
+        .select(
+          lit(k.toLong).as("k"),
+          col("est_a"), col("est_b"), col("est_u").as("est_union"),
+          // Jaccard denominator = the union sketch's FILL, not k: an
+          // under-full sketch holds the entire union, so the fraction is
+          // over its true membership.
+          when(col("filled_u") === 0, 0L)
+            .otherwise(expr("j_count * est_u div filled_u")).as("est_inter"),
+          col("j_count"), col("exact_a"), col("exact_b"), col("exact_union"))
+    },
+    Some("""WITH hv AS (
+              SELECT event_type, CAST(
+                (1803442709493370165::HUGEINT *
+                   ((user_id % 2305843009213693951 + 2305843009213693951) % 2305843009213693951)
+                 + 784588716359925081) % 2305843009213693951 AS BIGINT) AS hv
+              FROM events WHERE event_type IN ('view', 'click')),
+            a AS (SELECT DISTINCT hv FROM hv WHERE event_type = 'view'),
+            b AS (SELECT DISTINCT hv FROM hv WHERE event_type = 'click'),
+            u AS (SELECT hv FROM a UNION SELECT hv FROM b),
+            ea AS (SELECT max(hv) AS kth, count(*) AS filled
+                   FROM (SELECT hv FROM a ORDER BY hv LIMIT 256)),
+            eb AS (SELECT max(hv) AS kth, count(*) AS filled
+                   FROM (SELECT hv FROM b ORDER BY hv LIMIT 256)),
+            eu AS (SELECT max(hv) AS kth, count(*) AS filled
+                   FROM (SELECT hv FROM u ORDER BY hv LIMIT 256)),
+            bku AS (SELECT hv FROM u ORDER BY hv LIMIT 256),
+            j AS (SELECT count(*) AS j_count FROM bku
+                  WHERE hv IN (SELECT hv FROM a) AND hv IN (SELECT hv FROM b)),
+            ex AS (
+              SELECT count(DISTINCT CASE WHEN event_type = 'view' THEN user_id END) AS exact_a,
+                count(DISTINCT CASE WHEN event_type = 'click' THEN user_id END) AS exact_b,
+                count(DISTINCT user_id) AS exact_union
+              FROM events WHERE event_type IN ('view', 'click')),
+            es AS (
+              SELECT
+                CASE WHEN ea.filled < 256 THEN CAST(ea.filled AS BIGINT)
+                     ELSE CAST(floor(255.0 * (2305843009213693951.0 / CAST(ea.kth AS DOUBLE))) AS BIGINT)
+                END AS est_a,
+                CASE WHEN eb.filled < 256 THEN CAST(eb.filled AS BIGINT)
+                     ELSE CAST(floor(255.0 * (2305843009213693951.0 / CAST(eb.kth AS DOUBLE))) AS BIGINT)
+                END AS est_b,
+                CASE WHEN eu.filled < 256 THEN CAST(eu.filled AS BIGINT)
+                     ELSE CAST(floor(255.0 * (2305843009213693951.0 / CAST(eu.kth AS DOUBLE))) AS BIGINT)
+                END AS est_union
+              FROM ea, eb, eu)
+            SELECT CAST(256 AS BIGINT) AS k, est_a, est_b, est_union,
+              CASE WHEN eu.filled = 0 THEN 0
+                   ELSE CAST(j.j_count AS BIGINT) * est_union // CAST(eu.filled AS BIGINT)
+              END AS est_inter,
+              CAST(j.j_count AS BIGINT) AS j_count, exact_a, exact_b, exact_union
+            FROM es, j, ex, eu""")
+  )
+
   val qs: Seq[Q] = Seq(
     cdcApply, cdcMerge, dataQualityReport, anomalyDays, pagerankQ, fuzzyJoinEdit, mvIncremental,
-    sampleWeighted, skewReport, gdprPurge, snapshotDiff,
+    sampleWeighted, skewReport, gdprPurge, snapshotDiff, sketchSetOps,
     funnelIncremental, distinctKmv,
     textStats, textQuality, textLangId, textFingerprint, approxDistinct, jsonExtract, jsonStruct, jsonVariant,
     heavyHitters, ngramFreq, quantiles, textRepetition, splitTrainTest, sampleStratified,
