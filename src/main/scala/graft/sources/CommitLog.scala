@@ -7,10 +7,12 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.write.{DataWriter, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -171,13 +173,174 @@ object CommitLog {
     val p = Paths.get(path)
     if (!Files.exists(p)) 0L else linesUpTo(path, Files.size(p))
   }
+
+  /** Sink entry point: exactly-once streaming write of a `value` string
+    * column into the commit-log format (see [[CommitLogStreamingWrite]]).
+    */
+  def writeStream(
+      df: DataFrame, path: String, checkpointDir: String
+  ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .format(classOf[CommitLog].getName)
+      .option("path", path)
+      .option("checkpointLocation", checkpointDir)
+
+  /** Driver-side epoch commit with CRASH-RESUMABLE exactly-once semantics.
+    *
+    * The protocol (an intent log, the classic write-ahead trick):
+    *  1. `done <epoch>` already in `<path>.epochs` → the epoch fully
+    *     committed earlier; discard staging and return (Spark replays
+    *     epochs after restarts — this is the idempotence path).
+    *  2. Otherwise ensure an `intent <epoch> <startLine> <total>` entry
+    *     (writing it durably BEFORE any data), then append the staged lines
+    *     the previous attempt did NOT finish: the log's current complete
+    *     line count minus startLine lines are already down, and staged
+    *     content is deterministic and ordered (partition id, then file
+    *     order), so the resumed append writes byte-identical content into
+    *     the gap — a crash at ANY point replays to exactly-one copy of
+    *     every record, which plain append-after-check cannot give (a crash
+    *     between data and marker would double-append).
+    *  3. Record `done <epoch>`, then clear staging.
+    *
+    * Single committer per path (Spark runs one driver commit at a time; the
+    * single-producer contract of [[append]] covers the rest). Staged lines
+    * pass through driver memory one micro-batch at a time — bounded by the
+    * source's admission control; a broker-scale deployment would stream
+    * file-to-file instead.
+    */
+  private[graft] def commitEpoch(
+      path: String, epochId: Long, staged: Seq[StagedEpochFile]): Unit = {
+    val epochsPath = Paths.get(path + ".epochs")
+    val entries: Seq[String] =
+      if (Files.exists(epochsPath))
+        Files.readAllLines(epochsPath, StandardCharsets.UTF_8).asScala.toSeq
+      else Seq.empty
+    def cleanup(): Unit =
+      staged.foreach(m => Files.deleteIfExists(Paths.get(m.file)))
+
+    if (entries.contains(s"done $epochId")) { cleanup(); return }
+
+    val sorted = staged.sortBy(_.partitionId)
+    val total  = sorted.map(_.rows).sum
+    val startLine = entries.reverseIterator
+      .map(_.trim.split(" "))
+      .collectFirst { case Array("intent", e, s, n) if e == epochId.toString =>
+        require(n.toLong == total,
+          s"epoch $epochId replayed with different content: staged $total rows, intent $n")
+        s.toLong
+      }
+      .getOrElse {
+        val s = completeLines(path)
+        Files.writeString(epochsPath, s"intent $epochId $s $total\n",
+          StandardOpenOption.CREATE, StandardOpenOption.WRITE, StandardOpenOption.APPEND)
+        s
+      }
+
+    val already = completeLines(path) - startLine
+    require(already >= 0 && already <= total,
+      s"foreign append interleaved with epoch $epochId replay " +
+        s"(log at ${already + startLine} lines, intent start $startLine, total $total)")
+    if (already < total) {
+      val lines = sorted.iterator.flatMap { m =>
+        val p = Paths.get(m.file)
+        if (Files.exists(p)) Files.readAllLines(p, StandardCharsets.UTF_8).asScala
+        else Seq.empty
+      }.toSeq
+      require(lines.size == total,
+        s"staging lost for epoch $epochId: ${lines.size} of $total staged rows present")
+      append(path, lines.drop(already.toInt))
+    }
+    Files.writeString(epochsPath, s"done $epochId\n",
+      StandardOpenOption.CREATE, StandardOpenOption.WRITE, StandardOpenOption.APPEND)
+    cleanup()
+  }
 }
 
-private[sources] class CommitLogTable(path: String) extends Table with SupportsRead {
+private[graft] case class StagedEpochFile(file: String, partitionId: Int, rows: Long)
+  extends WriterCommitMessage
+
+/** Exactly-once DSv2 streaming SINK for the commit-log format — the write
+  * half of the Kafka-shaped story ([[CommitLog]] is the read half): tasks
+  * stage their rows to per-(epoch, partition) files, and the driver commit
+  * appends them through the intent-log protocol of [[CommitLog.commitEpoch]],
+  * so an epoch replayed after ANY crash point lands exactly once. Expects a
+  * `value` string column (the Kafka sink convention).
+  */
+private[sources] class CommitLogStreamingWrite(path: String, valueIdx: Int)
+  extends StreamingWrite {
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new CommitLogWriterFactory(path, valueIdx)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    CommitLog.commitEpoch(path, epochId,
+      messages.toSeq.collect { case m: StagedEpochFile => m })
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case m: StagedEpochFile => Files.deleteIfExists(Paths.get(m.file))
+      case _                  => ()
+    }
+}
+
+private[sources] class CommitLogWriterFactory(path: String, valueIdx: Int)
+  extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    new CommitLogDataWriter(path, valueIdx, partitionId, epochId)
+}
+
+/** Task-side staging writer: rows append to a per-(epoch, partition) file
+  * (TRUNCATE on open, so a retried task simply rewrites its attempt — the
+  * last successful attempt's content is what the commit message references).
+  */
+private[sources] class CommitLogDataWriter(
+    path: String, valueIdx: Int, partitionId: Int, epochId: Long)
+  extends DataWriter[InternalRow] {
+
+  private val stagingDir = Paths.get(path + ".staging")
+  Files.createDirectories(stagingDir)
+  private val file = stagingDir.resolve(s"epoch-$epochId-part-$partitionId")
+  private val ch = java.nio.channels.FileChannel.open(
+    file, StandardOpenOption.CREATE, StandardOpenOption.WRITE,
+    StandardOpenOption.TRUNCATE_EXISTING)
+  private var rows = 0L
+
+  override def write(record: InternalRow): Unit = {
+    val v = record.getUTF8String(valueIdx).toString
+    require(!v.contains("\n"), "commit-log records are single lines")
+    ch.write(java.nio.ByteBuffer.wrap((v + "\n").getBytes(StandardCharsets.UTF_8)))
+    rows += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    ch.force(true); ch.close()
+    StagedEpochFile(file.toString, partitionId, rows)
+  }
+
+  override def abort(): Unit = { ch.close(); Files.deleteIfExists(file) }
+
+  override def close(): Unit = if (ch.isOpen) ch.close()
+}
+
+private[sources] class CommitLogTable(path: String) extends Table with SupportsRead with SupportsWrite {
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val schema = info.schema()
+    require(schema.fieldNames.contains("value") &&
+        schema(schema.fieldIndex("value")).dataType == StringType,
+      s"commit-log sink expects a `value` string column, got ${schema.simpleString}")
+    val vIdx = schema.fieldIndex("value")
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toStreaming: StreamingWrite = new CommitLogStreamingWrite(path, vIdx)
+      }
+    }
+  }
   override def name(): String = s"commitlog(`$path`)"
   override def schema(): StructType = CommitLog.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.MICRO_BATCH_READ).asJava
+    Set(TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE,
+      TableCapability.ACCEPT_ANY_SCHEMA).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val maxPerTrigger = Option(options.get("maxLinesPerTrigger")).map(_.toLong)

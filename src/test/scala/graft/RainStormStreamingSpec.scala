@@ -335,6 +335,67 @@ class RainStormStreamingSpec extends AnyFunSuite {
     assert(out.select("id").collect().map(_.getLong(0)).toSeq.sorted == (1L to 8L).toSeq)
   }
 
+  test("commit-log SINK: exactly-once across epoch replay and mid-append crash resume") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import java.nio.file.{Files => JFiles, Paths}
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val log  = tmpDir("sinklog") + "/out.log"
+    val ckpt = tmpDir("sinkckpt")
+    val in   = MemoryStream[String]
+    def drain(): Unit = {
+      val q = graft.sources.CommitLog.writeStream(
+        in.toDF().selectExpr("value"), log, ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    in.addData("a", "b", "c"); drain()
+    in.addData("d", "e"); drain()
+    def logLines() = JFiles.readAllLines(Paths.get(log)).toArray.toSeq
+    assert(logLines() == Seq("a", "b", "c", "d", "e"))
+
+    // The sink's log is itself a valid source: round-trip through the DSv2
+    // reader reproduces the values at their offsets.
+    val back = spark.read.parquet {
+      val dest = tmpDir("sinkroundtrip")
+      val q = graft.sources.CommitLog.readStream(spark, log)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", tmpDir("sinkrtckpt"))
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.write.mode("append").parquet(dest))
+        .start()
+      q.awaitTermination(120000); dest
+    }
+    assert(back.orderBy("offset").select("value").as[String].collect().toSeq ==
+      Seq("a", "b", "c", "d", "e"))
+
+    // Crash-resume protocol, driven directly: stage an epoch, record its
+    // intent, append only PART of it (the simulated crash window), then
+    // commit — the resume must complete the gap to exactly one copy, and a
+    // replayed commit of the same epoch must be a no-op.
+    val staging = Paths.get(log + ".staging")
+    JFiles.createDirectories(staging)
+    val sf = staging.resolve("epoch-99-part-0")
+    JFiles.write(sf, "f\ng\nh\n".getBytes)
+    val startLine = logLines().size
+    JFiles.writeString(Paths.get(log + ".epochs"),
+      s"intent 99 $startLine 3\n",
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE,
+      java.nio.file.StandardOpenOption.APPEND)
+    graft.sources.CommitLog.append(log, Seq("f")) // partial attempt, then "crash"
+    graft.sources.CommitLog.commitEpoch(log, 99L,
+      Seq(graft.sources.StagedEpochFile(sf.toString, 0, 3L)))
+    assert(logLines() == Seq("a", "b", "c", "d", "e", "f", "g", "h"))
+    // Replay of a done epoch: no-op even with staging re-present.
+    JFiles.write(sf, "f\ng\nh\n".getBytes)
+    graft.sources.CommitLog.commitEpoch(log, 99L,
+      Seq(graft.sources.StagedEpochFile(sf.toString, 0, 3L)))
+    assert(logLines() == Seq("a", "b", "c", "d", "e", "f", "g", "h"))
+  }
+
   test("cdcStream: strictly-newer wins, stale replays absorbed, deletes tombstone") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
