@@ -324,4 +324,56 @@ object AnnSearch {
       .withColumn("rank", row_number().over(rw))
       .filter(col("rank") <= k)
   }
+
+  /** Product-quantization ANN (Jégou, Douze, Schmid, "Product Quantization
+    * for Nearest Neighbor Search", TPAMI 2011) — the FAISS-style compressed
+    * index, integer-exact end to end: the vector splits into `m` subvectors,
+    * each trained with the [[ClusterOps.kMeansModel]] integer k-means on its
+    * slice (quantization commutes with slicing, so sub-codebooks see exactly
+    * the sliced micro-quantized data); a corpus vector's code is its m
+    * nearest sub-centroid labels — ONE map-side projection of m kernel
+    * calls, no shuffle, compressing dim floats to m codes. Serving
+    * reconstructs the coded vector from the broadcast codebooks (a literal
+    * map lookup per sub) and scores squared-L2 against the query in the
+    * codegen'd `l2_dist2` kernel — asymmetric distance computation with the
+    * reconstruction materialized once per corpus row rather than a per-query
+    * distance table, which keeps every step deterministic integer math. The
+    * FULL train→encode→reconstruct→score→rank pipeline therefore replays in
+    * SQL (the third exactly-oracled ANN variant after brute force and int8).
+    */
+  def pqTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int, ksub: Int, iters: Int, k: Int
+  ): DataFrame = {
+    require(m > 0 && dim % m == 0, s"m must divide dim, got dim=$dim m=$m")
+    val dsub = dim / m
+    val models = (0 until m).map { s =>
+      ClusterOps.kMeansModel(
+        corpus.select(col(idCol), slice(col(vecCol), s * dsub + 1, dsub).as(vecCol)),
+        idCol, vecCol, ksub, iters)
+    }
+    def qv(c: Column) = transform(c, x => floor(x.cast("double") * lit(1e6)))
+    val codeCols = models.zipWithIndex.map { case (mod, s) =>
+      NativeFns.nearest_centroid_l2(
+        slice(col("__qv"), s * dsub + 1, dsub), mod.map(_._1), mod.map(_._2))
+        .getField("cluster").as(s"__c$s")
+    }
+    val coded = corpus
+      .select(col(idCol).cast("long").as("neighbor_id"), qv(col(vecCol)).as("__qv"))
+      .select(col("neighbor_id") +: codeCols: _*)
+    val recon = concat(models.zipWithIndex.map { case (mod, s) =>
+      element_at(
+        typedlit(mod.map { case (cid, cv) => cid -> cv.toSeq }.toMap),
+        col(s"__c$s"))
+    }: _*)
+    val q = queries.select(col(idCol).cast("long").as("query_id"), qv(col(vecCol)).as("__qqv"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adc_dist2"), col("neighbor_id"))
+    coded
+      .select(col("neighbor_id"), recon.as("__rv"))
+      .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        NativeFns.l2_dist2(col("__rv"), col("__qqv")).as("adc_dist2"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
 }

@@ -401,6 +401,21 @@ object VecMath {
     s
   }
 
+  /** Exact integer squared L2 distance between two micro-quantized vectors
+    * (array<bigint>, the [[ClusterOps]] 1e6-floor layout). Components ≤ ~2e6
+    * square to ≤ 4e12; 64 of them sum to ≤ ~3e14 — far from long overflow —
+    * and integer sums are order-independent, so the distance is exact and
+    * engine-portable (the pairwise form of what
+    * [[NearestCentroidExpr]] computes against its literal centroid set).
+    */
+  def l2Dist2(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) { val d = a.getLong(i) - b.getLong(i); s += d * d; i += 1 }
+    s
+  }
+
   /** 64-bit SimHash over tokens: bit b set iff Σ ±1 (by bit b of
     * xxhash64(token, 42)) is positive.
     */
@@ -525,6 +540,24 @@ case class Int8DotExpr(left: Expression, right: Expression) extends BinaryExpres
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecMath.int8Dot($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Int8DotExpr =
+    copy(left = l, right = r)
+}
+
+/** l2_dist2(array<bigint>, array<bigint>) → bigint, codegen'd
+  * (see [[VecMath.l2Dist2]] — the pairwise ADC scoring kernel).
+  */
+case class L2Dist2Expr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val l = NativeExprs.requireArrayOf(left, LongType, "l2_dist2")
+    if (l != TypeCheckResult.TypeCheckSuccess) l
+    else NativeExprs.requireArrayOf(right, LongType, "l2_dist2")
+  }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecMath.l2Dist2(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecMath.l2Dist2($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): L2Dist2Expr =
     copy(left = l, right = r)
 }
 
@@ -1386,6 +1419,8 @@ object NativeFns {
     ColumnBridge.column(CosinePairsExpr(ColumnBridge.expression(items), threshold))
   def int8_dot(a: Column, b: Column): Column =
     ColumnBridge.column(Int8DotExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def l2_dist2(a: Column, b: Column): Column =
+    ColumnBridge.column(L2Dist2Expr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def nearest_centroid_l2(qv: Column, cids: Array[Long], cents: Array[Array[Long]]): Column =
     ColumnBridge.column(NearestCentroidExpr(ColumnBridge.expression(qv), cids, cents))
   def token_span_hashes(text: Column, k: Int): Column =

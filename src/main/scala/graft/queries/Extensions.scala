@@ -4290,9 +4290,90 @@ object Extensions {
             FROM es, j, ex, eu""")
   )
 
+  /** The DuckDB replay of [[graft.functions.AnnSearch.pqTopK]]: per
+    * subvector, the c0→assign→sum→floor-mean Lloyd blocks of the x_kmeans
+    * oracle run on the LIST SLICE; encode is one more argmin per sub;
+    * reconstruction concatenates the winning sub-centroids; ADC scoring and
+    * ranking replay the l2_dist2 kernel and window. Generated per sub so
+    * the SQL stays mechanical.
+    */
+  private def pqOracle(m: Int, dsub: Int, ksub: Int, k: Int, nq: Int): String = {
+    def lloyd(s: Int): String = {
+      val lo = s * dsub + 1; val hi = (s + 1) * dsub
+      def argmin(cf: String): String =
+        s"""SELECT vec_id, sv, cid FROM (
+              SELECT q.vec_id, q.sv, c.cid,
+                row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                  list_sum(list_transform(range(1, $dsub + 1),
+                    i -> (q.sv[i]-c.cv[i])*(q.sv[i]-c.cv[i]))), c.cid) AS rn
+              FROM qs$s q, $cf c) WHERE rn = 1"""
+      s""",
+         qs$s AS (SELECT vec_id, qv[$lo:$hi] AS sv FROM q),
+         c0_$s AS (SELECT vec_id AS cid, sv AS cv FROM qs$s ORDER BY vec_id LIMIT $ksub),
+         a1_$s AS (${argmin(s"c0_$s")}),
+         s1_$s AS (SELECT cid, i, sum(sv[i]) AS s, count(*) AS n
+                   FROM a1_$s, unnest(range(1, $dsub + 1)) AS t(i) GROUP BY cid, i),
+         c1_$s AS (SELECT cid, list((s - ((s % n + n) % n)) // n ORDER BY i) AS cv
+                   FROM s1_$s GROUP BY cid),
+         a2_$s AS (${argmin(s"c1_$s")}),
+         s2_$s AS (SELECT cid, i, sum(sv[i]) AS s, count(*) AS n
+                   FROM a2_$s, unnest(range(1, $dsub + 1)) AS t(i) GROUP BY cid, i),
+         c2_$s AS (SELECT cid, list((s - ((s % n + n) % n)) // n ORDER BY i) AS cv
+                   FROM s2_$s GROUP BY cid),
+         enc$s AS (SELECT vec_id, cid AS code FROM (
+             SELECT q.vec_id, c.cid,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 list_sum(list_transform(range(1, $dsub + 1),
+                   i -> (q.sv[i]-c.cv[i])*(q.sv[i]-c.cv[i]))), c.cid) AS rn
+             FROM qs$s q, c2_$s c) WHERE rn = 1)"""
+    }
+    val subs = (0 until m).map(lloyd).mkString
+    val dim = m * dsub
+    val reconJoin = (0 until m).map(s =>
+      s"JOIN enc$s e$s ON e$s.vec_id = q.vec_id JOIN c2_$s r$s ON r$s.cid = e$s.code").mkString(" ")
+    val reconCat = (0 until m).map(s => s"r$s.cv").mkString(" || ")
+    s"""WITH q AS (
+          SELECT vec_id, list_transform(embedding,
+            x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+          FROM embeddings)$subs,
+        recon AS (SELECT q.vec_id, $reconCat AS rv FROM q $reconJoin),
+        qq AS (SELECT vec_id AS query_id, qv FROM q WHERE vec_id < $nq),
+        scored AS (
+          SELECT qq.query_id, r.vec_id AS neighbor_id,
+            CAST(list_sum(list_transform(range(1, $dim + 1),
+              i -> (qq.qv[i]-r.rv[i])*(qq.qv[i]-r.rv[i]))) AS BIGINT) AS adc_dist2
+          FROM recon r, qq WHERE r.vec_id <> qq.query_id)
+        SELECT query_id, neighbor_id, rank, adc_dist2 FROM (
+          SELECT query_id, neighbor_id, adc_dist2,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY adc_dist2, neighbor_id) AS rank
+          FROM scored)
+        WHERE rank <= $k ORDER BY query_id, rank"""
+  }
+
+  /** Product-quantization ANN over the embeddings table — the compressed
+    * FAISS-style index ([[graft.functions.AnnSearch.pqTopK]]): 64 floats
+    * become 4 sub-codes, and ADC serving runs entirely in integer kernels.
+    * Row-level exact against the full SQL replay of training, encoding,
+    * reconstruction, and ranking — not recall-gated (recall vs brute force
+    * is quantified separately in AccuracySpec).
+    */
+  val annPq = Q(
+    "x_ann_pq",
+    (s, d) => {
+      val embs = Tables.embeddings(s, d)
+      AnnSearch.pqTopK(embs, embs.filter(col("vec_id") < 10), "vec_id", "embedding",
+        dim = 64, m = 4, ksub = 8, iters = 2, k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"),
+          col("adc_dist2"))
+        .orderBy("query_id", "rank")
+    },
+    Some(pqOracle(m = 4, dsub = 16, ksub = 8, k = 5, nq = 10))
+  )
+
   val qs: Seq[Q] = Seq(
     cdcApply, cdcMerge, dataQualityReport, anomalyDays, pagerankQ, fuzzyJoinEdit, mvIncremental,
-    sampleWeighted, skewReport, gdprPurge, snapshotDiff, sketchSetOps,
+    sampleWeighted, skewReport, gdprPurge, snapshotDiff, sketchSetOps, annPq,
     funnelIncremental, distinctKmv,
     textStats, textQuality, textLangId, textFingerprint, approxDistinct, jsonExtract, jsonStruct, jsonVariant,
     heavyHitters, ngramFreq, quantiles, textRepetition, splitTrainTest, sampleStratified,
