@@ -182,6 +182,60 @@ object RainStorm {
       }
   }
 
+  final case class ClosedSession(userId: Long, sessionId: Long, nEvents: Long, lastTs: Long)
+
+  /** Timeout-driven sessionization: each session is emitted EXACTLY ONCE,
+    * when the event-time watermark passes its gap — the
+    * `GroupStateTimeout.EventTimeTimeout` mechanism ([[sessionize]] emits
+    * running updates instead; [[sessionWindows]] is the native-aggregate
+    * form). A batch's events extend the open session (gap-splitting
+    * mid-batch, closed ones emitted immediately); the state then arms a
+    * timeout at lastTs + gap, and when no event arrives before the
+    * watermark crosses it, Spark calls back with `hasTimedOut` and the
+    * session closes and its state is REMOVED — bounded state with
+    * guaranteed emission even for users who simply stop, which the
+    * update-emitting form cannot distinguish from users between batches.
+    */
+  def sessionizeWithTimeout(
+      spark: SparkSession,
+      events: Dataset[(Long, java.sql.Timestamp)], // (user_id, event time)
+      gapSeconds: Long = 1800,
+      watermarkDelay: String = "10 seconds"
+  ): Dataset[ClosedSession] = {
+    import spark.implicits._
+    events
+      .toDF("user_id", "ts")
+      .withWatermark("ts", watermarkDelay)
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout
+      ) { (userId: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+           state: GroupState[SessionState]) =>
+        if (state.hasTimedOut) {
+          val st = state.get
+          state.remove()
+          Iterator.single(ClosedSession(userId, st.sessionId, st.nEvents, st.lastTs))
+        } else {
+          var st  = state.getOption.getOrElse(SessionState(0L, 0L, Long.MinValue))
+          val out = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+          rows.map { case (_, t) => t.getTime / 1000L }.toSeq.sorted.foreach { ts =>
+            if (st.lastTs != Long.MinValue && ts - st.lastTs <= gapSeconds)
+              st = st.copy(nEvents = st.nEvents + 1, lastTs = ts)
+            else {
+              if (st.lastTs != Long.MinValue)
+                out += ClosedSession(userId, st.sessionId, st.nEvents, st.lastTs)
+              st = SessionState(st.sessionId + 1, 1L, ts)
+            }
+          }
+          state.update(st)
+          state.setTimeoutTimestamp((st.lastTs + gapSeconds) * 1000L)
+          out.iterator
+        }
+      }
+  }
+
   /** BOUNDED-STATE sessionization: the native `session_window` aggregate
     * under a watermark. Unlike [[sessionize]] (explicit state machine,
     * state kept per key forever), closed sessions here are finalized and

@@ -426,6 +426,43 @@ class RainStormStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionizeWithTimeout: each session emitted exactly once, when the watermark passes its gap") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import RainStorm.ClosedSession
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(s: Long) = new java.sql.Timestamp((100000L + s) * 1000L)
+
+    val in = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = RainStorm.sessionizeWithTimeout(spark, in.toDS(), gapSeconds = 60,
+      watermarkDelay = "0 seconds")
+      .writeStream.outputMode("append").format("memory").queryName("timeout_sessions").start()
+    try {
+      // u1: two sessions in one batch (gap split closes the first inline);
+      // the second stays open — nothing emitted for it yet.
+      in.addData((1L, t(0)), (1L, t(30)), (1L, t(200)))
+      q.processAllAvailable()
+      val b1 = spark.table("timeout_sessions").as[ClosedSession].collect().toSet
+      assert(b1 == Set(ClosedSession(1L, 1L, 2L, 100030L)))
+
+      // An unrelated user far in the future advances the watermark past
+      // u1's open-session gap: the TIMEOUT (no u1 data at all) closes it.
+      in.addData((2L, t(1000)))
+      q.processAllAvailable()
+      // One more empty-ish advance so the timeout callback fires after the
+      // watermark update batch.
+      in.addData((2L, t(2000)))
+      q.processAllAvailable()
+      val all = spark.table("timeout_sessions").as[ClosedSession].collect().toSet
+      assert(all.contains(ClosedSession(1L, 2L, 1L, 100200L)),
+        s"open session must close by timeout, got $all")
+      // Exactly once: no duplicate emissions of any (user, session).
+      val keys = spark.table("timeout_sessions").as[ClosedSession]
+        .collect().map(s => (s.userId, s.sessionId))
+      assert(keys.length == keys.distinct.length)
+    } finally q.stop()
+  }
+
   test("sessionize emits sessions closed mid-batch, then the open session") {
     import spark.implicits._
     // One user, one batch: 3 events in session 1, a > gap jump, 2 events in
