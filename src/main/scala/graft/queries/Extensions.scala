@@ -4371,9 +4371,95 @@ object Extensions {
     Some(pqOracle(m = 4, dsub = 16, ksub = 8, k = 5, nq = 10))
   )
 
+  /** ANALYZE TABLE-style column profile — the statistics a cost-based
+    * optimizer (or a human) reads before planning against an unknown table:
+    * per column, null count, distinct count, min/max (numerics as exact
+    * integer cents where fractional), and average width ×100. ONE
+    * aggregation pass computes every column's stats together (the reason
+    * warehouses batch ANALYZE per table, not per column), then `stack`
+    * unpivots to a (column_name, metric…) report. Exact distincts become
+    * one-pass HLL++ under `spark.graft.approx.countDistinct` at scale.
+    */
+  val columnProfile = Q(
+    "x_column_profile",
+    (s, d) =>
+      Tables.orders(s, d)
+        .agg(
+          count(lit(1)).as("n"),
+          count(col("o_orderkey")).as("nn_key"),
+          count_distinct(col("o_orderkey")).as("nd_key"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"),
+          count(col("o_custkey")).as("nn_cust"),
+          count_distinct(col("o_custkey")).as("nd_cust"),
+          min(col("o_custkey")).as("min_cust"),
+          max(col("o_custkey")).as("max_cust"),
+          count(col("o_totalprice")).as("nn_price"),
+          count_distinct(col("o_totalprice")).as("nd_price"),
+          min(expr("CAST(floor(o_totalprice * 100) AS BIGINT)")).as("min_price_c"),
+          max(expr("CAST(floor(o_totalprice * 100) AS BIGINT)")).as("max_price_c"),
+          count(col("o_orderstatus")).as("nn_status"),
+          count_distinct(col("o_orderstatus")).as("nd_status"),
+          sum(length(col("o_orderstatus"))).as("len_status"))
+        .select(expr("""stack(4,
+            'o_custkey',    n, nn_cust,   nd_cust,   min_cust,    max_cust,
+            'o_orderkey',   n, nn_key,    nd_key,    min_key,     max_key,
+            'o_orderstatus',n, nn_status, nd_status, CAST(100 * len_status div n AS BIGINT),
+                            CAST(100 * len_status div n AS BIGINT),
+            'o_totalprice', n, nn_price,  nd_price,  min_price_c, max_price_c)
+            AS (column_name, n_rows, n_nonnull, n_distinct, min_i, max_i)"""))
+        .orderBy("column_name"),
+    Some("""WITH a AS (
+              SELECT count(*) AS n,
+                count(o_orderkey) AS nn_key, count(DISTINCT o_orderkey) AS nd_key,
+                min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+                count(o_custkey) AS nn_cust, count(DISTINCT o_custkey) AS nd_cust,
+                min(o_custkey) AS min_cust, max(o_custkey) AS max_cust,
+                count(o_totalprice) AS nn_price, count(DISTINCT o_totalprice) AS nd_price,
+                min(CAST(floor(o_totalprice * 100) AS BIGINT)) AS min_price_c,
+                max(CAST(floor(o_totalprice * 100) AS BIGINT)) AS max_price_c,
+                count(o_orderstatus) AS nn_status, count(DISTINCT o_orderstatus) AS nd_status,
+                CAST(sum(length(o_orderstatus)) AS BIGINT) AS len_status
+              FROM orders)
+            SELECT column_name, n_rows, n_nonnull, n_distinct, min_i, max_i FROM (
+              SELECT 'o_orderkey' AS column_name, n AS n_rows, nn_key AS n_nonnull,
+                nd_key AS n_distinct, min_key AS min_i, max_key AS max_i FROM a
+              UNION ALL SELECT 'o_custkey', n, nn_cust, nd_cust,
+                CAST(min_cust AS BIGINT), CAST(max_cust AS BIGINT) FROM a
+              UNION ALL SELECT 'o_totalprice', n, nn_price, nd_price,
+                min_price_c, max_price_c FROM a
+              UNION ALL SELECT 'o_orderstatus', n, nn_status, nd_status,
+                100 * len_status // n, 100 * len_status // n FROM a)
+            ORDER BY column_name""")
+  )
+
+  /** Equi-width histogram of a fact column — the optimizer-statistics /
+    * dashboard primitive: fixed-width buckets by one floor division, one
+    * partial→final count per bucket, bucket bounds derivable from the id by
+    * arithmetic (so the frame is nb rows at ANY corpus size, with overflow
+    * clamped to the top bucket). The bucket expression is spelled with the
+    * IDENTICAL floor/divide shape on both engines rather than
+    * `width_bucket` (absent in DuckDB), so bucket boundaries are IEEE
+    * bit-equal cross-engine.
+    */
+  val histogramQ = Q(
+    "x_histogram",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(expr(
+          "least(greatest(CAST(floor(l_extendedprice / 5000.0) AS BIGINT), 0), 20)")
+          .as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("bucket"),
+    Some("""SELECT least(greatest(CAST(floor(l_extendedprice / 5000.0) AS BIGINT), 0), 20)
+              AS bucket, count(*) AS n
+            FROM lineitem GROUP BY 1 ORDER BY bucket""")
+  )
+
   val qs: Seq[Q] = Seq(
     cdcApply, cdcMerge, dataQualityReport, anomalyDays, pagerankQ, fuzzyJoinEdit, mvIncremental,
     sampleWeighted, skewReport, gdprPurge, snapshotDiff, sketchSetOps, annPq,
+    columnProfile, histogramQ,
     funnelIncremental, distinctKmv,
     textStats, textQuality, textLangId, textFingerprint, approxDistinct, jsonExtract, jsonStruct, jsonVariant,
     heavyHitters, ngramFreq, quantiles, textRepetition, splitTrainTest, sampleStratified,
