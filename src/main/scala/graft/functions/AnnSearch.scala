@@ -376,4 +376,83 @@ object AnnSearch {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** IVF-PQ — the full FAISS `IndexIVFPQ` composition (Jégou et al. TPAMI
+    * 2011 §V), integer-exact: a coarse integer k-means partitions the
+    * corpus into cells; each vector's RESIDUAL from its cell centroid is
+    * product-quantized with per-subvector codebooks (residuals are long
+    * subtractions, so the whole model stays in the same exact arithmetic);
+    * serving ranks a query's nearest `nProbe` cells and scores ONLY their
+    * members, each reconstructed as cell centroid + sub-codebook entries
+    * and scored by the `l2_dist2` kernel. The inverted-list pruning is what
+    * survives at corpus sizes where even PQ codes are too many to scan —
+    * work per query is the probed fraction, and every step (train, assign,
+    * residual, encode, probe, score, rank) replays in SQL, making this the
+    * fourth exactly-oracled ANN variant. The one interpreted HOF
+    * (`zip_with` for residual/reconstruction arithmetic) runs once per
+    * corpus row at index-build time, not in the |queries|×|candidates|
+    * loop — the quantizeInt8 precedent.
+    */
+  def ivfPqTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      dim: Int, nCells: Int, m: Int, ksub: Int, iters: Int, nProbe: Int, k: Int
+  ): DataFrame = {
+    require(m > 0 && dim % m == 0, s"m must divide dim, got dim=$dim m=$m")
+    val dsub = dim / m
+    def qv(c: Column) = transform(c, x => floor(x.cast("double") * lit(1e6)))
+
+    val coarse    = ClusterOps.kMeansModel(corpus, idCol, vecCol, nCells, iters)
+    val coarseMap = typedlit(coarse.map { case (cid, cv) => cid -> cv.toSeq }.toMap)
+    val cellCol = NativeFns.nearest_centroid_l2(
+      col("__qv"), coarse.map(_._1), coarse.map(_._2)).getField("cluster")
+
+    val withRes = corpus
+      .select(col(idCol).cast("long").as("neighbor_id"), qv(col(vecCol)).as("__qv"))
+      .withColumn("cell", cellCol)
+      .withColumn("__rv", zip_with(col("__qv"), element_at(coarseMap, col("cell")),
+        (a, b) => a - b))
+
+    val subModels = (0 until m).map { s =>
+      ClusterOps.kMeansModelQuantized(
+        withRes.select(col("neighbor_id").as("__id"),
+          slice(col("__rv"), s * dsub + 1, dsub).as("__qv")),
+        ksub, iters)
+    }
+    val codeCols = subModels.zipWithIndex.map { case (mod, s) =>
+      NativeFns.nearest_centroid_l2(
+        slice(col("__rv"), s * dsub + 1, dsub), mod.map(_._1), mod.map(_._2))
+        .getField("cluster").as(s"__c$s")
+    }
+    val reconRes = concat(subModels.zipWithIndex.map { case (mod, s) =>
+      element_at(
+        typedlit(mod.map { case (cid, cv) => cid -> cv.toSeq }.toMap),
+        col(s"__c$s"))
+    }: _*)
+    val index = withRes
+      .select(col("neighbor_id") +: col("cell") +: codeCols: _*)
+      .select(col("neighbor_id"), col("cell"),
+        zip_with(element_at(coarseMap, col("cell")), reconRes, (a, b) => a + b).as("__recon"))
+
+    // Query-side probing: rank the coarse cells per query, keep nProbe.
+    val q = queries.select(col(idCol).cast("long").as("query_id"), qv(col(vecCol)).as("__qqv"))
+    val cellsDf = corpus.sparkSession
+      .createDataFrame(coarse.toSeq.map { case (cid, cv) => (cid, cv.toSeq) })
+      .toDF("cell", "__cv")
+    val pw = Window.partitionBy(col("query_id")).orderBy(col("__cd"), col("cell"))
+    val probes = q.crossJoin(broadcast(cellsDf))
+      .select(col("query_id"), col("__qqv"), col("cell"),
+        NativeFns.l2_dist2(col("__qqv"), col("__cv")).as("__cd"))
+      .withColumn("__pr", row_number().over(pw))
+      .filter(col("__pr") <= nProbe)
+      .select(col("query_id"), col("__qqv"), col("cell"))
+
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adc_dist2"), col("neighbor_id"))
+    index
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        NativeFns.l2_dist2(col("__recon"), col("__qqv")).as("adc_dist2"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
 }

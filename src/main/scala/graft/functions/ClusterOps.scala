@@ -233,9 +233,19 @@ object ClusterOps {
       vecCol: String,
       k: Int,
       iters: Int
+  ): Array[(Long, Array[Long])] =
+    kMeansModelQuantized(quantized(embs, idCol, vecCol), k, iters)
+
+  /** The same training loop over a PRE-quantized `(__id, __qv array<long>)`
+    * frame — the entry point for callers whose vectors are already integer
+    * (e.g. the residuals of [[graft.functions.AnnSearch.ivfPqTopK]]).
+    */
+  private[graft] def kMeansModelQuantized(
+      q: DataFrame,
+      k: Int,
+      iters: Int
   ): Array[(Long, Array[Long])] = {
     require(k > 0 && iters >= 0, s"need k > 0, iters >= 0, got $k/$iters")
-    val q = quantized(embs, idCol, vecCol)
     // The centroid MODEL (k·dim scalars) lives on the driver between
     // iterations, like BpeTrain's merge table — the corpus never does.
     var cents: Array[(Long, Array[Long])] =

@@ -4456,9 +4456,108 @@ object Extensions {
             FROM lineitem GROUP BY 1 ORDER BY bucket""")
   )
 
+  /** The DuckDB replay of [[graft.functions.AnnSearch.ivfPqTopK]] — the
+    * largest generated oracle in the registry: coarse Lloyd blocks on the
+    * full vectors, residual arithmetic, per-sub Lloyd blocks on the
+    * residual slices, encode, cell-centroid + codebook reconstruction,
+    * query-side cell probing, and ADC ranking, all in the same
+    * floor-division integer algebra the engine runs.
+    */
+  private def ivfPqOracle(
+      dim: Int, nCells: Int, m: Int, dsub: Int, ksub: Int, nProbe: Int,
+      k: Int, nq: Int): String = {
+    def argmin(src: String, vcol: String, cf: String, d: Int): String =
+      s"""SELECT vec_id, $vcol, cid FROM (
+            SELECT q.vec_id, q.$vcol, c.cid,
+              row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                list_sum(list_transform(range(1, $d + 1),
+                  i -> (q.$vcol[i]-c.cv[i])*(q.$vcol[i]-c.cv[i]))), c.cid) AS rn
+            FROM $src q, $cf c) WHERE rn = 1"""
+    def lloyd(pre: String, src: String, vcol: String, d: Int, kk: Int): String =
+      s""",
+         ${pre}c0 AS (SELECT vec_id AS cid, $vcol AS cv FROM $src ORDER BY vec_id LIMIT $kk),
+         ${pre}a1 AS (${argmin(src, vcol, s"${pre}c0", d)}),
+         ${pre}s1 AS (SELECT cid, i, sum($vcol[i]) AS s, count(*) AS n
+                      FROM ${pre}a1, unnest(range(1, $d + 1)) AS t(i) GROUP BY cid, i),
+         ${pre}c1 AS (SELECT cid, list((s - ((s % n + n) % n)) // n ORDER BY i) AS cv
+                      FROM ${pre}s1 GROUP BY cid),
+         ${pre}a2 AS (${argmin(src, vcol, s"${pre}c1", d)}),
+         ${pre}s2 AS (SELECT cid, i, sum($vcol[i]) AS s, count(*) AS n
+                      FROM ${pre}a2, unnest(range(1, $d + 1)) AS t(i) GROUP BY cid, i),
+         ${pre}c2 AS (SELECT cid, list((s - ((s % n + n) % n)) // n ORDER BY i) AS cv
+                      FROM ${pre}s2 GROUP BY cid)"""
+    val subs = (0 until m).map { s =>
+      val lo = s * dsub + 1; val hi = (s + 1) * dsub
+      s""",
+         rs$s AS (SELECT vec_id, rv[$lo:$hi] AS sv FROM res)""" +
+      lloyd(s"r${s}_", s"rs$s", "sv", dsub, ksub) +
+      s""",
+         renc$s AS (SELECT vec_id, cid AS code FROM (${argmin(s"rs$s", "sv", s"r${s}_c2", dsub)}))"""
+    }.mkString
+    val reconJoins = (0 until m).map(s =>
+      s"JOIN renc$s e$s ON e$s.vec_id = r.vec_id JOIN r${s}_c2 x$s ON x$s.cid = e$s.code")
+      .mkString(" ")
+    val reconCat = (0 until m).map(s => s"x$s.cv").mkString(" || ")
+    s"""WITH q AS (
+          SELECT vec_id, list_transform(embedding,
+            x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+          FROM embeddings)""" +
+    lloyd("k", "q", "qv", dim, nCells) +
+    s""",
+        cells AS (SELECT vec_id, qv, cid AS cell FROM (${argmin("q", "qv", "kc2", dim)})),
+        res AS (
+          SELECT a.vec_id, a.cell,
+            list_transform(range(1, $dim + 1), i -> a.qv[i] - c.cv[i]) AS rv
+          FROM cells a JOIN kc2 c ON a.cell = c.cid)$subs,
+        reconabs AS (
+          SELECT r.vec_id, r.cell,
+            list_transform(range(1, $dim + 1), i -> kc.cv[i] + ($reconCat)[i]) AS av
+          FROM res r JOIN kc2 kc ON kc.cid = r.cell $reconJoins),
+        probes AS (
+          SELECT query_id, cell FROM (
+            SELECT qq.vec_id AS query_id, c.cid AS cell,
+              row_number() OVER (PARTITION BY qq.vec_id ORDER BY
+                list_sum(list_transform(range(1, $dim + 1),
+                  i -> (qq.qv[i]-c.cv[i])*(qq.qv[i]-c.cv[i]))), c.cid) AS pr
+            FROM q qq, kc2 c WHERE qq.vec_id < $nq) WHERE pr <= $nProbe),
+        scored AS (
+          SELECT p.query_id, r.vec_id AS neighbor_id,
+            CAST(list_sum(list_transform(range(1, $dim + 1),
+              i -> (qq.qv[i]-r.av[i])*(qq.qv[i]-r.av[i]))) AS BIGINT) AS adc_dist2
+          FROM reconabs r JOIN probes p ON r.cell = p.cell
+          JOIN q qq ON qq.vec_id = p.query_id
+          WHERE r.vec_id <> p.query_id)
+        SELECT query_id, neighbor_id, rank, adc_dist2 FROM (
+          SELECT query_id, neighbor_id, adc_dist2,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY adc_dist2, neighbor_id) AS rank
+          FROM scored)
+        WHERE rank <= $k ORDER BY query_id, rank"""
+  }
+
+  /** IVF-PQ over the embeddings table — FAISS's IndexIVFPQ composition
+    * ([[graft.functions.AnnSearch.ivfPqTopK]]): coarse cells prune the
+    * corpus per query (nProbe of nCells), residual product quantization
+    * compresses what remains. Row-level exact against the full SQL replay —
+    * the fourth exactly-oracled ANN variant.
+    */
+  val annIvfPq = Q(
+    "x_ann_ivfpq",
+    (s, d) => {
+      val embs = Tables.embeddings(s, d)
+      AnnSearch.ivfPqTopK(embs, embs.filter(col("vec_id") < 10), "vec_id", "embedding",
+        dim = 64, nCells = 8, m = 4, ksub = 8, iters = 2, nProbe = 2, k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"),
+          col("adc_dist2"))
+        .orderBy("query_id", "rank")
+    },
+    Some(ivfPqOracle(dim = 64, nCells = 8, m = 4, dsub = 16, ksub = 8,
+      nProbe = 2, k = 5, nq = 10))
+  )
+
   val qs: Seq[Q] = Seq(
     cdcApply, cdcMerge, dataQualityReport, anomalyDays, pagerankQ, fuzzyJoinEdit, mvIncremental,
-    sampleWeighted, skewReport, gdprPurge, snapshotDiff, sketchSetOps, annPq,
+    sampleWeighted, skewReport, gdprPurge, snapshotDiff, sketchSetOps, annPq, annIvfPq,
     columnProfile, histogramQ,
     funnelIncremental, distinctKmv,
     textStats, textQuality, textLangId, textFingerprint, approxDistinct, jsonExtract, jsonStruct, jsonVariant,

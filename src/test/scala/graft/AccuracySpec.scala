@@ -214,6 +214,17 @@ class AccuracySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(got.nonEmpty && got.forall { case (q2, n) => q2 % 4 == n % 4 },
       s"PQ on clustered data must retrieve same-cluster neighbors: ${got.toSeq.take(8)}")
+
+    // IVF-PQ on the same clustered data: the coarse cells align with the
+    // planted clusters, so probing must also retrieve only same-cluster
+    // neighbors — AND the probe pruning means it scored only a fraction of
+    // the corpus to do it.
+    val ivfpq = AnnSearch.ivfPqTopK(cdf, cdf.filter(col("vec_id") < 4), "vec_id", "embedding",
+      dim = 64, nCells = 4, m = 4, ksub = 8, iters = 2, nProbe = 1, k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(ivfpq.nonEmpty && ivfpq.forall { case (q2, n) => q2 % 4 == n % 4 },
+      s"IVF-PQ on clustered data must retrieve same-cluster neighbors: ${ivfpq.toSeq.take(8)}")
   }
 
   test("embedding near-dups finds a planted near-identical pair, rejects noise") {
