@@ -64,4 +64,37 @@ object GraphOps {
     }
     ranks.select(col("node"), col("r").as("rank_scaled"))
   }
+
+  /** BFS shortest-hop layers from `source` over a directed edge list,
+    * bounded to `maxHops` levels: per round, the FRONTIER (nodes first
+    * reached last round) joins the edge list and a min-aggregation folds
+    * new reachings in — shuffle volume per round is frontier × out-degree,
+    * never all paths (the path-enumeration blowup is the classic recursive
+    * mistake; the level-synchronous form keeps state at one row per reached
+    * node). Returns (node, hops) for every node within `maxHops`. Lineage
+    * truncated per round as in [[pageRank]].
+    */
+  def bfsLayers(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      source: Long,
+      maxHops: Int
+  ): DataFrame = {
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    var dist = e.sparkSession.range(1)
+      .select(lit(source).as("node"), lit(0L).as("hops"))
+    for (h <- 1 to maxHops) {
+      val frontier = dist.filter(col("hops") === (h - 1))
+      val next = frontier.join(e, col("node") === col("src"))
+        .select(col("dst").as("node"), lit(h.toLong).as("hops"))
+      dist = dist.union(next)
+        .groupBy(col("node")).agg(min(col("hops")).as("hops"))
+        .localCheckpoint(true)
+    }
+    dist
+  }
 }

@@ -4555,10 +4555,36 @@ object Extensions {
       nProbe = 2, k = 5, nq = 10))
   )
 
+  /** BFS shortest-hop layers from node 0 over the same deterministic event
+    * graph as x_pagerank ([[graft.functions.GraphOps.bfsLayers]], 6-hop
+    * bound). The oracle is a DuckDB RECURSIVE CTE with UNION (distinct)
+    * semantics — states stay (node, level) pairs, never enumerated paths —
+    * folded to min-hops per node; the engine's level-synchronous
+    * frontier-join form computes the identical labels, so graph traversal
+    * joins the row-level-oracled family alongside components and
+    * centrality.
+    */
+  val bfsLayersQ = Q(
+    "x_bfs_layers",
+    (s, d) =>
+      graft.functions.GraphOps.bfsLayers(
+        Tables.events(s, d)
+          .select((col("user_id") % 211).as("src"), (col("event_id") % 211).as("dst")),
+        "src", "dst", source = 0L, maxHops = 6)
+        .orderBy("node"),
+    Some("""WITH RECURSIVE e AS (
+              SELECT DISTINCT user_id % 211 AS src, event_id % 211 AS dst FROM events),
+            walk(node, d) AS (
+              SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS d
+              UNION
+              SELECT e.dst, w.d + 1 FROM walk w JOIN e ON e.src = w.node WHERE w.d < 6)
+            SELECT node, min(d) AS hops FROM walk GROUP BY node ORDER BY node""")
+  )
+
   val qs: Seq[Q] = Seq(
     cdcApply, cdcMerge, dataQualityReport, anomalyDays, pagerankQ, fuzzyJoinEdit, mvIncremental,
     sampleWeighted, skewReport, gdprPurge, snapshotDiff, sketchSetOps, annPq, annIvfPq,
-    columnProfile, histogramQ,
+    columnProfile, histogramQ, bfsLayersQ,
     funnelIncremental, distinctKmv,
     textStats, textQuality, textLangId, textFingerprint, approxDistinct, jsonExtract, jsonStruct, jsonVariant,
     heavyHitters, ngramFreq, quantiles, textRepetition, splitTrainTest, sampleStratified,

@@ -30,6 +30,20 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(r(0L) > r(1L))
   }
 
+  test("bfsLayers: shortest hops on a known path+shortcut graph, bounded frontier") {
+    import spark.implicits._
+    // 0→1→2→3 chain plus shortcut 0→3: node 3 must label 1 (not 3), and a
+    // node beyond maxHops must be absent.
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (0L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val got = GraphOps.bfsLayers(edges, "src", "dst", source = 0L, maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 2L, 5L -> 3L))
+    val capped = GraphOps.bfsLayers(edges, "src", "dst", source = 0L, maxHops = 2)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(!capped.contains(5L), "nodes beyond maxHops must be absent")
+  }
+
   test("pageRank total mass stays under scale (dangling leak is one-sided)") {
     import spark.implicits._
     // 0→1→2, 2 dangling: mass leaks, never inflates.
