@@ -4581,10 +4581,92 @@ object Extensions {
             SELECT node, min(d) AS hops FROM walk GROUP BY node ORDER BY node""")
   )
 
+  /** OHLC bars — the time-series downsampling staple (finance candles,
+    * metrics roll-ups): per day, open/close via `min_by`/`max_by` on the
+    * (ts, event_id) total order and high/low/volume as plain aggregates,
+    * ALL in one partial→final hash aggregation — no window sort anywhere,
+    * the same max_by discipline as the CDC compaction. Values as exact
+    * integer cents; the (ts, event_id) struct ordering makes open/close
+    * deterministic even with duplicate timestamps.
+    */
+  val ohlcBars = Q(
+    "x_ohlc_bars",
+    (s, d) =>
+      Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(
+          date_trunc("day", col("ts")).cast("date").as("day"),
+          struct(unix_micros(col("ts").cast("timestamp")).as("tm"), col("event_id")).as("ord"),
+          expr("CAST(floor(value * 100) AS BIGINT)").as("cents"))
+        .groupBy(col("day"))
+        .agg(
+          min_by(col("cents"), col("ord")).as("open"),
+          max(col("cents")).as("high"),
+          min(col("cents")).as("low"),
+          max_by(col("cents"), col("ord")).as("close"),
+          count(lit(1)).as("n_trades"),
+          sum(col("cents")).as("volume_cents"))
+        .orderBy("day"),
+    Some("""WITH t AS (
+              SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+                epoch_us(CAST(ts AS TIMESTAMP)) AS tm, event_id,
+                CAST(floor(value * 100) AS BIGINT) AS cents
+              FROM events WHERE event_type = 'purchase'),
+            r AS (
+              SELECT day, cents,
+                row_number() OVER (PARTITION BY day ORDER BY tm, event_id) AS rn_a,
+                row_number() OVER (PARTITION BY day ORDER BY tm DESC, event_id DESC) AS rn_d
+              FROM t)
+            SELECT day,
+              max(CASE WHEN rn_a = 1 THEN cents END) AS open,
+              max(cents) AS high, min(cents) AS low,
+              max(CASE WHEN rn_d = 1 THEN cents END) AS close,
+              count(*) AS n_trades,
+              CAST(sum(cents) AS BIGINT) AS volume_cents
+            FROM r GROUP BY day ORDER BY day""")
+  )
+
+  /** OPTIMIZE-style compaction plan — the lakehouse maintenance step after
+    * x_shard_manifest spots small files: files sort by size (stable id
+    * tie-break), a running byte sum assigns each to the first group whose
+    * target isn't exceeded (`cumsum-before div target` — the linear
+    * bin-banding every table format's compactor uses in practice; true
+    * first-fit-decreasing is sequential and buys little at uniform file
+    * sizes). "Files" here are the per-shard byte masses of the shard
+    * manifest, so the plan composes directly with it; the running sum
+    * windows over the |files| frame, never the corpus.
+    */
+  val compactionPlan = Q(
+    "x_compaction_plan",
+    (s, d) => {
+      val target = 65536L
+      Tables.documents(s, d)
+        .groupBy(concat_ws("/", col("source"), col("lang")).as("file"))
+        .agg(sum(col("n_chars")).cast("long").as("bytes"))
+        .withColumn("grp", expr(s"coalesce(sum(bytes) OVER " +
+          s"(ORDER BY bytes DESC, file ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)" +
+          s" div CAST($target AS BIGINT)"))
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("grp_bytes"))
+        .orderBy("grp")
+    },
+    Some("""WITH f AS (
+              SELECT source || '/' || lang AS file, CAST(sum(n_chars) AS BIGINT) AS bytes
+              FROM documents GROUP BY 1),
+            g AS (
+              SELECT file, bytes,
+                CAST(COALESCE(sum(bytes) OVER (ORDER BY bytes DESC, file
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                  // 65536 AS grp
+              FROM f)
+            SELECT grp, count(*) AS n_files, CAST(sum(bytes) AS BIGINT) AS grp_bytes
+            FROM g GROUP BY grp ORDER BY grp""")
+  )
+
   val qs: Seq[Q] = Seq(
     cdcApply, cdcMerge, dataQualityReport, anomalyDays, pagerankQ, fuzzyJoinEdit, mvIncremental,
     sampleWeighted, skewReport, gdprPurge, snapshotDiff, sketchSetOps, annPq, annIvfPq,
-    columnProfile, histogramQ, bfsLayersQ,
+    columnProfile, histogramQ, bfsLayersQ, ohlcBars, compactionPlan,
     funnelIncremental, distinctKmv,
     textStats, textQuality, textLangId, textFingerprint, approxDistinct, jsonExtract, jsonStruct, jsonVariant,
     heavyHitters, ngramFreq, quantiles, textRepetition, splitTrainTest, sampleStratified,

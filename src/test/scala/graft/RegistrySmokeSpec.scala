@@ -42,7 +42,8 @@ class RegistrySmokeSpec extends AnyFunSuite {
     "x_pagerank", "x_fuzzy_join_edit", "x_mv_incremental",
     "x_sample_weighted", "x_skew_report", "x_gdpr_purge", "x_snapshot_diff",
     "h29_funnel_windowed", "x_bitmap_distinct", "x_sketch_setops", "x_ann_pq",
-    "x_column_profile", "x_histogram", "x_ann_ivfpq", "x_bfs_layers"
+    "x_column_profile", "x_histogram", "x_ann_ivfpq", "x_bfs_layers",
+    "x_ohlc_bars", "x_compaction_plan"
   )
 
   Registry.all.foreach { q =>
