@@ -976,6 +976,32 @@ object RainStorm {
       }
   }
 
+  /** Streaming OHLC bars — the streaming face of the batch `x_ohlc_bars`
+    * aggregation: per event-time window, open/close ride `min_by`/`max_by`
+    * on the (ts, id) total order INSIDE the windowed aggregate (state is
+    * one bar per open window, not buffered trades), watermark + append emit
+    * each bar exactly once when its window can no longer change. Same
+    * integer-cents arithmetic as the batch face, so closed bars bit-equal a
+    * batch aggregation of the same rows.
+    */
+  def ohlcStream(
+      trades: DataFrame, // streaming (tsCol timestamp, idCol bigint, centsCol bigint)
+      tsCol: String, idCol: String, centsCol: String,
+      windowLen: String = "1 hour", watermark: String = "10 minutes"
+  ): DataFrame =
+    trades
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen).as("w"))
+      .agg(
+        min_by(col(centsCol), struct(col(tsCol), col(idCol))).as("open"),
+        max(col(centsCol)).as("high"),
+        min(col(centsCol)).as("low"),
+        max_by(col(centsCol), struct(col(tsCol), col(idCol))).as("close"),
+        count(lit(1)).as("n_trades"),
+        sum(col(centsCol)).as("volume_cents"))
+      .select(col("w.start").as("window_start"), col("open"), col("high"),
+        col("low"), col("close"), col("n_trades"), col("volume_cents"))
+
   final case class CdcOp(key: Long, seq: Long, op: String, value: Double)
   final case class CdcLatest(key: Long, seq: Long, op: String, value: Double)
 

@@ -427,6 +427,19 @@ class PlanSpec extends AnyFunSuite {
       "latest-state must ride the max_by aggregate")
   }
 
+  test("x_ohlc_bars: open/close ride the hash aggregate — no window sort") {
+    val p = plan(graft.queries.Extensions.ohlcBars)
+    assert(!p.contains("Window"), "OHLC must not plan a window")
+    assert(p.contains("min_by") && p.contains("max_by"),
+      "open/close must ride min_by/max_by in the aggregate")
+  }
+
+  test("x_histogram: one partial->final count, filter-free bucket arithmetic") {
+    val p = plan(graft.queries.Extensions.histogramQ)
+    assert(p.contains("partial_count") || p.contains("HashAggregate"))
+    assert(!p.contains("Join"))
+  }
+
   test("x_fuzzy_join_edit: blocked join is an equi hash join, never a nested loop") {
     val p = plan(graft.queries.Extensions.fuzzyJoinEdit)
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),

@@ -396,6 +396,35 @@ class RainStormStreamingSpec extends AnyFunSuite {
     assert(logLines() == Seq("a", "b", "c", "d", "e", "f", "g", "h"))
   }
 
+  test("ohlcStream: closed bars bit-equal the batch aggregation of the same trades") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(s: Long) = new java.sql.Timestamp((7200L + s) * 1000L)
+
+    // Window [2:00, 3:00): open=cents@min-ts, close=cents@max-ts even though
+    // neither is the min/max PRICE — the discriminating case for min_by.
+    val trades = Seq(
+      (t(0), 1L, 500L), (t(60), 2L, 900L), (t(120), 3L, 100L), (t(3599), 4L, 700L),
+      (t(4000), 5L, 300L)) // next window — closes the first via watermark
+    val in = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val q = RainStorm.ohlcStream(
+      in.toDF().toDF("ts", "id", "cents"), "ts", "id", "cents",
+      windowLen = "1 hour", watermark = "0 seconds")
+      .writeStream.outputMode("append").format("memory").queryName("ohlc_bars").start()
+    try {
+      in.addData(trades.take(4).toIndexedSeq: _*); q.processAllAvailable()
+      in.addData(trades.drop(4).toIndexedSeq: _*); q.processAllAvailable()
+      in.addData((t(8000), 6L, 1L)); q.processAllAvailable() // push watermark past window 1
+      val bars = spark.table("ohlc_bars")
+        .select("open", "high", "low", "close", "n_trades", "volume_cents")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5)))
+      assert(bars.contains((500L, 900L, 100L, 700L, 4L, 2200L)),
+        s"first-hour bar must be open=500 high=900 low=100 close=700, got ${bars.toSeq}")
+    } finally q.stop()
+  }
+
   test("cdcStream: strictly-newer wins, stale replays absorbed, deletes tombstone") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
