@@ -967,6 +967,68 @@ object Headline {
             FROM agg JOIN ex USING (day) ORDER BY day""")
   )
 
+  /** Sessionized funnel — the third member of the funnel trilogy (h22
+    * lifetime, h29 conversion-window): steps must complete within the SAME
+    * gap-delimited session. Sessions materialize from one lag+cumulative-sum
+    * pass over the user_id exchange (12 h gap), then the identical chained
+    * step-min recipe runs per (user, session) key — two exchanges total,
+    * the second keyed on a refinement of the first, regardless of funnel
+    * depth. Counts are per SESSION (a user converts once per qualifying
+    * burst), which is what product analytics actually reports.
+    */
+  val h31 = Q(
+    "h31_funnel_sessionized",
+    (s, d) => {
+      val gapUs = 12L * 3600L * 1000000L
+      val wOrd = Window.partitionBy(col("user_id")).orderBy(col("tm"), col("event_id"))
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts").cast("timestamp")).as("tm"))
+        .withColumn("brk",
+          when(lag(col("tm"), 1).over(wOrd).isNull ||
+            col("tm") - lag(col("tm"), 1).over(wOrd) > gapUs, 1L).otherwise(0L))
+        .withColumn("sid", sum(col("brk"))
+          .over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(concat_ws("#", col("user_id"), col("sid")).as("sk"),
+          col("event_type"), col("tm"))
+      Funnel.summary(Funnel.stepTimes(ev, funnelSteps, userCol = "sk"), funnelSteps)
+        .withColumnRenamed("n_users", "n_sessions")
+    },
+    Some("""WITH m AS (
+              SELECT user_id, event_id, event_type,
+                epoch_us(CAST(ts AS TIMESTAMP)) AS tm FROM events),
+            s AS (
+              SELECT *, CASE WHEN lag(tm) OVER w IS NULL
+                  OR tm - lag(tm) OVER w > 43200000000 THEN 1 ELSE 0 END AS brk
+              FROM m WINDOW w AS (PARTITION BY user_id ORDER BY tm, event_id)),
+            sess AS (
+              SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY tm, event_id
+                ROWS UNBOUNDED PRECEDING) AS sid FROM s),
+            k AS (SELECT CAST(user_id AS VARCHAR) || '#' || CAST(sid AS VARCHAR) AS sk,
+                    event_type, tm FROM sess),
+            p1 AS (
+              SELECT sk, min(CASE WHEN event_type = 'view' THEN tm END) AS t1
+              FROM k GROUP BY sk),
+            p2 AS (
+              SELECT k.sk, any_value(p.t1) AS t1,
+                min(CASE WHEN k.event_type = 'click' AND k.tm > p.t1 THEN k.tm END) AS t2
+              FROM k JOIN p1 p USING (sk) GROUP BY k.sk),
+            p3 AS (
+              SELECT k.sk, any_value(p.t1) AS t1, any_value(p.t2) AS t2,
+                min(CASE WHEN k.event_type = 'purchase' AND k.tm > p.t2 THEN k.tm END) AS t3
+              FROM k JOIN p2 p USING (sk) GROUP BY k.sk)
+            SELECT * FROM (
+              SELECT 'view' AS step, count(t1) AS n_sessions,
+                CAST(0 AS BIGINT) AS conv_us_total FROM p3
+              UNION ALL
+              SELECT 'view>click', count(t2),
+                CAST(COALESCE(sum(t2 - t1) FILTER (WHERE t2 IS NOT NULL), 0) AS BIGINT) FROM p3
+              UNION ALL
+              SELECT 'view>click>purchase', count(t3),
+                CAST(COALESCE(sum(t3 - t1) FILTER (WHERE t3 IS NOT NULL), 0) AS BIGINT) FROM p3)
+            ORDER BY step""")
+  )
+
   val qs: Seq[Q] = Seq(h1, h2, h3, h4, h5, h6, h7, h7b, h7c, h7d, h8, h9, h10, h11, h12, h13,
-    h14, h15, h16, h17, h18, h19, h20, h21, h22, h23, h24, h25, h26, h27, h28, h29, h30)
+    h14, h15, h16, h17, h18, h19, h20, h21, h22, h23, h24, h25, h26, h27, h28, h29, h30, h31)
 }

@@ -43,7 +43,7 @@ class RegistrySmokeSpec extends AnyFunSuite {
     "x_sample_weighted", "x_skew_report", "x_gdpr_purge", "x_snapshot_diff",
     "h29_funnel_windowed", "x_bitmap_distinct", "x_sketch_setops", "x_ann_pq",
     "x_column_profile", "x_histogram", "x_ann_ivfpq", "x_bfs_layers",
-    "x_ohlc_bars", "x_compaction_plan"
+    "x_ohlc_bars", "x_compaction_plan", "h31_funnel_sessionized"
   )
 
   Registry.all.foreach { q =>
