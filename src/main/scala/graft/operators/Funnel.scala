@@ -68,9 +68,23 @@ object Funnel {
       userCol: String = "user_id",
       tmCol: String = "tm",
       withinUs: Option[Long] = None
+  ): DataFrame = stepTimesKeyed(ev, steps, Seq(userCol), tmCol, withinUs)
+
+  /** Composite-key form: the funnel entity is (userCol, sessionCol, …) —
+    * e.g. per-session funnels — WITHOUT concatenating a string key (a 10 M-
+    * row string group key costs several× the long columns it encodes).
+    * Same chained-window plan, partitioned/grouped on the key columns.
+    */
+  def stepTimesKeyed(
+      ev: DataFrame,
+      steps: Seq[(String, org.apache.spark.sql.Column)],
+      keyCols: Seq[String],
+      tmCol: String = "tm",
+      withinUs: Option[Long] = None
   ): DataFrame = {
     require(steps.nonEmpty, "need at least one step")
-    val w = Window.partitionBy(col(userCol))
+    require(keyCols.nonEmpty, "need at least one key column")
+    val w = Window.partitionBy(keyCols.map(col): _*)
     val withT = steps.zipWithIndex.foldLeft(ev) { case (df, ((_, pred), i)) =>
       // Conversion window: steps past the first count only within
       // `withinUs` of the user's t0 — the product-analytics "converted
@@ -85,7 +99,7 @@ object Funnel {
       df.withColumn(s"t$i", min(when(hit, col(tmCol))).over(w))
     }
     withT
-      .groupBy(col(userCol))
+      .groupBy(keyCols.map(col): _*)
       .agg(
         min(col("t0")).as("t0"),
         steps.indices.drop(1).map(i => min(col(s"t$i")).as(s"t$i")): _*)

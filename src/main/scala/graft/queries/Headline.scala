@@ -989,9 +989,12 @@ object Headline {
             col("tm") - lag(col("tm"), 1).over(wOrd) > gapUs, 1L).otherwise(0L))
         .withColumn("sid", sum(col("brk"))
           .over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .select(concat_ws("#", col("user_id"), col("sid")).as("sk"),
-          col("event_type"), col("tm"))
-      Funnel.summary(Funnel.stepTimes(ev, funnelSteps, userCol = "sk"), funnelSteps)
+        .select(col("user_id"), col("sid"), col("event_type"), col("tm"))
+      Funnel.summary(
+        Funnel.stepTimesKeyed(ev,
+          funnelSteps.map(st => st -> (col("event_type") === st)),
+          keyCols = Seq("user_id", "sid")),
+        funnelSteps)
         .withColumnRenamed("n_users", "n_sessions")
     },
     Some("""WITH m AS (
