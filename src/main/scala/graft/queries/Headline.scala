@@ -816,7 +816,7 @@ object Headline {
               SELECT from_step, to_step, count(*) AS n
               FROM nx WHERE to_step IS NOT NULL GROUP BY 1, 2)
             SELECT from_step, to_step, n,
-              1000000 * n // sum(n) OVER (PARTITION BY from_step) AS p_ppm
+              CAST(1000000 * n // sum(n) OVER (PARTITION BY from_step) AS BIGINT) AS p_ppm
             FROM c ORDER BY from_step, to_step""")
   )
 
