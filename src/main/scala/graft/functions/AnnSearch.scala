@@ -406,11 +406,17 @@ object AnnSearch {
     val cellCol = NativeFns.nearest_centroid_l2(
       col("__qv"), coarse.map(_._1), coarse.map(_._2)).getField("cluster")
 
+    // localCheckpoint: this frame embeds the nCells-way coarse assignment
+    // plus the residual zip_with over every corpus row, and is then scanned
+    // by each of the m sub-model trainings (iters+1 actions apiece) AND the
+    // index build — without truncation that whole coarse pass would re-run
+    // O(m·iters) times (the lineage discipline GraphOps applies per round).
     val withRes = corpus
       .select(col(idCol).cast("long").as("neighbor_id"), qv(col(vecCol)).as("__qv"))
       .withColumn("cell", cellCol)
       .withColumn("__rv", zip_with(col("__qv"), element_at(coarseMap, col("cell")),
         (a, b) => a - b))
+      .localCheckpoint()
 
     val subModels = (0 until m).map { s =>
       ClusterOps.kMeansModelQuantized(

@@ -95,12 +95,70 @@ object CommitLog {
     val bytes = values.map(_ + "\n").mkString.getBytes(StandardCharsets.UTF_8)
     val ch = java.nio.channels.FileChannel.open(
       p, StandardOpenOption.CREATE, StandardOpenOption.WRITE, StandardOpenOption.APPEND)
-    try { ch.write(java.nio.ByteBuffer.wrap(bytes)); ch.force(true) } finally ch.close()
+    try {
+      val buf = java.nio.ByteBuffer.wrap(bytes)
+      while (buf.hasRemaining) ch.write(buf) // FileChannel.write may be short
+      ch.force(true)
+    } finally ch.close()
     // Index update: pre-append lines = nearest index point + bounded scan.
     val preLines = linesUpTo(path, preSize)
     Files.writeString(Paths.get(path + ".idx"),
       s"${preLines + values.size} ${preSize + bytes.length}\n",
       StandardOpenOption.CREATE, StandardOpenOption.WRITE, StandardOpenOption.APPEND)
+  }
+
+  /** Append one protocol line durably: FileChannel write loop + force(true),
+    * so the marker is on disk BEFORE the caller proceeds. `Files.writeString`
+    * gives no such ordering — after an OS/power crash the later data append
+    * could survive while the marker is lost, inverting the WAL contract.
+    */
+  private def appendForced(p: java.nio.file.Path, line: String): Unit = {
+    val ch = java.nio.channels.FileChannel.open(
+      p, StandardOpenOption.CREATE, StandardOpenOption.WRITE, StandardOpenOption.APPEND)
+    try {
+      val buf = java.nio.ByteBuffer.wrap(line.getBytes(StandardCharsets.UTF_8))
+      while (buf.hasRemaining) ch.write(buf)
+      ch.force(true)
+    } finally ch.close()
+  }
+
+  /** `(completeLines, byteEnd)` of `path`'s newline-terminated prefix: the
+    * complete-line count AND the byte offset just past the last `\n`, so a
+    * replayer can TRUNCATE a torn tail instead of concatenating onto it.
+    * Same index-floor + bounded tail scan discipline as [[linesUpTo]]
+    * (index entries are complete-line boundaries by the producer protocol,
+    * so the floor is a safe scan start).
+    */
+  private[sources] def completePrefix(path: String): (Long, Long) = {
+    val p = Paths.get(path)
+    if (!Files.exists(p)) return (0L, 0L)
+    val size     = Files.size(p)
+    val (l0, b0) = indexFloor(path, size)
+    val ch = java.nio.channels.FileChannel.open(p, StandardOpenOption.READ)
+    try {
+      ch.position(b0)
+      var n         = l0
+      var lastEnd   = b0
+      var pos       = b0
+      var remaining = size - b0
+      val buf = java.nio.ByteBuffer.allocate(64 * 1024)
+      while (remaining > 0) {
+        buf.clear()
+        if (remaining < buf.capacity()) buf.limit(remaining.toInt)
+        val read = ch.read(buf)
+        if (read <= 0) remaining = 0
+        else {
+          var i = 0
+          while (i < read) {
+            if (buf.get(i) == '\n') { n += 1; lastEnd = pos + i + 1 }
+            i += 1
+          }
+          pos += read
+          remaining -= read
+        }
+      }
+      (n, lastEnd)
+    } finally ch.close()
   }
 
   /** Largest `(lines, bytes)` index entry with `bytes <= maxBytes` (and, when
@@ -231,8 +289,10 @@ object CommitLog {
       }
       .getOrElse {
         val s = completeLines(path)
-        Files.writeString(epochsPath, s"intent $epochId $s $total\n",
-          StandardOpenOption.CREATE, StandardOpenOption.WRITE, StandardOpenOption.APPEND)
+        // Forced BEFORE any data append — the WAL ordering the protocol
+        // depends on (a surviving data append with a lost intent would
+        // recompute startLine from the extended log and double-append).
+        appendForced(epochsPath, s"intent $epochId $s $total\n")
         s
       }
 
@@ -248,10 +308,21 @@ object CommitLog {
       }.toSeq
       require(lines.size == total,
         s"staging lost for epoch $epochId: ${lines.size} of $total staged rows present")
+      // Torn-tail repair: a crash mid-append can leave a partial last line
+      // that completeLines excludes; appending the gap onto those bytes
+      // would merge the torn fragment and the replayed record into one
+      // corrupted line. Truncate to the last complete-line boundary first.
+      val (_, completeBytes) = completePrefix(path)
+      val p = Paths.get(path)
+      if (Files.exists(p) && Files.size(p) > completeBytes) {
+        val ch = java.nio.channels.FileChannel.open(p, StandardOpenOption.WRITE)
+        try { ch.truncate(completeBytes); ch.force(true) } finally ch.close()
+      }
       append(path, lines.drop(already.toInt))
     }
-    Files.writeString(epochsPath, s"done $epochId\n",
-      StandardOpenOption.CREATE, StandardOpenOption.WRITE, StandardOpenOption.APPEND)
+    // Forced before staging cleanup, so a committed epoch can never lose its
+    // `done` marker to a crash and re-append from already-deleted staging.
+    appendForced(epochsPath, s"done $epochId\n")
     cleanup()
   }
 }
@@ -308,7 +379,8 @@ private[sources] class CommitLogDataWriter(
   override def write(record: InternalRow): Unit = {
     val v = record.getUTF8String(valueIdx).toString
     require(!v.contains("\n"), "commit-log records are single lines")
-    ch.write(java.nio.ByteBuffer.wrap((v + "\n").getBytes(StandardCharsets.UTF_8)))
+    val buf = java.nio.ByteBuffer.wrap((v + "\n").getBytes(StandardCharsets.UTF_8))
+    while (buf.hasRemaining) ch.write(buf)
     rows += 1
   }
 

@@ -195,6 +195,14 @@ object RainStorm {
     * session closes and its state is REMOVED — bounded state with
     * guaranteed emission even for users who simply stop, which the
     * update-emitting form cannot distinguish from users between batches.
+    *
+    * Session IDENTITY is the session's first event time (epoch seconds),
+    * not a per-user counter: state removal on timeout would reset a
+    * counter, so a returning user's new session would collide with an
+    * already-emitted (user, session) key and downstream consumers keyed on
+    * it would double-count. Start time is collision-free across removals
+    * (a user cannot open two sessions at the same second — same-second
+    * events merge into one session by the gap rule).
     */
   def sessionizeWithTimeout(
       spark: SparkSession,
@@ -226,7 +234,7 @@ object RainStorm {
             else {
               if (st.lastTs != Long.MinValue)
                 out += ClosedSession(userId, st.sessionId, st.nEvents, st.lastTs)
-              st = SessionState(st.sessionId + 1, 1L, ts)
+              st = SessionState(ts, 1L, ts) // identity = start time, survives state removal
             }
           }
           state.update(st)

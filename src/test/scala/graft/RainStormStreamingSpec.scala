@@ -394,6 +394,25 @@ class RainStormStreamingSpec extends AnyFunSuite {
     graft.sources.CommitLog.commitEpoch(log, 99L,
       Seq(graft.sources.StagedEpochFile(sf.toString, 0, 3L)))
     assert(logLines() == Seq("a", "b", "c", "d", "e", "f", "g", "h"))
+
+    // TORN-LINE crash: the attempt died mid-record, leaving a partial line
+    // with no newline. The resume must truncate the torn bytes back to the
+    // last complete-line boundary before appending the gap — otherwise the
+    // torn fragment and the replayed record merge into one corrupted line.
+    val sf2 = staging.resolve("epoch-100-part-0")
+    JFiles.write(sf2, "i\nj\nk\n".getBytes)
+    val startLine2 = logLines().size
+    JFiles.writeString(Paths.get(log + ".epochs"),
+      s"intent 100 $startLine2 3\n",
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE,
+      java.nio.file.StandardOpenOption.APPEND)
+    graft.sources.CommitLog.append(log, Seq("i")) // one complete record...
+    JFiles.write(Paths.get(log), "j".getBytes,    // ...then a torn partial "j"
+      java.nio.file.StandardOpenOption.WRITE, java.nio.file.StandardOpenOption.APPEND)
+    graft.sources.CommitLog.commitEpoch(log, 100L,
+      Seq(graft.sources.StagedEpochFile(sf2.toString, 0, 3L)))
+    assert(logLines() == Seq("a", "b", "c", "d", "e", "f", "g", "h", "i", "j", "k"),
+      "torn tail must be truncated, not merged with the replayed record")
   }
 
   test("ohlcStream: closed bars bit-equal the batch aggregation of the same trades") {
@@ -472,7 +491,7 @@ class RainStormStreamingSpec extends AnyFunSuite {
       in.addData((1L, t(0)), (1L, t(30)), (1L, t(200)))
       q.processAllAvailable()
       val b1 = spark.table("timeout_sessions").as[ClosedSession].collect().toSet
-      assert(b1 == Set(ClosedSession(1L, 1L, 2L, 100030L)))
+      assert(b1 == Set(ClosedSession(1L, 100000L, 2L, 100030L)))
 
       // An unrelated user far in the future advances the watermark past
       // u1's open-session gap: the TIMEOUT (no u1 data at all) closes it.
@@ -483,12 +502,27 @@ class RainStormStreamingSpec extends AnyFunSuite {
       in.addData((2L, t(2000)))
       q.processAllAvailable()
       val all = spark.table("timeout_sessions").as[ClosedSession].collect().toSet
-      assert(all.contains(ClosedSession(1L, 2L, 1L, 100200L)),
+      assert(all.contains(ClosedSession(1L, 100200L, 1L, 100200L)),
         s"open session must close by timeout, got $all")
+
+      // RETURNING USER after a timeout-removed state: the new session must
+      // get a FRESH identity (start time), not a reset counter colliding
+      // with the already-emitted (user, session) key.
+      in.addData((1L, t(3000)))
+      q.processAllAvailable()
+      in.addData((2L, t(5000)))
+      q.processAllAvailable()
+      in.addData((2L, t(6000)))
+      q.processAllAvailable()
+      val withReturn = spark.table("timeout_sessions").as[ClosedSession].collect().toSet
+      assert(withReturn.contains(ClosedSession(1L, 103000L, 1L, 103000L)),
+        s"returning user's session must close with a fresh identity, got $withReturn")
+
       // Exactly once: no duplicate emissions of any (user, session).
       val keys = spark.table("timeout_sessions").as[ClosedSession]
         .collect().map(s => (s.userId, s.sessionId))
-      assert(keys.length == keys.distinct.length)
+      assert(keys.length == keys.distinct.length,
+        "session identities must be unique even across timeout-removed state")
     } finally q.stop()
   }
 
