@@ -129,22 +129,83 @@ object Extensions {
             FROM sc ORDER BY doc_id""")
   )
 
-  /** Document fingerprinting: custom codegen'd rolling-hash Catalyst
-    * expression + 64-bit SimHash + DEFLATE compression ratio (the entropy/
-    * boilerplate quality signal). Not SQL-expressible → rows-only check;
-    * values pinned in OperatorSpec.
+  /** Document fingerprinting, fully oracled: the codegen'd polynomial
+    * rolling hash ([[graft.functions.RollingHashExpr]] — base 1000003 over
+    * UTF-8 bytes with natural 2^64 wraparound) REPLAYED byte-exact in
+    * DuckDB (`hex(encode(text))` → per-byte list → `list_reduce` fold in
+    * HUGEINT with an explicit mod 2^64 and a signed-two's-complement
+    * conversion at the end), plus the engine-neutral md5-vote 60-bit
+    * SimHash (the [[dedupSimhash]] primitive, joined per doc). Was
+    * rows-only while the columns included DEFLATE `compress_ratio` —
+    * DuckDB has no DEFLATE, so that signal now lives solely on its
+    * registered SQL function (`deflate_ratio`), exact-gated against
+    * `java.util.zip` in OperatorSpec, and every column HERE replays
+    * row-level.
     */
   val textFingerprint = Q(
     "x_text_fingerprint",
-    (s, d) =>
-      Tables.documents(s, d)
-        .select(
-          col("doc_id"),
-          RollingHash.rolling_hash(col("text")).as("fingerprint"),
-          TextAnalysis.simHash64(col("text")).as("simhash"),
-          graft.functions.NativeFns.deflate_ratio(col("text")).as("compress_ratio")
-        )
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val bits = 60
+      val tok = docs
+        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .select(col("doc_id"),
+          conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("h"))
+      val voteAggs = (0 until bits).map(b =>
+        sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"v$b"))
+      val sim = tok.groupBy(col("doc_id"))
+        .agg(voteAggs.head, voteAggs.tail: _*)
+        .select(col("doc_id"),
+          (0 until bits).map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+            .reduce(_ + _).as("simhash"))
+      docs
+        .select(col("doc_id"), RollingHash.rolling_hash(col("text")).as("fingerprint"))
+        .join(sim, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("fingerprint"),
+          coalesce(col("simhash"), lit(0L)).as("simhash"))
         .orderBy("doc_id")
+    },
+    Some("""WITH hx AS (
+              SELECT doc_id, hex(encode(text)) AS h FROM documents),
+            rh AS (
+              SELECT doc_id,
+                CASE WHEN len(h) = 0 THEN CAST(0 AS HUGEINT)
+                ELSE list_reduce(
+                  list_transform(range(1, len(h) // 2 + 1),
+                    i -> CAST(16 * (strpos('0123456789ABCDEF', h[2*i-1]) - 1)
+                              + (strpos('0123456789ABCDEF', h[2*i]) - 1) AS HUGEINT)),
+                  (acc, x) -> (acc * 1000003 + x) % CAST('18446744073709551616' AS HUGEINT))
+                END AS r
+              FROM hx),
+            fp AS (
+              SELECT doc_id,
+                CAST(CASE WHEN r >= CAST('9223372036854775808' AS HUGEINT)
+                     THEN r - CAST('18446744073709551616' AS HUGEINT)
+                     ELSE r END AS BIGINT) AS fingerprint
+              FROM rh),
+            t AS (
+              SELECT doc_id, tok FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+              WHERE tok <> ''),
+            hv AS (
+              SELECT doc_id,
+                list_reduce(list_transform(string_split(substr(md5(tok), 1, 15), ''),
+                  c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+                  (a, x) -> a * 16 + x) AS hvv
+              FROM t),
+            v AS (
+              SELECT doc_id, b.b,
+                sum(CASE WHEN (hvv >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+              FROM hv, range(0, 60) b(b)
+              GROUP BY doc_id, b.b),
+            sh AS (
+              SELECT doc_id,
+                CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+              FROM v GROUP BY doc_id)
+            SELECT fp.doc_id, fp.fingerprint,
+              CAST(COALESCE(sh.simhash, 0) AS BIGINT) AS simhash
+            FROM fp LEFT JOIN sh ON fp.doc_id = sh.doc_id
+            ORDER BY fp.doc_id""")
   )
 
   /** Deterministic train/test split — the first operation of every
@@ -3105,11 +3166,57 @@ object Extensions {
             FROM pc ORDER BY pair_count DESC, lsym, rsym LIMIT 20""")
   )
 
+  /** The BPE trainer's first `k` rounds UNROLLED as DuckDB CTEs — the
+    * x_pagerank/x_ann_ivfpq unroll precedent applied to a model the r10
+    * verdict called non-replayable. The blocker was the greedy in-word
+    * merge pass (sequential per word); the unlock is a DELIMITED-STRING
+    * encoding: a word's symbol sequence rides as `\x01sym\x01\x01sym\x01…`
+    * (each symbol wrapped in its own `chr(1)` delimiters, which never occur
+    * in text), so applying merge (l, r) greedily left-to-right with
+    * resume-at-i+2 — exactly [[graft.functions.BpeApplyExpr]]'s scan — IS
+    * `replace(s, ␁l␁␁r␁, ␁lr␁)`: SQL `replace` scans left-to-right and
+    * continues after each replacement, the per-symbol double delimiters
+    * keep adjacent matches from sharing boundary bytes (so `aaaa` → `aa aa`,
+    * not `aa a a`), and a symbol can never false-match as a suffix of
+    * another because every match is delimiter-flanked. Each round is then
+    * pair-count → deterministic argmax (count DESC, lsym, rsym — the
+    * trainer's total order) → one `replace` over the vocab frame, all
+    * data-driven, so the same SQL replays at any scale factor.
+    */
+  private def bpeTrainCtes(k: Int): String = {
+    val head =
+      """wd AS (
+        |  SELECT t.w AS w, count(*) AS wc
+        |  FROM documents,
+        |    unnest(list_filter(regexp_split_to_array(text, '[ \n]'), x -> x <> '')) AS t(w)
+        |  GROUP BY t.w),
+        |s0 AS (
+        |  SELECT w, wc,
+        |    array_to_string(list_transform(list_append(string_split(w, ''), '</w>'),
+        |      x -> chr(1) || x || chr(1)), '') AS s
+        |  FROM wd)""".stripMargin
+    val rounds = (1 to k).map { r =>
+      s"""pc$r AS (
+         |  SELECT syms[i+1] AS ls, syms[i+2] AS rs, sum(wc) AS c
+         |  FROM (SELECT wc, syms, unnest(range(len(syms) - 1)) AS i
+         |        FROM (SELECT wc, list_filter(string_split(s, chr(1)), x -> x <> '') AS syms
+         |              FROM s${r - 1}) z0) z1
+         |  GROUP BY 1, 2),
+         |m$r AS (SELECT ls, rs, c FROM pc$r ORDER BY c DESC, ls, rs LIMIT 1),
+         |s$r AS (
+         |  SELECT w, wc,
+         |    replace(s, chr(1) || m.ls || chr(1) || chr(1) || m.rs || chr(1),
+         |               chr(1) || m.ls || m.rs || chr(1)) AS s
+         |  FROM s${r - 1}, m$r m)""".stripMargin
+    }.mkString(",\n")
+    head + ",\n" + rounds
+  }
+
   /** The learned k=8 BPE merge table ([[BpeTrain.train]] — corpus touched
     * once for word frequencies, each round one vocab-frame aggregation +
-    * one map-side merge application). Greedy in-word merge application is
-    * sequential per word and not ANSI-SQL-expressible, so rounds ≥ 1 are
-    * rows-only here; BpeTrainSpec pins the full table against an
+    * one map-side merge application). Fully oracled via [[bpeTrainCtes]]:
+    * the 8 training rounds replay in SQL and each round's argmax row IS the
+    * merge-table row. BpeTrainSpec additionally pins the table against an
     * independent in-memory reference BPE and the determinism gate.
     */
   val bpeMerges = Q(
@@ -3117,15 +3224,26 @@ object Extensions {
     (s, d) =>
       BpeTrain.mergesDf(s, BpeTrain.train(Tables.documents(s, d), "text", 8))
         .orderBy("round"),
-    None
+    Some {
+      val picks = (1 to 8).map(r =>
+        s"SELECT CAST(${r - 1} AS BIGINT) AS round, ls AS lsym, rs AS rsym, " +
+          s"CAST(c AS BIGINT) AS pair_count FROM m$r").mkString("\n            UNION ALL ")
+      s"""WITH ${bpeTrainCtes(8)}
+          $picks
+          ORDER BY round"""
+    }
   )
 
   /** BPE tokenization serving face ([[graft.functions.BpeTokenCountExpr]]):
     * per-doc token counts under the k=8 merges trained on the same corpus —
     * chars+`</w>` per word collapsed by the ordered merge list, pure
-    * map-side, merges riding as reference objects. Rows-only (sequential
-    * merge semantics); BpeTrainSpec holds the closed-form and
-    * monotonicity gates.
+    * map-side, merges riding as reference objects. Fully oracled: the
+    * training replay ([[bpeTrainCtes]]) leaves every word's FINAL symbol
+    * string in its last CTE, so per-word token counts are just the symbol
+    * count of that string and per-doc counts re-join the words — the
+    * tokenizer's priority-order merge passes are exactly the training
+    * rounds' passes over the same word dictionary. BpeTrainSpec holds the
+    * closed-form and monotonicity gates on top.
     */
   val bpeTokenize = Q(
     "x_bpe_tokenize",
@@ -3138,7 +3256,22 @@ object Extensions {
         graft.functions.NativeFns.bpe_token_count(col("text"), merges).as("n_bpe_tokens"))
         .orderBy("doc_id")
     },
-    None
+    Some(s"""WITH ${bpeTrainCtes(8)},
+            tc AS (
+              SELECT w,
+                CAST(len(list_filter(string_split(s, chr(1)), x -> x <> '')) AS BIGINT) AS n_tok
+              FROM s8),
+            dw AS (
+              SELECT doc_id, t.w AS w
+              FROM documents,
+                unnest(list_filter(regexp_split_to_array(text, '[ \n]'), x -> x <> '')) AS t(w)),
+            ag AS (
+              SELECT dw.doc_id, sum(tc.n_tok) AS n_bpe
+              FROM dw JOIN tc USING (w) GROUP BY dw.doc_id)
+            SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
+              CAST(COALESCE(ag.n_bpe, 0) AS BIGINT) AS n_bpe_tokens
+            FROM documents d LEFT JOIN ag ON d.doc_id = ag.doc_id
+            ORDER BY d.doc_id""")
   )
 
   /** RAG chunking ([[Curation.chunkDocuments]], window 32 / stride 24):
