@@ -51,9 +51,38 @@ object BpeTrain {
       .groupBy(col("p.l").as("lsym"), col("p.r").as("rsym"))
       .agg(sum(col("wc")).as("pair_count"))
 
-  /** Learn `k` merges from `corpus`. Stops early if no pair remains. */
-  def train(corpus: DataFrame, textCol: String, k: Int): Seq[Merge] = {
-    var words  = wordFreqs(corpus, textCol).localCheckpoint()
+  /** Learn `k` merges from `corpus`. Stops early if no pair remains.
+    *
+    * HYBRID loop drive: the corpus-scale work — the ONE word-frequency
+    * aggregation — is always distributed; the merge LOOP then runs wherever
+    * the collapsed word dict lives best. When the dict is driver-sized
+    * (`maxDriverWords`, default 2M rows ≈ tens of MB — Heaps' law puts even
+    * very large corpora within ~10⁷–10⁸ distinct words), it is collected
+    * once and the k rounds run in-memory ([[trainLocal]]): a 32k-vocab
+    * training is thousands of hash-map passes over a small array, seconds,
+    * instead of 32k Spark jobs. Above the threshold the loop stays
+    * distributed at one pair-count job per merge — correct at any dict
+    * size, with the explicit k-jobs cost bound. Both paths share the exact
+    * total order (count DESC, then UTF-8-byte-ascending left, right), so
+    * the learned table is identical whichever side of the threshold runs —
+    * BpeTrainSpec pins the equality.
+    */
+  def train(
+      corpus: DataFrame, textCol: String, k: Int, maxDriverWords: Long = 2000000L
+  ): Seq[Merge] = {
+    val words = wordFreqs(corpus, textCol).localCheckpoint()
+    if (words.count() <= maxDriverWords) {
+      val dict = words.select(col("w"), col("wc")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      trainLocal(dict, k)
+    } else trainDistributed(words, k)
+  }
+
+  /** The distributed merge loop: one vocab-frame pair-count aggregation +
+    * one map-side [[NativeFns.bpe_apply]] per round. O(k) Spark jobs.
+    */
+  private def trainDistributed(words0: DataFrame, k: Int): Seq[Merge] = {
+    var words  = words0
     val merges = Seq.newBuilder[Merge]
     var round  = 0
     var done   = false
@@ -69,6 +98,86 @@ object BpeTrain {
         words = words
           .withColumn("syms", NativeFns.bpe_apply(col("syms"), l, r))
           .localCheckpoint()
+        round += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** UTF-8 byte order — Spark's `asc` on strings compares UTF8String bytes,
+    * so the driver-local argmax must tie-break the same way (Java String
+    * compareTo differs above U+E000).
+    */
+  private def u8lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < x.length && i < y.length) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** Driver-local merge loop over a collected `(word, freq)` dictionary:
+    * same pair counts, same argmax total order, same greedy resume-at-i+2
+    * merge pass as the distributed round — byte-identical merge tables.
+    * Cost per round is one pass over the symbol arrays (the dict, not the
+    * corpus), so k=1000 trains in seconds where the per-merge-job
+    * distributed loop would schedule 1000 jobs.
+    */
+  def trainLocal(dict: Seq[(String, Long)], k: Int): Seq[Merge] = {
+    val syms = dict.map { case (w, _) =>
+      val b = new scala.collection.mutable.ArrayBuffer[String](w.length + 1)
+      var i = 0
+      while (i < w.length) { b += String.valueOf(w.charAt(i)); i += 1 }
+      b += "</w>"
+      b
+    }.toArray
+    val wcs    = dict.map(_._2).toArray
+    val merges = Seq.newBuilder[Merge]
+    var round  = 0
+    var done   = false
+    while (round < k && !done) {
+      val counts = new java.util.HashMap[(String, String), Long]()
+      var wi = 0
+      while (wi < syms.length) {
+        val s  = syms(wi)
+        val wc = wcs(wi)
+        var i = 0
+        while (i < s.length - 1) {
+          counts.merge((s(i), s(i + 1)), wc, (a, b) => a + b)
+          i += 1
+        }
+        wi += 1
+      }
+      if (counts.isEmpty) done = true
+      else {
+        var bestP: (String, String) = null
+        var bestC = 0L
+        counts.forEach { (p, c) =>
+          val better = bestP == null || c > bestC ||
+            (c == bestC && (u8lt(p._1, bestP._1) ||
+              (p._1 == bestP._1 && u8lt(p._2, bestP._2))))
+          if (better) { bestP = p; bestC = c }
+        }
+        val (l, r) = bestP
+        merges += Merge(round, l, r, bestC)
+        var wj = 0
+        while (wj < syms.length) {
+          val s = syms(wj)
+          if (s.length > 1) {
+            val m = new scala.collection.mutable.ArrayBuffer[String](s.length)
+            var i = 0
+            while (i < s.length) {
+              if (i < s.length - 1 && s(i) == l && s(i + 1) == r) { m += l + r; i += 2 }
+              else { m += s(i); i += 1 }
+            }
+            syms(wj) = m
+          }
+          wj += 1
+        }
         round += 1
       }
     }

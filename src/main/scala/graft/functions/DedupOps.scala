@@ -93,6 +93,58 @@ object DedupOps {
       .distinct()
   }
 
+  /** Fuzzy self-join statistics at edit distance ≤ 1 via the FastSS deletion
+    * neighborhood (Bocek, Hunt, Stiller, "Fast Similarity Search in Large
+    * Dictionaries", U. Zurich TR 2007): each string emits itself plus its
+    * |s| single-deletion variants, and every edit-≤1 pair shares at least
+    * one variant, so the variant join is a LOSSLESS candidate generator.
+    * Returns one row: (n_candidates, n_pairs, n_capped_variants).
+    *
+    * Oversized variant buckets (mass-duplicate strings, degenerate key
+    * spaces) are truncated to their `maxVariantBucket` smallest ids — the
+    * [[pairsFromBuckets]] discipline, bounding per-bucket work at cap²/2 —
+    * and the truncation is REPORTED in-row as `n_capped_variants` (count of
+    * variant buckets that overflowed), so a pathological key space degrades
+    * LOUDLY in the result instead of silently going quadratic or silently
+    * losing recall. The bucket count rides the row_number's own window
+    * partitioning (a second window function over the same keys — no extra
+    * exchange), and the 1-row breach count joins the 1-row stats by a
+    * broadcast-1-row cross join, never a collect.
+    */
+  def fuzzyEditJoinStats(
+      df: DataFrame, idCol: String, strCol: String, maxVariantBucket: Int = 50
+  ): DataFrame = {
+    val c = df.select(col(idCol).cast("long").as("id"), col(strCol).as("name"))
+    // Skinny (var, id) frames through the candidate join — the name strings
+    // ride only the two verify joins AFTER the distinct collapses duplicates.
+    val vars = c.select(col("id"),
+      explode(expr("""concat(array(name),
+          transform(sequence(1, length(name)),
+            i -> concat(substring(name, 1, i - 1), substring(name, i + 1, 1000))))"""))
+        .as("var"))
+    val wv = org.apache.spark.sql.expressions.Window.partitionBy(col("var"))
+    val counted = vars
+      .withColumn("rn", row_number().over(wv.orderBy(col("id"))))
+      .withColumn("cnt", count(lit(1)).over(wv))
+    val capped = counted.filter(col("rn") <= maxVariantBucket)
+    val a = capped.select(col("var"), col("id").as("id_a"))
+    val b = capped.select(col("var"), col("id").as("id_b"))
+    val stats = a.join(b, "var")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+      .join(c.select(col("id").as("id_a"), col("name").as("name_a")), "id_a")
+      .join(c.select(col("id").as("id_b"), col("name").as("name_b")), "id_b")
+      .agg(
+        count(lit(1)).as("n_candidates"),
+        coalesce(sum(when(levenshtein(col("name_a"), col("name_b")) <= 1, 1L).otherwise(0L)),
+          lit(0L)).as("n_pairs"))
+    val breaches = counted
+      .filter(col("rn") === 1 && col("cnt") > maxVariantBucket)
+      .agg(count(lit(1)).as("n_capped_variants"))
+    stats.crossJoin(breaches)
+  }
+
   /** Train/eval contamination scan: flags every training doc sharing at
     * least one word n-gram with a benchmark/eval set — the pre-training
     * hygiene check that keeps test-set text out of the corpus. Returns

@@ -4073,57 +4073,39 @@ object Extensions {
     * this replaced (8× cheaper at 150 k rows and strictly more correct —
     * the block missed cross-position pairs). A row_number cap per variant
     * bounds degenerate buckets (mass-duplicate strings) exactly like every
-    * LSH path, replayed identically in the oracle; codegen'd `levenshtein`
-    * then verifies only candidates. Generalizes to distance k with depth-k
-    * deletion neighborhoods.
+    * LSH path, replayed identically in the oracle, and the truncation count
+    * is REPORTED in-row (`n_capped_variants`) so a pathological key space
+    * degrades loudly, not silently ([[DedupOps.fuzzyEditJoinStats]];
+    * FuzzyJoinSpec plants a hot neighborhood and pins both the bound and
+    * the report). Codegen'd `levenshtein` then verifies only candidates.
+    * Generalizes to distance k with depth-k deletion neighborhoods.
     */
   val fuzzyJoinEdit = Q(
     "x_fuzzy_join_edit",
-    (s, d) => {
-      val c = Tables.customer(s, d)
-        .select(col("c_custkey").as("id"), col("c_name").as("name"))
-      // Skinny (var, id) frames through the candidate join — the name
-      // strings ride only the two verify joins AFTER the distinct collapses
-      // duplicates (the minhash-incremental discipline): the exploded frame,
-      // the self-join, and the distinct all move 2 columns, not payloads.
-      val vars = c.select(col("id"),
-        explode(expr("""concat(array(name),
-            transform(sequence(1, length(name)),
-              i -> concat(substring(name, 1, i - 1), substring(name, i + 1, 1000))))"""))
-          .as("var"))
-      val capped = vars
-        .withColumn("rn", row_number().over(Window.partitionBy(col("var")).orderBy(col("id"))))
-        .filter(col("rn") <= 50)
-      val a = capped.select(col("var"), col("id").as("id_a"))
-      val b = capped.select(col("var"), col("id").as("id_b"))
-      a.join(b, "var")
-        .filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"))
-        .distinct()
-        .join(c.select(col("id").as("id_a"), col("name").as("name_a")), "id_a")
-        .join(c.select(col("id").as("id_b"), col("name").as("name_b")), "id_b")
-        .agg(
-          count(lit(1)).as("n_candidates"),
-          sum(when(levenshtein(col("name_a"), col("name_b")) <= 1, 1L).otherwise(0L))
-            .as("n_pairs"))
-    },
+    (s, d) =>
+      DedupOps.fuzzyEditJoinStats(
+        Tables.customer(s, d).select(col("c_custkey").as("id"), col("c_name").as("name")),
+        "id", "name", maxVariantBucket = 50),
     Some("""WITH c AS (SELECT c_custkey AS id, c_name AS name FROM customer),
             v AS (
               SELECT id, unnest(list_prepend(name,
                 [substring(name, 1, i - 1) || substring(name, i + 1, 1000)
                  for i in range(1, length(name) + 1)])) AS var
               FROM c),
-            cap AS (
-              SELECT var, id FROM (
-                SELECT var, id,
-                  row_number() OVER (PARTITION BY var ORDER BY id) AS rn FROM v)
-              WHERE rn <= 50),
+            cnt AS (
+              SELECT var, id,
+                row_number() OVER (PARTITION BY var ORDER BY id) AS rn,
+                count(*) OVER (PARTITION BY var) AS bs
+              FROM v),
+            cap AS (SELECT var, id FROM cnt WHERE rn <= 50),
+            br AS (SELECT count(*) AS n_capped FROM cnt WHERE rn = 1 AND bs > 50),
             cand AS (
               SELECT DISTINCT a.id AS id_a, b.id AS id_b
               FROM cap a JOIN cap b ON a.var = b.var AND a.id < b.id)
             SELECT count(*) AS n_candidates,
               CAST(COALESCE(sum(CASE WHEN levenshtein(ca.name, cb.name) <= 1
-                THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_pairs
+                THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_pairs,
+              (SELECT CAST(n_capped AS BIGINT) FROM br) AS n_capped_variants
             FROM cand JOIN c ca ON cand.id_a = ca.id
                       JOIN c cb ON cand.id_b = cb.id""")
   )

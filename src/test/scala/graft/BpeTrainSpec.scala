@@ -54,6 +54,29 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("driver-local and distributed merge loops learn the identical table") {
+    val docs = Tables.documents(spark, TestSpark.sf0001).limit(100)
+    // Threshold 0 forces the distributed per-merge-job loop; the default
+    // takes the collected driver-local path. Same argmax total order on
+    // both sides => byte-identical merge tables.
+    val local = BpeTrain.train(docs, "text", 8)
+    val dist  = BpeTrain.train(docs, "text", 8, maxDriverWords = 0L)
+    assert(local == dist, s"local $local\ndist $dist")
+  }
+
+  test("k=1000 merges train in seconds once the dict is driver-local") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val t0 = System.nanoTime()
+    val merges = BpeTrain.train(docs, "text", 1000)
+    val secs = (System.nanoTime() - t0) / 1e9
+    // Either the vocabulary saturates (every word fully merged - counts run
+    // dry and the trainer stops early) or we got all 1000; both are fine,
+    // what matters is the loop is not 1000 Spark jobs.
+    assert(merges.nonEmpty && merges.map(m => (m.left, m.right)).distinct.size == merges.size)
+    assert(secs < 30.0, s"driver-local k=1000 took ${secs}s - loop is not driver-local?")
+  }
+
   test("bpe_apply: greedy left-to-right, overlapping runs do not double-merge") {
     import spark.implicits._
     def apply1(syms: Seq[String], a: String, b: String): Seq[String] =
