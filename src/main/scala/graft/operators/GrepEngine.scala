@@ -235,6 +235,42 @@ object GrepEngine {
     else out
   }
 
+  /** Literal template tokens from the reference's grep CLI (`README.md:
+    * 299-348`): `<filename>` POSITIONS the engine-supplied filename inside a
+    * piped command, and `<fnactual f>` overrides WHICH file the chain runs
+    * on. In the Spark re-expression the "filename" is the scanned path — an
+    * argument to the plan, not text inside it — so `<filename>` parses and
+    * strips (its position carries no plan meaning here, exactly because the
+    * path never rides the command string), while `<fnactual f>` yields the
+    * file override the caller resolves. Returns (command with all tokens
+    * removed, fnactual override if present).
+    */
+  private val FnActual = "<fnactual\\s+([^>]+)>".r
+
+  def extractFileTemplate(cmd: String): (String, Option[String]) = {
+    val fn      = FnActual.findFirstMatchIn(cmd).map(_.group(1).trim)
+    val cleaned = FnActual.replaceAllIn(cmd, " ").replace("<filename>", " ")
+    (cleaned, fn)
+  }
+
+  /** [[run]] with reference template-token parity: resolves `<fnactual f>`
+    * against `dir` (relative names stay inside the logs directory — the
+    * reference's "my favorite filename on that VM" case; absolute paths pass
+    * through), strips `<filename>` positioning tokens, and loads with line
+    * numbers only when `-n` asks for them (the wholetext line-number scan is
+    * strictly more expensive, so pay it only when the output needs it).
+    */
+  def runTemplated(spark: SparkSession, dir: String, cmd: String): DataFrame = {
+    val (clean, fn) = extractFileTemplate(cmd)
+    val path = fn match {
+      case Some(f) if f.startsWith("/") => f
+      case Some(f)                      => s"$dir/$f"
+      case None                         => dir
+    }
+    val table = if (parseCmd(clean).lineNumbers) logsWithLineNo(spark, path) else logs(spark, path)
+    run(table, clean)
+  }
+
   /** Deterministic test-log generator, reimplementing the reference's
     * `generate_test_log_file` (`core_process.go:42-86`): pattern×10,
     * `Random text`×100, `100 200 300`×1000 — so expected grep counts are

@@ -177,4 +177,41 @@ class GrepEngineSpec extends AnyFunSuite {
     // Attached form parses too.
     assert(GrepEngine.parseCmd("grep -m3 'x'").stages.head.maxCount == 3)
   }
+
+  test("template tokens: <filename> strips cleanly, <fnactual f> overrides the file") {
+    import GrepEngine.extractFileTemplate
+    // Case 1 (README.md:299-316): positioning token parses out of a pipe chain.
+    val (c1, f1) = extractFileTemplate("grep 'ERROR' <filename> | grep -v 'DEBUG'")
+    assert(f1.isEmpty)
+    val s1 = GrepEngine.parseCmd(c1).stages
+    assert(s1.map(_.pattern) == Seq("ERROR", "DEBUG") && s1(1).invert)
+    // Case 2 (README.md:318-333): fnactual names the file, no positioning.
+    val (c2, f2) = extractFileTemplate("grep 'PATTERN' <fnactual my_custom_file.log>")
+    assert(f2.contains("my_custom_file.log"))
+    assert(GrepEngine.parseCmd(c2).stages.map(_.pattern) == Seq("PATTERN"))
+    // Case 3 (README.md:335-345): both tokens combine.
+    val (c3, f3) = extractFileTemplate("grep 'ERROR' <fnactual test.log> <filename> | grep -v 'DEBUG'")
+    assert(f3.contains("test.log"))
+    assert(GrepEngine.parseCmd(c3).stages.map(_.pattern) == Seq("ERROR", "DEBUG"))
+    // Tokens inside a QUOTED pattern are pattern text for the stage parser,
+    // but fnactual extraction is string-level (reference parity): not our case.
+    val (c4, f4) = extractFileTemplate("grep -c '500' <filename>")
+    assert(f4.isEmpty && GrepEngine.parseCmd(c4).countMode)
+  }
+
+  test("runTemplated: fnactual scopes the scan to one file of the directory") {
+    val dir = writeLogs(3)
+    // Default: all three vm logs.
+    val all = GrepEngine.runTemplated(spark, dir, "grep -c 'ERROR'").collect()
+    assert(all.length == 3 && all.forall(_.getLong(1) == 10L))
+    // fnactual: just vm2.log — 10 ERROR lines from exactly one file.
+    val one = GrepEngine.runTemplated(spark, dir,
+      "grep -c 'ERROR' <fnactual vm2.log> <filename>").collect()
+    assert(one.length == 1 && one(0).getLong(1) == 10L)
+    assert(one(0).getString(0).endsWith("vm2.log"))
+    // -n routes through the line-numbered loader under a template too.
+    val n = GrepEngine.runTemplated(spark, dir, "grep -n -m 2 'ERROR' <fnactual vm1.log>")
+      .collect().map(_.getLong(1)).sorted.toSeq
+    assert(n == Seq(1L, 2L))
+  }
 }
