@@ -939,6 +939,33 @@ object RainStorm {
           .as("n_distinct_est"))
   }
 
+  /** Windowed streaming count-min sketch (the x_countmin batch face made
+    * continuous): per event-time window the state is the d×w counter grid —
+    * FIXED 128 cells per window whatever the key cardinality (an exact
+    * per-key count would hold one state row per distinct key; this is the
+    * open-vocabulary safety the CM sketch exists for). Cells use the same
+    * engine-neutral md5 cell hash as the batch query, so a closed window's
+    * grid bit-equals the batch sketch of the same rows
+    * (RainStormStreamingSpec pins it). Point queries downstream read
+    * min-over-d-cells from the emitted grid.
+    */
+  def countMinStream(
+      events: DataFrame, // streaming DF with (keyCol: string, tsCol: timestamp)
+      keyCol: String, tsCol: String,
+      depth: Int = 4, width: Int = 32,
+      windowLen: String = "1 hour", watermark: String = "10 minutes"
+  ): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .select(col(tsCol).as("__ts"),
+        posexplode(expr(
+          s"""transform(sequence(0, ${depth - 1}),
+              r -> cast(conv(substring(md5(concat('cm', r, ':', $keyCol)), 1, 15), 16, 10)
+                   as long) % $width)""")).as(Seq("r", "b")))
+      .groupBy(window(col("__ts"), windowLen).as("w"), col("r"), col("b"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("w.start").as("window_start"), col("r"), col("b"), col("c"))
+
   final case class UserEvent(userId: Long, tm: Long, eventId: Long, eventType: String)
   final case class LastEvent(tm: Long, eventId: Long, eventType: String)
   final case class TransitionHit(userId: Long, fromStep: String, toStep: String)

@@ -440,9 +440,81 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"))
   }
 
-  test("x_fuzzy_join_edit: blocked join is an equi hash join, never a nested loop") {
+  test("x_fuzzy_join_edit: blocked join is equi; only the 1-row stats join nests") {
     val p = plan(graft.queries.Extensions.fuzzyJoinEdit)
-    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+    assert(!p.contains("CartesianProduct"),
       s"blocking key must make the fuzzy join equi:\n${p.take(1500)}")
+    // Exactly ONE BroadcastNestedLoopJoin is allowed: the 1-row breach-count
+    // frame crossing the 1-row stats frame (the scalar-broadcast pattern the
+    // registry permits for model-sized sides). The variant candidate join
+    // itself must stay a hash join.
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
+      s"only the scalar stats join may nest:\n${p.take(1500)}")
+    assert(p.contains("HashJoin"), "the variant-blocked candidate join must be equi")
+  }
+
+  test("x_boolean_search: term set broadcast, top-k term pick is TakeOrdered") {
+    val p = plan(graft.queries.Indexing.booleanSearch)
+    assert(p.contains("BroadcastHashJoin"), "2-term set must broadcast")
+    assert(p.contains("TakeOrderedAndProject"), "top-df terms must be a heap, not a sort")
+    assert(!p.contains("SortMergeJoin"), "the corpus side must never shuffle for the term join")
+  }
+
+  test("x_countmin: sketch cells broadcast to the probes; no corpus-sized join") {
+    val p = plan(graft.queries.Indexing.countMin)
+    assert(p.contains("BroadcastHashJoin"), "128-cell sketch must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("x_winnowing: kgram window and fingerprint pair join are both capped hash shapes") {
+    val p = plan(graft.queries.Indexing.winnowing)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "fingerprint blocking must keep the pair join equi")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"),
+      "the winnow min must ride a window, not a self-join")
+  }
+
+  test("x_inverted_index: posting head capped by row_number BEFORE collect_list") {
+    val p = plan(graft.queries.Indexing.invertedIndex)
+    // The window (cap) must appear below the collect_list aggregate in the
+    // plan string — the order guarantees no unbounded posting buffer.
+    val win = p.indexOf("row_number")
+    val agg = p.indexOf("collect_list")
+    assert(win >= 0 && agg >= 0 && win > agg,
+      s"cap window must sit beneath the collect aggregate (win@$win agg@$agg)")
+  }
+
+  test("x_scd2: repeat-collapse, interval lead, and ordering share ONE user exchange") {
+    val p = plan(graft.queries.Indexing.scd2)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 1, s"SCD2 must not reshuffle per window:\n${p.take(1200)}")
+  }
+
+  test("x_scd2_lookup: point-in-time lookup rides the native as-of exec") {
+    val p = plan(graft.queries.Indexing.scd2Lookup)
+    assert(p.contains("AsOfJoinExec") || p.contains("AsOfJoin"),
+      s"SCD2 lookup must use the single-pass as-of operator, not an interval join:\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("x_triangle_count: oriented wedge join stays equi; no cartesian closure") {
+    val p = plan(graft.queries.Indexing.triangleCount)
+    assert(!p.contains("CartesianProduct"),
+      s"degree orientation must keep every join equi:\n${p.take(1200)}")
+    // The only BNLJ allowed is the 1-row triangles x wedges scalar cross.
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1)
+  }
+
+  test("x_countmin: one corpus scan — cell hashes ride a posexplode, not a d-way union") {
+    val p = plan(graft.queries.Indexing.countMin)
+    assert("Scan parquet".r.findAllIn(p).size <= 2, // corpus once + truth once
+      s"cells and probes must not rescan per hash row:\n${p.take(1200)}")
+  }
+
+  test("x_zonemap: pruning decision is arithmetic over the file-stats frame, no rescan") {
+    val p = plan(graft.queries.Indexing.zoneMap)
+    // One scan of lineitem only: the second aggregation reads the file-stats
+    // aggregate, not the table again.
+    assert("Scan parquet".r.findAllIn(p).size <= 1, s"must scan lineitem once:\n${p.take(1200)}")
   }
 }

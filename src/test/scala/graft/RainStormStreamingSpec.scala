@@ -415,6 +415,49 @@ class RainStormStreamingSpec extends AnyFunSuite {
       "torn tail must be truncated, not merged with the replayed record")
   }
 
+  test("countMinStream: closed-window sketch grid bit-equals the batch sketch") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(s: Long) = new java.sql.Timestamp((7200L + s) * 1000L)
+
+    val rows = Seq(
+      (t(0), "alpha"), (t(10), "beta"), (t(20), "alpha"), (t(30), "gamma"),
+      (t(3599), "alpha"), (t(4000), "delta")) // last row closes the first window
+    val in = MemoryStream[(java.sql.Timestamp, String)]
+    val q = RainStorm.countMinStream(
+      in.toDF().toDF("ts", "k"), "k", "ts",
+      windowLen = "1 hour", watermark = "0 seconds")
+      .writeStream.outputMode("append").format("memory").queryName("cm_cells").start()
+    try {
+      in.addData(rows.take(3)); q.processAllAvailable()
+      in.addData(rows.drop(3)); q.processAllAvailable()
+      val streamed = spark.table("cm_cells")
+        .filter(col("window_start") === t(0))
+        .select("r", "b", "c").as[(Int, Long, Long)].collect().toSet
+      // Batch truth: the same md5 cell hash over the first window's rows.
+      val batch = rows.filter(_._1.getTime < t(3600).getTime).map(_._2).toDF("k")
+        .select(posexplode(expr(
+          """transform(sequence(0, 3),
+             r -> cast(conv(substring(md5(concat('cm', r, ':', k)), 1, 15), 16, 10)
+                  as long) % 32)""")).as(Seq("r", "b")))
+        .groupBy("r", "b").count()
+        .as[(Int, Long, Long)].collect().toSet
+      assert(streamed == batch, s"streamed $streamed\nbatch $batch")
+      // Fixed state: never more than depth*width cells per window.
+      assert(streamed.size <= 4 * 32)
+      // Point query through the grid: alpha appeared 3 times in window 1.
+      val grid = streamed.groupBy(_._1).view.mapValues(_.map(x => x._2 -> x._3).toMap)
+      def cell(r: Int, key: String): Long = {
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"cm$r:$key".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+        java.lang.Long.parseLong(hex, 16) % 32
+      }
+      val est = (0 until 4).map(r => grid(r).getOrElse(cell(r, "alpha"), 0L)).min
+      assert(est >= 3L, s"CM estimate must upper-bound the true count, got $est")
+    } finally q.stop()
+  }
+
   test("ohlcStream: closed bars bit-equal the batch aggregation of the same trades") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

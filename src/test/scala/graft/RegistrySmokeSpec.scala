@@ -43,7 +43,10 @@ class RegistrySmokeSpec extends AnyFunSuite {
     "x_sample_weighted", "x_skew_report", "x_gdpr_purge", "x_snapshot_diff",
     "h29_funnel_windowed", "x_bitmap_distinct", "x_sketch_setops", "x_ann_pq",
     "x_column_profile", "x_histogram", "x_ann_ivfpq", "x_bfs_layers",
-    "x_ohlc_bars", "x_compaction_plan", "h31_funnel_sessionized"
+    "x_ohlc_bars", "x_compaction_plan", "h31_funnel_sessionized",
+    "x_inverted_index", "x_boolean_search", "x_winnowing", "x_countmin",
+    "x_scd2", "x_zonemap", "x_attribution_linear",
+    "x_scd2_lookup", "x_triangle_count", "x_fk_audit"
   )
 
   Registry.all.foreach { q =>
