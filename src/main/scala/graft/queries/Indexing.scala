@@ -559,7 +559,264 @@ object Indexing {
             ORDER BY relation""")
   )
 
+  /** Time-series resampling with forward fill (the pandas
+    * `resample('1D').ffill()` staple, distributed): each user's event value
+    * lands on a daily grid over their own [first, last] event span, each
+    * grid day carrying the value as of END of day. The grid is a per-key
+    * `sequence` explode (no calendar table scan), the fill is a backward
+    * as-of join on the native exec — per-key merge, O(1) state, no
+    * per-day×per-event blowup — and same-instant events pre-collapse by
+    * max event_id (`max_by`) so the as-of is unambiguous cross-engine.
+    * Values fix to cents so the fill replays bit-exact.
+    */
+  val resampleFfill = Q(
+    "x_resample_ffill",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("user_id") % 7 === 0)
+        .select(col("user_id").as("euid"), col("ts").cast("timestamp_ntz").as("ts"),
+          col("event_id"),
+          (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+            .cast("long").as("cents"))
+        .groupBy(col("euid"), col("ts"))
+        .agg(max_by(col("cents"), col("event_id")).as("cents"))
+      val grid = ev.groupBy(col("euid").as("uid"))
+        .agg(min(to_date(col("ts"))).as("d0"), max(to_date(col("ts"))).as("d1"))
+        .select(col("uid"), explode(sequence(col("d0"), col("d1"))).as("day"))
+        .withColumn("grid_ts",
+          expr("timestampadd(MICROSECOND, -1, timestampadd(DAY, 1, cast(day as timestamp)))")
+            .cast("timestamp_ntz"))
+      graft.operators.AsOfJoin.native(grid, "uid", "grid_ts", ev, "euid", "ts")
+        .select(col("uid"), col("day"), col("cents").as("cents_ffill"))
+        .orderBy("uid", "day")
+    },
+    Some("""WITH ev AS (
+              SELECT user_id AS euid, CAST(ts AS TIMESTAMP) AS ts,
+                arg_max(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT), event_id) AS cents
+              FROM events WHERE user_id % 7 = 0
+              GROUP BY 1, 2),
+            span AS (
+              SELECT euid AS uid, min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+              FROM ev GROUP BY 1),
+            grid AS (
+              SELECT uid, CAST(g AS DATE) AS day,
+                CAST(g AS TIMESTAMP) + INTERVAL 1 DAY - INTERVAL 1 MICROSECOND AS grid_ts
+              FROM span, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS t(g))
+            SELECT g.uid, g.day, e.cents AS cents_ffill
+            FROM grid g ASOF LEFT JOIN ev e
+              ON g.uid = e.euid AND g.grid_ts >= e.ts
+            ORDER BY g.uid, g.day""")
+  )
+
+  /** Sorted-neighborhood record linkage (Hernández & Stolfo, SIGMOD 1995):
+    * records sorted by the blocking key, each compared against its next
+    * w-1=4 neighbors in the sorted run, candidate quality summarized as an
+    * edit-distance histogram — the classic alternative to FastSS blocking
+    * ([[Extensions.fuzzyJoinEdit]]) when the key space sorts duplicates
+    * near each other.
+    *
+    * The sorted run is PARTITIONED by a key prefix (sorted-run blocking):
+    * an unpartitioned `Window.orderBy` funnels the whole table through one
+    * task — the corpus-sized-window anti-pattern (measured: 18.9 s at 1.5 M
+    * rows single-partition vs bounded blocks), so the lead windows run
+    * per prefix block instead, each bounded by the prefix's fan-out
+    * (10⁴ here: the 9-digit key keeps its last 4 digits inside a block).
+    * The w-1 pairs straddling each block boundary are the method's known
+    * window-boundary caveat (a production run adds an overlap pass);
+    * deterministic on both engines, so the histogram replays exactly.
+    */
+  val sortedNeighborhood = Q(
+    "x_sorted_neighborhood",
+    (s, d) => {
+      val w = Window.partitionBy(col("blk")).orderBy(col("name"), col("id"))
+      val c = Tables.customer(s, d)
+        .select(col("c_custkey").as("id"), col("c_name").as("name"),
+          expr("substring(c_name, 1, length(c_name) - 4)").as("blk"))
+      val leads = (1 to 4).map(i =>
+        struct(lead(col("id"), i).over(w).as("id_b"),
+          lead(col("name"), i).over(w).as("name_b")).as(s"l$i"))
+      c.select((col("id") +: col("name") +: leads): _*)
+        .select(col("id"), col("name"),
+          explode(array((1 to 4).map(i => col(s"l$i")): _*)).as("nb"))
+        .filter(col("nb.id_b").isNotNull)
+        .select(levenshtein(col("name"), col("nb.name_b")).cast("long").as("dist"))
+        .groupBy(col("dist")).agg(count(lit(1)).as("n_pairs"))
+        .orderBy("dist")
+    },
+    Some("""WITH c AS (
+              SELECT c_custkey AS id, c_name AS name,
+                substring(c_name, 1, length(c_name) - 4) AS blk
+              FROM customer),
+            ld AS (
+              SELECT id, name,
+                lead(name, 1) OVER (PARTITION BY blk ORDER BY name, id) AS n1,
+                lead(name, 2) OVER (PARTITION BY blk ORDER BY name, id) AS n2,
+                lead(name, 3) OVER (PARTITION BY blk ORDER BY name, id) AS n3,
+                lead(name, 4) OVER (PARTITION BY blk ORDER BY name, id) AS n4
+              FROM c),
+            pairs AS (
+              SELECT name, unnest([n1, n2, n3, n4]) AS name_b FROM ld)
+            SELECT CAST(levenshtein(name, name_b) AS BIGINT) AS dist,
+              count(*) AS n_pairs
+            FROM pairs WHERE name_b IS NOT NULL
+            GROUP BY 1 ORDER BY dist""")
+  )
+
+  /** Label-propagation community detection (Raghavan et al., Phys. Rev. E
+    * 2007), made deterministic and ORACLE-REPLAYABLE: synchronous rounds,
+    * each node adopting its neighbors' most frequent label with the
+    * (count DESC, label ASC) total order — no RNG, no visit-order
+    * dependence — three rounds unrolled (the x_pagerank precedent: an
+    * iterative model is oracle-able when every step is a deterministic
+    * aggregation). Distinct from connected components (min-label
+    * convergence): frequency voting finds dense SUBcommunities inside one
+    * component. Per round: one edge-label join + one (node, label) count +
+    * one per-node argmax window — all on the node/edge frames, never
+    * corpus-sized.
+    */
+  val labelPropagation = Q(
+    "x_label_propagation",
+    (s, d) => {
+      val e0 = Tables.events(s, d)
+        .select((col("user_id") % 211).as("a"), (col("event_id") % 211).as("b"))
+        .filter(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("lo"), greatest(col("a"), col("b")).as("hi"))
+        .distinct()
+      val edges = e0.select(col("lo").as("src"), col("hi").as("dst"))
+        .union(e0.select(col("hi").as("src"), col("lo").as("dst")))
+        .localCheckpoint() // 3 rounds rescan this frame; truncate once
+      var labels = edges.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").as("label"))
+      val wv = Window.partitionBy(col("node")).orderBy(desc("cnt"), asc("label"))
+      for (_ <- 1 to 3) {
+        labels = edges
+          .join(labels.select(col("node").as("dst"), col("label")), "dst")
+          .groupBy(col("src").as("node"), col("label"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("rn", row_number().over(wv))
+          .filter(col("rn") === 1)
+          .select(col("node"), col("label"))
+      }
+      labels.orderBy("node")
+    },
+    Some {
+      val rounds = (1 to 3).map { r =>
+        s"""v$r AS (
+           |  SELECT node, label FROM (
+           |    SELECT e.src AS node, l.label, count(*) AS cnt,
+           |      row_number() OVER (PARTITION BY e.src ORDER BY count(*) DESC, l.label) AS rn
+           |    FROM edges e JOIN l${r - 1} l ON e.dst = l.node
+           |    GROUP BY e.src, l.label) z
+           |  WHERE rn = 1),
+           |l$r AS (SELECT node, label FROM v$r)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS (
+            SELECT DISTINCT least(a, b) AS lo, greatest(a, b) AS hi FROM (
+              SELECT user_id % 211 AS a, event_id % 211 AS b FROM events)
+            WHERE a <> b),
+          edges AS (
+            SELECT lo AS src, hi AS dst FROM e0
+            UNION ALL SELECT hi, lo FROM e0),
+          l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+          $rounds
+          SELECT node, label FROM l3 ORDER BY node"""
+    }
+  )
+
+  /** Bloom-filter file-index audit — the second data-skipping structure
+    * beside [[zoneMap]] (zone maps skip by RANGE, blooms skip by POINT
+    * lookup on unclustered columns): per 64-orderkey "file", a 4096-bit
+    * k=3 bloom of its part keys (bits stored as (file, bit) rows — the
+    * roaring-style sparse form, one aggregation); probes are the 5 most
+    * frequent part keys (data-driven) plus 5 known-absent keys, each
+    * answered with maybe-files (all k bits set), actual-files, and the
+    * false-positive gap — the skip-rate evidence a table format's footer
+    * stats would carry. All hashes are the md5 primitive, so build and
+    * probes replay row-level.
+    */
+  val bloomIndex = Q(
+    "x_bloom_index",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select((col("l_orderkey") / 64).cast("long").as("file_id"), col("l_partkey"))
+      val fileBits = li
+        .select(col("file_id"), explode(expr(
+          """transform(sequence(0, 2),
+             r -> cast(conv(substring(md5(concat('bf', r, ':', l_partkey)), 1, 15), 16, 10)
+                  as long) % 4096)""")).as("bit"))
+        .distinct()
+      // Key-frequency frame is key-cardinality-sized; checkpoint it so the
+      // four probe-side derivations (top5, absent5, probe bits, actual)
+      // don't each re-scan lineitem through its lineage.
+      val present = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n")).localCheckpoint()
+      val top5 = present.orderBy(desc("n"), asc("l_partkey")).limit(5).select(col("l_partkey"))
+      val absent5 = present.agg(max(col("l_partkey")).as("mx"))
+        .select(explode(sequence(col("mx") + 1, col("mx") + 5)).as("l_partkey"))
+      val probes = top5.union(absent5)
+        .select(col("l_partkey").as("probe_key"), posexplode(expr(
+          """transform(sequence(0, 2),
+             r -> cast(conv(substring(md5(concat('bf', r, ':', l_partkey)), 1, 15), 16, 10)
+                  as long) % 4096)""")).as(Seq("r", "bit")))
+      val maybe = fileBits.join(broadcast(probes), Seq("bit"))
+        .groupBy(col("probe_key"), col("file_id"))
+        .agg(countDistinct(col("r")).as("hits"))
+        .filter(col("hits") === 3)
+        .groupBy(col("probe_key")).agg(count(lit(1)).as("n_files_maybe"))
+      val actual = li.join(broadcast(top5.union(absent5)
+          .select(col("l_partkey").as("probe_key"))),
+          col("l_partkey") === col("probe_key"))
+        .groupBy(col("probe_key"))
+        .agg(countDistinct(col("file_id")).as("n_files_actual"))
+      maybe
+        .join(actual, Seq("probe_key"), "left")
+        .select(col("probe_key"),
+          col("n_files_maybe"),
+          coalesce(col("n_files_actual"), lit(0L)).as("n_files_actual"),
+          (col("n_files_maybe") - coalesce(col("n_files_actual"), lit(0L)))
+            .as("n_false_positive"))
+        .orderBy("probe_key")
+    },
+    Some("""WITH li AS (
+              SELECT l_orderkey // 64 AS file_id, l_partkey FROM lineitem),
+            bits AS (
+              SELECT DISTINCT file_id,
+                CAST(list_reduce(list_transform(
+                    string_split(substr(md5('bf' || r.r || ':' || l_partkey), 1, 15), ''),
+                    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+                  (a, x) -> a * 16 + x) % 4096 AS BIGINT) AS bit
+              FROM li, range(0, 3) r(r)),
+            pk AS (SELECT l_partkey, count(*) AS n FROM li GROUP BY 1),
+            top5 AS (SELECT l_partkey FROM pk ORDER BY n DESC, l_partkey LIMIT 5),
+            abs5 AS (
+              SELECT unnest(generate_series(mx + 1, mx + 5)) AS l_partkey
+              FROM (SELECT max(l_partkey) AS mx FROM pk)),
+            probes AS (
+              SELECT l_partkey AS probe_key, r.r,
+                CAST(list_reduce(list_transform(
+                    string_split(substr(md5('bf' || r.r || ':' || l_partkey), 1, 15), ''),
+                    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+                  (a, x) -> a * 16 + x) % 4096 AS BIGINT) AS bit
+              FROM (SELECT * FROM top5 UNION ALL SELECT * FROM abs5), range(0, 3) r(r)),
+            maybe AS (
+              SELECT probe_key, count(*) AS n_files_maybe FROM (
+                SELECT p.probe_key, b.file_id
+                FROM probes p JOIN bits b ON p.bit = b.bit
+                GROUP BY 1, 2 HAVING count(DISTINCT p.r) = 3) z
+              GROUP BY probe_key),
+            act AS (
+              SELECT l_partkey AS probe_key, count(DISTINCT file_id) AS n_files_actual
+              FROM li WHERE l_partkey IN (SELECT l_partkey FROM top5)
+              GROUP BY 1)
+            SELECT m.probe_key, m.n_files_maybe,
+              COALESCE(a.n_files_actual, 0) AS n_files_actual,
+              CAST(m.n_files_maybe - COALESCE(a.n_files_actual, 0) AS BIGINT)
+                AS n_false_positive
+            FROM maybe m LEFT JOIN act a ON m.probe_key = a.probe_key
+            ORDER BY m.probe_key""")
+  )
+
   val qs: Seq[Q] = Seq(
     invertedIndex, booleanSearch, winnowing, countMin, scd2, zoneMap, attributionLinear,
-    scd2Lookup, triangleCount, fkAudit)
+    scd2Lookup, triangleCount, fkAudit,
+    resampleFfill, sortedNeighborhood, labelPropagation, bloomIndex)
 }

@@ -511,6 +511,24 @@ class PlanSpec extends AnyFunSuite {
       s"cells and probes must not rescan per hash row:\n${p.take(1200)}")
   }
 
+  test("x_resample_ffill: grid fill rides the native as-of exec, no day-x-event join") {
+    val p = plan(graft.queries.Indexing.resampleFfill)
+    assert(p.contains("AsOfJoin"),
+      s"forward fill must be an as-of merge, not an interval join:\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("x_bloom_index: probe bits broadcast against the sparse file-bit table") {
+    val p = plan(graft.queries.Indexing.bloomIndex)
+    assert(p.contains("BroadcastHashJoin"), "30-row probe-bit set must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("x_sorted_neighborhood: one global sort carries all w-1 lead columns") {
+    val p = plan(graft.queries.Indexing.sortedNeighborhood)
+    assert(!p.contains("Join"), "window pairs must come from leads, not a self-join")
+  }
+
   test("x_zonemap: pruning decision is arithmetic over the file-stats frame, no rescan") {
     val p = plan(graft.queries.Indexing.zoneMap)
     // One scan of lineitem only: the second aggregation reads the file-stats

@@ -46,7 +46,8 @@ class RegistrySmokeSpec extends AnyFunSuite {
     "x_ohlc_bars", "x_compaction_plan", "h31_funnel_sessionized",
     "x_inverted_index", "x_boolean_search", "x_winnowing", "x_countmin",
     "x_scd2", "x_zonemap", "x_attribution_linear",
-    "x_scd2_lookup", "x_triangle_count", "x_fk_audit"
+    "x_scd2_lookup", "x_triangle_count", "x_fk_audit",
+    "x_resample_ffill", "x_sorted_neighborhood", "x_label_propagation", "x_bloom_index"
   )
 
   Registry.all.foreach { q =>
