@@ -815,8 +815,119 @@ object Indexing {
             ORDER BY m.probe_key""")
   )
 
+  /** Retraction-aware incremental MV maintenance: the daily revenue MV kept
+    * fresh under a CDC batch carrying INSERTS AND DELETES — each side folds
+    * in as signed (±count, ±cents) partials and one re-aggregation on the
+    * group key absorbs both (the algebraic-aggregate retraction rule:
+    * sum/count are abelian, so a delete is just a negative partial). The
+    * delete-aware completion of [[Extensions.mvIncremental]]: history is
+    * never rescanned — per refresh the work is O(|MV| + |batch|) — and the
+    * oracle IS the from-scratch recompute over (base ∖ deletes) ∪ inserts,
+    * so the driver proves retraction == recompute every round. Days whose
+    * rows were entirely retracted drop out via the HAVING n > 0 guard
+    * (their partials cancel to zero, the empty-group analog).
+    */
+  val mvRetract = Q(
+    "x_mv_retract",
+    (s, d) => {
+      val split = "2024-01-20"
+      val ev = Tables.events(s, d).filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("ts"),
+          (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+            .cast("long").as("cents"))
+      val base    = ev.filter(col("ts") < to_timestamp(lit(split)))
+      val inserts = ev.filter(col("ts") >= to_timestamp(lit(split)))
+      val deletes = base.filter(col("event_id") % 7 === 0)
+      def daily(df: org.apache.spark.sql.DataFrame, sign: Int) = df
+        .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+        .agg((sum(col("cents")) * sign).as("cents"), (count(lit(1)) * sign).as("n"))
+      daily(base, 1).union(daily(inserts, 1)).union(daily(deletes, -1))
+        .groupBy(col("day"))
+        .agg(sum(col("cents")).as("cents"), sum(col("n")).as("n"))
+        .filter(col("n") > 0)
+        .select(col("day"), col("cents").as("revenue_cents"), col("n"))
+        .orderBy("day")
+    },
+    Some("""WITH ev AS (
+              SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,
+                CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+              FROM events WHERE event_type = 'purchase'),
+            kept AS (
+              SELECT * FROM ev
+              WHERE ts >= TIMESTAMP '2024-01-20'
+                 OR (ts < TIMESTAMP '2024-01-20' AND event_id % 7 <> 0))
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+              CAST(sum(cents) AS BIGINT) AS revenue_cents,
+              count(*) AS n
+            FROM kept GROUP BY 1 ORDER BY day""")
+  )
+
+  /** Market-basket co-occurrence with lift (the association-rule first
+    * stage): baskets are (user, day), items the `props.k % 20` fold; item
+    * pairs counted within baskets and scored by lift in ppm — integer
+    * floor division over support counts, bit-exact. The per-basket item
+    * list is DISTINCT and bounded (row_number cap 50 — the LSH bucket
+    * discipline) before pair expansion, so a degenerate basket cannot go
+    * quadratic; pair counting shares one basket-key exchange and the
+    * supports broadcast back onto the pair frame.
+    */
+  val marketBasket = Q(
+    "x_market_basket",
+    (s, d) => {
+      val items = Tables.events(s, d)
+        .select(col("user_id"), date_trunc("day", col("ts")).cast("date").as("day"),
+          (get_json_object(col("props"), "$.k").cast("long") % 20).as("item"))
+        .distinct()
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("user_id"), col("day")).orderBy(col("item"))))
+        .filter(col("rn") <= 50)
+      val nBaskets = items.select(col("user_id"), col("day")).distinct()
+        .agg(count(lit(1)).as("n_baskets"))
+      val support = items.groupBy(col("item")).agg(count(lit(1)).as("sup"))
+      val a = items.select(col("user_id"), col("day"), col("item").as("item_a"))
+      val b = items.select(col("user_id"), col("day"), col("item").as("item_b"))
+      val pairs = a.join(b, Seq("user_id", "day"))
+        .filter(col("item_a") < col("item_b"))
+        .groupBy(col("item_a"), col("item_b"))
+        .agg(count(lit(1)).as("n_ab"))
+      pairs
+        .join(broadcast(support.select(col("item").as("item_a"), col("sup").as("sup_a"))), "item_a")
+        .join(broadcast(support.select(col("item").as("item_b"), col("sup").as("sup_b"))), "item_b")
+        .crossJoin(broadcast(nBaskets))
+        .select(col("item_a"), col("item_b"), col("n_ab"),
+          expr("n_ab * n_baskets * 1000000 div (sup_a * sup_b)").as("lift_ppm"))
+        .orderBy(desc("lift_ppm"), asc("item_a"), asc("item_b"))
+        .limit(20)
+    },
+    Some("""WITH it0 AS (
+              SELECT DISTINCT user_id, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+                CAST(json_extract_string(props, '$.k') AS BIGINT) % 20 AS item
+              FROM events),
+            items AS (
+              SELECT user_id, day, item FROM (
+                SELECT user_id, day, item,
+                  row_number() OVER (PARTITION BY user_id, day ORDER BY item) AS rn
+                FROM it0) z
+              WHERE rn <= 50),
+            nb AS (SELECT count(*) AS n_baskets FROM (SELECT DISTINCT user_id, day FROM items)),
+            sup AS (SELECT item, count(*) AS sup FROM items GROUP BY item),
+            pairs AS (
+              SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_ab
+              FROM items a JOIN items b
+                ON a.user_id = b.user_id AND a.day = b.day AND a.item < b.item
+              GROUP BY 1, 2)
+            SELECT p.item_a, p.item_b, p.n_ab,
+              CAST(p.n_ab * nb.n_baskets * 1000000 // (sa.sup * sb.sup) AS BIGINT) AS lift_ppm
+            FROM pairs p
+              JOIN sup sa ON p.item_a = sa.item
+              JOIN sup sb ON p.item_b = sb.item
+              CROSS JOIN nb
+            ORDER BY lift_ppm DESC, item_a, item_b LIMIT 20""")
+  )
+
   val qs: Seq[Q] = Seq(
     invertedIndex, booleanSearch, winnowing, countMin, scd2, zoneMap, attributionLinear,
     scd2Lookup, triangleCount, fkAudit,
-    resampleFfill, sortedNeighborhood, labelPropagation, bloomIndex)
+    resampleFfill, sortedNeighborhood, labelPropagation, bloomIndex,
+    mvRetract, marketBasket)
 }

@@ -1073,6 +1073,50 @@ object RainStorm {
       }
   }
 
+  final case class Scd2Version(uid: Long, state: String, validFrom: Long, validTo: Long)
+  final case class Scd2State(state: String, validFrom: Long)
+
+  /** Streaming SCD Type 2 build — the continuous face of the batch
+    * `x_scd2`: per key the state is the single OPEN version (value +
+    * valid_from, O(1) forever); each arriving change CLOSES the open
+    * version and emits it with `valid_to` = the new change time (repeats
+    * of the same value extend nothing and emit nothing — the batch
+    * repeat-collapse rule applied online). Append-mode: a closed version
+    * is immutable, so emission is exactly-once by construction. On an
+    * in-order stream the closed-version set equals the batch build's
+    * non-null-valid_to rows however the micro-batches slice
+    * (RainStormStreamingSpec replays a split against the batch form);
+    * ordering contract across batches is the same per-key event-time
+    * assumption every state machine here documents.
+    */
+  def scd2Stream(
+      spark: SparkSession,
+      changes: Dataset[(Long, Long, String)] // (uid, micros, value)
+  ): Dataset[Scd2Version] = {
+    import spark.implicits._
+    changes
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Scd2State, Scd2Version](
+        OutputMode.Append(),
+        GroupStateTimeout.NoTimeout
+      ) { (uid: Long, rows: Iterator[(Long, Long, String)], state: GroupState[Scd2State]) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[Scd2Version]
+        var cur = state.getOption
+        rows.toSeq.sortBy(_._2).foreach { case (_, tm, v) =>
+          cur match {
+            case Some(c) if c.state == v => () // repeat: no new version
+            case Some(c) =>
+              out += Scd2Version(uid, c.state, c.validFrom, tm)
+              cur = Some(Scd2State(v, tm))
+            case None =>
+              cur = Some(Scd2State(v, tm))
+          }
+        }
+        cur.foreach(state.update)
+        out.iterator
+      }
+  }
+
   /** Generic 3-stage pipeline runner mirroring the `RainStorm op1 op2 src dest
     * num_tasks` terminal verb (`core_process_stream_DS.go:1645-1842`):
     * source → op1 (stateless transform) → shuffle on key → op2 (grouped agg),

@@ -415,6 +415,39 @@ class RainStormStreamingSpec extends AnyFunSuite {
       "torn tail must be truncated, not merged with the replayed record")
   }
 
+  test("scd2Stream: closed versions equal the batch SCD2 build across any batch slicing") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import RainStorm.Scd2Version
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // u1: A(10) -> A(20, repeat) -> B(30) -> C(50); u2: X(15) -> X(40, repeat).
+    val changes = Seq(
+      (1L, 10L, "A"), (1L, 20L, "A"), (1L, 30L, "B"), (1L, 50L, "C"),
+      (2L, 15L, "X"), (2L, 40L, "X"))
+    val in = MemoryStream[(Long, Long, String)]
+    val q = RainStorm.scd2Stream(spark, in.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("scd2_versions").start()
+    try {
+      // Split mid-user so a version OPENS in batch 1 and CLOSES in batch 2.
+      in.addData(changes.take(3)); q.processAllAvailable()
+      in.addData(changes.drop(3)); q.processAllAvailable()
+      val got = spark.table("scd2_versions").as[Scd2Version].collect().toSet
+      val want = Set(
+        Scd2Version(1L, "A", 10L, 30L), // repeat at 20 extended, not reopened
+        Scd2Version(1L, "B", 30L, 50L))
+      assert(got == want, s"got $got\nwant $want")
+      // Replay the same changes as ONE batch: identical closed set.
+      val in2 = MemoryStream[(Long, Long, String)]
+      val q2 = RainStorm.scd2Stream(spark, in2.toDS())
+        .writeStream.outputMode("append").format("memory").queryName("scd2_versions_1b").start()
+      try {
+        in2.addData(changes); q2.processAllAvailable()
+        assert(spark.table("scd2_versions_1b").as[Scd2Version].collect().toSet == want)
+      } finally q2.stop()
+    } finally q.stop()
+  }
+
   test("countMinStream: closed-window sketch grid bit-equals the batch sketch") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -47,7 +47,8 @@ class RegistrySmokeSpec extends AnyFunSuite {
     "x_inverted_index", "x_boolean_search", "x_winnowing", "x_countmin",
     "x_scd2", "x_zonemap", "x_attribution_linear",
     "x_scd2_lookup", "x_triangle_count", "x_fk_audit",
-    "x_resample_ffill", "x_sorted_neighborhood", "x_label_propagation", "x_bloom_index"
+    "x_resample_ffill", "x_sorted_neighborhood", "x_label_propagation", "x_bloom_index",
+    "x_mv_retract", "x_market_basket"
   )
 
   Registry.all.foreach { q =>
