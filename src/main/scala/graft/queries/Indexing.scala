@@ -925,9 +925,110 @@ object Indexing {
             ORDER BY lift_ppm DESC, item_a, item_b LIMIT 20""")
   )
 
+  /** Query-by-document retrieval: the corpus's most similar docs to a probe
+    * doc by sparse TF-IDF dot product THROUGH the inverted-index shape —
+    * the fourth face of the search family (index build → boolean → BM25
+    * ranked → similar-doc). The probe's weighted terms are a broadcast;
+    * the corpus side touches only rows whose token appears in the probe
+    * (posting intersection — never a all-pairs doc similarity), and each
+    * (term, doc) weight quantizes to a 1e-6 BIGINT BEFORE the per-doc sum,
+    * the bm25Search discipline: integer sums are order-independent, so
+    * partial-agg order and last-ulp `ln` divergence cannot flip ranks or
+    * hashes. Top-10 by (score, doc) total order via TakeOrderedAndProject.
+    */
+  val tfidfDocSim = Q(
+    "x_tfidf_doc_sim",
+    (s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(graft.functions.TextAnalysis.tokens(col("text"))).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      val n  = Tables.documents(s, d).agg(count(lit(1)).as("n"))
+      val df = tok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val w = tok.join(df, "tok").crossJoin(broadcast(n))
+        .select(col("doc_id"), col("tok"),
+          floor(col("tf") * log(col("n").cast("double") / col("df").cast("double")) * 1e6)
+            .cast("long").as("w"))
+      val probe = w.filter(col("doc_id") === 0)
+        .select(col("tok"), col("w").as("qw"))
+      w.filter(col("doc_id") =!= 0)
+        .join(broadcast(probe), "tok")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("w") * col("qw")).as("score"))
+        .orderBy(desc("score"), asc("doc_id"))
+        .limit(10)
+    },
+    Some("""WITH t AS (
+              SELECT doc_id, tok FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+              WHERE tok <> ''),
+            tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2),
+            df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+            nn AS (SELECT count(*) AS n FROM documents),
+            w AS (
+              SELECT tf.doc_id, tf.tok,
+                CAST(floor(tf.tf * ln(CAST(nn.n AS DOUBLE) / CAST(df.df AS DOUBLE)) * 1e6)
+                     AS BIGINT) AS w
+              FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN nn),
+            probe AS (SELECT tok, w AS qw FROM w WHERE doc_id = 0)
+            SELECT w.doc_id, CAST(sum(w.w * p.qw) AS BIGINT) AS score
+            FROM w JOIN probe p ON w.tok = p.tok
+            WHERE w.doc_id <> 0
+            GROUP BY w.doc_id
+            ORDER BY score DESC, doc_id LIMIT 10""")
+  )
+
+  /** Distribution drift between two time windows — the data-quality monitor
+    * every production pipeline runs between yesterday's and today's feed:
+    * per-category rate in ppm (integer floor division over exact counts —
+    * no doubles anywhere), absolute per-category drift, and the total-
+    * variation distance (half the L1) in ppm. Integer arithmetic end to
+    * end, so the statistic is bit-identical however the counts aggregate;
+    * categories missing from one window count at rate 0 via the full outer
+    * join. Two scans of the fact table (one per window) that AQE folds
+    * into one with the date filter pushed down; the drift math runs on the
+    * category-cardinality frame.
+    */
+  val driftTv = Q(
+    "x_drift_tv",
+    (s, d) => {
+      val split = to_timestamp(lit("2024-01-15"))
+      val ev = Tables.events(s, d)
+      def rates(f: org.apache.spark.sql.Column) = ev.filter(f)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(ev.filter(f).agg(count(lit(1)).as("tot"))))
+        .select(col("event_type"), expr("n * 1000000 div tot").as("ppm"))
+      rates(col("ts") < split).select(col("event_type"), col("ppm").as("ppm_before"))
+        .join(rates(col("ts") >= split).select(col("event_type"), col("ppm").as("ppm_after")),
+          Seq("event_type"), "full_outer")
+        .select(col("event_type"),
+          coalesce(col("ppm_before"), lit(0L)).as("ppm_before"),
+          coalesce(col("ppm_after"), lit(0L)).as("ppm_after"))
+        .withColumn("drift_ppm", abs(col("ppm_after") - col("ppm_before")))
+        .orderBy("event_type")
+    },
+    Some("""WITH b AS (
+              SELECT event_type, count(*) AS n FROM events
+              WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-15' GROUP BY 1),
+            bt AS (SELECT sum(n) AS tot FROM b),
+            a AS (
+              SELECT event_type, count(*) AS n FROM events
+              WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-15' GROUP BY 1),
+            at AS (SELECT sum(n) AS tot FROM a),
+            rb AS (SELECT event_type, CAST(n * 1000000 // bt.tot AS BIGINT) AS ppm_before
+                   FROM b, bt),
+            ra AS (SELECT event_type, CAST(n * 1000000 // at.tot AS BIGINT) AS ppm_after
+                   FROM a, at)
+            SELECT COALESCE(rb.event_type, ra.event_type) AS event_type,
+              COALESCE(rb.ppm_before, 0) AS ppm_before,
+              COALESCE(ra.ppm_after, 0) AS ppm_after,
+              abs(COALESCE(ra.ppm_after, 0) - COALESCE(rb.ppm_before, 0)) AS drift_ppm
+            FROM rb FULL OUTER JOIN ra ON rb.event_type = ra.event_type
+            ORDER BY event_type""")
+  )
+
   val qs: Seq[Q] = Seq(
     invertedIndex, booleanSearch, winnowing, countMin, scd2, zoneMap, attributionLinear,
     scd2Lookup, triangleCount, fkAudit,
     resampleFfill, sortedNeighborhood, labelPropagation, bloomIndex,
-    mvRetract, marketBasket)
+    mvRetract, marketBasket, tfidfDocSim, driftTv)
 }
