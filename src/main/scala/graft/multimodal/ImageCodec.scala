@@ -162,6 +162,46 @@ object ImageCodec {
     try Some(decode(bytes))
     catch { case _: IllegalArgumentException => None }
 
+  /** Nearest-neighbor resize to (ow, oh): out(x, y) samples
+    * in(x·w/ow, y·h/oh) — integer floor, the standard NN mapping. Pure array
+    * math over the decoded raster, no libraries; the thumbnail/downsample
+    * stage of an image-curation pipeline.
+    */
+  def resizeNearest(img: DecodedImage, ow: Int, oh: Int): DecodedImage = {
+    require(ow > 0 && oh > 0, s"bad target $ow x $oh")
+    val out = new Array[Byte](3 * ow * oh)
+    var y = 0
+    while (y < oh) {
+      val sy = (y.toLong * img.height / oh).toInt
+      var x = 0
+      while (x < ow) {
+        val sx  = (x.toLong * img.width / ow).toInt
+        val src = 3 * (sy * img.width + sx)
+        val dst = 3 * (y * ow + x)
+        out(dst) = img.pixels(src); out(dst + 1) = img.pixels(src + 1); out(dst + 2) = img.pixels(src + 2)
+        x += 1
+      }
+      y += 1
+    }
+    DecodedImage(img.format, ow, oh, out)
+  }
+
+  /** Per-channel byte sums over the raster — the cheap feature-extraction
+    * stage (channel statistics / brightness screening) of an image pipeline.
+    * Integer sums: order-independent and engine-replayable.
+    */
+  def channelSums(img: DecodedImage): (Long, Long, Long) = {
+    var r = 0L; var g = 0L; var b = 0L
+    var i = 0
+    while (i < img.pixels.length) {
+      r += img.pixels(i) & 0xff
+      g += img.pixels(i + 1) & 0xff
+      b += img.pixels(i + 2) & 0xff
+      i += 3
+    }
+    (r, g, b)
+  }
+
   /** Frame sampling: up to `maxFrames` pixel rows evenly spaced from the top
     * (row i*h/min(h,max)), each digested with the rolling hash
     * h' = h*1000003 + byte over its 3w RGB bytes. Deterministic and

@@ -68,6 +68,63 @@ object Multimodal {
       .withColumn("fake_width", (col("n_bytes") % 640 + 1).cast("int"))
       .withColumn("checksum", md5(col("payload")))
 
+  /** Resize-stage output: target dims (clamped to source) + the resized
+    * raster's byte sum — a scalar digest of the ACTUAL resampled pixels, so
+    * the oracle's formula replay catches a wrong NN mapping, not just wrong
+    * dimensions.
+    */
+  final case class ResizedMeta(doc_id: Long, out_width: Int, out_height: Int, pixel_sum: Long)
+
+  /** Decode → nearest-neighbor resize ([[ImageCodec.resizeNearest]]) via the
+    * same batched `mapPartitions` shape as [[decodeFrames]] — the thumbnail
+    * stage of an image-curation pipeline, running the REAL codec both ways
+    * (parse then resample). Targets clamp to the source so tiny images pass
+    * through unscaled.
+    */
+  def resizeImages(
+      spark: SparkSession, payloads: Dataset[(Long, Array[Byte])],
+      targetW: Int = 16, targetH: Int = 12, batchSize: Int = 64
+  ): Dataset[ResizedMeta] = {
+    import spark.implicits._
+    payloads.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { chunk =>
+        chunk.flatMap { case (id, bytes) =>
+          ImageCodec.tryDecode(bytes).map { img =>
+            val out = ImageCodec.resizeNearest(img,
+              math.min(targetW, img.width), math.min(targetH, img.height))
+            var s = 0L
+            var i = 0
+            while (i < out.pixels.length) { s += out.pixels(i) & 0xff; i += 1 }
+            ResizedMeta(id, out.width, out.height, s)
+          }
+        }
+      }
+    }
+  }
+
+  /** Feature row: per-channel byte sums of the decoded raster. */
+  final case class ChannelStats(doc_id: Long, sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** Decode → per-channel statistics ([[ImageCodec.channelSums]]) — the
+    * feature-extraction stage (brightness/color screening), same batched
+    * partition shape.
+    */
+  def channelStats(
+      spark: SparkSession, payloads: Dataset[(Long, Array[Byte])], batchSize: Int = 64
+  ): Dataset[ChannelStats] = {
+    import spark.implicits._
+    payloads.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { chunk =>
+        chunk.flatMap { case (id, bytes) =>
+          ImageCodec.tryDecode(bytes).map { img =>
+            val (r, g, b) = ImageCodec.channelSums(img)
+            ChannelStats(id, r, g, b)
+          }
+        }
+      }
+    }
+  }
+
   /** Batch decode via typed `mapPartitions` — the Scala analog of a
     * `mapInPandas` batch UDF: one codec instance per partition, rows streamed
     * through it, output schema declared by the `MediaMeta` encoder. Corrupt

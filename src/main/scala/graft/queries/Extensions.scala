@@ -2359,6 +2359,82 @@ object Extensions {
             FROM t ORDER BY doc_id""")
   )
 
+  /** Multimodal decode → nearest-neighbor RESIZE via the same batched
+    * mapPartitions shape ([[graft.multimodal.ImageCodec.resizeNearest]]):
+    * the thumbnail stage of an image-curation pipeline, run with the REAL
+    * codec both ways (parse, resample). The oracle replays the whole chain
+    * from the generator formulas — dimensions AND the resized raster's byte
+    * sum, each output pixel's source byte recomputed in SQL through the
+    * exact NN mapping `in(x·w/ow, y·h/oh)` and the payload's byte-cycling
+    * rule — so a mis-parse OR a wrong resample breaks the hash, not just a
+    * wrong header. 288k replayed pixels at sf0.01; scalar outputs only.
+    */
+  val multimodalResize = Q(
+    "x_multimodal_resize",
+    (s, d) =>
+      Multimodal
+        .resizeImages(s, Multimodal.withImagePayload(s, Tables.documents(s, d)))
+        .toDF()
+        .select(col("doc_id"),
+          col("out_width").cast("long").as("out_width"),
+          col("out_height").cast("long").as("out_height"),
+          col("pixel_sum"))
+        .orderBy("doc_id"),
+    Some("""WITH t AS (
+              SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS len
+              FROM documents),
+            d0 AS (SELECT doc_id, hx, len, len % 64 + 1 AS w, len % 48 + 1 AS h FROM t),
+            d1 AS (SELECT *, LEAST(w, 16) AS ow, LEAST(h, 12) AS oh FROM d0),
+            gy AS (SELECT doc_id, hx, len, w, h, ow, oh, unnest(range(0, oh)) AS y FROM d1),
+            gx AS (SELECT doc_id, hx, len, w, h, ow, oh, y, unnest(range(0, ow)) AS x FROM gy),
+            gc AS (
+              SELECT doc_id, hx, ow, oh,
+                (3 * ((y * h // oh) * w + (x * w // ow)) + c.c) % len AS bi
+              FROM gx, range(0, 3) c(c)),
+            bv AS (
+              SELECT doc_id, ow, oh,
+                16 * (strpos('0123456789ABCDEF', hx[2*bi+1]) - 1)
+                   + (strpos('0123456789ABCDEF', hx[2*bi+2]) - 1) AS b
+              FROM gc)
+            SELECT doc_id, CAST(ow AS BIGINT) AS out_width, CAST(oh AS BIGINT) AS out_height,
+              CAST(sum(b) AS BIGINT) AS pixel_sum
+            FROM bv GROUP BY doc_id, ow, oh ORDER BY doc_id""")
+  )
+
+  /** Multimodal decode → per-channel FEATURE EXTRACTION
+    * ([[graft.multimodal.ImageCodec.channelSums]]): channel byte sums — the
+    * brightness/color screening pass of an image pipeline — as integer
+    * scalars. The oracle recomputes every raster byte's channel assignment
+    * from the generator's cycling rule, so the decoded raster (not just its
+    * shape) is verified row-level.
+    */
+  val multimodalFeatures = Q(
+    "x_multimodal_features",
+    (s, d) =>
+      Multimodal
+        .channelStats(s, Multimodal.withImagePayload(s, Tables.documents(s, d)))
+        .toDF()
+        .select(col("doc_id"), col("sum_r"), col("sum_g"), col("sum_b"))
+        .orderBy("doc_id"),
+    Some("""WITH t AS (
+              SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS len
+              FROM documents),
+            d0 AS (SELECT doc_id, hx, len, len % 64 + 1 AS w, len % 48 + 1 AS h FROM t),
+            gk AS (SELECT doc_id, hx, len, unnest(range(0, w * h)) AS k FROM d0),
+            gc AS (SELECT doc_id, hx, c.c, (3 * k + c.c) % len AS bi
+                   FROM gk, range(0, 3) c(c)),
+            bv AS (
+              SELECT doc_id, c,
+                16 * (strpos('0123456789ABCDEF', hx[2*bi+1]) - 1)
+                   + (strpos('0123456789ABCDEF', hx[2*bi+2]) - 1) AS b
+              FROM gc)
+            SELECT doc_id,
+              CAST(sum(CASE WHEN c = 0 THEN b ELSE 0 END) AS BIGINT) AS sum_r,
+              CAST(sum(CASE WHEN c = 1 THEN b ELSE 0 END) AS BIGINT) AS sum_g,
+              CAST(sum(CASE WHEN c = 2 THEN b ELSE 0 END) AS BIGINT) AS sum_b
+            FROM bv GROUP BY doc_id ORDER BY doc_id""")
+  )
+
   /** Heavy-hitters sketch (Misra-Gries typed Aggregator): all tokens with
     * frequency > n/k in one pass with O(k) state — the bounded-memory
     * frequent-tokens pass of a corpus pipeline. With k=32 ≥ this corpus's
@@ -4795,6 +4871,6 @@ object Extensions {
     qualityClassifier, mixTemperature, upsampleEpochs, dedupUrl, bpePairCounts, bpeMerges, bpeTokenize, chunkDocuments, curationPipeline3,
     htmlExtract, shardAssign, shardManifestQ, hardNegativesQ, urlFilter, curationPipeline4, zorderQ,
     annBruteForce, annLsh, annIvf, annInt8,
-    multimodalMeta, multimodalFrames
+    multimodalMeta, multimodalFrames, multimodalResize, multimodalFeatures
   )
 }

@@ -89,4 +89,40 @@ class MultimodalSpec extends AnyFunSuite {
     val arrayCols = df.schema.filter(_.dataType.isInstanceOf[ArrayType]).map(_.name)
     assert(arrayCols.isEmpty, s"array-typed output columns would crash the harness: $arrayCols")
   }
+
+  test("resizeNearest: exact NN mapping on a hand-built image, independent of the generator") {
+    // 4x2 image whose pixel (x, y) carries (10x+y, 100+x, 200+y): every
+    // sampled source is uniquely identifiable from the channel values.
+    val w = 4; val h = 2
+    val px = new Array[Byte](3 * w * h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val o = 3 * (y * w + x)
+      px(o) = (10 * x + y).toByte; px(o + 1) = (100 + x).toByte; px(o + 2) = (200 + y).toByte
+    }
+    val img = graft.multimodal.ImageCodec.decode(
+      graft.multimodal.ImageCodec.encodePpm(w, h, px))
+    val out = graft.multimodal.ImageCodec.resizeNearest(img, 2, 1)
+    // NN: out(0,0) <- in(0*4/2, 0*2/1) = in(0,0); out(1,0) <- in(2,0).
+    assert(out.width == 2 && out.height == 1)
+    assert((out.pixels(0) & 0xff, out.pixels(1) & 0xff, out.pixels(2) & 0xff) == (0, 100, 200))
+    assert((out.pixels(3) & 0xff, out.pixels(4) & 0xff, out.pixels(5) & 0xff) == (20, 102, 200))
+    // Identity resize returns the raster unchanged.
+    val same = graft.multimodal.ImageCodec.resizeNearest(img, w, h)
+    assert(same.pixels.toSeq == px.toSeq)
+    // Channel sums recompute from the raw raster independently.
+    val (r, g, b) = graft.multimodal.ImageCodec.channelSums(img)
+    val wantR = (for (y <- 0 until h; x <- 0 until w) yield 10 * x + y).sum.toLong
+    val wantG = (for (y <- 0 until h; x <- 0 until w) yield 100 + x).sum.toLong
+    val wantB = (for (y <- 0 until h; x <- 0 until w) yield 200 + y).sum.toLong
+    assert((r, g, b) == ((wantR, wantG, wantB)))
+  }
+
+  test("resize and feature stages skip corrupt payloads like the decode stage") {
+    import spark.implicits._
+    val good    = Multimodal.syntheticPpm("resize me")
+    val garbage = "nope".getBytes("UTF-8")
+    val ds = spark.createDataset(Seq((1L, good), (2L, garbage)))
+    assert(Multimodal.resizeImages(spark, ds).collect().map(_.doc_id).toSeq == Seq(1L))
+    assert(Multimodal.channelStats(spark, ds).collect().map(_.doc_id).toSeq == Seq(1L))
+  }
 }

@@ -48,7 +48,8 @@ class RegistrySmokeSpec extends AnyFunSuite {
     "x_scd2", "x_zonemap", "x_attribution_linear",
     "x_scd2_lookup", "x_triangle_count", "x_fk_audit",
     "x_resample_ffill", "x_sorted_neighborhood", "x_label_propagation", "x_bloom_index",
-    "x_mv_retract", "x_market_basket", "x_tfidf_doc_sim", "x_drift_tv"
+    "x_mv_retract", "x_market_basket", "x_tfidf_doc_sim", "x_drift_tv",
+    "x_multimodal_resize", "x_multimodal_features"
   )
 
   Registry.all.foreach { q =>
