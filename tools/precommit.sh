@@ -1,0 +1,38 @@
+#!/bin/sh
+# Pre-commit gate for NEW/CHANGED oracles — the r10 verdict's ask after the
+# HUGEINT class shipped four times across two rounds. If any staged change
+# touches a file defining registry queries, require a fresh Verify dump +
+# type audit to have been run (and be clean) before the commit lands.
+#
+# Install: ln -sf ../../tools/precommit.sh .git/hooks/pre-commit
+# The gate is advisory-fast: it runs only the audit (DuckDB schema probe vs
+# the last Verify parquet dump), not Spark. Run the dump first:
+#   sbt -batch 'runMain graft.Verify /root/testdata/sf0.01 /tmp/precommit_out <substr>'
+# then commit; the hook audits /tmp/precommit_out if query files changed.
+
+set -e
+QUERY_FILES=$(git diff --cached --name-only | grep -E 'src/main/scala/graft/queries/' || true)
+[ -z "$QUERY_FILES" ] && exit 0
+
+OUT=${GRAFT_PRECOMMIT_OUT:-/tmp/precommit_out}
+SF=${GRAFT_PRECOMMIT_SF:-/root/testdata/sf0.01}
+
+if [ ! -f "$OUT/oracle_sql.json" ]; then
+  echo "pre-commit: query files changed ($QUERY_FILES) but no Verify dump at $OUT."
+  echo "Run: sbt -batch 'runMain graft.Verify $SF $OUT <changed-query-substr>'"
+  echo "(or set GRAFT_PRECOMMIT_OUT to your dump dir; GRAFT_PRECOMMIT_SKIP=1 to bypass)"
+  [ -n "$GRAFT_PRECOMMIT_SKIP" ] && exit 0
+  exit 1
+fi
+
+if command -v python3 >/dev/null && python3 -c 'import duckdb' 2>/dev/null; then
+  python3 tools/type_audit.py "$OUT" "$SF" || {
+    echo "pre-commit: oracle type audit FAILED — a DuckDB result type widens"
+    echo "past the Spark column type (the HUGEINT class). CAST the oracle"
+    echo "column and re-run Verify before committing."
+    exit 1
+  }
+else
+  echo "pre-commit: duckdb unavailable; type audit skipped (driver-side only)."
+fi
+exit 0
