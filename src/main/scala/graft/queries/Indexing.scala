@@ -1026,9 +1026,98 @@ object Indexing {
             ORDER BY event_type""")
   )
 
+  /** MMR diversified re-ranking (Carbonell & Goldstein, SIGIR 1998) — the
+    * serving-side stage BETWEEN ANN retrieval and the user: from the
+    * query's top-12 nearest candidates, greedily select 4 minimizing
+    * `7·d²(q,c) − 3·min_{s∈S} d²(c,s)` (relevance vs redundancy at
+    * λ=0.7, distance form), integer-exact over the 1e-6-quantized vectors
+    * so every greedy round replays in SQL — the x_kmeans/x_bpe unroll
+    * precedent applied to a SEQUENTIAL SELECTION process. Scale shape:
+    * the expensive part is the ANN top-12 (the existing family's cost
+    * model); MMR itself touches only the candidate set — pairwise d² over
+    * 12 rows, four argmin rounds — and is corpus-size-independent by
+    * construction.
+    */
+  val mmrDiversify = Q(
+    "x_mmr_diversify",
+    (s, d) => {
+      import graft.functions.NativeFns
+      def qv(c: org.apache.spark.sql.Column) =
+        transform(c, x => floor(x.cast("double") * lit(1e6)))
+      val e = Tables.embeddings(s, d).select(col("vec_id"), qv(col("embedding")).as("qv"))
+      val q = e.filter(col("vec_id") === 0).select(col("qv").as("qqv"))
+      val cands = e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), col("qv"), NativeFns.l2_dist2(col("qv"), col("qqv")).as("dq"))
+        .orderBy(col("dq"), col("vec_id")).limit(12)
+        .localCheckpoint() // tiny frame scanned by all four rounds
+      val pairs = cands.select(col("vec_id").as("c1"), col("qv").as("v1"))
+        .join(cands.select(col("vec_id").as("c2"), col("qv").as("v2")), col("c1") =!= col("c2"))
+        .select(col("c1"), col("c2"), NativeFns.l2_dist2(col("v1"), col("v2")).as("pd2"))
+        .localCheckpoint()
+      var out = cands
+        .select(col("vec_id"), (lit(7L) * col("dq")).as("score"))
+        .orderBy(col("score"), col("vec_id")).limit(1)
+        .withColumn("sel_round", lit(1L))
+      var sel = out.select(col("vec_id"))
+      for (r <- 2 to 4) {
+        val pen = pairs.join(sel.select(col("vec_id").as("c2")), "c2")
+          .groupBy(col("c1").as("vec_id")).agg(min(col("pd2")).as("pen"))
+        val pick = cands.join(sel, Seq("vec_id"), "left_anti")
+          .join(pen, Seq("vec_id"))
+          .select(col("vec_id"), (lit(7L) * col("dq") - lit(3L) * col("pen")).as("score"))
+          .orderBy(col("score"), col("vec_id")).limit(1)
+          .withColumn("sel_round", lit(r.toLong))
+        out = out.unionByName(pick)
+        sel = sel.unionByName(pick.select(col("vec_id")))
+      }
+      out.select(col("sel_round"), col("vec_id"), col("score")).orderBy("sel_round")
+    },
+    Some {
+      val rounds = (2 to 4).map { r =>
+        s"""p$r AS (
+           |  SELECT c.vec_id, CAST(7 * c.dq - 3 * min(p.pd2) AS BIGINT) AS score
+           |  FROM cands c
+           |    JOIN pr p ON p.c1 = c.vec_id
+           |    JOIN sel${r - 1} s ON p.c2 = s.vec_id
+           |  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${r - 1})
+           |  GROUP BY c.vec_id, c.dq
+           |  ORDER BY score, c.vec_id LIMIT 1),
+           |sel$r AS (SELECT vec_id FROM sel${r - 1} UNION ALL SELECT vec_id FROM p$r)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (
+            SELECT vec_id, list_transform(embedding,
+              x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+            FROM embeddings),
+          qq AS (SELECT qv AS qqv FROM e WHERE vec_id = 0),
+          cands AS (
+            SELECT e.vec_id, e.qv,
+              CAST(list_sum(list_transform(range(1, len(e.qv) + 1),
+                i -> (e.qv[i] - q.qqv[i]) * (e.qv[i] - q.qqv[i]))) AS BIGINT) AS dq
+            FROM e, qq q WHERE e.vec_id <> 0
+            ORDER BY dq, vec_id LIMIT 12),
+          pr AS (
+            SELECT a.vec_id AS c1, b.vec_id AS c2,
+              CAST(list_sum(list_transform(range(1, len(a.qv) + 1),
+                i -> (a.qv[i] - b.qv[i]) * (a.qv[i] - b.qv[i]))) AS BIGINT) AS pd2
+            FROM cands a JOIN cands b ON a.vec_id <> b.vec_id),
+          p1 AS (
+            SELECT vec_id, CAST(7 * dq AS BIGINT) AS score
+            FROM cands ORDER BY score, vec_id LIMIT 1),
+          sel1 AS (SELECT vec_id FROM p1),
+          $rounds
+          SELECT * FROM (
+            SELECT CAST(1 AS BIGINT) AS sel_round, vec_id, score FROM p1
+            UNION ALL SELECT 2, vec_id, score FROM p2
+            UNION ALL SELECT 3, vec_id, score FROM p3
+            UNION ALL SELECT 4, vec_id, score FROM p4)
+          ORDER BY sel_round"""
+    }
+  )
+
   val qs: Seq[Q] = Seq(
     invertedIndex, booleanSearch, winnowing, countMin, scd2, zoneMap, attributionLinear,
     scd2Lookup, triangleCount, fkAudit,
     resampleFfill, sortedNeighborhood, labelPropagation, bloomIndex,
-    mvRetract, marketBasket, tfidfDocSim, driftTv)
+    mvRetract, marketBasket, tfidfDocSim, driftTv, mmrDiversify)
 }

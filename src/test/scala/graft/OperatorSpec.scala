@@ -441,4 +441,31 @@ class OperatorSpec extends AnyFunSuite {
     assert(Storage.get(spark, path).count() == 5)
     assert(Storage.ls(path).count(_.endsWith(".parquet")) == 1)
   }
+
+  test("x_mmr_diversify: picks are more spread than the plain top-k it re-ranks") {
+    import org.apache.spark.sql.functions._
+    def qvec(c: org.apache.spark.sql.Column) =
+      transform(c, x => floor(x.cast("double") * lit(1e6)))
+    val e = Tables.embeddings(spark, TestSpark.sf0001)
+      .select(col("vec_id"), qvec(col("embedding")).as("qv"))
+    val q = e.filter(col("vec_id") === 0).select(col("qv").as("qqv"))
+    val byDist = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+      .select(col("vec_id"), col("qv"),
+        graft.functions.NativeFns.l2_dist2(col("qv"), col("qqv")).as("dq"))
+      .orderBy("dq", "vec_id").limit(12).collect()
+    def minPairD2(ids: Set[Long]): Long = {
+      val vs = byDist.filter(r => ids(r.getLong(0))).map(_.getSeq[Long](1).toArray)
+      (for (i <- vs.indices; j <- i + 1 until vs.length) yield
+        vs(i).zip(vs(j)).map { case (a, b) => (a - b) * (a - b) }.sum).min
+    }
+    val plainTop4 = byDist.take(4).map(_.getLong(0)).toSet
+    val mmr = graft.queries.Indexing.mmrDiversify.run(spark, TestSpark.sf0001)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(mmr.size == 4)
+    assert(minPairD2(mmr) >= minPairD2(plainTop4),
+      s"MMR must not be LESS diverse than the relevance-only top-4: " +
+        s"mmr=${minPairD2(mmr)} plain=${minPairD2(plainTop4)}")
+    // The most relevant candidate is always selected first.
+    assert(mmr.contains(byDist.head.getLong(0)))
+  }
 }
