@@ -1115,9 +1115,118 @@ object Indexing {
     }
   )
 
+  /** Cohort lifetime-value curves — the companion to h23's retention: users
+    * cohorted by first-seen day, purchase revenue accumulated by cohort age
+    * (days since first seen), each (cohort, age) cell carrying the running
+    * total — the "how much has the Jan-3 cohort spent by day N" curve.
+    * Integer cents end to end; the cumulative window partitions by cohort
+    * day (bounded frames), and the user→cohort assignment shares the one
+    * user_id exchange with the first-seen min — the funnel-family shuffle
+    * discipline.
+    */
+  val userLtv = Q(
+    "x_user_ltv",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val firstSeen = ev.groupBy(col("user_id"))
+        .agg(min(date_trunc("day", col("ts")).cast("date")).as("cohort_day"))
+      val spend = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), date_trunc("day", col("ts")).cast("date").as("day"),
+          (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+            .cast("long").as("cents"))
+      val wc = Window.partitionBy(col("cohort_day")).orderBy(col("age_days"))
+      spend.join(firstSeen, "user_id")
+        .select(col("cohort_day"), datediff(col("day"), col("cohort_day")).cast("long").as("age_days"),
+          col("cents"))
+        .groupBy(col("cohort_day"), col("age_days"))
+        .agg(sum(col("cents")).as("day_cents"))
+        .withColumn("cum_cents", sum(col("day_cents")).over(wc))
+        .select(col("cohort_day"), col("age_days"), col("day_cents"), col("cum_cents"))
+        .orderBy("cohort_day", "age_days")
+    },
+    Some("""WITH fs AS (
+              SELECT user_id, min(CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)) AS cohort_day
+              FROM events GROUP BY 1),
+            sp AS (
+              SELECT user_id, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+                CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+              FROM events WHERE event_type = 'purchase'),
+            cell AS (
+              SELECT fs.cohort_day, date_diff('day', fs.cohort_day, sp.day) AS age_days,
+                CAST(sum(sp.cents) AS BIGINT) AS day_cents
+              FROM sp JOIN fs ON sp.user_id = fs.user_id
+              GROUP BY 1, 2)
+            SELECT cohort_day, CAST(age_days AS BIGINT) AS age_days, day_cents,
+              CAST(sum(day_cents) OVER (PARTITION BY cohort_day ORDER BY age_days) AS BIGINT)
+                AS cum_cents
+            FROM cell ORDER BY cohort_day, age_days""")
+  )
+
+  /** RFM segmentation (recency / frequency / monetary quintiles) — the
+    * classic customer-scoring operator: per user the days since last
+    * purchase, purchase count, and cents total, each scored 1-5 by ntile
+    * over the AGGREGATED user frame (not the corpus — the window sorts
+    * users, already collapsed by the one user_id exchange; the
+    * histogram-threshold form of [[Extensions.selectTopQuantile]] is the
+    * corpus-scale path when even the user frame won't sort). Ntile orders
+    * carry a full (metric, user_id) tie-break so the quintile assignment
+    * is a total order on both engines; recency ntile ascends (recent =
+    * high score = 5 needs DESC days... recency score 5 = most recent, so
+    * ntile over days ASC gives 1 to the most recent — invert by ordering
+    * days DESC for f/m-style "bigger is better" uniformity).
+    */
+  val rfmSegmentation = Q(
+    "x_rfm_segmentation",
+    (s, d) => {
+      val ev = Tables.events(s, d).filter(col("event_type") === "purchase")
+        .select(col("user_id"), date_trunc("day", col("ts")).cast("date").as("day"),
+          (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+            .cast("long").as("cents"))
+      val anchor = ev.agg(max(col("day")).as("anchor"))
+      val users = ev.groupBy(col("user_id"))
+        .agg(max(col("day")).as("last_day"), count(lit(1)).as("freq"),
+          sum(col("cents")).as("cents"))
+        .crossJoin(broadcast(anchor))
+        .select(col("user_id"),
+          datediff(col("anchor"), col("last_day")).cast("long").as("recency_days"),
+          col("freq"), col("cents"))
+      users
+        .withColumn("r_score",
+          ntile(5).over(Window.orderBy(desc("recency_days"), asc("user_id"))).cast("long"))
+        .withColumn("f_score",
+          ntile(5).over(Window.orderBy(asc("freq"), asc("user_id"))).cast("long"))
+        .withColumn("m_score",
+          ntile(5).over(Window.orderBy(asc("cents"), asc("user_id"))).cast("long"))
+        .select(col("user_id"), col("recency_days"), col("freq"), col("cents"),
+          col("r_score"), col("f_score"), col("m_score"),
+          (col("r_score") * 100 + col("f_score") * 10 + col("m_score")).as("segment"))
+        .orderBy("user_id")
+    },
+    Some("""WITH ev AS (
+              SELECT user_id, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+                CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+              FROM events WHERE event_type = 'purchase'),
+            an AS (SELECT max(day) AS anchor FROM ev),
+            u AS (
+              SELECT user_id,
+                CAST(date_diff('day', max(day), (SELECT anchor FROM an)) AS BIGINT) AS recency_days,
+                count(*) AS freq, CAST(sum(cents) AS BIGINT) AS cents
+              FROM ev GROUP BY user_id),
+            sc AS (
+              SELECT user_id, recency_days, freq, cents,
+                CAST(ntile(5) OVER (ORDER BY recency_days DESC, user_id) AS BIGINT) AS r_score,
+                CAST(ntile(5) OVER (ORDER BY freq, user_id) AS BIGINT) AS f_score,
+                CAST(ntile(5) OVER (ORDER BY cents, user_id) AS BIGINT) AS m_score
+              FROM u)
+            SELECT user_id, recency_days, freq, cents, r_score, f_score, m_score,
+              CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS segment
+            FROM sc ORDER BY user_id""")
+  )
+
   val qs: Seq[Q] = Seq(
     invertedIndex, booleanSearch, winnowing, countMin, scd2, zoneMap, attributionLinear,
     scd2Lookup, triangleCount, fkAudit,
     resampleFfill, sortedNeighborhood, labelPropagation, bloomIndex,
-    mvRetract, marketBasket, tfidfDocSim, driftTv, mmrDiversify)
+    mvRetract, marketBasket, tfidfDocSim, driftTv, mmrDiversify,
+    userLtv, rfmSegmentation)
 }

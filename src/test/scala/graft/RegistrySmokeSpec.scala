@@ -49,7 +49,8 @@ class RegistrySmokeSpec extends AnyFunSuite {
     "x_scd2_lookup", "x_triangle_count", "x_fk_audit",
     "x_resample_ffill", "x_sorted_neighborhood", "x_label_propagation", "x_bloom_index",
     "x_mv_retract", "x_market_basket", "x_tfidf_doc_sim", "x_drift_tv",
-    "x_multimodal_resize", "x_multimodal_features", "x_mmr_diversify"
+    "x_multimodal_resize", "x_multimodal_features", "x_mmr_diversify",
+    "x_user_ltv", "x_rfm_segmentation"
   )
 
   Registry.all.foreach { q =>
