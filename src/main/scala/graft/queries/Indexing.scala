@@ -314,10 +314,17 @@ object Indexing {
     * per channel — the fractional-credit complement to
     * [[Headline.h24 last-touch]]. Integer-exact: revenue fixes to cents via
     * DECIMAL(18,2), each touch's share is floor(cents·10⁶ / n_touches)
-    * micro-cents, so the split replays bit-for-bit in SQL. One user_id
-    * exchange carries the purchase-touch interval join; the per-purchase
-    * touch count is a window over the join output (no second join); the
-    * final channel rollup is a 2-group aggregation.
+    * micro-cents, so the split replays bit-for-bit in SQL. The
+    * purchase-touch window join is DAY-BUCKETIZED (the h21 interval-join
+    * technique): each purchase explodes to its 8 candidate touch days and
+    * joins on (user, day), so a power user's cost is per-(user, day) —
+    * bounded by the window length — instead of an unbounded per-user
+    * purchases×touches cross product; the exact time filter then trims the
+    * bucket edges. The per-purchase touch count is a window over the join
+    * output (no second join); the final channel rollup is a 2-group
+    * aggregation. The oracle replays the SEMANTICS with the plain interval
+    * predicate — identical rows, so the bucketization is provably
+    * result-neutral every round.
     */
   val attributionLinear = Q(
     "x_attribution_linear",
@@ -328,9 +335,12 @@ object Indexing {
           col("ts").as("pts"),
           (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
             .cast("long").as("cents"))
+        .withColumn("tday",
+          explode(sequence(date_sub(to_date(col("pts")), 7), to_date(col("pts")))))
       val t = ev.filter(col("event_type").isin("view", "click"))
-        .select(col("user_id"), col("event_type").as("channel"), col("ts").as("tts"))
-      val j = p.join(t, Seq("user_id"))
+        .select(col("user_id"), col("event_type").as("channel"), col("ts").as("tts"),
+          to_date(col("ts")).as("tday"))
+      val j = p.join(t, Seq("user_id", "tday"))
         .filter(col("tts") < col("pts") &&
           col("tts") >= col("pts") - expr("INTERVAL 7 DAYS"))
       val wp = Window.partitionBy(col("pid"))
