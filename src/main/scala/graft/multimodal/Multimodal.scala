@@ -125,6 +125,58 @@ object Multimodal {
     }
   }
 
+  /** Average-hash row: two 32-bit halves of the 8×8 aHash (two columns so
+    * the top bit never hits BIGINT sign trouble in either engine).
+    */
+  final case class AHash(doc_id: Long, ahash_hi: Long, ahash_lo: Long)
+
+  /** Perceptual average-hash (aHash) — image NEAR-DUP detection, the
+    * multimodal face of the dedup family: decode → 8×8 nearest-neighbor
+    * downsample ([[ImageCodec.resizeNearest]]) → per-pixel luminance sum
+    * (r+g+b, no division — integers stay exact) → one bit per pixel by
+    * comparison against the 64-pixel MEAN (scaled: 64·lum > total), packed
+    * as two 32-bit halves. Identical images hash identically; small edits
+    * flip few bits (Hamming-banded candidate pairs at scale — the SimHash
+    * machinery applies unchanged).
+    */
+  def averageHash(
+      spark: SparkSession, payloads: Dataset[(Long, Array[Byte])], batchSize: Int = 64
+  ): Dataset[AHash] = {
+    import spark.implicits._
+    payloads.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { chunk =>
+        chunk.flatMap { case (id, bytes) =>
+          ImageCodec.tryDecode(bytes).map { img =>
+            val small = ImageCodec.resizeNearest(img,
+              math.min(8, img.width), math.min(8, img.height))
+            val n   = small.width * small.height
+            val lum = new Array[Long](n)
+            var tot = 0L
+            var i = 0
+            while (i < n) {
+              val o = 3 * i
+              lum(i) = (small.pixels(o) & 0xff).toLong +
+                (small.pixels(o + 1) & 0xff) + (small.pixels(o + 2) & 0xff)
+              tot += lum(i)
+              i += 1
+            }
+            var hi = 0L; var lo = 0L
+            i = 0
+            while (i < n) {
+              // bit set iff pixel luminance strictly above the mean, scaled
+              // to integers: n*lum > tot  <=>  lum > tot/n.
+              if (n * lum(i) > tot) {
+                if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+              }
+              i += 1
+            }
+            AHash(id, hi, lo)
+          }
+        }
+      }
+    }
+  }
+
   /** Batch decode via typed `mapPartitions` — the Scala analog of a
     * `mapInPandas` batch UDF: one codec instance per partition, rows streamed
     * through it, output schema declared by the `MediaMeta` encoder. Corrupt

@@ -2435,6 +2435,61 @@ object Extensions {
             FROM bv GROUP BY doc_id ORDER BY doc_id""")
   )
 
+  /** Perceptual average-hash near-dup detection
+    * ([[graft.multimodal.Multimodal.averageHash]]) — the multimodal face of
+    * the dedup family: decode → 8×8 NN downsample → luminance bit per
+    * pixel vs the mean, packed as two 32-bit halves; docs sharing a hash
+    * are image-level near-identical (`n_dups` counts the hash-equality
+    * group — all 1 on this corpus, which has no byte-identical texts;
+    * MultimodalSpec plants an identical pair and a lightly-edited pair and
+    * pins equal-hash / small-Hamming respectively).
+    * The oracle replays the ENTIRE pipeline from the generator formulas —
+    * every sampled pixel's three bytes, the scaled mean comparison
+    * (n·lum > tot, division-free), the bit packing, and the hash-equality
+    * group counts — so decode, resample, and thresholding are all verified
+    * row-level. Scale: map-side decode + one hash-value exchange for the
+    * dup counts (SimHash Hamming banding drops in unchanged for near-miss
+    * pairs).
+    */
+  val multimodalAhash = Q(
+    "x_multimodal_ahash",
+    (s, d) => {
+      val h = Multimodal.averageHash(s, Multimodal.withImagePayload(s, Tables.documents(s, d))).toDF()
+      h.withColumn("n_dups",
+          count(lit(1)).over(Window.partitionBy(col("ahash_hi"), col("ahash_lo"))))
+        .select(col("doc_id"), col("ahash_hi"), col("ahash_lo"), col("n_dups"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (
+              SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS len
+              FROM documents),
+            d0 AS (SELECT doc_id, hx, len, len % 64 + 1 AS w, len % 48 + 1 AS h FROM t),
+            d1 AS (SELECT *, LEAST(w, 8) AS ow, LEAST(h, 8) AS oh FROM d0),
+            gy AS (SELECT doc_id, hx, len, w, h, ow, oh, unnest(range(0, oh)) AS y FROM d1),
+            gx AS (SELECT doc_id, hx, len, w, h, ow, oh, y, unnest(range(0, ow)) AS x FROM gy),
+            lum AS (
+              SELECT doc_id, ow, oh, y * ow + x AS i,
+                (SELECT sum(16 * (strpos('0123456789ABCDEF', hx[2*bi+1]) - 1)
+                          + (strpos('0123456789ABCDEF', hx[2*bi+2]) - 1))
+                 FROM (SELECT (3 * ((y * h // oh) * w + (x * w // ow)) + c.c) % len AS bi
+                       FROM range(0, 3) c(c)) z) AS lv
+              FROM gx),
+            tot AS (
+              SELECT doc_id, ow * oh AS n, sum(lv) AS tv FROM lum
+              GROUP BY doc_id, ow, oh),
+            bits AS (
+              SELECT l.doc_id,
+                CAST(COALESCE(sum(CASE WHEN l.i >= 32 AND t.n * l.lv > t.tv
+                       THEN 1::BIGINT << (l.i - 32) ELSE 0 END), 0) AS BIGINT) AS ahash_hi,
+                CAST(COALESCE(sum(CASE WHEN l.i < 32 AND t.n * l.lv > t.tv
+                       THEN 1::BIGINT << l.i ELSE 0 END), 0) AS BIGINT) AS ahash_lo
+              FROM lum l JOIN tot t ON l.doc_id = t.doc_id
+              GROUP BY l.doc_id)
+            SELECT doc_id, ahash_hi, ahash_lo,
+              count(*) OVER (PARTITION BY ahash_hi, ahash_lo) AS n_dups
+            FROM bits ORDER BY doc_id""")
+  )
+
   /** Heavy-hitters sketch (Misra-Gries typed Aggregator): all tokens with
     * frequency > n/k in one pass with O(k) state — the bounded-memory
     * frequent-tokens pass of a corpus pipeline. With k=32 ≥ this corpus's
@@ -4871,6 +4926,6 @@ object Extensions {
     qualityClassifier, mixTemperature, upsampleEpochs, dedupUrl, bpePairCounts, bpeMerges, bpeTokenize, chunkDocuments, curationPipeline3,
     htmlExtract, shardAssign, shardManifestQ, hardNegativesQ, urlFilter, curationPipeline4, zorderQ,
     annBruteForce, annLsh, annIvf, annInt8,
-    multimodalMeta, multimodalFrames, multimodalResize, multimodalFeatures
+    multimodalMeta, multimodalFrames, multimodalResize, multimodalFeatures, multimodalAhash
   )
 }

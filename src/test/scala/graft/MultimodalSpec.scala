@@ -117,6 +117,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert((r, g, b) == ((wantR, wantG, wantB)))
   }
 
+  test("averageHash: identical images collide, light edits stay Hamming-close, distinct images differ") {
+    import spark.implicits._
+    val base   = "the quick brown fox jumps over the lazy dog " * 8
+    val edited = base.dropRight(1) + "!" // one byte changed out of ~350
+    val other  = "completely different content with other letters " * 8
+    val ds = spark.createDataset(Seq(
+      (1L, Multimodal.syntheticPpm(base)),
+      (2L, Multimodal.syntheticPpm(base)),   // byte-identical image
+      (3L, Multimodal.syntheticPpm(edited)), // near-dup image
+      (4L, Multimodal.syntheticPpm(other))))
+    val h = Multimodal.averageHash(spark, ds).collect().map(a => a.doc_id -> (a.ahash_hi, a.ahash_lo)).toMap
+    def hamming(a: (Long, Long), b: (Long, Long)): Int =
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+    assert(h(1L) == h(2L), "identical images must hash identically")
+    assert(hamming(h(1L), h(3L)) <= 8,
+      s"a 1-byte edit must stay Hamming-close, got ${hamming(h(1L), h(3L))}")
+    assert(hamming(h(1L), h(4L)) > 8,
+      s"distinct images must differ, got ${hamming(h(1L), h(4L))}")
+  }
+
   test("resize and feature stages skip corrupt payloads like the decode stage") {
     import spark.implicits._
     val good    = Multimodal.syntheticPpm("resize me")

@@ -50,7 +50,7 @@ class RegistrySmokeSpec extends AnyFunSuite {
     "x_resample_ffill", "x_sorted_neighborhood", "x_label_propagation", "x_bloom_index",
     "x_mv_retract", "x_market_basket", "x_tfidf_doc_sim", "x_drift_tv",
     "x_multimodal_resize", "x_multimodal_features", "x_mmr_diversify",
-    "x_user_ltv", "x_rfm_segmentation"
+    "x_user_ltv", "x_rfm_segmentation", "x_multimodal_ahash"
   )
 
   Registry.all.foreach { q =>
