@@ -56,8 +56,10 @@ object BpeTrain {
     * HYBRID loop drive: the corpus-scale work — the ONE word-frequency
     * aggregation — is always distributed; the merge LOOP then runs wherever
     * the collapsed word dict lives best. When the dict is driver-sized
-    * (`maxDriverWords`, default 2M rows ≈ tens of MB — Heaps' law puts even
-    * very large corpora within ~10⁷–10⁸ distinct words), it is collected
+    * (`maxDriverWords`, default 500k rows — the per-character String symbol
+    * buffers cost ~0.5 KB/word worst-case, so the default stays within a
+    * few hundred MB of driver heap; raise only with driver memory to
+    * match), it is collected
     * once and the k rounds run in-memory ([[trainLocal]]): a 32k-vocab
     * training is thousands of hash-map passes over a small array, seconds,
     * instead of 32k Spark jobs. Above the threshold the loop stays
@@ -68,7 +70,7 @@ object BpeTrain {
     * BpeTrainSpec pins the equality.
     */
   def train(
-      corpus: DataFrame, textCol: String, k: Int, maxDriverWords: Long = 2000000L
+      corpus: DataFrame, textCol: String, k: Int, maxDriverWords: Long = 500000L
   ): Seq[Merge] = {
     val words = wordFreqs(corpus, textCol).localCheckpoint()
     if (words.count() <= maxDriverWords) {
@@ -130,8 +132,15 @@ object BpeTrain {
   def trainLocal(dict: Seq[(String, Long)], k: Int): Seq[Merge] = {
     val syms = dict.map { case (w, _) =>
       val b = new scala.collection.mutable.ArrayBuffer[String](w.length + 1)
+      // Iterate CODE POINTS, not UTF-16 units: Spark's split(w, "") keeps
+      // surrogate pairs whole, and the two paths must learn identical merge
+      // tables for non-BMP text (emoji, CJK extensions).
       var i = 0
-      while (i < w.length) { b += String.valueOf(w.charAt(i)); i += 1 }
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        b += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
       b += "</w>"
       b
     }.toArray

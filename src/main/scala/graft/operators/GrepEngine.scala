@@ -264,7 +264,14 @@ object GrepEngine {
     val (clean, fn) = extractFileTemplate(cmd)
     val path = fn match {
       case Some(f) if f.startsWith("/") => f
-      case Some(f)                      => s"$dir/$f"
+      case Some(f)                      =>
+        // Normalize and require containment: a caller-supplied relative name
+        // like "../../secret.log" must not escape the logs directory.
+        val base     = java.nio.file.Paths.get(dir).toAbsolutePath.normalize()
+        val resolved = base.resolve(f).normalize()
+        require(resolved.startsWith(base),
+          s"fnactual '$f' escapes the logs directory '$dir'")
+        resolved.toString
       case None                         => dir
     }
     val table = if (parseCmd(clean).lineNumbers) logsWithLineNo(spark, path) else logs(spark, path)

@@ -2348,8 +2348,8 @@ object Extensions {
         )
         .orderBy("doc_id"),
     Some("""WITH t AS (SELECT doc_id,
-                 octet_length(encode(text)) % 64 + 1 AS w,
-                 octet_length(encode(text)) % 48 + 1 AS h
+                 GREATEST(octet_length(encode(text)), 1) % 64 + 1 AS w,
+                 GREATEST(octet_length(encode(text)), 1) % 48 + 1 AS h
                FROM documents)
             SELECT doc_id,
               CAST(9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR)) + 3 * w * h AS BIGINT) AS n_bytes,
@@ -2381,7 +2381,8 @@ object Extensions {
           col("pixel_sum"))
         .orderBy("doc_id"),
     Some("""WITH t AS (
-              SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS len
+              SELECT doc_id, COALESCE(NULLIF(hex(encode(text)), ''), '00') AS hx,
+                     GREATEST(octet_length(encode(text)), 1) AS len
               FROM documents),
             d0 AS (SELECT doc_id, hx, len, len % 64 + 1 AS w, len % 48 + 1 AS h FROM t),
             d1 AS (SELECT *, LEAST(w, 16) AS ow, LEAST(h, 12) AS oh FROM d0),
@@ -2417,7 +2418,8 @@ object Extensions {
         .select(col("doc_id"), col("sum_r"), col("sum_g"), col("sum_b"))
         .orderBy("doc_id"),
     Some("""WITH t AS (
-              SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS len
+              SELECT doc_id, COALESCE(NULLIF(hex(encode(text)), ''), '00') AS hx,
+                     GREATEST(octet_length(encode(text)), 1) AS len
               FROM documents),
             d0 AS (SELECT doc_id, hx, len, len % 64 + 1 AS w, len % 48 + 1 AS h FROM t),
             gk AS (SELECT doc_id, hx, len, unnest(range(0, w * h)) AS k FROM d0),
@@ -2461,7 +2463,8 @@ object Extensions {
         .orderBy("doc_id")
     },
     Some("""WITH t AS (
-              SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS len
+              SELECT doc_id, COALESCE(NULLIF(hex(encode(text)), ''), '00') AS hx,
+                     GREATEST(octet_length(encode(text)), 1) AS len
               FROM documents),
             d0 AS (SELECT doc_id, hx, len, len % 64 + 1 AS w, len % 48 + 1 AS h FROM t),
             d1 AS (SELECT *, LEAST(w, 8) AS ow, LEAST(h, 8) AS oh FROM d0),

@@ -1088,10 +1088,17 @@ object RainStorm {
     * (RainStormStreamingSpec replays a split against the batch form);
     * ordering contract across batches is the same per-key event-time
     * assumption every state machine here documents.
+    *
+    * Ties: changes carry an event id and sort by (ts, id); same-ts changes
+    * collapse to the FIRST (lowest id) — the batch `scd2Frame` rule — both
+    * within a micro-batch and against the currently-open version (a change
+    * at exactly the open version's valid_from is the tied row the batch
+    * build would have dropped). Without the tiebreak, two distinct values
+    * at one timestamp would yield an order-dependent zero-length version.
     */
   def scd2Stream(
       spark: SparkSession,
-      changes: Dataset[(Long, Long, String)] // (uid, micros, value)
+      changes: Dataset[(Long, Long, Long, String)] // (uid, micros, event_id, value)
   ): Dataset[Scd2Version] = {
     import spark.implicits._
     changes
@@ -1099,18 +1106,23 @@ object RainStorm {
       .flatMapGroupsWithState[Scd2State, Scd2Version](
         OutputMode.Append(),
         GroupStateTimeout.NoTimeout
-      ) { (uid: Long, rows: Iterator[(Long, Long, String)], state: GroupState[Scd2State]) =>
+      ) { (uid: Long, rows: Iterator[(Long, Long, Long, String)], state: GroupState[Scd2State]) =>
         val out = scala.collection.mutable.ArrayBuffer.empty[Scd2Version]
         var cur = state.getOption
-        rows.toSeq.sortBy(_._2).foreach { case (_, tm, v) =>
-          cur match {
-            case Some(c) if c.state == v => () // repeat: no new version
-            case Some(c) =>
-              out += Scd2Version(uid, c.state, c.validFrom, tm)
-              cur = Some(Scd2State(v, tm))
-            case None =>
-              cur = Some(Scd2State(v, tm))
+        var lastTs = Long.MinValue
+        rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, tm, _, v) =>
+          val tiedWithOpen = cur.exists(_.validFrom == tm)
+          if (tm != lastTs && !tiedWithOpen) {
+            cur match {
+              case Some(c) if c.state == v => () // repeat: no new version
+              case Some(c) =>
+                out += Scd2Version(uid, c.state, c.validFrom, tm)
+                cur = Some(Scd2State(v, tm))
+              case None =>
+                cur = Some(Scd2State(v, tm))
+            }
           }
+          lastTs = tm
         }
         cur.foreach(state.update)
         out.iterator

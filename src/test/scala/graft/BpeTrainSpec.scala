@@ -64,6 +64,24 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(local == dist, s"local $local\ndist $dist")
   }
 
+  test("non-BMP words: local and distributed loops split code-point-identically") {
+    import spark.implicits._
+    // U+1F600 and U+1D54F are surrogate PAIRS in UTF-16. Spark's
+    // split(w, "") keeps them whole, so the driver-local path must iterate
+    // code points — a charAt split would learn a different merge table and
+    // tie-break on lone surrogates.
+    val docs = (Seq.fill(4)("a😀b😀") ++
+      Seq.fill(3)("😀😀c") ++ Seq.fill(2)("𝕏y𝕏y"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("id", "text")
+    val local = BpeTrain.train(docs, "text", 6)
+    val dist  = BpeTrain.train(docs, "text", 6, maxDriverWords = 0L)
+    assert(local == dist, s"local $local\ndist $dist")
+    // No learned symbol may begin or end mid-surrogate-pair.
+    def whole(s: String): Boolean = s.nonEmpty &&
+      !Character.isLowSurrogate(s.charAt(0)) && !Character.isHighSurrogate(s.charAt(s.length - 1))
+    assert(local.forall(m => whole(m.left) && whole(m.right)), s"lone surrogate in $local")
+  }
+
   test("k=1000 merges train in seconds once the dict is driver-local") {
     import spark.implicits._
     val docs = Tables.documents(spark, TestSpark.sf0001)

@@ -214,4 +214,16 @@ class GrepEngineSpec extends AnyFunSuite {
       .collect().map(_.getLong(1)).sorted.toSeq
     assert(n == Seq(1L, 2L))
   }
+
+  test("runTemplated: a relative fnactual cannot escape the logs directory") {
+    val dir = writeLogs(1)
+    val e = intercept[IllegalArgumentException] {
+      GrepEngine.runTemplated(spark, dir, "grep -c 'x' <fnactual ../../etc/passwd>")
+    }
+    assert(e.getMessage.contains("escapes"))
+    // In-dir dot-segments that normalize back inside are still fine.
+    val ok = GrepEngine.runTemplated(spark, dir,
+      "grep -c 'ERROR' <fnactual ./vm1.log>").collect()
+    assert(ok.length == 1 && ok(0).getLong(1) == 10L)
+  }
 }

@@ -422,23 +422,32 @@ class RainStormStreamingSpec extends AnyFunSuite {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
     // u1: A(10) -> A(20, repeat) -> B(30) -> C(50); u2: X(15) -> X(40, repeat).
+    // u3: same-ts tie at 30 — Y(id=7) vs Z(id=9) must collapse to Y (lowest
+    // id, the batch scd2Frame rule), NOT produce a zero-length Y version;
+    // the tie straddles the batch split below, exercising the open-version
+    // tie path too.
     val changes = Seq(
-      (1L, 10L, "A"), (1L, 20L, "A"), (1L, 30L, "B"), (1L, 50L, "C"),
-      (2L, 15L, "X"), (2L, 40L, "X"))
-    val in = MemoryStream[(Long, Long, String)]
+      (1L, 10L, 1L, "A"), (1L, 20L, 2L, "A"), (1L, 30L, 3L, "B"), (1L, 50L, 4L, "C"),
+      (2L, 15L, 5L, "X"), (2L, 40L, 6L, "X"),
+      (3L, 30L, 7L, "Y"), (3L, 30L, 9L, "Z"), (3L, 60L, 10L, "W"))
+    val in = MemoryStream[(Long, Long, Long, String)]
     val q = RainStorm.scd2Stream(spark, in.toDS())
       .writeStream.outputMode("append").format("memory").queryName("scd2_versions").start()
     try {
-      // Split mid-user so a version OPENS in batch 1 and CLOSES in batch 2.
-      in.addData(changes.take(3)); q.processAllAvailable()
-      in.addData(changes.drop(3)); q.processAllAvailable()
+      // Split mid-user so a version OPENS in batch 1 and CLOSES in batch 2 —
+      // and the u3 tie straddles the split (Y opens in batch 1, the tied Z
+      // arrives in batch 2 and must be dropped as the batch build would).
+      val tieFirst = (3L, 30L, 7L, "Y")
+      in.addData(changes.take(3) :+ tieFirst); q.processAllAvailable()
+      in.addData(changes.drop(3).filterNot(_ == tieFirst)); q.processAllAvailable()
       val got = spark.table("scd2_versions").as[Scd2Version].collect().toSet
       val want = Set(
         Scd2Version(1L, "A", 10L, 30L), // repeat at 20 extended, not reopened
-        Scd2Version(1L, "B", 30L, 50L))
+        Scd2Version(1L, "B", 30L, 50L),
+        Scd2Version(3L, "Y", 30L, 60L)) // tie collapsed to lowest id, no 0-length version
       assert(got == want, s"got $got\nwant $want")
       // Replay the same changes as ONE batch: identical closed set.
-      val in2 = MemoryStream[(Long, Long, String)]
+      val in2 = MemoryStream[(Long, Long, Long, String)]
       val q2 = RainStorm.scd2Stream(spark, in2.toDS())
         .writeStream.outputMode("append").format("memory").queryName("scd2_versions_1b").start()
       try {
