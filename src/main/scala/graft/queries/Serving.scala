@@ -1,0 +1,224 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{AnnIndex, TextAnalysis}
+
+/** Round-12 family: index SERVING — the build-once/probe-many and
+  * incremental-maintenance shapes that turn the in-query ANN/search
+  * operators into deployable index infrastructure. The IVF-PQ artifacts
+  * persist as parquet under /tmp/graft_index (the [[graft.sources.Storage]]
+  * facade), and the oracles `read_parquet` those SAME artifact tables — the
+  * probe math is verified against the index a user would actually serve
+  * from, not a re-derivation.
+  */
+object Serving {
+
+  private val ProbeIdx  = "/tmp/graft_index/ivfpq_main"
+  private val AppendIdx = "/tmp/graft_index/ivfpq_app"
+
+  /** Probe of a PREVIOUSLY WRITTEN IVF-PQ index ([[AnnIndex.probeIvfPq]]):
+    * the query first runs the build job (train coarse + sub-codebooks,
+    * encode, persist — replacing any prior artifact so the on-disk index
+    * always matches this scale factor), then probes strictly FROM THE
+    * PERSISTED TABLES — the probe plan reads centroids/codebooks/codes
+    * parquet, never the training lineage. AnnIndexSpec pins
+    * probe-after-reload == [[graft.functions.AnnSearch.ivfPqTopK]]
+    * row-for-row; the oracle replays the probe (cell ranking, codebook
+    * reconstruction, ADC scoring, top-k) over `read_parquet` of the same
+    * artifacts.
+    *
+    * Scale: this is THE 100 TB serving shape — training cost amortizes over
+    * every query, probes touch nProbe/nCells of the codes table, and the
+    * model tables are broadcast-sized.
+    */
+  val annIndexProbe = Q(
+    "x_ann_index_probe",
+    (s, d) => {
+      val embs = Tables.embeddings(s, d)
+      AnnIndex.buildIvfPq(embs, "vec_id", "embedding",
+        dim = 64, nCells = 8, m = 4, ksub = 8, iters = 2, indexPath = ProbeIdx)
+      AnnIndex.probeIvfPq(s, ProbeIdx, embs.filter(col("vec_id") < 10),
+        "vec_id", "embedding", nProbe = 2, k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"),
+          col("adc_dist2"))
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH cent AS (
+              SELECT cell, cv FROM read_parquet('$ProbeIdx/centroids/*.parquet')),
+            cb AS (
+              SELECT sub, code, cv FROM read_parquet('$ProbeIdx/codebooks/*.parquet')),
+            codes AS (
+              SELECT id, cell, codes FROM read_parquet('$ProbeIdx/codes/*.parquet')),
+            q AS (
+              SELECT vec_id, list_transform(embedding,
+                x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+              FROM embeddings WHERE vec_id < 10),
+            recon AS (
+              SELECT c.id AS neighbor_id, c.cell,
+                list_transform(range(1, 65),
+                  i -> ct.cv[i] + (x0.cv || x1.cv || x2.cv || x3.cv)[i]) AS av
+              FROM codes c JOIN cent ct ON ct.cell = c.cell
+              JOIN cb x0 ON x0.sub = 0 AND x0.code = c.codes[1]
+              JOIN cb x1 ON x1.sub = 1 AND x1.code = c.codes[2]
+              JOIN cb x2 ON x2.sub = 2 AND x2.code = c.codes[3]
+              JOIN cb x3 ON x3.sub = 3 AND x3.code = c.codes[4]),
+            probes AS (
+              SELECT query_id, cell FROM (
+                SELECT q.vec_id AS query_id, ct.cell,
+                  row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                    list_sum(list_transform(range(1, 65),
+                      i -> (q.qv[i]-ct.cv[i])*(q.qv[i]-ct.cv[i]))), ct.cell) AS pr
+                FROM q, cent ct) WHERE pr <= 2),
+            scored AS (
+              SELECT p.query_id, r.neighbor_id,
+                CAST(list_sum(list_transform(range(1, 65),
+                  i -> (qq.qv[i]-r.av[i])*(qq.qv[i]-r.av[i]))) AS BIGINT) AS adc_dist2
+              FROM recon r JOIN probes p ON r.cell = p.cell
+              JOIN q qq ON qq.vec_id = p.query_id
+              WHERE r.neighbor_id <> p.query_id)
+            SELECT query_id, neighbor_id, rank, adc_dist2 FROM (
+              SELECT query_id, neighbor_id, adc_dist2,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY adc_dist2, neighbor_id) AS rank
+              FROM scored)
+            WHERE rank <= 5 ORDER BY query_id, rank""")
+  )
+
+  /** Incremental IVF-PQ maintenance ([[AnnIndex.appendIvfPq]]): the index is
+    * built over the EVEN half of the corpus, then the odd half is appended
+    * ENCODE-ONLY — cell routing and sub-codes computed against the frozen
+    * persisted model, no retrain, codes table appended in place. Output is
+    * the appended code rows (exploded to scalars); the oracle re-derives
+    * every appended vector's cell assignment and all m sub-codes IN SQL from
+    * `read_parquet` of the saved centroid/codebook tables — so a drifted
+    * encode (wrong tie-break, stale model, retrain-on-append) breaks the
+    * hash. AnnIndexSpec additionally pins that appending leaves existing
+    * code rows byte-identical and that re-encoding is idempotent.
+    */
+  val annIndexAppend = Q(
+    "x_ann_index_append",
+    (s, d) => {
+      val embs = Tables.embeddings(s, d)
+      AnnIndex.buildIvfPq(embs.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+        dim = 64, nCells = 8, m = 4, ksub = 8, iters = 2, indexPath = AppendIdx)
+      AnnIndex.appendIvfPq(s, AppendIdx, embs.filter(col("vec_id") % 2 === 1),
+        "vec_id", "embedding")
+        .select(col("id"), col("cell"), posexplode(col("codes")).as(Seq("sub", "code")))
+        .select(col("id"), col("cell"), col("sub").cast("long").as("sub"), col("code"))
+        .orderBy("id", "sub")
+    },
+    Some(s"""WITH cent AS (
+              SELECT cell, cv FROM read_parquet('$AppendIdx/centroids/*.parquet')),
+            cb AS (
+              SELECT sub, code, cv FROM read_parquet('$AppendIdx/codebooks/*.parquet')),
+            nv AS (
+              SELECT vec_id AS id, list_transform(embedding,
+                x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+              FROM embeddings WHERE vec_id % 2 = 1),
+            asg AS (
+              SELECT id, qv, cell FROM (
+                SELECT nv.id, nv.qv, ct.cell,
+                  row_number() OVER (PARTITION BY nv.id ORDER BY
+                    list_sum(list_transform(range(1, 65),
+                      i -> (nv.qv[i]-ct.cv[i])*(nv.qv[i]-ct.cv[i]))), ct.cell) AS rn
+                FROM nv, cent ct) WHERE rn = 1),
+            res AS (
+              SELECT a.id, a.cell,
+                list_transform(range(1, 65), i -> a.qv[i] - ct.cv[i]) AS rv
+              FROM asg a JOIN cent ct ON ct.cell = a.cell),
+            enc AS (
+              SELECT r.id, r.cell, c.sub, c.code,
+                row_number() OVER (PARTITION BY r.id, c.sub ORDER BY
+                  list_sum(list_transform(range(1, 17),
+                    i -> (r.rv[c.sub*16 + i] - c.cv[i])*(r.rv[c.sub*16 + i] - c.cv[i]))),
+                  c.code) AS rn
+              FROM res r, cb c)
+            SELECT id, cell, CAST(sub AS BIGINT) AS sub, code
+            FROM enc WHERE rn = 1 ORDER BY id, sub""")
+  )
+
+  /** One segment of the inverted index: per-token (df, tf_total, capped
+    * posting head) over a document subset — [[Indexing.invertedIndex]]'s
+    * aggregation kept as arrays for merging.
+    */
+  private def indexSegment(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    val stats = tok.groupBy(col("tok"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("tf_total"))
+    val head = tok
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("tok")).orderBy(col("doc_id"))))
+      .filter(col("rn") <= 10)
+      .groupBy(col("tok"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("head"))
+    stats.join(head, Seq("tok"))
+  }
+
+  /** Incremental inverted-index maintenance — the posting-delta merge (the
+    * x_mv_retract discipline applied to search): the EXISTING index segment
+    * (docs with doc_id % 3 ≠ 0) merges with a DELTA segment (the % 3 = 0
+    * batch) token-by-token — df/tf_total add (document sets are disjoint),
+    * posting heads merge as the 10 smallest of the two heads' union (each
+    * head already holds its segment's 10 smallest doc ids, so the union
+    * contains the global 10 smallest). The oracle is the FULL REBUILD over
+    * all documents — [[Indexing.invertedIndex]]'s exact SQL — so the merge
+    * is verified equivalent to reindexing from scratch, which is the whole
+    * correctness contract of incremental maintenance.
+    *
+    * Scale: the merge touches only the two per-token SEGMENT frames (Heaps-
+    * law-sized), never re-tokenizes the existing corpus — at 100 TB the
+    * delta segment is the day's ingest and the merge cost is O(delta +
+    * touched tokens), not O(corpus).
+    */
+  val invertedIndexIncremental = Q(
+    "x_inverted_index_incremental",
+    (s, d) => {
+      val docs  = Tables.documents(s, d)
+      val base  = indexSegment(docs.filter(col("doc_id") % 3 =!= 0))
+      val delta = indexSegment(docs.filter(col("doc_id") % 3 === 0))
+      val emptyHead = array().cast("array<bigint>")
+      base.select(col("tok"), col("df").as("df_a"), col("tf_total").as("tf_a"), col("head").as("head_a"))
+        .join(delta.select(col("tok"), col("df").as("df_b"), col("tf_total").as("tf_b"), col("head").as("head_b")),
+          Seq("tok"), "full_outer")
+        .select(
+          col("tok"),
+          (coalesce(col("df_a"), lit(0L)) + coalesce(col("df_b"), lit(0L))).as("df"),
+          (coalesce(col("tf_a"), lit(0L)) + coalesce(col("tf_b"), lit(0L))).as("tf_total"),
+          array_join(
+            slice(sort_array(concat(coalesce(col("head_a"), emptyHead),
+              coalesce(col("head_b"), emptyHead))), 1, 10),
+            ",").as("postings_head"))
+        .orderBy(desc("df"), asc("tok"))
+        .limit(50)
+    },
+    // Full-rebuild equivalence: the oracle IS x_inverted_index's rebuild SQL
+    // over the whole corpus.
+    Some("""WITH t AS (
+              SELECT doc_id, tok FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+              WHERE tok <> ''),
+            g AS (SELECT tok, doc_id, count(*) AS tf FROM t GROUP BY 1, 2),
+            st AS (
+              SELECT tok, count(*) AS df, CAST(sum(tf) AS BIGINT) AS tf_total
+              FROM g GROUP BY tok),
+            hd AS (
+              SELECT tok,
+                array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings_head
+              FROM (SELECT tok, doc_id,
+                      row_number() OVER (PARTITION BY tok ORDER BY doc_id) AS rn
+                    FROM g) z
+              WHERE rn <= 10 GROUP BY tok)
+            SELECT st.tok, st.df, st.tf_total, hd.postings_head
+            FROM st JOIN hd ON st.tok = hd.tok
+            ORDER BY st.df DESC, st.tok LIMIT 50""")
+  )
+
+  val qs: Seq[Q] = Seq(annIndexProbe, annIndexAppend, invertedIndexIncremental)
+}

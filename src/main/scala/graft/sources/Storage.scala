@@ -27,6 +27,13 @@ object Storage {
   def append(df: DataFrame, path: String): Unit =
     df.write.mode("append").parquet(path)
 
+  /** Overwrite-create — the build-artifact face of [[create]]: an index
+    * rebuild REPLACES the prior artifact (single-writer, e.g. the IVF-PQ
+    * build job), where `create`'s create-once contract would reject it.
+    */
+  def replace(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+
   /** `get hydfsf localf` — snapshot read with read-your-writes from the FS
     * (`getFile`, `core_process_utils.go:1962-2037`).
     */
