@@ -1129,6 +1129,53 @@ object RainStorm {
       }
   }
 
+  final case class PostingState(df: Long, tfTotal: Long, head: Seq[Long])
+  final case class PostingRow(tok: String, df: Long, tf_total: Long, postings_head: String)
+
+  /** Streaming inverted-index maintenance — the continuous face of the batch
+    * `x_inverted_index` / `x_inverted_index_incremental` pair: per token the
+    * state is the SERVING aggregate (document frequency, total term
+    * frequency, the 10-smallest-doc-id posting head) and each micro-batch of
+    * newly ingested documents folds in as a posting delta — df/tf add, the
+    * head merges as smallest-10 of the union, exactly the batch merge rule.
+    * Update-mode emission: every batch re-emits each TOUCHED token's current
+    * row (untouched tokens emit nothing), so a downstream sink always holds
+    * the latest index row per token.
+    *
+    * Assumes document-at-a-time ingest (each doc_id arrives whole, in one
+    * batch, once) — the same per-key contract as cdcStream. State is O(1)
+    * per token (two counters + a capped head), so 100 TB of corpus costs
+    * |vocabulary| state, not |postings|; full posting lists would go to an
+    * external store keyed by (tok, doc_id) with this state as the serving
+    * summary. Streaming-vs-batch equality across a multi-batch replay is
+    * pinned in RainStormStreamingSpec.
+    */
+  def indexStream(
+      spark: SparkSession,
+      docs: DataFrame // (doc_id long, text string)
+  ): Dataset[PostingRow] = {
+    import spark.implicits._
+    docs
+      .select(explode(graft.functions.TextAnalysis.tokens(col("text"))).as("tok"),
+        col("doc_id"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[PostingState, PostingRow](
+        OutputMode.Update(),
+        GroupStateTimeout.NoTimeout
+      ) { (tok: String, rows: Iterator[(String, Long)], state: GroupState[PostingState]) =>
+        val perDoc = rows.toSeq.groupBy(_._2).view.mapValues(_.size.toLong)
+          .toSeq.sortBy(_._1)
+        var st = state.getOption.getOrElse(PostingState(0L, 0L, Nil))
+        perDoc.foreach { case (docId, tf) =>
+          st = PostingState(st.df + 1, st.tfTotal + tf,
+            (st.head :+ docId).sorted.take(10))
+        }
+        state.update(st)
+        Iterator.single(PostingRow(tok, st.df, st.tfTotal, st.head.mkString(",")))
+      }
+  }
+
   /** Generic 3-stage pipeline runner mirroring the `RainStorm op1 op2 src dest
     * num_tasks` terminal verb (`core_process_stream_DS.go:1645-1842`):
     * source → op1 (stateless transform) → shuffle on key → op2 (grouped agg),

@@ -457,6 +457,46 @@ class RainStormStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("indexStream: postings equal the batch inverted index across a multi-batch replay") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.expressions.Window
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+    val in = MemoryStream[(Long, String)]
+    val q = RainStorm.indexStream(spark, in.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("update").format("memory").queryName("idx_stream").start()
+    try {
+      // Three micro-batches; per-token df strictly grows per emission, so
+      // the max-df row per token is the final index state.
+      docs.grouped((docs.size + 2) / 3).foreach { b => in.addData(b); q.processAllAvailable() }
+      val got = spark.table("idx_stream")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("tok")).orderBy(desc("df"))))
+        .filter(col("rn") === 1).drop("rn")
+        .as[(String, Long, Long, String)].collect().toSet
+
+      val tok = Tables.documents(spark, TestSpark.sf0001)
+        .select(col("doc_id"),
+          explode(graft.functions.TextAnalysis.tokens(col("text"))).as("tok"))
+        .groupBy("tok", "doc_id").agg(count(lit(1)).as("tf"))
+      val stats = tok.groupBy("tok")
+        .agg(count(lit(1)).as("df"), sum("tf").as("tf_total"))
+      val head = tok
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("tok")).orderBy(col("doc_id"))))
+        .filter(col("rn") <= 10).groupBy("tok")
+        .agg(array_join(sort_array(collect_list(col("doc_id"))), ",").as("postings_head"))
+      val want = stats.join(head, Seq("tok"))
+        .select("tok", "df", "tf_total", "postings_head")
+        .as[(String, Long, Long, String)].collect().toSet
+      assert(got.size == want.size && got == want,
+        s"stream-only ${got -- want}\nbatch-only ${want -- got}")
+    } finally q.stop()
+  }
+
   test("countMinStream: closed-window sketch grid bit-equals the batch sketch") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
