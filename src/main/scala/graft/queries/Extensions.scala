@@ -3164,6 +3164,64 @@ object Extensions {
             FROM cnt ORDER BY doc_id, epoch""")
   )
 
+  /** Fifth composed pipeline — MinHash-LSH near-dup removal INSIDE the
+    * single oracled plan (the one dedup family the other pipelines didn't
+    * chain; pipeline1 dedups via connected-component clusters, this one via
+    * the greedy pair-drop rule the streaming near-dup filter uses): length
+    * gate → [[DedupOps.minhashNearDups]] at J ≥ 0.8 → drop every doc that is
+    * the GREATER id of a qualifying pair (keep-first) → per-source cap of 40
+    * by ascending doc_id (the domain-cap stage). The oracle replays the
+    * dedup stage with EXACT all-pairs Jaccard — valid here for the same
+    * reason as `x_dedup_minhash_lsh`: the banding's detection probability at
+    * the planted pairs' similarity is ~1 and the minhash seeds are fixed.
+    *
+    * Scale: the gate is map-side; LSH candidates cost one (band, bucket)
+    * exchange with capped buckets (never all-pairs); the drop set is
+    * pair-derived (broadcast-small) so the survivors anti-join without
+    * shuffling the corpus; the cap windows within source partitions only.
+    */
+  val curationPipeline5 = Q(
+    "x_curation_pipeline5",
+    (s, d) => {
+      val docs  = Tables.documents(s, d)
+      val gated = docs.filter(col("n_chars") >= 20)
+      val drops = DedupOps
+        .minhashNearDups(gated, "doc_id", "text", shingleN = 3, k = 64, bands = 8, threshold = 0.8)
+        .select(col("id_b").as("doc_id")).distinct()
+      gated.join(broadcast(drops), Seq("doc_id"), "left_anti")
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col("source")).orderBy(col("doc_id"))))
+        .filter(col("__rn") <= 40)
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH gated AS (SELECT * FROM documents WHERE n_chars >= 20),
+            toks AS (
+              SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS t
+              FROM gated),
+            sh AS (
+              SELECT doc_id,
+                CASE WHEN len(t) >= 3
+                  THEN list_distinct(list_transform(range(1, len(t) - 1),
+                         i -> array_to_string(t[i:i+2], ' ')))
+                  ELSE [array_to_string(t, ' ')] END AS s
+              FROM toks),
+            pairs AS (
+              SELECT a.doc_id AS ida, b.doc_id AS idb
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                  / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
+            kept AS (
+              SELECT g.* FROM gated g
+              WHERE g.doc_id NOT IN (SELECT idb FROM pairs)),
+            capped AS (
+              SELECT doc_id, source, lang, n_chars,
+                row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+              FROM kept)
+            SELECT doc_id, source, lang, n_chars FROM capped
+            WHERE rn <= 40 ORDER BY doc_id""")
+  )
+
   /** Temperature-scaled domain mixing ([[Curation.temperatureMixture]] —
     * the XLM-R/mT5 α-sampling rebalance, α = 0.5). The input is skewed on
     * purpose (three domains keep all docs, the rest one in four) so the
@@ -4927,7 +4985,8 @@ object Extensions {
     gopherQuality, gopherRepetition, dedupSpansIncremental, dedupTokenSpans, dedupTokenSpansIncremental, dedupLinesWithin,
     qualityPerplexity, dsirWeights, semDedup, kMeansQ, kMeansModelQ, tfidfKeywords, embeddingQuantize, bm25Search, vocabCoverage, qualityBySource,
     qualityClassifier, mixTemperature, upsampleEpochs, dedupUrl, bpePairCounts, bpeMerges, bpeTokenize, chunkDocuments, curationPipeline3,
-    htmlExtract, shardAssign, shardManifestQ, hardNegativesQ, urlFilter, curationPipeline4, zorderQ,
+    htmlExtract, shardAssign, shardManifestQ, hardNegativesQ, urlFilter, curationPipeline4,
+    curationPipeline5, zorderQ,
     annBruteForce, annLsh, annIvf, annInt8,
     multimodalMeta, multimodalFrames, multimodalResize, multimodalFeatures, multimodalAhash
   )
