@@ -57,6 +57,18 @@ object Bench {
     // driver passes none → full run).
     val all    = SparkEntry.queries.toSeq.sortBy(_._1)
     val sorted = if (args.isEmpty) all else all.filter { case (n, _) => args.exists(n.contains) }
+    // Hypervisor steal (/proc/stat aggregate-cpu column 8, jiffies): the one
+    // host-noise source observed to swing unchanged kernels 1.4-1.8x on this
+    // VM. Snapshot before/after and ship the delta IN the artifact so a noisy
+    // reading is machine-checkable rather than argued from prose.
+    def stealJiffies(): Long =
+      try {
+        val cpu = scala.io.Source.fromFile("/proc/stat").getLines()
+          .find(_.startsWith("cpu ")).getOrElse("")
+        val f = cpu.trim.split("\\s+")
+        if (f.length > 8) f(8).toLong else -1L
+      } catch { case _: Throwable => -1L }
+    val steal0 = stealJiffies()
     val bench0 = System.nanoTime()
     def runOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
                tag: String): Double = {
@@ -104,8 +116,9 @@ object Bench {
     // "sink" names the measurement methodology so cross-round totals are only
     // compared like-for-like (r1 used count(), which undercounted projections).
     val slowest = results.sortBy(-_._2).take(20)
-    val line = s"""{"metric":"total","value":${num(total)},"unit":"sec","sink":"noop-min-of-2-passes-outlier-retry","n_queries":${results.size},"queries":${fmt(slowest)},"detail":"BENCH_LOCAL.json","sf":"$sfDir"}"""
-    val full = s"""{"metric":"total","value":${num(total)},"unit":"sec","sink":"noop-min-of-2-passes-outlier-retry","queries":${fmt(results)},"sf":"$sfDir"}"""
+    val stealD  = { val s1 = stealJiffies(); if (steal0 < 0 || s1 < 0) -1L else s1 - steal0 }
+    val line = s"""{"metric":"total","value":${num(total)},"unit":"sec","sink":"noop-min-of-2-passes-outlier-retry","n_queries":${results.size},"steal_jiffies":$stealD,"queries":${fmt(slowest)},"detail":"BENCH_LOCAL.json","sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${num(total)},"unit":"sec","sink":"noop-min-of-2-passes-outlier-retry","steal_jiffies":$stealD,"queries":${fmt(results)},"sf":"$sfDir"}"""
     println(line)
     // Full per-query artifact (also a backup in case stdout is decorated).
     // Subset runs (local iteration with name args) go to a scratch file so
