@@ -1,0 +1,197 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Round-12 family: data-governance and table-maintenance shapes — the
+  * checks and reshapes a 100 TB lakehouse runs beside its query traffic:
+  * k-anonymity/l-diversity privacy audits, schema-evolution reads across
+  * heterogeneous parquet snapshots, metric unpivot for monitoring sinks, and
+  * EWMA drift/anomaly tracking over per-key daily series.
+  */
+object Governance {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+
+  /** k-anonymity / l-diversity audit (Sweeney; Machanavajjhala): group the
+    * table by its quasi-identifiers (nation, market segment) and measure
+    * each equivalence class's size (k) and its sensitive-attribute diversity
+    * (l = distinct $1000 account-balance buckets). Classes with n < 5 are
+    * re-identification risks; classes with < 3 distinct sensitive buckets
+    * leak the attribute even when k holds. Bucketing is integer-exact:
+    * cents cast to BIGINT then truncating-divided (Spark `div` == DuckDB
+    * `//`), so negative balances bucket identically in both engines.
+    *
+    * Scale: one hash-aggregate exchange on the quasi-identifier key; the
+    * distinct-bucket count is a two-phase partial aggregate — no row ever
+    * leaves its executor unaggregated.
+    */
+  val kAnonymity = Q(
+    "x_k_anonymity",
+    (s, d) =>
+      Tables.customer(s, d)
+        .select(col("c_nationkey").cast("long").as("nation"), col("c_mktsegment").as("segment"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT) div 100000").as("bal_bucket"))
+        .groupBy(col("nation"), col("segment"))
+        .agg(
+          count(lit(1)).as("n"),
+          countDistinct(col("bal_bucket")).as("n_buckets"))
+        .select(col("nation"), col("segment"), col("n"), col("n_buckets"),
+          when(col("n") >= 5, 1L).otherwise(0L).as("is_k_anon"),
+          when(col("n_buckets") >= 3, 1L).otherwise(0L).as("is_l_diverse"))
+        .orderBy("nation", "segment"),
+    Some("""SELECT CAST(c_nationkey AS BIGINT) AS nation, c_mktsegment AS segment,
+              count(*) AS n,
+              CAST(count(DISTINCT CAST(round(c_acctbal * 100) AS BIGINT) // 100000) AS BIGINT) AS n_buckets,
+              CAST(CASE WHEN count(*) >= 5 THEN 1 ELSE 0 END AS BIGINT) AS is_k_anon,
+              CAST(CASE WHEN count(DISTINCT CAST(round(c_acctbal * 100) AS BIGINT) // 100000) >= 3
+                        THEN 1 ELSE 0 END AS BIGINT) AS is_l_diverse
+            FROM customer GROUP BY nation, segment ORDER BY nation, segment""")
+  )
+
+  private val SchemaBase = "/tmp/graft_gov"
+
+  /** Schema-evolution read — the lakehouse reality that yesterday's files
+    * lack today's columns: two parquet snapshots are written with DIFFERENT
+    * schemas (v2 adds `l_discount`), then read back as ONE table via Spark's
+    * `mergeSchema` (missing columns null-fill). The aggregate separates
+    * migrated from legacy rows (`n_v2` counts non-null discounts), so a
+    * wrong fill or dropped column breaks the hash. The oracle replays the
+    * merged read with DuckDB's `union_by_name` over the SAME written files —
+    * both engines' schema-merge semantics verified against each other.
+    *
+    * Scale: schema merge is a footer-level operation (per-file metadata
+    * union, no data rewrite) — exactly how a 100 TB table evolves without a
+    * backfill; the read stays partition-parallel with pruning intact.
+    */
+  val schemaEvolution = Q(
+    "x_schema_evolution",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      li.filter(col("l_orderkey") % 2 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"), col("l_quantity"))
+        .write.mode("overwrite").parquet(s"$SchemaBase/schema_v1")
+      li.filter(col("l_orderkey") % 2 === 1)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"), col("l_quantity"), col("l_discount"))
+        .write.mode("overwrite").parquet(s"$SchemaBase/schema_v2")
+      s.read.option("mergeSchema", "true")
+        .parquet(s"$SchemaBase/schema_v1", s"$SchemaBase/schema_v2")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          count(col("l_discount")).as("n_v2"),
+          sum(dec(col("l_discount"))).cast("double").as("sum_disc"))
+        .orderBy("l_returnflag")
+    },
+    Some(s"""SELECT l_returnflag, count(*) AS n,
+              CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+              count(l_discount) AS n_v2,
+              CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc
+            FROM read_parquet(['$SchemaBase/schema_v1/*.parquet',
+                               '$SchemaBase/schema_v2/*.parquet'], union_by_name=true)
+            GROUP BY l_returnflag ORDER BY l_returnflag""")
+  )
+
+  /** Metric UNPIVOT (melt) — the wide-to-long reshape that feeds monitoring
+    * and metrics sinks: per-flag aggregates become (entity, metric, value)
+    * rows via Spark's native `unpivot` operator. Values are integer cents so
+    * the melt is bit-exact; the oracle is the semantically-equivalent
+    * UNION-ALL expansion.
+    *
+    * Scale: unpivot is a row-local Expand (each input row emits one row per
+    * metric, no shuffle) on top of the one aggregation exchange.
+    */
+  val unpivotMetrics = Q(
+    "x_unpivot",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(expr("CAST(round(l_quantity * 100) AS BIGINT)")).as("qty_cents"),
+          sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("price_cents"),
+          sum(expr("CAST(round(l_discount * 100) AS BIGINT)")).as("disc_cents"))
+        .unpivot(
+          Array(col("l_returnflag")),
+          Array(col("qty_cents"), col("price_cents"), col("disc_cents")),
+          "metric", "value_cents")
+        .orderBy("l_returnflag", "metric"),
+    Some("""WITH a AS (
+              SELECT l_returnflag,
+                sum(CAST(round(l_quantity * 100) AS BIGINT)) AS qty_cents,
+                sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS price_cents,
+                sum(CAST(round(l_discount * 100) AS BIGINT)) AS disc_cents
+              FROM lineitem GROUP BY l_returnflag)
+            SELECT l_returnflag, metric, value_cents FROM (
+              SELECT l_returnflag, 'qty_cents' AS metric, qty_cents AS value_cents FROM a
+              UNION ALL
+              SELECT l_returnflag, 'price_cents', price_cents FROM a
+              UNION ALL
+              SELECT l_returnflag, 'disc_cents', disc_cents FROM a)
+            ORDER BY l_returnflag, metric""")
+  )
+
+  /** EWMA drift/anomaly tracking over per-priority daily order counts — the
+    * streaming-monitor recurrence e_t = (4·e_{t-1} + 1000·x_t) / 5 (α = 0.2
+    * in milli-units, truncating integer division — bit-exact, no float
+    * accumulation drift), flagging days that spike above 2× or drop below
+    * 0.5× the running mean. The recurrence is inherently sequential per
+    * series, so it runs as a typed per-key fold (`flatMapGroups` — the SCD2/
+    * funnel state-machine discipline): state is ONE long per key, series
+    * length is bounded by the calendar, and keys scale out by partition.
+    * The oracle replays the recurrence as a recursive CTE over the same
+    * day-indexed series.
+    */
+  val ewmaAnomaly = Q(
+    "x_ewma_anomaly",
+    (s, d) => {
+      import s.implicits._
+      val daily = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority").as("priority"),
+          to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      daily
+        .select(col("priority"), col("day").cast("string"), col("n"))
+        .as[(String, String, Long)]
+        .groupByKey(_._1)
+        .flatMapGroups { (p, it) =>
+          val series = it.toArray.sortBy(_._2) // one bounded calendar series
+          var e      = 0L
+          series.iterator.zipWithIndex.map { case ((_, day, n), i) =>
+            val anom =
+              if (i == 0) 0L
+              else if (1000 * n > 2 * e || 2000 * n < e) 1L
+              else 0L
+            e = if (i == 0) 1000 * n else (4 * e + 1000 * n) / 5
+            (p, day, n, e, anom)
+          }
+        }
+        .toDF("priority", "day", "n", "ewma_milli", "is_anomaly")
+        .select(col("priority"), col("day").cast("date").as("day"), col("n"),
+          col("ewma_milli"), col("is_anomaly"))
+        .orderBy("priority", "day")
+    },
+    Some("""WITH RECURSIVE base AS (
+              SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day,
+                count(*) AS n,
+                row_number() OVER (PARTITION BY o_orderpriority
+                  ORDER BY CAST(o_orderdate AS DATE)) AS rn
+              FROM orders GROUP BY 1, 2),
+            rec AS (
+              SELECT priority, day, n, rn,
+                CAST(1000 * n AS BIGINT) AS e, CAST(0 AS BIGINT) AS anom
+              FROM base WHERE rn = 1
+              UNION ALL
+              SELECT b.priority, b.day, b.n, b.rn,
+                (4 * r.e + 1000 * b.n) // 5,
+                CAST(CASE WHEN 1000 * b.n > 2 * r.e OR 2000 * b.n < r.e
+                          THEN 1 ELSE 0 END AS BIGINT)
+              FROM rec r JOIN base b ON b.priority = r.priority AND b.rn = r.rn + 1)
+            SELECT priority, day, n, e AS ewma_milli, anom AS is_anomaly
+            FROM rec ORDER BY priority, day""")
+  )
+
+  val qs: Seq[Q] = Seq(kAnonymity, schemaEvolution, unpivotMetrics, ewmaAnomaly)
+}

@@ -1,0 +1,130 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.multimodal.Audio
+
+/** Round-12 family: the AUDIO face of the multimodal pipeline — a REAL
+  * PCM16-WAV codec ([[graft.multimodal.AudioCodec]]: RIFF chunk walk, fmt
+  * validation, little-endian sample parse) behind the same batched
+  * `mapPartitions` stages as the image family. Payloads are synthesized
+  * deterministically from the text bytes ([[Audio.syntheticWav]]) so every
+  * decoded field is DuckDB-derivable: the oracles replay sample synthesis,
+  * framing, zero-crossing, and the truncating-integer linear resample
+  * SAMPLE-BY-SAMPLE from the generator formulas, while the Spark side gets
+  * them only by parsing the bytes it encoded — a mis-encode, mis-parse, or
+  * wrong DSP breaks the hash.
+  *
+  * Scale: all three stages are map-side decode (CPU linear in corpus bytes)
+  * with one presentation sort at the top — the same 100 TB cost model as the
+  * image stages ([[Extensions.multimodalFrames]]); nothing shuffles payload
+  * bytes.
+  */
+object Media {
+
+  /** Shared oracle prelude: per-document hex payload + the synthetic-clip
+    * sample grid. sv = sample value at index k, replaying
+    * [[Audio.syntheticWav]]: s(k) = ((b(k mod len) + 37k) mod 256 − 128)·256
+    * + b(k mod len), n = len mod 240 + 16.
+    */
+  private def sampleCte: String =
+    """WITH t AS (SELECT doc_id, COALESCE(NULLIF(hex(encode(text)), ''), '00') AS hx,
+                  GREATEST(octet_length(encode(text)), 1) AS len FROM documents),
+            d0 AS (SELECT doc_id, hx, len, len % 240 + 16 AS n FROM t),
+            gk AS (SELECT doc_id, hx, len, n, unnest(range(0, n)) AS k FROM d0),
+            sv AS (SELECT doc_id, n, k,
+                     ((16*(strpos('0123456789ABCDEF', hx[2*(k%len)+1])-1)
+                         + (strpos('0123456789ABCDEF', hx[2*(k%len)+2])-1)
+                       + 37*k) % 256 - 128) * 256
+                     + 16*(strpos('0123456789ABCDEF', hx[2*(k%len)+1])-1)
+                     + (strpos('0123456789ABCDEF', hx[2*(k%len)+2])-1) AS s
+                   FROM gk)"""
+
+  /** Audio metadata decode: container size and the PARSED sample rate /
+    * sample count / truncating duration. The oracle predicts the canonical
+    * 44-byte-header container size (44 + 2n) and the generator's sample
+    * count; `sample_rate` must survive the fmt-chunk round trip.
+    */
+  val audioMeta = Q(
+    "x_audio_meta",
+    (s, d) =>
+      Audio.decodeMeta(s, Audio.withAudioPayload(s, Tables.documents(s, d)))
+        .toDF()
+        .select(col("doc_id"), col("n_bytes"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("n_samples").cast("long").as("n_samples"),
+          col("duration_ms"))
+        .orderBy("doc_id"),
+    Some("""WITH t AS (SELECT doc_id, GREATEST(octet_length(encode(text)), 1) % 240 + 16 AS n
+                       FROM documents)
+            SELECT doc_id, CAST(44 + 2 * n AS BIGINT) AS n_bytes,
+              CAST(8000 AS BIGINT) AS sample_rate,
+              CAST(n AS BIGINT) AS n_samples,
+              CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms
+            FROM t ORDER BY doc_id""")
+  )
+
+  /** Audio feature extraction — the screening pass of a speech-curation
+    * pipeline (silence / clipping / activity gates): 64-sample frame count,
+    * total absolute amplitude, zero crossings, peak. The oracle recomputes
+    * EVERY sample from the synthesis formula and folds the same integer
+    * aggregates (zero crossing = sign flip under `x < 0`, lag over the
+    * sample grid), so the decoded waveform — not just its shape — is
+    * verified row-level.
+    */
+  val audioFeatures = Q(
+    "x_audio_features",
+    (s, d) =>
+      Audio.extractFeatures(s, Audio.withAudioPayload(s, Tables.documents(s, d)))
+        .toDF()
+        .select(col("doc_id"), col("n_frames").cast("long").as("n_frames"),
+          col("energy_sum"), col("zero_cross").cast("long").as("zero_cross"),
+          col("peak_abs").cast("long").as("peak_abs"))
+        .orderBy("doc_id"),
+    Some(sampleCte + """,
+            f AS (SELECT doc_id, n, k, s,
+                    lag(s) OVER (PARTITION BY doc_id ORDER BY k) AS sp
+                  FROM sv)
+            SELECT doc_id, CAST(max(n) // 64 AS BIGINT) AS n_frames,
+              CAST(sum(abs(s)) AS BIGINT) AS energy_sum,
+              CAST(sum(CASE WHEN sp IS NOT NULL AND ((sp < 0) <> (s < 0))
+                            THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross,
+              CAST(max(abs(s)) AS BIGINT) AS peak_abs
+            FROM f GROUP BY doc_id ORDER BY doc_id""")
+  )
+
+  /** Audio linear resample to a fixed 40-sample clip digest
+    * ([[graft.multimodal.AudioCodec.resampleLinear]] — truncating integer
+    * interpolation, decimation or upsampling depending on the clip). The
+    * oracle replays every output position's source indices lo/hi, fraction,
+    * and truncated interpolation in SQL, then folds the sum and a
+    * position-weighted checksum — a wrong index map, wrong rounding, or
+    * permuted output all break the hash.
+    */
+  val audioResample = Q(
+    "x_audio_resample",
+    (s, d) =>
+      Audio.resampleClips(s, Audio.withAudioPayload(s, Tables.documents(s, d)))
+        .toDF()
+        .select(col("doc_id"), col("n_out").cast("long").as("n_out"),
+          col("out_sum"), col("out_checksum"))
+        .orderBy("doc_id"),
+    Some(sampleCte + """,
+            gj AS (SELECT DISTINCT doc_id, n, unnest(range(0, 40)) AS j FROM sv),
+            pos AS (SELECT doc_id, n, j, j*(n-1) // 39 AS lo, j*(n-1) % 39 AS frac
+                    FROM gj),
+            iv AS (SELECT p.doc_id, p.j,
+                     a.s + CASE WHEN p.frac > 0
+                                THEN ((b.s - a.s) * p.frac) // 39 ELSE 0 END AS v
+                   FROM pos p
+                   JOIN sv a ON a.doc_id = p.doc_id AND a.k = p.lo
+                   LEFT JOIN sv b ON b.doc_id = p.doc_id AND b.k = p.lo + 1)
+            SELECT doc_id, CAST(40 AS BIGINT) AS n_out,
+              CAST(sum(v) AS BIGINT) AS out_sum,
+              CAST(sum(v * (j + 1)) AS BIGINT) AS out_checksum
+            FROM iv GROUP BY doc_id ORDER BY doc_id""")
+  )
+
+  val qs: Seq[Q] = Seq(audioMeta, audioFeatures, audioResample)
+}

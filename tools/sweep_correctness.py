@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Full-registry oracle sweep -> driver-format correctness JSON.
+
+Replays every dumped query result in OUTDIR against its DuckDB oracle over
+the SFDIR tables and writes ARTIFACT in the same shape as the driver's
+CORRECTNESS_r{N}.json (rows_match / schema_match / hash_match / spark_rows /
+oracle_rows / err, "no_oracle" for unoracled queries). Used for the one-time
+sf0.1 sweep (VERDICT r11 #3): the per-round gate runs at sf0.01; this proves
+the same 100% board holds at 10x the data.
+
+Usage: python3 tools/sweep_correctness.py OUTDIR SFDIR ARTIFACT
+"""
+import json, math, os, sys
+
+import duckdb
+
+outdir, sfdir, artifact = sys.argv[1], sys.argv[2], sys.argv[3]
+oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
+
+con = duckdb.connect()
+for t in ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split():
+    p = os.path.join(sfdir, f"{t}.parquet")
+    if os.path.exists(p):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+def canon(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return [cols[i] for i in order], [tuple(r[i] for i in order) for r in rows]
+
+def eq(a, b):
+    if a is None or b is None:
+        return a is None and b is None
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            fa, fb = float(a), float(b)
+        except (TypeError, ValueError):
+            return a == b
+        if math.isnan(fa) and math.isnan(fb):
+            return True
+        return abs(fa - fb) <= 1e-9 * max(1.0, abs(fa), abs(fb))
+    return a == b
+
+out = {}
+names = sorted(d for d in os.listdir(outdir)
+               if os.path.isdir(os.path.join(outdir, d)))
+for name in names:
+    d = os.path.join(outdir, name)
+    sq = con.execute(f"SELECT * FROM '{d}/*.parquet'")
+    scols, srows = [c[0] for c in sq.description], sq.fetchall()
+    rec = {"rows_match": None, "schema_match": None, "hash_match": None,
+           "spark_rows": len(srows), "oracle_rows": None, "err": None}
+    if name not in oracle:
+        rec["err"] = "no_oracle"
+        out[name] = rec
+        continue
+    try:
+        oq = con.execute(oracle[name])
+        ocols, orows = [c[0] for c in oq.description], oq.fetchall()
+    except Exception as e:
+        rec["err"] = f"oracle error: {e}"
+        rec["rows_match"] = rec["schema_match"] = rec["hash_match"] = False
+        out[name] = rec
+        continue
+    scols, srows = canon(scols, srows)
+    ocols, orows = canon(ocols, orows)
+    rec["oracle_rows"] = len(orows)
+    rec["rows_match"] = len(srows) == len(orows)
+    rec["schema_match"] = scols == ocols
+    rec["hash_match"] = (rec["rows_match"] and rec["schema_match"] and
+        all(all(eq(x, y) for x, y in zip(a, b))
+            for a, b in zip(srows, orows)))
+    out[name] = rec
+    status = "ok  " if rec["hash_match"] else "FAIL"
+    print(f"{status} {name} ({len(srows)} rows)", flush=True)
+
+with open(artifact, "w") as f:
+    json.dump(out, f, indent=2, sort_keys=True)
+n_green = sum(1 for r in out.values() if r["hash_match"])
+n_no = sum(1 for r in out.values() if r["err"] == "no_oracle")
+print(f"{n_green}/{len(out) - n_no} oracled green, {n_no} no_oracle -> {artifact}")
+sys.exit(0 if n_green == len(out) - n_no else 1)
