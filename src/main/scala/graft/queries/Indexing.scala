@@ -1233,10 +1233,171 @@ object Indexing {
             FROM sc ORDER BY user_id""")
   )
 
+  /** Link prediction over the folded event graph (same 211-node fold as
+    * [[triangleCount]]): for every NON-adjacent pair sharing at least one
+    * neighbor, score common-neighbor count, Jaccard, and the
+    * resource-allocation index (Zhou, Lü, Zhang 2009 — Σ 1/deg(v) over
+    * common neighbors v, here Σ 1000000 div deg(v): per-term integer
+    * quantization, order-independent and bit-exact). Top-20 candidates
+    * under the (cn, ra, u, w) total order.
+    *
+    * Scale: the wedge join is keyed on the common neighbor v — the same
+    * one-exchange shape as the triangle wedge — and its fan-out is deg(v)²;
+    * at 100 TB hot hubs get the LSH-style capped-neighborhood treatment
+    * (row_number ≤ cap per center with an in-row truncation report, the
+    * x_fuzzy_join_edit discipline). The existing-edge exclusion is a
+    * left-anti join on the canonical (lo, hi) edge set, not a quadratic
+    * filter.
+    */
+  val linkPrediction = Q(
+    "x_link_prediction",
+    (s, d) => {
+      val raw = Tables.events(s, d)
+        .select((col("user_id") % 211).as("a"), (col("event_id") % 211).as("b"))
+        .filter(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("lo"), greatest(col("a"), col("b")).as("hi"))
+        .distinct()
+      val adj = raw.select(col("lo").as("v"), col("hi").as("u"))
+        .union(raw.select(col("hi").as("v"), col("lo").as("u")))
+      val deg = adj.groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      val wd  = adj.join(deg, "v")
+      val cand = wd
+        .join(wd.select(col("v"), col("u").as("w")), "v")
+        .filter(col("u") < col("w"))
+        .groupBy(col("u"), col("w"))
+        .agg(count(lit(1)).as("cn"), sum(expr("1000000 div deg")).as("ra_ppm"))
+      cand
+        .join(raw.select(col("lo").as("u"), col("hi").as("w")), Seq("u", "w"), "left_anti")
+        .join(deg.select(col("v").as("u"), col("deg").as("deg_u")), "u")
+        .join(deg.select(col("v").as("w"), col("deg").as("deg_w")), "w")
+        .select(col("u"), col("w"), col("cn"), col("ra_ppm"),
+          expr("cn * 1000000 div (deg_u + deg_w - cn)").as("jaccard_ppm"))
+        .orderBy(desc("cn"), desc("ra_ppm"), col("u"), col("w"))
+        .limit(20)
+    },
+    Some("""WITH raw AS (
+              SELECT DISTINCT least(a, b) AS lo, greatest(a, b) AS hi FROM (
+                SELECT user_id % 211 AS a, event_id % 211 AS b FROM events)
+              WHERE a <> b),
+            adj AS (SELECT lo AS v, hi AS u FROM raw UNION ALL SELECT hi, lo FROM raw),
+            deg AS (SELECT v, count(*) AS deg FROM adj GROUP BY v),
+            wd AS (SELECT a.v, a.u, d.deg FROM adj a JOIN deg d USING (v)),
+            cand AS (
+              SELECT x.u, y.u AS w, count(*) AS cn,
+                CAST(sum(1000000 // x.deg) AS BIGINT) AS ra_ppm
+              FROM wd x JOIN wd y ON x.v = y.v AND x.u < y.u
+              GROUP BY 1, 2),
+            ne AS (
+              SELECT c.* FROM cand c
+              LEFT JOIN raw r ON r.lo = c.u AND r.hi = c.w
+              WHERE r.lo IS NULL)
+            SELECT ne.u, ne.w, ne.cn, ne.ra_ppm,
+              CAST(ne.cn * 1000000 // (du.deg + dw.deg - ne.cn) AS BIGINT) AS jaccard_ppm
+            FROM ne JOIN deg du ON du.v = ne.u JOIN deg dw ON dw.v = ne.w
+            ORDER BY cn DESC, ra_ppm DESC, u, w LIMIT 20""")
+  )
+
+  /** Hybrid retrieval via Reciprocal Rank Fusion (Cormack, Clarke,
+    * Büttcher SIGIR'09: score = Σ 1/(60 + rank), here 1000000 div
+    * (60+rank) — integer-exact): two independent rankers for the same
+    * query — Okapi BM25 ([[graft.functions.QualityLM.bm25TopK]]) and a
+    * plain tf·idf scorer — each produce a top-20 list, fused by summed
+    * reciprocal ranks with absent-list contributions of 0. This is the
+    * standard sparse+sparse/dense fusion shape of production RAG retrieval;
+    * the ANN rankers drop in as a third list unchanged.
+    *
+    * Scale: each ranker is one corpus exchange (the bm25TopK shape); the
+    * fusion joins two ≤20-row lists — the final windows/sorts touch
+    * bounded-k frames only.
+    */
+  val hybridSearchRrf = Q(
+    "x_hybrid_search_rrf",
+    (s, d) => {
+      import graft.functions.{QualityLM, TextAnalysis}
+      val docs  = Tables.documents(s, d)
+      val terms = Seq("hash", "join", "stream")
+      val bm = QualityLM.bm25TopK(docs, "doc_id", "text", terms, topK = 20)
+        .withColumn("rank_bm25",
+          row_number().over(Window.orderBy(desc("score"), col("doc_id"))).cast("long"))
+        .select(col("doc_id"), col("rank_bm25"))
+      val tok = docs
+        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      val tfAggs = terms.zipWithIndex.map { case (t, i) =>
+        sum(when(col("tok") === t, 1L).otherwise(0L)).as(s"__tf$i")
+      }
+      val perDoc = tok.groupBy(col("doc_id")).agg(tfAggs.head, tfAggs.tail: _*)
+      val model = perDoc.agg(
+        count(lit(1)).cast("double").as("__n"),
+        terms.indices.map(i =>
+          sum(when(col(s"__tf$i") > 0, 1L).otherwise(0L)).cast("double").as(s"__df$i")): _*)
+      val score = terms.indices.map { i =>
+        when(col(s"__tf$i") > 0,
+          floor(col(s"__tf$i").cast("double") * log(col("__n") / col(s"__df$i")) * 1e6 + 0.5)
+            .cast("long"))
+          .otherwise(0L)
+      }.reduce(_ + _)
+      val tf = perDoc
+        .filter(terms.indices.map(i => col(s"__tf$i")).reduce(_ + _) > 0)
+        .join(broadcast(model))
+        .select(col("doc_id"), score.as("tscore"))
+        .orderBy(desc("tscore"), col("doc_id"))
+        .limit(20)
+        .withColumn("rank_tfidf",
+          row_number().over(Window.orderBy(desc("tscore"), col("doc_id"))).cast("long"))
+        .select(col("doc_id"), col("rank_tfidf"))
+      bm.join(tf, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          coalesce(col("rank_bm25"), lit(0L)).as("rank_bm25"),
+          coalesce(col("rank_tfidf"), lit(0L)).as("rank_tfidf"),
+          (coalesce(expr("CAST(1000000 DIV (60 + rank_bm25) AS BIGINT)"), lit(0L)) +
+            coalesce(expr("CAST(1000000 DIV (60 + rank_tfidf) AS BIGINT)"), lit(0L)))
+            .as("rrf_ppm"))
+        .orderBy(desc("rrf_ppm"), col("doc_id"))
+        .limit(15)
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+              FROM documents),
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+            stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+            tfq AS (
+              SELECT doc_id, tok, count(*) AS tf FROM toks
+              WHERE tok IN ('hash', 'join', 'stream') GROUP BY 1, 2),
+            dfreq AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tfq GROUP BY 1),
+            bs AS (
+              SELECT tfq.doc_id,
+                CAST(floor(
+                  ln((stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0) *
+                  (CAST(tfq.tf AS DOUBLE) * (1.2 + 1.0)) /
+                  (CAST(tfq.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / stats.avgdl)) *
+                  1e6 + 0.5) AS BIGINT) AS sq
+              FROM tfq JOIN dl ON tfq.doc_id = dl.doc_id
+                       JOIN dfreq ON tfq.tok = dfreq.tok, stats),
+            btop AS (
+              SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank_bm25
+              FROM (SELECT doc_id, CAST(sum(sq) AS BIGINT) AS score FROM bs
+                    GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 20)),
+            ts AS (
+              SELECT tfq.doc_id,
+                CAST(sum(CAST(floor(CAST(tfq.tf AS DOUBLE) * ln(stats.n / dfreq.df) * 1e6 + 0.5)
+                  AS BIGINT)) AS BIGINT) AS tscore
+              FROM tfq JOIN dfreq ON tfq.tok = dfreq.tok, stats GROUP BY 1),
+            ttop AS (
+              SELECT doc_id, row_number() OVER (ORDER BY tscore DESC, doc_id) AS rank_tfidf
+              FROM (SELECT * FROM ts ORDER BY tscore DESC, doc_id LIMIT 20))
+            SELECT COALESCE(b.doc_id, t.doc_id) AS doc_id,
+              COALESCE(b.rank_bm25, 0) AS rank_bm25,
+              COALESCE(t.rank_tfidf, 0) AS rank_tfidf,
+              COALESCE(1000000 // (60 + b.rank_bm25), 0)
+                + COALESCE(1000000 // (60 + t.rank_tfidf), 0) AS rrf_ppm
+            FROM btop b FULL OUTER JOIN ttop t ON b.doc_id = t.doc_id
+            ORDER BY rrf_ppm DESC, doc_id LIMIT 15""")
+  )
+
   val qs: Seq[Q] = Seq(
     invertedIndex, booleanSearch, winnowing, countMin, scd2, zoneMap, attributionLinear,
     scd2Lookup, triangleCount, fkAudit,
     resampleFfill, sortedNeighborhood, labelPropagation, bloomIndex,
     mvRetract, marketBasket, tfidfDocSim, driftTv, mmrDiversify,
-    userLtv, rfmSegmentation)
+    userLtv, rfmSegmentation, linkPrediction, hybridSearchRrf)
 }
