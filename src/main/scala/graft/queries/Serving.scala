@@ -152,10 +152,17 @@ object Serving {
       .agg(count(lit(1)).as("tf"))
     val stats = tok.groupBy(col("tok"))
       .agg(count(lit(1)).as("df"), sum(col("tf")).as("tf_total"))
+    // Salted two-phase bottom-k (the x_inverted_index fix): per-(tok, salt)
+    // heads first, then re-rank the bounded survivors — a token-only window
+    // collapses to |vocab| partitions and inflects super-linear at gen30.
     val head = tok
       .withColumn("rn", row_number().over(
-        Window.partitionBy(col("tok")).orderBy(col("doc_id"))))
+        Window.partitionBy(col("tok"), pmod(col("doc_id"), lit(32)))
+          .orderBy(col("doc_id"))))
       .filter(col("rn") <= 10)
+      .withColumn("rn2", row_number().over(
+        Window.partitionBy(col("tok")).orderBy(col("doc_id"))))
+      .filter(col("rn2") <= 10)
       .groupBy(col("tok"))
       .agg(sort_array(collect_list(col("doc_id"))).as("head"))
     stats.join(head, Seq("tok"))
