@@ -1176,6 +1176,45 @@ object RainStorm {
       }
   }
 
+  final case class EwmaState(e: Long, init: Boolean)
+  final case class EwmaRow(priority: String, day: String, n: Long, ewma_milli: Long, is_anomaly: Long)
+
+  /** Streaming EWMA drift/anomaly tracking — the continuous face of the
+    * batch `x_ewma_anomaly` recurrence (e ← (4e + 1000x)/5, truncating):
+    * per-key state is ONE smoothed long; each micro-batch's days fold in
+    * ascending-day order and emit their (ewma, anomaly-flag) rows. Assumes
+    * day-at-a-time ingest in day order per key (batches may carry many days
+    * — they sort within the batch; a day never splits across batches), the
+    * monitoring-pipeline contract. Streaming-vs-batch equality across a
+    * multi-batch replay is pinned in RainStormStreamingSpec.
+    */
+  def ewmaStream(
+      spark: SparkSession,
+      daily: DataFrame // (priority string, day string, n long)
+  ): Dataset[EwmaRow] = {
+    import spark.implicits._
+    daily
+      .as[(String, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[EwmaState, EwmaRow](
+        OutputMode.Update(),
+        GroupStateTimeout.NoTimeout
+      ) { (p: String, rows: Iterator[(String, String, Long)], state: GroupState[EwmaState]) =>
+        val batch = rows.toSeq.sortBy(_._2)
+        var st    = state.getOption.getOrElse(EwmaState(0L, false))
+        val out = batch.map { case (_, day, n) =>
+          val anom =
+            if (!st.init) 0L
+            else if (1000 * n > 2 * st.e || 2000 * n < st.e) 1L
+            else 0L
+          st = EwmaState(if (!st.init) 1000 * n else (4 * st.e + 1000 * n) / 5, init = true)
+          EwmaRow(p, day, n, st.e, anom)
+        }
+        state.update(st)
+        out.iterator
+      }
+  }
+
   /** Generic 3-stage pipeline runner mirroring the `RainStorm op1 op2 src dest
     * num_tasks` terminal verb (`core_process_stream_DS.go:1645-1842`):
     * source → op1 (stateless transform) → shuffle on key → op2 (grouped agg),

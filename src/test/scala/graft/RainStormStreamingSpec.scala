@@ -846,4 +846,42 @@ class RainStormStreamingSpec extends AnyFunSuite {
     assert(streamed === batch,
       "stateless routing must make the stream bit-equal to the batch assignment")
   }
+
+  test("ewmaStream: recurrence equals the batch x_ewma_anomaly across a multi-batch replay") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val daily = Tables.orders(spark, TestSpark.sf0001)
+      .groupBy(col("o_orderpriority").as("priority"),
+        to_date(col("o_orderdate")).cast("string").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .as[(String, String, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    // split by GLOBAL day tertiles so every key's days arrive in order
+    // across batches (the day-at-a-time ingest contract)
+    val days    = daily.map(_._2).distinct.sorted
+    val cut     = (days.size + 2) / 3
+    val batches = days.grouped(cut).map(ds => daily.filter(r => ds.contains(r._2))).toSeq
+
+    val in = MemoryStream[(String, String, Long)]
+    val q = graft.streaming.RainStorm
+      .ewmaStream(spark, in.toDF().toDF("priority", "day", "n"))
+      .writeStream.outputMode("update").format("memory").queryName("ewma_stream").start()
+    try {
+      batches.foreach { b => in.addData(b.toIndexedSeq: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val streamed = spark.table("ewma_stream")
+      .collect()
+      .map(r => (r.getAs[String]("priority"), r.getAs[String]("day"),
+        r.getAs[Long]("n"), r.getAs[Long]("ewma_milli"), r.getAs[Long]("is_anomaly")))
+      .sortBy(r => (r._1, r._2)).toSeq
+
+    val batch = graft.queries.Governance.ewmaAnomaly.run(spark, TestSpark.sf0001)
+      .collect()
+      .map(r => (r.getAs[String]("priority"), r.getAs[java.sql.Date]("day").toString,
+        r.getAs[Long]("n"), r.getAs[Long]("ewma_milli"), r.getAs[Long]("is_anomaly")))
+      .sortBy(r => (r._1, r._2)).toSeq
+    assert(streamed === batch,
+      "per-key EWMA state machine must make the stream bit-equal to the batch recurrence")
+  }
 }
