@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted inverted-index serving — the text-side build-once/probe-many
+  * twin of [[AnnIndex]] (r11 verdict's serving discipline): [[build]] writes
+  * the four index tables as parquet (postings hive-partitioned BY TOKEN so a
+  * probe's `tok IN (…)` prunes to the matching partition directories —
+  * directory-level data skipping, the 100 TB serving shape), and
+  * [[probeBm25]] scores strictly FROM THE PERSISTED TABLES — no corpus scan,
+  * no re-tokenization, model scalars (n_docs, avgdl) read from the one-row
+  * corpus table written at build time so every probe — and the DuckDB oracle
+  * replaying it over `read_parquet` of the same artifacts — sees bit-equal
+  * global statistics.
+  *
+  * Scale: a probe touches |terms| posting partitions + a doc-length join
+  * keyed on doc_id; df/corpus stats are broadcast-sized. Appending a
+  * document batch is the posting-delta merge proven by
+  * `x_inverted_index_incremental`.
+  */
+object TextIndex {
+
+  /** Tokenize once, write postings/docs/stats/corpus. */
+  def build(docs: DataFrame, idCol: String, textCol: String, indexPath: String): Unit = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+    val postings = tok.groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("tf"))
+    postings.write.mode("overwrite").partitionBy("tok").parquet(s"$indexPath/postings")
+    val dl = postings.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    dl.write.mode("overwrite").parquet(s"$indexPath/docs")
+    postings.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(s"$indexPath/stats")
+    dl.agg(count(lit(1)).as("n_docs"), avg(col("dl").cast("double")).as("avgdl"))
+      .write.mode("overwrite").parquet(s"$indexPath/corpus")
+  }
+
+  /** Okapi BM25 top-k over the saved index (same TREC-3 formulation and
+    * 1e-6 per-(doc,term) quantization as [[QualityLM.bm25TopK]] — the spec
+    * pins probe == direct-corpus ranking row-for-row).
+    */
+  def probeBm25(
+      spark: SparkSession, indexPath: String, terms: Seq[String],
+      topK: Int = 20, k1: Double = 1.2, b: Double = 0.75
+  ): DataFrame = {
+    val postings = spark.read.parquet(s"$indexPath/postings")
+      .filter(col("tok").isin(terms: _*))
+    val stats = spark.read.parquet(s"$indexPath/stats")
+      .filter(col("tok").isin(terms: _*))
+    val docs   = spark.read.parquet(s"$indexPath/docs")
+    val corpus = spark.read.parquet(s"$indexPath/corpus")
+    val sq = floor(
+      log((col("n_docs").cast("double") - col("df").cast("double") + 0.5) /
+            (col("df").cast("double") + 0.5) + 1.0) *
+        (col("tf").cast("double") * (k1 + 1.0)) /
+        (col("tf").cast("double") + lit(k1) *
+          (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl"))) *
+        1e6 + 0.5
+    ).cast("long")
+    postings
+      .join(broadcast(stats), "tok")
+      .join(docs, "doc_id")
+      .crossJoin(broadcast(corpus)) // one model row
+      .select(col("doc_id"), sq.as("sq"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("sq")).as("score"))
+      .orderBy(desc("score"), col("doc_id"))
+      .limit(topK)
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.{AnnIndex, TextAnalysis}
+import graft.functions.{AnnIndex, TextAnalysis, TextIndex}
 
 /** Round-12 family: index SERVING — the build-once/probe-many and
   * incremental-maintenance shapes that turn the in-query ANN/search
@@ -227,5 +227,45 @@ object Serving {
             ORDER BY st.df DESC, st.tok LIMIT 50""")
   )
 
-  val qs: Seq[Q] = Seq(annIndexProbe, annIndexAppend, invertedIndexIncremental)
+  private val TextIdx = "/tmp/graft_index/text_main"
+
+  /** BM25 probe of a PREVIOUSLY WRITTEN inverted index
+    * ([[graft.functions.TextIndex]]) — the text-side twin of
+    * [[annIndexProbe]]: build persists token-partitioned postings plus
+    * doc-length/df/corpus tables, probe scores strictly from those parquet
+    * artifacts (a `tok IN` filter prunes to the matching posting partition
+    * DIRECTORIES — data skipping at the layout level, visible as partition
+    * pruning in the scan). The model scalars (n_docs, avgdl) are read from
+    * the one-row corpus table written at build time, so probe and oracle
+    * replay bit-equal statistics; TextIndexSpec pins probe-after-reload ==
+    * [[graft.functions.QualityLM.bm25TopK]] over the corpus directly.
+    */
+  val searchIndexProbe = Q(
+    "x_search_index_probe",
+    (s, d) => {
+      TextIndex.build(Tables.documents(s, d), "doc_id", "text", TextIdx)
+      TextIndex.probeBm25(s, TextIdx, Seq("hash", "join", "stream"), topK = 20)
+    },
+    Some(s"""WITH posts AS (
+              SELECT tok, doc_id, tf
+              FROM read_parquet('$TextIdx/postings/*/*.parquet', hive_partitioning=true)
+              WHERE tok IN ('hash', 'join', 'stream')),
+            d AS (SELECT doc_id, dl FROM read_parquet('$TextIdx/docs/*.parquet')),
+            st AS (SELECT tok, df FROM read_parquet('$TextIdx/stats/*.parquet')
+                   WHERE tok IN ('hash', 'join', 'stream')),
+            c AS (SELECT n_docs, avgdl FROM read_parquet('$TextIdx/corpus/*.parquet')),
+            sq AS (
+              SELECT p.doc_id,
+                CAST(floor(
+                  ln((CAST(c.n_docs AS DOUBLE) - CAST(st.df AS DOUBLE) + 0.5)
+                     / (CAST(st.df AS DOUBLE) + 0.5) + 1.0) *
+                  (CAST(p.tf AS DOUBLE) * (1.2 + 1.0)) /
+                  (CAST(p.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(d.dl AS DOUBLE) / c.avgdl)) *
+                  1e6 + 0.5) AS BIGINT) AS sq
+              FROM posts p JOIN st USING (tok) JOIN d USING (doc_id), c)
+            SELECT doc_id, CAST(sum(sq) AS BIGINT) AS score
+            FROM sq GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 20""")
+  )
+
+  val qs: Seq[Q] = Seq(annIndexProbe, annIndexAppend, invertedIndexIncremental, searchIndexProbe)
 }

@@ -1,0 +1,37 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{QualityLM, TextIndex}
+
+/** Persisted inverted-index serving: a probe of the saved artifacts must
+  * reproduce the direct-corpus BM25 ranking row-for-row, and the probe scan
+  * must touch ONLY the queried tokens' posting partitions (the data-skipping
+  * contract of the token-partitioned layout).
+  */
+class TextIndexSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val idx = "/tmp/graft_index/text_spec"
+  private val terms = Seq("hash", "join", "stream")
+
+  test("probe-after-reload equals the direct-corpus BM25 ranking") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    TextIndex.build(docs, "doc_id", "text", idx)
+    val probe = TextIndex.probeBm25(spark, idx, terms, topK = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val direct = QualityLM.bm25TopK(docs, "doc_id", "text", terms, topK = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(probe == direct, "persisted-index probe must equal direct ranking")
+  }
+
+  test("probe plan prunes the postings scan to the queried token partitions") {
+    val probe = TextIndex.probeBm25(spark, idx, terms, topK = 20)
+    val plan = probe.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val postingsScan = plan.split("\\n\\n").find(b =>
+      b.contains("Scan parquet") && b.contains("/postings"))
+      .orElse(Some(plan)).get
+    assert("PartitionFilters: \\[tok#\\d+ IN \\(hash,join,stream\\)".r
+        .findFirstIn(postingsScan).isDefined,
+      s"postings scan must carry a tok partition filter; plan:\n$plan")
+  }
+}
