@@ -111,6 +111,34 @@ object Audio {
     */
   final case class ResampledAudio(doc_id: Long, n_out: Int, out_sum: Long, out_checksum: Long)
 
+  /** Acoustic fingerprint row: the 40-bit sign signature of the resampled
+    * clip (bit j set iff resampled sample j ≥ 0 — a shape descriptor robust
+    * to amplitude scaling), plus the size of its hash-equality group.
+    */
+  final case class AudioFingerprint(doc_id: Long, fp: Long)
+
+  /** Audio NEAR-DUP fingerprint — the audio face of the dedup family (the
+    * aHash pattern applied to waveforms): decode → fixed-length linear
+    * resample ([[AudioCodec.resampleLinear]]) → one sign bit per output
+    * sample, packed into a single long. Clips with identical coarse shape
+    * collide; small edits flip few bits (SimHash Hamming banding applies
+    * unchanged for near-miss pairs at scale).
+    */
+  def fingerprint(spark: SparkSession, payloads: Dataset[(Long, Array[Byte])], m: Int = 40, batchSize: Int = 64): Dataset[AudioFingerprint] = {
+    import spark.implicits._
+    payloads.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap(_.flatMap { case (id, bytes) =>
+        AudioCodec.tryDecode(bytes).map { w =>
+          val out = AudioCodec.resampleLinear(w.samples, m)
+          var fp = 0L
+          var j  = 0
+          while (j < out.length) { if (out(j) >= 0) fp |= 1L << j; j += 1 }
+          AudioFingerprint(id, fp)
+        }
+      })
+    }
+  }
+
   def resampleClips(spark: SparkSession, payloads: Dataset[(Long, Array[Byte])], m: Int = 40, batchSize: Int = 64): Dataset[ResampledAudio] = {
     import spark.implicits._
     payloads.mapPartitions { rows =>

@@ -126,5 +126,45 @@ object Media {
             FROM iv GROUP BY doc_id ORDER BY doc_id""")
   )
 
-  val qs: Seq[Q] = Seq(audioMeta, audioFeatures, audioResample)
+  /** Audio near-dup fingerprinting ([[Audio.fingerprint]]) — the dedup face
+    * of the audio modality (the aHash pattern on waveforms): decode →
+    * 40-sample linear resample → sign bit per sample packed into one long,
+    * then the hash-equality group size per document. The oracle replays
+    * resample AND bit packing sample-by-sample, then the same group count —
+    * decode, DSP, and thresholding all row-level verified.
+    *
+    * Scale: map-side decode+fingerprint, ONE hash-value exchange for the
+    * group counts (partitioned by the 40-bit fingerprint — no skew beyond
+    * true duplicate mass); Hamming banding on the fingerprint drops in for
+    * near-miss pairs exactly as in SimHash.
+    */
+  val audioFingerprint = Q(
+    "x_audio_fingerprint",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      Audio.fingerprint(s, Audio.withAudioPayload(s, Tables.documents(s, d)))
+        .toDF()
+        .withColumn("n_dups", count(lit(1)).over(Window.partitionBy(col("fp"))))
+        .select(col("doc_id"), col("fp"), col("n_dups"))
+        .orderBy("doc_id")
+    },
+    Some(sampleCte + """,
+            gj AS (SELECT DISTINCT doc_id, n, unnest(range(0, 40)) AS j FROM sv),
+            pos AS (SELECT doc_id, n, j, j*(n-1) // 39 AS lo, j*(n-1) % 39 AS frac
+                    FROM gj),
+            iv AS (SELECT p.doc_id, p.j,
+                     a.s + CASE WHEN p.frac > 0
+                                THEN ((b.s - a.s) * p.frac) // 39 ELSE 0 END AS v
+                   FROM pos p
+                   JOIN sv a ON a.doc_id = p.doc_id AND a.k = p.lo
+                   LEFT JOIN sv b ON b.doc_id = p.doc_id AND b.k = p.lo + 1),
+            fps AS (
+              SELECT doc_id,
+                CAST(sum(CASE WHEN v >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS fp
+              FROM iv GROUP BY doc_id)
+            SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS n_dups
+            FROM fps ORDER BY doc_id""")
+  )
+
+  val qs: Seq[Q] = Seq(audioMeta, audioFeatures, audioResample, audioFingerprint)
 }

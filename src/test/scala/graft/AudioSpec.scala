@@ -92,6 +92,21 @@ class AudioSpec extends AnyFunSuite {
     assert(f.n_frames == 2 && f.energy_sum == 61L && f.zero_cross == 3 && f.peak_abs == 30)
   }
 
+  test("fingerprint: identical clips collide, a light edit flips few bits") {
+    import spark.implicits._
+    val base = Array.tabulate[Short](200)(k => (((k * 7919) % 4000) - 2000).toShort)
+    val edited = base.clone()
+    edited(50) = (edited(50) + 300).toShort // small local amplitude edit
+    val ds = spark.createDataset(Seq(
+      (1L, AudioCodec.encodeWav(8000, base)),
+      (2L, AudioCodec.encodeWav(8000, base)),
+      (3L, AudioCodec.encodeWav(8000, edited))))
+    val fp = Audio.fingerprint(spark, ds).collect().map(r => r.doc_id -> r.fp).toMap
+    assert(fp(1L) == fp(2L), "identical clips must share the fingerprint")
+    val hamming = java.lang.Long.bitCount(fp(1L) ^ fp(3L))
+    assert(hamming <= 4, s"a local edit must flip few sign bits, flipped $hamming")
+  }
+
   test("corrupt payloads are skipped by the pipeline stages (curation convention)") {
     import spark.implicits._
     val ds = spark.createDataset(Seq(
