@@ -166,5 +166,94 @@ object Media {
             FROM fps ORDER BY doc_id""")
   )
 
-  val qs: Seq[Q] = Seq(audioMeta, audioFeatures, audioResample, audioFingerprint)
+  /** MULTIMODAL curation pipeline — the three modalities' gates chained in
+    * ONE oracled plan (the x_curation_pipeline discipline extended across
+    * media): text gate (language + length) → audio ACTIVITY gate (decode the
+    * WAV payload, keep clips with ≥8 zero crossings and ≥8000 peak — the
+    * silence/dead-air screen of a speech pipeline) → image NEAR-DUP removal
+    * (aHash equality groups keep their lowest doc_id). The oracle replays
+    * every stage — audio sample synthesis + features, raster decode + 8×8
+    * aHash bits, and the group-min survivor rule — end to end in SQL.
+    *
+    * Scale: both decode gates are map-side (payload bytes never shuffle);
+    * the only exchanges are the aHash-equality group and the final joins on
+    * doc_id over the shrinking survivor set — filter early, dedup late, the
+    * curation cost model.
+    */
+  val curationMultimodal = Q(
+    "x_curation_multimodal",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs  = Tables.documents(s, d)
+      val gated = docs.filter(col("lang").isin("en", "de") && col("n_chars").between(40, 800))
+      val feats = Audio.extractFeatures(s, Audio.withAudioPayload(s, gated)).toDF()
+        .filter(col("zero_cross") >= 8 && col("peak_abs") >= 8000)
+        .select(col("doc_id"), col("zero_cross").cast("long").as("zero_cross"))
+      val active = gated.join(feats, "doc_id")
+      val keep = graft.multimodal.Multimodal
+        .averageHash(s, graft.multimodal.Multimodal.withImagePayload(s, active)).toDF()
+        .withColumn("__rk", row_number().over(
+          Window.partitionBy(col("ahash_hi"), col("ahash_lo")).orderBy(col("doc_id"))))
+        .filter(col("__rk") === 1)
+        .select("doc_id")
+      active.join(keep, Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("zero_cross"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH g AS (
+              SELECT doc_id, lang, n_chars, text FROM documents
+              WHERE lang IN ('en', 'de') AND n_chars BETWEEN 40 AND 800),
+            t AS (SELECT doc_id, COALESCE(NULLIF(hex(encode(text)), ''), '00') AS hx,
+                         GREATEST(octet_length(encode(text)), 1) AS len FROM g),
+            a0 AS (SELECT doc_id, hx, len, len % 240 + 16 AS n FROM t),
+            agk AS (SELECT doc_id, hx, len, n, unnest(range(0, n)) AS k FROM a0),
+            asv AS (SELECT doc_id, k,
+                     ((16*(strpos('0123456789ABCDEF', hx[2*(k%len)+1])-1)
+                         + (strpos('0123456789ABCDEF', hx[2*(k%len)+2])-1)
+                       + 37*k) % 256 - 128) * 256
+                     + 16*(strpos('0123456789ABCDEF', hx[2*(k%len)+1])-1)
+                     + (strpos('0123456789ABCDEF', hx[2*(k%len)+2])-1) AS s
+                    FROM agk),
+            af AS (SELECT doc_id, k, s,
+                     lag(s) OVER (PARTITION BY doc_id ORDER BY k) AS sp
+                   FROM asv),
+            feat AS (
+              SELECT doc_id,
+                sum(CASE WHEN sp IS NOT NULL AND ((sp < 0) <> (s < 0))
+                         THEN 1 ELSE 0 END) AS zc,
+                max(abs(s)) AS peak
+              FROM af GROUP BY doc_id),
+            act AS (
+              SELECT g.doc_id, g.lang, g.n_chars, CAST(feat.zc AS BIGINT) AS zero_cross
+              FROM g JOIN feat USING (doc_id)
+              WHERE feat.zc >= 8 AND feat.peak >= 8000),
+            i0 AS (SELECT t.doc_id, t.hx, t.len, t.len % 64 + 1 AS w, t.len % 48 + 1 AS h
+                   FROM t JOIN act USING (doc_id)),
+            i1 AS (SELECT *, LEAST(w, 8) AS ow, LEAST(h, 8) AS oh FROM i0),
+            gy AS (SELECT doc_id, hx, len, w, h, ow, oh, unnest(range(0, oh)) AS y FROM i1),
+            gx AS (SELECT doc_id, hx, len, w, h, ow, oh, y, unnest(range(0, ow)) AS x FROM gy),
+            lum AS (
+              SELECT doc_id, ow, oh, y * ow + x AS i,
+                (SELECT sum(16 * (strpos('0123456789ABCDEF', hx[2*bi+1]) - 1)
+                          + (strpos('0123456789ABCDEF', hx[2*bi+2]) - 1))
+                 FROM (SELECT (3 * ((y * h // oh) * w + (x * w // ow)) + c.c) % len AS bi
+                       FROM range(0, 3) c(c)) z) AS lv
+              FROM gx),
+            tot AS (
+              SELECT doc_id, ow * oh AS n, sum(lv) AS tv FROM lum
+              GROUP BY doc_id, ow, oh),
+            bits AS (
+              SELECT l.doc_id,
+                CAST(COALESCE(sum(CASE WHEN l.i >= 32 AND t.n * l.lv > t.tv
+                       THEN 1::BIGINT << (l.i - 32) ELSE 0 END), 0) AS BIGINT) AS ahash_hi,
+                CAST(COALESCE(sum(CASE WHEN l.i < 32 AND t.n * l.lv > t.tv
+                       THEN 1::BIGINT << l.i ELSE 0 END), 0) AS BIGINT) AS ahash_lo
+              FROM lum l JOIN tot t ON l.doc_id = t.doc_id
+              GROUP BY l.doc_id),
+            keep AS (SELECT min(doc_id) AS doc_id FROM bits GROUP BY ahash_hi, ahash_lo)
+            SELECT a.doc_id, a.lang, a.n_chars, a.zero_cross
+            FROM act a JOIN keep USING (doc_id) ORDER BY a.doc_id""")
+  )
+
+  val qs: Seq[Q] = Seq(audioMeta, audioFeatures, audioResample, audioFingerprint, curationMultimodal)
 }
