@@ -74,6 +74,40 @@ object GraphOps {
     * node). Returns (node, hops) for every node within `maxHops`. Lineage
     * truncated per round as in [[pageRank]].
     */
+  /** Single-source shortest paths over WEIGHTED edges — `rounds` synchronous
+    * Bellman-Ford relaxations, so the result is the exact min-cost distance
+    * among paths of ≤ `rounds` edges (the full SSSP when rounds ≥ graph
+    * diameter). Each round is one frontier⋈edges shuffle + a node-keyed min
+    * — the Pregel cost model; `localCheckpoint` truncates lineage exactly as
+    * in [[bfsLayers]]/[[pageRank]] so round r never rescans rounds 0..r-1.
+    * Parallel edges collapse to their min weight up front (the only
+    * semantics a relaxation can ever use).
+    */
+  def ssspWeighted(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      wCol: String,
+      source: Long,
+      rounds: Int
+  ): DataFrame = {
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"),
+        col(wCol).cast("long").as("w"))
+      .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
+      .localCheckpoint(true)
+    var dist = e.sparkSession.range(1)
+      .select(lit(source).as("node"), lit(0L).as("dist"))
+    for (_ <- 1 to rounds) {
+      val relaxed = dist.join(e, col("node") === col("src"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      dist = dist.union(relaxed)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+    }
+    dist
+  }
+
   def bfsLayers(
       edges: DataFrame,
       srcCol: String,

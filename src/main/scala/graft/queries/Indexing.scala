@@ -1407,10 +1407,54 @@ object Indexing {
             ORDER BY rrf_ppm DESC, doc_id LIMIT 15""")
   )
 
+  /** The SQL twin of `rounds` Bellman-Ford relaxations: l_{r} = per-node min
+    * over (l_{r-1} ∪ l_{r-1}⋈edges), unrolled as chained CTEs — linear in
+    * rounds (a recursive UNION ALL walk would enumerate paths, exponential
+    * on a dense fold).
+    */
+  private def ssspOracle(rounds: Int): String = {
+    val steps = (1 to rounds).map { r =>
+      s"""l$r AS (
+            SELECT node, min(dist) AS dist FROM (
+              SELECT node, dist FROM l${r - 1}
+              UNION ALL
+              SELECT e.dst, l.dist + e.w FROM l${r - 1} l JOIN e ON e.src = l.node)
+            GROUP BY node)"""
+    }.mkString(",\n            ")
+    s"""WITH e AS (
+              SELECT src, dst, min(w) AS w FROM (
+                SELECT user_id % 211 AS src, event_id % 211 AS dst,
+                  (user_id % 211 * 7 + event_id % 211 * 13) % 20 + 1 AS w
+                FROM events)
+              GROUP BY src, dst),
+            l0 AS (SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist),
+            $steps
+            SELECT node, dist FROM l$rounds ORDER BY node"""
+  }
+
+  /** Weighted single-source shortest paths ([[graft.functions.GraphOps
+    * .ssspWeighted]], 6 Bellman-Ford rounds) over the folded event graph
+    * with deterministic integer edge weights — the routing/etl-lineage
+    * cost query that BFS hop counts can't answer. The oracle unrolls the
+    * same 6 synchronous relaxations as chained CTEs, so distances are
+    * row-level exact, not recall-gated.
+    */
+  val ssspWeightedQ = Q(
+    "x_sssp_weighted",
+    (s, d) =>
+      graft.functions.GraphOps.ssspWeighted(
+        Tables.events(s, d)
+          .select((col("user_id") % 211).as("src"), (col("event_id") % 211).as("dst"),
+            ((col("user_id") % 211) * 7 + (col("event_id") % 211) * 13).mod(20).plus(1).as("w")),
+        "src", "dst", "w", source = 0L, rounds = 6)
+        .orderBy("node"),
+    Some(ssspOracle(6))
+  )
+
   val qs: Seq[Q] = Seq(
     invertedIndex, booleanSearch, winnowing, countMin, scd2, zoneMap, attributionLinear,
     scd2Lookup, triangleCount, fkAudit,
     resampleFfill, sortedNeighborhood, labelPropagation, bloomIndex,
     mvRetract, marketBasket, tfidfDocSim, driftTv, mmrDiversify,
-    userLtv, rfmSegmentation, linkPrediction, hybridSearchRrf)
+    userLtv, rfmSegmentation, linkPrediction, hybridSearchRrf, ssspWeightedQ)
 }
