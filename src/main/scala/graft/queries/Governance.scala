@@ -193,5 +193,33 @@ object Governance {
             FROM rec ORDER BY priority, day""")
   )
 
-  val qs: Seq[Q] = Seq(kAnonymity, schemaEvolution, unpivotMetrics, ewmaAnomaly)
+  /** Exact grouped percentiles via ANSI `PERCENTILE_CONT … WITHIN GROUP`
+    * (linear interpolation; DuckDB's `quantile_cont` is the identical
+    * definition) over integer cents — interpolated values land on .0/.5
+    * exactly, so the doubles hash bit-equal. Spark plans ordered-set
+    * aggregates as a per-group sort-aggregate — one exchange on the group
+    * key, no global sort; at 100 TB the exact form holds while group
+    * cardinality × values fits the agg buffer, after which
+    * `approx_percentile` (t-digest) swaps in behind the same column names.
+    */
+  val groupedPercentiles = Q(
+    "x_grouped_percentiles",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+          expr("CAST(round(l_quantity * 100) AS BIGINT)").as("cents"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY cents)").as("median_cents"),
+          expr("percentile_cont(0.9) WITHIN GROUP (ORDER BY cents)").as("p90_cents"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag,
+              quantile_cont(CAST(round(l_quantity * 100) AS BIGINT), 0.5) AS median_cents,
+              quantile_cont(CAST(round(l_quantity * 100) AS BIGINT), 0.9) AS p90_cents,
+              count(*) AS n
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+  )
+
+  val qs: Seq[Q] = Seq(kAnonymity, schemaEvolution, unpivotMetrics, ewmaAnomaly, groupedPercentiles)
 }
