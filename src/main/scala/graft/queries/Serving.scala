@@ -267,5 +267,67 @@ object Serving {
             FROM sq GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 20""")
   )
 
-  val qs: Seq[Q] = Seq(annIndexProbe, annIndexAppend, invertedIndexIncremental, searchIndexProbe)
+  private val BpeIdx = "/tmp/graft_index/bpe_main"
+
+  /** Tokenizer SERVING from a persisted merge table — the BPE face of the
+    * build-once/probe-many discipline: training writes the k=8 merge table
+    * as parquet, and the tokenize pass loads THAT artifact (a model-sized
+    * read, the broadcast-model pattern — merges are KBs at any corpus
+    * scale) and counts tokens with the codegen'd apply kernel; nothing
+    * retrains. The oracle replays the apply passes in priority order, each
+    * round's merge pair read from `read_parquet` of the SAME persisted
+    * table — a drifted artifact (wrong order, stale rows) breaks the hash.
+    */
+  val bpeVocabServe = Q(
+    "x_bpe_vocab_serve",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.functions.BpeTrain
+        .mergesDf(s, graft.functions.BpeTrain.train(docs, "text", 8))
+        .write.mode("overwrite").parquet(BpeIdx)
+      val persisted = s.read.parquet(BpeIdx).orderBy("round").collect()
+        .map(r => (r.getAs[String]("lsym"), r.getAs[String]("rsym"))).toSeq
+      docs.select(
+        col("doc_id"),
+        graft.functions.NativeFns.bpe_token_count(col("text"), persisted).as("n_bpe_tokens"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val applyRounds = (1 to 8).map { r =>
+        s"""m$r AS (SELECT lsym AS ls, rsym AS rs
+              FROM read_parquet('$BpeIdx/*.parquet') WHERE round = ${r - 1}),
+            s$r AS (
+              SELECT w, replace(s, chr(1) || m.ls || chr(1) || chr(1) || m.rs || chr(1),
+                                   chr(1) || m.ls || m.rs || chr(1)) AS s
+              FROM s${r - 1}, m$r m)"""
+      }.mkString(",\n            ")
+      s"""WITH wd AS (
+              SELECT DISTINCT t.w AS w
+              FROM documents,
+                unnest(list_filter(regexp_split_to_array(text, '[ \n]'), x -> x <> '')) AS t(w)),
+            s0 AS (
+              SELECT w,
+                array_to_string(list_transform(list_append(string_split(w, ''), '</w>'),
+                  x -> chr(1) || x || chr(1)), '') AS s
+              FROM wd),
+            $applyRounds,
+            tc AS (
+              SELECT w,
+                CAST(len(list_filter(string_split(s, chr(1)), x -> x <> '')) AS BIGINT) AS n_tok
+              FROM s8),
+            dw AS (
+              SELECT doc_id, t.w AS w
+              FROM documents,
+                unnest(list_filter(regexp_split_to_array(text, '[ \n]'), x -> x <> '')) AS t(w)),
+            ag AS (
+              SELECT dw.doc_id, sum(tc.n_tok) AS n_bpe
+              FROM dw JOIN tc USING (w) GROUP BY dw.doc_id)
+            SELECT d.doc_id, CAST(COALESCE(ag.n_bpe, 0) AS BIGINT) AS n_bpe_tokens
+            FROM documents d LEFT JOIN ag ON d.doc_id = ag.doc_id
+            ORDER BY d.doc_id"""
+    }
+  )
+
+  val qs: Seq[Q] = Seq(annIndexProbe, annIndexAppend, invertedIndexIncremental,
+    searchIndexProbe, bpeVocabServe)
 }
