@@ -221,5 +221,69 @@ object Governance {
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
   )
 
-  val qs: Seq[Q] = Seq(kAnonymity, schemaEvolution, unpivotMetrics, ewmaAnomaly, groupedPercentiles)
+  /** Gaps-and-islands over per-order line sequences — the completeness audit
+    * of sequenced ingest (missing line numbers = dropped records): delete a
+    * deterministic subset (l_linenumber ≡ orderkey mod 7 — replayable), then
+    * find each order's contiguous RUNS via the classic rn-difference trick
+    * (l_linenumber − row_number() is constant within an island). Output is
+    * per-island rows for the orders that HAVE gaps (bounded: islands ≥ 2
+    * means at least one interior line vanished).
+    *
+    * Scale: one window partitioned by l_orderkey (millions of small
+    * partitions — the healthy window shape, the opposite of the x_sorted
+    * _neighborhood trap), then a per-order aggregate on the same exchange.
+    */
+  val gapsIslands = Q(
+    "x_gaps_islands",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      // distinct first: the synthetic lineitem carries duplicate
+      // (orderkey, linenumber) rows, and sequence presence is a set property
+      val kept = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"))
+        .filter(col("l_linenumber") =!= pmod(col("l_orderkey"), lit(7)))
+        .distinct()
+      val isl = kept
+        .withColumn("grp",
+          col("l_linenumber") - row_number().over(
+            Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"))))
+        .groupBy(col("l_orderkey"), col("grp"))
+        .agg(min(col("l_linenumber")).as("island_start"),
+          max(col("l_linenumber")).as("island_end"),
+          count(lit(1)).as("island_len"))
+      val gappy = isl.groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_islands"))
+        .filter(col("n_islands") >= 2)
+        .select(col("l_orderkey"))
+      isl.join(gappy, Seq("l_orderkey"))
+        .select(col("l_orderkey"),
+          col("island_start").cast("long").as("island_start"),
+          col("island_end").cast("long").as("island_end"),
+          col("island_len"))
+        .orderBy("l_orderkey", "island_start")
+    },
+    Some("""WITH kept AS (
+              SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem
+              WHERE l_linenumber <> l_orderkey % 7),
+            isl AS (
+              SELECT l_orderkey,
+                l_linenumber - row_number() OVER (
+                  PARTITION BY l_orderkey ORDER BY l_linenumber) AS grp,
+                l_linenumber
+              FROM kept),
+            runs AS (
+              SELECT l_orderkey, grp,
+                CAST(min(l_linenumber) AS BIGINT) AS island_start,
+                CAST(max(l_linenumber) AS BIGINT) AS island_end,
+                count(*) AS island_len
+              FROM isl GROUP BY 1, 2),
+            gappy AS (
+              SELECT l_orderkey FROM runs GROUP BY 1 HAVING count(*) >= 2)
+            SELECT r.l_orderkey, r.island_start, r.island_end, r.island_len
+            FROM runs r JOIN gappy USING (l_orderkey)
+            ORDER BY r.l_orderkey, r.island_start""")
+  )
+
+  val qs: Seq[Q] = Seq(kAnonymity, schemaEvolution, unpivotMetrics, ewmaAnomaly,
+    groupedPercentiles, gapsIslands)
 }
