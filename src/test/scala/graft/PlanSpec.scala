@@ -535,4 +535,31 @@ class PlanSpec extends AnyFunSuite {
     // aggregate, not the table again.
     assert("Scan parquet".r.findAllIn(p).size <= 1, s"must scan lineitem once:\n${p.take(1200)}")
   }
+
+  test("x_audio_features: decode is map-side — the only exchange is the presentation sort") {
+    val p = plan(graft.queries.Media.audioFeatures)
+    assert("Exchange".r.findAllIn(p).size == 1,
+      s"payload bytes must never shuffle; got:\n${p.take(1500)}")
+    assert(p.contains("MapPartitions") || p.contains("SerializeFromObject"),
+      "batched typed decode stage expected")
+  }
+
+  test("x_k_anonymity: 3-column scan, partial aggregation before the exchange") {
+    val p = plan(graft.queries.Governance.kAnonymity)
+    assert(p.contains("ReadSchema: struct<c_nationkey:int,c_acctbal:double,c_mktsegment:string>"),
+      s"quasi-identifier + sensitive columns only:\n${p.take(1200)}")
+    assert(p.contains("partial_count"), "map-side combine expected")
+  }
+
+  test("x_unpivot: melt is a row-local Expand on top of the one aggregation") {
+    val p = plan(graft.queries.Governance.unpivotMetrics)
+    assert(p.contains("Expand"), "native unpivot should plan as Expand")
+    assert(!p.contains("Join"), "no join in a reshape")
+  }
+
+  test("x_link_prediction: existing-edge exclusion is a broadcast anti join, not a filter scan") {
+    val p = plan(graft.queries.Indexing.linkPrediction)
+    assert(p.contains("LeftAnti"), "non-edge filtering must be an anti join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "no quadratic pair enumeration")
+  }
 }
