@@ -37,6 +37,21 @@ object AnnIndex {
   private def centroidsPath(p: String) = s"$p/centroids"
   private def codebooksPath(p: String) = s"$p/codebooks"
   private def codesPath(p: String)     = s"$p/codes"
+  private def manifestPath(p: String)  = s"$p/manifest"
+
+  /** Commit the build transaction: the manifest is written LAST (and
+    * dropped FIRST by builders/appenders), so its presence certifies every
+    * artifact table is complete — the probe-side torn-index guard.
+    */
+  private def commit(spark: SparkSession, indexPath: String): Unit = {
+    import spark.implicits._
+    val nCodes = Storage.get(spark, codesPath(indexPath)).count()
+    Storage.replace(Seq(nCodes).toDF("n_codes"), manifestPath(indexPath))
+  }
+
+  private def requireCommitted(indexPath: String): Unit =
+    require(Storage.exists(manifestPath(indexPath)),
+      s"index at $indexPath has no commit manifest — torn or missing build; rebuild it")
 
   private def qv(c: Column): Column = transform(c, x => floor(x.cast("double") * lit(1e6)))
 
@@ -83,6 +98,7 @@ object AnnIndex {
     val spark = corpus.sparkSession
     import spark.implicits._
     val dsub = dim / m
+    Storage.drop(manifestPath(indexPath)) // invalidate before touching tables
 
     val coarse    = ClusterOps.kMeansModel(corpus, idCol, vecCol, nCells, iters)
     val coarseMap = typedlit(coarse.map { case (cid, cv) => cid -> cv.toSeq }.toMap)
@@ -120,6 +136,7 @@ object AnnIndex {
       }.toDF("sub", "code", "cv"),
       codebooksPath(indexPath))
     Storage.replace(codes, codesPath(indexPath))
+    commit(spark, indexPath)
   }
 
   private def readMeta(spark: SparkSession, indexPath: String): IvfPqMeta = {
@@ -156,6 +173,7 @@ object AnnIndex {
       idCol: String, vecCol: String, nProbe: Int, k: Int
   ): DataFrame = {
     import spark.implicits._
+    requireCommitted(indexPath)
     val meta                = readMeta(spark, indexPath)
     val (coarse, subModels) = readModels(spark, indexPath, meta)
     val coarseMap = typedlit(coarse.map { case (cid, cv) => cid -> cv.toSeq }.toMap)
@@ -201,10 +219,15 @@ object AnnIndex {
       spark: SparkSession, indexPath: String, newVecs: DataFrame,
       idCol: String, vecCol: String
   ): DataFrame = {
+    requireCommitted(indexPath)
     val meta                = readMeta(spark, indexPath)
     val (coarse, subModels) = readModels(spark, indexPath, meta)
     val appended = encode(newVecs, idCol, vecCol, meta, coarse, subModels)
+    // append is its own transaction: invalidate, extend codes, re-commit —
+    // a crash mid-append leaves a manifest-less index that probes refuse.
+    Storage.drop(manifestPath(indexPath))
     Storage.append(appended, codesPath(indexPath))
+    commit(spark, indexPath)
     appended
   }
 }

@@ -21,8 +21,18 @@ import org.apache.spark.sql.functions._
   */
 object TextIndex {
 
-  /** Tokenize once, write postings/docs/stats/corpus. */
+  import graft.sources.Storage
+
+  private def manifestPath(p: String) = s"$p/manifest"
+
+  /** Tokenize once, write postings/docs/stats/corpus; commit-manifest last
+    * (dropped first), so probes refuse a torn build — the same transaction
+    * discipline as [[AnnIndex]].
+    */
   def build(docs: DataFrame, idCol: String, textCol: String, indexPath: String): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Storage.drop(manifestPath(indexPath))
     val tok = docs.select(col(idCol).as("doc_id"),
       explode(TextAnalysis.tokens(col(textCol))).as("tok"))
     val postings = tok.groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("tf"))
@@ -33,6 +43,8 @@ object TextIndex {
       .write.mode("overwrite").parquet(s"$indexPath/stats")
     dl.agg(count(lit(1)).as("n_docs"), avg(col("dl").cast("double")).as("avgdl"))
       .write.mode("overwrite").parquet(s"$indexPath/corpus")
+    val nDocs = spark.read.parquet(s"$indexPath/docs").count()
+    Storage.replace(Seq(nDocs).toDF("n_docs"), manifestPath(indexPath))
   }
 
   /** Okapi BM25 top-k over the saved index (same TREC-3 formulation and
@@ -43,6 +55,8 @@ object TextIndex {
       spark: SparkSession, indexPath: String, terms: Seq[String],
       topK: Int = 20, k1: Double = 1.2, b: Double = 0.75
   ): DataFrame = {
+    require(Storage.exists(manifestPath(indexPath)),
+      s"text index at $indexPath has no commit manifest — torn or missing build; rebuild it")
     val postings = spark.read.parquet(s"$indexPath/postings")
       .filter(col("tok").isin(terms: _*))
     val stats = spark.read.parquet(s"$indexPath/stats")

@@ -40,6 +40,17 @@ object Storage {
   def get(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  def exists(path: String): Boolean = Files.exists(Paths.get(path))
+
+  /** Remove an artifact table (recursive). Build-transaction use: a
+    * multi-table index build DROPS its commit manifest before touching any
+    * table and re-writes it LAST ([[graft.functions.AnnIndex.buildIvfPq]],
+    * [[graft.functions.TextIndex.build]]) — so a probe that requires the
+    * manifest refuses a torn index (crash between table writes) instead of
+    * serving mixed state.
+    */
+  def drop(path: String): Unit = deleteRecursively(Paths.get(path))
+
   /** `merge hydfsf` — compact append chunks into few files
     * (`mergeFile`, `core_process_utils.go:2040-2146`). Crash-safe swap: the
     * old data is renamed aside (never deleted first), the merged dir moved

@@ -23,6 +23,17 @@ class TextIndexSpec extends AnyFunSuite {
     assert(probe == direct, "persisted-index probe must equal direct ranking")
   }
 
+  test("a torn index (missing commit manifest) is refused, not served") {
+    graft.sources.Storage.drop(s"$idx/manifest")
+    val e = intercept[IllegalArgumentException] {
+      TextIndex.probeBm25(spark, idx, terms, topK = 20)
+    }
+    assert(e.getMessage.contains("manifest"))
+    // rebuild re-commits and probing works again
+    TextIndex.build(Tables.documents(spark, TestSpark.sf0001), "doc_id", "text", idx)
+    assert(TextIndex.probeBm25(spark, idx, terms, topK = 20).count() > 0)
+  }
+
   test("probe plan prunes the postings scan to the queried token partitions") {
     val probe = TextIndex.probeBm25(spark, idx, terms, topK = 20)
     val plan = probe.queryExecution.explainString(
