@@ -41,9 +41,58 @@ object TextIndex {
     dl.write.mode("overwrite").parquet(s"$indexPath/docs")
     postings.groupBy(col("tok")).agg(count(lit(1)).as("df"))
       .write.mode("overwrite").parquet(s"$indexPath/stats")
-    dl.agg(count(lit(1)).as("n_docs"), avg(col("dl").cast("double")).as("avgdl"))
+    // corpus stats carry the exact integer totals so the append path can
+    // re-derive the identical avgdl double (same sum/count division).
+    dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+      .select(col("n_docs"), col("total_dl"),
+        (col("total_dl").cast("double") / col("n_docs").cast("double")).as("avgdl"))
       .write.mode("overwrite").parquet(s"$indexPath/corpus")
     val nDocs = spark.read.parquet(s"$indexPath/docs").count()
+    Storage.replace(Seq(nDocs).toDF("n_docs"), manifestPath(indexPath))
+  }
+
+  /** Append a document batch into the persisted index — the posting-delta
+    * merge at ARTIFACT level (the `x_inverted_index_incremental` math
+    * applied to the serving tables): new postings/doc-lengths append in
+    * place (token partitioning routes each delta row to its token's
+    * directory), per-token df merges old⊕delta on the vocab-sized stats
+    * frame, and corpus totals add exactly — avgdl re-derives from the SAME
+    * integer sum/count division as the build path, so append-then-probe is
+    * bit-equal to rebuild-then-probe (pinned in TextIndexSpec). Cost is
+    * O(delta + vocabulary), never a corpus re-tokenize. Runs as its own
+    * invalidate → extend → re-commit transaction.
+    */
+  def append(docs: DataFrame, idCol: String, textCol: String, indexPath: String): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(Storage.exists(manifestPath(indexPath)),
+      s"text index at $indexPath has no commit manifest — torn or missing build; rebuild it")
+    Storage.drop(manifestPath(indexPath))
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+    val newPost = tok.groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    newPost.write.mode("append").partitionBy("tok").parquet(s"$indexPath/postings")
+    val newDl = newPost.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      .localCheckpoint(true)
+    newDl.write.mode("append").parquet(s"$indexPath/docs")
+    // vocab-sized merge; checkpoint before overwriting the table it read
+    val mergedStats = spark.read.parquet(s"$indexPath/stats")
+      .select(col("tok"), col("df").as("df_old"))
+      .join(newPost.groupBy(col("tok")).agg(count(lit(1)).as("df_new")), Seq("tok"), "full_outer")
+      .select(col("tok"),
+        (coalesce(col("df_old"), lit(0L)) + coalesce(col("df_new"), lit(0L))).as("df"))
+      .localCheckpoint(true)
+    Storage.replace(mergedStats, s"$indexPath/stats")
+    val old = spark.read.parquet(s"$indexPath/corpus")
+      .select(col("n_docs"), col("total_dl")).head()
+    val delta = newDl.agg(count(lit(1)).as("n"), sum(col("dl")).as("t")).head()
+    val nDocs   = old.getAs[Long]("n_docs") + delta.getAs[Long]("n")
+    val totalDl = old.getAs[Long]("total_dl") + delta.getAs[Long]("t")
+    Storage.replace(
+      Seq((nDocs, totalDl, totalDl.toDouble / nDocs.toDouble))
+        .toDF("n_docs", "total_dl", "avgdl"),
+      s"$indexPath/corpus")
     Storage.replace(Seq(nDocs).toDF("n_docs"), manifestPath(indexPath))
   }
 

@@ -328,6 +328,46 @@ object Serving {
     }
   )
 
+  private val TextAppIdx = "/tmp/graft_index/text_app"
+
+  /** Text-index incremental maintenance at ARTIFACT level
+    * ([[TextIndex.append]]): the index is built over the even half of the
+    * corpus, the odd half appends as a posting delta (in-place partitioned
+    * append + vocab-sized stats merge + exact corpus-total addition), and
+    * the BM25 probe runs against the APPENDED artifacts. The oracle replays
+    * the probe over `read_parquet` of those artifacts; TextIndexSpec pins
+    * append-then-probe == rebuild-then-probe bit-for-bit, which is the
+    * incremental-maintenance contract.
+    */
+  val searchIndexAppend = Q(
+    "x_search_index_append",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      TextIndex.build(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", TextAppIdx)
+      TextIndex.append(docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", TextAppIdx)
+      TextIndex.probeBm25(s, TextAppIdx, Seq("hash", "join", "stream"), topK = 20)
+    },
+    Some(s"""WITH posts AS (
+              SELECT tok, doc_id, tf
+              FROM read_parquet('$TextAppIdx/postings/*/*.parquet', hive_partitioning=true)
+              WHERE tok IN ('hash', 'join', 'stream')),
+            d AS (SELECT doc_id, dl FROM read_parquet('$TextAppIdx/docs/*.parquet')),
+            st AS (SELECT tok, df FROM read_parquet('$TextAppIdx/stats/*.parquet')
+                   WHERE tok IN ('hash', 'join', 'stream')),
+            c AS (SELECT n_docs, avgdl FROM read_parquet('$TextAppIdx/corpus/*.parquet')),
+            sq AS (
+              SELECT p.doc_id,
+                CAST(floor(
+                  ln((CAST(c.n_docs AS DOUBLE) - CAST(st.df AS DOUBLE) + 0.5)
+                     / (CAST(st.df AS DOUBLE) + 0.5) + 1.0) *
+                  (CAST(p.tf AS DOUBLE) * (1.2 + 1.0)) /
+                  (CAST(p.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(d.dl AS DOUBLE) / c.avgdl)) *
+                  1e6 + 0.5) AS BIGINT) AS sq
+              FROM posts p JOIN st USING (tok) JOIN d USING (doc_id), c)
+            SELECT doc_id, CAST(sum(sq) AS BIGINT) AS score
+            FROM sq GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 20""")
+  )
+
   val qs: Seq[Q] = Seq(annIndexProbe, annIndexAppend, invertedIndexIncremental,
-    searchIndexProbe, bpeVocabServe)
+    searchIndexProbe, bpeVocabServe, searchIndexAppend)
 }

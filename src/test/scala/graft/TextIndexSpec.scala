@@ -23,6 +23,23 @@ class TextIndexSpec extends AnyFunSuite {
     assert(probe == direct, "persisted-index probe must equal direct ranking")
   }
 
+  test("append-then-probe is bit-equal to rebuild-then-probe") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val incIdx = "/tmp/graft_index/text_spec_inc"
+    TextIndex.build(docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 0),
+      "doc_id", "text", incIdx)
+    TextIndex.append(docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 1),
+      "doc_id", "text", incIdx)
+    val viaAppend = TextIndex.probeBm25(spark, incIdx, terms, topK = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val fullIdx = "/tmp/graft_index/text_spec_full"
+    TextIndex.build(docs, "doc_id", "text", fullIdx)
+    val viaRebuild = TextIndex.probeBm25(spark, fullIdx, terms, topK = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(viaAppend == viaRebuild,
+      "posting-delta append must be indistinguishable from a full rebuild")
+  }
+
   test("a torn index (missing commit manifest) is refused, not served") {
     graft.sources.Storage.drop(s"$idx/manifest")
     val e = intercept[IllegalArgumentException] {
