@@ -51,6 +51,48 @@ object TextIndex {
     Storage.replace(Seq(nDocs).toDF("n_docs"), manifestPath(indexPath))
   }
 
+  /** Batched MULTI-query probe — the offline-serving shape (score thousands
+    * of queries in one pass): `queries` is a (query_id, tok) frame; its
+    * term set broadcasts onto the postings scan (partition pruning via the
+    * dynamic-pruning filter the broadcast join plants), per-(query, doc)
+    * scores sum each query's matched terms, top-k ranks per query. One pass
+    * over the matched postings whatever the query count — never a probe
+    * loop.
+    */
+  def probeBm25Many(
+      spark: SparkSession, indexPath: String, queries: DataFrame,
+      topK: Int = 10, k1: Double = 1.2, b: Double = 0.75
+  ): DataFrame = {
+    require(Storage.exists(manifestPath(indexPath)),
+      s"text index at $indexPath has no commit manifest — torn or missing build; rebuild it")
+    val postings = spark.read.parquet(s"$indexPath/postings")
+    val stats    = spark.read.parquet(s"$indexPath/stats")
+    val docs     = spark.read.parquet(s"$indexPath/docs")
+    val corpus   = spark.read.parquet(s"$indexPath/corpus")
+    val sq = floor(
+      log((col("n_docs").cast("double") - col("df").cast("double") + 0.5) /
+            (col("df").cast("double") + 0.5) + 1.0) *
+        (col("tf").cast("double") * (k1 + 1.0)) /
+        (col("tf").cast("double") + lit(k1) *
+          (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl"))) *
+        1e6 + 0.5
+    ).cast("long")
+    val scored = postings
+      .join(broadcast(queries.select(col("query_id"), col("tok"))), "tok")
+      .join(broadcast(stats), "tok")
+      .join(docs, "doc_id")
+      .crossJoin(broadcast(corpus))
+      .select(col("query_id"), col("doc_id"), sq.as("sq"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("sq")).as("score"))
+    scored
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id")).orderBy(desc("score"), col("doc_id"))))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("doc_id"), col("rank").cast("long").as("rank"), col("score"))
+  }
+
   /** Append a document batch into the persisted index — the posting-delta
     * merge at ARTIFACT level (the `x_inverted_index_incremental` math
     * applied to the serving tables): new postings/doc-lengths append in

@@ -368,6 +368,58 @@ object Serving {
             FROM sq GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 20""")
   )
 
+  /** Batched multi-query BM25 serving ([[TextIndex.probeBm25Many]]): three
+    * query term-sets scored in ONE pass over the matched postings — the
+    * offline-scoring shape (a query table of thousands rides the same
+    * plan). The query terms broadcast onto the postings scan; per-(query,
+    * doc) partial sums and a per-query top-k window finish it. Oracle
+    * replays the same join/score/rank from a VALUES query table over the
+    * persisted artifacts.
+    */
+  val searchIndexMultiprobe = Q(
+    "x_search_index_multiprobe",
+    (s, d) => {
+      import s.implicits._
+      TextIndex.build(Tables.documents(s, d), "doc_id", "text", TextIdx)
+      val queries = Seq(
+        (1L, "hash"), (1L, "join"),
+        (2L, "stream"), (2L, "filter"),
+        (3L, "hash"), (3L, "stream"), (3L, "window")
+      ).toDF("query_id", "tok")
+      TextIndex.probeBm25Many(s, TextIdx, queries, topK = 10)
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH qs(query_id, tok) AS (
+              VALUES (1, 'hash'), (1, 'join'), (2, 'stream'), (2, 'filter'),
+                     (3, 'hash'), (3, 'stream'), (3, 'window')),
+            posts AS (
+              SELECT tok, doc_id, tf
+              FROM read_parquet('$TextIdx/postings/*/*.parquet', hive_partitioning=true)
+              WHERE tok IN (SELECT tok FROM qs)),
+            d AS (SELECT doc_id, dl FROM read_parquet('$TextIdx/docs/*.parquet')),
+            st AS (SELECT tok, df FROM read_parquet('$TextIdx/stats/*.parquet')),
+            c AS (SELECT n_docs, avgdl FROM read_parquet('$TextIdx/corpus/*.parquet')),
+            sq AS (
+              SELECT q.query_id, p.doc_id,
+                CAST(floor(
+                  ln((CAST(c.n_docs AS DOUBLE) - CAST(st.df AS DOUBLE) + 0.5)
+                     / (CAST(st.df AS DOUBLE) + 0.5) + 1.0) *
+                  (CAST(p.tf AS DOUBLE) * (1.2 + 1.0)) /
+                  (CAST(p.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(d.dl AS DOUBLE) / c.avgdl)) *
+                  1e6 + 0.5) AS BIGINT) AS sq
+              FROM posts p JOIN qs q USING (tok) JOIN st ON st.tok = p.tok
+              JOIN d USING (doc_id), c),
+            sc AS (
+              SELECT query_id, doc_id, CAST(sum(sq) AS BIGINT) AS score
+              FROM sq GROUP BY 1, 2)
+            SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, rank, score FROM (
+              SELECT query_id, doc_id, score,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, doc_id) AS rank
+              FROM sc)
+            WHERE rank <= 10 ORDER BY query_id, rank""")
+  )
+
   val qs: Seq[Q] = Seq(annIndexProbe, annIndexAppend, invertedIndexIncremental,
-    searchIndexProbe, bpeVocabServe, searchIndexAppend)
+    searchIndexProbe, bpeVocabServe, searchIndexAppend, searchIndexMultiprobe)
 }
