@@ -404,7 +404,7 @@ object Extensions {
     "x_dedup_minhash_lsh",
     (s, d) =>
       DedupOps
-        .minhashNearDups(Tables.documents(s, d), "doc_id", "text", shingleN = 3, k = 64, bands = 8, threshold = 0.8)
+        .minhashNearDups(Tables.documents(s, d), "doc_id", "text", shingleN = 3, k = 64, bands = 16, threshold = 0.8)
         .orderBy("id_a", "id_b"),
     Some(exactJaccardOracle(3))
   )
@@ -424,7 +424,7 @@ object Extensions {
         .minhashNearDupsAgainstCorpus(
           docs.filter(col("doc_id") % 2 === 0),
           docs.filter(col("doc_id") % 2 === 1),
-          "doc_id", "text", shingleN = 3, k = 64, bands = 8, threshold = 0.8)
+          "doc_id", "text", shingleN = 3, k = 64, bands = 16, threshold = 0.8)
         .orderBy("batch_id", "corpus_id")
     },
     Some("""WITH toks AS (
@@ -497,13 +497,19 @@ object Extensions {
   )
 
   /** Word-2-gram Jaccard near-dup pairs (LSH-prefiltered, exact-verified).
-    * Same exact-all-pairs oracle rationale as [[dedupMinhash]].
+    * Same exact-all-pairs oracle rationale as [[dedupMinhash]] — and because
+    * the oracle is EXACT all-pairs, the banding must hold recall ≈ 1 at the
+    * 0.8 threshold: r = 64/16 = 4 rows/band gives collision probability
+    * 1−(1−0.8⁴)¹⁶ ≈ 0.9998 at the threshold (→1 above it). The original
+    * 8×8 config (≈ 0.77 at s = 0.8) passed sf0.01 on luck and dropped one
+    * true 0.80-Jaccard pair at the sf0.1 sweep — caught by CORRECTNESS_SF01,
+    * the exact failure class that sweep exists for.
     */
   val dedupNgram = Q(
     "x_dedup_ngram_jaccard",
     (s, d) =>
       DedupOps
-        .minhashNearDups(Tables.documents(s, d), "doc_id", "text", shingleN = 2, k = 64, bands = 8, threshold = 0.8)
+        .minhashNearDups(Tables.documents(s, d), "doc_id", "text", shingleN = 2, k = 64, bands = 16, threshold = 0.8)
         .orderBy("id_a", "id_b"),
     Some(exactJaccardOracle(2))
   )
@@ -518,7 +524,7 @@ object Extensions {
     "x_dedup_containment",
     (s, d) =>
       DedupOps
-        .containmentNearDups(Tables.documents(s, d), "doc_id", "text", shingleN = 3, threshold = 0.9)
+        .containmentNearDups(Tables.documents(s, d), "doc_id", "text", shingleN = 3, bands = 16, threshold = 0.9)
         .orderBy("id_a", "id_b"),
     Some("""WITH toks AS (
               SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS t FROM documents),
@@ -867,7 +873,7 @@ object Extensions {
     "x_dedup_clusters",
     (s, d) =>
       ClusterOps
-        .dedupClusters(Tables.documents(s, d), "doc_id", "text", shingleN = 3, k = 64, bands = 8, threshold = 0.8)
+        .dedupClusters(Tables.documents(s, d), "doc_id", "text", shingleN = 3, k = 64, bands = 16, threshold = 0.8)
         .orderBy("doc_id"),
     Some("""WITH RECURSIVE toks AS (
               SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS t FROM documents),
@@ -1009,7 +1015,7 @@ object Extensions {
     (s, d) =>
       ClusterOps
         .keepBestInClusters(Tables.documents(s, d), "doc_id", "text", "n_chars",
-          shingleN = 3, k = 64, bands = 8, threshold = 0.8)
+          shingleN = 3, k = 64, bands = 16, threshold = 0.8)
         .orderBy("doc_id"),
     Some("""WITH RECURSIVE toks AS (
               SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS t FROM documents),
@@ -1337,7 +1343,7 @@ object Extensions {
         .withColumn("__rk", row_number().over(Window.partitionBy(col("text")).orderBy(col("doc_id"))))
         .filter(col("__rk") === 1).drop("__rk")
       val kept = exact.join(
-        ClusterOps.dedupClusters(exact, "doc_id", "text", shingleN = 3, k = 64, bands = 8, threshold = 0.8)
+        ClusterOps.dedupClusters(exact, "doc_id", "text", shingleN = 3, k = 64, bands = 16, threshold = 0.8)
           .filter(col("keep") === 1).select("doc_id"),
         Seq("doc_id"))
       val bad = DedupOps
@@ -1441,7 +1447,7 @@ object Extensions {
         .select(col("doc_id"), col("text"), timestamp_seconds(col("doc_id")).as("ts"))
       graft.streaming.RainStorm
         .setSimilarityJoinBatch(docs, docs, "doc_id", "text", "ts",
-          threshold = 0.8, shingleN = 3, k = 64, bands = 8, maxSpan = "5 minutes")
+          threshold = 0.8, shingleN = 3, k = 64, bands = 16, maxSpan = "5 minutes")
         .filter(col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"), col("jaccard"))
         .orderBy("id_a", "id_b")
@@ -3186,7 +3192,7 @@ object Extensions {
       val docs  = Tables.documents(s, d)
       val gated = docs.filter(col("n_chars") >= 20)
       val drops = DedupOps
-        .minhashNearDups(gated, "doc_id", "text", shingleN = 3, k = 64, bands = 8, threshold = 0.8)
+        .minhashNearDups(gated, "doc_id", "text", shingleN = 3, k = 64, bands = 16, threshold = 0.8)
         .select(col("id_b").as("doc_id")).distinct()
       gated.join(broadcast(drops), Seq("doc_id"), "left_anti")
         .withColumn("__rn", row_number().over(
