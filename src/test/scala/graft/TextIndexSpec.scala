@@ -40,6 +40,21 @@ class TextIndexSpec extends AnyFunSuite {
       "posting-delta append must be indistinguishable from a full rebuild")
   }
 
+  test("multi-query probe equals per-query single probes") {
+    import spark.implicits._
+    TextIndex.build(Tables.documents(spark, TestSpark.sf0001), "doc_id", "text", idx)
+    val queries = Seq((1L, "hash"), (1L, "join"), (2L, "stream")).toDF("query_id", "tok")
+    val many = TextIndex.probeBm25Many(spark, idx, queries, topK = 10)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"), r.getAs[Long]("score")))
+      .toSet
+    val single = Seq(1L -> Seq("hash", "join"), 2L -> Seq("stream")).flatMap { case (qid, ts) =>
+      TextIndex.probeBm25(spark, idx, ts, topK = 10)
+        .collect().map(r => (qid, r.getAs[Long]("doc_id"), r.getAs[Long]("score")))
+    }.toSet
+    assert(many == single, "batched scoring must equal per-query probes")
+  }
+
   test("a torn index (missing commit manifest) is refused, not served") {
     graft.sources.Storage.drop(s"$idx/manifest")
     val e = intercept[IllegalArgumentException] {
