@@ -51,6 +51,94 @@ object TextIndex {
     Storage.replace(Seq(nDocs).toDF("n_docs"), manifestPath(indexPath))
   }
 
+  /** Delete documents from the persisted index by TOMBSTONE — the lakehouse
+    * delete pattern applied to serving: no posting is rewritten; a
+    * tombstone table records the deleted ids and the corpus row subtracts
+    * their exact integer totals (doc count, total length, computed from the
+    * index's own docs table — O(delta)). Probes anti-join the broadcast
+    * tombstone set and correct per-term df by counting tombstoned postings
+    * for the PROBED terms only, so corrected scores are bit-equal to a
+    * rebuild without the deleted docs (pinned in TextIndexSpec): df, n_docs
+    * and total_dl subtract exactly, and avgdl re-derives from the same
+    * integer division the build path uses. Compaction (physically dropping
+    * tombstoned postings and clearing the tombstone table) is the
+    * Storage.merge discipline, applied when the tombstone fraction warrants
+    * a rewrite.
+    */
+  def deleteDocs(spark: SparkSession, indexPath: String, docIds: DataFrame): Unit = {
+    import spark.implicits._
+    require(Storage.exists(manifestPath(indexPath)),
+      s"text index at $indexPath has no commit manifest — torn or missing build; rebuild it")
+    Storage.drop(manifestPath(indexPath))
+    val ids = docIds.select(col(docIds.columns.head).cast("long").as("doc_id"))
+      .distinct().localCheckpoint(true)
+    val prior =
+      if (Storage.exists(s"$indexPath/tombstones"))
+        spark.read.parquet(s"$indexPath/tombstones")
+      else Seq.empty[Long].toDF("doc_id")
+    // O(delta): only ids not already tombstoned subtract from the totals
+    val fresh  = ids.join(prior, Seq("doc_id"), "left_anti").localCheckpoint(true)
+    val merged = prior.union(fresh).localCheckpoint(true)
+    Storage.replace(merged, s"$indexPath/tombstones")
+    val dead = spark.read.parquet(s"$indexPath/docs")
+      .join(broadcast(fresh), Seq("doc_id"), "left_semi")
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("t")).head()
+    val prev = spark.read.parquet(
+      if (Storage.exists(s"$indexPath/live_corpus")) s"$indexPath/live_corpus"
+      else s"$indexPath/corpus")
+      .select(col("n_docs"), col("total_dl")).head()
+    val n = prev.getAs[Long]("n_docs") - dead.getAs[Long]("n")
+    val t = prev.getAs[Long]("total_dl") - dead.getAs[Long]("t")
+    Storage.replace(
+      Seq((n, t, t.toDouble / n.toDouble)).toDF("n_docs", "total_dl", "avgdl"),
+      s"$indexPath/live_corpus")
+    Storage.replace(Seq(n).toDF("n_docs"), manifestPath(indexPath))
+  }
+
+  /** Tombstone-aware BM25 probe: live postings/doc-lengths via anti-join on
+    * the broadcast tombstone set, per-term df corrected by the tombstoned
+    * posting counts of the probed terms, corpus scalars from the
+    * `live_corpus` row maintained at delete time.
+    */
+  def probeBm25Live(
+      spark: SparkSession, indexPath: String, terms: Seq[String],
+      topK: Int = 20, k1: Double = 1.2, b: Double = 0.75
+  ): DataFrame = {
+    require(Storage.exists(manifestPath(indexPath)),
+      s"text index at $indexPath has no commit manifest — torn or missing build; rebuild it")
+    val tomb = spark.read.parquet(s"$indexPath/tombstones")
+    val postAll = spark.read.parquet(s"$indexPath/postings")
+      .filter(col("tok").isin(terms: _*))
+    val postings = postAll.join(broadcast(tomb), Seq("doc_id"), "left_anti")
+    // per-term live df = stored df − tombstoned postings of that term
+    val dfCorr = postAll
+      .join(broadcast(tomb), Seq("doc_id"), "left_semi")
+      .groupBy(col("tok")).agg(count(lit(1)).as("df_dead"))
+    val stats = spark.read.parquet(s"$indexPath/stats")
+      .filter(col("tok").isin(terms: _*))
+      .join(dfCorr, Seq("tok"), "left_outer")
+      .select(col("tok"), (col("df") - coalesce(col("df_dead"), lit(0L))).as("df"))
+    val docs   = spark.read.parquet(s"$indexPath/docs")
+    val corpus = spark.read.parquet(s"$indexPath/live_corpus")
+    val sq = floor(
+      log((col("n_docs").cast("double") - col("df").cast("double") + 0.5) /
+            (col("df").cast("double") + 0.5) + 1.0) *
+        (col("tf").cast("double") * (k1 + 1.0)) /
+        (col("tf").cast("double") + lit(k1) *
+          (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl"))) *
+        1e6 + 0.5
+    ).cast("long")
+    postings
+      .join(broadcast(stats), "tok")
+      .join(docs, "doc_id")
+      .crossJoin(broadcast(corpus))
+      .select(col("doc_id"), sq.as("sq"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("sq")).as("score"))
+      .orderBy(desc("score"), col("doc_id"))
+      .limit(topK)
+  }
+
   /** Batched MULTI-query probe — the offline-serving shape (score thousands
     * of queries in one pass): `queries` is a (query_id, tok) frame; its
     * term set broadcasts onto the postings scan (partition pruning via the

@@ -420,6 +420,59 @@ object Serving {
             WHERE rank <= 10 ORDER BY query_id, rank""")
   )
 
+  private val TextDelIdx = "/tmp/graft_index/text_del"
+
+  /** Tombstone DELETE on the persisted index ([[TextIndex.deleteDocs]]) —
+    * the lakehouse delete pattern applied to serving: no posting rewritten,
+    * a tombstone set + exact integer corrections to the live corpus totals
+    * (O(delta) at delete time), and a tombstone-aware probe whose df /
+    * n_docs / avgdl corrections make it bit-equal to a rebuild without the
+    * deleted docs (TextIndexSpec pins the equality). Completes the serving
+    * lifecycle: build → append → delete → probe, every step oracled over
+    * the artifacts.
+    */
+  val searchIndexDelete = Q(
+    "x_search_index_delete",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      TextIndex.build(docs, "doc_id", "text", TextDelIdx)
+      TextIndex.deleteDocs(s, TextDelIdx,
+        docs.filter(col("doc_id") % 5 === 0).select(col("doc_id")))
+      TextIndex.probeBm25Live(s, TextDelIdx, Seq("hash", "join", "stream"), topK = 20)
+    },
+    Some(s"""WITH tomb AS (
+              SELECT doc_id FROM read_parquet('$TextDelIdx/tombstones/*.parquet')),
+            postsAll AS (
+              SELECT tok, doc_id, tf
+              FROM read_parquet('$TextDelIdx/postings/*/*.parquet', hive_partitioning=true)
+              WHERE tok IN ('hash', 'join', 'stream')),
+            posts AS (
+              SELECT p.* FROM postsAll p LEFT JOIN tomb t USING (doc_id)
+              WHERE t.doc_id IS NULL),
+            dfc AS (
+              SELECT p.tok, count(*) AS df_dead
+              FROM postsAll p JOIN tomb t USING (doc_id) GROUP BY p.tok),
+            st AS (
+              SELECT s.tok, s.df - COALESCE(dfc.df_dead, 0) AS df
+              FROM read_parquet('$TextDelIdx/stats/*.parquet') s
+              LEFT JOIN dfc ON dfc.tok = s.tok
+              WHERE s.tok IN ('hash', 'join', 'stream')),
+            d AS (SELECT doc_id, dl FROM read_parquet('$TextDelIdx/docs/*.parquet')),
+            c AS (SELECT n_docs, avgdl FROM read_parquet('$TextDelIdx/live_corpus/*.parquet')),
+            sq AS (
+              SELECT p.doc_id,
+                CAST(floor(
+                  ln((CAST(c.n_docs AS DOUBLE) - CAST(st.df AS DOUBLE) + 0.5)
+                     / (CAST(st.df AS DOUBLE) + 0.5) + 1.0) *
+                  (CAST(p.tf AS DOUBLE) * (1.2 + 1.0)) /
+                  (CAST(p.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(d.dl AS DOUBLE) / c.avgdl)) *
+                  1e6 + 0.5) AS BIGINT) AS sq
+              FROM posts p JOIN st USING (tok) JOIN d USING (doc_id), c)
+            SELECT doc_id, CAST(sum(sq) AS BIGINT) AS score
+            FROM sq GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 20""")
+  )
+
   val qs: Seq[Q] = Seq(annIndexProbe, annIndexAppend, invertedIndexIncremental,
-    searchIndexProbe, bpeVocabServe, searchIndexAppend, searchIndexMultiprobe)
+    searchIndexProbe, bpeVocabServe, searchIndexAppend, searchIndexMultiprobe,
+    searchIndexDelete)
 }

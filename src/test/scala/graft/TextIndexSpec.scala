@@ -55,6 +55,34 @@ class TextIndexSpec extends AnyFunSuite {
     assert(many == single, "batched scoring must equal per-query probes")
   }
 
+  test("delete-then-probe is bit-equal to rebuild-without-deleted") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val delIdx = "/tmp/graft_index/text_spec_del"
+    TextIndex.build(docs, "doc_id", "text", delIdx)
+    TextIndex.deleteDocs(spark, delIdx,
+      docs.filter(col("doc_id") % 3 === 0).select(col("doc_id")))
+    val viaTomb = TextIndex.probeBm25Live(spark, delIdx, terms, topK = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val rebuiltIdx = "/tmp/graft_index/text_spec_del_rb"
+    TextIndex.build(docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", rebuiltIdx)
+    val viaRebuild = TextIndex.probeBm25(spark, rebuiltIdx, terms, topK = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(viaTomb == viaRebuild,
+      "tombstone-corrected scoring must be indistinguishable from a physical rebuild")
+    // a second, overlapping delete stays exact (delta-only subtraction path)
+    TextIndex.deleteDocs(spark, delIdx,
+      docs.filter(col("doc_id") % 3 === 0 || col("doc_id") % 7 === 0).select(col("doc_id")))
+    val viaTomb2 = TextIndex.probeBm25Live(spark, delIdx, terms, topK = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val rebuilt2 = "/tmp/graft_index/text_spec_del_rb2"
+    TextIndex.build(docs.filter(col("doc_id") % 3 =!= 0 && col("doc_id") % 7 =!= 0),
+      "doc_id", "text", rebuilt2)
+    val viaRebuild2 = TextIndex.probeBm25(spark, rebuilt2, terms, topK = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(viaTomb2 == viaRebuild2, "overlapping re-delete must stay exact")
+  }
+
   test("a torn index (missing commit manifest) is refused, not served") {
     graft.sources.Storage.drop(s"$idx/manifest")
     val e = intercept[IllegalArgumentException] {
