@@ -168,6 +168,34 @@ object AnnIndex {
     * nProbe/nCells of the codes table, which is the inverted-list economics
     * that make 100 TB serving viable.
     */
+  /** Tombstone-delete vectors from a persisted index: ADC scores carry no
+    * corpus statistics, so deletion is PURE candidate filtering — the
+    * tombstone set anti-joins the codes read inside [[probeIvfPq]], making
+    * probe-after-delete trivially equal to rebuild-without-deleted (spec-
+    * pinned). Same invalidate → extend → re-commit transaction as append.
+    */
+  def deleteVecs(spark: SparkSession, indexPath: String, vecIds: DataFrame): Unit = {
+    import spark.implicits._
+    requireCommitted(indexPath)
+    Storage.drop(manifestPath(indexPath))
+    val ids = vecIds.select(col(vecIds.columns.head).cast("long").as("id"))
+      .distinct().localCheckpoint(true)
+    val prior =
+      if (Storage.exists(s"$indexPath/tombstones"))
+        Storage.get(spark, s"$indexPath/tombstones")
+      else Seq.empty[Long].toDF("id")
+    Storage.replace(prior.union(ids).distinct().localCheckpoint(true),
+      s"$indexPath/tombstones")
+    commit(spark, indexPath)
+  }
+
+  private def liveCodes(spark: SparkSession, indexPath: String): DataFrame = {
+    val codes = Storage.get(spark, codesPath(indexPath))
+    if (Storage.exists(s"$indexPath/tombstones"))
+      codes.join(broadcast(Storage.get(spark, s"$indexPath/tombstones")), Seq("id"), "left_anti")
+    else codes
+  }
+
   def probeIvfPq(
       spark: SparkSession, indexPath: String, queries: DataFrame,
       idCol: String, vecCol: String, nProbe: Int, k: Int
@@ -183,7 +211,7 @@ object AnnIndex {
         typedlit(mod.map { case (code, cv) => code -> cv.toSeq }.toMap),
         element_at(col("codes"), s + 1))
     }: _*)
-    val index = Storage.get(spark, codesPath(indexPath))
+    val index = liveCodes(spark, indexPath)
       .select(col("id").as("neighbor_id"), col("cell"),
         zip_with(element_at(coarseMap, col("cell")), reconRes, (a, b) => a + b).as("__recon"))
 

@@ -472,7 +472,73 @@ object Serving {
             FROM sq GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 20""")
   )
 
+  private val DelIdx = "/tmp/graft_index/ivfpq_del"
+
+  /** Tombstone DELETE on the persisted IVF-PQ index
+    * ([[AnnIndex.deleteVecs]]): ADC scores carry no corpus statistics, so
+    * deletion is pure candidate filtering — the probe anti-joins the
+    * tombstone set against the codes read, bit-equal to a rebuild without
+    * the deleted vectors (AnnIndexSpec). The oracle replays the probe with
+    * the same tombstone anti-filter over the artifacts.
+    */
+  val annIndexDelete = Q(
+    "x_ann_index_delete",
+    (s, d) => {
+      val embs = Tables.embeddings(s, d)
+      AnnIndex.buildIvfPq(embs, "vec_id", "embedding",
+        dim = 64, nCells = 8, m = 4, ksub = 8, iters = 2, indexPath = DelIdx)
+      AnnIndex.deleteVecs(s, DelIdx, embs.filter(col("vec_id") % 7 === 0).select(col("vec_id")))
+      AnnIndex.probeIvfPq(s, DelIdx, embs.filter(col("vec_id") < 10),
+        "vec_id", "embedding", nProbe = 2, k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"),
+          col("adc_dist2"))
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH cent AS (
+              SELECT cell, cv FROM read_parquet('$DelIdx/centroids/*.parquet')),
+            cb AS (
+              SELECT sub, code, cv FROM read_parquet('$DelIdx/codebooks/*.parquet')),
+            tomb AS (SELECT id FROM read_parquet('$DelIdx/tombstones/*.parquet')),
+            codes AS (
+              SELECT c.id, c.cell, c.codes
+              FROM read_parquet('$DelIdx/codes/*.parquet') c
+              LEFT JOIN tomb t USING (id) WHERE t.id IS NULL),
+            q AS (
+              SELECT vec_id, list_transform(embedding,
+                x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+              FROM embeddings WHERE vec_id < 10),
+            recon AS (
+              SELECT c.id AS neighbor_id, c.cell,
+                list_transform(range(1, 65),
+                  i -> ct.cv[i] + (x0.cv || x1.cv || x2.cv || x3.cv)[i]) AS av
+              FROM codes c JOIN cent ct ON ct.cell = c.cell
+              JOIN cb x0 ON x0.sub = 0 AND x0.code = c.codes[1]
+              JOIN cb x1 ON x1.sub = 1 AND x1.code = c.codes[2]
+              JOIN cb x2 ON x2.sub = 2 AND x2.code = c.codes[3]
+              JOIN cb x3 ON x3.sub = 3 AND x3.code = c.codes[4]),
+            probes AS (
+              SELECT query_id, cell FROM (
+                SELECT q.vec_id AS query_id, ct.cell,
+                  row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                    list_sum(list_transform(range(1, 65),
+                      i -> (q.qv[i]-ct.cv[i])*(q.qv[i]-ct.cv[i]))), ct.cell) AS pr
+                FROM q, cent ct) WHERE pr <= 2),
+            scored AS (
+              SELECT p.query_id, r.neighbor_id,
+                CAST(list_sum(list_transform(range(1, 65),
+                  i -> (qq.qv[i]-r.av[i])*(qq.qv[i]-r.av[i]))) AS BIGINT) AS adc_dist2
+              FROM recon r JOIN probes p ON r.cell = p.cell
+              JOIN q qq ON qq.vec_id = p.query_id
+              WHERE r.neighbor_id <> p.query_id)
+            SELECT query_id, neighbor_id, rank, adc_dist2 FROM (
+              SELECT query_id, neighbor_id, adc_dist2,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY adc_dist2, neighbor_id) AS rank
+              FROM scored)
+            WHERE rank <= 5 ORDER BY query_id, rank""")
+  )
+
   val qs: Seq[Q] = Seq(annIndexProbe, annIndexAppend, invertedIndexIncremental,
     searchIndexProbe, bpeVocabServe, searchIndexAppend, searchIndexMultiprobe,
-    searchIndexDelete)
+    searchIndexDelete, annIndexDelete)
 }

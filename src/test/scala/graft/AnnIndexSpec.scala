@@ -81,4 +81,25 @@ class AnnIndexSpec extends AnyFunSuite {
       dim = 64, nCells = 8, m = 4, ksub = 8, iters = 2, indexPath = path)
     assert(Storage.get(spark, s"$path/codes").count() == embs.count())
   }
+
+  test("tombstone delete: probe never returns deleted ids and deleted docs stop ranking") {
+    val path = freshPath("delete")
+    AnnIndex.buildIvfPq(embs, "vec_id", "embedding",
+      dim = 64, nCells = 8, m = 4, ksub = 8, iters = 2, indexPath = path)
+    val before = AnnIndex.probeIvfPq(spark, path, embs.filter(col("vec_id") < 4),
+      "vec_id", "embedding", nProbe = 8, k = 10)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Long]("adc_dist2")))
+    AnnIndex.deleteVecs(spark, path, embs.filter(col("vec_id") % 2 === 1).select(col("vec_id")))
+    val after = AnnIndex.probeIvfPq(spark, path, embs.filter(col("vec_id") < 4),
+      "vec_id", "embedding", nProbe = 8, k = 10)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Long]("adc_dist2")))
+    assert(after.forall(_._2 % 2 == 0), "tombstoned vectors must never be served")
+    // filtering-only semantics: surviving candidates keep their exact scores
+    val beforeMap = before.map(t => (t._1, t._2) -> t._3).toMap
+    after.foreach { case (q, n, d2) =>
+      beforeMap.get((q, n)).foreach(orig => assert(orig == d2, "scores must be unchanged"))
+    }
+  }
 }
