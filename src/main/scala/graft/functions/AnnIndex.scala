@@ -99,6 +99,7 @@ object AnnIndex {
     import spark.implicits._
     val dsub = dim / m
     Storage.drop(manifestPath(indexPath)) // invalidate before touching tables
+    Storage.drop(s"$indexPath/tombstones") // rebuild resets delete state
 
     val coarse    = ClusterOps.kMeansModel(corpus, idCol, vecCol, nCells, iters)
     val coarseMap = typedlit(coarse.map { case (cid, cv) => cid -> cv.toSeq }.toMap)

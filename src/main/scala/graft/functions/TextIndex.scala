@@ -33,6 +33,10 @@ object TextIndex {
     val spark = docs.sparkSession
     import spark.implicits._
     Storage.drop(manifestPath(indexPath))
+    // a rebuild resets delete state — stale tombstones/live stats from a
+    // prior generation would corrupt the fresh index's corrections
+    Storage.drop(s"$indexPath/tombstones")
+    Storage.drop(s"$indexPath/live_corpus")
     val tok = docs.select(col(idCol).as("doc_id"),
       explode(TextAnalysis.tokens(col(textCol))).as("tok"))
     val postings = tok.groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("tf"))
@@ -106,6 +110,8 @@ object TextIndex {
   ): DataFrame = {
     require(Storage.exists(manifestPath(indexPath)),
       s"text index at $indexPath has no commit manifest — torn or missing build; rebuild it")
+    require(Storage.exists(s"$indexPath/tombstones"),
+      s"no tombstones at $indexPath — use probeBm25 for an undeleted index")
     val tomb = spark.read.parquet(s"$indexPath/tombstones")
     val postAll = spark.read.parquet(s"$indexPath/postings")
       .filter(col("tok").isin(terms: _*))
