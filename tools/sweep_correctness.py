@@ -8,13 +8,17 @@ oracle_rows / err, "no_oracle" for unoracled queries). Used for the one-time
 sf0.1 sweep (VERDICT r11 #3): the per-round gate runs at sf0.01; this proves
 the same 100% board holds at 10x the data.
 
-Usage: python3 tools/sweep_correctness.py OUTDIR SFDIR ARTIFACT
+Usage: python3 tools/sweep_correctness.py OUTDIR SFDIR ARTIFACT [LO [HI]]
+LO/HI restrict to query names with LO <= name < HI (lexicographic) so long
+sweeps can shard across processes; merge the shard JSONs afterwards.
 """
 import json, math, os, sys
 
 import duckdb
 
 outdir, sfdir, artifact = sys.argv[1], sys.argv[2], sys.argv[3]
+lo = sys.argv[4] if len(sys.argv) > 4 else ""
+hi = sys.argv[5] if len(sys.argv) > 5 else "￿"
 oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
 
 con = duckdb.connect()
@@ -43,7 +47,7 @@ def eq(a, b):
 
 out = {}
 names = sorted(d for d in os.listdir(outdir)
-               if os.path.isdir(os.path.join(outdir, d)))
+               if os.path.isdir(os.path.join(outdir, d)) and lo <= d < hi)
 for name in names:
     d = os.path.join(outdir, name)
     sq = con.execute(f"SELECT * FROM '{d}/*.parquet'")
