@@ -236,6 +236,62 @@ object AnnIndex {
       .filter(col("rank") <= k)
   }
 
+  /** STREAMING probe of the persisted index — the online-serving face of
+    * [[probeIvfPq]]: a stream of query vectors is answered against the
+    * SAME frozen artifacts. Cell routing is ROW-LOCAL (the centroid table
+    * is a literal; nearest-nProbe cells come from an in-row array sort, not
+    * the batch path's window — streams cannot window before aggregation),
+    * candidates arrive via a stream-static join on cell, ADC scores them,
+    * and a watermarked event-time window keeps top-k per query — closed
+    * windows equal the batch probe for the same query set (spec-pinned).
+    * State = one candidate set per in-flight query, bounded by the
+    * watermark; the codes side is the static broadcast.
+    */
+  def probeIvfPqStream(
+      spark: SparkSession, indexPath: String, queryStream: DataFrame,
+      idCol: String, vecCol: String, tsCol: String, nProbe: Int, k: Int,
+      watermark: String = "10 minutes", windowLen: String = "1 hour"
+  ): DataFrame = {
+    requireCommitted(indexPath)
+    val meta                = readMeta(spark, indexPath)
+    val (coarse, subModels) = readModels(spark, indexPath, meta)
+    val coarseMap = typedlit(coarse.map { case (cid, cv) => cid -> cv.toSeq }.toMap)
+    val reconRes = concat(subModels.zipWithIndex.map { case (mod, s) =>
+      element_at(
+        typedlit(mod.map { case (code, cv) => code -> cv.toSeq }.toMap),
+        element_at(col("codes"), s + 1))
+    }: _*)
+    val index = broadcast(liveCodes(spark, indexPath)
+      .select(col("id").as("neighbor_id"), col("cell"),
+        zip_with(element_at(coarseMap, col("cell")), reconRes, (a, b) => a + b).as("__recon")))
+    // row-local nearest-nProbe cells: (dist2, cell) structs over the literal
+    // centroid table, in-row sort, slice — the window-free routing
+    val cellArr = typedlit(coarse.toSeq.map { case (cid, cv) => (cid, cv.toSeq) })
+    val routed = queryStream
+      .withWatermark(tsCol, watermark)
+      .select(col(idCol).cast("long").as("query_id"), qv(col(vecCol)).as("__qqv"), col(tsCol))
+      .withColumn("__cells",
+        slice(
+          array_sort(transform(cellArr, c =>
+            struct(
+              aggregate(zip_with(col("__qqv"), c.getField("_2"), (a, b) => (a - b) * (a - b)),
+                lit(0L), (acc, x) => acc + x).as("d2"),
+              c.getField("_1").as("cell")))),
+          1, nProbe))
+      .select(col("query_id"), col("__qqv"), col(tsCol),
+        explode(col("__cells").getField("cell")).as("cell"))
+    routed
+      .join(index, Seq("cell")) // stream-static inner: candidates only
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col(tsCol),
+        struct(NativeFns.l2_dist2(col("__recon"), col("__qqv")).as("adc_dist2"),
+          col("neighbor_id")).as("cand"))
+      .groupBy(window(col(tsCol), windowLen), col("query_id"))
+      .agg(collect_set(col("cand")).as("cands"))
+      .select(col("window"), col("query_id"),
+        slice(array_sort(col("cands")), 1, k).as("topk"))
+  }
+
   /** Incremental maintenance: encode `newVecs` against the FROZEN persisted
     * codebooks (no retrain — the FAISS `add` contract) and append their code
     * rows to the codes table. Returns the appended rows so callers (and the

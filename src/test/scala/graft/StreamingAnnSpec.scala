@@ -49,4 +49,49 @@ class StreamingAnnSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
     assert(streamed === batch)
   }
+
+  test("streaming probe of the persisted IVF-PQ index equals the batch probe on the closed window") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.functions.AnnIndex
+
+    val embs = Tables.embeddings(spark, TestSpark.sf0001)
+    val path = "/tmp/graft_index/ivfpq_stream_spec"
+    AnnIndex.buildIvfPq(embs, "vec_id", "embedding",
+      dim = 64, nCells = 8, m = 4, ksub = 8, iters = 2, indexPath = path)
+
+    val ts = java.sql.Timestamp.valueOf("2026-01-01 12:00:00")
+    val qVecs = embs.filter(col("vec_id") < 8)
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+
+    val in = MemoryStream[(Long, Array[Float], java.sql.Timestamp)]
+    val out = AnnIndex.probeIvfPqStream(spark, path,
+      in.toDF.toDF("vec_id", "embedding", "ts"),
+      "vec_id", "embedding", "ts", nProbe = 2, k = 5)
+    val q = out.writeStream.outputMode("append").format("memory").queryName("ivfpq_stream").start()
+    try {
+      val (h, t) = qVecs.splitAt(4) // two micro-batches
+      in.addData(h.map { case (id, v) => (id, v, ts) }.toIndexedSeq: _*)
+      q.processAllAvailable()
+      in.addData(t.map { case (id, v) => (id, v, ts) }.toIndexedSeq: _*)
+      q.processAllAvailable()
+      in.addData((999999L, qVecs.head._2, java.sql.Timestamp.valueOf("2026-01-02 12:00:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.sql(
+      """SELECT query_id, t.neighbor_id, t.adc_dist2
+         FROM ivfpq_stream LATERAL VIEW explode(topk) AS t WHERE query_id < 999000""")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val batch = AnnIndex.probeIvfPq(spark, path, embs.filter(col("vec_id") < 8),
+      "vec_id", "embedding", nProbe = 2, k = 5)
+      .select("query_id", "neighbor_id", "adc_dist2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    assert(streamed.nonEmpty)
+    assert(streamed === batch,
+      s"stream-only ${streamed -- batch}\nbatch-only ${batch -- streamed}")
+  }
 }
