@@ -284,6 +284,42 @@ object Governance {
             ORDER BY r.l_orderkey, r.island_start""")
   )
 
+  /** Equi-DEPTH histogram (the optimizer-statistics / data-profiling
+    * staple — equal mass per bucket, unlike [[Extensions]]' equi-width
+    * x_histogram): decile boundaries from `PERCENTILE_CONT` over integer
+    * cents (exact interpolation, same definition as DuckDB's
+    * `quantile_cont`), then per-bucket counts by an in-row boundary scan
+    * against the broadcast 9-value boundary array. Buckets are
+    * right-closed (`v ≤ b_i`), matching the SQL replay's first-true scan.
+    *
+    * Scale: one ordered-set aggregate for the boundaries (grouped
+    * sort-agg), one broadcast of 9 doubles, one map-side bucket assignment
+    * + hash agg — no global sort of the data.
+    */
+  val equidepthHistogram = Q(
+    "x_equidepth_histogram",
+    (s, d) => {
+      val cents = Tables.lineitem(s, d)
+        .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("v"))
+      val bounds = cents.agg(
+        expr("percentile_cont(array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9)) WITHIN GROUP (ORDER BY v)")
+          .as("bs"))
+      cents.crossJoin(broadcast(bounds))
+        .select(coalesce(
+          expr("CAST(array_position(transform(bs, b -> v <= b), true) AS BIGINT)"),
+          lit(10L)).as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("bucket")
+    },
+    Some("""WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem),
+            b AS (SELECT quantile_cont(v, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bs FROM c)
+            SELECT bucket, count(*) AS n FROM (
+              SELECT COALESCE(list_position(list_transform(b.bs, x -> v <= x), true), 10) AS bucket
+              FROM c, b)
+            GROUP BY bucket ORDER BY bucket""")
+  )
+
   val qs: Seq[Q] = Seq(kAnonymity, schemaEvolution, unpivotMetrics, ewmaAnomaly,
-    groupedPercentiles, gapsIslands)
+    groupedPercentiles, gapsIslands, equidepthHistogram)
 }
