@@ -63,8 +63,10 @@ object Bench {
     // reading is machine-checkable rather than argued from prose.
     def stealJiffies(): Long =
       try {
-        val cpu = scala.io.Source.fromFile("/proc/stat").getLines()
-          .find(_.startsWith("cpu ")).getOrElse("")
+        val src = scala.io.Source.fromFile("/proc/stat")
+        val cpu =
+          try src.getLines().find(_.startsWith("cpu ")).getOrElse("")
+          finally src.close()
         val f = cpu.trim.split("\\s+")
         if (f.length > 8) f(8).toLong else -1L
       } catch { case _: Throwable => -1L }

@@ -261,9 +261,13 @@ object AnnIndex {
         typedlit(mod.map { case (code, cv) => code -> cv.toSeq }.toMap),
         element_at(col("codes"), s + 1))
     }: _*)
-    val index = broadcast(liveCodes(spark, indexPath)
+    // NO broadcast hint on the codes side: a serving index is exactly the
+    // table that outgrows the driver. The stream-static join shuffles (or
+    // size-auto-broadcasts a genuinely small index) on `cell` — planner's
+    // choice, never an unconditional full-index broadcast.
+    val index = liveCodes(spark, indexPath)
       .select(col("id").as("neighbor_id"), col("cell"),
-        zip_with(element_at(coarseMap, col("cell")), reconRes, (a, b) => a + b).as("__recon")))
+        zip_with(element_at(coarseMap, col("cell")), reconRes, (a, b) => a + b).as("__recon"))
     // row-local nearest-nProbe cells: (dist2, cell) structs over the literal
     // centroid table, in-row sort, slice — the window-free routing
     val cellArr = typedlit(coarse.toSeq.map { case (cid, cv) => (cid, cv.toSeq) })
@@ -305,6 +309,17 @@ object AnnIndex {
       idCol: String, vecCol: String
   ): DataFrame = {
     requireCommitted(indexPath)
+    // codes rows are unique by id; a tombstoned id still has its old code
+    // row physically present, so re-appending it would either stay invisible
+    // (anti-joined forever) or duplicate — refuse; compact first.
+    if (Storage.exists(s"$indexPath/tombstones")) {
+      val clash = Storage.get(spark, s"$indexPath/tombstones")
+        .join(newVecs.select(col(idCol).cast("long").as("id")), Seq("id"), "left_semi")
+        .count()
+      require(clash == 0L,
+        s"$clash appended vector id(s) are tombstoned in $indexPath — compact " +
+          "the index before re-adding a deleted vector")
+    }
     val meta                = readMeta(spark, indexPath)
     val (coarse, subModels) = readModels(spark, indexPath, meta)
     val appended = encode(newVecs, idCol, vecCol, meta, coarse, subModels)

@@ -25,6 +25,17 @@ object TextIndex {
 
   private def manifestPath(p: String) = s"$p/manifest"
 
+  /** Postings are hive-partitioned BY TOKEN, and Spark's partition-column
+    * type inference reads an all-numeric vocabulary's `tok` directories back
+    * as an integer column — silently emptying the string `isin` filters and
+    * stats joins every probe relies on. Pin the partition column back to
+    * string on every read; the cast is a deterministic expression on the
+    * partition column, so directory-level pruning still applies.
+    */
+  private def readPostings(spark: SparkSession, indexPath: String): DataFrame =
+    spark.read.parquet(s"$indexPath/postings")
+      .withColumn("tok", col("tok").cast("string"))
+
   /** Tokenize once, write postings/docs/stats/corpus; commit-manifest last
     * (dropped first), so probes refuse a torn build — the same transaction
     * discipline as [[AnnIndex]].
@@ -113,7 +124,7 @@ object TextIndex {
     require(Storage.exists(s"$indexPath/tombstones"),
       s"no tombstones at $indexPath — use probeBm25 for an undeleted index")
     val tomb = spark.read.parquet(s"$indexPath/tombstones")
-    val postAll = spark.read.parquet(s"$indexPath/postings")
+    val postAll = readPostings(spark, indexPath)
       .filter(col("tok").isin(terms: _*))
     val postings = postAll.join(broadcast(tomb), Seq("doc_id"), "left_anti")
     // per-term live df = stored df − tombstoned postings of that term
@@ -159,7 +170,10 @@ object TextIndex {
   ): DataFrame = {
     require(Storage.exists(manifestPath(indexPath)),
       s"text index at $indexPath has no commit manifest — torn or missing build; rebuild it")
-    val postings = spark.read.parquet(s"$indexPath/postings")
+    require(!Storage.exists(s"$indexPath/tombstones"),
+      s"text index at $indexPath has tombstoned docs — compact it, or probe " +
+        "single queries via probeBm25Live")
+    val postings = readPostings(spark, indexPath)
     val stats    = spark.read.parquet(s"$indexPath/stats")
     val docs     = spark.read.parquet(s"$indexPath/docs")
     val corpus   = spark.read.parquet(s"$indexPath/corpus")
@@ -203,6 +217,16 @@ object TextIndex {
     import spark.implicits._
     require(Storage.exists(manifestPath(indexPath)),
       s"text index at $indexPath has no commit manifest — torn or missing build; rebuild it")
+    // re-adding a tombstoned id would resurrect its OLD postings (still
+    // physically present) alongside the new ones — refuse; compact first.
+    if (Storage.exists(s"$indexPath/tombstones")) {
+      val clash = spark.read.parquet(s"$indexPath/tombstones")
+        .join(docs.select(col(idCol).cast("long").as("doc_id")), Seq("doc_id"), "left_semi")
+        .count()
+      require(clash == 0L,
+        s"$clash appended doc id(s) are tombstoned in $indexPath — compact the " +
+          "index before re-adding a deleted document")
+    }
     Storage.drop(manifestPath(indexPath))
     val tok = docs.select(col(idCol).as("doc_id"),
       explode(TextAnalysis.tokens(col(textCol))).as("tok"))
@@ -229,6 +253,17 @@ object TextIndex {
       Seq((nDocs, totalDl, totalDl.toDouble / nDocs.toDouble))
         .toDF("n_docs", "total_dl", "avgdl"),
       s"$indexPath/corpus")
+    // a deleted-then-appended index also tracks LIVE totals — without this
+    // the delta would be invisible to probeBm25Live (stale n_docs/avgdl)
+    if (Storage.exists(s"$indexPath/live_corpus")) {
+      val live = spark.read.parquet(s"$indexPath/live_corpus")
+        .select(col("n_docs"), col("total_dl")).head()
+      val ln = live.getAs[Long]("n_docs") + delta.getAs[Long]("n")
+      val lt = live.getAs[Long]("total_dl") + delta.getAs[Long]("t")
+      Storage.replace(
+        Seq((ln, lt, lt.toDouble / ln.toDouble)).toDF("n_docs", "total_dl", "avgdl"),
+        s"$indexPath/live_corpus")
+    }
     Storage.replace(Seq(nDocs).toDF("n_docs"), manifestPath(indexPath))
   }
 
@@ -242,7 +277,11 @@ object TextIndex {
   ): DataFrame = {
     require(Storage.exists(manifestPath(indexPath)),
       s"text index at $indexPath has no commit manifest — torn or missing build; rebuild it")
-    val postings = spark.read.parquet(s"$indexPath/postings")
+    // a tombstoned index must not serve deleted docs or stale df/avgdl —
+    // dispatch to the tombstone-aware probe, which is bit-equal to a rebuild
+    if (Storage.exists(s"$indexPath/tombstones"))
+      return probeBm25Live(spark, indexPath, terms, topK, k1, b)
+    val postings = readPostings(spark, indexPath)
       .filter(col("tok").isin(terms: _*))
     val stats = spark.read.parquet(s"$indexPath/stats")
       .filter(col("tok").isin(terms: _*))

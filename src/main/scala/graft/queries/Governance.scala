@@ -120,9 +120,9 @@ object Governance {
         .orderBy("l_returnflag", "metric"),
     Some("""WITH a AS (
               SELECT l_returnflag,
-                sum(CAST(round(l_quantity * 100) AS BIGINT)) AS qty_cents,
-                sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS price_cents,
-                sum(CAST(round(l_discount * 100) AS BIGINT)) AS disc_cents
+                CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents,
+                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents,
+                CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS disc_cents
               FROM lineitem GROUP BY l_returnflag)
             SELECT l_returnflag, metric, value_cents FROM (
               SELECT l_returnflag, 'qty_cents' AS metric, qty_cents AS value_cents FROM a
@@ -315,7 +315,7 @@ object Governance {
     Some("""WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem),
             b AS (SELECT quantile_cont(v, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bs FROM c)
             SELECT bucket, count(*) AS n FROM (
-              SELECT COALESCE(list_position(list_transform(b.bs, x -> v <= x), true), 10) AS bucket
+              SELECT CAST(COALESCE(list_position(list_transform(b.bs, x -> v <= x), true), 10) AS BIGINT) AS bucket
               FROM c, b)
             GROUP BY bucket ORDER BY bucket""")
   )

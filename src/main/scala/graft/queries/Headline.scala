@@ -481,7 +481,8 @@ object Headline {
     (s, d) => {
       Tables.orders(s, d).createOrReplaceTempView("orders_gs")
       s.sql("""SELECT CAST(grouping_id() AS BIGINT) AS gid,
-                 o_orderstatus, o_orderpriority, year(o_orderdate) AS o_year,
+                 o_orderstatus, o_orderpriority,
+                 CAST(year(o_orderdate) AS BIGINT) AS o_year,
                  count(*) AS cnt
                FROM orders_gs
                GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus, year(o_orderdate)))
@@ -489,7 +490,8 @@ object Headline {
     },
     Some("""SELECT CAST(grouping(o_orderstatus) * 4 + grouping(o_orderpriority) * 2
                      + grouping(year(o_orderdate)) AS BIGINT) AS gid,
-              o_orderstatus, o_orderpriority, year(o_orderdate) AS o_year, count(*) AS cnt
+              o_orderstatus, o_orderpriority,
+              CAST(year(o_orderdate) AS BIGINT) AS o_year, count(*) AS cnt
             FROM orders GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus, year(o_orderdate)))
             ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST, o_year NULLS FIRST""")
   )

@@ -101,5 +101,15 @@ class AnnIndexSpec extends AnyFunSuite {
     after.foreach { case (q, n, d2) =>
       beforeMap.get((q, n)).foreach(orig => assert(orig == d2, "scores must be unchanged"))
     }
+    // re-appending a tombstoned id is refused (the old code row is still
+    // physically present — resurrecting it needs a compaction first), and
+    // the refused append leaves the index committed and probeable
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.appendIvfPq(spark, path, embs.filter(col("vec_id") === 1),
+        "vec_id", "embedding")
+    }
+    assert(e.getMessage.contains("tombstoned"))
+    assert(AnnIndex.probeIvfPq(spark, path, embs.filter(col("vec_id") < 4),
+      "vec_id", "embedding", nProbe = 8, k = 10).count() > 0)
   }
 }

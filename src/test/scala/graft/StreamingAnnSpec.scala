@@ -93,5 +93,15 @@ class StreamingAnnSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
     assert(streamed === batch,
       s"stream-only ${streamed -- batch}\nbatch-only ${batch -- streamed}")
+
+    // plan pin: the codes side must carry NO unconditional broadcast hint —
+    // a serving index outgrows the driver, so the stream-static join must be
+    // free to shuffle on cell (size-based auto-broadcast of a genuinely
+    // small index is the planner's call, not ours).
+    val hints = out.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.isEmpty,
+      s"streaming IVF-PQ probe plan must not hint-broadcast the codes table: $hints")
   }
 }

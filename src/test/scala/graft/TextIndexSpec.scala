@@ -83,6 +83,44 @@ class TextIndexSpec extends AnyFunSuite {
     assert(viaTomb2 == viaRebuild2, "overlapping re-delete must stay exact")
   }
 
+  test("delete-then-append keeps live stats exact; tombstoned re-adds refused") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val daIdx = "/tmp/graft_index/text_spec_del_app"
+    // build on even ids, delete the %6==0 third, then append the odd ids
+    TextIndex.build(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", daIdx)
+    TextIndex.deleteDocs(spark, daIdx,
+      docs.filter(col("doc_id") % 6 === 0).select(col("doc_id")))
+    TextIndex.append(docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", daIdx)
+    val viaLive = TextIndex.probeBm25Live(spark, daIdx, terms, topK = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val rbIdx = "/tmp/graft_index/text_spec_del_app_rb"
+    TextIndex.build(docs.filter(col("doc_id") % 6 =!= 0), "doc_id", "text", rbIdx)
+    val viaRebuild = TextIndex.probeBm25(spark, rbIdx, terms, topK = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(viaLive == viaRebuild,
+      "append after delete must fold the delta into the LIVE corpus stats " +
+        "(stale n_docs/avgdl breaks bit-equality with a rebuild)")
+    // plain probeBm25 on a tombstoned index dispatches to the live path
+    val viaDispatch = TextIndex.probeBm25(spark, daIdx, terms, topK = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(viaDispatch == viaRebuild,
+      "probeBm25 on a tombstoned index must serve tombstone-corrected scores")
+    // multi-query probe has no live path — it must refuse, not serve stale
+    val eMany = intercept[IllegalArgumentException] {
+      TextIndex.probeBm25Many(spark, daIdx,
+        { import spark.implicits._; Seq((1L, "hash")).toDF("query_id", "tok") })
+    }
+    assert(eMany.getMessage.contains("tombstoned"))
+    // re-adding a tombstoned id would resurrect its old postings — refused
+    val eReadd = intercept[IllegalArgumentException] {
+      TextIndex.append(docs.filter(col("doc_id") % 6 === 0).limit(1), "doc_id", "text", daIdx)
+    }
+    assert(eReadd.getMessage.contains("tombstoned"))
+    // the refused append must not have torn the index
+    assert(TextIndex.probeBm25Live(spark, daIdx, terms, topK = 20).count() > 0)
+  }
+
   test("a torn index (missing commit manifest) is refused, not served") {
     graft.sources.Storage.drop(s"$idx/manifest")
     val e = intercept[IllegalArgumentException] {

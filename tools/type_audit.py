@@ -32,8 +32,12 @@ for name in sorted(oracle):
     if not os.path.isdir(d):
         continue
     try:
-        rel = con.execute(f"SELECT * FROM ({oracle[name]}) LIMIT 0")
-        dd = {c[0]: str(c[1]).upper() for c in rel.description}
+        # Relation .types carries real DuckDB logical types (BIGINT, HUGEINT,
+        # DECIMAL(p,s), ...). cursor.description does NOT — the DB-API maps
+        # every numeric to 'NUMBER', which is how the r12 x_unpivot HUGEINT
+        # slipped past this audit despite the explicit branch below.
+        rel = con.sql(f"SELECT * FROM ({oracle[name]}) LIMIT 0")
+        dd = {c: str(t).upper() for c, t in zip(rel.columns, rel.types)}
     except Exception as e:
         bad.append((name, "oracle-error", str(e)[:100]))
         continue
