@@ -296,6 +296,35 @@ object AnnIndex {
         slice(array_sort(col("cands")), 1, k).as("topk"))
   }
 
+  /** COMPACT a tombstoned index: physically drop the deleted vectors' code
+    * rows and clear the tombstone set — deletion is pure candidate filtering
+    * (ADC carries no corpus statistics), so compaction is ONE anti-join
+    * rewrite of the codes table under the [[graft.sources.Storage.rewrite]]
+    * rename-aside swap; model tables are untouched. Runs as the usual
+    * invalidate → rewrite → re-commit transaction (crash mid-compaction
+    * leaves a manifest-less index that probes refuse). After compaction
+    * probes pay no anti-join and previously deleted ids may be re-appended.
+    *
+    * Returns false when there is nothing to compact or the tombstone
+    * fraction of the codes table is below `minFraction` (the rewrite is a
+    * full codes pass — gate it on accumulated delete volume).
+    */
+  def compactIvfPq(spark: SparkSession, indexPath: String, minFraction: Double = 0.0): Boolean = {
+    requireCommitted(indexPath)
+    if (!Storage.exists(s"$indexPath/tombstones")) return false
+    val tomb   = Storage.get(spark, s"$indexPath/tombstones").localCheckpoint(true)
+    val nTomb  = tomb.count()
+    val nCodes = Storage.get(spark, codesPath(indexPath)).count()
+    if (nTomb == 0L || (nCodes > 0L && nTomb.toDouble / nCodes.toDouble < minFraction)) return false
+    Storage.drop(manifestPath(indexPath))
+    Storage.rewrite(
+      Storage.get(spark, codesPath(indexPath)).join(broadcast(tomb), Seq("id"), "left_anti"),
+      codesPath(indexPath))
+    Storage.drop(s"$indexPath/tombstones")
+    commit(spark, indexPath)
+    true
+  }
+
   /** Incremental maintenance: encode `newVecs` against the FROZEN persisted
     * codebooks (no retrain — the FAISS `add` contract) and append their code
     * rows to the codes table. Returns the appended rows so callers (and the

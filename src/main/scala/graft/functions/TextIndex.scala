@@ -267,6 +267,56 @@ object TextIndex {
     Storage.replace(Seq(nDocs).toDF("n_docs"), manifestPath(indexPath))
   }
 
+  /** COMPACT a tombstoned index: physically drop every deleted doc's
+    * postings and doc-length rows, recompute the vocab-sized df table from
+    * the surviving postings, promote the live corpus totals to the corpus
+    * table, and clear the tombstone + live-correction state — after which
+    * every probe pays zero anti-join/correction cost and deleted ids may be
+    * re-appended. The [[graft.sources.Storage.merge]] rename-aside swap
+    * rewrites each table, and the whole compaction runs as the usual
+    * invalidate → rewrite → re-commit transaction, so a crash mid-compaction
+    * leaves a manifest-less index that probes refuse rather than a torn mix
+    * of compacted and stale tables.
+    *
+    * Returns false (no work) when there are no tombstones or their fraction
+    * of the indexed corpus is below `minFraction` — the "compact when the
+    * tombstone fraction warrants a rewrite" gate: the rewrite is a full pass
+    * over the postings, amortized across every subsequent probe.
+    *
+    * Scale: postings rewrite is one partition-parallel anti-join scan
+    * (broadcast tombstones), df recompute is the same partial→final count
+    * the build runs, corpus promotion is one row. TextIndexSpec pins
+    * compact-then-probe == rebuild-without-deleted bit-exact.
+    */
+  def compact(spark: SparkSession, indexPath: String, minFraction: Double = 0.0): Boolean = {
+    import spark.implicits._
+    require(Storage.exists(manifestPath(indexPath)),
+      s"text index at $indexPath has no commit manifest — torn or missing build; rebuild it")
+    if (!Storage.exists(s"$indexPath/tombstones")) return false
+    val tomb  = spark.read.parquet(s"$indexPath/tombstones").localCheckpoint(true)
+    val nTomb = tomb.count()
+    val nDocs = spark.read.parquet(s"$indexPath/docs").count()
+    if (nTomb == 0L || (nDocs > 0L && nTomb.toDouble / nDocs.toDouble < minFraction)) return false
+    Storage.drop(manifestPath(indexPath))
+    Storage.rewrite(
+      readPostings(spark, indexPath).join(broadcast(tomb), Seq("doc_id"), "left_anti"),
+      s"$indexPath/postings", partitionCols = Seq("tok"))
+    Storage.rewrite(
+      spark.read.parquet(s"$indexPath/docs").join(broadcast(tomb), Seq("doc_id"), "left_anti"),
+      s"$indexPath/docs")
+    Storage.rewrite(
+      readPostings(spark, indexPath).groupBy(col("tok")).agg(count(lit(1)).as("df")),
+      s"$indexPath/stats")
+    // live_corpus already holds the exact post-delete integer totals (and
+    // the same sum/count avgdl division as build) — promote it to corpus
+    Storage.rewrite(spark.read.parquet(s"$indexPath/live_corpus"), s"$indexPath/corpus")
+    Storage.drop(s"$indexPath/live_corpus")
+    Storage.drop(s"$indexPath/tombstones")
+    val n = spark.read.parquet(s"$indexPath/docs").count()
+    Storage.replace(Seq(n).toDF("n_docs"), manifestPath(indexPath))
+    true
+  }
+
   /** Okapi BM25 top-k over the saved index (same TREC-3 formulation and
     * 1e-6 per-(doc,term) quantization as [[QualityLM.bm25TopK]] — the spec
     * pins probe == direct-corpus ranking row-for-row).

@@ -538,7 +538,124 @@ object Serving {
             WHERE rank <= 5 ORDER BY query_id, rank""")
   )
 
+  private val TextCmpIdx = "/tmp/graft_index/text_cmp"
+
+  /** COMPACTION of a tombstoned text index ([[TextIndex.compact]]) — the
+    * verb that closes the delete story: tombstoned postings/doc rows are
+    * physically dropped under the rename-aside swap, df recomputed from the
+    * survivors, live totals promoted to the corpus table, delete state
+    * cleared — all inside the invalidate → rewrite → re-commit transaction,
+    * so a torn mid-compaction index is refused by probes rather than served.
+    * The probe after compaction is the PLAIN probe (no anti-join, no df
+    * correction — the per-probe delete tax is gone), and the oracle replays
+    * it over `read_parquet` of the COMPACTED artifacts: any posting that
+    * survived when it should not have, or a corpus total that failed to
+    * promote, breaks the hash. TextIndexSpec pins compact == rebuild-
+    * without-deleted bit-exact and compact == pre-compaction live probe.
+    *
+    * Scale: ONE partition-parallel anti-join pass over the postings
+    * (broadcast tombstones) amortized across every subsequent probe — the
+    * Storage.merge economics applied to the serving layer.
+    */
+  val searchIndexCompact = Q(
+    "x_search_index_compact",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      TextIndex.build(docs, "doc_id", "text", TextCmpIdx)
+      TextIndex.deleteDocs(s, TextCmpIdx,
+        docs.filter(col("doc_id") % 5 === 0).select(col("doc_id")))
+      TextIndex.compact(s, TextCmpIdx)
+      TextIndex.probeBm25(s, TextCmpIdx, Seq("hash", "join", "stream"), topK = 20)
+    },
+    Some(s"""WITH posts AS (
+              SELECT tok, doc_id, tf
+              FROM read_parquet('$TextCmpIdx/postings/*/*.parquet', hive_partitioning=true)
+              WHERE tok IN ('hash', 'join', 'stream')),
+            d AS (SELECT doc_id, dl FROM read_parquet('$TextCmpIdx/docs/*.parquet')),
+            st AS (SELECT tok, df FROM read_parquet('$TextCmpIdx/stats/*.parquet')
+                   WHERE tok IN ('hash', 'join', 'stream')),
+            c AS (SELECT n_docs, avgdl FROM read_parquet('$TextCmpIdx/corpus/*.parquet')),
+            sq AS (
+              SELECT p.doc_id,
+                CAST(floor(
+                  ln((CAST(c.n_docs AS DOUBLE) - CAST(st.df AS DOUBLE) + 0.5)
+                     / (CAST(st.df AS DOUBLE) + 0.5) + 1.0) *
+                  (CAST(p.tf AS DOUBLE) * (1.2 + 1.0)) /
+                  (CAST(p.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(d.dl AS DOUBLE) / c.avgdl)) *
+                  1e6 + 0.5) AS BIGINT) AS sq
+              FROM posts p JOIN st USING (tok) JOIN d USING (doc_id), c)
+            SELECT doc_id, CAST(sum(sq) AS BIGINT) AS score
+            FROM sq GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 20""")
+  )
+
+  private val CmpIdx = "/tmp/graft_index/ivfpq_cmp"
+
+  /** COMPACTION of a tombstoned IVF-PQ index ([[AnnIndex.compactIvfPq]]):
+    * deletion is pure candidate filtering, so compaction is ONE anti-join
+    * rewrite of the codes table (model tables untouched) under the
+    * rename-aside swap + manifest transaction. The probe after compaction
+    * runs with NO tombstone state; the oracle replays cell ranking, codebook
+    * reconstruction and ADC top-k over the COMPACTED codes — a code row that
+    * outlived its tombstone resurfaces as a hash break. AnnIndexSpec pins
+    * compact == pre-compaction live probe score-for-score and that
+    * compaction re-opens append for previously deleted ids.
+    */
+  val annIndexCompact = Q(
+    "x_ann_index_compact",
+    (s, d) => {
+      val embs = Tables.embeddings(s, d)
+      AnnIndex.buildIvfPq(embs, "vec_id", "embedding",
+        dim = 64, nCells = 8, m = 4, ksub = 8, iters = 2, indexPath = CmpIdx)
+      AnnIndex.deleteVecs(s, CmpIdx, embs.filter(col("vec_id") % 7 === 0).select(col("vec_id")))
+      AnnIndex.compactIvfPq(s, CmpIdx)
+      AnnIndex.probeIvfPq(s, CmpIdx, embs.filter(col("vec_id") < 10),
+        "vec_id", "embedding", nProbe = 2, k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"),
+          col("adc_dist2"))
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH cent AS (
+              SELECT cell, cv FROM read_parquet('$CmpIdx/centroids/*.parquet')),
+            cb AS (
+              SELECT sub, code, cv FROM read_parquet('$CmpIdx/codebooks/*.parquet')),
+            codes AS (
+              SELECT id, cell, codes FROM read_parquet('$CmpIdx/codes/*.parquet')),
+            q AS (
+              SELECT vec_id, list_transform(embedding,
+                x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+              FROM embeddings WHERE vec_id < 10),
+            recon AS (
+              SELECT c.id AS neighbor_id, c.cell,
+                list_transform(range(1, 65),
+                  i -> ct.cv[i] + (x0.cv || x1.cv || x2.cv || x3.cv)[i]) AS av
+              FROM codes c JOIN cent ct ON ct.cell = c.cell
+              JOIN cb x0 ON x0.sub = 0 AND x0.code = c.codes[1]
+              JOIN cb x1 ON x1.sub = 1 AND x1.code = c.codes[2]
+              JOIN cb x2 ON x2.sub = 2 AND x2.code = c.codes[3]
+              JOIN cb x3 ON x3.sub = 3 AND x3.code = c.codes[4]),
+            probes AS (
+              SELECT query_id, cell FROM (
+                SELECT q.vec_id AS query_id, ct.cell,
+                  row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                    list_sum(list_transform(range(1, 65),
+                      i -> (q.qv[i]-ct.cv[i])*(q.qv[i]-ct.cv[i]))), ct.cell) AS pr
+                FROM q, cent ct) WHERE pr <= 2),
+            scored AS (
+              SELECT p.query_id, r.neighbor_id,
+                CAST(list_sum(list_transform(range(1, 65),
+                  i -> (qq.qv[i]-r.av[i])*(qq.qv[i]-r.av[i]))) AS BIGINT) AS adc_dist2
+              FROM recon r JOIN probes p ON r.cell = p.cell
+              JOIN q qq ON qq.vec_id = p.query_id
+              WHERE r.neighbor_id <> p.query_id)
+            SELECT query_id, neighbor_id, rank, adc_dist2 FROM (
+              SELECT query_id, neighbor_id, adc_dist2,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY adc_dist2, neighbor_id) AS rank
+              FROM scored)
+            WHERE rank <= 5 ORDER BY query_id, rank""")
+  )
+
   val qs: Seq[Q] = Seq(annIndexProbe, annIndexAppend, invertedIndexIncremental,
     searchIndexProbe, bpeVocabServe, searchIndexAppend, searchIndexMultiprobe,
-    searchIndexDelete, annIndexDelete)
+    searchIndexDelete, annIndexDelete, searchIndexCompact, annIndexCompact)
 }

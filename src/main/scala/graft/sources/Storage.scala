@@ -71,6 +71,25 @@ object Storage {
     deleteRecursively(old)
   }
 
+  /** [[merge]]'s crash-safe swap for a TRANSFORMED table: write `df` (which
+    * may read from `path` itself — the write lands in a sidecar, so the read
+    * is never clobbered mid-scan) to `path.__merge_tmp`, then swap it in via
+    * the same rename-aside discipline. The compaction primitive of the
+    * index-serving layer: tombstone-filtered rewrites of postings/codes.
+    */
+  def rewrite(df: DataFrame, path: String, partitionCols: Seq[String] = Nil): Unit = {
+    val tmp = path.stripSuffix("/") + ".__merge_tmp"
+    deleteRecursively(Paths.get(tmp))
+    val w = df.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(tmp)
+    val target = Paths.get(path)
+    val old    = Paths.get(path.stripSuffix("/") + ".__merge_old")
+    deleteRecursively(old)
+    Files.move(target, old, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(Paths.get(tmp), target, StandardCopyOption.ATOMIC_MOVE)
+    deleteRecursively(old)
+  }
+
   /** `ls` / `store` — file→storage listing (`core_process_hydfs.go:613-630`). */
   def ls(path: String): Seq[String] = {
     val p = Paths.get(path)

@@ -111,5 +111,24 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(e.getMessage.contains("tombstoned"))
     assert(AnnIndex.probeIvfPq(spark, path, embs.filter(col("vec_id") < 4),
       "vec_id", "embedding", nProbe = 8, k = 10).count() > 0)
+
+    // compaction: physically drops the tombstoned code rows, clears the
+    // tombstone set, serves the same answers, and re-opens append
+    import graft.sources.Storage
+    assert(!AnnIndex.compactIvfPq(spark, path, minFraction = 0.9),
+      "gated compaction must refuse below the tombstone-fraction floor")
+    assert(Storage.exists(s"$path/tombstones"))
+    assert(AnnIndex.compactIvfPq(spark, path))
+    assert(!Storage.exists(s"$path/tombstones"), "compaction must clear delete state")
+    val compacted = AnnIndex.probeIvfPq(spark, path, embs.filter(col("vec_id") < 4),
+      "vec_id", "embedding", nProbe = 8, k = 10)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Long]("adc_dist2"))).toSeq
+    assert(compacted.sorted == after.toSeq.sorted,
+      "compacted probe must equal the pre-compaction tombstone-filtered probe")
+    assert(!AnnIndex.compactIvfPq(spark, path), "nothing left to compact")
+    val readd = AnnIndex.appendIvfPq(spark, path, embs.filter(col("vec_id") === 1),
+      "vec_id", "embedding")
+    assert(readd.count() == 1, "compaction must re-open append for deleted ids")
   }
 }

@@ -121,6 +121,41 @@ class TextIndexSpec extends AnyFunSuite {
     assert(TextIndex.probeBm25Live(spark, daIdx, terms, topK = 20).count() > 0)
   }
 
+  test("compaction drops tombstoned state physically and equals a rebuild") {
+    import org.apache.spark.sql.functions.col
+    import graft.sources.Storage
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val cIdx = "/tmp/graft_index/text_spec_cmp"
+    TextIndex.build(docs, "doc_id", "text", cIdx)
+    assert(!TextIndex.compact(spark, cIdx), "nothing to compact on a fresh index")
+    TextIndex.deleteDocs(spark, cIdx,
+      docs.filter(col("doc_id") % 4 === 0).select(col("doc_id")))
+    // threshold gate: ~25% tombstoned, a 0.9 floor must refuse the rewrite
+    assert(!TextIndex.compact(spark, cIdx, minFraction = 0.9))
+    assert(Storage.exists(s"$cIdx/tombstones"), "gated compact must not touch state")
+    assert(TextIndex.compact(spark, cIdx))
+    assert(!Storage.exists(s"$cIdx/tombstones") && !Storage.exists(s"$cIdx/live_corpus"),
+      "compaction must clear all delete state")
+    val viaCompact = TextIndex.probeBm25(spark, cIdx, terms, topK = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val rbIdx = "/tmp/graft_index/text_spec_cmp_rb"
+    TextIndex.build(docs.filter(col("doc_id") % 4 =!= 0), "doc_id", "text", rbIdx)
+    val viaRebuild = TextIndex.probeBm25(spark, rbIdx, terms, topK = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(viaCompact == viaRebuild,
+      "compacted index must be bit-equal to a rebuild without the deleted docs")
+    // compaction re-opens append for previously deleted ids
+    TextIndex.append(docs.filter(col("doc_id") % 4 === 0), "doc_id", "text", cIdx)
+    val viaReadd = TextIndex.probeBm25(spark, cIdx, terms, topK = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val fullIdx2 = "/tmp/graft_index/text_spec_cmp_full"
+    TextIndex.build(docs, "doc_id", "text", fullIdx2)
+    val viaFull = TextIndex.probeBm25(spark, fullIdx2, terms, topK = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(viaReadd == viaFull,
+      "delete -> compact -> re-append must equal the full corpus index")
+  }
+
   test("a torn index (missing commit manifest) is refused, not served") {
     graft.sources.Storage.drop(s"$idx/manifest")
     val e = intercept[IllegalArgumentException] {
