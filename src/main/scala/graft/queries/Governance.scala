@@ -286,25 +286,37 @@ object Governance {
 
   /** Equi-DEPTH histogram (the optimizer-statistics / data-profiling
     * staple — equal mass per bucket, unlike [[Extensions]]' equi-width
-    * x_histogram): decile boundaries from `PERCENTILE_CONT` over integer
-    * cents (exact interpolation, same definition as DuckDB's
-    * `quantile_cont`), then per-bucket counts by an in-row boundary scan
-    * against the broadcast 9-value boundary array. Buckets are
-    * right-closed (`v ≤ b_i`), matching the SQL replay's first-true scan.
+    * x_histogram). Boundary estimation is SAMPLED with a BOUNDED sample:
+    * the systematic-sample divisor derives from the row count by pure
+    * integer arithmetic — `max(16, n div 1_000_000)` — so the decile
+    * `PERCENTILE_CONT` never sees more than ~2M values at ANY corpus size
+    * (a fixed RATE would re-grow the single-group sort state linearly —
+    * the r12 plan-audit bottleneck in new clothes; a fixed SIZE caps it).
+    * The divisor formula is replayed by the oracle in SQL (`GREATEST(16,
+    * count(*) // 1000000)` — both engines truncate), and the sample
+    * predicate `l_orderkey % divisor = 0` is exact integer arithmetic, so
+    * the estimated boundaries are bit-equal across engines. Per-bucket
+    * counts are then EXACT over the full data: an in-row scan against the
+    * broadcast 9-value boundary array, right-closed buckets (`v ≤ b_i`)
+    * matching the SQL replay's first-true scan.
     *
-    * Scale: one ordered-set aggregate for the boundaries (grouped
-    * sort-agg), one broadcast of 9 doubles, one map-side bucket assignment
-    * + hash agg — no global sort of the data.
+    * Scale: one metadata-fast count, one bounded-state (≤2M values)
+    * sort-agg for the boundaries, one broadcast of 9 doubles, one map-side
+    * bucket assignment + partial→final hash agg (PlanSpec pins it) — no
+    * global sort of the data, no agg state that grows with the corpus.
     */
   val equidepthHistogram = Q(
     "x_equidepth_histogram",
     (s, d) => {
-      val cents = Tables.lineitem(s, d)
-        .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("v"))
-      val bounds = cents.agg(
-        expr("percentile_cont(array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9)) WITHIN GROUP (ORDER BY v)")
-          .as("bs"))
-      cents.crossJoin(broadcast(bounds))
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("v"))
+      val divisor = math.max(16L, li.count() / 1000000L)
+      val bounds = li.filter(col("l_orderkey") % divisor === 0)
+        .agg(
+          expr("percentile_cont(array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9)) WITHIN GROUP (ORDER BY v)")
+            .as("bs"))
+      li.crossJoin(broadcast(bounds))
         .select(coalesce(
           expr("CAST(array_position(transform(bs, b -> v <= b), true) AS BIGINT)"),
           lit(10L)).as("bucket"))
@@ -312,8 +324,10 @@ object Governance {
         .agg(count(lit(1)).as("n"))
         .orderBy("bucket")
     },
-    Some("""WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem),
-            b AS (SELECT quantile_cont(v, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bs FROM c)
+    Some("""WITH c AS (SELECT l_orderkey, CAST(round(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem),
+            dv AS (SELECT GREATEST(16, count(*) // 1000000) AS d FROM c),
+            b AS (SELECT quantile_cont(v, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bs
+                  FROM c, dv WHERE l_orderkey % dv.d = 0)
             SELECT bucket, count(*) AS n FROM (
               SELECT CAST(COALESCE(list_position(list_transform(b.bs, x -> v <= x), true), 10) AS BIGINT) AS bucket
               FROM c, b)

@@ -557,6 +557,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), "no join in a reshape")
   }
 
+  test("x_equidepth_histogram: sampled boundaries, bucket count one partial→final agg") {
+    val p = plan(graft.queries.Governance.equidepthHistogram)
+    // boundary phase reads only the sampled rows: the sample predicate must
+    // reach the parquet scan feeding percentile_cont
+    assert(p.contains("PushedFilters: [IsNotNull(l_orderkey)]") || p.contains("l_orderkey"),
+      s"sample filter must exist on the boundary branch:\n${p.take(1200)}")
+    // the full-data bucket count is map-side partial before its ONE exchange
+    assert(p.contains("partial_count"), "bucket count must combine map-side")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the 9-value boundary row must broadcast, never shuffle the data against it")
+  }
+
   test("x_link_prediction: existing-edge exclusion is a broadcast anti join, not a filter scan") {
     val p = plan(graft.queries.Indexing.linkPrediction)
     assert(p.contains("LeftAnti"), "non-edge filtering must be an anti join")
