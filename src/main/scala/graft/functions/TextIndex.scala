@@ -201,6 +201,70 @@ object TextIndex {
       .select(col("query_id"), col("doc_id"), col("rank").cast("long").as("rank"), col("score"))
   }
 
+  /** STREAMING BM25 probe — the online-serving face of [[probeBm25Many]]
+    * (parity with [[AnnIndex.probeIvfPqStream]]): a stream of
+    * (query_id, tok, ts) rows is answered against the persisted postings.
+    * The per-(doc, term) quantized BM25 contribution `sq` is QUERY-
+    * INDEPENDENT, so the static side precomputes one (tok, doc_id, sq)
+    * frame from the artifact tables (corpus scalars read once, driver-side);
+    * each micro-batch's terms stream-static join it on `tok` — when the
+    * planner broadcasts the per-batch term set, dynamic partition pruning
+    * skips the unmatched posting directories, the same data-skipping the
+    * batch probe gets from `isin`. A watermarked event-time window then
+    * collects each query's matched (doc, tok, sq) set — `collect_set`, so a
+    * term replayed within the window never double-counts — and an in-row
+    * dedup-sum-rank keeps the top-k (score desc, doc_id asc — the batch tie
+    * rule). Closed windows equal [[probeBm25Many]] for the same query set
+    * (TextIndexSpec pins it across a multi-batch replay). State per
+    * in-flight query is its matched candidate set, bounded by the watermark.
+    */
+  def probeBm25Stream(
+      spark: SparkSession, indexPath: String, queryStream: DataFrame,
+      qidCol: String, tokCol: String, tsCol: String,
+      topK: Int = 10, k1: Double = 1.2, b: Double = 0.75,
+      watermark: String = "10 minutes", windowLen: String = "1 hour"
+  ): DataFrame = {
+    require(Storage.exists(manifestPath(indexPath)),
+      s"text index at $indexPath has no commit manifest — torn or missing build; rebuild it")
+    require(!Storage.exists(s"$indexPath/tombstones"),
+      s"text index at $indexPath has tombstoned docs — compact it before streaming probes")
+    val corpus = spark.read.parquet(s"$indexPath/corpus").head()
+    val nDocs  = corpus.getAs[Long]("n_docs").toDouble
+    val avgdl  = corpus.getAs[Double]("avgdl")
+    val sq = floor(
+      log((lit(nDocs) - col("df").cast("double") + 0.5) /
+            (col("df").cast("double") + 0.5) + 1.0) *
+        (col("tf").cast("double") * (k1 + 1.0)) /
+        (col("tf").cast("double") + lit(k1) *
+          (lit(1.0 - b) + lit(b) * col("dl").cast("double") / avgdl)) *
+        1e6 + 0.5
+    ).cast("long")
+    val static = readPostings(spark, indexPath)
+      .join(broadcast(spark.read.parquet(s"$indexPath/stats")), "tok")
+      .join(spark.read.parquet(s"$indexPath/docs"), "doc_id")
+      .select(col("tok"), col("doc_id"), sq.as("sq"))
+    val routed = queryStream
+      .withWatermark(tsCol, watermark)
+      .select(col(qidCol).cast("long").as("query_id"), col(tokCol).as("tok"), col(tsCol))
+    routed
+      .join(static, Seq("tok")) // stream-static inner: matched postings only
+      .groupBy(window(col(tsCol), windowLen), col("query_id"))
+      .agg(collect_set(struct(col("doc_id"), col("tok"), col("sq"))).as("cands"))
+      .select(col("window"), col("query_id"),
+        transform(
+          slice(
+            array_sort(transform(
+              array_distinct(transform(col("cands"), c => c.getField("doc_id"))),
+              d => struct(
+                (-aggregate(
+                  filter(col("cands"), c => c.getField("doc_id") === d),
+                  lit(0L), (acc, c) => acc + c.getField("sq"))).as("nscore"),
+                d.as("doc_id")))),
+            1, topK),
+          t => struct(t.getField("doc_id").as("doc_id"),
+            (-t.getField("nscore")).as("score"))).as("topk"))
+  }
+
   /** Append a document batch into the persisted index — the posting-delta
     * merge at ARTIFACT level (the `x_inverted_index_incremental` math
     * applied to the serving tables): new postings/doc-lengths append in

@@ -167,6 +167,53 @@ class TextIndexSpec extends AnyFunSuite {
     assert(TextIndex.probeBm25(spark, idx, terms, topK = 20).count() > 0)
   }
 
+  test("streaming BM25 probe equals the batched multi-query probe on the closed window") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val sIdx = "/tmp/graft_index/text_spec_stream"
+    TextIndex.build(Tables.documents(spark, TestSpark.sf0001), "doc_id", "text", sIdx)
+    val ts = java.sql.Timestamp.valueOf("2026-01-01 12:00:00")
+    val queryRows = Seq(
+      (1L, "hash"), (1L, "join"),
+      (2L, "stream"), (2L, "filter"),
+      (3L, "hash"), (3L, "stream"), (3L, "window"),
+      (3L, "hash") // duplicate term within the window: must not double-count
+    )
+
+    val in  = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val out = TextIndex.probeBm25Stream(spark, sIdx,
+      in.toDF.toDF("query_id", "tok", "ts"), "query_id", "tok", "ts", topK = 10)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("bm25_stream").start()
+    try {
+      val (h, t) = queryRows.splitAt(4) // multi-batch replay
+      in.addData(h.map { case (id, tok) => (id, tok, ts) }: _*)
+      q.processAllAvailable()
+      in.addData(t.map { case (id, tok) => (id, tok, ts) }: _*)
+      q.processAllAvailable()
+      // close the window: sentinel far past watermark + window end
+      in.addData((999999L, "hash", java.sql.Timestamp.valueOf("2026-01-02 12:00:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.sql(
+      """SELECT query_id, t.doc_id, t.score FROM bm25_stream
+         LATERAL VIEW explode(topk) AS t WHERE query_id < 999000""")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val batch = TextIndex.probeBm25Many(spark, sIdx,
+      queryRows.distinct.toDF("query_id", "tok"), topK = 10)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"), r.getAs[Long]("score")))
+      .toSet
+
+    assert(streamed.nonEmpty)
+    assert(streamed === batch,
+      s"stream-only ${streamed -- batch}\nbatch-only ${batch -- streamed}")
+  }
+
   test("probe plan prunes the postings scan to the queried token partitions") {
     val probe = TextIndex.probeBm25(spark, idx, terms, topK = 20)
     val plan = probe.queryExecution.explainString(
