@@ -52,6 +52,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Full registry name list (includes the contracted no_oracle queries,
+    // which oracle_sql.json omits) — the precommit registry-vs-EXPLAIN diff
+    // reads this so no late-landing query can ship without a plan audit.
+    Files.writeString(Paths.get(s"$outDir/registry.json"),
+      SparkEntry.queries.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
     // Failure manifest, written even when empty: a query that throws leaves
     // no parquet dir and would otherwise just SILENTLY VANISH from the
     // round's correctness table (a driver-side testdata change once dropped

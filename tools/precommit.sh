@@ -35,4 +35,23 @@ if command -v python3 >/dev/null && python3 -c 'import duckdb' 2>/dev/null; then
 else
   echo "pre-commit: duckdb unavailable; type audit skipped (driver-side only)."
 fi
+
+# Registry-vs-EXPLAIN diff: every registry query must have a formatted plan
+# in EXPLAIN.md (the r12 verdict found two late landings shipped without
+# one). Verify dumps registry.json (all names, incl. no_oracle queries).
+if [ -f "$OUT/registry.json" ] && [ -f EXPLAIN.md ]; then
+  python3 - "$OUT/registry.json" << 'PYEOF' || {
+import json, re, sys
+reg = set(json.load(open(sys.argv[1])))
+plans = set(re.findall(r'^## (\S+)$', open('EXPLAIN.md').read(), re.M))
+missing = sorted(reg - plans)
+if missing:
+    print(f"registry queries with NO plan in EXPLAIN.md ({len(missing)}): {missing}")
+    sys.exit(1)
+PYEOF
+    echo "pre-commit: EXPLAIN.md is missing plans for registry queries —"
+    echo "regenerate it: sbt 'runMain graft.Explain /root/testdata/sf0.001'"
+    exit 1
+  }
+fi
 exit 0
