@@ -193,6 +193,70 @@ object Governance {
             FROM rec ORDER BY priority, day""")
   )
 
+  /** Holt DOUBLE exponential smoothing (level + trend) over the same
+    * per-priority daily series as [[ewmaAnomaly]] — the forecasting
+    * recurrence a capacity planner runs where plain EWMA lags trending
+    * series: l_t = α·x_t + (1−α)(l_{t−1} + b_{t−1}),
+    * b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}, one-step forecast l_t + b_t.
+    * α = 0.2, β = 0.1 in milli-units with TRUNCATING integer division
+    * (Scala `/` == DuckDB `//`, verified on negatives — the trend term goes
+    * negative on declining series), so the fold is bit-exact with no float
+    * drift. Same execution shape as EWMA: inherently sequential per series
+    * → typed per-key fold, state TWO longs per key, series bounded by the
+    * calendar, keys scale out by partition. Oracle: recursive CTE carrying
+    * both state variables.
+    */
+  val holtWinters = Q(
+    "x_holt_winters",
+    (s, d) => {
+      import s.implicits._
+      val daily = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority").as("priority"),
+          to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      daily
+        .select(col("priority"), col("day").cast("string"), col("n"))
+        .as[(String, String, Long)]
+        .groupByKey(_._1)
+        .flatMapGroups { (p, it) =>
+          val series = it.toArray.sortBy(_._2)
+          var l = 0L
+          var b = 0L
+          series.iterator.zipWithIndex.map { case ((_, day, n), i) =>
+            if (i == 0) { l = 1000 * n; b = 0L }
+            else {
+              val lPrev = l
+              l = (200 * (1000 * n) + 800 * (l + b)) / 1000
+              b = (100 * (l - lPrev) + 900 * b) / 1000
+            }
+            (p, day, n, l, b, l + b)
+          }
+        }
+        .toDF("priority", "day", "n", "level_milli", "trend_milli", "forecast_milli")
+        .select(col("priority"), col("day").cast("date").as("day"), col("n"),
+          col("level_milli"), col("trend_milli"), col("forecast_milli"))
+        .orderBy("priority", "day")
+    },
+    Some("""WITH RECURSIVE base AS (
+              SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day,
+                count(*) AS n,
+                row_number() OVER (PARTITION BY o_orderpriority
+                  ORDER BY CAST(o_orderdate AS DATE)) AS rn
+              FROM orders GROUP BY 1, 2),
+            rec AS (
+              SELECT priority, day, n, rn,
+                CAST(1000 * n AS BIGINT) AS l, CAST(0 AS BIGINT) AS b
+              FROM base WHERE rn = 1
+              UNION ALL
+              SELECT x.priority, x.day, x.n, x.rn,
+                (200 * (1000 * x.n) + 800 * (r.l + r.b)) // 1000,
+                (100 * ((200 * (1000 * x.n) + 800 * (r.l + r.b)) // 1000 - r.l) + 900 * r.b) // 1000
+              FROM rec r JOIN base x ON x.priority = r.priority AND x.rn = r.rn + 1)
+            SELECT priority, day, n, l AS level_milli, b AS trend_milli,
+              l + b AS forecast_milli
+            FROM rec ORDER BY priority, day""")
+  )
+
   /** Exact grouped percentiles via ANSI `PERCENTILE_CONT … WITHIN GROUP`
     * (linear interpolation; DuckDB's `quantile_cont` is the identical
     * definition) over integer cents — interpolated values land on .0/.5
@@ -335,5 +399,5 @@ object Governance {
   )
 
   val qs: Seq[Q] = Seq(kAnonymity, schemaEvolution, unpivotMetrics, ewmaAnomaly,
-    groupedPercentiles, gapsIslands, equidepthHistogram)
+    holtWinters, groupedPercentiles, gapsIslands, equidepthHistogram)
 }

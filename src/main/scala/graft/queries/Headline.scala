@@ -1034,6 +1034,48 @@ object Headline {
             ORDER BY step""")
   )
 
+  /** SALTED skew join — the mitigation for the join every warehouse dreads:
+    * a shuffle join whose key cardinality (~suppliers) is far below cluster
+    * parallelism, so each reducer inherits one enormous key group. The fact
+    * side salts its join key (`l_orderkey % 8` — uniform, key-independent),
+    * the dim side replicates each row across all 8 salt values (dim × 8 is
+    * the whole cost — trivial against the fact skew it removes), and the
+    * join runs on (suppkey, salt): every hot supplier now spreads over 8
+    * reducers. The `merge` hint models the scenario (a dim too big to
+    * broadcast — at 100 TB supplier-scale dims often are); with broadcast
+    * available, AQE would simply take it and salting is moot. Semantically
+    * the salt is invisible: the oracle is the PLAIN join + aggregate, and
+    * salted == plain is exactly what the hash verifies. Revenue in the
+    * exact DECIMAL(18,2) arithmetic of [[h1]]/[[h2]].
+    *
+    * Scale: same technique as `u2_wordcount_salted`'s two-phase aggregate,
+    * applied to the join operator; AQE's skew-join split handles the
+    * same class adaptively, this is the explicit, planner-independent form.
+    */
+  val h32 = Q(
+    "h32_salted_skew_join",
+    (s, d) => {
+      val R = 8
+      val fact = Tables.lineitem(s, d)
+        .select(col("l_suppkey"),
+          (dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount"))).as("rev"),
+          pmod(col("l_orderkey"), lit(R)).as("salt"))
+      val dim = Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_nationkey").cast("long").as("s_nationkey"))
+        .withColumn("salt", explode(array((0 until R).map(lit(_)): _*)))
+      fact.join(dim.hint("merge"),
+          fact("l_suppkey") === dim("s_suppkey") && fact("salt") === dim("salt"))
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"), sum(col("rev")).cast("double").as("revenue"))
+        .orderBy("s_nationkey")
+    },
+    Some("""SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey, count(*) AS n,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+            GROUP BY s_nationkey ORDER BY s_nationkey""")
+  )
+
   val qs: Seq[Q] = Seq(h1, h2, h3, h4, h5, h6, h7, h7b, h7c, h7d, h8, h9, h10, h11, h12, h13,
-    h14, h15, h16, h17, h18, h19, h20, h21, h22, h23, h24, h25, h26, h27, h28, h29, h30, h31)
+    h14, h15, h16, h17, h18, h19, h20, h21, h22, h23, h24, h25, h26, h27, h28, h29, h30, h31,
+    h32)
 }

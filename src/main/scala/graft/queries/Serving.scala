@@ -655,7 +655,110 @@ object Serving {
             WHERE rank <= 5 ORDER BY query_id, rank""")
   )
 
+  private val RecallIdx = "/tmp/graft_index/ivfpq_recall"
+
+  /** Recall@k EVALUATION of the persisted IVF-PQ index — the index-quality
+    * report every ANN deployment runs before serving: probe the index
+    * (nProbe = 2 of 8 cells) and the exact brute-force cosine ranking for
+    * the same query set, then score per-query overlap. Output is
+    * (query_id, n_hits, recall_milli) in exact integers (truncating
+    * milli-recall), so the float cosine/ADC scores never enter the hash —
+    * only the id SETS they induce, whose tie rules are deterministic on
+    * both engines. The oracle replays BOTH rankings in SQL — brute force
+    * over the embeddings table, ADC over `read_parquet` of the persisted
+    * artifacts — and joins them, so a drifted probe (wrong cell ranking,
+    * stale codebook) or a drifted baseline shows up as a recall change.
+    *
+    * Scale: the exact arm is the documented brute-force diagnostic (query
+    * set broadcasts, corpus scans once — run over an evaluation SLICE, not
+    * the serving corpus); the approx arm reads nProbe/nCells of the codes.
+    * The report itself joins two k-row-per-query frames — negligible.
+    */
+  val annRecallReport = Q(
+    "x_ann_recall_report",
+    (s, d) => {
+      import graft.functions.AnnSearch
+      val embs = Tables.embeddings(s, d)
+      AnnIndex.buildIvfPq(embs, "vec_id", "embedding",
+        dim = 64, nCells = 8, m = 4, ksub = 8, iters = 2, indexPath = RecallIdx)
+      val queries = embs.filter(col("vec_id") < 20)
+      val approx = AnnIndex.probeIvfPq(s, RecallIdx, queries,
+        "vec_id", "embedding", nProbe = 2, k = 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val exact = AnnSearch.bruteForceTopK(embs, queries, "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+      queries.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left_outer")
+        .select(col("query_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          expr("COALESCE(n_hits, 0) * 1000 div 10").as("recall_milli"))
+        .orderBy("query_id")
+    },
+    Some(s"""WITH cent AS (
+              SELECT cell, cv FROM read_parquet('$RecallIdx/centroids/*.parquet')),
+            cb AS (
+              SELECT sub, code, cv FROM read_parquet('$RecallIdx/codebooks/*.parquet')),
+            codes AS (
+              SELECT id, cell, codes FROM read_parquet('$RecallIdx/codes/*.parquet')),
+            q AS (
+              SELECT vec_id, list_transform(embedding,
+                x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+              FROM embeddings WHERE vec_id < 20),
+            recon AS (
+              SELECT c.id AS neighbor_id, c.cell,
+                list_transform(range(1, 65),
+                  i -> ct.cv[i] + (x0.cv || x1.cv || x2.cv || x3.cv)[i]) AS av
+              FROM codes c JOIN cent ct ON ct.cell = c.cell
+              JOIN cb x0 ON x0.sub = 0 AND x0.code = c.codes[1]
+              JOIN cb x1 ON x1.sub = 1 AND x1.code = c.codes[2]
+              JOIN cb x2 ON x2.sub = 2 AND x2.code = c.codes[3]
+              JOIN cb x3 ON x3.sub = 3 AND x3.code = c.codes[4]),
+            probes AS (
+              SELECT query_id, cell FROM (
+                SELECT q.vec_id AS query_id, ct.cell,
+                  row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                    list_sum(list_transform(range(1, 65),
+                      i -> (q.qv[i]-ct.cv[i])*(q.qv[i]-ct.cv[i]))), ct.cell) AS pr
+                FROM q, cent ct) WHERE pr <= 2),
+            approx AS (
+              SELECT query_id, neighbor_id FROM (
+                SELECT p.query_id, r.neighbor_id,
+                  row_number() OVER (PARTITION BY p.query_id ORDER BY
+                    list_sum(list_transform(range(1, 65),
+                      i -> (qq.qv[i]-r.av[i])*(qq.qv[i]-r.av[i]))), r.neighbor_id) AS rank
+                FROM recon r JOIN probes p ON r.cell = p.cell
+                JOIN q qq ON qq.vec_id = p.query_id
+                WHERE r.neighbor_id <> p.query_id)
+              WHERE rank <= 10),
+            qf AS (SELECT vec_id AS query_id, embedding AS qe
+                   FROM embeddings WHERE vec_id < 20),
+            exact AS (
+              SELECT query_id, neighbor_id FROM (
+                SELECT qf.query_id, e.vec_id AS neighbor_id,
+                  row_number() OVER (PARTITION BY qf.query_id ORDER BY
+                    list_sum(list_transform(list_zip(qf.qe, e.embedding),
+                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                    / (sqrt(list_sum(list_transform(qf.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                     * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+                    DESC, e.vec_id) AS rank
+                FROM embeddings e, qf WHERE e.vec_id <> qf.query_id)
+              WHERE rank <= 10),
+            hits AS (
+              SELECT e.query_id, count(*) AS n_hits
+              FROM exact e JOIN approx a USING (query_id, neighbor_id)
+              GROUP BY 1)
+            SELECT q.vec_id AS query_id,
+              CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+              CAST(COALESCE(h.n_hits, 0) * 1000 // 10 AS BIGINT) AS recall_milli
+            FROM (SELECT vec_id FROM embeddings WHERE vec_id < 20) q
+            LEFT JOIN hits h ON h.query_id = q.vec_id
+            ORDER BY query_id""")
+  )
+
   val qs: Seq[Q] = Seq(annIndexProbe, annIndexAppend, invertedIndexIncremental,
     searchIndexProbe, bpeVocabServe, searchIndexAppend, searchIndexMultiprobe,
-    searchIndexDelete, annIndexDelete, searchIndexCompact, annIndexCompact)
+    searchIndexDelete, annIndexDelete, searchIndexCompact, annIndexCompact,
+    annRecallReport)
 }

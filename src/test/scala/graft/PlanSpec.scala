@@ -557,6 +557,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), "no join in a reshape")
   }
 
+  test("h32: salted join shuffles on (suppkey, salt) — no broadcast of the modeled big dim") {
+    val p = plan(Headline.h32)
+    assert(p.contains("SortMergeJoin"), s"big-dim scenario must shuffle, not broadcast:\n${p.take(800)}")
+    assert(!p.contains("BroadcastHashJoin"), "the merge hint must hold against auto-broadcast")
+    assert(p.contains("salt"), "the salt must be part of the join key")
+  }
+
   test("x_equidepth_histogram: sampled boundaries, bucket count one partial→final agg") {
     val p = plan(graft.queries.Governance.equidepthHistogram)
     // boundary phase reads only the sampled rows: the sample predicate must
