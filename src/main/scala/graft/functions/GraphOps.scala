@@ -108,6 +108,46 @@ object GraphOps {
     dist
   }
 
+  /** k-core peeling (Seidman, "Network structure and minimum degree", Social
+    * Networks 1983): `rounds` synchronous peel steps, each removing every
+    * node whose degree in the SURVIVING subgraph is < k. With rounds ≥ the
+    * peel depth this is the exact k-core; with fixed `rounds` it is the
+    * deterministic bounded form the registry oracles (the [[ssspWeighted]]
+    * fixed-rounds precedent). Input must be the SYMMETRIC edge list (both
+    * directions present, no self-loops) so out-degree == degree; the method
+    * re-dedups defensively. Returns (node, deg) — degree inside the final
+    * surviving subgraph.
+    *
+    * Shape per round: one degree aggregation (partial→final count on src)
+    * plus two semi-joins filtering the edge frame to surviving endpoints —
+    * at most |E| rows shuffled per round, lineage truncated via
+    * localCheckpoint exactly as in [[pageRank]]. No driver-side state at
+    * all: survivors never leave the cluster.
+    */
+  def kCore(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      k: Int,
+      rounds: Int
+  ): DataFrame = {
+    var e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val survivors = e.groupBy("src").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select(col("src").as("node"))
+      e = e
+        .join(survivors.select(col("node").as("src")), Seq("src"), "left_semi")
+        .join(survivors.select(col("node").as("dst")), Seq("dst"), "left_semi")
+        .localCheckpoint(true)
+    }
+    e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+  }
+
   def bfsLayers(
       edges: DataFrame,
       srcCol: String,

@@ -4976,6 +4976,81 @@ object Extensions {
             FROM g GROUP BY grp ORDER BY grp""")
   )
 
+  /** End-to-end ENTITY RESOLUTION (record linkage) — the four-stage pipeline
+    * (Fellegi–Sunter by way of the modern blocking literature) that master-
+    * data and customer-360 systems run: (1) BLOCKING on (nation, segment)
+    * bounds candidate pairs to within-block self-joins — never the n²
+    * cross-corpus compare; (2) pairwise MATCH by Levenshtein ≤ 1 on the
+    * customer name (both engines implement the identical unit-cost edit
+    * distance); (3) transitive CLUSTERING by 3 unrolled min-label rounds
+    * over the symmetric match edges (the `x_dedup_clusters` connected-
+    * components discipline — matches are sparse, so the label frame joins a
+    * tiny edge set); (4) CANONICALIZATION: each multi-member cluster reports
+    * its min-key representative, member count, and exact summed balance
+    * cents — the survivorship record. The oracle replays all four stages,
+    * including every edit-distance call, row-level.
+    *
+    * Scale: the self-join shuffles on the block key only; match edges are
+    * orders of magnitude smaller than the corpus, so the propagation rounds
+    * cost |edges|, and the canonical aggregate is one hash exchange.
+    */
+  val entityResolution = Q(
+    "x_entity_resolution",
+    (s, d) => {
+      val c = Tables.customer(s, d)
+        .select(col("c_custkey").cast("long").as("k"), col("c_name").as("nm"),
+          col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("cents"))
+        .localCheckpoint(true)
+      val a = c.select(col("k").as("xk"), col("nm").as("xnm"), col("nat"), col("seg"))
+      val b = c.select(col("k").as("yk"), col("nm").as("ynm"), col("nat"), col("seg"))
+      val pairs = a.join(b, Seq("nat", "seg"))
+        .filter(col("xk") < col("yk") && levenshtein(col("xnm"), col("ynm")) <= 1)
+        .select(col("xk").as("x"), col("yk").as("y"))
+      val edges = pairs.select(col("x").as("src"), col("y").as("dst"))
+        .union(pairs.select(col("y").as("src"), col("x").as("dst")))
+        .localCheckpoint(true)
+      var lab = c.select(col("k").as("node"), col("k").as("label"))
+      for (_ <- 1 to 3) {
+        val nbrMin = edges
+          .join(lab.select(col("node").as("dst"), col("label")), "dst")
+          .groupBy(col("src").as("node")).agg(min(col("label")).as("nl"))
+        lab = lab.join(nbrMin, Seq("node"), "left")
+          .select(col("node"), least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+      }
+      lab.join(c.select(col("k").as("node"), col("cents")), "node")
+        .groupBy(col("label").as("cluster_rep"))
+        .agg(count(lit(1)).as("n_members"), sum(col("cents")).as("bal_cents"))
+        .filter(col("n_members") >= 2)
+        .orderBy("cluster_rep")
+    },
+    Some {
+      val rounds = (1 to 3).map { r =>
+        s"""l$r AS (
+              SELECT l.node, least(l.label, coalesce(m.nl, l.label)) AS label
+              FROM l${r - 1} l LEFT JOIN (
+                SELECT e.src AS node, min(l.label) AS nl
+                FROM e JOIN l${r - 1} l ON e.dst = l.node GROUP BY e.src) m
+              ON l.node = m.node)"""
+      }.mkString(",\n            ")
+      s"""WITH c AS (
+              SELECT CAST(c_custkey AS BIGINT) AS k, c_name AS nm, c_nationkey AS nat,
+                c_mktsegment AS seg, CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+              FROM customer),
+            p AS (
+              SELECT a.k AS x, b.k AS y FROM c a JOIN c b
+              ON a.nat = b.nat AND a.seg = b.seg AND a.k < b.k
+                AND levenshtein(a.nm, b.nm) <= 1),
+            e AS (SELECT x AS src, y AS dst FROM p UNION ALL SELECT y, x FROM p),
+            l0 AS (SELECT k AS node, k AS label FROM c),
+            $rounds
+            SELECT label AS cluster_rep, CAST(count(*) AS BIGINT) AS n_members,
+              CAST(sum(c.cents) AS BIGINT) AS bal_cents
+            FROM l3 JOIN c ON l3.node = c.k
+            GROUP BY label HAVING count(*) >= 2 ORDER BY cluster_rep"""
+    }
+  )
+
   val qs: Seq[Q] = Seq(
     cdcApply, cdcMerge, dataQualityReport, anomalyDays, pagerankQ, fuzzyJoinEdit, mvIncremental,
     sampleWeighted, skewReport, gdprPurge, snapshotDiff, sketchSetOps, annPq, annIvfPq,
@@ -4992,7 +5067,7 @@ object Extensions {
     qualityPerplexity, dsirWeights, semDedup, kMeansQ, kMeansModelQ, tfidfKeywords, embeddingQuantize, bm25Search, vocabCoverage, qualityBySource,
     qualityClassifier, mixTemperature, upsampleEpochs, dedupUrl, bpePairCounts, bpeMerges, bpeTokenize, chunkDocuments, curationPipeline3,
     htmlExtract, shardAssign, shardManifestQ, hardNegativesQ, urlFilter, curationPipeline4,
-    curationPipeline5, zorderQ,
+    curationPipeline5, zorderQ, entityResolution,
     annBruteForce, annLsh, annIvf, annInt8,
     multimodalMeta, multimodalFrames, multimodalResize, multimodalFeatures, multimodalAhash
   )

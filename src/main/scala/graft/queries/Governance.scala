@@ -398,6 +398,87 @@ object Governance {
             GROUP BY bucket ORDER BY bucket""")
   )
 
+  /** Dynamic partition pruning — the scan-elimination mechanism that makes
+    * a date-partitioned 100 TB fact table affordable to join: the fact is
+    * written ONCE hive-partitioned by ship month (the layout every lakehouse
+    * fact table uses), and a join against a runtime-FILTERED month dimension
+    * (urgent 1995 orders) lets Catalyst inject the dim's join keys into the
+    * fact scan's PartitionFilters as a dynamic pruning subquery — ~12 of ~80
+    * month directories are read, decided at RUNTIME, not by a literal
+    * predicate. PlanSpec pins `dynamicpruning` in the fact scan. The oracle
+    * replays the join over `read_parquet(hive_partitioning)` of the same
+    * files — pruning is pure execution strategy, invisible to semantics.
+    *
+    * Scale: partition pruning composes with the bucketing of
+    * `h33_bucketed_join` and the zonemap/bloom skipping family — dirs are
+    * eliminated before tasks are scheduled, so the 100 TB scan cost is
+    * proportional to the months the dim actually selects.
+    */
+  val dppPrune = Q(
+    "x_dpp_prune",
+    (s, d) => {
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("price_cents"),
+          date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+        .write.mode("overwrite").partitionBy("ship_month")
+        .parquet(s"$SchemaBase/fact_by_month")
+      val fact = s.read.parquet(s"$SchemaBase/fact_by_month")
+      val dim = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          year(col("o_orderdate")) === 1995)
+        .select(date_format(col("o_orderdate"), "yyyy-MM").as("ship_month"))
+        .distinct()
+      fact.join(dim, "ship_month")
+        .groupBy(col("ship_month"))
+        .agg(count(lit(1)).as("n"), sum(col("price_cents")).as("sum_cents"))
+        .orderBy("ship_month")
+    },
+    Some(s"""WITH dim AS (
+              SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS ship_month
+              FROM orders
+              WHERE o_orderpriority = '1-URGENT' AND year(o_orderdate) = 1995)
+            SELECT f.ship_month, count(*) AS n, CAST(sum(f.price_cents) AS BIGINT) AS sum_cents
+            FROM read_parquet('$SchemaBase/fact_by_month/*/*.parquet', hive_partitioning=true) f
+            JOIN dim ON f.ship_month = dim.ship_month
+            GROUP BY f.ship_month ORDER BY f.ship_month""")
+  )
+
+  /** Differentially-private-style noisy release (the Laplace-mechanism shape
+    * with a SEEDED discrete noise so the release is reproducible and
+    * oracle-able): per-(nation, segment) counts get an integer noise in
+    * [-9, 9] derived from a hash of the group key — the deterministic stand-in
+    * for a per-release PRNG draw, the pattern census-style engines use for
+    * repeatable audited releases. Small classes (n < 10) are SUPPRESSED
+    * entirely (release nothing rather than a noisy nothing — the standard
+    * complementary suppression rule), and the true count never appears in
+    * the output. The oracle replays hash, noise, and suppression exactly.
+    *
+    * Scale: one hash-aggregate exchange on the group key; noise is a
+    * row-local expression over the aggregated (tiny) frame.
+    */
+  val dpNoisyCounts = Q(
+    "x_dp_noisy_counts",
+    (s, d) =>
+      Tables.customer(s, d)
+        .select(col("c_nationkey").cast("long").as("nation"), col("c_mktsegment").as("segment"))
+        .groupBy(col("nation"), col("segment"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 10)
+        .select(col("nation"), col("segment"),
+          (col("n") +
+            ((col("nation") * 131 + ascii(substring(col("segment"), 1, 1)) * 17 +
+              length(col("segment"))) % 1000003 % 19 - 9)).as("noisy_n"))
+        .orderBy("nation", "segment"),
+    Some("""SELECT nation, segment,
+              CAST(n + ((nation * 131 + ascii(substring(segment, 1, 1)) * 17 + length(segment))
+                        % 1000003 % 19 - 9) AS BIGINT) AS noisy_n
+            FROM (
+              SELECT CAST(c_nationkey AS BIGINT) AS nation, c_mktsegment AS segment, count(*) AS n
+              FROM customer GROUP BY 1, 2 HAVING count(*) >= 10)
+            ORDER BY nation, segment""")
+  )
+
   val qs: Seq[Q] = Seq(kAnonymity, schemaEvolution, unpivotMetrics, ewmaAnomaly,
-    holtWinters, groupedPercentiles, gapsIslands, equidepthHistogram)
+    holtWinters, groupedPercentiles, gapsIslands, equidepthHistogram, dppPrune, dpNoisyCounts)
 }

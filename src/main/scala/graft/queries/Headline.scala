@@ -1075,7 +1075,56 @@ object Headline {
             GROUP BY s_nationkey ORDER BY s_nationkey""")
   )
 
+  /** BUCKETED co-located join — the other half of the skew story [[h32]]
+    * tells: instead of spreading a hot shuffle, eliminate the shuffle
+    * entirely. Both tables are written ONCE bucketed (and sorted) by the
+    * join key into 8 compatible buckets (`bucketBy` — Spark's Murmur3 bucket
+    * id, the same hash `repartition` uses, so the pre-write repartition
+    * lands exactly one file per bucket); every subsequent join on that key
+    * reads bucket i against bucket i with NO Exchange on either side — the
+    * layout cost is paid once at write, then a 100 TB fact⋈fact join ships
+    * zero bytes. This is the registry's only join whose SortMergeJoin has
+    * scan-fed (exchange-free) children; PlanSpec pins exactly one Exchange
+    * in the whole plan (the final aggregation's) and a bucketed scan.
+    * Bucketing is layout, not semantics: the oracle is the plain join +
+    * aggregate over the SAME written files, which is also what makes the
+    * written artifact engine-portable.
+    */
+  val h33 = Q(
+    "h33_bucketed_join",
+    (s, d) => {
+      val base = "/tmp/graft_gov/bucketed"
+      s.sql("DROP TABLE IF EXISTS graft_bucket_orders")
+      s.sql("DROP TABLE IF EXISTS graft_bucket_lineitem")
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .repartition(8, col("o_orderkey"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$base/orders").saveAsTable("graft_bucket_orders")
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        .repartition(8, col("l_orderkey"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$base/lineitem").saveAsTable("graft_bucket_lineitem")
+      val o = s.table("graft_bucket_orders")
+      val l = s.table("graft_bucket_lineitem")
+      o.hint("merge").join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount"))).cast("double").as("revenue"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+            FROM read_parquet('/tmp/graft_gov/bucketed/orders/*.parquet') o
+            JOIN read_parquet('/tmp/graft_gov/bucketed/lineitem/*.parquet') l
+              ON o.o_orderkey = l.l_orderkey
+            GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+  )
+
   val qs: Seq[Q] = Seq(h1, h2, h3, h4, h5, h6, h7, h7b, h7c, h7d, h8, h9, h10, h11, h12, h13,
     h14, h15, h16, h17, h18, h19, h20, h21, h22, h23, h24, h25, h26, h27, h28, h29, h30, h31,
-    h32)
+    h32, h33)
 }

@@ -1451,10 +1451,67 @@ object Indexing {
     Some(ssspOracle(6))
   )
 
+  /** The SQL twin of `rounds` synchronous k-core peels: each round drops
+    * every node whose surviving degree is < k, as chained CTEs (the
+    * [[ssspOracle]] linear-unroll discipline).
+    */
+  private def kCoreOracle(k: Int, rounds: Int): String = {
+    val steps = (1 to rounds).map { r =>
+      s"""k$r AS (SELECT src AS node FROM e${r - 1} GROUP BY src HAVING count(*) >= $k),
+            e$r AS (SELECT src, dst FROM e${r - 1}
+                    WHERE src IN (SELECT node FROM k$r) AND dst IN (SELECT node FROM k$r))"""
+    }.mkString(",\n            ")
+    s"""WITH e0raw AS (
+              SELECT DISTINCT least(a, b) AS lo, greatest(a, b) AS hi FROM (
+                SELECT user_id % 211 AS a, event_id % 211 AS b FROM events)
+              WHERE a <> b),
+            dv AS (SELECT GREATEST(1, count(*) // 1500) AS d FROM e0raw),
+            ek AS (SELECT lo, hi FROM e0raw, dv WHERE (lo * 31 + hi * 17) % dv.d = 0),
+            e0 AS (SELECT lo AS src, hi AS dst FROM ek UNION ALL SELECT hi, lo FROM ek),
+            $steps
+            SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+            FROM e$rounds GROUP BY src ORDER BY node"""
+  }
+
+  /** k-core decomposition ([[graft.functions.GraphOps.kCore]], 6 bounded
+    * synchronous peel rounds, k = 5) over a deterministically SPARSIFIED
+    * fold of the event graph — the cohesive-subgraph extractor community
+    * detection and spam/bot analysis start from, and the one iterative graph
+    * shape the registry's PageRank/BFS/SSSP/LPA family lacked: state
+    * SHRINKS monotonically (peeled nodes never return), so each round's
+    * degree aggregation + two semi-joins touch at most the surviving |E|.
+    * The sparsifier is DATA-DEPENDENT (keep ~1500 canonical edges via a
+    * hash condition whose divisor derives from the edge count — the
+    * `x_equidepth_histogram` fixed-SIZE-not-fixed-RATE discipline), because
+    * a fixed-modulus fold SATURATES as data grows: at sf0.1 every folded
+    * pair exists, and any fixed keep-rate yields a near-regular graph no k
+    * peels. The divisor is one count (model scalar). The oracle unrolls the
+    * same 6 peels as chained CTEs — membership AND final degrees are
+    * row-level exact.
+    */
+  val kCoreQ = Q(
+    "x_kcore",
+    (s, d) => {
+      val e0raw = Tables.events(s, d)
+        .select((col("user_id") % 211).as("a"), (col("event_id") % 211).as("b"))
+        .filter(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("lo"), greatest(col("a"), col("b")).as("hi"))
+        .distinct()
+        .localCheckpoint(true)
+      val divisor = math.max(1L, e0raw.count() / 1500L)
+      val e0 = e0raw.filter((col("lo") * 31 + col("hi") * 17) % divisor === 0)
+      val edges = e0.select(col("lo").as("src"), col("hi").as("dst"))
+        .union(e0.select(col("hi").as("src"), col("lo").as("dst")))
+      graft.functions.GraphOps.kCore(edges, "src", "dst", k = 5, rounds = 6)
+        .orderBy("node")
+    },
+    Some(kCoreOracle(5, 6))
+  )
+
   val qs: Seq[Q] = Seq(
     invertedIndex, booleanSearch, winnowing, countMin, scd2, zoneMap, attributionLinear,
     scd2Lookup, triangleCount, fkAudit,
     resampleFfill, sortedNeighborhood, labelPropagation, bloomIndex,
     mvRetract, marketBasket, tfidfDocSim, driftTv, mmrDiversify,
-    userLtv, rfmSegmentation, linkPrediction, hybridSearchRrf, ssspWeightedQ)
+    userLtv, rfmSegmentation, linkPrediction, hybridSearchRrf, ssspWeightedQ, kCoreQ)
 }

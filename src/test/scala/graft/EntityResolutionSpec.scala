@@ -1,0 +1,42 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.Extensions
+
+/** Planted-fixture check for the 4-stage entity-resolution pipeline: the
+  * fixture plants a TRANSITIVE chain (a~b and b~c match at edit distance 1
+  * but a~c is distance 2 — only the clustering stage can merge all three),
+  * a cross-block near-identical pair (must NOT match: blocking is part of
+  * the semantics), and a same-block distance-2 pair (below the match
+  * threshold). The registry oracle replays the pipeline row-level on the
+  * synthetic corpus; this spec pins the linkage LOGIC on a graph where the
+  * correct answer is hand-derivable.
+  */
+class EntityResolutionSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("transitive merge within a block; blocking and threshold both exclude") {
+    import spark.implicits._
+    val dir = "/tmp/graft_er_fixture"
+    Seq(
+      // chain cluster: 19~18 lev1, 18~38 lev1, 19~38 lev2 → transitive {10,11,12}
+      (10L, "Customer#000000019", 1, "AUTOMOBILE", 1.00),
+      (11L, "Customer#000000018", 1, "AUTOMOBILE", 2.00),
+      (12L, "Customer#000000038", 1, "AUTOMOBILE", 3.50),
+      // lev-1 pair split across blocks (different nation): must not link
+      (20L, "Customer#000000555", 2, "AUTOMOBILE", 10.00),
+      (21L, "Customer#000000556", 3, "AUTOMOBILE", 10.00),
+      // same block, lev 2: below the ≤1 match threshold
+      (30L, "Customer#000000700", 1, "BUILDING", 5.00),
+      (31L, "Customer#000000777", 1, "BUILDING", 5.00)
+    ).toDF("c_custkey", "c_name", "c_nationkey", "c_mktsegment", "c_acctbal")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+
+    val out = Extensions.entityResolution.run(spark, dir).collect()
+    assert(out.length == 1, s"exactly the planted chain must survive, got ${out.toSeq}")
+    val r = out.head
+    assert(r.getAs[Long]("cluster_rep") == 10L, "canonical record is the min member key")
+    assert(r.getAs[Long]("n_members") == 3L, "transitivity must pull in the distance-2 endpoint")
+    assert(r.getAs[Long]("bal_cents") == 650L, "survivorship balance is the exact member sum")
+  }
+}

@@ -71,4 +71,45 @@ class GovernanceSpec extends AnyFunSuite {
       assert(r.getAs[Long]("value_cents") == wide(r.getAs[String]("l_returnflag")))
     }
   }
+
+  test("DP noisy release: noise bounded by ±9, small classes suppressed, true count absent") {
+    import spark.implicits._
+    // Planted classes: two releasable (n=12, n=10) and one suppressible (n=3)
+    // — at sf0.001 every real class is under the threshold, so the rule needs
+    // a fixture to show both sides.
+    val dir = "/tmp/graft_dp_fixture"
+    val rows =
+      (1 to 12).map(i => (100L + i, s"Customer#$i", 1, "AUTOMOBILE", 1.0)) ++
+      (1 to 10).map(i => (200L + i, s"Customer#$i", 2, "BUILDING", 1.0)) ++
+      (1 to 3).map(i => (300L + i, s"Customer#$i", 3, "MACHINERY", 1.0))
+    rows.toDF("c_custkey", "c_name", "c_nationkey", "c_mktsegment", "c_acctbal")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+
+    val out = Governance.dpNoisyCounts.run(spark, dir).collect()
+    assert(!out.head.schema.fieldNames.contains("n"), "the exact count must not be released")
+    def noise(nation: Long, seg: String): Long =
+      (nation * 131 + seg.head.toLong * 17 + seg.length) % 1000003 % 19 - 9
+    val got = out.map(r => (r.getAs[Long]("nation"), r.getAs[String]("segment")) -> r.getAs[Long]("noisy_n")).toMap
+    assert(got.keySet == Set((1L, "AUTOMOBILE"), (2L, "BUILDING")),
+      s"n=3 class must be suppressed, releasable classes released; got $got")
+    assert(got((1L, "AUTOMOBILE")) == 12L + noise(1L, "AUTOMOBILE"))
+    assert(got((2L, "BUILDING")) == 10L + noise(2L, "BUILDING"))
+    got.foreach { case ((nat, seg), noisy) =>
+      assert(math.abs(noise(nat, seg)) <= 9, s"noise out of range for ($nat, $seg)") }
+    assert(noise(1L, "AUTOMOBILE") != 0L || noise(2L, "BUILDING") != 0L,
+      "fixture should exercise a nonzero perturbation")
+    assert(got((1L, "AUTOMOBILE")) != 12L || got((2L, "BUILDING")) != 10L)
+  }
+
+  test("DPP-pruned join returns exactly the plain-join months") {
+    val out = Governance.dppPrune.run(spark, sf).collect()
+    assert(out.nonEmpty)
+    // every released month is a 1995 month (the dim filter's year)
+    out.foreach(r => assert(r.getAs[String]("ship_month").startsWith("1995-")))
+    // cross-check one month's count against a direct filter on the raw table
+    val m = out.head.getAs[String]("ship_month")
+    val direct = graft.Tables.lineitem(spark, sf)
+      .filter(date_format(col("l_shipdate"), "yyyy-MM") === m).count()
+    assert(out.head.getAs[Long]("n") == direct)
+  }
 }

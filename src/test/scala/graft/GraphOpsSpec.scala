@@ -44,6 +44,31 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(!capped.contains(5L), "nodes beyond maxHops must be absent")
   }
 
+  test("kCore: K4 plus a pendant — the clique survives k=3 with exact degrees, the pendant peels") {
+    import spark.implicits._
+    // K4 on {0,1,2,3} (every degree 3) + pendant 4 attached to 0.
+    val und = Seq((0L,1L),(0L,2L),(0L,3L),(1L,2L),(1L,3L),(2L,3L),(0L,4L))
+    val edges = (und ++ und.map(e => (e._2, e._1))).toDF("src", "dst")
+    val got = GraphOps.kCore(edges, "src", "dst", k = 3, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L),
+      s"4 must peel and degrees must be IN-core degrees, got $got")
+  }
+
+  test("kCore: cascading peel empties a path graph, and bounded rounds stop mid-cascade") {
+    import spark.implicits._
+    // Path 0-1-2-3-4: 2-core is empty, but the peel cascades from the ends —
+    // one round only removes {0,4}. Bounded rounds are the defined semantics
+    // (the SSSP fixed-rounds precedent), so rounds=1 must KEEP {1,2,3}.
+    val und = Seq((0L,1L),(1L,2L),(2L,3L),(3L,4L))
+    val edges = (und ++ und.map(e => (e._2, e._1))).toDF("src", "dst")
+    val full = GraphOps.kCore(edges, "src", "dst", k = 2, rounds = 4)
+    assert(full.count() == 0L, "the 2-core of a path is empty once the cascade completes")
+    val one = GraphOps.kCore(edges, "src", "dst", k = 2, rounds = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(one == Set(1L, 2L, 3L), s"one synchronous round removes only the endpoints, got $one")
+  }
+
   test("pageRank total mass stays under scale (dangling leak is one-sided)") {
     import spark.implicits._
     // 0→1→2, 2 dangling: mass leaks, never inflates.

@@ -581,4 +581,27 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LeftAnti"), "non-edge filtering must be an anti join")
     assert(!p.contains("BroadcastNestedLoopJoin"), "no quadratic pair enumeration")
   }
+
+  test("h33: bucketed join reads co-located buckets — zero exchanges below the join") {
+    val p = plan(Headline.h33)
+    assert(p.contains("SortMergeJoin"), s"merge hint must hold:\n${p.take(800)}")
+    assert("SelectedBucketsCount".r.findAllIn(p).size == 2,
+      s"both scans must be bucketed:\n${p.take(1500)}")
+    // the ONLY hash exchange is the final aggregation's (the orderBy adds a
+    // range exchange); the join itself ships zero bytes
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"join must be exchange-free:\n${p.take(1500)}")
+  }
+
+  test("x_dpp_prune: fact scan carries a dynamic partition pruning subquery") {
+    val p = plan(graft.queries.Governance.dppPrune)
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"partition filter must be injected at runtime from the dim side:\n${p.take(1500)}")
+  }
+
+  test("x_entity_resolution: candidate pairs come from a block-key equi-join, never a cross join") {
+    val p = plan(graft.queries.Extensions.entityResolution)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"blocking must bound the pair space:\n${p.take(1200)}")
+  }
 }
