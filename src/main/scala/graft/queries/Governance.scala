@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
+import graft.sources.Storage
 
 /** Round-12 family: data-governance and table-maintenance shapes — the
   * checks and reshapes a 100 TB lakehouse runs beside its query traffic:
@@ -479,6 +480,131 @@ object Governance {
             ORDER BY nation, segment""")
   )
 
+  /** Replica reconciliation by SEGMENT DIGESTS — the anti-entropy pattern
+    * (Merkle-tree repair, DeCandia et al., Dynamo SOSP'07 §4.7) that lets two
+    * 100 TB replicas agree by exchanging kilobytes: each side folds its rows
+    * into one order-independent integer digest per 4096-key segment (modular
+    * polynomial over the row's fields — sums exactly, both engines), and only
+    * segments whose (count, digest) differ are reported for re-shipment. The
+    * replica is simulated in-query with deterministic drift (a few keys'
+    * quantities perturbed, a few keys dropped — the bit-rot and lost-write
+    * classes); the oracle replays both sides' digests row-level.
+    *
+    * Scale: two scans, each a map-side digest + one partial→final agg to
+    * ~|keys|/4096 segment rows; the compare joins segment SUMMARIES, never
+    * rows — the entire reconciliation exchange is digest-sized, and only
+    * divergent segments would be re-read.
+    */
+  val replicaReconcile = Q(
+    "x_replica_reconcile",
+    (s, d) => {
+      val M = 1000003L
+      val base = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          expr("CAST(round(l_quantity * 100) AS BIGINT)").as("qty_cents"))
+      def summarize(df: org.apache.spark.sql.DataFrame, n: String, g: String) =
+        df.select(expr("l_orderkey div 4096").as("seg"),
+            (((col("l_orderkey") % M) * 31 + col("l_linenumber") * 131 +
+              (col("qty_cents") % M) * 17) % M).as("dg"))
+          .groupBy("seg")
+          .agg(count(lit(1)).as(n), sum(col("dg")).as(g))
+      val primary = summarize(base, "n_primary", "dig_a")
+      val replica = summarize(
+        base.filter(col("l_orderkey") % 23003 =!= 0)
+          .withColumn("qty_cents",
+            when(col("l_orderkey") % 19997 === 0, col("qty_cents") + 100)
+              .otherwise(col("qty_cents"))),
+        "n_replica", "dig_b")
+      primary.join(replica, Seq("seg"), "full_outer")
+        .select(col("seg"),
+          coalesce(col("n_primary"), lit(0L)).as("n_primary"),
+          coalesce(col("n_replica"), lit(0L)).as("n_replica"))
+        .where(
+          coalesce(col("n_primary"), lit(0L)) =!= coalesce(col("n_replica"), lit(0L)) ||
+          coalesce(col("dig_a"), lit(-1L)) =!= coalesce(col("dig_b"), lit(-1L)))
+        .orderBy("seg")
+    },
+    Some("""WITH base AS (
+              SELECT l_orderkey AS okey, l_linenumber AS ln,
+                CAST(round(l_quantity * 100) AS BIGINT) AS qc
+              FROM lineitem),
+            a AS (
+              SELECT okey // 4096 AS seg, count(*) AS n_primary,
+                CAST(sum(((okey % 1000003) * 31 + ln * 131 + (qc % 1000003) * 17) % 1000003) AS BIGINT) AS dig_a
+              FROM base GROUP BY 1),
+            b AS (
+              SELECT okey // 4096 AS seg, count(*) AS n_replica,
+                CAST(sum(((okey % 1000003) * 31 + ln * 131 +
+                  ((CASE WHEN okey % 19997 = 0 THEN qc + 100 ELSE qc END) % 1000003) * 17) % 1000003) AS BIGINT) AS dig_b
+              FROM base WHERE okey % 23003 <> 0 GROUP BY 1)
+            SELECT COALESCE(a.seg, b.seg) AS seg,
+              CAST(COALESCE(n_primary, 0) AS BIGINT) AS n_primary,
+              CAST(COALESCE(n_replica, 0) AS BIGINT) AS n_replica
+            FROM a FULL OUTER JOIN b ON a.seg = b.seg
+            WHERE COALESCE(n_primary, 0) <> COALESCE(n_replica, 0)
+               OR COALESCE(dig_a, -1) <> COALESCE(dig_b, -1)
+            ORDER BY seg""")
+  )
+
+  /** WRITE–AUDIT–PUBLISH — the staged-commit discipline (popularized by
+    * Netflix's Iceberg WAP) that keeps a 100 TB table's consumers from ever
+    * seeing unaudited data: stage the snapshot, run the audits against the
+    * STAGED files, quarantine violations, and only then publish — manifest
+    * written LAST (the serving-index transaction rule), so a crash mid-
+    * publish leaves the previous snapshot live, never a torn one. Audits
+    * here are the two genuinely-present defect classes: duplicate
+    * (orderkey, linenumber) business keys (the synthetic lineitem contains
+    * real ones) and orphaned foreign keys (lineitems with no parent order).
+    * The output's `n_published` is read back FROM THE PUBLISHED ARTIFACT —
+    * and the oracle counts the same files, so a publish that dropped or
+    * leaked rows hash-fails.
+    *
+    * Scale: dup detection is a two-phase count on the business key; orphan
+    * detection a key-level anti join; the publish itself is one partitioned
+    * write — no step holds more than an aggregation's state.
+    */
+  val wapPublish = Q(
+    "x_wap_publish",
+    (s, d) => {
+      val wap = s"$SchemaBase/wap"
+      val staged = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          expr("CAST(round(l_quantity * 100) AS BIGINT)").as("qty_cents"))
+      staged.write.mode("overwrite").parquet(s"$wap/staged")
+      val st = s.read.parquet(s"$wap/staged")
+      val dupKeys = st.groupBy("l_orderkey", "l_linenumber")
+        .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+        .select(col("l_orderkey"), col("l_linenumber"))
+      val orderKeys = Tables.orders(s, d).select(col("o_orderkey"))
+      val clean = st
+        .join(dupKeys, Seq("l_orderkey", "l_linenumber"), "left_anti")
+        .join(orderKeys, st("l_orderkey") === orderKeys("o_orderkey"), "left_semi")
+      clean.write.mode("overwrite").parquet(s"$wap/published/data")
+      // manifest LAST: readers treat its absence as "previous snapshot live"
+      s.range(1).select(lit("published").as("state"))
+        .write.mode("overwrite").parquet(s"$wap/published/manifest")
+      require(Storage.exists(s"$wap/published/manifest"), "torn publish")
+      val published = s.read.parquet(s"$wap/published/data")
+      val nStaged   = st.count()
+      val nDup      = st.join(dupKeys, Seq("l_orderkey", "l_linenumber"), "left_semi").count()
+      val nOrphan   = st.join(orderKeys, st("l_orderkey") === orderKeys("o_orderkey"), "left_anti").count()
+      s.range(1).select(
+        lit(nStaged).as("n_staged"), lit(nDup).as("n_dup_quarantined"),
+        lit(nOrphan).as("n_orphan_quarantined"),
+        lit(published.count()).as("n_published"))
+    },
+    Some(s"""WITH st AS (SELECT * FROM read_parquet('$SchemaBase/wap/staged/*.parquet')),
+            dup AS (SELECT l_orderkey, l_linenumber FROM st
+                    GROUP BY 1, 2 HAVING count(*) > 1),
+            orphan AS (SELECT st.* FROM st LEFT JOIN orders ON l_orderkey = o_orderkey
+                       WHERE o_orderkey IS NULL)
+            SELECT (SELECT count(*) FROM st) AS n_staged,
+              (SELECT count(*) FROM st JOIN dup USING (l_orderkey, l_linenumber)) AS n_dup_quarantined,
+              (SELECT count(*) FROM orphan) AS n_orphan_quarantined,
+              (SELECT count(*) FROM read_parquet('$SchemaBase/wap/published/data/*.parquet')) AS n_published""")
+  )
+
   val qs: Seq[Q] = Seq(kAnonymity, schemaEvolution, unpivotMetrics, ewmaAnomaly,
-    holtWinters, groupedPercentiles, gapsIslands, equidepthHistogram, dppPrune, dpNoisyCounts)
+    holtWinters, groupedPercentiles, gapsIslands, equidepthHistogram, dppPrune, dpNoisyCounts,
+    replicaReconcile, wapPublish)
 }

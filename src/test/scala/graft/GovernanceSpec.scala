@@ -101,6 +101,35 @@ class GovernanceSpec extends AnyFunSuite {
     assert(got((1L, "AUTOMOBILE")) != 12L || got((2L, "BUILDING")) != 10L)
   }
 
+  test("replica reconcile reports exactly the segments containing planted drift") {
+    val li = graft.Tables.lineitem(spark, sf)
+    val expected = li
+      .filter(col("l_orderkey") % 19997 === 0 || col("l_orderkey") % 23003 === 0)
+      .select(expr("l_orderkey div 4096").as("seg"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(expected.nonEmpty, "fixture scale must contain at least one drift key")
+    val got = Governance.replicaReconcile.run(spark, sf).collect()
+      .map(_.getAs[Long]("seg")).toSet
+    assert(got == expected,
+      s"digest compare must flag exactly the drifted segments; got $got expected $expected")
+  }
+
+  test("WAP: published snapshot has no duplicate business keys and no orphans") {
+    val out = Governance.wapPublish.run(spark, sf).collect().head
+    val published = spark.read.parquet("/tmp/graft_gov/wap/published/data")
+    assert(out.getAs[Long]("n_published") == published.count())
+    assert(out.getAs[Long]("n_published") <= out.getAs[Long]("n_staged"))
+    val dups = published.groupBy("l_orderkey", "l_linenumber")
+      .agg(count(lit(1)).as("c")).filter(col("c") > 1).count()
+    assert(dups == 0L, "published data must not contain duplicate (orderkey, linenumber) keys")
+    val orphans = published.join(
+      graft.Tables.orders(spark, sf).select(col("o_orderkey")),
+      published("l_orderkey") === col("o_orderkey"), "left_anti").count()
+    assert(orphans == 0L, "published data must not contain orphaned lineitems")
+    assert(new java.io.File("/tmp/graft_gov/wap/published/manifest").exists(),
+      "publish must commit a manifest")
+  }
+
   test("DPP-pruned join returns exactly the plain-join months") {
     val out = Governance.dppPrune.run(spark, sf).collect()
     assert(out.nonEmpty)
