@@ -4990,9 +4990,25 @@ object Extensions {
     * cents — the survivorship record. The oracle replays all four stages,
     * including every edit-distance call, row-level.
     *
-    * Scale: the self-join shuffles on the block key only; match edges are
-    * orders of magnitude smaller than the corpus, so the propagation rounds
-    * cost |edges|, and the canonical aggregate is one hash exchange.
+    * Candidate generation is PIGEONHOLE blocking, not the naive within-block
+    * self-join: (nation, segment) alone is ~125 FIXED blocks, so its pair
+    * count grows QUADRATICALLY with the corpus (measured 287 s at gen1 —
+    * the 100 TB death shape). Instead the name's digit tail is dealt into 3
+    * interleaved parts; names are fixed-length (schema `Customer#%09d`), so
+    * Levenshtein ≤ 1 forces a SINGLE SUBSTITUTION, which corrupts at most
+    * one part — every true match agrees on ≥ 2 of 3 parts, and the three
+    * (nation, segment, partX, partY) equi-join passes are LOSSLESS by
+    * construction (a difference outside the partitioned positions leaves
+    * all parts equal and is caught by every pass). Two-part keys carry 6
+    * name digits, so block sizes stay bounded as the corpus grows — the
+    * FastSS / ExactSubstr pigeonhole discipline. Candidates are then
+    * VERIFIED by the exact edit distance, so the pigeonhole changes cost
+    * only: the oracle stays the quadratic per-block DEFINITION and the
+    * driver hash proves the two equivalent.
+    *
+    * Scale: three equi-joins on bounded keys + one distinct; match edges
+    * are orders of magnitude smaller than the corpus, so the propagation
+    * rounds cost |edges|, and the canonical aggregate is one hash exchange.
     */
   val entityResolution = Q(
     "x_entity_resolution",
@@ -5002,10 +5018,23 @@ object Extensions {
           col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"),
           expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("cents"))
         .localCheckpoint(true)
-      val a = c.select(col("k").as("xk"), col("nm").as("xnm"), col("nat"), col("seg"))
-      val b = c.select(col("k").as("yk"), col("nm").as("ynm"), col("nat"), col("seg"))
-      val pairs = a.join(b, Seq("nat", "seg"))
-        .filter(col("xk") < col("yk") && levenshtein(col("xnm"), col("ynm")) <= 1)
+      // interleaved 3-part dealing of the 9-digit tail (positions 10..18)
+      def part(i: Int) = concat(
+        substring(col("nm"), 10 + i, 1), substring(col("nm"), 13 + i, 1),
+        substring(col("nm"), 16 + i, 1))
+      val keyed = c.select(col("k"), col("nm"), col("nat"), col("seg"),
+        part(0).as("p0"), part(1).as("p1"), part(2).as("p2"))
+        .localCheckpoint(true) // scanned by all three candidate passes
+      val passes = Seq(("p0", "p1"), ("p0", "p2"), ("p1", "p2")).map { case (x, y) =>
+        val a = keyed.select(col("k").as("xk"), col("nm").as("xnm"),
+          col("nat"), col("seg"), col(x).as("bx"), col(y).as("by"))
+        val b = keyed.select(col("k").as("yk"), col("nm").as("ynm"),
+          col("nat"), col("seg"), col(x).as("bx"), col(y).as("by"))
+        a.join(b, Seq("nat", "seg", "bx", "by")).filter(col("xk") < col("yk"))
+          .select(col("xk"), col("yk"), col("xnm"), col("ynm"))
+      }
+      val pairs = passes.reduce(_ union _).distinct()
+        .filter(levenshtein(col("xnm"), col("ynm")) <= 1)
         .select(col("xk").as("x"), col("yk").as("y"))
       val edges = pairs.select(col("x").as("src"), col("y").as("dst"))
         .union(pairs.select(col("y").as("src"), col("x").as("dst")))

@@ -39,4 +39,43 @@ class EntityResolutionSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_members") == 3L, "transitivity must pull in the distance-2 endpoint")
     assert(r.getAs[Long]("bal_cents") == 650L, "survivorship balance is the exact member sum")
   }
+
+  test("pigeonhole candidates are lossless: pipeline equals the quadratic definition on real data") {
+    import org.apache.spark.sql.functions._
+    val sf = TestSpark.sf0001
+    // quadratic per-(nation, segment) reference — the oracle's definition,
+    // computed here in Spark so the equivalence is engine-internal
+    val c = graft.Tables.customer(spark, sf)
+      .select(col("c_custkey").cast("long").as("k"), col("c_name").as("nm"),
+        col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"),
+        expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("cents"))
+    val a = c.select(col("k").as("xk"), col("nm").as("xnm"), col("nat"), col("seg"))
+    val b = c.select(col("k").as("yk"), col("nm").as("ynm"), col("nat"), col("seg"))
+    val quadPairs = a.join(b, Seq("nat", "seg"))
+      .filter(col("xk") < col("yk") && levenshtein(col("xnm"), col("ynm")) <= 1)
+      .select(col("xk"), col("yk")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(quadPairs.nonEmpty, "fixture scale must contain at least one match pair")
+    val out = Extensions.entityResolution.run(spark, sf).collect()
+    // pipeline output is cluster-level; rebuild its pair support lower bound:
+    // every reported cluster must be reproducible from the quadratic pairs'
+    // connected components (sizes and reps must agree exactly)
+    val adj = scala.collection.mutable.Map.empty[Long, scala.collection.mutable.Set[Long]]
+    quadPairs.foreach { case (x, y) =>
+      adj.getOrElseUpdate(x, scala.collection.mutable.Set(x)) += y
+      adj.getOrElseUpdate(y, scala.collection.mutable.Set(y)) += x
+    }
+    def component(s0: Long): Set[Long] = {
+      val seen = scala.collection.mutable.Set(s0); var frontier = List(s0)
+      while (frontier.nonEmpty) {
+        val nxt = frontier.flatMap(n => adj.getOrElse(n, Set.empty[Long]).toSeq).filterNot(seen)
+        seen ++= nxt; frontier = nxt
+      }
+      seen.toSet
+    }
+    val comps = adj.keys.map(component).toSet.filter(_.size >= 2)
+    val expected = comps.map(cc => (cc.min, cc.size.toLong)).toMap
+    val got = out.map(r => r.getAs[Long]("cluster_rep") -> r.getAs[Long]("n_members")).toMap
+    assert(got == expected,
+      s"pigeonhole pipeline must reproduce the quadratic definition; got $got expected $expected")
+  }
 }
