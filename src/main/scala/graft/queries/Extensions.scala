@@ -5080,6 +5080,128 @@ object Extensions {
     }
   )
 
+  /** INCREMENTAL entity resolution — the O(delta) maintenance face of
+    * [[entityResolution]] (the `x_dedup_*_incremental` discipline applied to
+    * record linkage): a batch of NEW records (customers with k ≡ 0 mod 7 —
+    * the simulated arrivals) is resolved against the FROZEN clustering of
+    * the base, without re-resolving the base. Delta candidates come from
+    * the same lossless 3-part pigeonhole keys, but only delta-involving
+    * pairs are generated and verified — cost is |delta| × bounded-block,
+    * never a corpus re-compare. Two bounded min-label rounds then assign
+    * each delta record the smallest reachable label, where base neighbors
+    * carry their FROZEN base-cluster label (the incremental invariant:
+    * existing assignments never change) and delta-delta chains propagate
+    * among themselves. Records matching nothing mint a new entity (their
+    * own key). A delta record bridging two base clusters takes the smaller
+    * rep; the merge itself is deferred to the next full resolve —
+    * assignment-only semantics, stated and oracled. Output: every delta
+    * record's assigned rep and whether it landed in an existing entity
+    * (rep is a base key).
+    *
+    * Scale: the delta passes shuffle |delta| + matched-block rows only;
+    * base resolution is the one-time cost the increment exists to avoid
+    * (here recomputed in-query because the registry query must be
+    * self-contained — a deployment would read the persisted base labels,
+    * the `x_ann_index_append` artifact pattern).
+    */
+  val erIncremental = Q(
+    "x_er_incremental",
+    (s, d) => {
+      val c = Tables.customer(s, d)
+        .select(col("c_custkey").cast("long").as("k"), col("c_name").as("nm"),
+          col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"))
+        .localCheckpoint(true)
+      def part(i: Int) = concat(
+        substring(col("nm"), 10 + i, 1), substring(col("nm"), 13 + i, 1),
+        substring(col("nm"), 16 + i, 1))
+      val keyed = c.select(col("k"), col("nm"), col("nat"), col("seg"),
+        part(0).as("p0"), part(1).as("p1"), part(2).as("p2"))
+        .localCheckpoint(true)
+      val baseK  = keyed.filter(col("k") % 7 =!= 0)
+      val deltaK = keyed.filter(col("k") % 7 === 0)
+      def candPairs(left: org.apache.spark.sql.DataFrame, right: org.apache.spark.sql.DataFrame) =
+        Seq(("p0", "p1"), ("p0", "p2"), ("p1", "p2")).map { case (x, y) =>
+          val a = left.select(col("k").as("xk"), col("nm").as("xnm"),
+            col("nat"), col("seg"), col(x).as("bx"), col(y).as("by"))
+          val b = right.select(col("k").as("yk"), col("nm").as("ynm"),
+            col("nat"), col("seg"), col(x).as("bx"), col(y).as("by"))
+          a.join(b, Seq("nat", "seg", "bx", "by")).filter(col("xk") =!= col("yk"))
+            .select(col("xk"), col("yk"), col("xnm"), col("ynm"))
+        }.reduce(_ union _).distinct()
+          .filter(levenshtein(col("xnm"), col("ynm")) <= 1)
+          .select(col("xk"), col("yk"))
+      // one-time base resolution (frozen thereafter)
+      val bp = candPairs(baseK, baseK).filter(col("xk") < col("yk"))
+      val be = bp.select(col("xk").as("src"), col("yk").as("dst"))
+        .union(bp.select(col("yk").as("src"), col("xk").as("dst")))
+        .localCheckpoint(true)
+      var bl = baseK.select(col("k").as("node"), col("k").as("label"))
+      for (_ <- 1 to 3) {
+        val nbrMin = be
+          .join(bl.select(col("node").as("dst"), col("label")), "dst")
+          .groupBy(col("src").as("node")).agg(min(col("label")).as("nl"))
+        bl = bl.join(nbrMin, Seq("node"), "left")
+          .select(col("node"), least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+      }
+      val baseLab = bl.localCheckpoint(true)
+      // delta-involving edges only: |delta| x bounded-block
+      val de = candPairs(deltaK, keyed).localCheckpoint(true)
+      var dl = deltaK.select(col("k").as("node"), col("k").as("label"))
+      for (_ <- 1 to 2) {
+        val labAll = baseLab.union(dl)
+        val nbr = de.join(labAll.select(col("node").as("yk"), col("label")), "yk")
+          .groupBy(col("xk").as("node")).agg(min(col("label")).as("nl"))
+        dl = dl.join(nbr, Seq("node"), "left")
+          .select(col("node"), least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+      }
+      dl.select(col("node").as("delta_k"), col("label").as("rep"),
+          when(col("label") % 7 =!= 0, 1L).otherwise(0L).as("is_existing"))
+        .orderBy("delta_k")
+    },
+    Some {
+      val baseRounds = (1 to 3).map { r =>
+        s"""l$r AS (
+              SELECT l.node, least(l.label, coalesce(m.nl, l.label)) AS label
+              FROM l${r - 1} l LEFT JOIN (
+                SELECT e.src AS node, min(l.label) AS nl
+                FROM be e JOIN l${r - 1} l ON e.dst = l.node GROUP BY e.src) m
+              ON l.node = m.node)"""
+      }.mkString(",\n            ")
+      val deltaRounds = (1 to 2).map { r =>
+        s"""m$r AS (
+              SELECT m.node, least(m.label, coalesce(x.nl, m.label)) AS label
+              FROM m${r - 1} m LEFT JOIN (
+                SELECT de.xk AS node, min(al.label) AS nl
+                FROM de JOIN (SELECT node, label FROM l3
+                              UNION ALL SELECT node, label FROM m${r - 1}) al
+                  ON de.yk = al.node
+                GROUP BY de.xk) x ON m.node = x.node)"""
+      }.mkString(",\n            ")
+      s"""WITH c AS (
+              SELECT CAST(c_custkey AS BIGINT) AS k, c_name AS nm, c_nationkey AS nat,
+                c_mktsegment AS seg
+              FROM customer),
+            bc AS (SELECT * FROM c WHERE k % 7 <> 0),
+            dc AS (SELECT * FROM c WHERE k % 7 = 0),
+            bp AS (
+              SELECT a.k AS x, b.k AS y FROM bc a JOIN bc b
+              ON a.nat = b.nat AND a.seg = b.seg AND a.k < b.k
+                AND levenshtein(a.nm, b.nm) <= 1),
+            be AS (SELECT x AS src, y AS dst FROM bp UNION ALL SELECT y, x FROM bp),
+            l0 AS (SELECT k AS node, k AS label FROM bc),
+            $baseRounds,
+            de AS (
+              SELECT d.k AS xk, o.k AS yk FROM dc d JOIN c o
+              ON d.nat = o.nat AND d.seg = o.seg AND d.k <> o.k
+                AND levenshtein(d.nm, o.nm) <= 1),
+            m0 AS (SELECT k AS node, k AS label FROM dc),
+            $deltaRounds
+            SELECT node AS delta_k, label AS rep,
+              CAST(CASE WHEN label % 7 <> 0 THEN 1 ELSE 0 END AS BIGINT) AS is_existing
+            FROM m2 ORDER BY delta_k"""
+    }
+  )
+
   val qs: Seq[Q] = Seq(
     cdcApply, cdcMerge, dataQualityReport, anomalyDays, pagerankQ, fuzzyJoinEdit, mvIncremental,
     sampleWeighted, skewReport, gdprPurge, snapshotDiff, sketchSetOps, annPq, annIvfPq,
@@ -5096,7 +5218,7 @@ object Extensions {
     qualityPerplexity, dsirWeights, semDedup, kMeansQ, kMeansModelQ, tfidfKeywords, embeddingQuantize, bm25Search, vocabCoverage, qualityBySource,
     qualityClassifier, mixTemperature, upsampleEpochs, dedupUrl, bpePairCounts, bpeMerges, bpeTokenize, chunkDocuments, curationPipeline3,
     htmlExtract, shardAssign, shardManifestQ, hardNegativesQ, urlFilter, curationPipeline4,
-    curationPipeline5, zorderQ, entityResolution,
+    curationPipeline5, zorderQ, entityResolution, erIncremental,
     annBruteForce, annLsh, annIvf, annInt8,
     multimodalMeta, multimodalFrames, multimodalResize, multimodalFeatures, multimodalAhash
   )

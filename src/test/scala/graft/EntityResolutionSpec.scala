@@ -78,4 +78,29 @@ class EntityResolutionSpec extends AnyFunSuite {
     assert(got == expected,
       s"pigeonhole pipeline must reproduce the quadratic definition; got $got expected $expected")
   }
+
+  test("incremental ER: joins the CLUSTER label not the matched node, mints new entities, leaves misses alone") {
+    import spark.implicits._
+    val dir = "/tmp/graft_er_inc_fixture"
+    Seq(
+      // base (k % 7 != 0): resolved cluster {10, 11} with rep 10
+      (10L, "Customer#000000019", 1, "AUTOMOBILE", 1.0),
+      (11L, "Customer#000000018", 1, "AUTOMOBILE", 1.0),
+      // delta (k % 7 == 0):
+      // 14 matches base member 11 (lev 1) but NOT rep 10 (lev 2) — must still
+      // land on rep 10 via 11's frozen cluster label
+      (14L, "Customer#000000038", 1, "AUTOMOBILE", 1.0),
+      // 21/28 match only each other — new multi-member entity, rep = min key
+      (21L, "Customer#000000555", 2, "AUTOMOBILE", 1.0),
+      (28L, "Customer#000000556", 2, "AUTOMOBILE", 1.0),
+      // 35 matches nothing — new singleton entity
+      (35L, "Customer#000000700", 3, "BUILDING", 1.0)
+    ).toDF("c_custkey", "c_name", "c_nationkey", "c_mktsegment", "c_acctbal")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+
+    val got = Extensions.erIncremental.run(spark, dir).collect()
+      .map(r => (r.getAs[Long]("delta_k"), r.getAs[Long]("rep"), r.getAs[Long]("is_existing"))).toSet
+    assert(got == Set((14L, 10L, 1L), (21L, 21L, 0L), (28L, 21L, 0L), (35L, 35L, 0L)),
+      s"assignment cases wrong: $got")
+  }
 }
