@@ -672,6 +672,55 @@ object RainStorm {
   ): DataFrame =
     graft.functions.ClusterOps.assignToCentroids(stream, idCol, vecCol, model)
 
+  /** Streaming entity assignment — the streaming face of
+    * `x_er_incremental`'s assignment-to-base case: a stream of NEW records
+    * is resolved against the FROZEN base clustering ("resolve once, assign
+    * forever", the [[clusterAssignStream]] shape for record linkage).
+    * Candidates come from the same lossless 3-part pigeonhole keys as the
+    * batch pipeline (fixed-length names ⇒ Levenshtein ≤ 1 is a single
+    * substitution ⇒ every true match agrees on ≥ 2 of 3 interleaved parts) —
+    * three stream-static equi joins, verified by the exact edit distance.
+    * Each record's assignment is `min(own key, matched base labels)` —
+    * exactly the batch delta-round formula — folded by a watermarked
+    * windowed min; a self row per record keeps misses (they mint their own
+    * key) without a left join. Delta-delta chaining needs cross-record
+    * state and stays a batch concern (stated in the batch query too).
+    * Append mode emits each record's assignment exactly once on window
+    * close; the base side is a bounded entity catalog (broadcast-joinable,
+    * planner's choice — no explicit hint, the streaming-probe rule).
+    *
+    * `base`: (label, nm, nat, seg) — the resolved catalog. `records`:
+    * streaming (k, nm, nat, seg, ts).
+    */
+  def erAssignStream(
+      records: DataFrame,
+      base: DataFrame,
+      windowLen: String = "10 seconds",
+      watermark: String = "10 seconds"
+  ): DataFrame = {
+    def part(c: org.apache.spark.sql.Column, i: Int) = concat(
+      substring(c, 10 + i, 1), substring(c, 13 + i, 1), substring(c, 16 + i, 1))
+    val b = base.select(col("label"), col("nm").as("bnm"), col("nat"), col("seg"),
+      part(col("nm"), 0).as("p0"), part(col("nm"), 1).as("p1"), part(col("nm"), 2).as("p2"))
+    val r = records.withWatermark("ts", watermark)
+      .select(col("k"), col("nm"), col("nat"), col("seg"), col("ts"),
+        part(col("nm"), 0).as("p0"), part(col("nm"), 1).as("p1"), part(col("nm"), 2).as("p2"))
+    val matched = Seq(("p0", "p1"), ("p0", "p2"), ("p1", "p2")).map { case (x, y) =>
+      r.select(col("k"), col("nm"), col("ts"), col("nat"), col("seg"),
+          col(x).as("bx"), col(y).as("by"))
+        .join(b.select(col("label"), col("bnm"), col("nat"), col("seg"),
+          col(x).as("bx"), col(y).as("by")), Seq("nat", "seg", "bx", "by"))
+        .filter(levenshtein(col("nm"), col("bnm")) <= 1)
+        .select(col("k"), col("ts"), col("label"))
+    }.reduce(_ union _)
+    val withSelf = matched.union(r.select(col("k"), col("ts"), col("k").as("label")))
+    withSelf
+      .groupBy(window(col("ts"), windowLen), col("k"))
+      .agg(min(col("label")).as("rep"))
+      .select(col("window"), col("k").as("delta_k"), col("rep"),
+        when(col("rep") =!= col("k"), 1L).otherwise(0L).as("matched_existing"))
+  }
+
   /** Streaming epoch upsampling: ingestion-time mixture materialization —
     * each arriving row repeats ⌊w⌋ + Bernoulli(frac(w)) times exactly as in
     * the batch operator ([[graft.functions.Curation.upsampleEpochs]]).

@@ -103,4 +103,42 @@ class EntityResolutionSpec extends AnyFunSuite {
     assert(got == Set((14L, 10L, 1L), (21L, 21L, 0L), (28L, 21L, 0L), (35L, 35L, 0L)),
       s"assignment cases wrong: $got")
   }
+
+  test("streaming entity assignment equals the batch formula across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions._
+
+    // frozen base catalog: cluster {10, 11} resolved to label 10
+    val base = Seq(
+      (10L, "Customer#000000019", 1, "AUTOMOBILE"),
+      (11L, "Customer#000000018", 1, "AUTOMOBILE")
+    ).toDF("label_src", "nm", "nat", "seg")
+      .select(lit(10L).as("label"), col("nm"), col("nat"), col("seg"))
+
+    val t1 = java.sql.Timestamp.valueOf("2026-01-01 12:00:00")
+    val in = MemoryStream[(Long, String, Int, String, java.sql.Timestamp)]
+    val out = graft.streaming.RainStorm.erAssignStream(
+      in.toDF.toDF("k", "nm", "nat", "seg", "ts"), base)
+    val q = out.writeStream.outputMode("append").format("memory").queryName("er_stream").start()
+    try {
+      // batch 1: 14 matches member 11 via its non-rep name; 35 misses
+      in.addData((14L, "Customer#000000038", 1, "AUTOMOBILE", t1),
+                 (35L, "Customer#000000700", 3, "BUILDING", t1))
+      q.processAllAvailable()
+      // batch 2: 21 matches BOTH members (two candidate passes agree — the
+      // windowed min must not double-count)
+      in.addData((21L, "Customer#000000017", 1, "AUTOMOBILE", t1))
+      q.processAllAvailable()
+      // sentinel far past watermark+window closes the window
+      in.addData((999L, "Customer#000000999", 9, "ZZZ", java.sql.Timestamp.valueOf("2026-01-02 12:00:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.sql("SELECT delta_k, rep, matched_existing FROM er_stream WHERE delta_k < 999")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((14L, 10L, 1L), (35L, 35L, 0L), (21L, 10L, 1L)),
+      s"streaming assignments wrong: $got")
+  }
 }
