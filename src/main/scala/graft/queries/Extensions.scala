@@ -230,6 +230,78 @@ object Extensions {
             FROM documents ORDER BY doc_id""")
   )
 
+  /** GROUP-aware train/test split + leakage audit — the split discipline
+    * [[splitTrainTest]]'s row-hash rule cannot give: hashing the GROUP key
+    * (`source`, the domain) sends every document of a domain to the same
+    * split, so near-duplicate pages from one crawl domain can never straddle
+    * train/test (scikit-learn's GroupShuffleSplit, done as a pure projection).
+    * Both strategies are evaluated side by side with two audits: how many
+    * sources SPAN both splits (group split: structurally zero — the
+    * invariant itself, and the hash proves it) and how many exact content
+    * hashes leak across the boundary (nonzero for BOTH at sf0.1 — identical
+    * texts recur on different domains, so a group split alone is NOT
+    * decontamination; the pipeline still needs [[decontaminate]]'s content
+    * pass. That finding is the point of shipping the audit).
+    *
+    * Scale: split assignment is per-row projection; each audit is one
+    * hash-partitioned aggregate (on source / content hash) feeding a
+    * count — the 1-row audit frames join by cross of singletons, the
+    * registry's model-scalar crossJoin discipline.
+    */
+  val groupSplit = Q(
+    "x_group_split",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(
+        col("source"), md5(col("text")).as("content_hash"),
+        when(substring(md5(concat(col("doc_id").cast("string"), lit(":seed42"))), 1, 2) < "cd",
+          lit("train")).otherwise(lit("test")).as("row_split"),
+        when(substring(md5(concat(col("source"), lit(":seed42"))), 1, 2) < "cd",
+          lit("train")).otherwise(lit("test")).as("group_split"))
+      def audit(splitCol: String, label: String) = {
+        val counts = docs.agg(
+          sum(when(col(splitCol) === "train", 1L).otherwise(0L)).as("n_train"),
+          sum(when(col(splitCol) === "test", 1L).otherwise(0L)).as("n_test"))
+        val spanSources = docs.groupBy("source")
+          .agg(countDistinct(col(splitCol)).as("n_sides"))
+          .filter(col("n_sides") === 2)
+          .agg(count(lit(1)).as("n_split_sources"))
+        val leaks = docs.groupBy("content_hash")
+          .agg(countDistinct(col(splitCol)).as("n_sides"))
+          .filter(col("n_sides") === 2)
+          .agg(count(lit(1)).as("n_leaked_texts"))
+        counts.crossJoin(spanSources).crossJoin(leaks)
+          .select(lit(label).as("strategy"), col("n_train"), col("n_test"),
+            col("n_split_sources"), col("n_leaked_texts"))
+      }
+      audit("row_split", "row_hash").union(audit("group_split", "group_hash"))
+        .orderBy("strategy")
+    },
+    Some("""WITH base AS (
+              SELECT source, md5(text) AS content_hash,
+                CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':seed42'), 1, 2) < 'cd'
+                     THEN 'train' ELSE 'test' END AS row_split,
+                CASE WHEN substr(md5(source || ':seed42'), 1, 2) < 'cd'
+                     THEN 'train' ELSE 'test' END AS group_split
+              FROM documents),
+            a AS (
+              SELECT 'row_hash' AS strategy,
+                (SELECT count(*) FROM base WHERE row_split = 'train') AS n_train,
+                (SELECT count(*) FROM base WHERE row_split = 'test') AS n_test,
+                (SELECT count(*) FROM (SELECT source FROM base
+                   GROUP BY source HAVING count(DISTINCT row_split) = 2)) AS n_split_sources,
+                (SELECT count(*) FROM (SELECT content_hash FROM base
+                   GROUP BY content_hash HAVING count(DISTINCT row_split) = 2)) AS n_leaked_texts
+              UNION ALL
+              SELECT 'group_hash',
+                (SELECT count(*) FROM base WHERE group_split = 'train'),
+                (SELECT count(*) FROM base WHERE group_split = 'test'),
+                (SELECT count(*) FROM (SELECT source FROM base
+                   GROUP BY source HAVING count(DISTINCT group_split) = 2)),
+                (SELECT count(*) FROM (SELECT content_hash FROM base
+                   GROUP BY content_hash HAVING count(DISTINCT group_split) = 2)))
+            SELECT * FROM a ORDER BY strategy""")
+  )
+
   /** Stratified top-N sampling: the N "best" docs per language — per-stratum
     * window rank, one shuffle on the stratum key. At 100 TB Spark rewrites
     * the rank-filter to WindowGroupLimit (per-partition top-N heaps before
@@ -5218,7 +5290,7 @@ object Extensions {
     qualityPerplexity, dsirWeights, semDedup, kMeansQ, kMeansModelQ, tfidfKeywords, embeddingQuantize, bm25Search, vocabCoverage, qualityBySource,
     qualityClassifier, mixTemperature, upsampleEpochs, dedupUrl, bpePairCounts, bpeMerges, bpeTokenize, chunkDocuments, curationPipeline3,
     htmlExtract, shardAssign, shardManifestQ, hardNegativesQ, urlFilter, curationPipeline4,
-    curationPipeline5, zorderQ, entityResolution, erIncremental,
+    curationPipeline5, zorderQ, entityResolution, erIncremental, groupSplit,
     annBruteForce, annLsh, annIvf, annInt8,
     multimodalMeta, multimodalFrames, multimodalResize, multimodalFeatures, multimodalAhash
   )

@@ -604,7 +604,52 @@ object Governance {
               (SELECT count(*) FROM read_parquet('$SchemaBase/wap/published/data/*.parquet')) AS n_published""")
   )
 
-  val qs: Seq[Q] = Seq(kAnonymity, schemaEvolution, unpivotMetrics, ewmaAnomaly,
+  /** In-flight pipeline observability via `Dataset.observe` (Catalyst's
+    * CollectMetrics operator): a curation gate filters documents, and the
+    * audit counters — rows in, rows failing each gate — accumulate INSIDE
+    * the same pass, map-side, as the data flows. At 100 TB this is the
+    * difference between one scan and two: the naive audit re-scans the input
+    * to count what the filter dropped; `observe` rides the existing scan for
+    * free (metrics are AccumulatorV2s merged on task completion — no extra
+    * exchange, no second job over the corpus). The collected metric row is
+    * model-sized (four longs), the same driver-scalar discipline as the
+    * k-means centroids. The oracle replays every counter as plain SQL
+    * aggregates over the same table.
+    *
+    * Gate counters are INDEPENDENT (a doc can fail length AND language;
+    * counters overlap deliberately — per-cause monitoring, not a partition
+    * of the drops); `n_kept` is the conjunctive gate's survivor count.
+    */
+  val observeAudit = Q(
+    "x_observe_audit",
+    (s, d) => {
+      val obs = new org.apache.spark.sql.Observation("curation_gate")
+      val gated = Tables.documents(s, d)
+        .observe(obs,
+          count(lit(1)).as("n_in"),
+          sum(when(col("n_chars") < 150, 1L).otherwise(0L)).as("n_too_short"),
+          sum(when(col("n_chars") > 400, 1L).otherwise(0L)).as("n_too_long"),
+          sum(when(!col("lang").isin("en", "de", "es", "fr"), 1L).otherwise(0L)).as("n_bad_lang"))
+        .filter(col("n_chars").between(150, 400) && col("lang").isin("en", "de", "es", "fr"))
+      val nKept = gated.count() // the one action; populates the observation
+      val m = obs.get
+      s.range(1).select(
+        lit(m("n_in").asInstanceOf[Long]).as("n_in"),
+        lit(m("n_too_short").asInstanceOf[Long]).as("n_too_short"),
+        lit(m("n_too_long").asInstanceOf[Long]).as("n_too_long"),
+        lit(m("n_bad_lang").asInstanceOf[Long]).as("n_bad_lang"),
+        lit(nKept).as("n_kept"))
+    },
+    Some("""SELECT count(*) AS n_in,
+              count(*) FILTER (WHERE n_chars < 150) AS n_too_short,
+              count(*) FILTER (WHERE n_chars > 400) AS n_too_long,
+              count(*) FILTER (WHERE lang NOT IN ('en','de','es','fr')) AS n_bad_lang,
+              count(*) FILTER (WHERE n_chars BETWEEN 150 AND 400
+                               AND lang IN ('en','de','es','fr')) AS n_kept
+            FROM documents""")
+  )
+
+  val qs: Seq[Q] = Seq(kAnonymity, schemaEvolution, unpivotMetrics, ewmaAnomaly, observeAudit,
     holtWinters, groupedPercentiles, gapsIslands, equidepthHistogram, dppPrune, dpNoisyCounts,
     replicaReconcile, wapPublish)
 }

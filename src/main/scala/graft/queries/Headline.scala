@@ -1124,7 +1124,59 @@ object Headline {
             GROUP BY o_orderpriority ORDER BY o_orderpriority""")
   )
 
+  /** RUNTIME Bloom-filter join pruning — the row-level complement to
+    * [[graft.queries.Governance]]'s partition-level DPP: when a shuffle join's
+    * build side carries a selective filter, Catalyst's `InjectRuntimeFilter`
+    * plants a Bloom filter built from the filtered dim keys as a
+    * `bloom_filter_might_contain` predicate on the FACT side, so non-matching
+    * fact rows die at (or near) the scan instead of riding the shuffle to the
+    * join. At 100 TB this is the difference between shuffling the whole fact
+    * table and shuffling the ~1/25th that can possibly match a
+    * priority+year-filtered orders dim. The `merge` hint models the
+    * too-big-to-broadcast dim (with broadcast available the filter is moot —
+    * same scenario doctrine as [[h32]]); the application-side size threshold
+    * (default 10 GB — cluster-sized) is lowered in a CHILD session
+    * (`newSession`: shared context, isolated conf, so no other registry
+    * query's plan changes), and planning is forced while those confs hold.
+    * The Bloom filter is a may-contain superset, semantically invisible —
+    * the oracle is the PLAIN join + aggregate, exactly what the hash checks.
+    * PlanSpec pins `bloom_filter_might_contain` on the fact side.
+    */
+  val h34 = Q(
+    "h34_runtime_bloom_join",
+    (s, d) => {
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      // Stats-less parquet relations estimate large: raise the creation-side
+      // cap so the FILTERED dim qualifies at test scale (at real scale CBO
+      // stats make the default 10 MB gate meaningful), and take broadcast off
+      // the table the way the modeled scenario (dim >> driver memory) would.
+      s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "1GB")
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val fact = Tables.lineitem(s2, d)
+        .select(col("l_orderkey"), col("l_returnflag"),
+          (dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount"))).as("rev"))
+      val dim = Tables.orders(s2, d)
+        .filter(col("o_orderpriority") === "1-URGENT" && year(col("o_orderdate")) === 1995)
+        .select(col("o_orderkey"))
+      val out = fact.join(dim.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(col("rev")).cast("double").as("revenue"))
+        .orderBy("l_returnflag")
+      // Force optimization NOW, while this child session's thresholds hold —
+      // QueryExecution is cached on the frame, so later actions reuse it.
+      out.queryExecution.executedPlan
+      out
+    },
+    Some("""SELECT l_returnflag, count(*) AS n,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderpriority = '1-URGENT' AND year(o_orderdate) = 1995
+            GROUP BY l_returnflag ORDER BY l_returnflag""")
+  )
+
   val qs: Seq[Q] = Seq(h1, h2, h3, h4, h5, h6, h7, h7b, h7c, h7d, h8, h9, h10, h11, h12, h13,
     h14, h15, h16, h17, h18, h19, h20, h21, h22, h23, h24, h25, h26, h27, h28, h29, h30, h31,
-    h32, h33)
+    h32, h33, h34)
 }

@@ -141,4 +141,45 @@ class GovernanceSpec extends AnyFunSuite {
       .filter(date_format(col("l_shipdate"), "yyyy-MM") === m).count()
     assert(out.head.getAs[Long]("n") == direct)
   }
+
+  test("observe audit: in-flight counters equal their recomputed aggregates") {
+    val r = Governance.observeAudit.run(spark, sf).collect().head
+    val docs = graft.Tables.documents(spark, sf)
+    assert(r.getAs[Long]("n_in") == docs.count())
+    assert(r.getAs[Long]("n_too_short") == docs.filter(col("n_chars") < 150).count())
+    assert(r.getAs[Long]("n_too_long") == docs.filter(col("n_chars") > 400).count())
+    assert(r.getAs[Long]("n_bad_lang") ==
+      docs.filter(!col("lang").isin("en", "de", "es", "fr")).count())
+    assert(r.getAs[Long]("n_kept") ==
+      docs.filter(col("n_chars").between(150, 400) &&
+        col("lang").isin("en", "de", "es", "fr")).count())
+    assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_in"))
+  }
+
+  test("h34 runtime-Bloom join equals the plain join (the filter is a may-contain superset)") {
+    val bloom = graft.queries.Headline.h34.run(spark, sf).collect()
+    val plain = {
+      val fact = graft.Tables.lineitem(spark, sf)
+      val dim = graft.Tables.orders(spark, sf)
+        .filter(col("o_orderpriority") === "1-URGENT" && year(col("o_orderdate")) === 1995)
+        .select(col("o_orderkey"))
+      fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+        .orderBy("l_returnflag").collect()
+    }
+    assert(bloom.map(r => (r.getString(0), r.getAs[Long]("n"))).toSeq ==
+      plain.map(r => (r.getString(0), r.getAs[Long]("n"))).toSeq)
+  }
+
+  test("group split: group strategy never splits a source; totals conserved") {
+    val rows = graft.queries.Extensions.groupSplit.run(spark, sf).collect()
+    assert(rows.length == 2)
+    val byStrat = rows.map(r => r.getAs[String]("strategy") -> r).toMap
+    val g = byStrat("group_hash"); val rw = byStrat("row_hash")
+    assert(g.getAs[Long]("n_split_sources") == 0L,
+      "group split's structural invariant: no source spans train and test")
+    val total = graft.Tables.documents(spark, sf).count()
+    assert(g.getAs[Long]("n_train") + g.getAs[Long]("n_test") == total)
+    assert(rw.getAs[Long]("n_train") + rw.getAs[Long]("n_test") == total)
+  }
 }

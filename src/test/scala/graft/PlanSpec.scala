@@ -604,4 +604,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"blocking must bound the pair space:\n${p.take(1200)}")
   }
+
+  test("h34: runtime Bloom filter from the filtered dim lands on the fact side") {
+    val p = plan(Headline.h34)
+    assert(p.contains("might_contain"),
+      s"InjectRuntimeFilter must plant a Bloom predicate on the fact scan side:\n${p.take(2000)}")
+    assert(p.contains("bloom_filter_agg"),
+      "the filter must be BUILT from the filtered dim keys (one model-sized aggregate)")
+    assert(p.contains("SortMergeJoin"), "merge hint (too-big-to-broadcast dim) must hold")
+  }
+
+  test("x_group_split: audits aggregate on hash keys — no quadratic pair shapes") {
+    val p = plan(graft.queries.Extensions.groupSplit)
+    assert(!p.contains("CartesianProduct"),
+      "only 1-row audit frames may cross-join (Spark plans those as broadcast loops)")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size >= 2,
+      "source-span and content-leak audits must each be a hash-partitioned aggregate")
+  }
 }
