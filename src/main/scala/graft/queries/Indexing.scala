@@ -756,17 +756,35 @@ object Indexing {
     * false-positive gap — the skip-rate evidence a table format's footer
     * stats would carry. All hashes are the md5 primitive, so build and
     * probes replay row-level.
+    *
+    * Hash cost model (the r12 slow-list fix): bits depend only on the KEY,
+    * so the digest runs once per DISTINCT part key (|keys| md5s, ~20k at
+    * sf0.1) and broadcast-joins back onto the (file, key) pairs — not once
+    * per row×k (1.8M md5s, the original shape). The k=3 bit positions split
+    * ONE digest (hex chars 1–3 / 4–6 / 7–9; 3 hex chars are exactly the
+    * 12-bit space, no modulo) — the Kirsch–Mitzenmacher "less hashing, same
+    * performance" construction. At 100 TB the build cost is dominated by the
+    * (file, bit) distinct aggregation, which is the honest index cost; the
+    * hashing is now key-cardinality-bounded, not corpus-bounded.
     */
   val bloomIndex = Q(
     "x_bloom_index",
     (s, d) => {
       val li = Tables.lineitem(s, d)
         .select((col("l_orderkey") / 64).cast("long").as("file_id"), col("l_partkey"))
-      val fileBits = li
-        .select(col("file_id"), explode(expr(
+      val keyBits = li.select(col("l_partkey")).distinct()
+        .withColumn("dig", expr("md5(concat('bf:', l_partkey))"))
+        .select(col("l_partkey"), posexplode(expr(
           """transform(sequence(0, 2),
-             r -> cast(conv(substring(md5(concat('bf', r, ':', l_partkey)), 1, 15), 16, 10)
-                  as long) % 4096)""")).as("bit"))
+             r -> cast(conv(substring(dig, 1 + r * 3, 3), 16, 10) as long))"""))
+          .as(Seq("r", "bit")))
+      // (file, key) pre-dedup before the ×3 bit explode: measured A/B at
+      // sf0.1 (clean windows) it beats joining straight off the scan — the
+      // deduped, AQE-coalesced frame feeds the explode and the (file, bit)
+      // distinct a third of the rows their partial aggregates otherwise eat.
+      val fileBits = li.distinct()
+        .join(broadcast(keyBits.select(col("l_partkey"), col("bit"))), Seq("l_partkey"))
+        .select(col("file_id"), col("bit"))
         .distinct()
       // Key-frequency frame is key-cardinality-sized; checkpoint it so the
       // four probe-side derivations (top5, absent5, probe bits, actual)
@@ -776,10 +794,11 @@ object Indexing {
       val absent5 = present.agg(max(col("l_partkey")).as("mx"))
         .select(explode(sequence(col("mx") + 1, col("mx") + 5)).as("l_partkey"))
       val probes = top5.union(absent5)
+        .withColumn("dig", expr("md5(concat('bf:', l_partkey))"))
         .select(col("l_partkey").as("probe_key"), posexplode(expr(
           """transform(sequence(0, 2),
-             r -> cast(conv(substring(md5(concat('bf', r, ':', l_partkey)), 1, 15), 16, 10)
-                  as long) % 4096)""")).as(Seq("r", "bit")))
+             r -> cast(conv(substring(dig, 1 + r * 3, 3), 16, 10) as long))"""))
+          .as(Seq("r", "bit")))
       val maybe = fileBits.join(broadcast(probes), Seq("bit"))
         .groupBy(col("probe_key"), col("file_id"))
         .agg(countDistinct(col("r")).as("hits"))
@@ -801,13 +820,17 @@ object Indexing {
     },
     Some("""WITH li AS (
               SELECT l_orderkey // 64 AS file_id, l_partkey FROM lineitem),
-            bits AS (
-              SELECT DISTINCT file_id,
+            kb AS (
+              SELECT l_partkey,
                 CAST(list_reduce(list_transform(
-                    string_split(substr(md5('bf' || r.r || ':' || l_partkey), 1, 15), ''),
+                    string_split(substr(md5('bf:' || l_partkey), 1 + r.r * 3, 3), ''),
                     c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
-                  (a, x) -> a * 16 + x) % 4096 AS BIGINT) AS bit
-              FROM li, range(0, 3) r(r)),
+                  (a, x) -> a * 16 + x) AS BIGINT) AS bit
+              FROM (SELECT DISTINCT l_partkey FROM li), range(0, 3) r(r)),
+            bits AS (
+              SELECT DISTINCT fp.file_id, kb.bit
+              FROM (SELECT DISTINCT file_id, l_partkey FROM li) fp
+              JOIN kb USING (l_partkey)),
             pk AS (SELECT l_partkey, count(*) AS n FROM li GROUP BY 1),
             top5 AS (SELECT l_partkey FROM pk ORDER BY n DESC, l_partkey LIMIT 5),
             abs5 AS (
@@ -816,9 +839,9 @@ object Indexing {
             probes AS (
               SELECT l_partkey AS probe_key, r.r,
                 CAST(list_reduce(list_transform(
-                    string_split(substr(md5('bf' || r.r || ':' || l_partkey), 1, 15), ''),
+                    string_split(substr(md5('bf:' || l_partkey), 1 + r.r * 3, 3), ''),
                     c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
-                  (a, x) -> a * 16 + x) % 4096 AS BIGINT) AS bit
+                  (a, x) -> a * 16 + x) AS BIGINT) AS bit
               FROM (SELECT * FROM top5 UNION ALL SELECT * FROM abs5), range(0, 3) r(r)),
             maybe AS (
               SELECT probe_key, count(*) AS n_files_maybe FROM (
