@@ -649,7 +649,70 @@ object Governance {
             FROM documents""")
   )
 
-  val qs: Seq[Q] = Seq(kAnonymity, schemaEvolution, unpivotMetrics, ewmaAnomaly, observeAudit,
+  /** Snapshot retention (VACUUM) — the third leg of the table-maintenance
+    * triad beside compaction (`x_compaction`/index `compact`) and
+    * write–audit–publish (`x_wap_publish`): four manifest-last publishes
+    * build a versioned store (`snap=1..4`, each a different cumulative
+    * lineitem slice), crash debris is planted (`.__merge_tmp`,
+    * `.__append_x`), then [[graft.sources.Storage.vacuum]] retains the
+    * 2-snapshot window ending at the live snapshot and sweeps the debris.
+    * The oracle sees only the POST-vacuum filesystem: it re-derives the
+    * live snapshot from the manifest parquet, counts retained snapshots and
+    * rows via a hive-partitioned read of what survived, and proves the
+    * debris is gone via glob() — a leaky vacuum (live deleted, window
+    * wrong, debris left) hash-fails.
+    *
+    * Scale: vacuum is metadata-only (one dir listing + one manifest row;
+    * deletes proportional to expired snapshots, zero data reads) — the
+    * shape that keeps a 100 TB store's maintenance off the query path.
+    */
+  val vacuumRetention = Q(
+    "x_vacuum_retention",
+    (s, d) => {
+      val base = s"$SchemaBase/vac"
+      Storage.drop(base)
+      (1 to 4).foreach { v =>
+        Tables.lineitem(s, d)
+          .filter(col("l_orderkey") % 4 < v)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+          .write.mode("overwrite").parquet(s"$base/snap=$v")
+        // manifest LAST: the flip is what makes snapshot v live
+        s.range(1).select(lit(v.toLong).as("live"))
+          .write.mode("overwrite").parquet(s"$base/manifest")
+      }
+      // crash debris: a dead rename-aside sidecar and a dead staged append
+      s.range(1).select(lit(1L).as("junk")).write.parquet(s"$base/x.__merge_tmp")
+      s.range(1).select(lit(1L).as("junk")).write.parquet(s"$base/x.__append_dead")
+      val (live, _, _) = Storage.vacuum(s, base, keepLast = 2)
+      val retained = Storage.ls(base).filter(_.startsWith("snap="))
+        .map(_.stripPrefix("snap=").toLong).sorted
+      val nRowsLive = s.read.parquet(s"$base/snap=$live").count()
+      val nRowsRetained = retained.map(v => s.read.parquet(s"$base/snap=$v").count()).sum
+      val nStray = Storage.ls(base).count(n => n.contains("__"))
+      s.range(1).select(
+        lit(live).as("live_snap"),
+        lit(retained.size.toLong).as("n_snaps_retained"),
+        lit(nRowsLive).as("n_rows_live"),
+        lit(nRowsRetained).as("n_rows_retained"),
+        lit(nStray.toLong).as("n_stray_dirs"))
+    },
+    Some(s"""SELECT
+              (SELECT live FROM read_parquet('$SchemaBase/vac/manifest/*.parquet')) AS live_snap,
+              (SELECT count(DISTINCT snap)
+                 FROM read_parquet('$SchemaBase/vac/snap=*/*.parquet', hive_partitioning=true))
+                AS n_snaps_retained,
+              (SELECT count(*)
+                 FROM read_parquet('$SchemaBase/vac/snap=*/*.parquet', hive_partitioning=true)
+                 WHERE CAST(snap AS BIGINT) =
+                   (SELECT live FROM read_parquet('$SchemaBase/vac/manifest/*.parquet')))
+                AS n_rows_live,
+              (SELECT count(*)
+                 FROM read_parquet('$SchemaBase/vac/snap=*/*.parquet', hive_partitioning=true))
+                AS n_rows_retained,
+              (SELECT count(*) FROM glob('$SchemaBase/vac/*__*')) AS n_stray_dirs""")
+  )
+
+  val qs: Seq[Q] = Seq(kAnonymity, schemaEvolution, unpivotMetrics, ewmaAnomaly, observeAudit, vacuumRetention,
     holtWinters, groupedPercentiles, gapsIslands, equidepthHistogram, dppPrune, dpNoisyCounts,
     replicaReconcile, wapPublish)
 }

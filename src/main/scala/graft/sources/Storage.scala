@@ -90,6 +90,38 @@ object Storage {
     deleteRecursively(old)
   }
 
+  /** Snapshot retention + crash-debris sweep — the VACUUM of the
+    * versioned-snapshot layout (`path/snap=N/` parquet dirs, `path/manifest`
+    * holding the live N, manifest written LAST by publishers): physically
+    * removes snapshots older than the `keepLast`-sized window ending at the
+    * live snapshot, plus rename-aside / staged-append debris
+    * (`.__merge_tmp` / `.__merge_old` / `.__append_*`) left by crashed
+    * writers. Safety contract: REFUSES a torn store (snapshots present but
+    * no manifest — a reader can't tell which is live, so neither can the
+    * vacuum); never touches the live snapshot; never touches snapshots
+    * NEWER than live (an in-flight publish owns them — its manifest flip
+    * hasn't happened yet). At 100 TB this is metadata-only work: one
+    * directory listing + one manifest row, deletes proportional to expired
+    * snapshots, zero data reads.
+    * Returns (liveSnap, removedSnaps, removedStray).
+    */
+  def vacuum(spark: SparkSession, path: String, keepLast: Int): (Long, Long, Long) = {
+    require(keepLast >= 1, "vacuum must retain at least the live snapshot")
+    val entries = ls(path)
+    val snaps = entries.filter(_.startsWith("snap=")).map(_.stripPrefix("snap=").toLong)
+    if (snaps.nonEmpty)
+      require(exists(s"${path.stripSuffix("/")}/manifest"),
+        "torn store: snapshots present but no manifest names the live one — refusing to vacuum")
+    val live = spark.read.parquet(s"${path.stripSuffix("/")}/manifest")
+      .head().getAs[Long]("live")
+    val expired = snaps.filter(v => v < live - keepLast + 1) // never live, never in-flight (> live)
+    expired.foreach(v => drop(s"${path.stripSuffix("/")}/snap=$v"))
+    val stray = entries.filter(n =>
+      n.contains(".__merge_tmp") || n.contains(".__merge_old") || n.contains(".__append_"))
+    stray.foreach(n => drop(s"${path.stripSuffix("/")}/$n"))
+    (live, expired.size.toLong, stray.size.toLong)
+  }
+
   /** `ls` / `store` — file→storage listing (`core_process_hydfs.go:613-630`). */
   def ls(path: String): Seq[String] = {
     val p = Paths.get(path)

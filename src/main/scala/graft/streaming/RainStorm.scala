@@ -1264,6 +1264,28 @@ object RainStorm {
       }
   }
 
+  /** Streaming curation gate with IN-FLIGHT audit counters — the streaming
+    * face of `x_observe_audit`: `observe` rides each micro-batch's existing
+    * pass (CollectMetrics accumulators merged on task completion), and the
+    * per-batch counter row surfaces on
+    * `StreamingQueryProgress.observedMetrics("curation_gate")` — the
+    * engine's own progress channel. No second scan of the batch, no side
+    * sink, no state store entry: at 100 TB/day of stream traffic the audit
+    * is free because it is the same pass that filters. Returns the GATED
+    * stream (append-safe, row-local predicate); callers read the audit from
+    * progress, exactly as a monitoring agent tails the progress JSON.
+    * Counter names and gate thresholds match the batch face so the two are
+    * comparable series.
+    */
+  def observeGateStream(docs: DataFrame): DataFrame =
+    docs
+      .observe("curation_gate",
+        count(lit(1)).as("n_in"),
+        sum(when(col("n_chars") < 150, 1L).otherwise(0L)).as("n_too_short"),
+        sum(when(col("n_chars") > 400, 1L).otherwise(0L)).as("n_too_long"),
+        sum(when(!col("lang").isin("en", "de", "es", "fr"), 1L).otherwise(0L)).as("n_bad_lang"))
+      .filter(col("n_chars").between(150, 400) && col("lang").isin("en", "de", "es", "fr"))
+
   /** Generic 3-stage pipeline runner mirroring the `RainStorm op1 op2 src dest
     * num_tasks` terminal verb (`core_process_stream_DS.go:1645-1842`):
     * source → op1 (stateless transform) → shuffle on key → op2 (grouped agg),

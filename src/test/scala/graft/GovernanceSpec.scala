@@ -142,6 +142,29 @@ class GovernanceSpec extends AnyFunSuite {
     assert(out.head.getAs[Long]("n") == direct)
   }
 
+  test("vacuum: retention window honored, live and in-flight snapshots survive, torn store refused") {
+    import graft.sources.Storage
+    val base = "/tmp/graft_test_vac"
+    Storage.drop(base)
+    (1 to 5).foreach { v =>
+      spark.range(v * 10).select(col("id")).write.mode("overwrite").parquet(s"$base/snap=$v")
+      if (v <= 4) // snap=5 is an IN-FLIGHT publish: written, manifest not yet flipped
+        spark.range(1).select(lit(v.toLong).as("live"))
+          .write.mode("overwrite").parquet(s"$base/manifest")
+    }
+    spark.range(1).write.parquet(s"$base/x.__merge_old")
+    val (live, removedSnaps, removedStray) = Storage.vacuum(spark, base, keepLast = 2)
+    assert(live == 4L && removedSnaps == 2L && removedStray == 1L)
+    val left = Storage.ls(base).filter(_.startsWith("snap=")).sorted
+    assert(left == Seq("snap=3", "snap=4", "snap=5"),
+      "window {3,4} retained, live 4 untouched, in-flight 5 untouched")
+    assert(Storage.ls(base).count(_.contains("__")) == 0, "crash debris must be swept")
+    assert(spark.read.parquet(s"$base/snap=4").count() == 40L, "live data intact")
+
+    Storage.drop(s"$base/manifest")
+    intercept[IllegalArgumentException](Storage.vacuum(spark, base, keepLast = 2))
+  }
+
   test("observe audit: in-flight counters equal their recomputed aggregates") {
     val r = Governance.observeAudit.run(spark, sf).collect().head
     val docs = graft.Tables.documents(spark, sf)

@@ -884,4 +884,38 @@ class RainStormStreamingSpec extends AnyFunSuite {
     assert(streamed === batch,
       "per-key EWMA state machine must make the stream bit-equal to the batch recurrence")
   }
+
+  test("observeGateStream: per-batch audit counters ride the progress channel") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // (doc_id, n_chars, lang) — per batch: one survivor, plus one failure of
+    // each gate (short / long / bad lang); batch 2 adds a doc failing TWO
+    // gates at once (counters overlap deliberately; it must count in both).
+    val b1 = Seq((1L, 200L, "en"), (2L, 10L, "en"), (3L, 900L, "de"), (4L, 300L, "zh"))
+    val b2 = Seq((5L, 399L, "fr"), (6L, 149L, "es"), (7L, 401L, "en"), (8L, 20L, "xx"))
+
+    val in = MemoryStream[(Long, Long, String)]
+    val gated = graft.streaming.RainStorm
+      .observeGateStream(in.toDF().toDF("doc_id", "n_chars", "lang"))
+    val q = gated.writeStream.outputMode("append")
+      .format("memory").queryName("observe_gate").start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    val kept = spark.table("observe_gate").select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 5L), "gate must keep exactly the in-range, in-language docs")
+
+    val metrics = q.recentProgress.toSeq
+      .flatMap(p => Option(p.observedMetrics.get("curation_gate")))
+      .filter(_.getAs[Long]("n_in") > 0) // empty wrap-up batches carry no rows
+      .map(r => (r.getAs[Long]("n_in"), r.getAs[Long]("n_too_short"),
+        r.getAs[Long]("n_too_long"), r.getAs[Long]("n_bad_lang")))
+    assert(metrics == Seq((4L, 1L, 1L, 1L), (4L, 2L, 1L, 1L)),
+      s"each micro-batch must report its own gate counters (doc 8 fails short AND lang):\n$metrics")
+  }
 }
