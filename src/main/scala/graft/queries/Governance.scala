@@ -712,7 +712,65 @@ object Governance {
               (SELECT count(*) FROM glob('$SchemaBase/vac/*__*')) AS n_stray_dirs""")
   )
 
-  val qs: Seq[Q] = Seq(kAnonymity, schemaEvolution, unpivotMetrics, ewmaAnomaly, observeAudit, vacuumRetention,
+  /** Multi-format ingest — the heterogeneous-source reality the registry's
+    * parquet-only reads skipped: one corpus lands as CSV (header, quoted),
+    * JSON-lines, and parquet; each is read back with an EXPLICIT schema (no
+    * inference job over 100 TB of text — schema-on-read is a contract, not a
+    * scan), tagged with its format, unioned by name, and aggregated. The
+    * text column rides along to prove byte fidelity across the
+    * serialize/parse round-trip (`sum_len` re-derives length post-parse —
+    * a quoting or escaping bug in either engine's CSV/JSON path breaks the
+    * hash). The oracle re-reads the SAME files with DuckDB's read_csv /
+    * read_json / read_parquet — cross-engine format compatibility is the
+    * point: the artifacts are portable, not Spark-private.
+    *
+    * Scale: all three readers are splittable scans (CSV/JSONL split by
+    * line, parquet by row group); the union is plan-level (no exchange) and
+    * the aggregate is one partial→final pass.
+    */
+  val multiformatIngest = Q(
+    "x_multiformat_ingest",
+    (s, d) => {
+      val base = s"$SchemaBase/formats"
+      Storage.drop(base)
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"), col("text"))
+      docs.filter(col("doc_id") % 3 === 0)
+        .write.mode("overwrite").option("header", "true").csv(s"$base/csv")
+      docs.filter(col("doc_id") % 3 === 1).write.mode("overwrite").json(s"$base/jsonl")
+      docs.filter(col("doc_id") % 3 === 2).write.mode("overwrite").parquet(s"$base/parquet")
+      val schema = docs.schema
+      val fromCsv = s.read.schema(schema).option("header", "true").csv(s"$base/csv")
+        .withColumn("fmt", lit("csv"))
+      val fromJson = s.read.schema(schema).json(s"$base/jsonl")
+        .withColumn("fmt", lit("jsonl"))
+      val fromPq = s.read.parquet(s"$base/parquet").withColumn("fmt", lit("parquet"))
+      fromCsv.unionByName(fromJson).unionByName(fromPq)
+        .groupBy(col("fmt"), col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"),
+          sum(length(col("text")).cast("long")).as("sum_len"))
+        .orderBy("fmt", "lang")
+    },
+    Some(s"""WITH u AS (
+              SELECT 'csv' AS fmt, lang, n_chars, text
+              FROM read_csv('$SchemaBase/formats/csv/*.csv', header=true,
+                columns={'doc_id':'BIGINT','lang':'VARCHAR','source':'VARCHAR',
+                         'n_chars':'BIGINT','text':'VARCHAR'})
+              UNION ALL
+              SELECT 'jsonl', lang, n_chars, text
+              FROM read_json('$SchemaBase/formats/jsonl/*.json', format='newline_delimited',
+                columns={'doc_id':'BIGINT','lang':'VARCHAR','source':'VARCHAR',
+                         'n_chars':'BIGINT','text':'VARCHAR'})
+              UNION ALL
+              SELECT 'parquet', lang, n_chars, text
+              FROM read_parquet('$SchemaBase/formats/parquet/*.parquet'))
+            SELECT fmt, lang, count(*) AS n,
+              CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+              CAST(sum(length(text)) AS BIGINT) AS sum_len
+            FROM u GROUP BY fmt, lang ORDER BY fmt, lang""")
+  )
+
+  val qs: Seq[Q] = Seq(kAnonymity, schemaEvolution, unpivotMetrics, ewmaAnomaly, observeAudit, vacuumRetention, multiformatIngest,
     holtWinters, groupedPercentiles, gapsIslands, equidepthHistogram, dppPrune, dpNoisyCounts,
     replicaReconcile, wapPublish)
 }
