@@ -757,8 +757,117 @@ object Serving {
             ORDER BY query_id""")
   )
 
+  private val KmvStore    = "/tmp/graft_index/kmv_store"
+  private val KmvStoreApp = "/tmp/graft_index/kmv_store_app"
+
+  /** (seg, hv) rows for the sketch store: 1024-orderkey segments, the
+    * registry's fixed Carter–Wegman hash of the part key.
+    */
+  private def kmvRows(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).select(
+      expr("l_orderkey div 1024").as("seg"),
+      graft.functions.NativeFns.hash61(col("l_partkey"),
+        graft.functions.KmvSketch.A, graft.functions.KmvSketch.B).as("hv"))
+
+  /** Persisted per-segment KMV sketch store, range probe
+    * ([[graft.functions.SketchStore]]) — the third persisted serving family
+    * (text index, IVF-PQ, now distinct-count sketches): build once, then
+    * answer "distinct part keys in segments [lo, hi]" from ≤ k sketch rows
+    * per segment, never the data. Two probes (a narrow range and the full
+    * store) each carry the EXACT distinct count from the raw table as an
+    * in-row witness; the oracle replays the merged bottom-k and the
+    * (k−1)·M/kth estimate in SQL over `read_parquet` of the persisted
+    * segments table — the probe math is verified against the artifact a
+    * user would serve from.
+    *
+    * Scale: the store is (segments × k) rows; probe cost is the pruned
+    * range's sketch rows (TakeOrdered over sketch-sized input). The exact
+    * witness is the one data scan — and it exists precisely to show what
+    * the sketch SAVES.
+    */
+  val sketchStoreProbe = Q(
+    "x_sketch_store_probe",
+    (s, d) => {
+      graft.functions.SketchStore.build(kmvRows(s, d), k = 256, KmvStore)
+      def probe(lo: Long, hi: Long) = {
+        val est = graft.functions.SketchStore.probeRange(s, KmvStore, lo, hi)
+        val exact = Tables.lineitem(s, d)
+          .filter(expr("l_orderkey div 1024").between(lo, hi))
+          .agg(count_distinct(col("l_partkey")).as("exact_keys"))
+        est.crossJoin(exact) // 1×1
+      }
+      probe(1L, 3L).union(probe(0L, 999999L)).orderBy("seg_lo")
+    },
+    Some("""WITH seg AS (
+              SELECT seg, hv
+              FROM read_parquet('/tmp/graft_index/kmv_store/segments/*.parquet')),
+            p1 AS (SELECT DISTINCT hv FROM seg WHERE seg BETWEEN 1 AND 3
+                   ORDER BY hv LIMIT 256),
+            s1 AS (SELECT max(hv) AS kth_min, count(*) AS filled FROM p1),
+            e1 AS (SELECT count(DISTINCT l_partkey) AS exact_keys FROM lineitem
+                   WHERE l_orderkey // 1024 BETWEEN 1 AND 3),
+            p2 AS (SELECT DISTINCT hv FROM seg WHERE seg BETWEEN 0 AND 999999
+                   ORDER BY hv LIMIT 256),
+            s2 AS (SELECT max(hv) AS kth_min, count(*) AS filled FROM p2),
+            e2 AS (SELECT count(DISTINCT l_partkey) AS exact_keys FROM lineitem)
+            SELECT * FROM (
+              SELECT CAST(1 AS BIGINT) AS seg_lo, CAST(3 AS BIGINT) AS seg_hi,
+                CAST(256 AS BIGINT) AS k, filled,
+                COALESCE(kth_min, 0) AS kth_min,
+                CASE WHEN filled < 256 THEN filled
+                     ELSE CAST(floor(255.0 * (2305843009213693951.0 / kth_min)) AS BIGINT)
+                END AS kmv_estimate, exact_keys
+              FROM s1, e1
+              UNION ALL
+              SELECT CAST(0 AS BIGINT), CAST(999999 AS BIGINT), CAST(256 AS BIGINT),
+                filled, COALESCE(kth_min, 0),
+                CASE WHEN filled < 256 THEN filled
+                     ELSE CAST(floor(255.0 * (2305843009213693951.0 / kth_min)) AS BIGINT)
+                END, exact_keys
+              FROM s2, e2)
+            ORDER BY seg_lo""")
+  )
+
+  /** Sketch-store APPEND — the O(delta) maintenance face: new segments'
+    * sketches land without re-reading old ones (KMV merges by re-taking the
+    * bottom-k of a union, so per-segment persistence composes); segments
+    * are append-once (re-sketching a present segment refused — the index
+    * families' re-add discipline), manifest dropped first / rewritten last.
+    * The full-range probe after the append spans old AND new segments from
+    * the one segments table; SketchStoreSpec pins append == rebuild
+    * bit-exact on the artifact rows.
+    */
+  val sketchStoreAppend = Q(
+    "x_sketch_store_append",
+    (s, d) => {
+      val rows = kmvRows(s, d)
+      graft.functions.SketchStore.build(rows.filter(col("seg") <= 2), k = 256, KmvStoreApp)
+      graft.functions.SketchStore.appendSegments(rows.filter(col("seg") >= 3), KmvStoreApp)
+      val est = graft.functions.SketchStore.probeRange(s, KmvStoreApp, 0L, 999999L)
+      val exact = Tables.lineitem(s, d)
+        .agg(count_distinct(col("l_partkey")).as("exact_keys"))
+      val nSegs = s.read.parquet(s"$KmvStoreApp/segments")
+        .agg(count_distinct(col("seg")).as("n_segments"))
+      est.crossJoin(exact).crossJoin(nSegs) // 1×1×1
+    },
+    Some("""WITH seg AS (
+              SELECT seg, hv
+              FROM read_parquet('/tmp/graft_index/kmv_store_app/segments/*.parquet')),
+            p AS (SELECT DISTINCT hv FROM seg ORDER BY hv LIMIT 256),
+            sk AS (SELECT max(hv) AS kth_min, count(*) AS filled FROM p),
+            e AS (SELECT count(DISTINCT l_partkey) AS exact_keys FROM lineitem),
+            n AS (SELECT count(DISTINCT seg) AS n_segments FROM seg)
+            SELECT CAST(0 AS BIGINT) AS seg_lo, CAST(999999 AS BIGINT) AS seg_hi,
+              CAST(256 AS BIGINT) AS k, filled,
+              COALESCE(kth_min, 0) AS kth_min,
+              CASE WHEN filled < 256 THEN filled
+                   ELSE CAST(floor(255.0 * (2305843009213693951.0 / kth_min)) AS BIGINT)
+              END AS kmv_estimate, exact_keys, n_segments
+            FROM sk, e, n""")
+  )
+
   val qs: Seq[Q] = Seq(annIndexProbe, annIndexAppend, invertedIndexIncremental,
     searchIndexProbe, bpeVocabServe, searchIndexAppend, searchIndexMultiprobe,
     searchIndexDelete, annIndexDelete, searchIndexCompact, annIndexCompact,
-    annRecallReport)
+    annRecallReport, sketchStoreProbe, sketchStoreAppend)
 }
