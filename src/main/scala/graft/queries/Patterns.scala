@@ -1,0 +1,274 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Row-pattern and frontier analytics — the MATCH_RECOGNIZE / skyline /
+  * changepoint family (SQL:2016 row pattern matching; Börzsönyi's skyline
+  * operator; Page's CUSUM chart). Spark has none of the three natively;
+  * each is expressed here in its scale-right execution shape: one hash
+  * exchange on the natural key, then a linear in-partition scan with O(1)
+  * or O(frontier) state — never a self-join, never a per-row window over
+  * the whole partition.
+  */
+object Patterns {
+
+  /** MATCH_RECOGNIZE-style contiguous row-pattern match over the event log:
+    * `PARTITION BY user_id ORDER BY ts  PATTERN (V+ C P)` with
+    * V = view, C = click, P = purchase, any other event type breaking
+    * contiguity, greedy `V+`, and `AFTER MATCH SKIP PAST LAST ROW`
+    * (matches of this pattern are provably disjoint, so the skip rule is
+    * structural, not a tie-break). Per match: the view-run length, the
+    * first view's time, and the purchase time — the "browse burst that
+    * converted" unit. This is SQL:2016 row pattern matching (Trino/Flink
+    * `MATCH_RECOGNIZE`), which Spark lacks.
+    *
+    * Execution shape: ONE hash exchange on user_id, a spillable
+    * in-partition sort on (user_id, ts, event_id), then a single linear
+    * DFA scan via `mapPartitions` — state is three longs regardless of
+    * pattern depth or user history length (the Flink-CEP per-key NFA as a
+    * sort-scan; no per-user buffering, no self-join per pattern step).
+    * Pattern complexity changes CPU per row only, never shuffle volume —
+    * the property that keeps this viable at 100 TB.
+    *
+    * Oracle: the window-function replay of the same semantics — maximal
+    * V-runs via the rn-difference islands trick, anchors where a C row is
+    * immediately followed by P and immediately preceded by the run's end.
+    */
+  val matchRecognize = Q(
+    "x_match_recognize",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .select(
+          col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("tm"),
+          col("event_id"),
+          when(col("event_type") === "view", "V")
+            .when(col("event_type") === "click", "C")
+            .when(col("event_type") === "purchase", "P")
+            .otherwise("O").as("cls"))
+        .as[(Long, Long, Long, String)]
+      ev.repartition(col("user_id"))
+        .sortWithinPartitions(col("user_id"), col("tm"), col("event_id"))
+        .mapPartitions { it =>
+          new Iterator[(Long, Long, Long, Long)] {
+            private var curUser = Long.MinValue
+            private var st      = 0 // 0 = empty, 1 = in V-run, 2 = V+ C seen
+            private var nV      = 0L
+            private var vStart  = 0L
+            private var nxt: (Long, Long, Long, Long) = _
+            private def advance(): Unit = {
+              nxt = null
+              while (nxt == null && it.hasNext) {
+                val (u, tm, _, cls) = it.next()
+                if (u != curUser) { curUser = u; st = 0 }
+                cls match {
+                  case "V" =>
+                    if (st == 1) nV += 1
+                    else { st = 1; nV = 1; vStart = tm }
+                  case "C" =>
+                    st = if (st == 1) 2 else 0
+                  case "P" =>
+                    if (st == 2) nxt = (curUser, nV, vStart, tm)
+                    st = 0
+                  case _ => st = 0
+                }
+              }
+            }
+            advance()
+            def hasNext: Boolean = nxt != null
+            def next(): (Long, Long, Long, Long) = { val r = nxt; advance(); r }
+          }
+        }
+        .toDF("user_id", "n_views", "start_us", "end_us")
+        .orderBy("user_id", "start_us")
+    },
+    Some("""WITH e AS (
+              SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tm, event_id,
+                CASE event_type WHEN 'view' THEN 'V' WHEN 'click' THEN 'C'
+                  WHEN 'purchase' THEN 'P' ELSE 'O' END AS cls,
+                row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+              FROM events),
+            v AS (
+              SELECT user_id, rn, tm,
+                rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+              FROM e WHERE cls = 'V'),
+            vrun AS (
+              SELECT user_id, grp, max(rn) AS run_end_rn,
+                CAST(count(*) AS BIGINT) AS n_views, min(tm) AS start_us
+              FROM v GROUP BY 1, 2),
+            a AS (
+              SELECT user_id, rn, cls,
+                lead(cls) OVER (PARTITION BY user_id ORDER BY rn) AS nc,
+                lead(tm)  OVER (PARTITION BY user_id ORDER BY rn) AS ntm
+              FROM e)
+            SELECT a.user_id, r.n_views, r.start_us, a.ntm AS end_us
+            FROM a JOIN vrun r ON r.user_id = a.user_id AND r.run_end_rn = a.rn - 1
+            WHERE a.cls = 'C' AND a.nc = 'P'
+            ORDER BY a.user_id, r.start_us""")
+  )
+
+  /** Skyline (Pareto frontier) of customers over three maximize-dimensions:
+    * lifetime spend, order count, recency — "who is undominated" is the
+    * multi-criteria segmentation question a single score hides
+    * (Börzsönyi/Kossmann/Stocker, ICDE'01). A customer is on the skyline
+    * iff no other customer is ≥ on all three dims and > on at least one.
+    *
+    * Execution shape (the distributed BNL two-phase): aggregate per
+    * customer (one exchange), LOCAL skyline per partition via a running
+    * in-partition frontier (each dominated point dies on its executor —
+    * at 100 TB this is the pruning step; correlated dimensions shrink
+    * partitions to near-√n survivors), then the surviving candidates —
+    * union of local frontiers, orders of magnitude smaller than the
+    * input — collapse through one final single-task pass of the same
+    * filter. Anti-correlated dimensions can inflate the frontier toward n;
+    * that is a property of the OPERATOR (the skyline itself is that big),
+    * not of this plan. Oracle: the quadratic NOT EXISTS dominance
+    * definition (DuckDB's IEJoin handles the inequality pairs).
+    */
+  val skyline = Q(
+    "x_skyline",
+    (s, d) => {
+      import s.implicits._
+      val per = Tables.orders(s, d)
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(
+          sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("spend_cents"),
+          count(lit(1)).as("n_orders"),
+          max(datediff(to_date(col("o_orderdate")), lit("1992-01-01"))).as("latest_d"))
+        .select(col("custkey"), col("spend_cents"), col("n_orders"),
+          col("latest_d").cast("long").as("latest_d"))
+        .as[(Long, Long, Long, Long)]
+
+      def dominates(b: (Long, Long, Long, Long), a: (Long, Long, Long, Long)): Boolean =
+        b._2 >= a._2 && b._3 >= a._3 && b._4 >= a._4 &&
+          (b._2 > a._2 || b._3 > a._3 || b._4 > a._4)
+
+      def localSkyline(it: Iterator[(Long, Long, Long, Long)]): Iterator[(Long, Long, Long, Long)] = {
+        val frontier = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+        it.foreach { p =>
+          if (!frontier.exists(f => dominates(f, p))) {
+            val keep = frontier.filterNot(f => dominates(p, f))
+            frontier.clear(); frontier ++= keep; frontier += p
+          }
+        }
+        frontier.iterator
+      }
+
+      // repartition (NOT coalesce): coalesce(1) would fold phase 1 into the
+      // same single task and erase its parallelism — the exchange is the
+      // point, and it carries only the already-pruned candidates.
+      per.mapPartitions(localSkyline _)   // phase 1: prune on the executors
+        .repartition(1)
+        .mapPartitions(localSkyline _)    // phase 2: candidates only
+        .toDF("custkey", "spend_cents", "n_orders", "latest_d")
+        .withColumn("latest_day", expr("date_add(DATE '1992-01-01', CAST(latest_d AS INT))"))
+        .drop("latest_d")
+        .orderBy("custkey")
+    },
+    Some("""WITH p AS (
+              SELECT o_custkey AS custkey,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spend_cents,
+                count(*) AS n_orders,
+                max(CAST(o_orderdate AS DATE)) AS latest_day
+              FROM orders GROUP BY 1)
+            SELECT custkey, spend_cents, n_orders, latest_day
+            FROM p a
+            WHERE NOT EXISTS (
+              SELECT 1 FROM p b
+              WHERE b.spend_cents >= a.spend_cents AND b.n_orders >= a.n_orders
+                AND b.latest_day >= a.latest_day
+                AND (b.spend_cents > a.spend_cents OR b.n_orders > a.n_orders
+                     OR b.latest_day > a.latest_day))
+            ORDER BY custkey""")
+  )
+
+  /** CUSUM changepoint detection (Page, 1954) over the per-priority daily
+    * order series — the one-sided upper chart that catches small sustained
+    * LEVEL SHIFTS the EWMA 2× spike gate sleeps through:
+    * S_t = max(0, S_{t−1} + (x_t − μ − k)), alarm when S_t > h, S resets
+    * after an alarm (restart monitoring). μ is the truncating mean of the
+    * series' first 28 in-control days, allowance k = μ/20, threshold
+    * h = μ — all in integer milli-units with truncating division (Scala
+    * `/` == DuckDB `//`), so the fold is bit-exact cross-engine.
+    *
+    * Same execution shape as the EWMA/Holt siblings: inherently sequential
+    * per series → typed per-key fold (`flatMapGroups`), state ONE long per
+    * key, series bounded by the calendar, keys scale out by partition.
+    * Oracle: recursive CTE carrying S, joined to a warmup-stats CTE.
+    */
+  val cusumChangepoint = Q(
+    "x_cusum_changepoint",
+    (s, d) => {
+      import s.implicits._
+      val daily = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority").as("priority"),
+          to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      daily
+        .select(col("priority"), col("day").cast("string"), col("n"))
+        .as[(String, String, Long)]
+        .groupByKey(_._1)
+        .flatMapGroups { (p, it) =>
+          val series = it.toArray.sortBy(_._2)
+          val warm   = series.take(28)
+          val mu     = warm.map(_._3 * 1000L).sum / warm.length
+          val k      = mu / 20
+          var sPrev  = 0L
+          series.iterator.map { case (_, day, n) =>
+            val sPre  = math.max(0L, sPrev + (1000 * n - mu - k))
+            val alarm = if (sPre > mu) 1L else 0L
+            sPrev = if (alarm == 1L) 0L else sPre
+            (p, day, n, sPre, alarm)
+          }
+        }
+        .toDF("priority", "day", "n", "cusum_milli", "alarm")
+        .select(col("priority"), col("day").cast("date").as("day"), col("n"),
+          col("cusum_milli"), col("alarm"))
+        .orderBy("priority", "day")
+    },
+    Some("""WITH RECURSIVE base AS (
+              SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day,
+                count(*) AS n,
+                row_number() OVER (PARTITION BY o_orderpriority
+                  ORDER BY CAST(o_orderdate AS DATE)) AS rn
+              FROM orders GROUP BY 1, 2),
+            warm AS (
+              -- CAST: DuckDB widens sum(BIGINT) to HUGEINT, which would
+              -- otherwise propagate through the recurrence into the output
+              SELECT priority,
+                CAST(sum(1000 * n) FILTER (WHERE rn <= 28) //
+                  LEAST(max(rn), 28) AS BIGINT) AS mu
+              FROM base GROUP BY priority),
+            rec AS (
+              SELECT b.priority, b.day, b.n, b.rn,
+                GREATEST(CAST(0 AS BIGINT),
+                  1000 * b.n - w.mu - w.mu // 20) AS s_pre,
+                CASE WHEN GREATEST(CAST(0 AS BIGINT), 1000 * b.n - w.mu - w.mu // 20) > w.mu
+                     THEN CAST(0 AS BIGINT)
+                     ELSE GREATEST(CAST(0 AS BIGINT), 1000 * b.n - w.mu - w.mu // 20)
+                END AS s_carry
+              FROM base b JOIN warm w USING (priority) WHERE b.rn = 1
+              UNION ALL
+              SELECT b.priority, b.day, b.n, b.rn,
+                GREATEST(CAST(0 AS BIGINT),
+                  r.s_carry + 1000 * b.n - w.mu - w.mu // 20),
+                CASE WHEN GREATEST(CAST(0 AS BIGINT),
+                       r.s_carry + 1000 * b.n - w.mu - w.mu // 20) > w.mu
+                     THEN CAST(0 AS BIGINT)
+                     ELSE GREATEST(CAST(0 AS BIGINT),
+                       r.s_carry + 1000 * b.n - w.mu - w.mu // 20)
+                END
+              FROM rec r
+              JOIN base b ON b.priority = r.priority AND b.rn = r.rn + 1
+              JOIN warm w ON w.priority = b.priority)
+            SELECT r.priority, r.day, r.n, r.s_pre AS cusum_milli,
+              CAST(CASE WHEN r.s_pre > w.mu THEN 1 ELSE 0 END AS BIGINT) AS alarm
+            FROM rec r JOIN warm w USING (priority)
+            ORDER BY priority, day""")
+  )
+
+  val qs: Seq[Q] = Seq(matchRecognize, skyline, cusumChangepoint)
+}

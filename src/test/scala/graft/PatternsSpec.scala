@@ -1,0 +1,113 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.queries.Patterns
+
+/** Row-pattern family: MATCH_RECOGNIZE DFA semantics on a planted event
+  * fixture (greedy V+, contiguity breaks, skip-past-last disjointness),
+  * skyline vs a driver-side brute-force dominance check, and the CUSUM
+  * recurrence replayed as a driver-side fold.
+  */
+class PatternsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+
+  test("match_recognize: planted fixture matches hand-derived matches only") {
+    import spark.implicits._
+    val dir = "/tmp/graft_patterns_fixture"
+    // user 1: V V C P (match, 2 views) then V P (no C) then V C V C P
+    //   (V after C restarts the run: match with 1 view)
+    // user 2: C P (no preceding V), V C O P (O breaks contiguity)
+    val rows = Seq(
+      (1L, ts(0), 1L, "view", 0.0, ""), (2L, ts(1), 1L, "view", 0.0, ""),
+      (3L, ts(2), 1L, "click", 0.0, ""), (4L, ts(3), 1L, "purchase", 0.0, ""),
+      (5L, ts(4), 1L, "view", 0.0, ""), (6L, ts(5), 1L, "purchase", 0.0, ""),
+      (7L, ts(6), 1L, "view", 0.0, ""), (8L, ts(7), 1L, "click", 0.0, ""),
+      (9L, ts(8), 1L, "view", 0.0, ""), (10L, ts(9), 1L, "click", 0.0, ""),
+      (11L, ts(10), 1L, "purchase", 0.0, ""),
+      (20L, ts(0), 2L, "click", 0.0, ""), (21L, ts(1), 2L, "purchase", 0.0, ""),
+      (22L, ts(2), 2L, "view", 0.0, ""), (23L, ts(3), 2L, "click", 0.0, ""),
+      (24L, ts(4), 2L, "error", 0.0, ""), (25L, ts(5), 2L, "purchase", 0.0, "")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val out = Patterns.matchRecognize.run(spark, dir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_views"),
+        r.getAs[Long]("start_us"), r.getAs[Long]("end_us")))
+    def us(min: Int) = ts(min).getTime * 1000L
+    assert(out.toSeq == Seq(
+      (1L, 2L, us(0), us(3)),
+      (1L, 1L, us(8), us(10))))
+  }
+
+  test("match_recognize on sf0.001 equals a driver-side scan of the sorted log") {
+    val got = Patterns.matchRecognize.run(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_views"),
+        r.getAs[Long]("start_us"), r.getAs[Long]("end_us"))).toSeq
+
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("tm"),
+        col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("tm"),
+        r.getAs[Long]("event_id"), r.getAs[String]("event_type")))
+      .sortBy(t => (t._1, t._2, t._3))
+    val expect = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    var cur = Long.MinValue; var st = 0; var nV = 0L; var vs = 0L
+    ev.foreach { case (u, tm, _, et) =>
+      if (u != cur) { cur = u; st = 0 }
+      et match {
+        case "view"     => if (st == 1) nV += 1 else { st = 1; nV = 1; vs = tm }
+        case "click"    => st = if (st == 1) 2 else 0
+        case "purchase" => if (st == 2) expect += ((u, nV, vs, tm)); st = 0
+        case _          => st = 0
+      }
+    }
+    assert(got.nonEmpty, "pattern should fire at sf0.001")
+    assert(got.sorted == expect.toSeq.sorted)
+  }
+
+  test("skyline equals brute-force dominance over the per-customer aggregates") {
+    val got = Patterns.skyline.run(spark, sf).collect()
+      .map(r => r.getAs[Long]("custkey")).toSet
+
+    val per = Tables.orders(spark, sf)
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("s"),
+        count(lit(1)).as("n"),
+        max(datediff(to_date(col("o_orderdate")), lit("1992-01-01"))).as("d"))
+      .collect()
+      .map(r => (r.getAs[Long]("custkey"), r.getAs[Long]("s"),
+        r.getAs[Long]("n"), r.getAs[Int]("d").toLong))
+    def dom(b: (Long, Long, Long, Long), a: (Long, Long, Long, Long)) =
+      b._2 >= a._2 && b._3 >= a._3 && b._4 >= a._4 &&
+        (b._2 > a._2 || b._3 > a._3 || b._4 > a._4)
+    val expect = per.filter(a => !per.exists(b => dom(b, a))).map(_._1).toSet
+    assert(got == expect)
+    assert(got.nonEmpty && got.size < per.length, "frontier is a strict subset")
+  }
+
+  test("cusum recurrence matches a driver-side fold, alarms reset the statistic") {
+    val rows = Patterns.cusumChangepoint.run(spark, sf).collect()
+    assert(rows.length > 20)
+    rows.groupBy(_.getAs[String]("priority")).foreach { case (_, rs0) =>
+      val rs = rs0.sortBy(_.getAs[java.sql.Date]("day").toString)
+      val warm = rs.take(28).map(_.getAs[Long]("n") * 1000L)
+      val mu = warm.sum / warm.length
+      val k = mu / 20
+      var carry = 0L
+      rs.foreach { r =>
+        val sPre = math.max(0L, carry + (1000 * r.getAs[Long]("n") - mu - k))
+        assert(r.getAs[Long]("cusum_milli") == sPre)
+        val alarm = if (sPre > mu) 1L else 0L
+        assert(r.getAs[Long]("alarm") == alarm)
+        carry = if (alarm == 1L) 0L else sPre
+      }
+    }
+  }
+}
