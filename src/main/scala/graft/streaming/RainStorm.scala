@@ -310,6 +310,59 @@ object RainStorm {
       }
   }
 
+  /** Streaming row-pattern matching — the `x_match_recognize` batch
+    * semantics (`PATTERN (V+ C P)` contiguous per user, greedy `V+`,
+    * skip-past-last) as a `flatMapGroupsWithState` DFA: the SAME
+    * three-values-of-state machine the batch `mapPartitions` scan runs,
+    * carried across micro-batches — a pattern may START in one batch and
+    * COMPLETE in a later one (the case a per-batch window replay cannot
+    * express; Flink CEP's per-key NFA shape). State is fixed-size by
+    * construction regardless of history length; a match emits exactly once,
+    * on the completing event (Append shape: completions are final).
+    *
+    * Ordering contract (same as [[funnelStream]]/[[sessionize]]): rows are
+    * sorted by event time within a micro-batch; across batches the DFA
+    * assumes per-key event-time order. On an in-order stream the emitted
+    * matches equal the batch DFA scan (PatternsSpec replays a mid-pattern
+    * batch split against the batch operator).
+    */
+  final case class PatternState(st: Int, nV: Long, vStart: Long)
+  final case class PatternMatch(userId: Long, nViews: Long, startUs: Long, endUs: Long)
+
+  def patternStream(
+      spark: SparkSession,
+      events: Dataset[(Long, String, Long)], // (user_id, event_type, micros)
+      view: String = "view",
+      click: String = "click",
+      purchase: String = "purchase"
+  ): Dataset[PatternMatch] = {
+    import spark.implicits._
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[PatternState, PatternMatch](
+        OutputMode.Append(),
+        GroupStateTimeout.NoTimeout
+      ) { (userId: Long, rows: Iterator[(Long, String, Long)], state: GroupState[PatternState]) =>
+        var PatternState(st, nV, vStart) = state.getOption.getOrElse(PatternState(0, 0L, 0L))
+        val out = scala.collection.mutable.ArrayBuffer.empty[PatternMatch]
+        rows.toSeq.sortBy(_._3).foreach { case (_, typ, tm) =>
+          typ match {
+            case `view` =>
+              if (st == 1) nV += 1
+              else { st = 1; nV = 1; vStart = tm }
+            case `click` =>
+              st = if (st == 1) 2 else 0
+            case `purchase` =>
+              if (st == 2) out += PatternMatch(userId, nV, vStart, tm)
+              st = 0
+            case _ => st = 0
+          }
+        }
+        state.update(PatternState(st, nV, vStart))
+        out.iterator
+      }
+  }
+
   /** F4's stated Spark mapping (SURVEY §2.1): exactly-once tuple dedup by
     * unique id with watermark-bounded state — the streaming seen-set
     * (`seen_storage_map`, `core_process_stream_DS.go:869-875,1170-1176`)

@@ -92,6 +92,67 @@ class PatternsSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.size < per.length, "frontier is a strict subset")
   }
 
+  test("patternStream: a pattern spanning a micro-batch split completes exactly once") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val us = 1000000L
+    val in = MemoryStream[(Long, String, Long)]
+    val q = graft.streaming.RainStorm.patternStream(spark, in.toDS())
+      .writeStream.format("memory").queryName("pattern_stream").outputMode("append").start()
+    try {
+      // Batch 1: u1 mid-run (V V), u2 a complete match, u3 V C (awaiting P).
+      in.addData(
+        (1L, "view", 10 * us), (1L, "view", 11 * us),
+        (2L, "view", 10 * us), (2L, "click", 11 * us), (2L, "purchase", 12 * us),
+        (3L, "view", 10 * us), (3L, "click", 11 * us))
+      q.processAllAvailable()
+      val afterB1 = spark.table("pattern_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(afterB1 == Set((2L, 1L, 10 * us, 12 * us)))
+      // Batch 2: u1's C and P arrive (match started in batch 1: 2 views);
+      // u3's P arrives (match across the split with C already consumed);
+      // u2 starts over but is broken by an error event.
+      in.addData(
+        (1L, "click", 20 * us), (1L, "purchase", 21 * us),
+        (3L, "purchase", 20 * us),
+        (2L, "view", 20 * us), (2L, "error", 21 * us), (2L, "purchase", 22 * us))
+      q.processAllAvailable()
+      val got = spark.table("pattern_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == Set(
+        (2L, 1L, 10 * us, 12 * us),
+        (1L, 2L, 10 * us, 21 * us),
+        (3L, 1L, 10 * us, 20 * us)))
+    } finally q.stop()
+  }
+
+  test("patternStream equals the batch DFA on a replayed sf0.001 log") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("tm"))
+      .as[(Long, String, Long)].collect().sortBy(_._3)
+    val cut = ev(ev.length / 2)._3
+    val in = MemoryStream[(Long, String, Long)]
+    val q = graft.streaming.RainStorm.patternStream(spark, in.toDS())
+      .writeStream.format("memory").queryName("pattern_stream_sf").outputMode("append").start()
+    try {
+      in.addData(ev.filter(_._3 < cut).toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(ev.filter(_._3 >= cut).toIndexedSeq)
+      q.processAllAvailable()
+      val got = spark.table("pattern_stream_sf").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val batch = Patterns.matchRecognize.run(spark, sf).collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_views"),
+          r.getAs[Long]("start_us"), r.getAs[Long]("end_us"))).toSet
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("cusum recurrence matches a driver-side fold, alarms reset the statistic") {
     val rows = Patterns.cusumChangepoint.run(spark, sf).collect()
     assert(rows.length > 20)
