@@ -270,5 +270,175 @@ object Patterns {
             ORDER BY priority, day""")
   )
 
-  val qs: Seq[Q] = Seq(matchRecognize, skyline, cusumChangepoint)
+  /** EXACT set-similarity self-join via positional prefix filtering
+    * (Chaudhuri/Ganti/Kaushik ICDE'06; Xiao's PPJoin) — the lossless
+    * complement to the MinHash-LSH candidate path: word-4-gram-shingle
+    * Jaccard ≥ 0.8 pairs with NO probabilistic recall argument — the same
+    * shingle kernel and threshold family as `x_dedup_minhash_lsh`, so the
+    * lossless join directly audits the LSH shortcut. The theorem: order every
+    * doc's tokens by ascending global frequency (rarest first); two sets
+    * with J ≥ t MUST share a token among each one's first
+    * |x| − ⌈t·|x|⌉ + 1 tokens — so the candidate join runs on PREFIX
+    * tokens only, and prefix tokens are by construction the RARE ones, so
+    * the per-token join buckets stay small (the stopword bucket never
+    * forms: stopwords sort last and fall outside every prefix). The length
+    * and positional filters (PPJoin, Xiao et al. WWW'08) prune inside the
+    * join itself, in exact integer arithmetic so both engines draw the
+    * boundary identically on exact-J=0.8 pairs.
+    *
+    * Pruning power is a property of shingle RARITY, and this corpus is the
+    * adversarial case — a bounded generator vocabulary. Measured: 2-gram
+    * vocabulary saturates at ~931 shingles → 9.3M join rows at sf0.1 (the
+    * pigeonhole-blocking trap in token clothes); 4-grams hold rarity to
+    * ~2.5k rows at sf0.1 and ~150k at gen1, then saturate (~920k distinct
+    * against 500k docs at gen10 → 5.4M survivors even after the positional
+    * filter). Natural-text vocabularies are unbounded, so rarity holds at
+    * corpus scale; where a vocabulary DOES saturate, the similarity-pruned
+    * LSH path (`x_dedup_minhash_lsh`) is the scale route and this exact
+    * join is its bounded-scope audit.
+    *
+    * Shape: token-frequency aggregate (one exchange), frequency join back,
+    * per-doc rank window (partition = doc_id: millions of small
+    * partitions), prefix-token equi-join, exact verify in-row via sorted
+    * array intersection — no all-pairs anywhere, every shuffle on a
+    * high-cardinality key. The oracle replays candidate generation AND
+    * verification in SQL; PatternsSpec pins losslessness against exact
+    * all-pairs at sf0.001.
+    */
+  val simjoinPrefix = Q(
+    "x_simjoin_prefix",
+    (s, d) => {
+      val t = 0.8
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.DedupOps.shingles(col("text"), 4).as("t"))
+      val tok  = toks.select(col("doc_id"), explode(col("t")).as("w"))
+      val freq = tok.groupBy("w").agg(count(lit(1)).as("freq"))
+      val sz   = toks.select(col("doc_id"), size(col("t")).cast("long").as("n"))
+      val pref = tok.join(freq, "w")
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("doc_id")).orderBy(col("freq"), col("w"))))
+        .join(sz, "doc_id")
+        // prefix length n − ⌈0.8n⌉ + 1, in EXACT integer arithmetic
+        // (⌈4n/5⌉ = (4n+4) div 5): a float 0.8 here could shift the
+        // boundary on exact-J=0.8 pairs differently per engine.
+        .filter(col("rn") <= col("n") - expr("(4 * n + 4) div 5") + 1)
+        .select(col("doc_id"), col("w"), col("rn").cast("long").as("rn"), col("n"))
+      // PPJoin length + positional filters IN the join, also integer-exact:
+      // J ≥ 0.8 forces 5·|y| ≥ 4·|x|, and at the first shared prefix token
+      // the total overlap is at most 1 + min(remaining positions on either
+      // side), while J ≥ t needs overlap ≥ t/(1+t)·(|x|+|y|) = 4/9·(…) —
+      // both are necessary conditions, so pruning on them stays lossless
+      // (we keep a pair if ANY shared prefix token passes, weaker than
+      // classic PPJoin's first-match evaluation, lossless a fortiori).
+      val cand = pref.as("a").join(pref.as("b"),
+          col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id") &&
+            col("b.n") * 5 >= col("a.n") * 4 &&
+            col("a.n") * 5 >= col("b.n") * 4 &&
+            (least(col("a.n") - col("a.rn"), col("b.n") - col("b.rn")) + 1) * 9 >=
+              (col("a.n") + col("b.n")) * 4)
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct()
+      cand
+        .join(toks.select(col("doc_id").as("id_a"), col("t").as("ta")), "id_a")
+        .join(toks.select(col("doc_id").as("id_b"), col("t").as("tb")), "id_b")
+        .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("double"))
+        .withColumn("jaccard",
+          col("inter") / (size(col("ta")) + size(col("tb")) - col("inter")))
+        .filter(col("jaccard") >= t)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+        .orderBy("id_a", "id_b")
+    },
+    Some("""WITH words AS (
+              SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS t
+              FROM documents),
+            toks AS (
+              SELECT doc_id,
+                CASE WHEN len(t) >= 4
+                  THEN list_distinct(list_transform(range(1, len(t) - 2),
+                         i -> array_to_string(t[i:i+3], ' ')))
+                  ELSE [array_to_string(t, ' ')] END AS t
+              FROM words),
+            tok AS (SELECT doc_id, unnest(t) AS w FROM toks),
+            f AS (SELECT w, count(*) AS freq FROM tok GROUP BY w),
+            pref AS (
+              SELECT doc_id, w, rn, n FROM (
+                SELECT tok.doc_id, tok.w,
+                  row_number() OVER (PARTITION BY tok.doc_id ORDER BY f.freq, tok.w) AS rn,
+                  count(*) OVER (PARTITION BY tok.doc_id) AS n
+                FROM tok JOIN f USING (w))
+              WHERE rn <= n - (4 * n + 4) // 5 + 1),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM pref a JOIN pref b ON a.w = b.w AND a.doc_id < b.doc_id
+              WHERE b.n * 5 >= a.n * 4
+                AND a.n * 5 >= b.n * 4
+                AND (LEAST(a.n - a.rn, b.n - b.rn) + 1) * 9 >=
+                    (a.n + b.n) * 4),
+            v AS (
+              SELECT c.id_a, c.id_b,
+                CAST(len(list_intersect(ta.t, tb.t)) AS DOUBLE) /
+                  (len(ta.t) + len(tb.t) - len(list_intersect(ta.t, tb.t))) AS jaccard
+              FROM cand c
+              JOIN toks ta ON ta.doc_id = c.id_a
+              JOIN toks tb ON tb.doc_id = c.id_b)
+            SELECT id_a, id_b, jaccard FROM v WHERE jaccard >= 0.8
+            ORDER BY id_a, id_b""")
+  )
+
+  /** Sweep-line max-concurrency: how many shipments are simultaneously
+    * in flight each day (interval = ship date + a deterministic
+    * 1 + (orderkey + linenumber) mod 14 day transit, end-exclusive) — the
+    * resource-concurrency audit (open connections, concurrent jobs,
+    * overlapping reservations) as the classic +1/−1 boundary sweep.
+    *
+    * Shape: the interval set collapses to per-day NET deltas first (one
+    * hash exchange on a calendar-bounded key), and only then does the
+    * running sum scan the ~2.4k day rows in one bounded partition — the
+    * x_equidepth lesson: never a global window over row-scale data; the
+    * window input here is CALENDAR-sized at any data scale. Duplicate
+    * (orderkey, linenumber) rows are collapsed before the sweep (interval
+    * identity is a set property).
+    */
+  val maxConcurrency = Q(
+    "x_max_concurrency",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          to_date(col("l_shipdate")).as("ship"))
+        .distinct()
+        .withColumn("dur",
+          (lit(1) + pmod(col("l_orderkey") + col("l_linenumber"), lit(14))).cast("int"))
+      val deltas = li.select(col("ship").as("day"), lit(1L).as("delta"))
+        .unionByName(li.select(date_add(col("ship"), col("dur")).as("day"),
+          lit(-1L).as("delta")))
+        .groupBy("day").agg(sum("delta").as("net"))
+      deltas
+        .withColumn("open", sum(col("net")).over(
+          Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("day"), col("open"))
+        .orderBy("day")
+    },
+    Some("""WITH li AS (
+              SELECT DISTINCT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship
+              FROM lineitem),
+            iv AS (
+              SELECT l_orderkey, l_linenumber, ship,
+                CAST(1 + (l_orderkey + l_linenumber) % 14 AS INT) AS dur
+              FROM li),
+            deltas AS (
+              SELECT day, CAST(sum(delta) AS BIGINT) AS net FROM (
+                SELECT ship AS day, 1 AS delta FROM iv
+                UNION ALL
+                SELECT ship + dur AS day, -1 AS delta FROM iv)
+              GROUP BY day)
+            SELECT day,
+              CAST(sum(net) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS open
+            FROM deltas ORDER BY day""")
+  )
+
+  val qs: Seq[Q] = Seq(matchRecognize, skyline, cusumChangepoint, simjoinPrefix, maxConcurrency)
 }

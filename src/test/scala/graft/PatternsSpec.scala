@@ -153,6 +153,45 @@ class PatternsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("simjoin_prefix is LOSSLESS: equals exact all-pairs Jaccard at sf0.001") {
+    import graft.queries.Patterns
+    val got = Patterns.simjoinPrefix.run(spark, sf).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+
+    val sh = Tables.documents(spark, sf)
+      .select(col("doc_id"), graft.functions.DedupOps.shingles(col("text"), 4).as("t"))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getSeq[String](1).toSet))
+    val expect = (for {
+      (a, ta) <- sh; (b, tb) <- sh if a < b
+      inter = (ta & tb).size.toDouble
+      if inter / (ta.size + tb.size - inter) >= 0.8
+    } yield (a, b)).toSet
+    assert(got == expect)
+    assert(expect.nonEmpty, "planted near-dups should qualify at sf0.001")
+  }
+
+  test("max_concurrency: sweep closes to zero and matches brute-force on peak day") {
+    import graft.queries.Patterns
+    val rows = Patterns.maxConcurrency.run(spark, sf).collect()
+      .map(r => (r.getAs[java.sql.Date]("day"), r.getAs[Long]("open")))
+    assert(rows.last._2 == 0L, "every shipment interval eventually closes")
+    assert(rows.forall(_._2 >= 0L))
+    val (peakDay, peakOpen) = rows.maxBy(_._2)
+    val iv = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_linenumber"), to_date(col("l_shipdate")).as("ship"))
+      .distinct().collect()
+      .map { r =>
+        val d = r.getAs[java.sql.Date]("ship").toLocalDate
+        val dur = 1 + ((r.getAs[Number]("l_orderkey").longValue +
+          r.getAs[Number]("l_linenumber").longValue) % 14)
+        (d, d.plusDays(dur))
+      }
+    val pd = peakDay.toLocalDate
+    val brute = iv.count { case (s0, e0) => !pd.isBefore(s0) && pd.isBefore(e0) }
+    assert(brute.toLong == peakOpen)
+  }
+
   test("cusum recurrence matches a driver-side fold, alarms reset the statistic") {
     val rows = Patterns.cusumChangepoint.run(spark, sf).collect()
     assert(rows.length > 20)
