@@ -1531,10 +1531,80 @@ object Indexing {
     Some(kCoreOracle(5, 6))
   )
 
-  val qs: Seq[Q] = Seq(
+  def qs: Seq[Q] = Seq(
     invertedIndex, booleanSearch, winnowing, countMin, scd2, zoneMap, attributionLinear,
     scd2Lookup, triangleCount, fkAudit,
     resampleFfill, sortedNeighborhood, labelPropagation, bloomIndex,
     mvRetract, marketBasket, tfidfDocSim, driftTv, mmrDiversify,
-    userLtv, rfmSegmentation, linkPrediction, hybridSearchRrf, ssspWeightedQ, kCoreQ)
+    userLtv, rfmSegmentation, linkPrediction, hybridSearchRrf, ssspWeightedQ, kCoreQ,
+    phraseSearch)
+
+  /** Phrase query over a POSITIONAL inverted index — the search capability
+    * term-set retrieval ([[booleanSearch]]) cannot express: "these words,
+    * adjacent, in this order". Postings carry (doc, token, position); a
+    * k-word phrase executes as k position-aligned joins — each posting
+    * stream is first pruned to ONE phrase word against the broadcast
+    * phrase row, so only matching-token postings ever reach the join
+    * (cost = Σ posting lists of the phrase words, never a corpus scan —
+    * the standard positional-index query plan, Manning IR §2.4.2). The
+    * phrase itself is derived in-query (the corpus' most frequent word
+    * trigram, ties lexicographic) so the query is self-contained and
+    * deterministic. Occurrences are counted per doc, not just matched.
+    *
+    * Oracle: phrase selection replayed identically, then the DEFINITION of
+    * a phrase hit — a row-local scan of each doc's token array — rather
+    * than the index plan, so the index join is checked against ground
+    * truth, not against itself.
+    */
+  val phraseSearch = Q(
+    "x_phrase_search",
+    (s, d) => {
+      val words = Tables.documents(s, d)
+        .select(col("doc_id"),
+          filter(split(col("text"), " "), w => w =!= "").as("arr"))
+        .filter(size(col("arr")) >= 3)
+      val tri = words.select(explode(expr(
+        """transform(sequence(0, size(arr) - 3),
+           i -> concat_ws(' ', element_at(arr, i + 1), element_at(arr, i + 2), element_at(arr, i + 3)))"""))
+        .as("ph"))
+      val phrase = tri.groupBy("ph").agg(count(lit(1)).as("c"))
+        .orderBy(desc("c"), asc("ph")).limit(1)
+        .select(
+          element_at(split(col("ph"), " "), 1).as("w1"),
+          element_at(split(col("ph"), " "), 2).as("w2"),
+          element_at(split(col("ph"), " "), 3).as("w3"),
+          col("ph"))
+      val pos = words.select(col("doc_id"), posexplode(col("arr")).as(Seq("p", "w")))
+      def sel(offset: Int, wcol: String) =
+        pos.join(broadcast(phrase.select(col(wcol).as("pw"))), col("w") === col("pw"))
+          .select(col("doc_id"), (col("p") - lit(offset)).as("p0"))
+      sel(0, "w1")
+        .join(sel(1, "w2"), Seq("doc_id", "p0"))
+        .join(sel(2, "w3"), Seq("doc_id", "p0"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_matches"))
+        .crossJoin(broadcast(phrase.select(col("ph").as("phrase"))))
+        .select(col("doc_id"), col("phrase"), col("n_matches"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH words AS (
+              SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS arr
+              FROM documents),
+            w3 AS (SELECT doc_id, arr FROM words WHERE len(arr) >= 3),
+            tri AS (
+              SELECT unnest(list_transform(range(1, len(arr) - 1),
+                i -> array_to_string(arr[i:i+2], ' '))) AS ph
+              FROM w3),
+            phrase AS (
+              SELECT ph FROM (SELECT ph, count(*) AS c FROM tri GROUP BY ph)
+              ORDER BY c DESC, ph LIMIT 1),
+            hits AS (
+              SELECT w3.doc_id, phrase.ph AS phrase,
+                CAST(len(list_filter(range(1, len(arr) - 1),
+                  i -> array_to_string(arr[i:i+2], ' ') = phrase.ph))
+                  AS BIGINT) AS n_matches
+              FROM w3 CROSS JOIN phrase)
+            SELECT doc_id, phrase, n_matches FROM hits
+            WHERE n_matches > 0 ORDER BY doc_id""")
+  )
 }

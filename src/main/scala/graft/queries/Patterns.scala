@@ -440,5 +440,90 @@ object Patterns {
             FROM deltas ORDER BY day""")
   )
 
-  val qs: Seq[Q] = Seq(matchRecognize, skyline, cusumChangepoint, simjoinPrefix, maxConcurrency)
+  /** Incremental skyline maintenance — the O(frontier + delta) face of
+    * [[skyline]]: orders arriving after the cutoff (1995-06-01) are the
+    * delta. All three dimensions are MONOTONE under new orders (spend and
+    * count only grow, recency only advances), which gives the maintenance
+    * theorem: a customer dominated in the base stays dominated (its
+    * dominator — transitively, some frontier member — either received no
+    * delta and is unchanged, or improved), so the new frontier is the
+    * skyline of (old frontier ∪ re-aggregated delta-touched customers)
+    * ONLY. Per increment the engine touches the frontier (tiny), the delta,
+    * and the delta customers' histories — at 100 TB the per-customer
+    * aggregate table is the persisted state, making the re-aggregation
+    * O(delta) too; here it is recomputed to keep the query self-contained.
+    *
+    * Oracle: the FULL skyline recompute over all orders — equality to full
+    * recompute IS the incremental contract (same oracle as [[skyline]]).
+    */
+  val skylineIncremental = Q(
+    "x_skyline_incremental",
+    (s, d) => {
+      import s.implicits._
+      val cutoff = "1995-06-01"
+      val orders = Tables.orders(s, d)
+
+      def aggStats(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(
+          sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("spend_cents"),
+          count(lit(1)).as("n_orders"),
+          max(datediff(to_date(col("o_orderdate")), lit("1992-01-01"))).as("latest_d"))
+        .select(col("custkey"), col("spend_cents"), col("n_orders"),
+          col("latest_d").cast("long").as("latest_d"))
+        .as[(Long, Long, Long, Long)]
+
+      def dominates(b: (Long, Long, Long, Long), a: (Long, Long, Long, Long)): Boolean =
+        b._2 >= a._2 && b._3 >= a._3 && b._4 >= a._4 &&
+          (b._2 > a._2 || b._3 > a._3 || b._4 > a._4)
+
+      def localSkyline(it: Iterator[(Long, Long, Long, Long)]): Iterator[(Long, Long, Long, Long)] = {
+        val frontier = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+        it.foreach { p =>
+          if (!frontier.exists(f => dominates(f, p))) {
+            val keep = frontier.filterNot(f => dominates(p, f))
+            frontier.clear(); frontier ++= keep; frontier += p
+          }
+        }
+        frontier.iterator
+      }
+
+      // frozen base frontier (pruned distributed, collapsed once)
+      val baseFrontier = aggStats(orders.filter(to_date(col("o_orderdate")) < lit(cutoff)))
+        .mapPartitions(localSkyline _).repartition(1).mapPartitions(localSkyline _)
+      // delta-touched customers, re-aggregated over their FULL history
+      val deltaCust = orders.filter(to_date(col("o_orderdate")) >= lit(cutoff))
+        .select(col("o_custkey")).distinct()
+      val updated = aggStats(orders.join(deltaCust, Seq("o_custkey"), "left_semi"))
+      // maintenance: skyline of frontier ∪ updated, with updated customers'
+      // stale frontier rows dropped first
+      baseFrontier.toDF("custkey", "spend_cents", "n_orders", "latest_d")
+        .join(deltaCust.select(col("o_custkey").as("custkey")), Seq("custkey"), "left_anti")
+        .as[(Long, Long, Long, Long)]
+        .unionByName(updated)
+        .mapPartitions(localSkyline _).repartition(1).mapPartitions(localSkyline _)
+        .toDF("custkey", "spend_cents", "n_orders", "latest_d")
+        .withColumn("latest_day", expr("date_add(DATE '1992-01-01', CAST(latest_d AS INT))"))
+        .drop("latest_d")
+        .orderBy("custkey")
+    },
+    Some("""WITH p AS (
+              SELECT o_custkey AS custkey,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spend_cents,
+                count(*) AS n_orders,
+                max(CAST(o_orderdate AS DATE)) AS latest_day
+              FROM orders GROUP BY 1)
+            SELECT custkey, spend_cents, n_orders, latest_day
+            FROM p a
+            WHERE NOT EXISTS (
+              SELECT 1 FROM p b
+              WHERE b.spend_cents >= a.spend_cents AND b.n_orders >= a.n_orders
+                AND b.latest_day >= a.latest_day
+                AND (b.spend_cents > a.spend_cents OR b.n_orders > a.n_orders
+                     OR b.latest_day > a.latest_day))
+            ORDER BY custkey""")
+  )
+
+  val qs: Seq[Q] = Seq(matchRecognize, skyline, cusumChangepoint, simjoinPrefix,
+    maxConcurrency, skylineIncremental)
 }

@@ -192,6 +192,44 @@ class PatternsSpec extends AnyFunSuite {
     assert(brute.toLong == peakOpen)
   }
 
+  test("skyline_incremental equals the full-recompute skyline (the maintenance contract)") {
+    import graft.queries.Patterns
+    val inc = Patterns.skylineIncremental.run(spark, sf).collect()
+      .map(r => (r.getAs[Long]("custkey"), r.getAs[Long]("spend_cents"),
+        r.getAs[Long]("n_orders"))).toSet
+    val full = Patterns.skyline.run(spark, sf).collect()
+      .map(r => (r.getAs[Long]("custkey"), r.getAs[Long]("spend_cents"),
+        r.getAs[Long]("n_orders"))).toSet
+    assert(inc == full)
+    // the split must actually exercise both phases
+    val n = Tables.orders(spark, sf)
+      .filter(to_date(col("o_orderdate")) >= lit("1995-06-01")).count()
+    val m = Tables.orders(spark, sf)
+      .filter(to_date(col("o_orderdate")) < lit("1995-06-01")).count()
+    assert(n > 0 && m > 0, "cutoff must split the data")
+  }
+
+  test("phrase_search counts match a driver-side scan of each doc") {
+    import graft.queries.Indexing
+    val got = Indexing.phraseSearch.run(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("phrase"),
+        r.getAs[Long]("n_matches")))
+    assert(got.nonEmpty)
+    val phrase = got.head._2.split(" ")
+    assert(phrase.length == 3)
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text").split(" ").filter(_.nonEmpty)))
+      .toMap
+    got.foreach { case (id, _, nm) =>
+      val arr = docs(id)
+      val brute = arr.indices.dropRight(2).count(i =>
+        arr(i) == phrase(0) && arr(i + 1) == phrase(1) && arr(i + 2) == phrase(2))
+      assert(brute.toLong == nm, s"doc $id")
+      assert(nm > 0)
+    }
+  }
+
   test("cusum recurrence matches a driver-side fold, alarms reset the statistic") {
     val rows = Patterns.cusumChangepoint.run(spark, sf).collect()
     assert(rows.length > 20)
