@@ -621,4 +621,36 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size >= 2,
       "source-span and content-leak audits must each be a hash-partitioned aggregate")
   }
+
+  test("x_match_recognize: one hash exchange feeds the DFA; scan reads 4 columns") {
+    val p = plan(graft.queries.Patterns.matchRecognize)
+    // repartition(user_id) is the only hash exchange; the top-level orderBy
+    // adds a range exchange and nothing else reshuffles the log
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"pattern depth must never add shuffles:\n${p.take(1500)}")
+    assert(p.contains("MapPartitions"), "the DFA must run as a linear partition scan")
+    assert(!p.contains("props"), "untouched columns must be pruned from the scan")
+  }
+
+  test("x_skyline: both phases are MapPartitions prunes, no quadratic join anywhere") {
+    val p = plan(graft.queries.Patterns.skyline)
+    assert("MapPartitions".r.findAllIn(p).size >= 2,
+      s"local prune + candidate collapse must both be partition scans:\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "dominance must never be evaluated as an all-pairs join")
+  }
+
+  test("x_simjoin_prefix: candidates from a prefix-token equi-join, never a cross join") {
+    val p = plan(graft.queries.Patterns.simjoinPrefix)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"prefix filtering must bound the pair space:\n${p.take(1200)}")
+  }
+
+  test("x_phrase_search: postings are pruned against the broadcast phrase before any join") {
+    val p = plan(graft.queries.Indexing.phraseSearch)
+    assert(p.contains("BroadcastExchange"),
+      s"the 1-row phrase must broadcast, not shuffle:\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct"),
+      "position alignment must be an equi-join on (doc, aligned position)")
+  }
 }
