@@ -1317,6 +1317,60 @@ object RainStorm {
       }
   }
 
+  /** Streaming CUSUM changepoint — the streaming face of
+    * `x_cusum_changepoint`, completing the EWMA/CUSUM monitoring pair
+    * ([[ewmaStream]] is the spike gate; this is the sustained-shift chart).
+    * The batch query derives its in-control mean μ from the series' first
+    * `warmup` days and applies it to ALL rows including the warmup itself,
+    * so the streaming face buffers the warmup rows (BOUNDED state: ≤ warmup
+    * (day, n) pairs + two longs), computes μ when the window fills, emits
+    * the buffered rows' statistics in one burst, and from then on folds
+    * each arrival in O(1) exactly like the batch recurrence — each
+    * (priority, day) emits exactly once, after μ is known. A series that
+    * never reaches `warmup` days holds its rows (in streaming the series
+    * has not ended — that is the semantics, not a loss). Ordering contract
+    * as [[ewmaStream]]: per-batch sort, in-order across batches.
+    */
+  final case class CusumState(buf: Seq[(String, Long)], mu: Long, carry: Long, ready: Boolean)
+  final case class CusumRow(priority: String, day: String, n: Long, cusumMilli: Long, alarm: Long)
+
+  def cusumStream(
+      spark: SparkSession,
+      daily: DataFrame, // (priority string, day string, n long)
+      warmup: Int = 28
+  ): Dataset[CusumRow] = {
+    import spark.implicits._
+    daily
+      .as[(String, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[CusumState, CusumRow](
+        OutputMode.Update(),
+        GroupStateTimeout.NoTimeout
+      ) { (p: String, rows: Iterator[(String, String, Long)], state: GroupState[CusumState]) =>
+        var st  = state.getOption.getOrElse(CusumState(Vector.empty, 0L, 0L, ready = false))
+        val out = scala.collection.mutable.ArrayBuffer.empty[CusumRow]
+        def emit(day: String, n: Long): Unit = {
+          val sPre  = math.max(0L, st.carry + (1000 * n - st.mu - st.mu / 20))
+          val alarm = if (sPre > st.mu) 1L else 0L
+          out += CusumRow(p, day, n, sPre, alarm)
+          st = st.copy(carry = if (alarm == 1L) 0L else sPre)
+        }
+        rows.toSeq.sortBy(_._2).foreach { case (_, day, n) =>
+          if (st.ready) emit(day, n)
+          else {
+            val buf = st.buf :+ (day -> n)
+            if (buf.size == warmup) {
+              val mu = buf.map(_._2 * 1000L).sum / buf.length
+              st = CusumState(Vector.empty, mu, 0L, ready = true)
+              buf.foreach { case (d, nn) => emit(d, nn) }
+            } else st = st.copy(buf = buf)
+          }
+        }
+        state.update(st)
+        out.iterator
+      }
+  }
+
   /** Streaming curation gate with IN-FLIGHT audit counters — the streaming
     * face of `x_observe_audit`: `observe` rides each micro-batch's existing
     * pass (CollectMetrics accumulators merged on task completion), and the

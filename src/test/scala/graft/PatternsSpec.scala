@@ -230,6 +230,37 @@ class PatternsSpec extends AnyFunSuite {
     }
   }
 
+  test("cusumStream equals the batch chart across a mid-warmup batch split") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val daily = Tables.orders(spark, sf)
+      .groupBy(col("o_orderpriority").as("priority"),
+        to_date(col("o_orderdate")).cast("string").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .as[(String, String, Long)].collect().sortBy(t => (t._2, t._1))
+    // split INSIDE the warmup window of every series (day 10 of ~2400)
+    val cutDay = daily.map(_._2).distinct.sorted.apply(10)
+    val in = MemoryStream[(String, String, Long)]
+    val q = graft.streaming.RainStorm.cusumStream(spark, in.toDF()
+        .toDF("priority", "day", "n"))
+      .writeStream.format("memory").queryName("cusum_stream").outputMode("update").start()
+    try {
+      in.addData(daily.filter(_._2 < cutDay).toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(daily.filter(_._2 >= cutDay).toIndexedSeq)
+      q.processAllAvailable()
+      val got = spark.table("cusum_stream").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+      val batch = graft.queries.Patterns.cusumChangepoint.run(spark, sf).collect()
+        .map(r => (r.getAs[String]("priority"), r.getAs[java.sql.Date]("day").toString,
+          r.getAs[Long]("n"), r.getAs[Long]("cusum_milli"), r.getAs[Long]("alarm"))).toSet
+      assert(got == batch)
+      assert(got.size > 100)
+    } finally q.stop()
+  }
+
   test("cusum recurrence matches a driver-side fold, alarms reset the statistic") {
     val rows = Patterns.cusumChangepoint.run(spark, sf).collect()
     assert(rows.length > 20)
