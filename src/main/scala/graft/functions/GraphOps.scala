@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Link-graph analytics beyond the clustering in [[ClusterOps]]: centrality
@@ -60,6 +60,58 @@ object GraphOps {
         .join(contribs, Seq("node"), "left")
         .select(col("node"),
           (lit(baseTerm) + expr("(85 * coalesce(s, 0)) div 100")).as("r"))
+        .localCheckpoint(true)
+    }
+    ranks.select(col("node"), col("r").as("rank_scaled"))
+  }
+
+  /** Personalized PageRank (Page et al. '99 §6; Jeh/Widom WWW'03): the
+    * teleport vector is uniform over a SEED set rather than all nodes, so
+    * mass concentrates in the seeds' neighborhood — the "related to THESE
+    * items" recommendation primitive, where global PageRank answers only
+    * "important overall". Same integer-scaled fixed-iteration recipe as
+    * [[pageRank]] (truncating division, bit-exact cross-engine): r0 puts
+    * scale/|S| on each seed, and each round's base term is
+    * 15·scale/(100·|S|) on seeds, 0 elsewhere. Execution shape identical:
+    * one contribs exchange per round over checkpointed lineage.
+    */
+  def personalizedPageRank(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seedPred: Column,
+      iters: Int = 5,
+      scale: Long = 1000000000000L
+  ): DataFrame = {
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .withColumn("is_seed", seedPred.cast("boolean"))
+      .localCheckpoint(true)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val ew  = e.join(deg, "src")
+
+    val ns = nodes.filter(col("is_seed")).count()
+    require(ns > 0, "personalized PageRank needs a non-empty seed set")
+    val baseTerm = (15L * scale) / (100L * ns)
+
+    var ranks = nodes.select(col("node"),
+      when(col("is_seed"), lit(scale / ns)).otherwise(lit(0L)).as("r"))
+    for (_ <- 1 to iters) {
+      val contribs = ew
+        .join(ranks, col("src") === col("node"))
+        .select(col("dst").as("node"), expr("r div deg").as("c"))
+        .groupBy("node")
+        .agg(sum(col("c")).as("s"))
+      ranks = nodes
+        .join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (when(col("is_seed"), lit(baseTerm)).otherwise(lit(0L)) +
+            expr("(85 * coalesce(s, 0)) div 100")).as("r"))
         .localCheckpoint(true)
     }
     ranks.select(col("node"), col("r").as("rank_scaled"))

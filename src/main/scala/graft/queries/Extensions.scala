@@ -4331,6 +4331,47 @@ object Extensions {
     Some(pagerankOracle(5))
   )
 
+  private def pprOracle(iters: Int): String = {
+    val head =
+      """WITH e AS (SELECT DISTINCT user_id % 211 AS src, event_id % 211 AS dst FROM events),
+         nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+         sp AS (SELECT count(*) AS ns FROM nodes WHERE node % 13 = 0),
+         r0 AS (SELECT nodes.node,
+                CAST(CASE WHEN nodes.node % 13 = 0 THEN 1000000000000 // ns ELSE 0 END AS BIGINT) AS r
+                FROM nodes, sp)"""
+    val rounds = (1 to iters).map { i =>
+      s""",
+         c$i AS (SELECT e.dst AS node, sum(r.r // d.deg) AS s
+                 FROM e JOIN r${i - 1} r ON e.src = r.node
+                 JOIN deg d ON e.src = d.src GROUP BY 1),
+         r$i AS (SELECT nodes.node,
+                 CAST(CASE WHEN nodes.node % 13 = 0
+                        THEN 15 * 1000000000000 // (100 * sp.ns) ELSE 0 END
+                      + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS r
+                 FROM nodes CROSS JOIN sp LEFT JOIN c$i c ON nodes.node = c.node)"""
+    }.mkString
+    head + rounds + s"\n         SELECT node, r AS rank_scaled FROM r$iters ORDER BY node"
+  }
+
+  /** Personalized PageRank over the same folded 211-node graph as
+    * [[pagerankQ]], teleporting only to the node ≡ 0 (mod 13) seed set —
+    * "rank relative to THESE nodes", the related-items recommendation
+    * primitive global PageRank cannot answer. Five fixed integer-scaled
+    * rounds via [[graft.functions.GraphOps.personalizedPageRank]]; the
+    * oracle replays every round, so the query is row-level exact.
+    */
+  val pprQ = Q(
+    "x_personalized_pagerank",
+    (s, d) =>
+      graft.functions.GraphOps.personalizedPageRank(
+        Tables.events(s, d)
+          .select((col("user_id") % 211).as("src"), (col("event_id") % 211).as("dst")),
+        "src", "dst", seedPred = pmod(col("node"), lit(13)) === 0, iters = 5)
+        .orderBy("node"),
+    Some(pprOracle(5))
+  )
+
   /** Fuzzy self-join at edit distance ≤ 1 via the FastSS deletion
     * neighborhood (Bocek, Hunt, Stiller, "Fast Similarity Search in Large
     * Dictionaries", U. Zurich TR 2007): each string emits itself plus its
@@ -5275,7 +5316,7 @@ object Extensions {
   )
 
   val qs: Seq[Q] = Seq(
-    cdcApply, cdcMerge, dataQualityReport, anomalyDays, pagerankQ, fuzzyJoinEdit, mvIncremental,
+    cdcApply, cdcMerge, dataQualityReport, anomalyDays, pagerankQ, pprQ, fuzzyJoinEdit, mvIncremental,
     sampleWeighted, skewReport, gdprPurge, snapshotDiff, sketchSetOps, annPq, annIvfPq,
     columnProfile, histogramQ, bfsLayersQ, ohlcBars, compactionPlan,
     funnelIncremental, distinctKmv,

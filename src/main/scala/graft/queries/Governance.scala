@@ -770,7 +770,86 @@ object Governance {
             FROM u GROUP BY fmt, lang ORDER BY fmt, lang""")
   )
 
+  /** Two-proportion z-test on an A/B split of the event log — the
+    * experimentation readout an analytics engine serves daily: users hash
+    * to variants (user_id mod 2 — the deterministic stand-in for an
+    * assignment service), conversion = at least one purchase, and the
+    * pooled-proportion z statistic decides significance at α = 0.05.
+    * Counts and rates are integer-exact; the z statistic is ONE row of
+    * double arithmetic with the IDENTICAL expression shape on both engines
+    * (IEEE ops — incl. sqrt — are correctly rounded, so same shape ⇒ same
+    * bits; the x_distinct_kmv estimator precedent), quantized to milli
+    * for the hash.
+    *
+    * Shape: one per-user conversion aggregate (hash exchange on user_id),
+    * then a 2-row variant aggregate — the corpus is never touched again.
+    */
+  val abtestSignificance = Q(
+    "x_abtest_significance",
+    (s, d) => {
+      // conversion = a HEAVY purchaser (≥14 purchase events): "any purchase"
+      // is degenerate on this generator (every user converts at every
+      // scale → pooled p = 1 → zero standard error)
+      val u = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(when(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) >= 14, 1L)
+          .otherwise(0L).as("conv"))
+      val v = u.groupBy(pmod(col("user_id"), lit(2)).as("variant"))
+        .agg(count(lit(1)).as("n"), sum(col("conv")).as("c"))
+      val a = v.filter(col("variant") === 0).select(col("n").as("n_a"), col("c").as("conv_a"))
+      val b = v.filter(col("variant") === 1).select(col("n").as("n_b"), col("c").as("conv_b"))
+      a.join(b, lit(true), "inner") // 1×1
+        .withColumn("pa", col("conv_a").cast("double") / col("n_a").cast("double"))
+        .withColumn("pb", col("conv_b").cast("double") / col("n_b").cast("double"))
+        .withColumn("pp", (col("conv_a") + col("conv_b")).cast("double") /
+          (col("n_a") + col("n_b")).cast("double"))
+        // degenerate guard: pooled p ∈ {0, 1} ⇒ zero variance ⇒ z defined 0
+        // (ANSI Spark errors on double ÷0 where DuckDB returns inf — the
+        // CASE keeps both engines on the same finite value)
+        .withColumn("z", when(col("pp") === 0.0 || col("pp") === 1.0, lit(0.0))
+          .otherwise((col("pa") - col("pb")) /
+            sqrt(col("pp") * (lit(1.0) - col("pp")) *
+              (lit(1.0) / col("n_a").cast("double") + lit(1.0) / col("n_b").cast("double")))))
+        .select(
+          col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+          expr("(1000 * conv_a) div n_a").as("rate_a_milli"),
+          expr("(1000 * conv_b) div n_b").as("rate_b_milli"),
+          floor(col("z") * 1000 + 0.5).cast("long").as("z_milli"),
+          when(abs(col("z")) > 1.96, 1L).otherwise(0L).as("significant"))
+    },
+    Some("""WITH u AS (
+              SELECT user_id,
+                CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+                     THEN 1 ELSE 0 END AS conv
+              FROM events GROUP BY user_id),
+            v AS (
+              SELECT user_id % 2 AS variant, count(*) AS n,
+                CAST(sum(conv) AS BIGINT) AS c
+              FROM u GROUP BY 1),
+            a AS (SELECT n AS n_a, c AS conv_a FROM v WHERE variant = 0),
+            b AS (SELECT n AS n_b, c AS conv_b FROM v WHERE variant = 1),
+            j AS (
+              SELECT n_a, conv_a, n_b, conv_b,
+                CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS pa,
+                CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS pb,
+                CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS pp
+              FROM a, b),
+            z AS (
+              SELECT *, CASE WHEN pp = 0.0 OR pp = 1.0 THEN 0.0
+                ELSE (pa - pb) /
+                  sqrt(pp * (1.0 - pp) *
+                    (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+                END AS zv
+              FROM j)
+            SELECT n_a, conv_a, n_b, conv_b,
+              1000 * conv_a // n_a AS rate_a_milli,
+              1000 * conv_b // n_b AS rate_b_milli,
+              CAST(floor(zv * 1000 + 0.5) AS BIGINT) AS z_milli,
+              CAST(CASE WHEN abs(zv) > 1.96 THEN 1 ELSE 0 END AS BIGINT) AS significant
+            FROM z""")
+  )
+
   val qs: Seq[Q] = Seq(kAnonymity, schemaEvolution, unpivotMetrics, ewmaAnomaly, observeAudit, vacuumRetention, multiformatIngest,
     holtWinters, groupedPercentiles, gapsIslands, equidepthHistogram, dppPrune, dpNoisyCounts,
-    replicaReconcile, wapPublish)
+    replicaReconcile, wapPublish, abtestSignificance)
 }

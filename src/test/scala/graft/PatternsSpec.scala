@@ -261,6 +261,51 @@ class PatternsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("personalized pagerank matches a driver-side integer fold of the same graph") {
+    import graft.queries.Extensions
+    val got = Extensions.pprQ.run(spark, sf).collect()
+      .map(r => (r.getAs[Long]("node"), r.getAs[Long]("rank_scaled"))).toMap
+
+    val edges = Tables.events(spark, sf)
+      .select((col("user_id") % 211).as("src"), (col("event_id") % 211).as("dst"))
+      .distinct().collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst"))).distinct
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val deg   = edges.groupBy(_._1).map { case (s0, es) => s0 -> es.size.toLong }
+    val seeds = nodes.filter(_ % 13 == 0)
+    val scale = 1000000000000L
+    var r = nodes.map(n => n -> (if (n % 13 == 0) scale / seeds.size else 0L)).toMap
+    for (_ <- 1 to 5) {
+      val contribs = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (s0, _) => r(s0) / deg(s0) }.sum
+      }
+      r = nodes.map { n =>
+        val base = if (n % 13 == 0) (15L * scale) / (100L * seeds.size) else 0L
+        n -> (base + (85L * contribs.getOrElse(n, 0L)) / 100L)
+      }.toMap
+    }
+    assert(got == r)
+    assert(got.values.exists(_ > 0) && seeds.nonEmpty)
+    // mass concentrates at/near seeds: the top-ranked node is a seed
+    assert(got.maxBy(_._2)._1 % 13 == 0)
+  }
+
+  test("abtest z statistic matches driver-side two-proportion math") {
+    import graft.queries.Governance
+    val r = Governance.abtestSignificance.run(spark, sf).collect().head
+    val (na, ca) = (r.getAs[Long]("n_a"), r.getAs[Long]("conv_a"))
+    val (nb, cb) = (r.getAs[Long]("n_b"), r.getAs[Long]("conv_b"))
+    assert(na > 0 && nb > 0)
+    assert(ca < na || cb < nb, "conversion must not be degenerate")
+    val pa = ca.toDouble / na; val pb = cb.toDouble / nb
+    val pp = (ca + cb).toDouble / (na + nb)
+    val z =
+      if (pp == 0.0 || pp == 1.0) 0.0
+      else (pa - pb) / math.sqrt(pp * (1 - pp) * (1.0 / na + 1.0 / nb))
+    assert(r.getAs[Long]("z_milli") == math.floor(z * 1000 + 0.5).toLong)
+    assert(r.getAs[Long]("significant") == (if (math.abs(z) > 1.96) 1L else 0L))
+  }
+
   test("cusum recurrence matches a driver-side fold, alarms reset the statistic") {
     val rows = Patterns.cusumChangepoint.run(spark, sf).collect()
     assert(rows.length > 20)
