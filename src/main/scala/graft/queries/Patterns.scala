@@ -524,6 +524,78 @@ object Patterns {
             ORDER BY custkey""")
   )
 
+  /** Error-burst detection — the quantifier-only row pattern `E{3,}`
+    * (three or more CONSECUTIVE error events per user, any other event
+    * breaking the run): the reliability signal "this user is stuck in a
+    * failure loop", which a plain error COUNT cannot see (60 scattered
+    * errors are noise; 3 back-to-back are an incident). Same execution
+    * shape as [[matchRecognize]] — one exchange, in-partition sort, linear
+    * run-length scan with two longs of state — demonstrating the DFA
+    * machinery generalizes across pattern shapes. Maximal runs only (a
+    * 5-error run is ONE burst of 5, not three overlapping bursts of 3).
+    *
+    * Oracle: the rn-difference islands replay over error rows positioned
+    * in the FULL per-user sequence (consecutive full-sequence rns = a run).
+    */
+  val errorBurst = Q(
+    "x_error_burst",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .select(
+          col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("tm"),
+          col("event_id"),
+          (col("event_type") === "error").as("isErr"))
+        .as[(Long, Long, Long, Boolean)]
+      ev.repartition(col("user_id"))
+        .sortWithinPartitions(col("user_id"), col("tm"), col("event_id"))
+        .mapPartitions { it =>
+          new Iterator[(Long, Long, Long, Long)] {
+            private var curUser  = Long.MinValue
+            private var runLen   = 0L
+            private var runStart = 0L
+            private var lastTm   = 0L
+            private var pendingUser = Long.MinValue
+            private var nxt: (Long, Long, Long, Long) = _
+            private def closeRun(): Unit =
+              if (runLen >= 3) nxt = (pendingUser, runLen, runStart, lastTm)
+            private def advance(): Unit = {
+              nxt = null
+              while (nxt == null && it.hasNext) {
+                val (u, tm, _, isErr) = it.next()
+                if (u != curUser) { closeRun(); curUser = u; runLen = 0 }
+                if (isErr) {
+                  if (runLen == 0L) runStart = tm
+                  runLen += 1; lastTm = tm; pendingUser = u
+                } else { closeRun(); runLen = 0 }
+              }
+              if (nxt == null && !it.hasNext && runLen > 0) { closeRun(); runLen = 0 }
+            }
+            advance()
+            def hasNext: Boolean = nxt != null
+            def next(): (Long, Long, Long, Long) = { val r = nxt; advance(); r }
+          }
+        }
+        .toDF("user_id", "n_errors", "start_us", "end_us")
+        .orderBy("user_id", "start_us")
+    },
+    Some("""WITH e AS (
+              SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tm,
+                (event_type = 'error') AS is_err,
+                row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+              FROM events),
+            er AS (
+              SELECT user_id, rn, tm,
+                rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+              FROM e WHERE is_err)
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_errors,
+              min(tm) AS start_us, max(tm) AS end_us
+            FROM er GROUP BY user_id, grp
+            HAVING count(*) >= 3
+            ORDER BY user_id, start_us""")
+  )
+
   val qs: Seq[Q] = Seq(matchRecognize, skyline, cusumChangepoint, simjoinPrefix,
-    maxConcurrency, skylineIncremental)
+    maxConcurrency, skylineIncremental, errorBurst)
 }

@@ -306,6 +306,33 @@ class PatternsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("significant") == (if (math.abs(z) > 1.96) 1L else 0L))
   }
 
+  test("error_burst: maximal runs only, boundaries at user change and stream end") {
+    import spark.implicits._
+    import graft.queries.Patterns
+    val dir = "/tmp/graft_burst_fixture"
+    // u1: E E E E E (one burst of 5, trailing at user boundary)
+    // u2: E E view E E E (first run too short; second qualifies, ends stream)
+    // u3: E E (never qualifies)
+    val rows = Seq(
+      (1L, ts(0), 1L, "error", 0.0, ""), (2L, ts(1), 1L, "error", 0.0, ""),
+      (3L, ts(2), 1L, "error", 0.0, ""), (4L, ts(3), 1L, "error", 0.0, ""),
+      (5L, ts(4), 1L, "error", 0.0, ""),
+      (10L, ts(0), 2L, "error", 0.0, ""), (11L, ts(1), 2L, "error", 0.0, ""),
+      (12L, ts(2), 2L, "view", 0.0, ""),
+      (13L, ts(3), 2L, "error", 0.0, ""), (14L, ts(4), 2L, "error", 0.0, ""),
+      (15L, ts(5), 2L, "error", 0.0, ""),
+      (20L, ts(0), 3L, "error", 0.0, ""), (21L, ts(1), 3L, "error", 0.0, "")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Patterns.errorBurst.run(spark, dir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_errors"),
+        r.getAs[Long]("start_us"), r.getAs[Long]("end_us"))).toSet
+    def us(min: Int) = ts(min).getTime * 1000L
+    assert(out == Set(
+      (1L, 5L, us(0), us(4)),
+      (2L, 3L, us(3), us(5))))
+  }
+
   test("cusum recurrence matches a driver-side fold, alarms reset the statistic") {
     val rows = Patterns.cusumChangepoint.run(spark, sf).collect()
     assert(rows.length > 20)
