@@ -387,6 +387,101 @@ object Patterns {
             ORDER BY id_a, id_b""")
   )
 
+  /** Incremental exact similarity join — the O(delta) face of
+    * [[simjoinPrefix]], mirroring the x_er_incremental discipline: a delta
+    * batch of documents (doc_id ≡ 0 mod 10, the arriving 10%) is joined
+    * against the FROZEN base corpus, reporting every qualifying pair that
+    * INVOLVES a delta doc. The prefix theorem holds for ANY fixed total
+    * token order — frequency is only the pruning heuristic — so prefixes
+    * on BOTH sides use the base corpus' frozen frequency order (tokens
+    * unseen in the base rank rarest at freq 0), exactly what a persisted
+    * prefix index gives an ingest pipeline: only delta prefix tokens probe
+    * the index, base-base pairs are never revisited, and the result is
+    * still LOSSLESS for delta-involving pairs under that order. Same
+    * integer-exact PPJoin length/positional filters.
+    */
+  val simjoinIncremental = Q(
+    "x_simjoin_incremental",
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.DedupOps.shingles(col("text"), 4).as("t"),
+          (pmod(col("doc_id"), lit(10)) === 0).as("is_delta"))
+      val tok = toks.select(col("doc_id"), col("is_delta"), explode(col("t")).as("w"))
+      val baseFreq = tok.filter(!col("is_delta"))
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+      val pref = tok.join(baseFreq, Seq("w"), "left")
+        .withColumn("freq", coalesce(col("freq"), lit(0L)))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("doc_id")).orderBy(col("freq"), col("w"))))
+        .withColumn("n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
+        .filter(col("rn") <= col("n") - expr("(4 * n + 4) div 5") + 1)
+        .select(col("doc_id"), col("is_delta"), col("w"),
+          col("rn").cast("long").as("rn"), col("n"))
+      val prefDelta = pref.filter(col("is_delta"))
+        .select(col("doc_id").as("d_id"), col("w"),
+          col("rn").as("d_rn"), col("n").as("d_n"))
+      val cand = prefDelta.join(pref,
+          prefDelta("w") === pref("w") && col("d_id") =!= col("doc_id") &&
+            col("n") * 5 >= col("d_n") * 4 &&
+            col("d_n") * 5 >= col("n") * 4 &&
+            (least(col("d_n") - col("d_rn"), col("n") - col("rn")) + 1) * 9 >=
+              (col("d_n") + col("n")) * 4)
+        .select(least(col("d_id"), col("doc_id")).as("id_a"),
+          greatest(col("d_id"), col("doc_id")).as("id_b"))
+        .distinct()
+      cand
+        .join(toks.select(col("doc_id").as("id_a"), col("t").as("ta")), "id_a")
+        .join(toks.select(col("doc_id").as("id_b"), col("t").as("tb")), "id_b")
+        .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("double"))
+        .withColumn("jaccard",
+          col("inter") / (size(col("ta")) + size(col("tb")) - col("inter")))
+        .filter(col("jaccard") >= 0.8)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+        .orderBy("id_a", "id_b")
+    },
+    Some("""WITH words AS (
+              SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS t
+              FROM documents),
+            toks AS (
+              SELECT doc_id, doc_id % 10 = 0 AS is_delta,
+                CASE WHEN len(t) >= 4
+                  THEN list_distinct(list_transform(range(1, len(t) - 2),
+                         i -> array_to_string(t[i:i+3], ' ')))
+                  ELSE [array_to_string(t, ' ')] END AS t
+              FROM words),
+            tok AS (SELECT doc_id, is_delta, unnest(t) AS w FROM toks),
+            f AS (SELECT w, count(*) AS freq FROM tok WHERE NOT is_delta GROUP BY w),
+            pref AS (
+              SELECT doc_id, is_delta, w, rn, n FROM (
+                SELECT tok.doc_id, tok.is_delta, tok.w,
+                  row_number() OVER (PARTITION BY tok.doc_id
+                    ORDER BY COALESCE(f.freq, 0), tok.w) AS rn,
+                  count(*) OVER (PARTITION BY tok.doc_id) AS n
+                FROM tok LEFT JOIN f USING (w))
+              WHERE rn <= n - (4 * n + 4) // 5 + 1),
+            cand AS (
+              SELECT DISTINCT LEAST(a.doc_id, b.doc_id) AS id_a,
+                GREATEST(a.doc_id, b.doc_id) AS id_b
+              FROM pref a JOIN pref b ON a.w = b.w AND a.doc_id <> b.doc_id
+              WHERE a.is_delta
+                AND b.n * 5 >= a.n * 4
+                AND a.n * 5 >= b.n * 4
+                AND (LEAST(a.n - a.rn, b.n - b.rn) + 1) * 9 >=
+                    (a.n + b.n) * 4),
+            v AS (
+              SELECT c.id_a, c.id_b,
+                CAST(len(list_intersect(ta.t, tb.t)) AS DOUBLE) /
+                  (len(ta.t) + len(tb.t) - len(list_intersect(ta.t, tb.t))) AS jaccard
+              FROM cand c
+              JOIN toks ta ON ta.doc_id = c.id_a
+              JOIN toks tb ON tb.doc_id = c.id_b)
+            SELECT id_a, id_b, jaccard FROM v WHERE jaccard >= 0.8
+            ORDER BY id_a, id_b""")
+  )
+
   /** Sweep-line max-concurrency: how many shipments are simultaneously
     * in flight each day (interval = ship date + a deterministic
     * 1 + (orderkey + linenumber) mod 14 day transit, end-exclusive) — the
@@ -597,5 +692,5 @@ object Patterns {
   )
 
   val qs: Seq[Q] = Seq(matchRecognize, skyline, cusumChangepoint, simjoinPrefix,
-    maxConcurrency, skylineIncremental, errorBurst)
+    maxConcurrency, skylineIncremental, errorBurst, simjoinIncremental)
 }

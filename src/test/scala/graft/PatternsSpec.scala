@@ -333,6 +333,24 @@ class PatternsSpec extends AnyFunSuite {
       (2L, 3L, us(3), us(5))))
   }
 
+  test("simjoin_incremental equals the delta-involving slice of exact all-pairs") {
+    import graft.queries.Patterns
+    val got = Patterns.simjoinIncremental.run(spark, sf).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val sh = Tables.documents(spark, sf)
+      .select(col("doc_id"), graft.functions.DedupOps.shingles(col("text"), 4).as("t"))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getSeq[String](1).toSet))
+    val expect = (for {
+      (a, ta) <- sh; (b, tb) <- sh if a < b
+      if a % 10 == 0 || b % 10 == 0 // at least one delta doc
+      inter = (ta & tb).size.toDouble
+      if inter / (ta.size + tb.size - inter) >= 0.8
+    } yield (a, b)).toSet
+    assert(got == expect)
+    assert(expect.nonEmpty, "the delta slice should contain planted near-dups")
+  }
+
   test("cusum recurrence matches a driver-side fold, alarms reset the statistic") {
     val rows = Patterns.cusumChangepoint.run(spark, sf).collect()
     assert(rows.length > 20)
