@@ -1,0 +1,66 @@
+package graft
+
+import java.sql.Date
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.Analytics
+
+/** Collocation / robust-statistics family: PMI ranking replayed driver-side
+  * on a planted corpus, and Hampel MAD outliers on a planted order book
+  * where a classical mean/stddev rule would be dragged by the outlier.
+  */
+class AnalyticsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("collocations_pmi: planted collocation outranks frequent-but-independent pair") {
+    import spark.implicits._
+    val dir = "/tmp/graft_analytics_pmi"
+    // "new york" always co-occurs (25x); "the cat"/"the dog" are frequent but
+    // "the" is ubiquitous, so their independence baseline is high.
+    val filler = (1 to 25).map(i => (i.toLong, ("the cat sat on the mat and the dog ran " * 2).trim, "en", "web", 0L))
+    val planted = (26 to 50).map(i => (i.toLong, "we flew to new york from new york yesterday", "en", "web", 0L))
+    (filler ++ planted).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val out = Analytics.collocationsPmi.run(spark, dir).collect()
+    assert(out.nonEmpty)
+    val byName = out.map(r => r.getAs[String]("bigram") -> r.getAs[Double]("pmi_ratio")).toMap
+    assert(byName.contains("new york"))
+    assert(byName("new york") > byName.getOrElse("the cat", 0.0))
+    // replay the ratio driver-side for the planted pair
+    val rows = (filler ++ planted).flatMap(_._2.split(" ").filter(_.nonEmpty))
+    val nTok = rows.size.toDouble
+    val bigrams = (filler ++ planted).flatMap { case (_, t, _, _, _) =>
+      val w = t.split(" ").filter(_.nonEmpty); w.zip(w.drop(1))
+    }
+    val nBig = bigrams.size.toDouble
+    val cxy = bigrams.count(_ == ("new", "york")).toDouble
+    val cx = rows.count(_ == "new").toDouble
+    val cy = rows.count(_ == "york").toDouble
+    val expected = cxy * nTok * nTok / (nBig * cx * cy)
+    assert(math.abs(byName("new york") - expected) < 1e-9)
+    // descending, deterministic ordering
+    val ratios = out.map(_.getAs[Double]("pmi_ratio")).toSeq
+    assert(ratios == ratios.sortBy(-_))
+  }
+
+  test("mad_outliers: spike day flagged, median not dragged by the outlier") {
+    import spark.implicits._
+    val dir = "/tmp/graft_analytics_mad"
+    // 29 quiet days at ~100.00, one 10x spike. A mean/stddev estimate would
+    // move with the spike; the median/MAD pair must not.
+    val days = (1 to 29).map(i =>
+      (i.toLong, 1L, "O", 100.0 + (i % 3), Date.valueOf(f"2024-01-${i}%02d"), "1-URGENT")) :+
+      (30L, 1L, "O", 1000.0, Date.valueOf("2024-01-30"), "1-URGENT")
+    days.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+
+    val out = Analytics.madOutliers.run(spark, dir).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Date]("day") == Date.valueOf("2024-01-30"))
+    assert(r.getAs[Boolean]("is_high"))
+    // med2 = 2 * median of the quiet-day cents (10100/10200), untouched by the spike
+    assert(r.getAs[Long]("med2") === 20200L)
+  }
+}
