@@ -155,5 +155,175 @@ object Analytics {
             ORDER BY pri, day""")
   )
 
-  val qs: Seq[Q] = Seq(collocationsPmi, madOutliers)
+  /** Autocorrelation function of the per-priority daily-revenue series at
+    * lags 1–5 — the seasonality probe that decides whether x_holt_winters'
+    * seasonal term is even warranted. The textbook estimator
+    * `r_k = Σ(x_t−x̄)(x_{t+k}−x̄) / Σ(x_t−x̄)²` is made integer-EXACT by
+    * multiplying through by n² (deviation e_t = n·x_t − Σx, a BIGINT), so
+    * no float mean ever enters the arithmetic; cross-products widen to
+    * DECIMAL(38,0) on the Spark side and HUGEINT in the oracle, and the
+    * published ratio is the truncating-division ppm both engines compute
+    * identically. Lag positions are row-numbered WITHIN the observed
+    * series (not calendar offsets), so sparse (priority, day) combinations
+    * — the sf0.01 reality — need no gap filling.
+    *
+    * Scale shape: the order book collapses to (priority, day) partials on
+    * one high-cardinality exchange; everything after runs on the
+    * calendar-bounded series (~2.4k rows per priority), where the lag
+    * self-join and the window are structurally flat in corpus size.
+    */
+  val acf = Q(
+    "x_acf",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority").as("pri"), col("o_orderdate").as("day"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+      val st = daily.groupBy(col("pri"))
+        .agg(count(lit(1)).as("n_days"), sum(col("cents")).as("sv"))
+      val dev = daily.join(st, "pri")
+        .withColumn("e", col("n_days") * col("cents") - col("sv"))
+        .withColumn("rn", row_number().over(Window.partitionBy("pri").orderBy("day")))
+        .select(col("pri"), col("rn"), col("e"), col("n_days"))
+      val den = dev.groupBy(col("pri"))
+        .agg(sum(col("e").cast("decimal(38,0)") * col("e").cast("decimal(38,0)")).as("dsum"))
+      val lags = s.range(1, 6).select(col("id").as("lag_k"))
+      val shifted = dev.select(col("pri"), col("rn"), col("e").as("e2"))
+      dev.crossJoin(lags)
+        .join(shifted
+            .withColumnRenamed("pri", "p2")
+            .withColumnRenamed("rn", "rn2"),
+          col("pri") === col("p2") && col("rn2") === col("rn") + col("lag_k"))
+        .groupBy(col("pri"), col("lag_k"))
+        .agg(
+          sum(col("e").cast("decimal(38,0)") * col("e2").cast("decimal(38,0)")).as("nk"),
+          count(lit(1)).as("n_pairs"),
+          first(col("n_days")).as("n_days"))
+        .join(den, "pri")
+        .select(col("pri"), col("lag_k"), col("n_days"), col("n_pairs"),
+          expr("CAST((nk * 1000000) div dsum AS BIGINT)").as("acf_ppm"))
+        .orderBy("pri", "lag_k")
+    },
+    Some("""WITH daily AS (
+              SELECT o_orderpriority AS pri, o_orderdate AS day,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+              FROM orders GROUP BY 1, 2),
+            st AS (
+              SELECT pri, count(*) AS n_days, CAST(sum(cents) AS BIGINT) AS sv
+              FROM daily GROUP BY 1),
+            dev AS (
+              SELECT d.pri, n_days, n_days * cents - sv AS e,
+                row_number() OVER (PARTITION BY d.pri ORDER BY day) AS rn
+              FROM daily d JOIN st USING (pri)),
+            den AS (
+              SELECT pri, sum(CAST(e AS HUGEINT) * e) AS dsum FROM dev GROUP BY 1),
+            lags AS (SELECT unnest(range(1, 6)) AS lag_k),
+            num AS (
+              SELECT d1.pri, lag_k,
+                sum(CAST(d1.e AS HUGEINT) * d2.e) AS nk,
+                count(*) AS n_pairs, any_value(d1.n_days) AS n_days
+              FROM dev d1 CROSS JOIN lags
+              JOIN dev d2 ON d1.pri = d2.pri AND d2.rn = d1.rn + lag_k
+              GROUP BY 1, 2)
+            SELECT num.pri AS pri, lag_k, num.n_days, n_pairs,
+              CAST((nk * 1000000) // dsum AS BIGINT) AS acf_ppm
+            FROM num JOIN den ON num.pri = den.pri
+            ORDER BY num.pri, lag_k""")
+  )
+
+  /** Greedy maximum-coverage document selection: pick 5 documents that
+    * together cover the most of the top-200 bigram vocabulary — the
+    * data-mixing primitive ("which few shards/docs exercise the most of
+    * the target vocabulary") behind eval-set seeding and curriculum
+    * anchors. Greedy is the (1−1/e)-approximation of Nemhauser et al.;
+    * each round picks the document with the largest UNCOVERED-bigram gain
+    * (ties → lowest doc_id) and folds its bigrams into the covered set.
+    *
+    * Sequential selection is unrollable (the x_mmr_diversify precedent):
+    * each of the 5 rounds is one distributed aggregate over the
+    * (doc, universe-bigram) pair table with the covered set — at most 200
+    * strings, model-sized — applied as a literal filter; only the 1-row
+    * argmax and the winner's ≤200 covered bigrams are ever collected. The
+    * pair table is corpus × 200 bounded and cached across rounds.
+    *
+    * The universe is bigrams, not unigrams: this generator's unigram
+    * vocabulary saturates at 31 tokens (one doc covers it — the vocab-
+    * saturation boundary documented on x_simjoin_prefix), while the ~930
+    * distinct bigrams keep all five rounds informative at every scale.
+    */
+  val greedySetcover = Q(
+    "x_greedy_setcover",
+    (s, d) => {
+      import s.implicits._
+      val bg = Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
+        .select(col("doc_id"),
+          explode(
+            when(size(col("t")) >= 2,
+              transform(
+                sequence(lit(0), size(col("t")) - 2),
+                i => concat_ws(" ", element_at(col("t"), i + 1), element_at(col("t"), i + 2))))
+              .otherwise(array().cast("array<string>"))
+          ).as("tok"))
+        .distinct()
+      val uni = bg.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("tok")).limit(200).select(col("tok"))
+      val dt = bg.join(uni, "tok").cache()
+      try {
+        var covered = Set.empty[String]
+        val picks = Seq.newBuilder[(Long, Long, Long, Long)]
+        var rank = 1L
+        var exhausted = false
+        while (rank <= 5 && !exhausted) {
+          val remaining =
+            if (covered.isEmpty) dt
+            else dt.filter(!col("tok").isin(covered.toSeq: _*))
+          val top = remaining.groupBy(col("doc_id")).agg(count(lit(1)).as("gain"))
+            .orderBy(col("gain").desc, col("doc_id")).limit(1).collect()
+          if (top.isEmpty) exhausted = true
+          else {
+            val docId = top.head.getAs[Long]("doc_id")
+            val gain = top.head.getAs[Long]("gain")
+            covered = covered ++ dt.filter(col("doc_id") === docId)
+              .select(col("tok")).collect().map(_.getString(0))
+            picks += ((rank, docId, gain, covered.size.toLong))
+            rank += 1
+          }
+        }
+        picks.result().toDF("pick_rank", "doc_id", "gain", "covered_total")
+          .orderBy("pick_rank")
+      } finally dt.unpersist()
+    },
+    Some {
+      val head =
+        """WITH toks AS (
+             SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS t FROM documents),
+           bg AS (
+             SELECT DISTINCT doc_id, unnest(CASE WHEN len(t) >= 2
+               THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+               ELSE CAST([] AS VARCHAR[]) END) AS tok
+             FROM toks),
+           uni AS (SELECT tok FROM bg GROUP BY tok ORDER BY count(*) DESC, tok LIMIT 200),
+           dt AS (SELECT doc_id, bg.tok FROM bg JOIN uni USING (tok)),
+           c0 AS (SELECT NULL AS tok WHERE false)"""
+      val rounds = (1 to 5).map { k =>
+        s""",
+           r$k AS (
+             SELECT doc_id, count(*) AS gain FROM dt
+             WHERE tok NOT IN (SELECT tok FROM c${k - 1})
+             GROUP BY doc_id ORDER BY gain DESC, doc_id LIMIT 1),
+           c$k AS (
+             SELECT tok FROM c${k - 1}
+             UNION
+             SELECT tok FROM dt WHERE doc_id = (SELECT doc_id FROM r$k))"""
+      }.mkString
+      val tail = (1 to 5).map { k =>
+        s"""SELECT CAST($k AS BIGINT) AS pick_rank, doc_id, gain,
+              (SELECT CAST(count(*) AS BIGINT) FROM c$k) AS covered_total FROM r$k"""
+      }.mkString("\n           UNION ALL ")
+      head + rounds + "\n           " + tail + "\n           ORDER BY pick_rank"
+    }
+  )
+
+  val qs: Seq[Q] = Seq(collocationsPmi, madOutliers, acf, greedySetcover)
 }

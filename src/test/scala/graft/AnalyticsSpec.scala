@@ -63,4 +63,50 @@ class AnalyticsSpec extends AnyFunSuite {
     // med2 = 2 * median of the quiet-day cents (10100/10200), untouched by the spike
     assert(r.getAs[Long]("med2") === 20200L)
   }
+
+  test("acf: alternating series gives negative lag-1, positive lag-2, exact ppm replay") {
+    import spark.implicits._
+    val dir = "/tmp/graft_analytics_acf"
+    // 30-day strictly alternating revenue: acf(1) ~ -1, acf(2) ~ +1
+    val xs = (1 to 30).map(i => if (i % 2 == 0) 200.0 else 100.0)
+    xs.zipWithIndex.map { case (v, i) =>
+      ((i + 1).toLong, 1L, "O", v, Date.valueOf(f"2024-01-${i + 1}%02d"), "1-URGENT")
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+
+    val out = Analytics.acf.run(spark, dir).collect()
+      .map(r => r.getAs[Long]("lag_k") -> r.getAs[Long]("acf_ppm")).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(out(1L) < -900000L && out(2L) > 900000L && out(3L) < -850000L)
+    // exact replay of the integer recurrence for lag 1
+    val cents = xs.map(v => math.round(v * 100))
+    val n = cents.size.toLong
+    val sv = cents.sum
+    val e = cents.map(c => n * c - sv)
+    val nk = e.zip(e.drop(1)).map { case (a, b) => BigInt(a) * BigInt(b) }.sum
+    val den = e.map(v => BigInt(v) * BigInt(v)).sum
+    assert(out(1L) === (nk * 1000000 / den).toLong)
+  }
+
+  test("greedy_setcover: disjoint-vocabulary docs picked in gain order, coverage accumulates") {
+    import spark.implicits._
+    val dir = "/tmp/graft_analytics_cover"
+    // doc 1 has 10 unique bigrams, doc 2 has 6, doc 3 repeats doc 1's text
+    // (gain 0 after doc 1 is picked), doc 4 has 3 unique bigrams.
+    def words(prefix: String, n: Int) = (1 to n).map(i => s"$prefix$i").mkString(" ")
+    val docs = Seq(
+      (1L, words("a", 11), "en", "web", 0L),
+      (2L, words("b", 7), "en", "web", 0L),
+      (3L, words("a", 11), "en", "web", 0L),
+      (4L, words("c", 4), "en", "web", 0L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val out = Analytics.greedySetcover.run(spark, dir).collect()
+      .map(r => (r.getAs[Long]("pick_rank"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("gain"), r.getAs[Long]("covered_total")))
+    // greedy: doc 1 (10 bigrams), doc 2 (6), doc 4 (3), then doc 3 ties at
+    // gain 0 with nothing uncovered -> round aggregates empty, loop stops.
+    assert(out.toSeq == Seq((1L, 1L, 10L, 10L), (2L, 2L, 6L, 16L), (3L, 4L, 3L, 19L)))
+  }
 }
