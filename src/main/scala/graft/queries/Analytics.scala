@@ -325,5 +325,130 @@ object Analytics {
     }
   )
 
-  val qs: Seq[Q] = Seq(collocationsPmi, madOutliers, acf, greedySetcover)
+  /** Dominant principal direction of the embedding corpus by power
+    * iteration on the Gram (second-moment) matrix — the spectral primitive
+    * behind embedding whitening, drift detection, and anisotropy audits
+    * (Mu & Viswanath's "all-but-the-top"). The whole computation is
+    * integer-exact and therefore fully oracled: embeddings quantize to
+    * thousandths (`floor(x·1000)` — floor, not round, which engines
+    * half-tie differently), the d×d Gram accumulates exact BIGINT products,
+    * entries normalize by `n div 1000` (truncating) so every later bound is
+    * data-size-independent, and 8 power-iteration rounds run in scaled
+    * integer arithmetic (renormalize to ±10⁶ by the max-|component|,
+    * truncating division — the x_pagerank unroll discipline). Sign is
+    * canonicalized by making the largest-|v| component positive; a final
+    * Rayleigh quotient in the same integer units rides along.
+    *
+    * Scale shape: ONE pass over the data — `mapPartitions` accumulates a
+    * local 64×64 upper triangle (2 080 longs of state per partition, the
+    * treeAggregate shape) and emits it as (cell, partial) rows; one
+    * partial→final sum over ≤ partitions×2 081 rows; the iteration itself
+    * touches only the collected model-sized matrix (the x_kmeans
+    * centroid-collect precedent). Row count rides the same pass as cell
+    * −1 — no second scan. At 100 TB this is the only shape that works:
+    * gram accumulation is embarrassingly parallel and the shuffle is
+    * O(partitions·d²), independent of row count.
+    *
+    * Oracle: DuckDB replays the quantization, the 8.2M-row gram
+    * aggregation, and all 8 rounds + sign fix + Rayleigh quotient in
+    * HUGEINT CTEs.
+    */
+  val pcaTopComponent = Q(
+    "x_pca_topcomponent",
+    (s, d) => {
+      import s.implicits._
+      val dim = 64
+      val cells = dim * (dim + 1) / 2
+      val partials = Tables.embeddings(s, d)
+        .select(col("embedding").cast("array<double>").as("e"))
+        .as[Seq[Double]]
+        .mapPartitions { it =>
+          val acc = new Array[Long](cells) // upper triangle, row-major
+          var rows = 0L
+          val q = new Array[Long](dim)
+          it.foreach { e =>
+            var i = 0
+            while (i < dim) { q(i) = math.floor(e(i) * 1000.0).toLong; i += 1 }
+            var k = 0
+            i = 0
+            while (i < dim) {
+              var j = i
+              while (j < dim) { acc(k) += q(i) * q(j); j += 1; k += 1 }
+              i += 1
+            }
+            rows += 1
+          }
+          Iterator.single((-1L, rows)) ++ acc.iterator.zipWithIndex.map { case (v, k) => (k.toLong, v) }
+        }
+        .toDF("cell", "p")
+        .groupBy(col("cell")).agg(sum(col("p")).as("v"))
+        .collect()
+
+      val n = partials.find(_.getLong(0) == -1L).map(_.getLong(1)).getOrElse(0L)
+      val tri = new Array[Long](cells)
+      partials.foreach(r => if (r.getLong(0) >= 0) tri(r.getLong(0).toInt) = r.getLong(1))
+      val nd = math.max(1L, n / 1000L)
+      val g = Array.ofDim[Long](dim, dim)
+      var k = 0
+      for (i <- 0 until dim; j <- i until dim) {
+        val v = tri(k) / nd // truncating, matches DuckDB //
+        g(i)(j) = v; g(j)(i) = v; k += 1
+      }
+      def matvec(v: Array[BigInt]): Array[BigInt] =
+        Array.tabulate(dim)(i => (0 until dim).map(j => BigInt(g(i)(j)) * v(j)).sum)
+      var v = Array.fill(dim)(BigInt(1000000))
+      for (_ <- 1 to 8) {
+        val w = matvec(v)
+        val m = w.map(_.abs).max
+        if (m > 0) v = w.map(x => x * 1000000 / m) // BigInt / truncates toward zero
+      }
+      val pick = (0 until dim).maxBy(i => (v(i).abs, BigInt(-i)))
+      if (v(pick) < 0) v = v.map(-_)
+      val w = matvec(v)
+      val eigen = (0 until dim).map(i => v(i) * w(i)).sum /
+        (0 until dim).map(i => v(i) * v(i)).sum
+      (0 until dim).map(i => (i.toLong, v(i).toLong, eigen.toLong))
+        .toDF("dim", "component_scaled", "eigen_scaled")
+        .orderBy("dim")
+    },
+    Some {
+      val head =
+        """WITH idx AS (SELECT unnest(range(0, 64)) AS i),
+           q AS MATERIALIZED (
+             SELECT vec_id, i,
+               CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1000.0) AS BIGINT) AS qv
+             FROM embeddings CROSS JOIN idx),
+           meta AS (SELECT count(*) AS n FROM embeddings),
+           gr AS MATERIALIZED (
+             SELECT a.i AS i, b.i AS j, sum(a.qv * b.qv) AS gg
+             FROM q a JOIN q b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+           gn AS MATERIALIZED (
+             SELECT i, j, CAST(gg AS HUGEINT) // greatest(1, (SELECT n FROM meta) // 1000) AS g
+             FROM gr),
+           v0 AS MATERIALIZED (SELECT i, CAST(1000000 AS HUGEINT) AS v FROM idx)"""
+      val rounds = (1 to 8).map { r =>
+        s""",
+           w$r AS MATERIALIZED (SELECT gn.i, sum(g * v.v) AS w FROM gn JOIN v${r - 1} v ON gn.j = v.i GROUP BY 1),
+           m$r AS MATERIALIZED (SELECT max(abs(w)) AS m FROM w$r),
+           v$r AS MATERIALIZED (SELECT i, CASE WHEN (SELECT m FROM m$r) > 0
+                     THEN (w * 1000000) // (SELECT m FROM m$r) ELSE 1000000 END AS v FROM w$r)"""
+      }.mkString
+      val tail =
+        """,
+           pick AS (SELECT i FROM v8 ORDER BY abs(v) DESC, i LIMIT 1),
+           sgn AS MATERIALIZED (SELECT CASE WHEN (SELECT v FROM v8 WHERE i = (SELECT i FROM pick)) < 0
+                     THEN -1 ELSE 1 END AS sg),
+           vf AS MATERIALIZED (SELECT i, v * (SELECT sg FROM sgn) AS v FROM v8),
+           wf AS MATERIALIZED (SELECT gn.i, sum(g * vf.v) AS w FROM gn JOIN vf ON gn.j = vf.i GROUP BY 1),
+           ray AS (
+             SELECT (SELECT sum(vf.v * wf.w) FROM vf JOIN wf ON vf.i = wf.i) //
+                    (SELECT sum(v * v) FROM vf) AS ev)
+           SELECT CAST(vf.i AS BIGINT) AS dim, CAST(vf.v AS BIGINT) AS component_scaled,
+             CAST((SELECT ev FROM ray) AS BIGINT) AS eigen_scaled
+           FROM vf ORDER BY dim"""
+      head + rounds + tail
+    }
+  )
+
+  val qs: Seq[Q] = Seq(collocationsPmi, madOutliers, acf, greedySetcover, pcaTopComponent)
 }

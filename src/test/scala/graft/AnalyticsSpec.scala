@@ -109,4 +109,26 @@ class AnalyticsSpec extends AnyFunSuite {
     // gain 0 with nothing uncovered -> round aggregates empty, loop stops.
     assert(out.toSeq == Seq((1L, 1L, 10L, 10L), (2L, 2L, 6L, 16L), (3L, 4L, 3L, 19L)))
   }
+
+  test("pca_topcomponent: planted dominant axis recovered with canonical sign") {
+    import spark.implicits._
+    val dir = "/tmp/graft_analytics_pca"
+    // 200 vectors along axis 3 (both signs), faint noise on axis 10: the
+    // second-moment matrix's top eigenvector is e3 regardless of the signs.
+    val vecs = (1 to 200).map { i =>
+      val v = Array.fill(64)(0.0f)
+      v(3) = if (i % 2 == 0) 0.5f else -0.5f
+      v(10) = 0.01f
+      (i.toLong, v.toSeq, "a")
+    }
+    vecs.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    val out = Analytics.pcaTopComponent.run(spark, dir).collect()
+    assert(out.length == 64)
+    val comp = out.map(r => r.getAs[Long]("dim") -> r.getAs[Long]("component_scaled")).toMap
+    assert(comp(3L) == 1000000L) // dominant axis, renormalized to +1e6
+    assert((0 until 64).filter(i => i != 3 && i != 10).forall(i => math.abs(comp(i.toLong)) < 1000L))
+    assert(out.head.getAs[Long]("eigen_scaled") > 0L)
+  }
 }
