@@ -200,6 +200,56 @@ object GraphOps {
     e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
   }
 
+  /** k-truss peeling (Cohen, "Trusses: cohesive subgraphs for social network
+    * analysis", 2008): `rounds` synchronous peel steps, each removing every
+    * edge supported by fewer than k−2 triangles INSIDE the surviving
+    * subgraph. With rounds ≥ the peel depth this is the exact k-truss; with
+    * fixed `rounds` it is the deterministic bounded form the registry
+    * oracles (the [[kCore]] fixed-rounds precedent). The truss is the
+    * edge-strength analogue of the core: it drops bridges and hub spokes
+    * that k-core keeps, which is why community detection prefers it.
+    *
+    * Input: canonical undirected edges (lo < hi enforced and de-duped
+    * defensively). Per round: one triangle enumeration — wedges via a
+    * self-join on the lower endpoint closed by a semi-join (each triangle
+    * materializes exactly once as u<v<w) — then a 3-way edge projection
+    * aggregated into per-edge support, then a semi-join filter. Lineage is
+    * truncated via localCheckpoint as in [[pageRank]]. Returns the
+    * surviving edges with their support in the FINAL subgraph (0 when a
+    * survivor's triangles all died in the last peel and rounds stopped
+    * short of the fixpoint).
+    */
+  def truss(
+      edges: DataFrame,
+      loCol: String,
+      hiCol: String,
+      k: Int,
+      rounds: Int
+  ): DataFrame = {
+    def support(e: DataFrame): DataFrame = {
+      val t = e.as("a")
+        .join(e.as("b"), col("a.lo") === col("b.lo") && col("a.hi") < col("b.hi"))
+        .select(col("a.lo").as("u"), col("a.hi").as("v"), col("b.hi").as("w"))
+        .join(e.select(col("lo").as("v"), col("hi").as("w")), Seq("v", "w"), "left_semi")
+      t.select(col("u").as("lo"), col("v").as("hi"))
+        .union(t.select(col("u").as("lo"), col("w").as("hi")))
+        .union(t.select(col("v").as("lo"), col("w").as("hi")))
+        .groupBy("lo", "hi").agg(count(lit(1)).as("sup"))
+    }
+    var e = edges
+      .select(col(loCol).cast("long").as("lo"), col(hiCol).cast("long").as("hi"))
+      .filter(col("lo") < col("hi"))
+      .distinct()
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      e = e
+        .join(support(e).filter(col("sup") >= k - 2), Seq("lo", "hi"), "left_semi")
+        .localCheckpoint(true)
+    }
+    e.join(support(e), Seq("lo", "hi"), "left")
+      .select(col("lo"), col("hi"), coalesce(col("sup"), lit(0L)).as("sup"))
+  }
+
   def bfsLayers(
       edges: DataFrame,
       srcCol: String,

@@ -450,5 +450,67 @@ object Analytics {
     }
   )
 
-  val qs: Seq[Q] = Seq(collocationsPmi, madOutliers, acf, greedySetcover, pcaTopComponent)
+  /** 4-truss of the sparsified event graph
+    * ([[graft.functions.GraphOps.truss]], 4 bounded synchronous peel
+    * rounds — the fixpoint at every test scale, verified by the spec):
+    * every surviving edge sits in ≥ 2 triangles of the surviving subgraph.
+    * The truss is the EDGE-strength refinement the registry's k-core
+    * lacks — a hub's spokes survive any core but die in the truss, which
+    * is why community detection peels trusses. Same data-dependent
+    * sparsifier as x_kcore (~1500 canonical edges, divisor from the edge
+    * count) so the fold neither saturates at scale nor starves of
+    * triangles. The oracle unrolls all 4 peels + the final support pass as
+    * MATERIALIZED CTEs (inlined CTE chains expand exponentially — each
+    * round references its predecessor 9×).
+    */
+  val ktruss = Q(
+    "x_ktruss",
+    (s, d) => {
+      val e0raw = Tables.events(s, d)
+        .select((col("user_id") % 211).as("a"), (col("event_id") % 211).as("b"))
+        .filter(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("lo"), greatest(col("a"), col("b")).as("hi"))
+        .distinct()
+        .localCheckpoint(true)
+      val divisor = math.max(1L, e0raw.count() / 1500L)
+      val e0 = e0raw.filter((col("lo") * 31 + col("hi") * 17) % divisor === 0)
+      graft.functions.GraphOps.truss(e0, "lo", "hi", k = 4, rounds = 4)
+        .orderBy("lo", "hi")
+    },
+    Some {
+      def round(r: Int) =
+        s""",
+           t$r AS MATERIALIZED (
+             SELECT a.lo AS u, a.hi AS v, b.hi AS w
+             FROM e${r - 1} a JOIN e${r - 1} b ON a.lo = b.lo AND a.hi < b.hi
+             JOIN e${r - 1} c ON c.lo = a.hi AND c.hi = b.hi),
+           s$r AS MATERIALIZED (
+             SELECT lo, hi, count(*) AS sup FROM (
+               SELECT u AS lo, v AS hi FROM t$r
+               UNION ALL SELECT u, w FROM t$r
+               UNION ALL SELECT v, w FROM t$r)
+             GROUP BY 1, 2)"""
+      val head =
+        """WITH e0raw AS (
+             SELECT DISTINCT least(a, b) AS lo, greatest(a, b) AS hi FROM (
+               SELECT user_id % 211 AS a, event_id % 211 AS b FROM events)
+             WHERE a <> b),
+           dv AS (SELECT GREATEST(1, count(*) // 1500) AS d FROM e0raw),
+           e0 AS MATERIALIZED (
+             SELECT lo, hi FROM e0raw, dv WHERE (lo * 31 + hi * 17) % dv.d = 0)"""
+      val peels = (1 to 4).map { r =>
+        round(r) + s""",
+           e$r AS MATERIALIZED (
+             SELECT e.lo, e.hi FROM e${r - 1} e JOIN s$r USING (lo, hi) WHERE sup >= 2)"""
+      }.mkString
+      val tail =
+        round(5) + """
+           SELECT e.lo, e.hi, CAST(COALESCE(s.sup, 0) AS BIGINT) AS sup
+           FROM e4 e LEFT JOIN s5 s USING (lo, hi)
+           ORDER BY lo, hi"""
+      head + peels + tail
+    }
+  )
+
+  val qs: Seq[Q] = Seq(collocationsPmi, madOutliers, acf, greedySetcover, pcaTopComponent, ktruss)
 }

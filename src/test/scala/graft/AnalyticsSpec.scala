@@ -131,4 +131,35 @@ class AnalyticsSpec extends AnyFunSuite {
     assert((0 until 64).filter(i => i != 3 && i != 10).forall(i => math.abs(comp(i.toLong)) < 1000L))
     assert(out.head.getAs[Long]("eigen_scaled") > 0L)
   }
+
+  test("truss: K4 survives the 4-truss, pendant triangle and bridge peel away") {
+    import spark.implicits._
+    // K4 on {1,2,3,4}: each edge closes 2 triangles. Triangle {5,6,7}
+    // hangs off node 4 via bridge 4-5: its edges have support 1 -> peeled.
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (5L, 7L), (6L, 7L)
+    ).toDF("lo", "hi")
+    val out = graft.functions.GraphOps.truss(edges, "lo", "hi", k = 4, rounds = 4)
+      .orderBy("lo", "hi").collect()
+      .map(r => (r.getAs[Long]("lo"), r.getAs[Long]("hi"), r.getAs[Long]("sup")))
+    assert(out.toSeq == Seq((1L, 2L, 2L), (1L, 3L, 2L), (1L, 4L, 2L),
+      (2L, 3L, 2L), (2L, 4L, 2L), (3L, 4L, 2L)))
+  }
+
+  test("truss: 4 rounds reach the fixpoint on the sf0.001 registry graph") {
+    val base = Analytics.ktruss.run(spark, "/root/testdata/sf0.001").collect().toSet
+    val e0raw = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .select((org.apache.spark.sql.functions.col("user_id") % 211).as("a"),
+        (org.apache.spark.sql.functions.col("event_id") % 211).as("b"))
+    import org.apache.spark.sql.functions._
+    val canon = e0raw.filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("lo"), greatest(col("a"), col("b")).as("hi"))
+      .distinct().localCheckpoint(true)
+    val divisor = math.max(1L, canon.count() / 1500L)
+    val e0 = canon.filter((col("lo") * 31 + col("hi") * 17) % divisor === 0)
+    val deeper = graft.functions.GraphOps.truss(e0, "lo", "hi", k = 4, rounds = 6)
+      .orderBy("lo", "hi").collect().toSet
+    assert(deeper == base)
+  }
 }
