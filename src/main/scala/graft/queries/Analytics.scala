@@ -512,5 +512,124 @@ object Analytics {
     }
   )
 
-  val qs: Seq[Q] = Seq(collocationsPmi, madOutliers, acf, greedySetcover, pcaTopComponent, ktruss)
+  /** Pearson chi-square test of independence on the order-priority ×
+    * return-flag contingency table — "does shipping priority move return
+    * behavior", the categorical-association audit behind feature selection
+    * and A/B sanity checks (the x_abtest_significance sibling for
+    * CATEGORICAL outcomes). Exact arithmetic throughout: with O the cell
+    * count, rt/ct the margins and N the total, each cell's contribution
+    * `(O − rt·ct/N)² / (rt·ct/N)` is cleared of fractions as
+    * `(O·N − rt·ct)² · 10⁶ div (N·rt·ct)` — DECIMAL(38,0) on the Spark
+    * side, HUGEINT in the oracle, truncating division on both. The total
+    * statistic is the exact BIGINT sum of the 15 per-cell ppm terms,
+    * windowed onto every row.
+    *
+    * Scale shape: one fact-fact equi-join on orderkey (the h2 shape), one
+    * partial→final count to 15 cells; margins and the chi² fold run on the
+    * 15-row frame. Cell cardinality is schema-bounded, so the tail is flat
+    * at any data size.
+    */
+  val chi2Independence = Q(
+    "x_chi2_independence",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val cells = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority").as("pri"))
+        .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_returnflag").as("rf")),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("pri"), col("rf"))
+        .agg(count(lit(1)).as("o"))
+      val wp = Window.partitionBy(col("pri"))
+      val wr = Window.partitionBy(col("rf"))
+      val wAll = Window.partitionBy()
+      cells
+        .withColumn("rt", sum(col("o")).over(wp))
+        .withColumn("ct", sum(col("o")).over(wr))
+        .withColumn("n", sum(col("o")).over(wAll))
+        .withColumn("cell_chi2_ppm",
+          expr("""CAST((CAST(o AS DECIMAL(38,0)) * n - CAST(rt AS DECIMAL(38,0)) * ct)
+                       * (CAST(o AS DECIMAL(38,0)) * n - CAST(rt AS DECIMAL(38,0)) * ct)
+                       * 1000000 div (CAST(n AS DECIMAL(38,0)) * rt * ct) AS BIGINT)"""))
+        .withColumn("chi2_total_ppm", sum(col("cell_chi2_ppm")).over(wAll))
+        .select(col("pri"), col("rf"), col("o"), col("rt"), col("ct"), col("n"),
+          col("cell_chi2_ppm"), col("chi2_total_ppm"))
+        .orderBy("pri", "rf")
+    },
+    Some("""WITH cells AS (
+              SELECT o_orderpriority AS pri, l_returnflag AS rf, count(*) AS o
+              FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+              GROUP BY 1, 2),
+            m AS (
+              SELECT pri, rf, o,
+                CAST(sum(o) OVER (PARTITION BY pri) AS BIGINT) AS rt,
+                CAST(sum(o) OVER (PARTITION BY rf) AS BIGINT) AS ct,
+                CAST(sum(o) OVER () AS BIGINT) AS n
+              FROM cells),
+            c AS (
+              SELECT pri, rf, o, rt, ct, n,
+                CAST((CAST(o AS HUGEINT) * n - CAST(rt AS HUGEINT) * ct)
+                     * (CAST(o AS HUGEINT) * n - CAST(rt AS HUGEINT) * ct)
+                     * 1000000 // (CAST(n AS HUGEINT) * rt * ct) AS BIGINT) AS cell_chi2_ppm
+              FROM m)
+            SELECT pri, rf, o, rt, ct, n, cell_chi2_ppm,
+              CAST(sum(cell_chi2_ppm) OVER () AS BIGINT) AS chi2_total_ppm
+            FROM c ORDER BY pri, rf""")
+  )
+
+  /** Benford first-digit audit of order totals — the classic fabricated-
+    * numbers screen (Nigrini's forensic-accounting test): natural
+    * multi-scale amounts follow P(d) = log10(1+1/d). The expected shares
+    * are HARDCODED ppm literals (301030 … 45757), not engine-evaluated
+    * logs — log10 is not IEEE-exactly-specified, so evaluating it on both
+    * engines is precisely the cross-engine float trap the playbook bans.
+    * The leading digit comes from the DECIMAL STRING of integer cents
+    * (substr of CAST AS VARCHAR) — exact on both engines, no
+    * floor(log10(x)) power-of-ten boundary risk.
+    *
+    * Scale shape: one map-side digit projection, one partial→final count
+    * to ≤ 9 rows; everything after is schema-bounded. (TPC-H prices are
+    * range-generated, NOT Benford-distributed — the query is the audit
+    * instrument, and on this data it correctly reports large deviations.)
+    */
+  val benfordDigits = Q(
+    "x_benford_digits",
+    (s, d) => {
+      val benford = Seq(
+        (1, 301030L), (2, 176091L), (3, 124939L), (4, 96910L), (5, 79181L),
+        (6, 66947L), (7, 57992L), (8, 51153L), (9, 45757L))
+      import s.implicits._
+      val exp = benford.toDF("digit", "benford_ppm")
+      val obs = Tables.orders(s, d)
+        .select(expr("CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING), 1, 1) AS INT)")
+          .as("digit"))
+        .groupBy(col("digit"))
+        .agg(count(lit(1)).as("observed"))
+      val tot = obs.agg(sum(col("observed")).as("n"))
+      obs.join(exp, "digit")
+        .crossJoin(tot)
+        .select(col("digit").cast("long").as("digit"), col("observed"),
+          expr("observed * 1000000 div n").as("observed_ppm"),
+          col("benford_ppm"),
+          abs(expr("observed * 1000000 div n") - col("benford_ppm")).as("abs_dev_ppm"))
+        .orderBy("digit")
+    },
+    Some("""WITH exp AS (
+              SELECT * FROM (VALUES
+                (1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
+                (6, 66947), (7, 57992), (8, 51153), (9, 45757)) AS t(digit, benford_ppm)),
+            obs AS (
+              SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+                count(*) AS observed
+              FROM orders GROUP BY 1),
+            tot AS (SELECT CAST(sum(observed) AS BIGINT) AS n FROM obs)
+            SELECT CAST(digit AS BIGINT) AS digit, observed,
+              observed * 1000000 // n AS observed_ppm,
+              CAST(benford_ppm AS BIGINT) AS benford_ppm,
+              abs(observed * 1000000 // n - benford_ppm) AS abs_dev_ppm
+            FROM obs JOIN exp USING (digit) CROSS JOIN tot
+            ORDER BY digit""")
+  )
+
+  val qs: Seq[Q] = Seq(collocationsPmi, madOutliers, acf, greedySetcover, pcaTopComponent,
+    ktruss, chi2Independence, benfordDigits)
 }

@@ -162,4 +162,57 @@ class AnalyticsSpec extends AnyFunSuite {
       .orderBy("lo", "hi").collect().toSet
     assert(deeper == base)
   }
+
+  test("chi2_independence: exact zero on an independent table, positive under dependence") {
+    import spark.implicits._
+    val dir = "/tmp/graft_analytics_chi2"
+    // independence by construction: every (pri, rf) combination appears
+    // pri_weight * rf_weight times -> O*N == rt*ct exactly -> chi2 = 0
+    val priW = Map("1-URGENT" -> 1, "2-HIGH" -> 2)
+    val rfW = Map("A" -> 1, "N" -> 3)
+    var key = 0L
+    val orders = for { (p, pw) <- priW.toSeq; i <- 1 to pw * 4 } yield {
+      key += 1; (key, 1L, "O", 100.0, Date.valueOf("2024-01-01"), p)
+    }
+    val orderKeysByPri = orders.groupBy(_._6).view.mapValues(_.map(_._1)).toMap
+    val lines = for {
+      (p, pw) <- priW.toSeq
+      (rf, rw) <- rfW.toSeq
+      // pw*rw lineitems for this cell, spread over the priority's orders
+      (ok, i) <- orderKeysByPri(p).take(pw * rw).zipWithIndex
+    } yield (ok, 1L, 1L, (i + 1).toLong, 1.0, 1.0, 0.0, 0.0, rf, "O", Date.valueOf("2024-01-02"))
+    orders.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    lines.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+      "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+
+    val out = Analytics.chi2Independence.run(spark, dir).collect()
+    assert(out.length == 4)
+    assert(out.forall(_.getAs[Long]("chi2_total_ppm") == 0L))
+    assert(out.forall(_.getAs[Long]("cell_chi2_ppm") == 0L))
+
+    // real data is NOT independent-by-construction: statistic must be > 0
+    val real = Analytics.chi2Independence.run(spark, "/root/testdata/sf0.001").collect()
+    assert(real.head.getAs[Long]("chi2_total_ppm") > 0L)
+  }
+
+  test("benford_digits: leading digit from the decimal string, exact ppm shares") {
+    import spark.implicits._
+    val dir = "/tmp/graft_analytics_benford"
+    // 90 orders: digit of round(v*100) — includes the 999.99 -> 99999 -> '9'
+    // and 100.00 -> 10000 -> '1' string-boundary cases a log10 would risk.
+    val vals = Seq.fill(50)(100.0) ++ Seq.fill(30)(999.99) ++ Seq.fill(10)(55.5)
+    vals.zipWithIndex.map { case (v, i) =>
+      ((i + 1).toLong, 1L, "O", v, Date.valueOf("2024-01-01"), "1-URGENT")
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+
+    val out = Analytics.benfordDigits.run(spark, dir).collect()
+      .map(r => r.getAs[Long]("digit") -> (r.getAs[Long]("observed"), r.getAs[Long]("observed_ppm"))).toMap
+    assert(out(1L) == ((50L, 555555L))) // 50/90 truncating ppm
+    assert(out(9L) == ((30L, 333333L)))
+    assert(out(5L) == ((10L, 111111L)))
+    assert(!out.contains(2L))
+  }
 }
