@@ -630,6 +630,115 @@ object Analytics {
             ORDER BY digit""")
   )
 
+  /** Kaplan–Meier survival curve for view→purchase conversion latency —
+    * the product-limit estimator (Kaplan & Meier 1958) that funnel
+    * CONVERSION RATES cannot replace when observation windows are uneven:
+    * a user whose log ends 3 days after their first view is CENSORED at
+    * day 3, not a non-converter. Subjects are users with a view; the
+    * event is the first purchase at/after the first view; censoring time
+    * is the user's last observed event. Ties use the standard convention
+    * (same-day censorings stay in the risk set for that day's deaths).
+    *
+    * S(t) folds as a scaled integer: s ← s·(nᵢ−dᵢ) div nᵢ from 10¹²,
+    * truncating division both engines (error < one ulp-at-10⁻¹² per event
+    * step, deterministic); censor-only times multiply by exactly 1 so the
+    * fold over event times only is EXACT, while the risk-set recurrence
+    * nᵢ = N − Σ_{t<tᵢ}(d+c) is a plain integer window cumsum over all
+    * times. BigInt inside the fold — n·10¹² never overflows at any scale.
+    *
+    * Scale shape: one per-user aggregate exchange + one co-keyed join for
+    * the conditional first-purchase, collapse to per-day (d, c) partials;
+    * the fold runs single-task over the CALENDAR-BOUNDED distinct-day
+    * series via `repartition(1)` + `mapPartitions` (the CUSUM/DFA
+    * sort-scan shape — repartition, not coalesce, so upstream stays
+    * parallel). Oracle: recursive CTE over the rn-ordered event days (the
+    * x_ewma_anomaly precedent), HUGEINT arithmetic.
+    */
+  val kaplanMeier = Q(
+    "x_kaplan_meier",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("ts").cast("timestamp_ntz").as("ts"), col("event_type"))
+      val perUser = ev.groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "view", col("ts"))).as("fv"),
+          max(col("ts")).as("ls"))
+        .filter(col("fv").isNotNull)
+      val fp = ev.filter(col("event_type") === "purchase")
+        .join(perUser.select(col("user_id"), col("fv")), "user_id")
+        .filter(col("ts") >= col("fv"))
+        .groupBy(col("user_id"))
+        .agg(min(col("ts")).as("fp"))
+      val subj = perUser.join(fp, Seq("user_id"), "left")
+        .select(
+          when(col("fp").isNotNull, datediff(to_date(col("fp")), to_date(col("fv"))))
+            .otherwise(datediff(to_date(col("ls")), to_date(col("fv"))))
+            .cast("long").as("t"),
+          when(col("fp").isNotNull, 1L).otherwise(0L).as("ev"))
+      val ta = subj.groupBy(col("t"))
+        .agg(sum(col("ev")).as("d"), sum(lit(1L) - col("ev")).as("c"))
+      import org.apache.spark.sql.expressions.Window
+      val wCum = Window.orderBy(col("t")).rowsBetween(Window.unboundedPreceding, -1)
+      val wAll = Window.partitionBy()
+      val nr = ta
+        .withColumn("n_risk",
+          sum(col("d") + col("c")).over(wAll) - coalesce(sum(col("d") + col("c")).over(wCum), lit(0L)))
+        .filter(col("d") > 0)
+        .select(col("t"), col("n_risk"), col("d"), col("c"))
+      nr.repartition(1)
+        .sortWithinPartitions(col("t"))
+        .as[(Long, Long, Long, Long)]
+        .mapPartitions { it =>
+          var surv = BigInt(1000000000000L)
+          it.map { case (t, nRisk, dd, cc) =>
+            surv = surv * (nRisk - dd) / nRisk // BigInt division truncates
+            (t, nRisk, dd, cc, surv.toLong)
+          }
+        }
+        .toDF("t_days", "n_risk", "d", "c", "survival_scaled")
+        .orderBy("t_days")
+    },
+    Some("""WITH RECURSIVE per_user AS MATERIALIZED (
+              SELECT user_id,
+                min(CASE WHEN event_type = 'view' THEN CAST(ts AS TIMESTAMP) END) AS fv,
+                max(CAST(ts AS TIMESTAMP)) AS ls
+              FROM events GROUP BY 1),
+            fp AS MATERIALIZED (
+              SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS fp
+              FROM events e JOIN per_user u USING (user_id)
+              WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) >= u.fv
+              GROUP BY 1),
+            subj AS (
+              SELECT CASE WHEN fp IS NOT NULL
+                       THEN date_diff('day', CAST(fv AS DATE), CAST(fp AS DATE))
+                       ELSE date_diff('day', CAST(fv AS DATE), CAST(ls AS DATE)) END AS t,
+                     CASE WHEN fp IS NOT NULL THEN 1 ELSE 0 END AS ev
+              FROM per_user u LEFT JOIN fp USING (user_id)
+              WHERE fv IS NOT NULL),
+            ta AS (
+              SELECT t, CAST(sum(ev) AS BIGINT) AS d, CAST(sum(1 - ev) AS BIGINT) AS c
+              FROM subj GROUP BY 1),
+            nr AS (
+              SELECT t, d, c,
+                CAST(sum(d + c) OVER () AS BIGINT)
+                  - COALESCE(CAST(sum(d + c) OVER (ORDER BY t
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS n_risk
+              FROM ta),
+            evt AS MATERIALIZED (
+              SELECT row_number() OVER (ORDER BY t) AS rn, t, n_risk, d, c
+              FROM nr WHERE d > 0),
+            km AS (
+              SELECT rn, t, n_risk, d, c,
+                CAST(1000000000000 AS HUGEINT) * (n_risk - d) // n_risk AS s
+              FROM evt WHERE rn = 1
+              UNION ALL
+              SELECT e.rn, e.t, e.n_risk, e.d, e.c, km.s * (e.n_risk - e.d) // e.n_risk
+              FROM km JOIN evt e ON e.rn = km.rn + 1)
+            SELECT t AS t_days, n_risk, d, c, CAST(s AS BIGINT) AS survival_scaled
+            FROM km ORDER BY t_days""")
+  )
+
   val qs: Seq[Q] = Seq(collocationsPmi, madOutliers, acf, greedySetcover, pcaTopComponent,
-    ktruss, chi2Independence, benfordDigits)
+    ktruss, chi2Independence, benfordDigits, kaplanMeier)
 }

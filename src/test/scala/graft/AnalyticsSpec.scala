@@ -215,4 +215,33 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out(5L) == ((10L, 111111L)))
     assert(!out.contains(2L))
   }
+
+  test("kaplan_meier: hand-derived curve, same-day-censor tie and purchase-before-view") {
+    import spark.implicits._
+    val dir = "/tmp/graft_analytics_km"
+    def d(day: Int) = new java.sql.Timestamp(1700000000000L + day * 86400000L)
+    // u1,u3: event t=2; u2: censored t=1; u4: censored t=5; u5: event t=3;
+    // u6: censored t=3 (same-day tie -> stays in the risk set for day 3);
+    // u7: purchase BEFORE first view -> censored at t=0, never an event.
+    val rows = Seq(
+      (1L, d(0), 1L, "view"), (2L, d(2), 1L, "purchase"),
+      (3L, d(0), 2L, "view"), (4L, d(1), 2L, "click"),
+      (5L, d(0), 3L, "view"), (6L, d(2), 3L, "purchase"),
+      (7L, d(0), 4L, "view"), (8L, d(5), 4L, "click"),
+      (9L, d(0), 5L, "view"), (10L, d(3), 5L, "purchase"),
+      (11L, d(0), 6L, "view"), (12L, d(3), 6L, "click"),
+      (13L, d(0), 7L, "purchase"), (14L, d(1), 7L, "view")
+    ).map { case (id, ts, u, et) => (id, ts, u, et, 0.0, "") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val out = Analytics.kaplanMeier.run(spark, dir).collect()
+      .map(r => (r.getAs[Long]("t_days"), r.getAs[Long]("n_risk"), r.getAs[Long]("d"),
+        r.getAs[Long]("c"), r.getAs[Long]("survival_scaled")))
+    // N=7; prior removals before t=2: censors at t=0 (u7) and t=1 (u2).
+    // S(2) = 3/5; S(3) = S(2)*2/3 = 2/5 with u6 still at risk on day 3.
+    assert(out.toSeq == Seq(
+      (2L, 5L, 2L, 0L, 600000000000L),
+      (3L, 3L, 1L, 1L, 400000000000L)))
+  }
 }
