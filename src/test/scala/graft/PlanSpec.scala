@@ -653,4 +653,48 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"),
       "position alignment must be an equi-join on (doc, aligned position)")
   }
+
+  test("x_collocations_pmi: top-20 is TakeOrdered, counts aggregate map-side first") {
+    val p = plan(graft.queries.Analytics.collocationsPmi)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the top-k must never materialize a global sort:\n${p.take(1200)}")
+    assert(p.contains("partial_count"), "bigram/unigram counts must combine map-side")
+  }
+
+  test("x_mad_outliers / x_acf: order book collapses to daily partials, no quadratic shape") {
+    for (q <- Seq(graft.queries.Analytics.madOutliers, graft.queries.Analytics.acf)) {
+      val p = plan(q)
+      assert(p.contains("partial_sum"),
+        s"${q.name}: the (priority, day) collapse must combine map-side:\n${p.take(1200)}")
+      assert(!p.contains("CartesianProduct"),
+        s"${q.name}: nothing here may be an all-pairs join")
+    }
+  }
+
+  test("x_ktruss: triangle wedges come from equi-joins, never a cross join") {
+    val p = plan(graft.queries.Analytics.ktruss)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"wedge enumeration must join on the shared endpoint:\n${p.take(1200)}")
+  }
+
+  test("x_chi2_independence: fact-fact equi-join then 15 schema-bounded cells") {
+    val p = plan(graft.queries.Analytics.chi2Independence)
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("partial_count"), "the cell counts must combine map-side")
+    assert(!p.contains("o_totalprice"), "untouched columns must be pruned from the scan")
+  }
+
+  test("x_benford_digits: one pruned scan, map-side digit counts") {
+    val p = plan(graft.queries.Analytics.benfordDigits)
+    assert(p.contains("ReadSchema: struct<o_totalprice:double>"),
+      s"the scan must read only the audited column:\n${p.take(1200)}")
+    assert(p.contains("partial_count"))
+  }
+
+  test("x_kaplan_meier: per-user partials feed a single-task calendar fold") {
+    val p = plan(graft.queries.Analytics.kaplanMeier)
+    assert(p.contains("MapPartitions"), "the survival fold must be a linear partition scan")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("props"), "untouched columns must be pruned from the events scan")
+  }
 }
