@@ -739,6 +739,62 @@ object Analytics {
             FROM km ORDER BY t_days""")
   )
 
+  /** Theil–Sen robust trend estimate per priority: the MEDIAN of all
+    * pairwise slopes of the daily-revenue series — the 29%-breakdown
+    * regression that one fat-finger day cannot bend, where h26's OLS moves
+    * with every outlier (the regression-family analogue of
+    * x_mad_outliers vs the z-score). Each pair's slope is made integer:
+    * `(Δcents · 10⁶) div Δdays` (truncating both engines; Δdays > 0 by
+    * construction), and the median uses the DOUBLED-domain trick so the
+    * even-count midpoint stays an exact BIGINT.
+    *
+    * Scale honesty: the pair space is quadratic — in the CALENDAR, not the
+    * corpus. The order book collapses to (priority, day) partials first
+    * (one high-cardinality exchange); the all-pairs join then runs over
+    * ~2.4k-row series whose length is fixed by the date range, so the
+    * ~3M-pairs-per-priority cost is IDENTICAL at sf0.01 and at 100 TB.
+    * That is the same bounded-final-stage argument as x_acf, and the
+    * opposite of the x_entity_resolution pigeonhole trap (where the
+    * quadratic was in the DATA).
+    */
+  val theilSen = Q(
+    "x_theil_sen",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority").as("pri"), col("o_orderdate").as("day"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+        .withColumn("x", datediff(col("day"), min(col("day")).over(Window.partitionBy("pri"))).cast("long"))
+        .select(col("pri"), col("x"), col("cents"))
+      val a = daily
+      val b = daily.select(col("pri").as("pri2"), col("x").as("x2"), col("cents").as("cents2"))
+      a.join(b, col("pri") === col("pri2") && col("x2") > col("x"))
+        .select(col("pri"),
+          expr("((cents2 - cents) * 1000000 div (x2 - x)) * 2").as("slope2"))
+        .groupBy(col("pri"))
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          expr("CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY slope2) AS BIGINT)")
+            .as("slope_med2_ppm"))
+        .orderBy("pri")
+    },
+    Some("""WITH daily AS (
+              SELECT o_orderpriority AS pri, o_orderdate AS day,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+              FROM orders GROUP BY 1, 2),
+            xs AS (
+              SELECT pri,
+                CAST(date_diff('day', min(day) OVER (PARTITION BY pri), day) AS BIGINT) AS x,
+                cents
+              FROM daily),
+            pairs AS (
+              SELECT a.pri, ((b.cents - a.cents) * 1000000 // (b.x - a.x)) * 2 AS slope2
+              FROM xs a JOIN xs b ON a.pri = b.pri AND b.x > a.x)
+            SELECT pri, count(*) AS n_pairs,
+              CAST(quantile_cont(slope2, 0.5) AS BIGINT) AS slope_med2_ppm
+            FROM pairs GROUP BY pri ORDER BY pri""")
+  )
+
   val qs: Seq[Q] = Seq(collocationsPmi, madOutliers, acf, greedySetcover, pcaTopComponent,
-    ktruss, chi2Independence, benfordDigits, kaplanMeier)
+    ktruss, chi2Independence, benfordDigits, kaplanMeier, theilSen)
 }

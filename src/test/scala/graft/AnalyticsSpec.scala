@@ -244,4 +244,23 @@ class AnalyticsSpec extends AnyFunSuite {
       (2L, 5L, 2L, 0L, 600000000000L),
       (3L, 3L, 1L, 1L, 400000000000L)))
   }
+
+  test("theil_sen: exact trend slope, unmoved by one fat-finger day") {
+    import spark.implicits._
+    val dir = "/tmp/graft_analytics_ts"
+    // perfect +100.00/day trend, day 15 fat-fingered to 1e6: only 29 of the
+    // 435 pairwise slopes involve the outlier, so the median is untouched.
+    val days = (0 until 30).map { i =>
+      val v = if (i == 15) 1000000.0 else 100.0 * (i + 1)
+      ((i + 1).toLong, 1L, "O", v, Date.valueOf(f"2024-01-${i + 1}%02d"), "1-URGENT")
+    }
+    days.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+
+    val out = Analytics.theilSen.run(spark, dir).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("n_pairs") == 435L)
+    // slope = 10000 cents/day -> ppm 1e10, doubled-domain 2e10
+    assert(out.head.getAs[Long]("slope_med2_ppm") == 20000000000L)
+  }
 }
