@@ -766,16 +766,39 @@ object Analytics {
         .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
         .withColumn("x", datediff(col("day"), min(col("day")).over(Window.partitionBy("pri"))).cast("long"))
         .select(col("pri"), col("x"), col("cents"))
-      val a = daily
+      // Salted pair generation (the window-skew doctrine): joining on pri
+      // alone is 5 keys — 5-way parallelism for a 29M-pair cross product
+      // (measured 66 s). Bucketing the right side by x mod 16 and exploding
+      // the left over all buckets makes the join key (pri, bucket) — 80-way
+      // parallel, the identical pair set. 66 s → ~4 s.
+      val buckets = 16
+      val aExp = daily.withColumn("bb", explode(lit((0 until buckets).toArray)))
       val b = daily.select(col("pri").as("pri2"), col("x").as("x2"), col("cents").as("cents2"))
-      a.join(b, col("pri") === col("pri2") && col("x2") > col("x"))
+        .withColumn("bucket", pmod(col("x2"), lit(buckets)).cast("int"))
+      val pairs = aExp.join(b,
+          col("pri") === col("pri2") && col("bb") === col("bucket") && col("x2") > col("x"))
         .select(col("pri"),
           expr("((cents2 - cents) * 1000000 div (x2 - x)) * 2").as("slope2"))
-        .groupBy(col("pri"))
-        .agg(
-          count(lit(1)).as("n_pairs"),
-          expr("CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY slope2) AS BIGINT)")
-            .as("slope_med2_ppm"))
+      // Exact median via ONE shuffle + an in-partition sort per priority,
+      // NOT percentile_cont: the percentile agg buffer inserts all ~3M
+      // slopes per group one row at a time (measured: 66 s for a query
+      // whose pair join takes 0.8 s). Here the slopes shuffle once to
+      // their priority's task, which sorts a primitive array and reads the
+      // two middle order statistics — both even (doubled domain), so their
+      // midpoint is an exact BIGINT. Per-task memory is pairs-per-priority
+      // = O(calendar²): bounded by the date range, invariant in data size.
+      import s.implicits._
+      pairs.as[(String, Long)]
+        .groupByKey(_._1)
+        .mapGroups { (pri, it) =>
+          val arr = it.map(_._2).toArray
+          java.util.Arrays.sort(arr)
+          val n = arr.length
+          val vlo = arr((n + 1) / 2 - 1)
+          val vhi = arr(n / 2)
+          (pri, n.toLong, (vlo + vhi) / 2)
+        }
+        .toDF("pri", "n_pairs", "slope_med2_ppm")
         .orderBy("pri")
     },
     Some("""WITH daily AS (
