@@ -1278,6 +1278,38 @@ object RainStorm {
       }
   }
 
+  final case class CellState(counts: Map[String, Long])
+  final case class CellRow(priority: String, rf: String, cum: Long)
+
+  /** Streaming contingency-table maintenance — the streaming face of
+    * `x_chi2_independence`: per-priority state is the (return-flag → count)
+    * map (≤ flag-cardinality longs — SCHEMA-bounded, never data-bounded),
+    * and each micro-batch emits the touched priority's cumulative cell
+    * snapshot. Keying by priority keeps the state machine distributed (the
+    * ewmaStream 5-key precedent) — nothing funnels through a single group.
+    * The χ² statistic itself is the batch query's 15-row tail: recompute it
+    * per trigger from the emitted cells (foreachBatch or the downstream
+    * job); cells equal ⇒ statistic equal, which is what the spec pins.
+    */
+  def chi2CellsStream(
+      spark: SparkSession,
+      pairs: DataFrame // (priority string, rf string)
+  ): Dataset[CellRow] = {
+    import spark.implicits._
+    pairs
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[CellState, CellRow](
+        OutputMode.Update(),
+        GroupStateTimeout.NoTimeout
+      ) { (pri: String, rows: Iterator[(String, String)], state: GroupState[CellState]) =>
+        var m = state.getOption.map(_.counts).getOrElse(Map.empty[String, Long])
+        rows.foreach { case (_, rf) => m = m.updated(rf, m.getOrElse(rf, 0L) + 1L) }
+        state.update(CellState(m))
+        m.toSeq.sortBy(_._1).map { case (rf, c) => CellRow(pri, rf, c) }.iterator
+      }
+  }
+
   final case class EwmaState(e: Long, init: Boolean)
   final case class EwmaRow(priority: String, day: String, n: Long, ewma_milli: Long, is_anomaly: Long)
 

@@ -885,6 +885,38 @@ class RainStormStreamingSpec extends AnyFunSuite {
       "per-key EWMA state machine must make the stream bit-equal to the batch recurrence")
   }
 
+  test("chi2CellsStream: cumulative cells equal the batch contingency after a split replay") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val pairs = Tables.orders(spark, TestSpark.sf0001)
+      .select(col("o_orderkey"), col("o_orderpriority").as("priority"))
+      .join(Tables.lineitem(spark, TestSpark.sf0001)
+        .select(col("l_orderkey"), col("l_returnflag").as("rf")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("priority"), col("rf"))
+      .as[(String, String)].collect().toSeq
+    val (b1, b2) = pairs.splitAt(pairs.size / 2)
+
+    val in = MemoryStream[(String, String)]
+    val q = graft.streaming.RainStorm
+      .chi2CellsStream(spark, in.toDF().toDF("priority", "rf"))
+      .writeStream.outputMode("update").format("memory").queryName("chi2_stream").start()
+    try {
+      Seq(b1, b2).foreach { b => in.addData(b.toIndexedSeq: _*); q.processAllAvailable() }
+    } finally q.stop()
+
+    // cums are monotone: the final snapshot per cell is its max emission
+    val streamed = spark.table("chi2_stream")
+      .groupBy(col("priority"), col("rf")).agg(max(col("cum")).as("cum"))
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val batch = graft.queries.Analytics.chi2Independence.run(spark, TestSpark.sf0001)
+      .collect().map(r => ((r.getAs[String]("pri"), r.getAs[String]("rf")), r.getAs[Long]("o"))).toMap
+    assert(streamed === batch,
+      "per-priority cell state must make the stream's final snapshot equal the batch table")
+  }
+
   test("observeGateStream: per-batch audit counters ride the progress channel") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
