@@ -533,12 +533,17 @@ object Analytics {
     "x_chi2_independence",
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
+      // lineitem collapses to (orderkey, rf, cnt) BEFORE the join — the
+      // partial agg is map-side combinable, so the fact-fact shuffle
+      // carries ~1.2 rows per order instead of every line (gen30: 40 → 26 s)
+      val lc = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"), col("l_returnflag").as("rf"))
+        .agg(count(lit(1)).as("cnt"))
       val cells = Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_orderpriority").as("pri"))
-        .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_returnflag").as("rf")),
-          col("o_orderkey") === col("l_orderkey"))
+        .join(lc, col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("pri"), col("rf"))
-        .agg(count(lit(1)).as("o"))
+        .agg(sum(col("cnt")).as("o"))
       val wp = Window.partitionBy(col("pri"))
       val wr = Window.partitionBy(col("rf"))
       val wAll = Window.partitionBy()
