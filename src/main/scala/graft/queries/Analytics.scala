@@ -823,6 +823,132 @@ object Analytics {
             FROM pairs GROUP BY pri ORDER BY pri""")
   )
 
+  /** Degree assortativity of the sparsified event graph — Newman's Pearson
+    * correlation between the degrees at the two ends of an edge (PRL 2002):
+    * positive = hubs attach to hubs (social nets), negative = hubs attach
+    * to leaves (the internet). Completes the graph-stats family next to
+    * triangles/truss/core. Each undirected edge contributes both
+    * orientations (the standard convention), which makes the two marginals
+    * identical, so r = (m·Σxy − S²) / (m·Σx² − S²) — entirely BIGINT on
+    * this fold (deg ≤ 211), published as truncating ppm with a NULL guard
+    * for the degenerate regular graph (denominator 0). Same data-dependent
+    * sparsifier as x_kcore/x_ktruss — on the SATURATED fold every degree
+    * is equal and r is undefined, the same reason the core/truss use it.
+    *
+    * Scale shape: one degree aggregation, two vocabulary-sized joins, one
+    * 1-row reduce. On a real graph this is the by-the-book shape: degrees
+    * are a partial→final count; the edge⋈degree joins shuffle |E| rows.
+    */
+  val graphAssortativity = Q(
+    "x_graph_assortativity",
+    (s, d) => {
+      val e0raw = Tables.events(s, d)
+        .select((col("user_id") % 211).as("a"), (col("event_id") % 211).as("b"))
+        .filter(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("lo"), greatest(col("a"), col("b")).as("hi"))
+        .distinct()
+        .localCheckpoint(true)
+      val divisor = math.max(1L, e0raw.count() / 1500L)
+      val ek = e0raw.filter((col("lo") * 31 + col("hi") * 17) % divisor === 0)
+      val e = ek.select(col("lo").as("src"), col("hi").as("dst"))
+        .union(ek.select(col("hi").as("src"), col("lo").as("dst")))
+      val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      e.join(deg.select(col("node").as("src"), col("deg").as("x")), "src")
+        .join(deg.select(col("node").as("dst"), col("deg").as("y")), "dst")
+        .agg(
+          count(lit(1)).as("m"),
+          sum(col("x")).as("sx"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("m"), col("sx"), col("sxy"), col("sxx"),
+          when(col("m") * col("sxx") - col("sx") * col("sx") === 0, lit(null).cast("long"))
+            .otherwise(expr("(m * sxy - sx * sx) * 1000000 div (m * sxx - sx * sx)"))
+            .as("assortativity_ppm"))
+    },
+    Some("""WITH e0raw AS (
+              SELECT DISTINCT least(a, b) AS lo, greatest(a, b) AS hi FROM (
+                SELECT user_id % 211 AS a, event_id % 211 AS b FROM events)
+              WHERE a <> b),
+            dv AS (SELECT GREATEST(1, count(*) // 1500) AS d FROM e0raw),
+            ek AS (SELECT lo, hi FROM e0raw, dv WHERE (lo * 31 + hi * 17) % dv.d = 0),
+            e AS (SELECT lo AS src, hi AS dst FROM ek UNION ALL SELECT hi, lo FROM ek),
+            deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY 1),
+            j AS (
+              SELECT dx.deg AS x, dy.deg AS y
+              FROM e JOIN deg dx ON e.src = dx.node JOIN deg dy ON e.dst = dy.node),
+            agg AS (
+              SELECT CAST(count(*) AS BIGINT) AS m, CAST(sum(x) AS BIGINT) AS sx,
+                CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+              FROM j)
+            SELECT m, sx, sxy, sxx,
+              CASE WHEN m * sxx - sx * sx = 0 THEN NULL
+                   ELSE (m * sxy - sx * sx) * 1000000 // (m * sxx - sx * sx) END
+                AS assortativity_ppm
+            FROM agg""")
+  )
+
+  /** Classical seasonal decomposition of the daily event-count series —
+    * trend (centered 7-day moving average), seasonal (day-of-week mean of
+    * the detrended series), residual: the additive decomposition
+    * (Macaulay/Census Method I) that tells a monitoring pipeline whether a
+    * dip is "it's Sunday" or a real regression, and the honest precursor
+    * to x_holt_winters' fitted model. All three components are published
+    * in milli-units with truncating division only — trend = 1000·Σwindow
+    * div |window|, seasonal = Σdetrended div count — so both engines
+    * agree bit-for-bit; edge days keep their shrunken centered window
+    * (the standard convention for series ends).
+    *
+    * Scale shape: the log collapses to per-day counts first (one
+    * high-cardinality exchange); the moving window, the 7-row day-of-week
+    * aggregate, and the residual all run on the calendar-bounded series.
+    */
+  val seasonalDecompose = Q(
+    "x_seasonal_decompose",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, d)
+        .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("day_idx", unix_date(col("day")))
+      val w7 = Window.orderBy(col("day_idx")).rangeBetween(-3, 3)
+      val trended = daily
+        .withColumn("s7", sum(col("n")).over(w7))
+        .withColumn("c7", count(col("n")).over(w7))
+        .withColumn("trend_milli", expr("(1000 * s7) div c7"))
+        .withColumn("detr_milli", expr("1000 * n - trend_milli"))
+        .withColumn("dow", dayofweek(col("day")).cast("long") - 1)
+      val seas = trended.groupBy(col("dow"))
+        .agg(expr("sum(detr_milli) div count(*)").as("seasonal_milli"))
+      trended.join(seas, "dow")
+        .select(col("day"), col("n"), col("trend_milli"), col("seasonal_milli"),
+          (col("detr_milli") - col("seasonal_milli")).as("residual_milli"))
+        .orderBy("day")
+    },
+    Some("""WITH daily AS (
+              SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+                count(*) AS n
+              FROM events GROUP BY 1),
+            tr AS (
+              SELECT day, n,
+                (1000 * CAST(sum(n) OVER w AS BIGINT)) // CAST(count(n) OVER w AS BIGINT)
+                  AS trend_milli
+              FROM daily
+              WINDOW w AS (ORDER BY CAST(day - DATE '1970-01-01' AS BIGINT)
+                           RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+            dt AS (
+              SELECT day, n, trend_milli, 1000 * n - trend_milli AS detr_milli,
+                CAST(dayofweek(day) AS BIGINT) AS dow
+              FROM tr),
+            se AS (
+              SELECT dow, CAST(sum(detr_milli) AS BIGINT) // count(*) AS seasonal_milli
+              FROM dt GROUP BY 1)
+            SELECT day, n, trend_milli, seasonal_milli,
+              detr_milli - seasonal_milli AS residual_milli
+            FROM dt JOIN se USING (dow)
+            ORDER BY day""")
+  )
+
   val qs: Seq[Q] = Seq(collocationsPmi, madOutliers, acf, greedySetcover, pcaTopComponent,
-    ktruss, chi2Independence, benfordDigits, kaplanMeier, theilSen)
+    ktruss, chi2Independence, benfordDigits, kaplanMeier, theilSen, graphAssortativity,
+    seasonalDecompose)
 }

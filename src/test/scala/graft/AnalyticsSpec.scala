@@ -263,4 +263,47 @@ class AnalyticsSpec extends AnyFunSuite {
     // slope = 10000 cents/day -> ppm 1e10, doubled-domain 2e10
     assert(out.head.getAs[Long]("slope_med2_ppm") == 20000000000L)
   }
+
+  test("graph_assortativity: star graph is maximally disassortative (-1)") {
+    // a 5-leaf star: every edge joins deg-5 to deg-1 -> r = -1 exactly
+    import spark.implicits._
+    val dir = "/tmp/graft_analytics_assort"
+    // craft events whose folded (user_id%211, event_id%211) graph is the star
+    // 0-{1..5}: user 0 with event ids 1..5 (all < 211, distinct, no self-loop)
+    val rows = (1 to 5).map(i => (i.toLong, new java.sql.Timestamp(1700000000000L + i), 0L, "view", 0.0, ""))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Analytics.graphAssortativity.run(spark, dir).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("m") == 10L) // 5 edges, both orientations
+    assert(out.head.getAs[Long]("assortativity_ppm") == -1000000L)
+  }
+
+  test("seasonal_decompose: components recompose and the planted weekly pattern lands in seasonal") {
+    import spark.implicits._
+    val dir = "/tmp/graft_analytics_season"
+    // 28 days, flat level 100 with +70 every Sunday: trend stays ~flat,
+    // seasonal absorbs the weekly spike, residual is small.
+    def ts(day: Int, k: Int) = new java.sql.Timestamp(86400000L * (19700 + day) + k)
+    val rows = for {
+      day <- 0 until 28
+      dow = java.time.LocalDate.ofEpochDay(19700 + day).getDayOfWeek.getValue % 7 // Sunday=0
+      n = if (dow == 0) 170 else 100
+      k <- 0 until n
+    } yield ((day * 1000 + k).toLong, ts(day, k), k.toLong, "view", 0.0, "")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val out = Analytics.seasonalDecompose.run(spark, dir).collect()
+    assert(out.length == 28)
+    out.foreach { r =>
+      // decomposition identity: 1000*n == trend + seasonal + residual
+      assert(1000L * r.getAs[Long]("n") ==
+        r.getAs[Long]("trend_milli") + r.getAs[Long]("seasonal_milli") + r.getAs[Long]("residual_milli"))
+    }
+    // interior Sunday seasonal must dominate the weekday seasonal
+    val sundays = out.filter(r => r.getAs[Long]("n") == 170).map(_.getAs[Long]("seasonal_milli"))
+    val weekdays = out.filter(r => r.getAs[Long]("n") == 100).map(_.getAs[Long]("seasonal_milli"))
+    assert(sundays.min > weekdays.max + 30000L)
+  }
 }
