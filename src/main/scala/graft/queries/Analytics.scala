@@ -948,7 +948,123 @@ object Analytics {
             ORDER BY day""")
   )
 
+  /** Wald–Wolfowitz runs test on the daily-revenue series — "are the
+    * above-median and below-median days randomly interleaved, or does the
+    * series trend/cluster?" (far fewer runs than expected = momentum; far
+    * more = oscillation). The residual-randomness audit that tells you
+    * whether x_holt_winters left structure on the table. Observed runs
+    * come from the rn-difference-free islands trick (a lag comparison —
+    * one window over the calendar-bounded series); the expected-runs
+    * baseline E = 1 + 2·n₊·n₋/n is published in exact truncating
+    * milli-units. Ties (= median) side with "below" via a strict `>`.
+    */
+  val runsTest = Q(
+    "x_runs_test",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority").as("pri"), col("o_orderdate").as("day"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+      val med = daily
+        .select(col("pri"), (col("cents") * 2).as("c2"))
+        .groupBy(col("pri"))
+        .agg(expr("CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY c2) AS BIGINT)").as("med2"))
+      val wd = Window.partitionBy(col("pri")).orderBy(col("day"))
+      daily.join(med, "pri")
+        .withColumn("pos", (col("cents") * 2 > col("med2")).cast("long"))
+        .withColumn("brk",
+          when(lag(col("pos"), 1).over(wd).isNull ||
+            lag(col("pos"), 1).over(wd) =!= col("pos"), 1L).otherwise(0L))
+        .groupBy(col("pri"))
+        .agg(
+          count(lit(1)).as("n_days"),
+          sum(col("pos")).as("n_pos"),
+          (count(lit(1)) - sum(col("pos"))).as("n_neg"),
+          sum(col("brk")).as("n_runs"))
+        .withColumn("expected_runs_milli",
+          expr("1000 + (2000 * n_pos * n_neg) div n_days"))
+        .orderBy("pri")
+    },
+    Some("""WITH daily AS (
+              SELECT o_orderpriority AS pri, o_orderdate AS day,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+              FROM orders GROUP BY 1, 2),
+            med AS (
+              SELECT pri, CAST(quantile_cont(2 * cents, 0.5) AS BIGINT) AS med2
+              FROM daily GROUP BY 1),
+            sg AS (
+              SELECT d.pri, d.day,
+                CASE WHEN 2 * d.cents > m.med2 THEN 1 ELSE 0 END AS pos
+              FROM daily d JOIN med m USING (pri)),
+            br AS (
+              SELECT pri, pos,
+                CASE WHEN lag(pos) OVER (PARTITION BY pri ORDER BY day) IS NULL
+                       OR lag(pos) OVER (PARTITION BY pri ORDER BY day) <> pos
+                     THEN 1 ELSE 0 END AS brk
+              FROM sg),
+            agg AS (
+              SELECT pri, CAST(count(*) AS BIGINT) AS n_days,
+                CAST(sum(pos) AS BIGINT) AS n_pos,
+                CAST(count(*) - sum(pos) AS BIGINT) AS n_neg,
+                CAST(sum(brk) AS BIGINT) AS n_runs
+              FROM br GROUP BY 1)
+            SELECT pri, n_days, n_pos, n_neg, n_runs,
+              1000 + (2000 * n_pos * n_neg) // n_days AS expected_runs_milli
+            FROM agg ORDER BY pri""")
+  )
+
+  /** Rolling-origin forecast backtest: seasonal-naive (ŷ_t = y_{t−7})
+    * versus last-value naive (ŷ_t = y_{t−1}) on the per-priority daily
+    * revenue, scored by MAPE — the held-out evaluation harness that
+    * decides whether x_holt_winters' seasonality earns its keep (a model
+    * that can't beat y_{t−7} shouldn't ship). Every fold is an exact
+    * integer: APE = |y−ŷ|·10⁶ div y, MAPE = ΣAPE div folds. Folds are
+    * calendar joins on (priority, day−k) — the x_acf lag-join shape —
+    * restricted to days where BOTH baselines have a predecessor, so the
+    * two MAPEs average the identical fold set.
+    */
+  val forecastBacktest = Q(
+    "x_forecast_backtest",
+    (s, d) => {
+      val daily = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority").as("pri"), col("o_orderdate").as("day"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+        .withColumn("di", unix_date(col("day").cast("date")).cast("long"))
+        .select(col("pri"), col("di"), col("cents"))
+      def shifted(k: Int, name: String) = daily
+        .select(col("pri").as(s"p$k"), (col("di") + k).as(s"d$k"), col("cents").as(name))
+      daily
+        .join(shifted(7, "f7"), col("pri") === col("p7") && col("di") === col("d7"))
+        .join(shifted(1, "f1"), col("pri") === col("p1") && col("di") === col("d1"))
+        .select(col("pri"),
+          expr("abs(cents - f7) * 1000000 div cents").as("ape7"),
+          expr("abs(cents - f1) * 1000000 div cents").as("ape1"))
+        .groupBy(col("pri"))
+        .agg(
+          count(lit(1)).as("n_folds"),
+          expr("sum(ape7) div count(*)").as("mape_seasonal_ppm"),
+          expr("sum(ape1) div count(*)").as("mape_naive_ppm"))
+        .orderBy("pri")
+    },
+    Some("""WITH daily AS (
+              SELECT o_orderpriority AS pri,
+                CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS di,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+              FROM orders GROUP BY 1, 2),
+            j AS (
+              SELECT a.pri,
+                abs(a.cents - s7.cents) * 1000000 // a.cents AS ape7,
+                abs(a.cents - s1.cents) * 1000000 // a.cents AS ape1
+              FROM daily a
+              JOIN daily s7 ON a.pri = s7.pri AND a.di = s7.di + 7
+              JOIN daily s1 ON a.pri = s1.pri AND a.di = s1.di + 1)
+            SELECT pri, CAST(count(*) AS BIGINT) AS n_folds,
+              CAST(sum(ape7) AS BIGINT) // count(*) AS mape_seasonal_ppm,
+              CAST(sum(ape1) AS BIGINT) // count(*) AS mape_naive_ppm
+            FROM j GROUP BY pri ORDER BY pri""")
+  )
+
   val qs: Seq[Q] = Seq(collocationsPmi, madOutliers, acf, greedySetcover, pcaTopComponent,
     ktruss, chi2Independence, benfordDigits, kaplanMeier, theilSen, graphAssortativity,
-    seasonalDecompose)
+    seasonalDecompose, runsTest, forecastBacktest)
 }

@@ -306,4 +306,45 @@ class AnalyticsSpec extends AnyFunSuite {
     val weekdays = out.filter(r => r.getAs[Long]("n") == 100).map(_.getAs[Long]("seasonal_milli"))
     assert(sundays.min > weekdays.max + 30000L)
   }
+
+  test("runs_test: alternating series maximizes runs, trending series minimizes them") {
+    import spark.implicits._
+    def write(dir: String, xs: Seq[Double]): Unit =
+      xs.zipWithIndex.map { case (v, i) =>
+        ((i + 1).toLong, 1L, "O", v, Date.valueOf(f"2024-01-${i + 1}%02d"), "1-URGENT")
+      }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+
+    val alt = "/tmp/graft_analytics_runs_alt"
+    write(alt, (1 to 20).map(i => if (i % 2 == 0) 200.0 else 100.0))
+    val a = Analytics.runsTest.run(spark, alt).collect().head
+    assert(a.getAs[Long]("n_runs") == 20L) // every day flips sign
+    assert(a.getAs[Long]("expected_runs_milli") == 11000L) // 1 + 2*10*10/20 = 11
+
+    val trend = "/tmp/graft_analytics_runs_tr"
+    write(trend, (1 to 20).map(i => 100.0 * i))
+    val t = Analytics.runsTest.run(spark, trend).collect().head
+    assert(t.getAs[Long]("n_runs") == 2L) // one below-median run, one above
+  }
+
+  test("forecast_backtest: exact MAPE on a planted series where seasonal-naive wins") {
+    import spark.implicits._
+    val dir = "/tmp/graft_analytics_bt"
+    // strict weekly pattern over 28 days: y_{t-7} is a perfect forecast
+    // (MAPE 0), y_{t-1} is wrong on every day the pattern moves.
+    val pattern = Seq(100.0, 100.0, 100.0, 100.0, 100.0, 300.0, 400.0)
+    val days = (0 until 28).map { i =>
+      ((i + 1).toLong, 1L, "O", pattern(i % 7), Date.valueOf(f"2024-01-${i + 1}%02d"), "1-URGENT")
+    }
+    days.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+
+    val out = Analytics.forecastBacktest.run(spark, dir).collect().head
+    assert(out.getAs[Long]("n_folds") == 21L)
+    assert(out.getAs[Long]("mape_seasonal_ppm") == 0L)
+    // naive-1 errors: |100-400|/100 thrice weekly etc. — replay exactly
+    val cents = (0 until 28).map(i => math.round(pattern(i % 7) * 100))
+    val apes = (7 until 28).map(t => math.abs(cents(t) - cents(t - 1)) * 1000000L / cents(t))
+    assert(out.getAs[Long]("mape_naive_ppm") == apes.sum / apes.size)
+  }
 }
