@@ -1064,7 +1064,46 @@ object Analytics {
             FROM j GROUP BY pri ORDER BY pri""")
   )
 
+  /** Skip-gram co-occurrence counts in a ±2 window — the (center, context)
+    * pair table every word2vec/GloVe-style embedding trainer consumes, and
+    * the wider-window sibling of x_collocations_pmi's adjacent bigrams.
+    * Pairs are generated INSIDE the token array (nested `transform` +
+    * bounds-guarded `element_at`, then one explode) — no positional
+    * self-join, no shuffle until the count aggregation, which is the only
+    * shape that survives a 100 TB corpus. Directional pairs (the standard
+    * convention: each window slot contributes one (w, c)); top-20 by
+    * count with deterministic ties is a TakeOrdered.
+    */
+  val skipgramCooc = Q(
+    "x_skipgram_cooc",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(TextAnalysis.tokens(col("text")).as("t"))
+        .select(explode(expr(
+          """flatten(transform(t, (w, i) ->
+               filter(transform(array(-2, -1, 1, 2), o ->
+                 CASE WHEN i + o >= 0 AND i + o < size(t)
+                      THEN struct(w AS w, element_at(t, i + o + 1) AS c) END),
+                 p -> p IS NOT NULL)))""")).as("p"))
+        .select(col("p.w"), col("p.c"))
+        .groupBy(col("w"), col("c"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("w"), col("c"))
+        .limit(20),
+    Some("""WITH toks AS (
+              SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+            pr AS (
+              SELECT unnest(flatten(list_transform(range(1, len(t) + 1), i ->
+                list_filter(list_transform([-2, -1, 1, 2], o ->
+                  CASE WHEN i + o >= 1 AND i + o <= len(t) THEN [t[i], t[i + o]] END),
+                  p -> p IS NOT NULL)))) AS p
+              FROM toks)
+            SELECT p[1] AS w, p[2] AS c, count(*) AS cnt
+            FROM pr GROUP BY 1, 2
+            ORDER BY cnt DESC, w, c LIMIT 20""")
+  )
+
   val qs: Seq[Q] = Seq(collocationsPmi, madOutliers, acf, greedySetcover, pcaTopComponent,
     ktruss, chi2Independence, benfordDigits, kaplanMeier, theilSen, graphAssortativity,
-    seasonalDecompose, runsTest, forecastBacktest)
+    seasonalDecompose, runsTest, forecastBacktest, skipgramCooc)
 }

@@ -347,4 +347,21 @@ class AnalyticsSpec extends AnyFunSuite {
     val apes = (7 until 28).map(t => math.abs(cents(t) - cents(t - 1)) * 1000000L / cents(t))
     assert(out.getAs[Long]("mape_naive_ppm") == apes.sum / apes.size)
   }
+
+  test("skipgram_cooc: ±2 window pairs enumerated exactly, bounds respected") {
+    import spark.implicits._
+    val dir = "/tmp/graft_analytics_sg"
+    // "a b c d" x5: 10 directed pairs per doc, each with count 5; the edge
+    // tokens must NOT reach beyond the array (a has no -1/-2 contexts).
+    Seq.fill(5)("a b c d").zipWithIndex.map { case (t, i) => ((i + 1).toLong, t, "en", "web", 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val out = Analytics.skipgramCooc.run(spark, dir).collect()
+      .map(r => (r.getAs[String]("w"), r.getAs[String]("c")) -> r.getAs[Long]("cnt")).toMap
+    assert(out.size == 10)
+    assert(out.values.forall(_ == 5L))
+    assert(out.contains(("a", "c")) && out.contains(("d", "b")))
+    assert(!out.contains(("a", "d"))) // distance 3 — outside the window
+  }
 }

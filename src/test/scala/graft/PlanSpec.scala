@@ -697,4 +697,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("props"), "untouched columns must be pruned from the events scan")
   }
+
+  test("x_skipgram_cooc: pairs from in-array transforms — no positional self-join") {
+    val p = plan(graft.queries.Analytics.skipgramCooc)
+    assert(!p.contains("Join"),
+      s"window pairs must be generated inside the token array:\n${p.take(1200)}")
+    assert(p.contains("TakeOrderedAndProject") && p.contains("partial_count"))
+  }
+
+  test("x_runs_test / x_forecast_backtest / x_seasonal_decompose: daily collapse is map-side") {
+    for (q <- Seq(graft.queries.Analytics.runsTest,
+        graft.queries.Analytics.forecastBacktest,
+        graft.queries.Analytics.seasonalDecompose)) {
+      val p = plan(q)
+      assert(p.contains("partial_sum") || p.contains("partial_count"),
+        s"${q.name}: the per-day collapse must combine map-side:\n${p.take(1200)}")
+      assert(!p.contains("CartesianProduct"), s"${q.name}: no all-pairs shape")
+    }
+  }
 }
