@@ -1103,7 +1103,145 @@ object Analytics {
             ORDER BY cnt DESC, w, c LIMIT 20""")
   )
 
+  /** CUPED variance reduction for the A/B readout (Deng et al., WSDM'13):
+    * adjust each user's experiment-period purchase count by their
+    * PRE-period count, y′ = y − θ(x − x̄) with θ = cov(x,y)/var(x) pooled
+    * over both arms — the covariate is pre-assignment, so the adjustment
+    * is unbiased and typically cuts the metric variance 40–60%. Completes
+    * the experimentation family around x_abtest_significance (same
+    * user_id % 2 assignment). Pre/post halves split at the series'
+    * midpoint day, derived in-query.
+    *
+    * Exact arithmetic throughout: θ in truncating ppm from n²-cleared
+    * integer sums (cov = n·Σxy − ΣxΣy, var = n·Σx² − (Σx)², the x_acf
+    * clearing), and each arm's adjusted total folds per-user terms
+    * 10⁶·n·y − θ_ppm·(n·x − Σx) in DECIMAL(38,0)/HUGEINT. A zero
+    * pre-variance degenerates θ to 0 (raw means) on both engines.
+    *
+    * Scale shape: one per-user aggregate over the purchase log (hash
+    * exchange on user_id, the population completed by a left join to the
+    * distinct-user frame), a 1-row pooled-stats broadcast, then a 2-row
+    * arm aggregate — the log is scanned once.
+    */
+  val abCuped = Q(
+    "x_ab_cuped",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"),
+          unix_date(col("ts").cast("date")).cast("long").as("di"),
+          col("event_type"))
+      val mid = ev.agg(expr("(min(di) + max(di) + 1) div 2").as("mid"))
+      val purch = ev.filter(col("event_type") === "purchase")
+        .crossJoin(mid)
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("di") < col("mid"), 1L).otherwise(0L)).as("x"),
+          sum(when(col("di") >= col("mid"), 1L).otherwise(0L)).as("y"))
+      val u = ev.select(col("user_id")).distinct()
+        .join(purch, Seq("user_id"), "left")
+        .select(col("user_id"), pmod(col("user_id"), lit(2)).as("arm"),
+          coalesce(col("x"), lit(0L)).as("x"), coalesce(col("y"), lit(0L)).as("y"))
+      val st = u.agg(
+        count(lit(1)).as("nu"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+        .select(col("nu"), col("sx"),
+          expr("""CASE WHEN CAST(nu AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx = 0
+                       THEN CAST(0 AS BIGINT)
+                       ELSE CAST((CAST(nu AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy)
+                                 * 1000000
+                                 div (CAST(nu AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx)
+                            AS BIGINT) END""").as("theta_ppm"))
+      u.crossJoin(st)
+        .groupBy(col("arm"))
+        .agg(
+          count(lit(1)).as("n_users"),
+          sum(col("y")).as("sy_a"),
+          sum(expr("""CAST(1000000 AS DECIMAL(38,0)) * nu * y
+                      - CAST(theta_ppm AS DECIMAL(38,0)) * (CAST(nu AS DECIMAL(38,0)) * x - sx)"""))
+            .as("adj"),
+          first(col("nu")).as("nu"), first(col("theta_ppm")).as("theta_ppm"))
+        .select(col("arm"), col("n_users"),
+          expr("(1000000 * sy_a) div n_users").as("mean_y_ppm"),
+          expr("CAST(adj div (CAST(nu AS DECIMAL(38,0)) * n_users) AS BIGINT)").as("mean_y_adj_ppm"),
+          col("theta_ppm"))
+        .orderBy("arm")
+    },
+    Some("""WITH ev AS (
+              SELECT user_id,
+                CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS di,
+                event_type
+              FROM events),
+            mid AS (SELECT (min(di) + max(di) + 1) // 2 AS mid FROM ev),
+            purch AS (
+              SELECT user_id,
+                CAST(sum(CASE WHEN di < mid THEN 1 ELSE 0 END) AS BIGINT) AS x,
+                CAST(sum(CASE WHEN di >= mid THEN 1 ELSE 0 END) AS BIGINT) AS y
+              FROM ev CROSS JOIN mid
+              WHERE event_type = 'purchase' GROUP BY user_id),
+            u AS (
+              SELECT a.user_id, a.user_id % 2 AS arm,
+                COALESCE(p.x, 0) AS x, COALESCE(p.y, 0) AS y
+              FROM (SELECT DISTINCT user_id FROM ev) a
+              LEFT JOIN purch p USING (user_id)),
+            st AS (
+              SELECT CAST(count(*) AS BIGINT) AS nu, CAST(sum(x) AS BIGINT) AS sx,
+                CASE WHEN CAST(count(*) AS HUGEINT) * sum(x * x)
+                          - CAST(sum(x) AS HUGEINT) * sum(x) = 0
+                     THEN CAST(0 AS BIGINT)
+                     ELSE CAST((CAST(count(*) AS HUGEINT) * sum(x * y)
+                                - CAST(sum(x) AS HUGEINT) * sum(y)) * 1000000
+                               // (CAST(count(*) AS HUGEINT) * sum(x * x)
+                                  - CAST(sum(x) AS HUGEINT) * sum(x)) AS BIGINT) END
+                  AS theta_ppm
+              FROM u)
+            SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+              1000000 * CAST(sum(y) AS BIGINT) // count(*) AS mean_y_ppm,
+              CAST(sum(CAST(1000000 AS HUGEINT) * nu * y
+                       - CAST(theta_ppm AS HUGEINT) * (CAST(nu AS HUGEINT) * x - sx))
+                   // (CAST(any_value(nu) AS HUGEINT) * count(*)) AS BIGINT) AS mean_y_adj_ppm,
+              any_value(theta_ppm) AS theta_ppm
+            FROM u CROSS JOIN st
+            GROUP BY arm ORDER BY arm""")
+  )
+
+  /** Sample-ratio mismatch check — the first gate of every experiment
+    * readout: a χ² test of the observed arm counts against the designed
+    * 50/50 split (an SRM means the assignment itself is broken and no
+    * downstream metric can be trusted). With a + b = n the statistic
+    * collapses to (a−b)²/n — one exact integer — compared against the
+    * hardcoded χ²₁ 95% critical value in ppm (3 841 459; the literal, not
+    * an engine-evaluated distribution function).
+    */
+  val srmCheck = Q(
+    "x_srm_check",
+    (s, d) =>
+      Tables.events(s, d)
+        .select(col("user_id")).distinct()
+        .groupBy(pmod(col("user_id"), lit(2)).as("arm"))
+        .agg(count(lit(1)).as("n"))
+        .agg(
+          sum(col("n")).as("n_users"),
+          sum(when(col("arm") === 0, col("n")).otherwise(0L)).as("n_a"),
+          sum(when(col("arm") === 1, col("n")).otherwise(0L)).as("n_b"))
+        .select(col("n_users"), col("n_a"), col("n_b"),
+          expr("((n_a - n_b) * (n_a - n_b) * 1000000) div n_users").as("srm_chi2_ppm"),
+          expr("((n_a - n_b) * (n_a - n_b) * 1000000) div n_users < 3841459").as("is_balanced")),
+    Some("""WITH arms AS (
+              SELECT user_id % 2 AS arm, count(*) AS n
+              FROM (SELECT DISTINCT user_id FROM events) GROUP BY 1)
+            , agg AS (
+              SELECT CAST(sum(n) AS BIGINT) AS n_users,
+                CAST(sum(CASE WHEN arm = 0 THEN n ELSE 0 END) AS BIGINT) AS n_a,
+                CAST(sum(CASE WHEN arm = 1 THEN n ELSE 0 END) AS BIGINT) AS n_b
+              FROM arms)
+            SELECT n_users, n_a, n_b,
+              CAST((n_a - n_b) * (n_a - n_b) * 1000000 // n_users AS BIGINT) AS srm_chi2_ppm,
+              (n_a - n_b) * (n_a - n_b) * 1000000 // n_users < 3841459 AS is_balanced
+            FROM agg""")
+  )
+
   val qs: Seq[Q] = Seq(collocationsPmi, madOutliers, acf, greedySetcover, pcaTopComponent,
     ktruss, chi2Independence, benfordDigits, kaplanMeier, theilSen, graphAssortativity,
-    seasonalDecompose, runsTest, forecastBacktest, skipgramCooc)
+    seasonalDecompose, runsTest, forecastBacktest, skipgramCooc, abCuped, srmCheck)
 }

@@ -364,4 +364,50 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out.contains(("a", "c")) && out.contains(("d", "b")))
     assert(!out.contains(("a", "d"))) // distance 3 — outside the window
   }
+
+  test("ab_cuped: perfectly predictive covariate gives theta=1 and equalizes the arms") {
+    import spark.implicits._
+    val dir = "/tmp/graft_analytics_cuped"
+    def ts(day: Int, k: Int) = new java.sql.Timestamp(86400000L * (19700 + day) + k * 1000L)
+    // user i makes i purchases pre-mid and i purchases post-mid: y == x,
+    // so theta = 1 and every user's adjusted y is exactly x-bar — both
+    // arms land on the same adjusted mean even though raw means differ.
+    val rows = for {
+      u <- 1 to 40
+      (day, k) <- (1 to u).map(k => (u % 10, k)) ++ (1 to u).map(k => (10 + u % 10, k))
+    } yield ((u * 1000 + day * 100 + k).toLong, ts(day, k), u.toLong, "purchase", 0.0, "")
+    // pin the day range so mid = (0+19+1)/2 = 10
+    val anchor = Seq((1L, ts(0, 0), 1L, "view", 0.0, ""), (2L, ts(19, 0), 1L, "view", 0.0, ""))
+    (rows ++ anchor).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val out = Analytics.abCuped.run(spark, dir).collect()
+      .map(r => r.getAs[Long]("arm") -> (r.getAs[Long]("n_users"), r.getAs[Long]("mean_y_ppm"),
+        r.getAs[Long]("mean_y_adj_ppm"), r.getAs[Long]("theta_ppm"))).toMap
+    assert(out(0L)._4 == 1000000L && out(1L)._4 == 1000000L)
+    assert(out(0L)._2 != out(1L)._2, "raw means must differ (odd vs even user ids)")
+    assert(out(0L)._3 == out(1L)._3, "adjusted means must coincide when y == x")
+    // x-bar = 20.5 -> 20500000 ppm
+    assert(out(0L)._3 == 20500000L)
+  }
+
+  test("srm_check: balanced split passes, 3:1 split trips the chi-square gate") {
+    import spark.implicits._
+    def write(dir: String, users: Seq[Long]): Unit =
+      users.zipWithIndex.map { case (u, i) =>
+        ((i + 1).toLong, new java.sql.Timestamp(1700000000000L + i), u, "view", 0.0, "")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val bal = "/tmp/graft_analytics_srm_b"
+    write(bal, (1L to 40L))
+    val b = Analytics.srmCheck.run(spark, bal).collect().head
+    assert(b.getAs[Long]("srm_chi2_ppm") == 0L && b.getAs[Boolean]("is_balanced"))
+
+    val skew = "/tmp/graft_analytics_srm_s"
+    write(skew, (1L to 60L by 2).take(10) ++ (2L to 120L by 2).take(30)) // 10 odd, 30 even
+    val sk = Analytics.srmCheck.run(spark, skew).collect().head
+    assert(sk.getAs[Long]("srm_chi2_ppm") == 10000000L) // (20^2 * 1e6) / 40
+    assert(!sk.getAs[Boolean]("is_balanced"))
+  }
 }
