@@ -705,6 +705,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject") && p.contains("partial_count"))
   }
 
+  test("x_ab_cuped: 1-row pooled stats broadcast over the user frame, no shuffle of scalars") {
+    val p = plan(graft.queries.Analytics.abCuped)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the pooled-stats 1-row frame must broadcast:\n${p.take(1200)}")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      "per-user aggregation must combine map-side")
+  }
+
   test("x_runs_test / x_forecast_backtest / x_seasonal_decompose: daily collapse is map-side") {
     for (q <- Seq(graft.queries.Analytics.runsTest,
         graft.queries.Analytics.forecastBacktest,
