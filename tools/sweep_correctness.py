@@ -25,7 +25,10 @@ con = duckdb.connect()
 for t in ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split():
     p = os.path.join(sfdir, f"{t}.parquet")
-    if os.path.exists(p):
+    if os.path.isdir(p):
+        # Spark/GenData write directory-style parquet; DuckDB needs the glob
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')")
+    elif os.path.exists(p):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
 def canon(cols, rows):
