@@ -209,8 +209,10 @@ object GraphOps {
     * edge-strength analogue of the core: it drops bridges and hub spokes
     * that k-core keeps, which is why community detection prefers it.
     *
-    * Input: canonical undirected edges (lo < hi enforced and de-duped
-    * defensively). Per round: one triangle enumeration — wedges via a
+    * Input: undirected edges in either orientation — each pair is
+    * CANONICALIZED to (min, max) and de-duped defensively (a reversed
+    * duplicate merges instead of silently dropping; self-loops drop).
+    * Per round: one triangle enumeration — wedges via a
     * self-join on the lower endpoint closed by a semi-join (each triangle
     * materializes exactly once as u<v<w) — then a 3-way edge projection
     * aggregated into per-edge support, then a semi-join filter. Lineage is
@@ -237,8 +239,9 @@ object GraphOps {
         .groupBy("lo", "hi").agg(count(lit(1)).as("sup"))
     }
     var e = edges
-      .select(col(loCol).cast("long").as("lo"), col(hiCol).cast("long").as("hi"))
-      .filter(col("lo") < col("hi"))
+      .select(col(loCol).cast("long").as("a"), col(hiCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("lo"), greatest(col("a"), col("b")).as("hi"))
       .distinct()
       .localCheckpoint(true)
     for (_ <- 1 to rounds) {

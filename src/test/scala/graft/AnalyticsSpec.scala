@@ -145,6 +145,16 @@ class AnalyticsSpec extends AnyFunSuite {
       .map(r => (r.getAs[Long]("lo"), r.getAs[Long]("hi"), r.getAs[Long]("sup")))
     assert(out.toSeq == Seq((1L, 2L, 2L), (1L, 3L, 2L), (1L, 4L, 2L),
       (2L, 3L, 2L), (2L, 4L, 2L), (3L, 4L, 2L)))
+
+    // reversed orientations and self-loops canonicalize, never drop
+    val messy = Seq(
+      (2L, 1L), (1L, 3L), (4L, 1L), (2L, 3L), (4L, 2L), (3L, 4L), (1L, 2L), (3L, 3L)
+    ).toDF("lo", "hi")
+    val out2 = graft.functions.GraphOps.truss(messy, "lo", "hi", k = 4, rounds = 4)
+      .orderBy("lo", "hi").collect()
+      .map(r => (r.getAs[Long]("lo"), r.getAs[Long]("hi"), r.getAs[Long]("sup")))
+    assert(out2.toSeq == Seq((1L, 2L, 2L), (1L, 3L, 2L), (1L, 4L, 2L),
+      (2L, 3L, 2L), (2L, 4L, 2L), (3L, 4L, 2L)))
   }
 
   test("truss: 4 rounds reach the fixpoint on the sf0.001 registry graph") {
