@@ -318,7 +318,11 @@ object AnnIndex {
     if (nTomb == 0L || (nCodes > 0L && nTomb.toDouble / nCodes.toDouble < minFraction)) return false
     Storage.drop(manifestPath(indexPath))
     Storage.rewrite(
-      Storage.get(spark, codesPath(indexPath)).join(broadcast(tomb), Seq("id"), "left_anti"),
+      // no broadcast hint: tombstones accumulate until exactly this moment,
+      // so a long-deferred compaction may hold far more than a broadcastable
+      // side — let the planner size the join (r14 advice, same class as the
+      // probeIvfPqStream codes broadcast removed in r13).
+      Storage.get(spark, codesPath(indexPath)).join(tomb, Seq("id"), "left_anti"),
       codesPath(indexPath))
     Storage.drop(s"$indexPath/tombstones")
     commit(spark, indexPath)

@@ -105,6 +105,86 @@ object Layout {
       .drop("__p", "__ci", "__off")
   }
 
+  /** Exact global `row_number() OVER (ORDER BY order…)` as a distributed
+    * two-phase rank instead of one unpartitioned window: range-partition on
+    * the order key, `row_number` WITHIN each range slice (a partitioned
+    * window), then add broadcast per-slice row-count offsets. The offset
+    * frame is ≤ `spark.sql.shuffle.partitions` rows — config-sized model
+    * state — so no task ever sorts more than its range slice. Output is
+    * identical to the unpartitioned `row_number` for any total order (ties
+    * land in one slice under range partitioning, and callers should pass a
+    * tie-broken order anyway, as every registry user does).
+    *
+    * This is the general-purpose cure for the corpus-sized-window
+    * anti-pattern (r13 verdict: `x_rfm_segmentation`'s ntile funnel); the
+    * histogram-shaped sibling is [[distributedPrefix]].
+    */
+  def twoPhaseRank(df: DataFrame, out: String, order: Column*): DataFrame = {
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val sliced = df
+      .repartitionByRange(parts, order: _*)
+      .withColumn("__p", spark_partition_id())
+    val inner = Window.partitionBy(col("__p")).orderBy(order: _*)
+    val offW = Window.orderBy(col("__p"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sliced.groupBy(col("__p")).agg(count(lit(1)).as("__pc"))
+      .withColumn("__off", coalesce(sum(col("__pc")).over(offW), lit(0L)))
+      .select(col("__p"), col("__off"))
+    sliced
+      .withColumn("__rn", row_number().over(inner).cast("long"))
+      .join(broadcast(offsets), "__p")
+      .withColumn(out, col("__rn") + col("__off"))
+      .drop("__p", "__rn", "__off")
+  }
+
+  /** Exact global running sum of `value` STRICTLY BEFORE each row under
+    * `order…` (= `sum(value) OVER (ORDER BY order… ROWS UNBOUNDED PRECEDING
+    * TO 1 PRECEDING)`, null-coalesced to 0) as the same two-phase shape as
+    * [[twoPhaseRank]]: per-slice running sums plus broadcast per-slice
+    * total offsets. Rows, unlike [[distributedPrefix]]'s histogram entries,
+    * need not be distinct — callers pass a tie-broken order.
+    */
+  def twoPhasePrefixSumBefore(
+      df: DataFrame, out: String, value: Column, order: Column*): DataFrame = {
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val sliced = df
+      .repartitionByRange(parts, order: _*)
+      .withColumn("__p", spark_partition_id())
+    val inner = Window.partitionBy(col("__p")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offW = Window.orderBy(col("__p"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sliced.groupBy(col("__p")).agg(sum(value).as("__pt"))
+      .withColumn("__off", coalesce(sum(col("__pt")).over(offW), lit(0L)))
+      .select(col("__p"), col("__off"))
+    sliced
+      .withColumn("__ci", coalesce(sum(value).over(inner), lit(0L)))
+      .join(broadcast(offsets), "__p")
+      .withColumn(out, col("__ci") + col("__off"))
+      .drop("__p", "__ci", "__off")
+  }
+
+  /** Exact `ntile(buckets)` score from a 1-based global rank column and a
+    * frame-size column (by NAME, so the arithmetic uses SQL `div` — the
+    * repo's integer-exact convention): standard SQL ntile puts `q+1 = n div buckets
+    * + 1` rows in the first `r = n mod buckets` buckets and `q` in the
+    * rest. Pure integer arithmetic — combined with [[twoPhaseRank]] this
+    * reproduces `ntile(k) OVER (ORDER BY …)` bit-exactly WITHOUT the
+    * unpartitioned window. (`greatest(q,1)` only guards the statically
+    * unreachable `q=0` branch — when `n < buckets` every rank falls in the
+    * first-`r` arm — so ANSI division never sees a zero.)
+    */
+  def ntileFromRank(rankCol: String, nCol: String, buckets: Int): Column = {
+    val q = s"($nCol div $buckets)"
+    val r = s"($nCol % $buckets)"
+    val cut = s"($r * ($q + 1))"
+    expr(
+      s"""CASE WHEN $rankCol <= $cut
+         |  THEN ($rankCol - 1) div ($q + 1) + 1
+         |  ELSE $r + ($rankCol - 1 - $cut) div greatest($q, 1) + 1
+         |END""".stripMargin).cast("long")
+  }
+
   /** Exact equi-depth bucket map `(value → bucket ∈ [0, buckets))`: bucket =
     * ⌊rank_before · buckets / n⌋ with rank from the value HISTOGRAM — one
     * hash aggregation plus a [[distributedPrefix]] over the value-cardinality

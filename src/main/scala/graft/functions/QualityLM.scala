@@ -210,16 +210,17 @@ object QualityLM {
       cutoffs: Seq[Int] = Seq(10, 100, 1000)
   ): DataFrame = {
     val tf = tokens(docs, idCol, textCol).groupBy("tok").agg(count(lit(1)).as("__c"))
-    // Global window over the VOCABULARY frame, not the corpus: distinct
-    // token types grow ~O(corpus^0.5) (Heaps' law — ~millions of types at
-    // 100 TB, not trillions of tokens), so the single-partition rank is
-    // model-sized by construction. A corpus-sized column must never flow
-    // through here — `tf` is always the post-aggregation type table.
-    val ow = org.apache.spark.sql.expressions.Window.orderBy(col("__c").desc, col("tok"))
-    val ranked = tf
-      .withColumn("__r", row_number().over(ow))
-      .withColumn("__cum", sum(col("__c")).over(
-        ow.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    // The rank and cumulative sum run over the VOCABULARY frame (Heaps'
+    // law — millions of types at 100 TB, not trillions of tokens), but
+    // "millions through one task" is still the single-reducer funnel the
+    // r13 verdict flagged (item #5), so both are the two-phase distributed
+    // shape: range-partition on (__c DESC, tok), per-slice window, add
+    // broadcast per-slice offsets. Only the ≤shuffle.partitions-row offset
+    // frames see an unpartitioned window.
+    val ranked0 = Layout.twoPhaseRank(tf, "__r", col("__c").desc, col("tok"))
+    val ranked = Layout.twoPhasePrefixSumBefore(
+        ranked0, "__cb", col("__c"), col("__c").desc, col("tok"))
+      .withColumn("__cum", col("__cb") + col("__c"))
     val tot = tf.agg(sum(col("__c")).as("__total"), count(lit(1)).as("__types"))
     ranked
       .filter(col("__r").isin(cutoffs: _*))

@@ -362,11 +362,14 @@ object TextIndex {
     val nDocs = spark.read.parquet(s"$indexPath/docs").count()
     if (nTomb == 0L || (nDocs > 0L && nTomb.toDouble / nDocs.toDouble < minFraction)) return false
     Storage.drop(manifestPath(indexPath))
+    // no broadcast hints: compaction is where the FULL accumulated
+    // tombstone set is joined — a long-deferred compaction can exceed the
+    // broadcast limit; the planner auto-broadcasts when it fits (r14 advice).
     Storage.rewrite(
-      readPostings(spark, indexPath).join(broadcast(tomb), Seq("doc_id"), "left_anti"),
+      readPostings(spark, indexPath).join(tomb, Seq("doc_id"), "left_anti"),
       s"$indexPath/postings", partitionCols = Seq("tok"))
     Storage.rewrite(
-      spark.read.parquet(s"$indexPath/docs").join(broadcast(tomb), Seq("doc_id"), "left_anti"),
+      spark.read.parquet(s"$indexPath/docs").join(tomb, Seq("doc_id"), "left_anti"),
       s"$indexPath/docs")
     Storage.rewrite(
       readPostings(spark, indexPath).groupBy(col("tok")).agg(count(lit(1)).as("df")),

@@ -181,9 +181,21 @@ object Analytics {
         .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
       val st = daily.groupBy(col("pri"))
         .agg(count(lit(1)).as("n_days"), sum(col("cents")).as("sv"))
-      val dev = daily.join(st, "pri")
+      val dev0 = daily.join(st, "pri")
         .withColumn("e", col("n_days") * col("cents") - col("sv"))
         .withColumn("rn", row_number().over(Window.partitionBy("pri").orderBy("day")))
+        .select(col("pri"), col("rn"), col("e"), col("n_days"))
+      // Overflow headroom (r14 advice): e² sums approach DECIMAL(38,0)'s 38
+      // digits at large SF once multiplied by the 10⁶ ppm scale. Quantize
+      // each series so max|e'| ≤ 10⁹ — dsum ≤ days·10¹⁸ and nk·10⁶ stays
+      // ~10²⁸ at ANY data scale (days is calendar-bounded). The divisor is
+      // derived identically on both engines (pure integer max/div), so the
+      // ppm stays bit-exact cross-engine; the quantization error is ≤1 part
+      // in 10⁹ of the peak deviation — invisible at ppm resolution.
+      val qf = dev0.groupBy(col("pri"))
+        .agg(expr("greatest(max(abs(e)) div 1000000000, 1)").as("eq_div"))
+      val dev = dev0.join(qf, "pri")
+        .withColumn("e", expr("e div eq_div"))
         .select(col("pri"), col("rn"), col("e"), col("n_days"))
       val den = dev.groupBy(col("pri"))
         .agg(sum(col("e").cast("decimal(38,0)") * col("e").cast("decimal(38,0)")).as("dsum"))
@@ -211,10 +223,16 @@ object Analytics {
             st AS (
               SELECT pri, count(*) AS n_days, CAST(sum(cents) AS BIGINT) AS sv
               FROM daily GROUP BY 1),
-            dev AS (
+            dev0 AS (
               SELECT d.pri, n_days, n_days * cents - sv AS e,
                 row_number() OVER (PARTITION BY d.pri ORDER BY day) AS rn
               FROM daily d JOIN st USING (pri)),
+            qf AS (
+              SELECT pri, greatest(max(abs(e)) // 1000000000, 1) AS eq_div
+              FROM dev0 GROUP BY 1),
+            dev AS (
+              SELECT d.pri, n_days, CAST(e // eq_div AS BIGINT) AS e, rn
+              FROM dev0 d JOIN qf USING (pri)),
             den AS (
               SELECT pri, sum(CAST(e AS HUGEINT) * e) AS dsum FROM dev GROUP BY 1),
             lags AS (SELECT unnest(range(1, 6)) AS lag_k),

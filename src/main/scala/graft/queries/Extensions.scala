@@ -5059,19 +5059,24 @@ object Extensions {
     * bin-banding every table format's compactor uses in practice; true
     * first-fit-decreasing is sequential and buys little at uniform file
     * sizes). "Files" here are the per-shard byte masses of the shard
-    * manifest, so the plan composes directly with it; the running sum
-    * windows over the |files| frame, never the corpus.
+    * manifest, so the plan composes directly with it; the running byte sum
+    * is the two-phase distributed prefix sum of
+    * [[graft.functions.Layout.twoPhasePrefixSumBefore]] — a 100 TB table
+    * has millions of files, and "the |files| frame, never the corpus" is
+    * still the single-reducer funnel when it flows through one
+    * unpartitioned window (r14 window-lint class; only the
+    * ≤shuffle.partitions-row offset frame stays single-task).
     */
   val compactionPlan = Q(
     "x_compaction_plan",
     (s, d) => {
       val target = 65536L
-      Tables.documents(s, d)
+      val files = Tables.documents(s, d)
         .groupBy(concat_ws("/", col("source"), col("lang")).as("file"))
         .agg(sum(col("n_chars")).cast("long").as("bytes"))
-        .withColumn("grp", expr(s"coalesce(sum(bytes) OVER " +
-          s"(ORDER BY bytes DESC, file ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)" +
-          s" div CAST($target AS BIGINT)"))
+      graft.functions.Layout
+        .twoPhasePrefixSumBefore(files, "__pre", col("bytes"), desc("bytes"), asc("file"))
+        .withColumn("grp", expr(s"__pre div CAST($target AS BIGINT)"))
         .groupBy(col("grp"))
         .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("grp_bytes"))
         .orderBy("grp")

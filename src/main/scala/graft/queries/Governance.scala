@@ -654,8 +654,11 @@ object Governance {
     * write–audit–publish (`x_wap_publish`): four manifest-last publishes
     * build a versioned store (`snap=1..4`, each a different cumulative
     * lineitem slice), crash debris is planted (`.__merge_tmp`,
-    * `.__append_x`), then [[graft.sources.Storage.vacuum]] retains the
-    * 2-snapshot window ending at the live snapshot and sweeps the debris.
+    * `.__append_x`) and backdated past the grace window, then
+    * [[graft.sources.Storage.vacuum]] retains the 2-snapshot window ending
+    * at the live snapshot and sweeps the AGED debris (fresh staging dirs
+    * are presumed in-flight concurrent writers and survive — the r14
+    * single-writer-race fix).
     * The oracle sees only the POST-vacuum filesystem: it re-derives the
     * live snapshot from the manifest parquet, counts retained snapshots and
     * rows via a hive-partitioned read of what survived, and proves the
@@ -680,9 +683,14 @@ object Governance {
         s.range(1).select(lit(v.toLong).as("live"))
           .write.mode("overwrite").parquet(s"$base/manifest")
       }
-      // crash debris: a dead rename-aside sidecar and a dead staged append
+      // crash debris: a dead rename-aside sidecar and a dead staged append,
+      // backdated past vacuum's grace window (fresh staging dirs are
+      // presumed in-flight concurrent writers and must survive the sweep)
       s.range(1).select(lit(1L).as("junk")).write.parquet(s"$base/x.__merge_tmp")
       s.range(1).select(lit(1L).as("junk")).write.parquet(s"$base/x.__append_dead")
+      val aged = System.currentTimeMillis() - 3600 * 1000L
+      Storage.setMtime(s"$base/x.__merge_tmp", aged)
+      Storage.setMtime(s"$base/x.__append_dead", aged)
       val (live, _, _) = Storage.vacuum(s, base, keepLast = 2)
       val retained = Storage.ls(base).filter(_.startsWith("snap="))
         .map(_.stripPrefix("snap=").toLong).sorted

@@ -96,7 +96,11 @@ object Storage {
     * removes snapshots older than the `keepLast`-sized window ending at the
     * live snapshot, plus rename-aside / staged-append debris
     * (`.__merge_tmp` / `.__merge_old` / `.__append_*`) left by crashed
-    * writers. Safety contract: REFUSES a torn store (snapshots present but
+    * writers — but only entries OLDER than `debrisGraceMs` (default 10 min):
+    * a younger staging dir may belong to a concurrent in-flight
+    * rewrite/append whose atomic swap hasn't landed yet, and vacuum must
+    * never race a live writer. Safety contract: REFUSES a torn store
+    * (snapshots present but
     * no manifest — a reader can't tell which is live, so neither can the
     * vacuum); never touches the live snapshot; never touches snapshots
     * NEWER than live (an in-flight publish owns them — its manifest flip
@@ -105,22 +109,38 @@ object Storage {
     * snapshots, zero data reads.
     * Returns (liveSnap, removedSnaps, removedStray).
     */
-  def vacuum(spark: SparkSession, path: String, keepLast: Int): (Long, Long, Long) = {
+  def vacuum(spark: SparkSession, path: String, keepLast: Int,
+      debrisGraceMs: Long = 600000L): (Long, Long, Long) = {
     require(keepLast >= 1, "vacuum must retain at least the live snapshot")
+    val base = path.stripSuffix("/")
     val entries = ls(path)
     val snaps = entries.filter(_.startsWith("snap=")).map(_.stripPrefix("snap=").toLong)
-    if (snaps.nonEmpty)
-      require(exists(s"${path.stripSuffix("/")}/manifest"),
-        "torn store: snapshots present but no manifest names the live one — refusing to vacuum")
-    val live = spark.read.parquet(s"${path.stripSuffix("/")}/manifest")
-      .head().getAs[Long]("live")
-    val expired = snaps.filter(v => v < live - keepLast + 1) // never live, never in-flight (> live)
-    expired.foreach(v => drop(s"${path.stripSuffix("/")}/snap=$v"))
+    val manifested = exists(s"$base/manifest")
+    require(snaps.isEmpty || manifested,
+      "torn store: snapshots present but no manifest names the live one — refusing to vacuum")
+    // Debris sweep is AGE-GATED: a `.__merge_tmp`/`.__append_*` entry younger
+    // than the grace period may be a CONCURRENT writer's in-flight staging
+    // dir, not crash debris — deleting it would break that writer's atomic
+    // swap mid-write. Only entries whose mtime predates the grace window are
+    // provably abandoned (a live stager renames within seconds).
+    val now = System.currentTimeMillis()
     val stray = entries.filter(n =>
-      n.contains(".__merge_tmp") || n.contains(".__merge_old") || n.contains(".__append_"))
-    stray.foreach(n => drop(s"${path.stripSuffix("/")}/$n"))
+        n.contains(".__merge_tmp") || n.contains(".__merge_old") || n.contains(".__append_"))
+      .filter(n => now - Files.getLastModifiedTime(Paths.get(s"$base/$n")).toMillis
+        >= debrisGraceMs)
+    stray.foreach(n => drop(s"$base/$n"))
+    if (!manifested) return (-1L, 0L, stray.size.toLong) // empty store: debris-only no-op
+    val live = spark.read.parquet(s"$base/manifest").head().getAs[Long]("live")
+    val expired = snaps.filter(v => v < live - keepLast + 1) // never live, never in-flight (> live)
+    expired.foreach(v => drop(s"$base/snap=$v"))
     (live, expired.size.toLong, stray.size.toLong)
   }
+
+  /** Backdate an entry's mtime (crash-debris simulation in tests/queries:
+    * vacuum only sweeps debris OLDER than its grace window).
+    */
+  def setMtime(path: String, mtimeMs: Long): Unit =
+    Files.setLastModifiedTime(Paths.get(path), java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
 
   /** `ls` / `store` — file→storage listing (`core_process_hydfs.go:613-630`). */
   def ls(path: String): Seq[String] = {

@@ -1360,8 +1360,18 @@ object RainStorm {
     * each arrival in O(1) exactly like the batch recurrence — each
     * (priority, day) emits exactly once, after μ is known. A series that
     * never reaches `warmup` days holds its rows (in streaming the series
-    * has not ended — that is the semantics, not a loss). Ordering contract
-    * as [[ewmaStream]]: per-batch sort, in-order across batches.
+    * has not ended — that is the semantics, not a loss). A key that stops
+    * arriving before its warmup fills would pin its buffer in the state
+    * store forever (r14 advice), so `idleTtl = Some("30 days")` arms a
+    * processing-time timeout that expires an idle key's state — a
+    * late-resuming series then re-warms from scratch (documented monitoring
+    * semantics: a chart silent for the TTL restarts its baseline). The TTL
+    * is opt-in because an armed ProcessingTimeTimeout makes the engine
+    * trigger continuous timeout-check batches under the default ASAP
+    * trigger — production deployments pair it with a real
+    * `Trigger.ProcessingTime`; `processAllAvailable`-style test harnesses
+    * leave it off. Ordering contract as [[ewmaStream]]: per-batch sort,
+    * in-order across batches.
     */
   final case class CusumState(buf: Seq[(String, Long)], mu: Long, carry: Long, ready: Boolean)
   final case class CusumRow(priority: String, day: String, n: Long, cusumMilli: Long, alarm: Long)
@@ -1369,7 +1379,8 @@ object RainStorm {
   def cusumStream(
       spark: SparkSession,
       daily: DataFrame, // (priority string, day string, n long)
-      warmup: Int = 28
+      warmup: Int = 28,
+      idleTtl: Option[String] = None
   ): Dataset[CusumRow] = {
     import spark.implicits._
     daily
@@ -1377,8 +1388,15 @@ object RainStorm {
       .groupByKey(_._1)
       .flatMapGroupsWithState[CusumState, CusumRow](
         OutputMode.Update(),
-        GroupStateTimeout.NoTimeout
+        if (idleTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+        else GroupStateTimeout.NoTimeout
       ) { (p: String, rows: Iterator[(String, String, Long)], state: GroupState[CusumState]) =>
+        if (state.hasTimedOut) {
+          // Idle key: expire the (possibly never-completing) warmup buffer —
+          // the state store must not grow with dead series.
+          state.remove()
+          Iterator.empty
+        } else {
         var st  = state.getOption.getOrElse(CusumState(Vector.empty, 0L, 0L, ready = false))
         val out = scala.collection.mutable.ArrayBuffer.empty[CusumRow]
         def emit(day: String, n: Long): Unit = {
@@ -1399,7 +1417,9 @@ object RainStorm {
           }
         }
         state.update(st)
+        idleTtl.foreach(state.setTimeoutDuration)
         out.iterator
+        }
       }
   }
 

@@ -153,8 +153,16 @@ class GovernanceSpec extends AnyFunSuite {
           .write.mode("overwrite").parquet(s"$base/manifest")
     }
     spark.range(1).write.parquet(s"$base/x.__merge_old")
+    spark.range(1).write.parquet(s"$base/y.__append_fresh") // a CONCURRENT writer's staging dir
+    Storage.setMtime(s"$base/x.__merge_old", System.currentTimeMillis() - 3600 * 1000L)
     val (live, removedSnaps, removedStray) = Storage.vacuum(spark, base, keepLast = 2)
-    assert(live == 4L && removedSnaps == 2L && removedStray == 1L)
+    assert(live == 4L && removedSnaps == 2L && removedStray == 1L,
+      "aged debris swept; the fresh staging dir (possible in-flight writer) survives")
+    assert(Storage.exists(s"$base/y.__append_fresh"),
+      "vacuum must not race a concurrent writer: debris younger than the grace window stays")
+    Storage.setMtime(s"$base/y.__append_fresh", System.currentTimeMillis() - 3600 * 1000L)
+    val (_, _, swept2) = Storage.vacuum(spark, base, keepLast = 2)
+    assert(swept2 == 1L, "once past the grace window the abandoned staging dir is debris")
     val left = Storage.ls(base).filter(_.startsWith("snap=")).sorted
     assert(left == Seq("snap=3", "snap=4", "snap=5"),
       "window {3,4} retained, live 4 untouched, in-flight 5 untouched")
@@ -163,6 +171,13 @@ class GovernanceSpec extends AnyFunSuite {
 
     Storage.drop(s"$base/manifest")
     intercept[IllegalArgumentException](Storage.vacuum(spark, base, keepLast = 2))
+
+    // Uninitialized store (no snapshots, no manifest): clean debris-only
+    // no-op, not a raw parquet path-not-found error.
+    val empty = "/tmp/graft_test_vac_empty"
+    Storage.drop(empty)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(empty))
+    assert(Storage.vacuum(spark, empty, keepLast = 2) == (-1L, 0L, 0L))
   }
 
   test("observe audit: in-flight counters equal their recomputed aggregates") {

@@ -145,4 +145,53 @@ class LayoutSpec extends AnyFunSuite {
     assert((0 until 5000).forall(i => m(i.toLong) === i / 500),
       "two-level prefix sum must equal the single-window cumulative rank")
   }
+
+  test("twoPhaseRank == unpartitioned row_number for every frame size, asc and desc") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // Sizes straddle empty, < partitions, == partitions, and multi-slice.
+    for (n <- Seq(0, 1, 3, 32, 997)) {
+      val df = Seq.tabulate(n)(i => ((i * 7919) % 1000).toLong -> i.toLong).toDF("v", "id")
+      val got = Layout.twoPhaseRank(df, "rk", desc("v"), asc("id"))
+        .select("id", "rk").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = df.withColumn("rk",
+          row_number().over(Window.orderBy(desc("v"), asc("id"))).cast("long"))
+        .select("id", "rk").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === want, s"n=$n")
+    }
+  }
+
+  test("twoPhasePrefixSumBefore == unpartitioned running sum (ties included)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // Duplicate sort values on purpose: rows need not be distinct as long as
+    // the caller's order is a total order via the id tie-break.
+    val df = Seq.tabulate(500)(i => (((i * 31) % 40).toLong, i.toLong, (i % 7 + 1).toLong))
+      .toDF("v", "id", "w")
+    val got = Layout.twoPhasePrefixSumBefore(df, "ps", col("w"), asc("v"), asc("id"))
+      .select("id", "ps").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = df.withColumn("ps", coalesce(
+        sum("w").over(Window.orderBy(asc("v"), asc("id"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("id", "ps").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want)
+  }
+
+  test("ntileFromRank reproduces SQL ntile exactly, including n % k != 0 remainders") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // n=7,k=5 is the case the naive (k*(rank-1)) div n + 1 formula gets
+    // WRONG (rank 4 -> bucket 3 instead of ntile's 2); pin the exact
+    // first-r-buckets-get-q+1-rows arithmetic across many frame sizes.
+    for (n <- Seq(1, 2, 4, 5, 6, 7, 11, 23, 150, 151, 997); k <- Seq(3, 5)) {
+      val df = Seq.tabulate(n)(i => i.toLong).toDF("id")
+        .crossJoin(Seq(n.toLong).toDF("__n"))
+        .withColumn("rk", row_number().over(Window.orderBy("id")).cast("long"))
+      val got = df.withColumn("s", Layout.ntileFromRank("rk", "__n", k))
+        .select("id", "s").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = df.withColumn("s", ntile(k).over(Window.orderBy("id")).cast("long"))
+        .select("id", "s").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === want, s"n=$n k=$k")
+    }
+  }
 }

@@ -261,6 +261,40 @@ class PatternsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("cusumStream idleTtl expires a never-completing warmup buffer (state store stays bounded)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(String, String, Long)]
+    // warmup 2, TTL 1s of processing time, real trigger (an armed
+    // ProcessingTimeTimeout needs periodic batches to fire; see docstring).
+    val q = graft.streaming.RainStorm.cusumStream(spark, in.toDF()
+        .toDF("priority", "day", "n"), warmup = 2, idleTtl = Some("1 second"))
+      .writeStream.format("memory").queryName("cusum_ttl")
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+      .start()
+    try {
+      in.addData(("A", "d1", 10L)) // half-filled warmup buffer, then silence
+      Thread.sleep(4000)           // > TTL: the idle key's state must expire
+      in.addData(("A", "d2", 20L), ("A", "d3", 30L))
+      val deadline = System.currentTimeMillis() + 30000
+      def rows() = spark.table("cusum_ttl").collect()
+        .map(r => (r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      while (rows().size < 2 && System.currentTimeMillis() < deadline) Thread.sleep(200)
+      // Expired: d1 is gone, warmup refills from {d2,d3} alone -> mu=25000,
+      // exactly two emitted rows. Un-expired state would emit THREE rows
+      // (d1+d2 fill warmup at mu=15000, then d3).
+      val got = rows()
+      assert(got.size == 2, s"expected d1's buffer expired, got $got")
+      assert(got.map(_._1) == Set("d2", "d3") && !got.exists(_._1 == "d1"))
+      val mu = 25000L
+      val s2 = math.max(0L, 0L + (1000 * 20 - mu - mu / 20))
+      val s3 = math.max(0L, (if (s2 > mu) 0L else s2) + (1000 * 30 - mu - mu / 20))
+      assert(got == Set(("d2", 20L, s2), ("d3", 30L, s3)), s"recurrence mismatch: $got")
+    } finally q.stop()
+  }
+
   test("personalized pagerank matches a driver-side integer fold of the same graph") {
     import graft.queries.Extensions
     val got = Extensions.pprQ.run(spark, sf).collect()

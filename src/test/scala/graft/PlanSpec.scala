@@ -723,4 +723,36 @@ class PlanSpec extends AnyFunSuite {
       assert(!p.contains("CartesianProduct"), s"${q.name}: no all-pairs shape")
     }
   }
+
+  /** First argument of every windowspecdefinition in the plan. Partition
+    * columns print first WITHOUT a sort direction, so a first arg carrying
+    * ASC/DESC (or going straight to the frame) marks an UNPARTITIONED
+    * window — the single-task funnel tools/window_lint.py machine-catches
+    * over EXPLAIN.md; these pins catch it at test time for the queries the
+    * r13 verdict rewrote.
+    */
+  private def unpartitionedWindowFirstArgs(p: String): Seq[String] =
+    "windowspecdefinition\\(([^,)]+)".r.findAllMatchIn(p).map(_.group(1).trim)
+      .filter(a => a.startsWith("specifiedwindowframe")
+        || a.endsWith("NULLS FIRST") || a.endsWith("NULLS LAST"))
+      .toSeq
+
+  test("x_rfm_segmentation: no unpartitioned window over the user frame (two-phase ntile)") {
+    val p = plan(graft.queries.Indexing.rfmSegmentation)
+    val bad = unpartitionedWindowFirstArgs(p).filterNot(_.startsWith("__p#"))
+    assert(bad.isEmpty,
+      s"every global window must be a config-sized __p offset frame, got: $bad\n${p.take(1500)}")
+    assert(p.contains("RangePartitioning") || p.contains("rangepartitioning"),
+      "the three quintile ranks must range-partition the user frame")
+  }
+
+  test("x_vocab_coverage / x_compaction_plan: rank and prefix sum are two-phase, not one task") {
+    for (q <- Seq(graft.queries.Extensions.vocabCoverage,
+        graft.queries.Extensions.compactionPlan)) {
+      val p = plan(q)
+      val bad = unpartitionedWindowFirstArgs(p).filterNot(_.startsWith("__p#"))
+      assert(bad.isEmpty,
+        s"${q.name}: only the __p offset frame may window unpartitioned, got: $bad")
+    }
+  }
 }

@@ -225,4 +225,64 @@ class TextIndexSpec extends AnyFunSuite {
         .findFirstIn(postingsScan).isDefined,
       s"postings scan must carry a tok partition filter; plan:\n$plan")
   }
+
+  test("compaction under a RUNNING streaming probe: loud failure or a consistent snapshot, never torn") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val cIdx = "/tmp/graft_index/text_spec_stream_compact"
+    graft.sources.Storage.drop(cIdx)
+    TextIndex.build(Tables.documents(spark, TestSpark.sf0001), "doc_id", "text", cIdx)
+    val ts = java.sql.Timestamp.valueOf("2026-01-01 12:00:00")
+
+    // Both consistent answers for the probe, computed OUTSIDE the stream:
+    // the pre-compact top-k, and the post-compact top-k after the
+    // top-ranked doc is tombstoned and compacted away mid-stream.
+    def expect(): Set[(Long, Long)] = TextIndex
+      .probeBm25Many(spark, cIdx, Seq((2L, "hash")).toDF("query_id", "tok"), topK = 5)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score"))).toSet
+    val pre = expect()
+    assert(pre.nonEmpty)
+
+    val in  = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val out = TextIndex.probeBm25Stream(spark, cIdx,
+      in.toDF.toDF("query_id", "tok", "ts"), "query_id", "tok", "ts", topK = 5)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("bm25_stream_compact").start()
+    val attempt = scala.util.Try {
+      in.addData((1L, "hash", ts))
+      q.processAllAvailable()
+      // Mid-stream lifecycle: tombstone the current top doc, then compact —
+      // a full rename-aside rewrite of postings/docs/stats under the
+      // manifest transaction, while the probe stream is RUNNING.
+      val victim = TextIndex
+        .probeBm25Many(spark, cIdx, Seq((9L, "hash")).toDF("query_id", "tok"), topK = 1)
+        .collect().head.getAs[Long]("doc_id")
+      TextIndex.deleteDocs(spark, cIdx, Seq(victim).toDF("doc_id"))
+      assert(TextIndex.compact(spark, cIdx), "compaction must run (tombstones present)")
+      in.addData((2L, "hash", ts))
+      q.processAllAvailable()
+      in.addData((999999L, "hash", java.sql.Timestamp.valueOf("2026-01-02 12:00:00")))
+      q.processAllAvailable()
+    }
+    try {
+      attempt match {
+        case scala.util.Failure(_) =>
+          // Loud failure is within contract: the stream died mid-rewrite
+          // rather than serving a half-swapped artifact. Nothing to check —
+          // no batch was emitted from torn state.
+          succeed
+        case scala.util.Success(_) =>
+          val post = expect() // compacted index, victim gone
+          val got = spark.sql(
+            """SELECT t.doc_id, t.score FROM bm25_stream_compact
+               LATERAL VIEW explode(topk) AS t WHERE query_id = 2""")
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+          assert(got == pre || got == post,
+            s"TORN BATCH: stream served neither the pre-compact nor the " +
+              s"post-compact snapshot\ngot  $got\npre  $pre\npost $post")
+      }
+    } finally q.stop()
+  }
 }

@@ -54,4 +54,17 @@ PYEOF
     exit 1
   }
 fi
+
+# Unpartitioned-window lint (r14 verdict item #2): no query may plan a
+# global window over a data-sized frame. Whitelist + the __p offset-frame
+# idiom live in tools/window_lint.py.
+if [ -f EXPLAIN.md ]; then
+  python3 tools/window_lint.py EXPLAIN.md || {
+    echo "pre-commit: unpartitioned-window lint FAILED — a query plans a"
+    echo "single-task window over a non-whitelisted frame. Rewrite with"
+    echo "Layout.twoPhaseRank/twoPhasePrefixSumBefore or add a whitelist"
+    echo "entry in tools/window_lint.py NAMING the frame's bound."
+    exit 1
+  }
+fi
 exit 0
