@@ -1,0 +1,165 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.multimodal.Video
+
+/** Round-14 family: the VIDEO face of the multimodal pipeline — a REAL
+  * ISO-BMFF (MP4) container codec ([[graft.multimodal.VideoCodec]]: box
+  * walk, 16.16 tkhd dimensions, stts/stss/stsz/stsc/stco sample tables,
+  * chunk-map frame slicing) behind the same batched `mapPartitions` stages
+  * as the image and audio families. Payloads are synthesized
+  * deterministically from the text bytes ([[Video.syntheticMp4]]) so every
+  * decoded field is DuckDB-derivable: the oracles replay frame-grid
+  * synthesis, per-pixel luma, frame differencing, and the GOP/keyframe
+  * structure in SQL, while the Spark side gets them only by parsing the
+  * container it encoded — a mis-encode, mis-parse, or wrong chunk map
+  * breaks the hash.
+  *
+  * Scale: all four stages are map-side decode (CPU linear in corpus bytes)
+  * with one presentation sort at the top — the 100 TB cost model of every
+  * multimodal stage; payload bytes never shuffle. The keyframe stage reads
+  * ONLY sync samples via stss (a seek pattern, not decode-all), exactly how
+  * a thumbnail/sampling pass survives petabyte video corpora.
+  */
+object MediaVideo {
+
+  /** Shared oracle prelude: per-document hex payload + the synthetic clip
+    * geometry (w = len%16+4, h = len%12+4, n = len%10+4, GOP 4), replaying
+    * [[Video.syntheticMp4]].
+    */
+  private def geomCte: String =
+    """WITH t AS (SELECT doc_id, COALESCE(NULLIF(hex(encode(text)), ''), '00') AS hx,
+                  GREATEST(octet_length(encode(text)), 1) AS len FROM documents),
+            g AS (SELECT doc_id, hx, len, len % 16 + 4 AS w, len % 12 + 4 AS h,
+                         len % 10 + 4 AS n FROM t)"""
+
+  /** Per-(doc, frame, pixel) luma grid: p(f, i) =
+    * (b(i mod len) + 40·(f div 4) + (f mod 4) + 3·i) mod 256.
+    */
+  private def pixCte: String =
+    geomCte + """,
+            gf AS (SELECT doc_id, hx, len, w, h, n, unnest(range(0, n)) AS f FROM g),
+            gi AS (SELECT doc_id, hx, len, w, h, n, f,
+                          unnest(range(0, w * h)) AS i FROM gf),
+            pix AS (SELECT doc_id, w, h, n, f, i,
+                      (16*(strpos('0123456789ABCDEF', hx[2*(i%len)+1])-1)
+                         + (strpos('0123456789ABCDEF', hx[2*(i%len)+2])-1)
+                       + 40*(f//4) + (f%4) + 3*i) % 256 AS p
+                    FROM gi)"""
+
+  /** Container-metadata decode: total size, sample-entry codec 4cc, 16.16
+    * dimensions, frame count, duration, keyframe count. The oracle predicts
+    * the canonical box layout closed-form (ftyp 16 + mdat 8+n·w·h + moov
+    * 445+4n+4·ceil(n/4)); every parsed field must survive the box-tree
+    * round trip.
+    */
+  val videoMeta = Q(
+    "x_video_meta",
+    (s, d) =>
+      Video.decodeMeta(s, Video.withVideoPayload(s, Tables.documents(s, d)))
+        .toDF()
+        .select(col("doc_id"), col("n_bytes"), col("codec"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("n_frames").cast("long").as("n_frames"),
+          col("duration_ms"),
+          col("n_keyframes").cast("long").as("n_keyframes"))
+        .orderBy("doc_id"),
+    Some(geomCte + """
+            SELECT doc_id,
+              CAST(469 + n*w*h + 4*n + 4*((n+3)//4) AS BIGINT) AS n_bytes,
+              'gry8' AS codec,
+              CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+              CAST(n AS BIGINT) AS n_frames,
+              CAST(n * 40 AS BIGINT) AS duration_ms,
+              CAST((n+3)//4 AS BIGINT) AS n_keyframes
+            FROM g ORDER BY doc_id""")
+  )
+
+  /** Keyframe thumbnail digest — sample ONLY the stss sync frames (f ≡ 0 mod
+    * 4) and fold keyframe luma totals plus a frame-index-weighted checksum.
+    * The oracle recomputes EVERY keyframe pixel from the synthesis formula;
+    * a wrong stss parse, wrong frame slice, or permuted sample order breaks
+    * the hash.
+    */
+  val videoFrameSample = Q(
+    "x_video_frame_sample",
+    (s, d) =>
+      Video.sampleKeyframes(s, Video.withVideoPayload(s, Tables.documents(s, d)))
+        .toDF()
+        .select(col("doc_id"), col("n_sampled").cast("long").as("n_sampled"),
+          col("luma_total"), col("luma_checksum"))
+        .orderBy("doc_id"),
+    Some(pixCte + """,
+            ks AS (SELECT doc_id, f, sum(p) AS fs FROM pix
+                   WHERE f % 4 = 0 GROUP BY doc_id, f)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sampled,
+              CAST(sum(fs) AS BIGINT) AS luma_total,
+              CAST(sum(fs * (f + 1)) AS BIGINT) AS luma_checksum
+            FROM ks GROUP BY doc_id ORDER BY doc_id""")
+  )
+
+  /** Scene-cut detection by frame differencing (the shot-boundary baseline):
+    * sad(f) = Σ_i |p(f,i) − p(f−1,i)|, cut when sad > 16·px. The synthetic
+    * GOP structure puts a +40 luma jump at every scene boundary and +1
+    * "motion" inside scenes, so the threshold discriminates by an order of
+    * magnitude — and the oracle replays every pixel pair via a lag over the
+    * (doc, pixel) grid.
+    */
+  val videoSceneCuts = Q(
+    "x_video_scene_cuts",
+    (s, d) =>
+      Video.detectSceneCuts(s, Video.withVideoPayload(s, Tables.documents(s, d)))
+        .toDF()
+        .select(col("doc_id"), col("n_cuts").cast("long").as("n_cuts"),
+          col("first_cut").cast("long").as("first_cut"),
+          col("total_motion"), col("max_sad"))
+        .orderBy("doc_id"),
+    Some(pixCte + """,
+            d2 AS (SELECT doc_id, w, h, f, i, p,
+                     lag(p) OVER (PARTITION BY doc_id, i ORDER BY f) AS pp
+                   FROM pix),
+            sad AS (SELECT doc_id, w, h, f, sum(abs(p - pp)) AS sad
+                    FROM d2 WHERE pp IS NOT NULL GROUP BY doc_id, w, h, f)
+            SELECT doc_id,
+              CAST(sum(CASE WHEN sad > 16*w*h THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+              CAST(COALESCE(min(CASE WHEN sad > 16*w*h THEN f END), -1) AS BIGINT) AS first_cut,
+              CAST(sum(sad) AS BIGINT) AS total_motion,
+              CAST(max(sad) AS BIGINT) AS max_sad
+            FROM sad GROUP BY doc_id ORDER BY doc_id""")
+  )
+
+  /** Temporal-activity fingerprint — the dedup face of the video modality
+    * (the audio sign-signature pattern on the luma timeline): bit (f−1) set
+    * iff frame f's luma sum ≥ frame f−1's, plus the fingerprint-equality
+    * group size. The oracle replays per-frame sums, the lag comparison, and
+    * the bit packing — decode, frame slicing, and the trajectory signature
+    * all row-level verified.
+    */
+  val videoFingerprint = Q(
+    "x_video_fingerprint",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      Video.fingerprint(s, Video.withVideoPayload(s, Tables.documents(s, d)))
+        .toDF()
+        .withColumn("n_dups", count(lit(1)).over(Window.partitionBy(col("fp"))))
+        .select(col("doc_id"), col("fp"), col("n_dups"))
+        .orderBy("doc_id")
+    },
+    Some(pixCte + """,
+            fs AS (SELECT doc_id, f, sum(p) AS s FROM pix GROUP BY doc_id, f),
+            fd AS (SELECT doc_id, f, s,
+                     lag(s) OVER (PARTITION BY doc_id ORDER BY f) AS sp
+                   FROM fs),
+            fps AS (SELECT doc_id,
+                      CAST(COALESCE(sum(CASE WHEN sp IS NOT NULL AND s >= sp
+                        THEN CAST(1 AS BIGINT) << (f - 1) ELSE 0 END), 0) AS BIGINT) AS fp
+                    FROM fd GROUP BY doc_id)
+            SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS n_dups
+            FROM fps ORDER BY doc_id""")
+  )
+
+  val qs: Seq[Q] = Seq(videoMeta, videoFrameSample, videoSceneCuts, videoFingerprint)
+}
