@@ -65,27 +65,72 @@ object Layout {
       .bitwiseOR(shiftleft(spread10(y), 1))
       .bitwiseOR(shiftleft(spread10(z), 2))
 
+  /** Deterministic slice id in [0, `parts`) for the two-phase rank/prefix
+    * primitives: DRIVER-COLLECTED approx-quantile boundaries of a numeric
+    * `surrogate` (monotone non-decreasing in the caller's total order) baked
+    * into the plan as LITERALS, with the slice a monotone CASE over them.
+    *
+    * Why literals and not `repartitionByRange` + `spark_partition_id()`: the
+    * two-phase shape reads its sliced frame from TWO plan branches (the
+    * per-slice window and the per-slice-count offsets aggregate). A range
+    * exchange samples its boundaries PER MATERIALIZATION — when the two
+    * branches do not land on one reused exchange (observed under AQE at
+    * gen100, r14: the x_rfm_segmentation replay failed with rank bands
+    * deflated by one slice's worth around each ntile boundary), each branch
+    * can slice DIFFERENTLY and the offsets join silently corrupts every
+    * downstream rank. A literal-boundary slice is a pure function of the
+    * row, so every branch agrees by construction — no exchange-identity,
+    * caching, or recomputation-determinism assumption at any scale.
+    *
+    * Exactness does not depend on boundary quality (ties and approximation
+    * only affect BALANCE): rows equal on the surrogate share a slice, so
+    * slices stay contiguous under any order the surrogate is monotone in.
+    * The skew bound is max(n/parts) + (largest surrogate tie class); callers
+    * ranking a heavy-tie metric should pass a tie-spreading surrogate (see
+    * [[twoPhaseRankBy]]).
+    */
+  private def withLiteralSlices(
+      df: DataFrame, surrogate: Column, parts: Int, nullsFirst: Boolean): DataFrame = {
+    val bounds = df.select(surrogate.cast("double").as("__s")).na.drop
+      .stat.approxQuantile("__s", (1 until parts).map(_.toDouble / parts).toArray, 0.25 / parts)
+    val pre    = df.withColumn("__s", surrogate.cast("double"))
+    val sliceOf = bounds.distinct.sorted.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col("__s") > lit(b), 1).otherwise(0)
+    }
+    pre
+      .withColumn("__p",
+        when(col("__s").isNull, lit(if (nullsFirst) 0 else parts - 1)).otherwise(sliceOf))
+      .drop("__s")
+  }
+
+  /** Numeric surrogate + null placement implied by the FIRST sort column:
+    * the column cast to double, negated for DESC (monotone in the order);
+    * nulls keep Spark's default placement (ASC → NULLS FIRST, DESC → NULLS
+    * LAST) unless the caller's SortOrder says otherwise.
+    */
+  private def defaultSurrogate(order: Column): (Column, Boolean) = {
+    val (c, asc, nullsFirst) = org.apache.spark.sql.graftbridge.ColumnBridge.unwrapSort(order)
+    (if (asc) c.cast("double") else -c.cast("double"), nullsFirst)
+  }
+
   /** Exact global cumulative count STRICTLY BEFORE each value, computed as a
     * distributed two-level prefix sum instead of one unpartitioned window:
-    * range-partition the histogram by value, prefix-sum WITHIN each range
-    * partition (a partitioned window — every task sees only its slice), then
-    * add per-partition offsets (a partition-count-sized frame, bounded by
-    * `spark.sql.shuffle.partitions` — model state, not data state). The
-    * output is identical to `sum(c) OVER (ORDER BY v ROWS UNBOUNDED
-    * PRECEDING TO 1 PRECEDING)` for ANY cardinality, but no task ever holds
-    * more than its range slice — an arbitrarily wide histogram (near-unique
-    * column) cannot funnel through one task.
+    * slice the histogram by literal value boundaries ([[withLiteralSlices]]),
+    * prefix-sum WITHIN each slice (a partitioned window — every task sees
+    * only its slice), then add per-slice offsets (a partition-count-sized
+    * frame, bounded by `spark.sql.shuffle.partitions` — model state, not
+    * data state). The output is identical to `sum(c) OVER (ORDER BY v ROWS
+    * UNBOUNDED PRECEDING TO 1 PRECEDING)` for ANY cardinality, but no task
+    * ever holds more than its slice — an arbitrarily wide histogram
+    * (near-unique column) cannot funnel through one task.
     *
-    * Input: (`__v` value, `__c` count). Output: adds `__cb` (rank before).
+    * Input: (`__v` value, `__c` count; `__v` numeric, one row per value).
+    * Output: adds `__cb` (rank before). NULL `__v` sorts first (its own
+    * histogram row → slice 0), matching the unpartitioned window's order.
     */
   private def distributedPrefix(hist: DataFrame): DataFrame = {
-    val parts = hist.sparkSession.sessionState.conf.numShufflePartitions
-    // Pin the slice id in a projection AFTER the range exchange: the window
-    // below then re-clusters by that id. NULL values sort into the first
-    // range slice (NULLS FIRST), matching the unpartitioned window's order.
-    val sliced = hist
-      .repartitionByRange(parts, col("__v"))
-      .withColumn("__p", spark_partition_id())
+    val parts  = hist.sparkSession.sessionState.conf.numShufflePartitions
+    val sliced = withLiteralSlices(hist, col("__v"), parts, nullsFirst = true)
     val inner = Window.partitionBy(col("__p")).orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, -1)
     // Per-slice totals: ≤`parts` rows, so this global window's frame is
@@ -106,24 +151,38 @@ object Layout {
   }
 
   /** Exact global `row_number() OVER (ORDER BY order…)` as a distributed
-    * two-phase rank instead of one unpartitioned window: range-partition on
-    * the order key, `row_number` WITHIN each range slice (a partitioned
-    * window), then add broadcast per-slice row-count offsets. The offset
-    * frame is ≤ `spark.sql.shuffle.partitions` rows — config-sized model
-    * state — so no task ever sorts more than its range slice. Output is
-    * identical to the unpartitioned `row_number` for any total order (ties
-    * land in one slice under range partitioning, and callers should pass a
-    * tie-broken order anyway, as every registry user does).
+    * two-phase rank instead of one unpartitioned window: slice by literal
+    * boundaries of the first sort column ([[withLiteralSlices]] — a pure
+    * row function, deterministic across plan branches), `row_number` WITHIN
+    * each slice (a partitioned window), then add broadcast per-slice
+    * row-count offsets. The offset frame is ≤ `spark.sql.shuffle.partitions`
+    * rows — config-sized model state — so no task ever sorts more than its
+    * slice. Output is identical to the unpartitioned `row_number` for any
+    * total order (surrogate ties land in one slice, and callers should pass
+    * a tie-broken order anyway, as every registry user does).
     *
     * This is the general-purpose cure for the corpus-sized-window
     * anti-pattern (r13 verdict: `x_rfm_segmentation`'s ntile funnel); the
-    * histogram-shaped sibling is [[distributedPrefix]].
+    * histogram-shaped sibling is [[distributedPrefix]]. The first sort
+    * column must be numeric; heavy-tie metrics can pass a tie-spreading
+    * surrogate through [[twoPhaseRankBy]].
     */
   def twoPhaseRank(df: DataFrame, out: String, order: Column*): DataFrame = {
-    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
-    val sliced = df
-      .repartitionByRange(parts, order: _*)
-      .withColumn("__p", spark_partition_id())
+    val (s, nf) = defaultSurrogate(order.head)
+    twoPhaseRankBy(df, out, s, nf, order: _*)
+  }
+
+  /** [[twoPhaseRank]] with an explicit slicing surrogate: any NUMERIC column
+    * expression monotone non-decreasing in `order…` (exactness never depends
+    * on it — only slice balance does). Use it when the first sort column is
+    * heavily tied (e.g. vocabulary counts: pass `-count + tokPrefixFrac` to
+    * spread a giant tie class across slices).
+    */
+  def twoPhaseRankBy(
+      df: DataFrame, out: String, surrogate: Column, nullsFirst: Boolean,
+      order: Column*): DataFrame = {
+    val parts  = df.sparkSession.sessionState.conf.numShufflePartitions
+    val sliced = withLiteralSlices(df, surrogate, parts, nullsFirst)
     val inner = Window.partitionBy(col("__p")).orderBy(order: _*)
     val offW = Window.orderBy(col("__p"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -146,10 +205,19 @@ object Layout {
     */
   def twoPhasePrefixSumBefore(
       df: DataFrame, out: String, value: Column, order: Column*): DataFrame = {
-    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
-    val sliced = df
-      .repartitionByRange(parts, order: _*)
-      .withColumn("__p", spark_partition_id())
+    val (s, nf) = defaultSurrogate(order.head)
+    twoPhasePrefixSumBeforeBy(df, out, value, s, nf, order: _*)
+  }
+
+  /** [[twoPhasePrefixSumBefore]] with an explicit slicing surrogate (same
+    * contract as [[twoPhaseRankBy]]: numeric, monotone in `order…`; balance
+    * only).
+    */
+  def twoPhasePrefixSumBeforeBy(
+      df: DataFrame, out: String, value: Column, surrogate: Column,
+      nullsFirst: Boolean, order: Column*): DataFrame = {
+    val parts   = df.sparkSession.sessionState.conf.numShufflePartitions
+    val sliced  = withLiteralSlices(df, surrogate, parts, nullsFirst)
     val inner = Window.partitionBy(col("__p")).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     val offW = Window.orderBy(col("__p"))

@@ -214,12 +214,24 @@ object QualityLM {
     // law — millions of types at 100 TB, not trillions of tokens), but
     // "millions through one task" is still the single-reducer funnel the
     // r13 verdict flagged (item #5), so both are the two-phase distributed
-    // shape: range-partition on (__c DESC, tok), per-slice window, add
-    // broadcast per-slice offsets. Only the ≤shuffle.partitions-row offset
-    // frames see an unpartitioned window.
-    val ranked0 = Layout.twoPhaseRank(tf, "__r", col("__c").desc, col("tok"))
-    val ranked = Layout.twoPhasePrefixSumBefore(
-        ranked0, "__cb", col("__c"), col("__c").desc, col("tok"))
+    // shape: literal-boundary slices on the (count, token-prefix) surrogate,
+    // per-slice window, add broadcast per-slice offsets. Only the
+    // ≤shuffle.partitions-row offset frames see an unpartitioned window.
+    // Tie-spreading slice surrogate: Zipf tails make the low counts GIANT
+    // tie classes (half the vocabulary has __c = 1), and the two-phase
+    // slicer keeps surrogate ties in one slice. -__c orders by count desc;
+    // the first-two-chars fraction (codepoint order = UTF-8 binary order,
+    // Spark's string comparison) spreads each count class across slices
+    // while staying monotone in the (__c DESC, tok) total order.
+    val cp1 = coalesce(ascii(substring(col("tok"), 1, 1)), lit(0)).cast("double")
+    val cp2 = coalesce(ascii(substring(col("tok"), 2, 1)), lit(0)).cast("double")
+    // codepoints < 0x110000 = 1114112, so this stays in [0, 1)
+    val tokFrac   = (cp1 + cp2 / 1114112.0) / 1114112.0
+    val surrogate = -col("__c").cast("double") + tokFrac
+    val ranked0 = Layout.twoPhaseRankBy(tf, "__r", surrogate, true,
+      col("__c").desc, col("tok"))
+    val ranked = Layout.twoPhasePrefixSumBeforeBy(
+        ranked0, "__cb", col("__c"), surrogate, true, col("__c").desc, col("tok"))
       .withColumn("__cum", col("__cb") + col("__c"))
     val tot = tf.agg(sum(col("__c")).as("__total"), count(lit(1)).as("__types"))
     ranked

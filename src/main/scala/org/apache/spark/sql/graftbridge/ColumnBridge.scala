@@ -12,6 +12,22 @@ object ColumnBridge {
   def column(e: Expression): Column     = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Unwrap a sort Column (`asc(c)`/`desc(c)`/plain) into (child column,
+    * ascending?, nullsFirst?). The `internal.SortOrder` ColumnNode is
+    * `private[sql]`, hence this bridge. A plain column means Spark's
+    * defaults: ascending, nulls first.
+    */
+  def unwrapSort(c: Column): (Column, Boolean, Boolean) = {
+    import org.apache.spark.sql.internal.{SortOrder => NodeSortOrder}
+    c.node match {
+      case so: NodeSortOrder =>
+        (new Column(so.child),
+          so.sortDirection == NodeSortOrder.Ascending,
+          so.nullOrdering == NodeSortOrder.NullsFirst)
+      case _ => (c, true, true)
+    }
+  }
+
   import org.apache.spark.sql.{DataFrame, Row, SparkSession}
   import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   import org.apache.spark.sql.classic

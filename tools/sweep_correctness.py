@@ -22,6 +22,13 @@ hi = sys.argv[5] if len(sys.argv) > 5 else "￿"
 oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
 
 con = duckdb.connect()
+# Gen-scale sweeps (100M-row windows) exceed RAM without a spill path.
+os.makedirs("/tmp/duck_tmp", exist_ok=True)
+con.execute("SET temp_directory='/tmp/duck_tmp'")
+con.execute(f"SET memory_limit='{os.environ.get('SWEEP_MEM', '80GB')}'")
+# Wide windows over 100M-row frames spill far better with fewer threads
+# (per-thread operator state is what overruns the limit).
+con.execute(f"SET threads={os.environ.get('SWEEP_THREADS', '32')}")
 for t in ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split():
     p = os.path.join(sfdir, f"{t}.parquet")
@@ -30,6 +37,19 @@ for t in ("region nation customer supplier part orders lineitem events "
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')")
     elif os.path.exists(p):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    else:
+        continue
+    # GenData writes events.ts as an epoch-NANOS BIGINT (Spark can't write
+    # TIMESTAMP(NANOS)); Tables.events truncates it to micros (`ts div
+    # 1000`). Mirror that here so gen-dir sweeps see the same TIMESTAMP the
+    # driver's nanos-typed testdata yields through DuckDB's NS->US cast.
+    if t == "events" and str(con.execute(
+            "SELECT typeof(ts) FROM events LIMIT 1").fetchone()[0]) == "BIGINT":
+        con.execute("CREATE OR REPLACE VIEW events AS SELECT * REPLACE "
+                    f"(make_timestamp(ts // 1000) AS ts) FROM read_parquet('{p}/*.parquet')"
+                    if os.path.isdir(p) else
+                    "CREATE OR REPLACE VIEW events AS SELECT * REPLACE "
+                    f"(make_timestamp(ts // 1000) AS ts) FROM '{p}'")
 
 def canon(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
