@@ -209,7 +209,12 @@ object QualityLM {
       textCol: String,
       cutoffs: Seq[Int] = Seq(10, 100, 1000)
   ): DataFrame = {
+    // localCheckpoint: the token-frequency frame is vocabulary-sized (Heaps'
+    // law) while its lineage tokenizes the corpus; the two two-phase passes
+    // below each read it from three jobs (boundary sketch, window, offsets),
+    // so the checkpoint keeps the corpus tokenization to ONE scan.
     val tf = tokens(docs, idCol, textCol).groupBy("tok").agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
     // The rank and cumulative sum run over the VOCABULARY frame (Heaps'
     // law — millions of types at 100 TB, not trillions of tokens), but
     // "millions through one task" is still the single-reducer funnel the

@@ -5071,9 +5071,14 @@ object Extensions {
     "x_compaction_plan",
     (s, d) => {
       val target = 65536L
+      // localCheckpoint: the file-manifest frame is |files|-sized while its
+      // lineage scans the table; the two-phase prefix sum reads it from
+      // three jobs (boundary sketch, window, offsets) — checkpoint keeps
+      // the scan to one.
       val files = Tables.documents(s, d)
         .groupBy(concat_ws("/", col("source"), col("lang")).as("file"))
         .agg(sum(col("n_chars")).cast("long").as("bytes"))
+        .localCheckpoint()
       graft.functions.Layout
         .twoPhasePrefixSumBefore(files, "__pre", col("bytes"), desc("bytes"), asc("file"))
         .withColumn("grp", expr(s"__pre div CAST($target AS BIGINT)"))

@@ -1233,6 +1233,12 @@ object Indexing {
           (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
             .cast("long").as("cents"))
       val anchor = ev.agg(max(col("day")).as("anchor"))
+      // localCheckpoint: the per-user frame is model-scale (|users| rows, 4
+      // columns) while its lineage re-scans the full event log. Each
+      // two-phase rank reads its input from THREE jobs (boundary sketch,
+      // per-slice window, offsets aggregate), so without the checkpoint the
+      // 100 TB scan would re-run ~9×; with it, the corpus is read once and
+      // every rank pass reads the materialized user frame.
       val users = ev.groupBy(col("user_id"))
         .agg(max(col("day")).as("last_day"), count(lit(1)).as("freq"),
           sum(col("cents")).as("cents"))
@@ -1240,6 +1246,7 @@ object Indexing {
         .select(col("user_id"),
           datediff(col("anchor"), col("last_day")).cast("long").as("recency_days"),
           col("freq"), col("cents"))
+        .localCheckpoint()
       import graft.functions.Layout
       val n = users.agg(count(lit(1)).as("__n"))
       val ranked = Layout.twoPhaseRank(
