@@ -161,5 +161,90 @@ object MediaVideo {
             FROM fps ORDER BY doc_id""")
   )
 
-  val qs: Seq[Q] = Seq(videoMeta, videoFrameSample, videoSceneCuts, videoFingerprint)
+  /** VIDEO curation pipeline — the video face of the multimodal curation
+    * family (`x_curation_multimodal` chains text→audio→image; this chains
+    * text→video): text gate (language + length) → video MOTION gate (decode
+    * the MP4 payload, keep clips with at least one scene cut and total
+    * motion ≥ 4·px — the static-slate/dead-footage screen of a video
+    * pipeline) → temporal-fingerprint near-dup removal (fp-equality groups
+    * keep their lowest doc_id). The oracle replays every stage — gates,
+    * per-pixel frame differencing, per-frame luma sums, bit packing, and
+    * the group-min survivor rule — end to end in SQL.
+    *
+    * Scale: both video stages are map-side batched decode (payload bytes
+    * never shuffle); the only exchanges are the fp-equality group and the
+    * survivor joins on doc_id over the shrinking set — filter early, dedup
+    * late, the curation cost model.
+    */
+  val curationVideo = Q(
+    "x_curation_video",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs  = Tables.documents(s, d)
+      val gated = docs.filter(col("lang").isin("en", "de", "fr") && col("n_chars").between(30, 700))
+      val pay   = Video.withVideoPayload(s, gated)
+      val meta  = Video.decodeMeta(s, pay).toDF()
+        .select(col("doc_id"), (col("width") * col("height")).cast("long").as("px"),
+          col("n_frames").cast("long").as("n_frames"))
+      val active = Video.detectSceneCuts(s, pay).toDF()
+        .join(meta, "doc_id")
+        .filter(col("n_cuts") >= 1 &&
+          col("total_motion") >= lit(6L) * col("px") * (col("n_frames") - 1))
+        .select(col("doc_id"), col("n_cuts").cast("long").as("n_cuts"),
+          col("total_motion"))
+      val keep = Video.fingerprint(s, pay).toDF()
+        .join(active.select("doc_id"), "doc_id")
+        .withColumn("__rk", row_number().over(
+          Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
+        .filter(col("__rk") === 1)
+        .select("doc_id")
+      gated.select(col("doc_id"), col("lang"), col("n_chars"))
+        .join(active, "doc_id").join(keep, "doc_id")
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("n_cuts"), col("total_motion"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH g AS (
+              SELECT doc_id, lang, n_chars, text FROM documents
+              WHERE lang IN ('en','de','fr') AND n_chars BETWEEN 30 AND 700),
+            t AS (SELECT doc_id, lang, n_chars,
+                    COALESCE(NULLIF(hex(encode(text)), ''), '00') AS hx,
+                    GREATEST(octet_length(encode(text)), 1) AS len FROM g),
+            gg AS (SELECT doc_id, lang, n_chars, hx, len, len % 16 + 4 AS w,
+                     len % 12 + 4 AS h, len % 10 + 4 AS n FROM t),
+            gf AS (SELECT doc_id, hx, len, w, h, n, unnest(range(0, n)) AS f FROM gg),
+            gi AS (SELECT doc_id, hx, len, w, h, n, f,
+                     unnest(range(0, w * h)) AS i FROM gf),
+            pix AS (SELECT doc_id, w, h, n, f, i,
+                      (16*(strpos('0123456789ABCDEF', hx[2*(i%len)+1])-1)
+                         + (strpos('0123456789ABCDEF', hx[2*(i%len)+2])-1)
+                       + 40*(f//4) + (f%4) + 3*i) % 256 AS p
+                    FROM gi),
+            d2 AS (SELECT doc_id, w, h, n, f, i, p,
+                     lag(p) OVER (PARTITION BY doc_id, i ORDER BY f) AS pp
+                   FROM pix),
+            sad AS (SELECT doc_id, w, h, n, f, sum(abs(p - pp)) AS sad
+                    FROM d2 WHERE pp IS NOT NULL GROUP BY doc_id, w, h, n, f),
+            act AS (SELECT doc_id,
+                      CAST(sum(CASE WHEN sad > 16*w*h THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+                      CAST(sum(sad) AS BIGINT) AS total_motion
+                    FROM sad GROUP BY doc_id, w, h, n
+                    HAVING sum(CASE WHEN sad > 16*w*h THEN 1 ELSE 0 END) >= 1
+                       AND sum(sad) >= 6 * w * h * (n - 1)),
+            fs AS (SELECT p.doc_id, p.f, sum(p.p) AS s
+                   FROM pix p JOIN act a ON a.doc_id = p.doc_id
+                   GROUP BY p.doc_id, p.f),
+            fd AS (SELECT doc_id, f, s,
+                     lag(s) OVER (PARTITION BY doc_id ORDER BY f) AS sp
+                   FROM fs),
+            fps AS (SELECT doc_id,
+                      CAST(COALESCE(sum(CASE WHEN sp IS NOT NULL AND s >= sp
+                        THEN CAST(1 AS BIGINT) << (f - 1) ELSE 0 END), 0) AS BIGINT) AS fp
+                    FROM fd GROUP BY doc_id),
+            keep AS (SELECT min(doc_id) AS doc_id FROM fps GROUP BY fp)
+            SELECT g.doc_id, g.lang, g.n_chars, a.n_cuts, a.total_motion
+            FROM g JOIN act a USING (doc_id) JOIN keep USING (doc_id)
+            ORDER BY g.doc_id""")
+  )
+
+  val qs: Seq[Q] = Seq(videoMeta, videoFrameSample, videoSceneCuts, videoFingerprint, curationVideo)
 }

@@ -130,6 +130,14 @@ class VideoSpec extends AnyFunSuite {
       assert(df.count() == n, s"$q row count")
     }
   }
+
+  test("curation pipeline gates discriminate and survivors are fp-group minima") {
+    val out = SparkEntry.queries("x_curation_video")(spark, TestSpark.sf0001).collect()
+    val n   = Tables.documents(spark, TestSpark.sf0001).count()
+    assert(out.nonEmpty && out.length < n, "gates must drop some documents")
+    // every survivor carries >= 1 cut by the gate's own columns
+    assert(out.forall(_.getLong(out.head.fieldIndex("n_cuts")) >= 1))
+  }
 }
 
 private object MediaVideoRegistryProbe {
