@@ -91,9 +91,49 @@ object Layout {
     */
   private def withLiteralSlices(
       df: DataFrame, surrogate: Column, parts: Int, nullsFirst: Boolean): DataFrame = {
-    val bounds = df.select(surrogate.cast("double").as("__s")).na.drop
-      .stat.approxQuantile("__s", (1 until parts).map(_.toDouble / parts).toArray, 0.25 / parts)
-    val pre    = df.withColumn("__s", surrogate.cast("double"))
+    val bounds = sliceBoundaries(df, Seq(surrogate), parts).head
+    withLiteralSlices(df, surrogate, parts, nullsFirst, bounds)
+  }
+
+  /** One driver-side approx-quantile job returning the literal slice
+    * boundaries for SEVERAL surrogates at once (Spark's multi-column
+    * `approxQuantile` — one pass over `df` instead of one per surrogate).
+    * Callers ranking k metrics over the same frame (RFM's three quintiles,
+    * vocab-coverage's rank + prefix-sum) collect all boundary sets in ONE
+    * job and feed them to the `bounds`-taking two-phase variants, cutting
+    * the fixed per-rank sketch tax from k corpus-frame jobs to one
+    * (r14 verdict #2).
+    *
+    * Fails fast unless every surrogate resolves to a NUMERIC type: the
+    * two-phase slicer compares the surrogate as a double, and a silent
+    * `cast('double')` on a date or string would either NULL every row (one
+    * slice = the single-reducer funnel this machinery exists to kill) or,
+    * for numeric-looking strings, order '10' before '9' — non-contiguous
+    * slices and silently wrong ranks. Dates/timestamps are welcome through
+    * [[defaultSurrogate]], which maps them to their epoch numbers first
+    * (r14 ADVICE).
+    */
+  def sliceBoundaries(df: DataFrame, surrogates: Seq[Column], parts: Int): Seq[Array[Double]] = {
+    val named = surrogates.zipWithIndex.map { case (s, i) => s.as(s"__s$i") }
+    val probe = df.select(named: _*)
+    probe.schema.fields.foreach { f =>
+      require(f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"two-phase slice surrogate must resolve to a numeric type, got ${f.dataType}; " +
+          "map dates/timestamps to their epoch numbers (see Layout.defaultSurrogate) or " +
+          "pass a numeric tie-spreading surrogate (twoPhaseRankBy)")
+    }
+    // Multi-column approxQuantile ignores null/NaN per column independently.
+    probe.stat.approxQuantile(
+      surrogates.indices.map(i => s"__s$i").toArray,
+      (1 until parts).map(_.toDouble / parts).toArray, 0.25 / parts).toSeq
+  }
+
+  /** [[withLiteralSlices]] with the boundary set precomputed by
+    * [[sliceBoundaries]] — pure plan construction, no job.
+    */
+  private def withLiteralSlices(df: DataFrame, surrogate: Column, parts: Int,
+      nullsFirst: Boolean, bounds: Array[Double]): DataFrame = {
+    val pre = df.withColumn("__s", surrogate.cast("double"))
     val sliceOf = bounds.distinct.sorted.foldLeft(lit(0)) { (acc, b) =>
       acc + when(col("__s") > lit(b), 1).otherwise(0)
     }
@@ -104,13 +144,54 @@ object Layout {
   }
 
   /** Numeric surrogate + null placement implied by the FIRST sort column:
-    * the column cast to double, negated for DESC (monotone in the order);
+    * the column as a double, negated for DESC (monotone in the order);
     * nulls keep Spark's default placement (ASC → NULLS FIRST, DESC → NULLS
-    * LAST) unless the caller's SortOrder says otherwise.
+    * LAST) unless the caller's SortOrder says otherwise. Date/timestamp
+    * sort columns map to their epoch numbers (monotone in the column
+    * order) BEFORE the double cast — a direct `cast('double')` on a date
+    * is NULL, which would silently collapse every row into one slice
+    * (r14 ADVICE); any other non-numeric type fails fast in
+    * [[sliceBoundaries]].
     */
-  private def defaultSurrogate(order: Column): (Column, Boolean) = {
+  /** First 8 bytes of `b`, zero-padded, as a big-endian unsigned number in
+    * a double: MONOTONE NON-DECREASING in binary order (Spark compares
+    * strings and binary byte-wise unsigned), so it is a valid slice
+    * surrogate for string/binary sort keys — rows tied on the first 8
+    * bytes share a slice, which only affects balance, never exactness.
+    * (The rounding from 64-bit integer to double is itself monotone.)
+    */
+  private def prefix8(b: Column): Column =
+    when(b.isNull, lit(null).cast("double")).otherwise(coalesce(
+      conv(hex(substring(concat(b, lit(Array.fill[Byte](8)(0))), 1, 8)), 16, 10)
+        .cast("double"),
+      lit(0.0)))
+
+  /** `c` as a slice-able double, monotone in `c`'s own order: numeric casts
+    * through; date/timestamp map to their epoch numbers; string/binary map
+    * to their first-8-bytes prefix number ([[prefix8]] — a direct
+    * `cast('double')` would NULL non-numeric strings into one silent slice
+    * and order numeric-looking strings '10' < '9' wrongly, r14 ADVICE);
+    * anything else fails fast.
+    */
+  private def numericize(df: DataFrame, c: Column): Column = {
+    import org.apache.spark.sql.types._
+    df.select(c).schema.head.dataType match {
+      case _: NumericType   => c.cast("double")
+      case DateType         => unix_date(c).cast("double")
+      case TimestampType    => unix_micros(c).cast("double")
+      case TimestampNTZType => unix_micros(c.cast("timestamp")).cast("double")
+      case StringType       => prefix8(c.cast("binary"))
+      case BinaryType       => prefix8(c)
+      case other => throw new IllegalArgumentException(
+        s"two-phase sort column must be numeric, date/timestamp, or string/binary; got $other — " +
+          "pass a numeric tie-spreading surrogate via twoPhaseRankBy/twoPhasePrefixSumBeforeBy")
+    }
+  }
+
+  private def defaultSurrogate(df: DataFrame, order: Column): (Column, Boolean) = {
     val (c, asc, nullsFirst) = org.apache.spark.sql.graftbridge.ColumnBridge.unwrapSort(order)
-    (if (asc) c.cast("double") else -c.cast("double"), nullsFirst)
+    val n = numericize(df, c)
+    (if (asc) n else -n, nullsFirst)
   }
 
   /** Exact global cumulative count STRICTLY BEFORE each value, computed as a
@@ -130,7 +211,7 @@ object Layout {
     */
   private def distributedPrefix(hist: DataFrame): DataFrame = {
     val parts  = hist.sparkSession.sessionState.conf.numShufflePartitions
-    val sliced = withLiteralSlices(hist, col("__v"), parts, nullsFirst = true)
+    val sliced = withLiteralSlices(hist, numericize(hist, col("__v")), parts, nullsFirst = true)
     val inner = Window.partitionBy(col("__p")).orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, -1)
     // Per-slice totals: ≤`parts` rows, so this global window's frame is
@@ -168,8 +249,27 @@ object Layout {
     * surrogate through [[twoPhaseRankBy]].
     */
   def twoPhaseRank(df: DataFrame, out: String, order: Column*): DataFrame = {
-    val (s, nf) = defaultSurrogate(order.head)
+    val (s, nf) = defaultSurrogate(df, order.head)
     twoPhaseRankBy(df, out, s, nf, order: _*)
+  }
+
+  /** k global row_numbers over the SAME frame with ONE boundary-sketch job:
+    * each `(out, order…)` spec gets its own two-phase rank, but all k
+    * boundary sets come from a single multi-column `approxQuantile` pass
+    * over `df` instead of one sketch job per rank (r14 verdict #2 — RFM's
+    * three quintiles paid three corpus-frame sketch jobs plus three offset
+    * jobs; this keeps the offsets — they depend on each spec's own slicing
+    * — but collapses the sketches). Callers should (local)checkpoint `df`
+    * when its lineage is expensive, exactly as with the single-rank
+    * variants.
+    */
+  def twoPhaseRankAll(df: DataFrame, specs: (String, Seq[Column])*): DataFrame = {
+    val parts  = df.sparkSession.sessionState.conf.numShufflePartitions
+    val sn     = specs.map { case (_, order) => defaultSurrogate(df, order.head) }
+    val bounds = sliceBoundaries(df, sn.map(_._1), parts)
+    specs.zipWithIndex.foldLeft(df) { case (acc, ((out, order), i)) =>
+      rankWithBounds(acc, out, sn(i)._1, sn(i)._2, bounds(i), order, parts)
+    }
   }
 
   /** [[twoPhaseRank]] with an explicit slicing surrogate: any NUMERIC column
@@ -181,8 +281,15 @@ object Layout {
   def twoPhaseRankBy(
       df: DataFrame, out: String, surrogate: Column, nullsFirst: Boolean,
       order: Column*): DataFrame = {
-    val parts  = df.sparkSession.sessionState.conf.numShufflePartitions
-    val sliced = withLiteralSlices(df, surrogate, parts, nullsFirst)
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    rankWithBounds(df, out, surrogate, nullsFirst,
+      sliceBoundaries(df, Seq(surrogate), parts).head, order, parts)
+  }
+
+  private def rankWithBounds(
+      df: DataFrame, out: String, surrogate: Column, nullsFirst: Boolean,
+      bounds: Array[Double], order: Seq[Column], parts: Int): DataFrame = {
+    val sliced = withLiteralSlices(df, surrogate, parts, nullsFirst, bounds)
     val inner = Window.partitionBy(col("__p")).orderBy(order: _*)
     val offW = Window.orderBy(col("__p"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -196,6 +303,38 @@ object Layout {
       .drop("__p", "__rn", "__off")
   }
 
+  /** Fused [[twoPhaseRankBy]] + [[twoPhasePrefixSumBeforeBy]] over ONE
+    * slicing: the rank and the strictly-before running sum of `value` share
+    * the boundary sketch, the sliced frame, the per-slice sort, and a
+    * single offsets aggregate (per-slice count AND total in one shuffle,
+    * one broadcast). The vocab-coverage shape — rank for the cutoff filter,
+    * prefix sum for the coverage mass over the same order — pays one sketch
+    * job and one offsets job instead of two of each (r14 verdict #2).
+    */
+  def twoPhaseRankAndPrefixSumBy(
+      df: DataFrame, rankOut: String, sumOut: String, value: Column,
+      surrogate: Column, nullsFirst: Boolean, order: Column*): DataFrame = {
+    val parts  = df.sparkSession.sessionState.conf.numShufflePartitions
+    val bounds = sliceBoundaries(df, Seq(surrogate), parts).head
+    val sliced = withLiteralSlices(df, surrogate, parts, nullsFirst, bounds)
+    val innerRank = Window.partitionBy(col("__p")).orderBy(order: _*)
+    val innerSum  = innerRank.rowsBetween(Window.unboundedPreceding, -1)
+    val offW = Window.orderBy(col("__p"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sliced.groupBy(col("__p"))
+      .agg(count(lit(1)).as("__pc"), sum(value).as("__pt"))
+      .withColumn("__offc", coalesce(sum(col("__pc")).over(offW), lit(0L)))
+      .withColumn("__offs", coalesce(sum(col("__pt")).over(offW), lit(0L)))
+      .select(col("__p"), col("__offc"), col("__offs"))
+    sliced
+      .withColumn("__rn", row_number().over(innerRank).cast("long"))
+      .withColumn("__ci", coalesce(sum(value).over(innerSum), lit(0L)))
+      .join(broadcast(offsets), "__p")
+      .withColumn(rankOut, col("__rn") + col("__offc"))
+      .withColumn(sumOut, col("__ci") + col("__offs"))
+      .drop("__p", "__rn", "__ci", "__offc", "__offs")
+  }
+
   /** Exact global running sum of `value` STRICTLY BEFORE each row under
     * `order…` (= `sum(value) OVER (ORDER BY order… ROWS UNBOUNDED PRECEDING
     * TO 1 PRECEDING)`, null-coalesced to 0) as the same two-phase shape as
@@ -205,7 +344,7 @@ object Layout {
     */
   def twoPhasePrefixSumBefore(
       df: DataFrame, out: String, value: Column, order: Column*): DataFrame = {
-    val (s, nf) = defaultSurrogate(order.head)
+    val (s, nf) = defaultSurrogate(df, order.head)
     twoPhasePrefixSumBeforeBy(df, out, value, s, nf, order: _*)
   }
 
@@ -268,7 +407,14 @@ object Layout {
     */
   def quantileBucketMap(df: DataFrame, valueCol: String, buckets: Int): DataFrame = {
     require(buckets > 0 && buckets <= 65536, s"buckets in (0, 65536], got $buckets")
+    // localCheckpoint: the histogram is value-cardinality-sized while its
+    // lineage is a corpus groupBy, and it is read from FOUR jobs (the
+    // distributedPrefix boundary sketch, its window and offsets branches,
+    // and the __n total below) — without the checkpoint every bucket map
+    // re-scans the corpus per job, ×2 in zorder2 and ×3 in zorder3 (r14
+    // ADVICE; same rationale as the RFM/vocab/compaction call sites).
     val hist = df.groupBy(col(valueCol).as("__v")).agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
     distributedPrefix(hist)
       .join(broadcast(hist.agg(sum(col("__c")).as("__n"))))
       .select(col("__v"), expr(s"(__cb * $buckets) div __n").as("__b"))

@@ -233,10 +233,13 @@ object QualityLM {
     // codepoints < 0x110000 = 1114112, so this stays in [0, 1)
     val tokFrac   = (cp1 + cp2 / 1114112.0) / 1114112.0
     val surrogate = -col("__c").cast("double") + tokFrac
-    val ranked0 = Layout.twoPhaseRankBy(tf, "__r", surrogate, true,
-      col("__c").desc, col("tok"))
-    val ranked = Layout.twoPhasePrefixSumBeforeBy(
-        ranked0, "__cb", col("__c"), surrogate, true, col("__c").desc, col("tok"))
+    // Fused rank + prefix-sum: both passes share the same surrogate and
+    // order, so one boundary sketch, one sliced frame, one per-slice sort,
+    // and one offsets aggregate serve both (r14 verdict #2 — the chained
+    // form paid two sketch jobs and two offset jobs over the same
+    // checkpointed vocabulary frame).
+    val ranked = Layout.twoPhaseRankAndPrefixSumBy(
+        tf, "__r", "__cb", col("__c"), surrogate, true, col("__c").desc, col("tok"))
       .withColumn("__cum", col("__cb") + col("__c"))
     val tot = tf.agg(sum(col("__c")).as("__total"), count(lit(1)).as("__types"))
     ranked

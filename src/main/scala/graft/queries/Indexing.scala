@@ -1249,12 +1249,13 @@ object Indexing {
         .localCheckpoint()
       import graft.functions.Layout
       val n = users.agg(count(lit(1)).as("__n"))
-      val ranked = Layout.twoPhaseRank(
-        Layout.twoPhaseRank(
-          Layout.twoPhaseRank(users.crossJoin(broadcast(n)),
-            "__rr", desc("recency_days"), asc("user_id")),
-          "__fr", asc("freq"), asc("user_id")),
-        "__mr", asc("cents"), asc("user_id"))
+      // twoPhaseRankAll: the three quintiles' literal slice boundaries come
+      // from ONE multi-column approxQuantile pass over the checkpointed
+      // user frame instead of three separate sketch jobs (r14 verdict #2).
+      val ranked = Layout.twoPhaseRankAll(users.crossJoin(broadcast(n)),
+        ("__rr", Seq(desc("recency_days"), asc("user_id"))),
+        ("__fr", Seq(asc("freq"), asc("user_id"))),
+        ("__mr", Seq(asc("cents"), asc("user_id"))))
       ranked
         .withColumn("r_score", Layout.ntileFromRank("__rr", "__n", 5))
         .withColumn("f_score", Layout.ntileFromRank("__fr", "__n", 5))

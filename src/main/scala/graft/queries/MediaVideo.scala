@@ -141,10 +141,14 @@ object MediaVideo {
   val videoFingerprint = Q(
     "x_video_fingerprint",
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      Video.fingerprint(s, Video.withVideoPayload(s, Tables.documents(s, d)))
-        .toDF()
-        .withColumn("n_dups", count(lit(1)).over(Window.partitionBy(col("fp"))))
+      // n_dups via groupBy + broadcast join, NOT a window over fp: the
+      // fingerprint has ≤2^12 distinct values (n ≤ 13 frames → 12 bits), so
+      // at corpus scale a partitionBy(fp) window funnels millions of rows
+      // per fp through one task, while the count frame is bounded by
+      // CONSTRUCTION at 4 097 rows — always broadcastable. (r14 ADVICE)
+      val fps = Video.fingerprint(s, Video.withVideoPayload(s, Tables.documents(s, d))).toDF()
+      val counts = fps.groupBy(col("fp")).agg(count(lit(1)).as("n_dups"))
+      fps.join(broadcast(counts), "fp")
         .select(col("doc_id"), col("fp"), col("n_dups"))
         .orderBy("doc_id")
     },
@@ -165,7 +169,8 @@ object MediaVideo {
     * family (`x_curation_multimodal` chains text→audio→image; this chains
     * text→video): text gate (language + length) → video MOTION gate (decode
     * the MP4 payload, keep clips with at least one scene cut and total
-    * motion ≥ 4·px — the static-slate/dead-footage screen of a video
+    * motion ≥ 6·px·(n−1), i.e. an average of 6 grey levels per pixel per
+    * frame step — the static-slate/dead-footage screen of a video
     * pipeline) → temporal-fingerprint near-dup removal (fp-equality groups
     * keep their lowest doc_id). The oracle replays every stage — gates,
     * per-pixel frame differencing, per-frame luma sums, bit packing, and
@@ -179,7 +184,6 @@ object MediaVideo {
   val curationVideo = Q(
     "x_curation_video",
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val docs  = Tables.documents(s, d)
       val gated = docs.filter(col("lang").isin("en", "de", "fr") && col("n_chars").between(30, 700))
       val pay   = Video.withVideoPayload(s, gated)
@@ -192,11 +196,13 @@ object MediaVideo {
           col("total_motion") >= lit(6L) * col("px") * (col("n_frames") - 1))
         .select(col("doc_id"), col("n_cuts").cast("long").as("n_cuts"),
           col("total_motion"))
+      // Survivor per fp group via groupBy(min), NOT a row_number window
+      // over fp: fp has ≤2^12 distinct values, so at corpus scale each fp
+      // partition would funnel millions of rows through one task, while
+      // the group-min aggregate combines map-side. (r14 ADVICE)
       val keep = Video.fingerprint(s, pay).toDF()
         .join(active.select("doc_id"), "doc_id")
-        .withColumn("__rk", row_number().over(
-          Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
-        .filter(col("__rk") === 1)
+        .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
         .select("doc_id")
       gated.select(col("doc_id"), col("lang"), col("n_chars"))
         .join(active, "doc_id").join(keep, "doc_id")

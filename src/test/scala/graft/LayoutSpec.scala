@@ -177,6 +177,75 @@ class LayoutSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("twoPhaseRankAll == chained twoPhaseRank: one sketch job, identical ranks") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val df = Seq.tabulate(997)(i =>
+      (((i * 7919) % 100).toLong, ((i * 31) % 250).toLong, i.toLong)).toDF("a", "b", "id")
+    val got = Layout.twoPhaseRankAll(df,
+        ("ra", Seq(desc("a"), asc("id"))), ("rb", Seq(asc("b"), asc("id"))))
+      .select("id", "ra", "rb").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val want = df
+      .withColumn("ra", row_number().over(Window.orderBy(desc("a"), asc("id"))).cast("long"))
+      .withColumn("rb", row_number().over(Window.orderBy(asc("b"), asc("id"))).cast("long"))
+      .select("id", "ra", "rb").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === want)
+  }
+
+  test("twoPhaseRankAndPrefixSumBy == separate rank + running sum over one order") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val df = Seq.tabulate(500)(i => (((i * 31) % 40).toLong, i.toLong, (i % 7 + 1).toLong))
+      .toDF("v", "id", "w")
+    val got = Layout.twoPhaseRankAndPrefixSumBy(
+        df, "rk", "ps", col("w"), col("v").cast("double"), true, asc("v"), asc("id"))
+      .select("id", "rk", "ps").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val w = Window.orderBy(asc("v"), asc("id"))
+    val want = df
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("ps", coalesce(
+        sum("w").over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("id", "rk", "ps").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === want)
+  }
+
+  test("two-phase slice keys: dates map to epoch days, strings to a binary-order prefix") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // Date sort key: a raw cast('double') would be NULL for every row (one
+    // silent slice); the epoch-day surrogate must keep ranks exact.
+    val dates = Seq.tabulate(300)(i => (java.sql.Date.valueOf("2024-01-01").toLocalDate
+        .plusDays((i * 37) % 365).toString, i.toLong))
+      .map { case (d, id) => (java.sql.Date.valueOf(d), id) }.toDF("d", "id")
+    val gotD = Layout.twoPhaseRank(dates, "rk", asc("d"), asc("id"))
+      .select("id", "rk").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wantD = dates.withColumn("rk",
+        row_number().over(Window.orderBy(asc("d"), asc("id"))).cast("long"))
+      .select("id", "rk").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotD === wantD)
+    // String sort key: '10' < '9' in binary order but 10 > 9 as doubles —
+    // the prefix8 surrogate must follow STRING order, including numeric-
+    // looking strings, empty strings, and ties beyond 8 bytes.
+    val strs = (Seq.tabulate(260)(i => (i.toString, i.toLong)) ++
+        Seq(("", 900L), ("zzzzzzzzzzA", 901L), ("zzzzzzzzzzB", 902L))).toDF("s", "id")
+    val gotS = Layout.twoPhaseRank(strs, "rk", asc("s"), asc("id"))
+      .select("id", "rk").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wantS = strs.withColumn("rk",
+        row_number().over(Window.orderBy(asc("s"), asc("id"))).cast("long"))
+      .select("id", "rk").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotS === wantS)
+    // Unsupported slice-key type fails fast instead of silently funneling.
+    val arr = Seq((Seq(1L), 1L)).toDF("a", "id")
+    val e = intercept[IllegalArgumentException] {
+      Layout.twoPhaseRank(arr, "rk", asc("a"), asc("id"))
+    }
+    assert(e.getMessage.contains("numeric"))
+  }
+
   test("ntileFromRank reproduces SQL ntile exactly, including n % k != 0 remainders") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window

@@ -43,8 +43,12 @@ for t in ("region nation customer supplier part orders lineitem events "
     # TIMESTAMP(NANOS)); Tables.events truncates it to micros (`ts div
     # 1000`). Mirror that here so gen-dir sweeps see the same TIMESTAMP the
     # driver's nanos-typed testdata yields through DuckDB's NS->US cast.
-    if t == "events" and str(con.execute(
-            "SELECT typeof(ts) FROM events LIMIT 1").fetchone()[0]) == "BIGINT":
+    # Column type from DESCRIBE, not typeof() on a fetched row: an empty
+    # events parquet makes fetchone() return None and would abort the whole
+    # sweep before the first query (r14 ADVICE).
+    if t == "events" and dict(
+            (r[0], r[1]) for r in con.execute("DESCRIBE events").fetchall()
+    ).get("ts") == "BIGINT":
         con.execute("CREATE OR REPLACE VIEW events AS SELECT * REPLACE "
                     f"(make_timestamp(ts // 1000) AS ts) FROM read_parquet('{p}/*.parquet')"
                     if os.path.isdir(p) else
