@@ -268,7 +268,12 @@ object Layout {
     val sn     = specs.map { case (_, order) => defaultSurrogate(df, order.head) }
     val bounds = sliceBoundaries(df, sn.map(_._1), parts)
     specs.zipWithIndex.foldLeft(df) { case (acc, ((out, order), i)) =>
-      rankWithBounds(acc, out, sn(i)._1, sn(i)._2, bounds(i), order, parts)
+      // offsetsFrom = the ORIGINAL frame, not the rank-accumulating chain:
+      // the literal-bounds slice is a pure row function, so per-slice
+      // counts are identical on either — but aggregating over `acc` would
+      // re-evaluate every earlier rank's window+join once per offsets
+      // broadcast (rank k paying k−1 stale window passes).
+      rankWithBounds(acc, out, sn(i)._1, sn(i)._2, bounds(i), order, parts, offsetsFrom = df)
     }
   }
 
@@ -288,12 +293,18 @@ object Layout {
 
   private def rankWithBounds(
       df: DataFrame, out: String, surrogate: Column, nullsFirst: Boolean,
-      bounds: Array[Double], order: Seq[Column], parts: Int): DataFrame = {
+      bounds: Array[Double], order: Seq[Column], parts: Int,
+      offsetsFrom: DataFrame = null): DataFrame = {
     val sliced = withLiteralSlices(df, surrogate, parts, nullsFirst, bounds)
+    // The per-slice counts may come from a cheaper frame with the same rows
+    // (see twoPhaseRankAll) — the literal-bounds slice assigns identically.
+    val slicedForOffsets =
+      if (offsetsFrom eq null) sliced
+      else withLiteralSlices(offsetsFrom, surrogate, parts, nullsFirst, bounds)
     val inner = Window.partitionBy(col("__p")).orderBy(order: _*)
     val offW = Window.orderBy(col("__p"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = sliced.groupBy(col("__p")).agg(count(lit(1)).as("__pc"))
+    val offsets = slicedForOffsets.groupBy(col("__p")).agg(count(lit(1)).as("__pc"))
       .withColumn("__off", coalesce(sum(col("__pc")).over(offW), lit(0L)))
       .select(col("__p"), col("__off"))
     sliced

@@ -1232,27 +1232,31 @@ object Indexing {
         .select(col("user_id"), date_trunc("day", col("ts")).cast("date").as("day"),
           (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
             .cast("long").as("cents"))
-      val anchor = ev.agg(max(col("day")).as("anchor"))
       // localCheckpoint: the per-user frame is model-scale (|users| rows, 4
-      // columns) while its lineage re-scans the full event log. Each
-      // two-phase rank reads its input from THREE jobs (boundary sketch,
-      // per-slice window, offsets aggregate), so without the checkpoint the
-      // 100 TB scan would re-run ~9×; with it, the corpus is read once and
-      // every rank pass reads the materialized user frame.
-      val users = ev.groupBy(col("user_id"))
+      // columns) while its lineage scans the full event log. The rank
+      // passes read their input from several jobs (one shared boundary
+      // sketch, three per-slice windows, three offsets aggregates), so
+      // without the checkpoint the 100 TB scan would re-run per job; with
+      // it, the corpus is read ONCE — the anchor day too comes from the
+      // aggregated frame (max of per-user last days == max event day), not
+      // a second pass over the events.
+      val users0 = ev.groupBy(col("user_id"))
         .agg(max(col("day")).as("last_day"), count(lit(1)).as("freq"),
           sum(col("cents")).as("cents"))
-        .crossJoin(broadcast(anchor))
+        .localCheckpoint()
+      // One stats job over the checkpointed frame serves both scalars the
+      // plan needs (anchor day for recency, user count for ntile).
+      val stats = users0.agg(max(col("last_day")).as("anchor"), count(lit(1)).as("__n"))
+      val users = users0
+        .crossJoin(broadcast(stats))
         .select(col("user_id"),
           datediff(col("anchor"), col("last_day")).cast("long").as("recency_days"),
-          col("freq"), col("cents"))
-        .localCheckpoint()
+          col("freq"), col("cents"), col("__n"))
       import graft.functions.Layout
-      val n = users.agg(count(lit(1)).as("__n"))
       // twoPhaseRankAll: the three quintiles' literal slice boundaries come
       // from ONE multi-column approxQuantile pass over the checkpointed
       // user frame instead of three separate sketch jobs (r14 verdict #2).
-      val ranked = Layout.twoPhaseRankAll(users.crossJoin(broadcast(n)),
+      val ranked = Layout.twoPhaseRankAll(users,
         ("__rr", Seq(desc("recency_days"), asc("user_id"))),
         ("__fr", Seq(asc("freq"), asc("user_id"))),
         ("__mr", Seq(asc("cents"), asc("user_id"))))
