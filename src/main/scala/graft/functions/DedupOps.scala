@@ -353,7 +353,7 @@ object DedupOps {
     val removed = spans.join(dupFirst.hint("shuffle_hash"), "__h")
       .filter(struct(col("__id"), col("__idx")) =!= col("__first"))
       .select(col("__id"),
-        explode(sequence(col("__idx"), col("__idx") + lit(spanTokens - 1))).as("__p"))
+        explode(sequence(col("__idx"), col("__idx") + lit(spanTokens - 1))).as("__pos"))
     rebuildWithoutTokens(base, removed, idCol)
   }
 
@@ -374,7 +374,7 @@ object DedupOps {
     // collect_set: map-side partial dedup of overlapping-window positions —
     // the removal sliver shuffles once, doc-keyed, already deduplicated.
     val remArr = removed.groupBy("__id")
-      .agg(collect_set(col("__p").cast("int")).as("__rm"))
+      .agg(collect_set(col("__pos").cast("int")).as("__rm"))
     base.join(remArr, Seq("__id"), "left")
       .select(col("__id"),
         NativeFns.remove_positions(
@@ -461,7 +461,7 @@ object DedupOps {
         .join(ck.withColumnRenamed("__ck", "__h"), Seq("__h"), "left_semi")
       val removed = spans.join(dupHashes, Seq("__h"), "left_semi")
         .select(col("__id"),
-          explode(sequence(col("__idx"), col("__idx") + lit(spanTokens - 1))).as("__p"))
+          explode(sequence(col("__idx"), col("__idx") + lit(spanTokens - 1))).as("__pos"))
       rebuildWithoutTokens(base, removed, idCol).localCheckpoint(eager = true)
     } finally ck.unpersist()
   }

@@ -59,6 +59,11 @@ fi
 # global window over a data-sized frame. Whitelist + the __p offset-frame
 # idiom live in tools/window_lint.py.
 if [ -f EXPLAIN.md ]; then
+  python3 tools/window_lint.py --selftest >/dev/null || {
+    echo "pre-commit: window_lint SELFTEST failed — the __p offset-frame"
+    echo "allowance is spoofable or over-broad; fix tools/window_lint.py."
+    exit 1
+  }
   python3 tools/window_lint.py EXPLAIN.md || {
     echo "pre-commit: unpartitioned-window lint FAILED — a query plans a"
     echo "single-task window over a non-whitelisted frame. Rewrite with"

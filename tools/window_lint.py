@@ -24,10 +24,40 @@ import sys
 
 # The two-phase idiom's offset frame (Layout.distributedPrefix /
 # twoPhaseRank / twoPhasePrefixSumBefore) windows over the per-slice totals
-# keyed by spark_partition_id, materialized as `__p`: <=
-# spark.sql.shuffle.partitions rows by construction — config-sized model
-# state. Auto-allowed: it is the CURE for this lint's anti-pattern.
-OFFSET_FRAME = re.compile(r"^__p#\d+")
+# of the literal-boundary slice id `__p`: <= spark.sql.shuffle.partitions
+# rows by construction — config-sized model state. Auto-allowed, but ONLY in
+# the idiom's full shape (r14 verdict #5 — a bare `__p#` prefix test would
+# let any data-sized column *named* __p dodge the single-reducer check):
+#   sum(__pc#N L| __pt#N L) windowspecdefinition(__p#N ASC NULLS FIRST,
+#       specifiedwindowframe(RowFrame, unboundedpreceding$(), -1))
+# i.e. a running sum of the per-slice count/total columns with the
+# strictly-before row frame. The companion source lint (below) reserves the
+# __p/__pc/__pt names to Layout.scala so the shape cannot be replicated
+# outside the primitive without failing the lint run.
+OFFSET_FRAME = re.compile(
+    r"sum\(__p[ct]#\d+L?\) windowspecdefinition\(__p#\d+ ASC NULLS FIRST, "
+    r"specifiedwindowframe\(RowFrame, unboundedpreceding\$\(\), -1\)\)")
+
+# Main-source files allowed to create columns named __p/__pc/__pt (the
+# two-phase offset idiom's reserved names).
+RESERVED_NAME = re.compile(r'"__p[ct]?"')
+RESERVED_OK = {"src/main/scala/graft/functions/Layout.scala"}
+
+
+def source_lint(root: str = "src/main/scala") -> list:
+    """Files outside RESERVED_OK that mint the reserved column names."""
+    import os
+    bad = []
+    for dirpath, _, files in os.walk(root):
+        for f in files:
+            if not f.endswith(".scala"):
+                continue
+            p = os.path.join(dirpath, f)
+            if p in RESERVED_OK:
+                continue
+            if RESERVED_NAME.search(open(p).read()):
+                bad.append(p)
+    return bad
 
 # Query name -> why an unpartitioned window is safe there AT ANY SCALE.
 # Every entry must name the bound; "it passed the ladder" is not a bound.
@@ -55,9 +85,8 @@ WHITELIST = {
 }
 
 
-def main() -> int:
-    path = sys.argv[1] if len(sys.argv) > 1 else "EXPLAIN.md"
-    text = open(path).read()
+def scan(text: str):
+    """(offenders, n_plans) over an EXPLAIN.md-shaped text."""
     # Split into per-query sections on the "## name" headers.
     sections = re.split(r"^## (\S+)$", text, flags=re.M)
     # sections = [preamble, name1, body1, name2, body2, ...]
@@ -71,10 +100,65 @@ def main() -> int:
                 or re.search(r"NULLS (FIRST|LAST)$", first) is not None
                 or re.search(r"\b(ASC|DESC)$", first) is not None
             )
-            if unpartitioned and OFFSET_FRAME.match(first):
+            if not unpartitioned:
                 continue
-            if unpartitioned and name not in WHITELIST:
+            # Idiom allowance requires the FULL offset-frame shape around
+            # this occurrence (producer function + order column + frame),
+            # not just a column named __p.
+            ctx = body[max(0, m.start() - 40): m.end() + 90]
+            if OFFSET_FRAME.search(ctx):
+                continue
+            if name not in WHITELIST:
                 offenders.setdefault(name, []).append(first)
+    return offenders, (len(sections) - 1) // 2, sections[1::2]
+
+
+def selftest() -> int:
+    """The allowance must NOT be spoofable by naming a data column __p."""
+    spoofs = [
+        # row_number over a data-sized frame ordered by a column named __p.
+        "## spoof_rownum\nArguments: [row_number() windowspecdefinition("
+        "__p#12 ASC NULLS FIRST, specifiedwindowframe(RowFrame, "
+        "unboundedpreceding$(), currentrow$())) AS rn#13]\n",
+        # running sum of a NON-reserved column over __p order (wrong producer).
+        "## spoof_sum\nArguments: [sum(revenue#7L) windowspecdefinition("
+        "__p#12 ASC NULLS FIRST, specifiedwindowframe(RowFrame, "
+        "unboundedpreceding$(), -1)) AS s#9L]\n",
+        # right producer name but an unbounded-following frame (wrong frame).
+        "## spoof_frame\nArguments: [sum(__pc#7L) windowspecdefinition("
+        "__p#12 ASC NULLS FIRST, specifiedwindowframe(RowFrame, "
+        "unboundedpreceding$(), unboundedfollowing$())) AS s#9L]\n",
+    ]
+    legit = ("## legit\nArguments: [sum(__pc#14276L) windowspecdefinition("
+             "__p#14298 ASC NULLS FIRST, specifiedwindowframe(RowFrame, "
+             "unboundedpreceding$(), -1)) AS _we0#14285L]\n")
+    ok = True
+    for s in spoofs:
+        off, _, _ = scan(s + "## _end\nx\n")
+        if not off:
+            print(f"selftest FAIL: spoofed plan passed the lint:\n{s}")
+            ok = False
+    off, _, _ = scan(legit + "## _end\nx\n")
+    if off:
+        print(f"selftest FAIL: the legitimate offset frame was flagged: {off}")
+        ok = False
+    print("window_lint selftest:", "OK" if ok else "FAILED")
+    return 0 if ok else 1
+
+
+def main() -> int:
+    if len(sys.argv) > 1 and sys.argv[1] == "--selftest":
+        return selftest()
+    path = sys.argv[1] if len(sys.argv) > 1 else "EXPLAIN.md"
+    bad_sources = source_lint()
+    if bad_sources:
+        print("window_lint: the reserved two-phase offset column names "
+              "(__p/__pc/__pt) are minted outside Layout.scala — rename "
+              "them so the plan-side allowance stays sound:")
+        for p in bad_sources:
+            print(f"  {p}")
+        return 1
+    offenders, n_plans, names = scan(open(path).read())
     if offenders:
         print(f"window_lint: {len(offenders)} quer{'y' if len(offenders)==1 else 'ies'} "
               "plan an UNPARTITIONED window (single-task funnel) and are not "
@@ -84,10 +168,10 @@ def main() -> int:
         print("Fix with the two-phase global rank (Layout.twoPhaseRank / "
               "distributedPrefix) or add a whitelist entry NAMING the bound.")
         return 1
-    stale = sorted(set(WHITELIST) - set(sections[1::2]))
+    stale = sorted(set(WHITELIST) - set(names))
     if stale:
         print(f"window_lint note: whitelist entries with no plan in {path}: {stale}")
-    print(f"window_lint: OK ({(len(sections)-1)//2} plans scanned)")
+    print(f"window_lint: OK ({n_plans} plans scanned)")
     return 0
 
 
