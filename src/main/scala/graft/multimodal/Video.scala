@@ -159,6 +159,92 @@ object Video {
     */
   final case class VideoFingerprint(doc_id: Long, fp: Long)
 
+  /** One-pass decode score for the curation faces: geometry, scene cuts,
+    * total motion, and the temporal fingerprint from a SINGLE decode of the
+    * payload (the three separate stages each decode once; a curation pass
+    * needs all of them, so this fuses the per-clip loops).
+    */
+  final case class ClipScore(
+      doc_id: Long, px: Int, n_frames: Int, n_cuts: Int, total_motion: Long, fp: Long)
+
+  def scoreClips(
+      spark: SparkSession,
+      payloads: Dataset[(Long, Array[Byte])],
+      threshold: Int = 16,
+      batchSize: Int = 64
+  ): Dataset[ClipScore] = {
+    import spark.implicits._
+    payloads.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap(_.flatMap { case (id, bytes) =>
+        VideoCodec.tryDecode(bytes).map { v =>
+          val px = v.width * v.height
+          var cuts = 0; var motion = 0L; var fp = 0L
+          var prevSum = 0L
+          var f = 0
+          while (f < v.nFrames) {
+            val fr = v.frames(f)
+            var s = 0L; var i = 0
+            while (i < px) { s += fr(i) & 0xff; i += 1 }
+            if (f > 0) {
+              val a = v.frames(f - 1)
+              var sad = 0L; var j = 0
+              while (j < px) { sad += math.abs((fr(j) & 0xff) - (a(j) & 0xff)); j += 1 }
+              motion += sad
+              if (sad > threshold.toLong * px) cuts += 1
+              if (s >= prevSum) fp |= 1L << (f - 1)
+            }
+            prevSum = s
+            f += 1
+          }
+          ClipScore(id, px, v.nFrames, cuts, motion, fp)
+        }
+      })
+    }
+  }
+
+  /** STREAMING video curation — the micro-batch face of
+    * [[graft.queries.MediaVideo.curationVideo]]'s video stages (r14 verdict
+    * #7: every other curation family has an incremental variant): each
+    * arriving clip is decoded and motion-gated MAP-SIDE ([[scoreClips]]:
+    * ≥1 scene cut and average motion ≥ `minAvgMotion` grey levels per pixel
+    * per frame step), then deduplicated by temporal fingerprint with
+    * first-wins semantics against (a) `corpusFps`, the PERSISTED fingerprint
+    * set of the already-ingested corpus, and (b) every fingerprint already
+    * admitted earlier in the stream, via `flatMapGroupsWithState` keyed by
+    * fp. Within one micro-batch the smallest doc_id of a group wins, so an
+    * id-ordered stream reproduces the batch face exactly (pinned in
+    * VideoSpec).
+    *
+    * Scale shape: payload bytes never leave their input partition — only
+    * the (id, fp, gate fields) score rows shuffle to the fp groups — and
+    * BOTH the state and `corpusFps` are bounded by CONSTRUCTION at 2^12+1
+    * entries (n ≤ 13 frames → 12 fingerprint bits), config-free model
+    * state, which is why the corpus set can ride a closure/broadcast
+    * rather than a join.
+    */
+  def curateStream(
+      spark: SparkSession,
+      clips: Dataset[(Long, Array[Byte])],
+      corpusFps: Set[Long],
+      threshold: Int = 16,
+      minAvgMotion: Int = 6
+  ): Dataset[ClipScore] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    scoreClips(spark, clips, threshold)
+      .filter(c => c.n_cuts >= 1 &&
+        c.total_motion >= minAvgMotion.toLong * c.px * (c.n_frames - 1))
+      .groupByKey(_.fp)
+      .flatMapGroupsWithState[Boolean, ClipScore](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) { (fp, rows, state) =>
+        if (corpusFps.contains(fp) || state.exists) Iterator.empty
+        else {
+          state.update(true)
+          Iterator(rows.minBy(_.doc_id))
+        }
+      }
+  }
+
   def fingerprint(spark: SparkSession, payloads: Dataset[(Long, Array[Byte])], batchSize: Int = 64): Dataset[VideoFingerprint] = {
     import spark.implicits._
     payloads.mapPartitions { rows =>

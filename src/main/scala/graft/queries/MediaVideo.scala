@@ -252,5 +252,84 @@ object MediaVideo {
             ORDER BY g.doc_id""")
   )
 
-  val qs: Seq[Q] = Seq(videoMeta, videoFrameSample, videoSceneCuts, videoFingerprint, curationVideo)
+  /** INCREMENTAL video curation — the batch face of
+    * [[graft.multimodal.Video.curateStream]], run through the streaming
+    * operator ITSELF (`flatMapGroupsWithState` executes on batch Datasets
+    * with empty state, so the oracled rows exercise the exact code path the
+    * micro-batch stream runs): even doc_ids play the already-ingested
+    * corpus whose fingerprint set is persisted, odd the arriving clips.
+    * Arriving clips decode + motion-gate map-side, then drop (a) any clip
+    * whose temporal fingerprint is already in the corpus set and (b) all
+    * but the lowest-id clip per new fingerprint. The corpus set rides the
+    * closure because it is bounded by CONSTRUCTION at 2^12+1 values (n ≤ 13
+    * frames → 12 fp bits) — model state, same class as k-means centroids.
+    *
+    * The oracle replays decode, gates, bit packing, set membership, and the
+    * first-wins rule with the frame difference computed ARITHMETICALLY from
+    * the synthesis formula (no per-pixel lag window), so this query replays
+    * row-level at gen scale without an override.
+    */
+  val curationVideoIncremental = Q(
+    "x_curation_video_incremental",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpusFps = Video
+        .fingerprint(s, Video.withVideoPayload(s, docs.filter(col("doc_id") % 2 === 0)))
+        .toDF().select("fp").distinct()
+        .collect().map(_.getLong(0)).toSet
+      Video
+        .curateStream(s, Video.withVideoPayload(s, docs.filter(col("doc_id") % 2 === 1)), corpusFps)
+        .toDF()
+        .select(col("doc_id"), col("fp"),
+          col("n_cuts").cast("long").as("n_cuts"), col("total_motion"))
+        .orderBy("doc_id")
+    },
+    Some(geomCte + """,
+            gfd AS (SELECT doc_id, hx, len, w, h, n, unnest(range(1, n)) AS f
+                    FROM g WHERE doc_id % 2 = 1),
+            gid AS (SELECT doc_id, hx, len, w, h, n, f, unnest(range(0, w * h)) AS i
+                    FROM gfd),
+            pd AS (SELECT doc_id, w, h, n, f,
+                     (16*(strpos('0123456789ABCDEF', hx[2*(i%len)+1])-1)
+                        + (strpos('0123456789ABCDEF', hx[2*(i%len)+2])-1)
+                      + 40*(f//4) + (f%4) + 3*i) % 256 AS p,
+                     (16*(strpos('0123456789ABCDEF', hx[2*(i%len)+1])-1)
+                        + (strpos('0123456789ABCDEF', hx[2*(i%len)+2])-1)
+                      + 40*((f-1)//4) + ((f-1)%4) + 3*i) % 256 AS pp
+                   FROM gid),
+            sad AS (SELECT doc_id, w, h, n, f, sum(abs(p - pp)) AS sad
+                    FROM pd GROUP BY doc_id, w, h, n, f),
+            act AS (SELECT doc_id,
+                      CAST(sum(CASE WHEN sad > 16*w*h THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+                      CAST(sum(sad) AS BIGINT) AS total_motion
+                    FROM sad GROUP BY doc_id, w, h, n
+                    HAVING sum(CASE WHEN sad > 16*w*h THEN 1 ELSE 0 END) >= 1
+                       AND sum(sad) >= 6 * w * h * (n - 1)),
+            gfs AS (SELECT doc_id, hx, len, w, h, n, unnest(range(0, n)) AS f FROM g),
+            gis AS (SELECT doc_id, hx, len, w, h, n, f, unnest(range(0, w * h)) AS i
+                    FROM gfs),
+            fs AS (SELECT doc_id, f,
+                     sum((16*(strpos('0123456789ABCDEF', hx[2*(i%len)+1])-1)
+                            + (strpos('0123456789ABCDEF', hx[2*(i%len)+2])-1)
+                          + 40*(f//4) + (f%4) + 3*i) % 256) AS s
+                   FROM gis GROUP BY doc_id, f),
+            fd AS (SELECT doc_id, f, s,
+                     lag(s) OVER (PARTITION BY doc_id ORDER BY f) AS sp
+                   FROM fs),
+            fps AS (SELECT doc_id,
+                      CAST(COALESCE(sum(CASE WHEN sp IS NOT NULL AND s >= sp
+                        THEN CAST(1 AS BIGINT) << (f - 1) ELSE 0 END), 0) AS BIGINT) AS fp
+                    FROM fd GROUP BY doc_id),
+            corp AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 2 = 0),
+            fresh AS (SELECT a.doc_id, f.fp, a.n_cuts, a.total_motion
+                      FROM act a JOIN fps f USING (doc_id)
+                      WHERE a.doc_id % 2 = 1
+                        AND f.fp NOT IN (SELECT fp FROM corp)),
+            keep AS (SELECT min(doc_id) AS doc_id FROM fresh GROUP BY fp)
+            SELECT doc_id, fp, n_cuts, total_motion
+            FROM fresh JOIN keep USING (doc_id) ORDER BY doc_id""")
+  )
+
+  val qs: Seq[Q] = Seq(videoMeta, videoFrameSample, videoSceneCuts, videoFingerprint,
+    curationVideo, curationVideoIncremental)
 }

@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
 import graft.multimodal.{Video, VideoCodec}
 
 /** The video decode path: VideoCodec must implement the ISO-BMFF box format
@@ -137,6 +138,58 @@ class VideoSpec extends AnyFunSuite {
     assert(out.nonEmpty && out.length < n, "gates must drop some documents")
     // every survivor carries >= 1 cut by the gate's own columns
     assert(out.forall(_.getLong(out.head.fieldIndex("n_cuts")) >= 1))
+  }
+
+  test("curateStream: micro-batch slicing equals the batch face; corpus + cross-batch fps drop") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val corpusFps = Video
+      .fingerprint(spark, Video.withVideoPayload(spark, docs.filter(col("doc_id") % 2 === 0)))
+      .collect().map(_.fp).toSet
+    val batchClips = Video
+      .withVideoPayload(spark, docs.filter(col("doc_id") % 2 === 1))
+      .collect().sortBy(_._1)
+
+    // Batch face = the same operator on a batch Dataset (empty state).
+    val want = Video
+      .curateStream(spark, batchClips.toSeq.toDS(), corpusFps)
+      .collect().map(c => (c.doc_id, c.fp)).sorted.toSeq
+    assert(want.nonEmpty, "sanity: some arriving clips must survive")
+    assert(want.forall { case (_, fp) => !corpusFps.contains(fp) },
+      "no survivor may carry a persisted corpus fingerprint")
+
+    // Streamed in three id-ordered micro-batches: state must carry the
+    // first-wins set across batches, reproducing the batch face exactly.
+    val in = MemoryStream[(Long, Array[Byte])]
+    val q = Video.curateStream(spark, in.toDS(), corpusFps)
+      .writeStream.format("memory").queryName("video_curate_stream")
+      .outputMode("append").start()
+    try {
+      Seq(batchClips.take(40), batchClips.slice(40, 170), batchClips.drop(170)).foreach { b =>
+        in.addData(b.toIndexedSeq: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.table("video_curate_stream")
+      .select("doc_id", "fp").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got === want)
+
+    // Cross-batch dedup is live: a batch-2 clip with a batch-1 survivor's
+    // fp exists in this corpus (fp space is 2^12, 250 odd docs), and the
+    // smaller id won.
+    val byFp = Video
+      .scoreClips(spark, batchClips.toSeq.toDS()).collect()
+      .filter(c => c.n_cuts >= 1 && c.total_motion >= 6L * c.px * (c.n_frames - 1))
+      .groupBy(_.fp)
+    val dupGroups = byFp.filter { case (fp, cs) => cs.length > 1 && !corpusFps.contains(fp) }
+    assert(dupGroups.nonEmpty, "sanity: some fp group must have >1 gated arrival")
+    dupGroups.foreach { case (fp, cs) =>
+      assert(got.contains((cs.map(_.doc_id).min, fp)), s"group $fp keeps its min id")
+      assert(cs.map(_.doc_id).sorted.tail.forall(id => !got.contains((id, fp))),
+        s"group $fp drops later arrivals")
+    }
   }
 }
 
