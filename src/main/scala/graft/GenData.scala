@@ -149,6 +149,31 @@ object GenData {
     // (same word stream + one appended vocab word, Jaccard >= ~0.95) and
     // ~0.17% an EXACT copy — the sf0.1 rates. Word stream is keyed by the
     // BASE id so the pair shares its shingles.
+    //
+    // PLANTED-PAIR CONTRACT (the gen-scale ground truth for the near-dup
+    // family — VERDICT r14 #1): every pair of documents with word-shingle
+    // Jaccard >= 0.8 is PLANTED at adjacent ids, and each planted pair's
+    // Jaccard is controlled by construction:
+    //   - id % 600 == 1 -> EXACT copy of id-1        (J = 1.0)
+    //   - id % 20  == 7 -> base + 1 appended word    (J = n/(n+1) >= 6/7,
+    //     n = |distinct base shingles| >= len-2 >= 6 for 3-shingles)
+    //   - id % 40  == 11 -> BELOW-GATE near-dup: base + 28 appended
+    //     off-vocab "zq<digits>" tokens, each keyed by (id, j) so no two
+    //     plants share a tail. All appended shingles contain a zq token and
+    //     are disjoint from every base shingle, so J = n/(n+28) <= 97/125 =
+    //     0.776 < 0.8 for every possible n — these plants MUST be LSH
+    //     candidates (their J makes banding fire w.h.p.) yet MUST be
+    //     rejected by the exact-Jaccard verification. They pin precision at
+    //     scale the way the >= 0.857 plants pin recall.
+    // The three residue classes are pairwise disjoint and no base id is
+    // itself a plant, so components are exactly the adjacent pairs — which
+    // is what lets a LINEAR (doc_id+1 join) oracle replace the all-pairs
+    // Jaccard referee at gen scale (Q.genOracle faces; cross-checked
+    // linear == all-pairs on dirs where both run). Organic >= 0.8 pairs
+    // would need two independent hash-keyed word streams to nearly
+    // coincide: P < 1e-12 per pair even for the shortest docs, ~1e-3
+    // expected over all gen100 pairs, and the cross-checks have never
+    // observed one.
     // documents/embeddings: small row counts but heavy per-row work
     // downstream (regex, shingling, SRP signatures) — and a parquet file is
     // only task-split at row-group boundaries, so ONE output file means ONE
@@ -162,11 +187,17 @@ object GenData {
     gen("documents", nDoc, math.max(4, (nDoc / 2500).toInt)) { df =>
       val isNear  = col("id") % 20 === 7 && col("id") > 0
       val isExact = col("id") % 600 === 1 && col("id") > 0
-      val base    = when(isNear || isExact, col("id") - 1).otherwise(col("id"))
+      val isBelow = col("id") % 40 === 11 && col("id") > 0
+      val base    = when(isNear || isExact || isBelow, col("id") - 1).otherwise(col("id"))
       val len     = (lit(8) + um("dlen", 92, base)).cast("int")
       val words   = transform(sequence(lit(1), len),
         j => element_at(array(vocab.map(lit): _*), um("dword", vocab.size, base, j).cast("int") + 1))
+      // Below-gate tail: 28 off-vocab tokens keyed by THIS id (not base) so
+      // no two plants share a tail — see the planted-pair contract above.
+      val belowTail = array_join(transform(sequence(lit(1), lit(28)),
+        j => concat(lit("zq"), um("zdup", 100000, col("id"), j))), " ")
       val text    = when(isNear, concat(array_join(words, " "), lit(" dup")))
+        .when(isBelow, concat(array_join(words, " "), lit(" "), belowTail))
         .otherwise(array_join(words, " "))
       df.select(
         col("id").as("doc_id"),

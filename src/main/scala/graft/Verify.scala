@@ -52,6 +52,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // GenData-only oracle faces (Q.genOracle): valid ONLY on gen dirs, where
+    // the planted structure they exploit holds by construction. The sweep
+    // merges this over oracle_sql.json when ORACLE_OVERLAY points at it;
+    // the driver's sf0.01 gate never reads it.
+    Files.writeString(Paths.get(s"$outDir/gen_oracle_sql.json"),
+      graft.queries.Registry.genOracleSql
+        .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
     // Full registry name list (includes the contracted no_oracle queries,
     // which oracle_sql.json omits) — the precommit registry-vs-EXPLAIN diff
     // reads this so no late-landing query can ship without a plan audit.

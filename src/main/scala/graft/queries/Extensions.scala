@@ -454,7 +454,15 @@ object Extensions {
     * fixed, so the result is deterministic. AccuracySpec holds the stronger
     * invariant (every planted pair found, reported ⊆ exact) independently.
     */
-  private def exactJaccardOracle(n: Int): String =
+  private def exactJaccardOracle(n: Int, adjacentOnly: Boolean = false): String = {
+    // adjacentOnly = the GEN FACE (Q.genOracle): GenData's planted-pair
+    // contract guarantees every >= 0.8 pair sits at adjacent doc_ids, so the
+    // quadratic all-pairs join collapses to a LINEAR doc_id+1 self-join that
+    // still computes EXACT Jaccard per candidate pair (no residue-class
+    // shortcut — every adjacent pair is measured, non-plants fail the 0.8
+    // filter on their own). Valid only on GenData dirs; cross-checked
+    // face-vs-face on dirs where the all-pairs referee also runs.
+    val joinCond = if (adjacentOnly) "b.doc_id = a.doc_id + 1" else "a.doc_id < b.doc_id"
     s"""WITH toks AS (
           SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS t FROM documents),
         sh AS (
@@ -467,10 +475,11 @@ object Extensions {
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
-        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        FROM sh a JOIN sh b ON $joinCond
         WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
         ORDER BY id_a, id_b"""
+  }
 
   val dedupMinhash = Q(
     "x_dedup_minhash_lsh",
@@ -478,7 +487,8 @@ object Extensions {
       DedupOps
         .minhashNearDups(Tables.documents(s, d), "doc_id", "text", shingleN = 3, k = 64, bands = 16, threshold = 0.8)
         .orderBy("id_a", "id_b"),
-    Some(exactJaccardOracle(3))
+    Some(exactJaccardOracle(3)),
+    genOracle = Some(exactJaccardOracle(3, adjacentOnly = true))
   )
 
   /** Cross-corpus MinHash near-dup ([[graft.functions.DedupOps
@@ -512,6 +522,28 @@ object Extensions {
               CAST(len(list_intersect(b.s, c.s)) AS DOUBLE)
                 / (len(b.s) + len(c.s) - len(list_intersect(b.s, c.s))) AS jaccard
             FROM sh b JOIN sh c ON b.doc_id % 2 = 1 AND c.doc_id % 2 = 0
+            WHERE CAST(len(list_intersect(b.s, c.s)) AS DOUBLE)
+                / (len(b.s) + len(c.s) - len(list_intersect(b.s, c.s))) >= 0.8
+            ORDER BY batch_id, corpus_id"""),
+    // GEN FACE: every plant id is ODD (7 mod 20, 1 mod 600, 11 mod 40 are
+    // all odd residues) with an EVEN base at id-1, so every qualifying
+    // cross-split pair is exactly a planted adjacency — the all-pairs
+    // odd x even join collapses to the linear corpus_id+1 join, exact
+    // Jaccard still measured per pair.
+    genOracle = Some("""WITH toks AS (
+              SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS t FROM documents),
+            sh AS (
+              SELECT doc_id,
+                CASE WHEN len(t) >= 3
+                  THEN list_distinct(list_transform(range(1, len(t) - 1),
+                         i -> array_to_string(t[i:i+2], ' ')))
+                  ELSE [array_to_string(t, ' ')] END AS s
+              FROM toks)
+            SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+              CAST(len(list_intersect(b.s, c.s)) AS DOUBLE)
+                / (len(b.s) + len(c.s) - len(list_intersect(b.s, c.s))) AS jaccard
+            FROM sh b JOIN sh c ON b.doc_id = c.doc_id + 1
+              AND b.doc_id % 2 = 1 AND c.doc_id % 2 = 0
             WHERE CAST(len(list_intersect(b.s, c.s)) AS DOUBLE)
                 / (len(b.s) + len(c.s) - len(list_intersect(b.s, c.s))) >= 0.8
             ORDER BY batch_id, corpus_id""")
@@ -583,7 +615,8 @@ object Extensions {
       DedupOps
         .minhashNearDups(Tables.documents(s, d), "doc_id", "text", shingleN = 2, k = 64, bands = 16, threshold = 0.8)
         .orderBy("id_a", "id_b"),
-    Some(exactJaccardOracle(2))
+    Some(exactJaccardOracle(2)),
+    genOracle = Some(exactJaccardOracle(2, adjacentOnly = true))
   )
 
   /** Containment near-dup pairs (doc-in-doc detection): |A∩B|/min(|A|,|B|)
@@ -1405,36 +1438,14 @@ object Extensions {
     * the library's pieces compose without glue code — each stage consumes the
     * previous stage's DataFrame.
     */
-  val curationPipeline = Q(
-    "x_curation_pipeline",
-    (s, d) => {
-      val docs = Tables.documents(s, d)
-      val gated = docs.filter(
-        col("lang").isin("en", "de", "es", "fr") && col("n_chars").between(30, 600))
-      val exact = gated
-        .withColumn("__rk", row_number().over(Window.partitionBy(col("text")).orderBy(col("doc_id"))))
-        .filter(col("__rk") === 1).drop("__rk")
-      val kept = exact.join(
-        ClusterOps.dedupClusters(exact, "doc_id", "text", shingleN = 3, k = 64, bands = 16, threshold = 0.8)
-          .filter(col("keep") === 1).select("doc_id"),
-        Seq("doc_id"))
-      val bad = DedupOps
-        .contamination(
-          kept.filter(col("doc_id") % 40 =!= 3),
-          docs.filter(col("doc_id") % 40 === 3),
-          "doc_id", "text", n = 5)
-        .select(col("train_id").as("doc_id"))
-      val clean = kept
-        .filter(col("doc_id") % 40 =!= 3)
-        .join(broadcast(bad), Seq("doc_id"), "left_anti")
-      val srcK = substring(col("source"), 4, 10).cast("int")
-      val rate = (pmod(srcK, lit(4)).cast("double") + 1.0) * 0.25
-      Curation
-        .sampleMixture(clean, "doc_id", rate, "mix42")
-        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
-        .orderBy("doc_id")
-    },
-    Some("""WITH RECURSIVE gated AS (
+  /** Oracle for [[curationPipeline]], parameterized on the near-dup pair
+    * join: `a.doc_id < b.doc_id` is the exact all-pairs referee (driver
+    * gates); `b.doc_id = a.doc_id + 1` is the GEN FACE — GenData plants
+    * every >= 0.8 pair at adjacent ids, so the linear join computes the
+    * same edge set and the transitive closure over it is unchanged.
+    */
+  private def curationPipeline1Oracle(joinCond: String): String =
+    s"""WITH RECURSIVE gated AS (
               SELECT * FROM documents
               WHERE lang IN ('en','de','es','fr') AND n_chars BETWEEN 30 AND 600),
             exact AS (
@@ -1451,7 +1462,7 @@ object Extensions {
               FROM toks),
             pairs AS (
               SELECT a.doc_id AS ida, b.doc_id AS idb
-              FROM sh3 a JOIN sh3 b ON a.doc_id < b.doc_id
+              FROM sh3 a JOIN sh3 b ON $joinCond
               WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                   / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
             edges AS (
@@ -1498,7 +1509,39 @@ object Extensions {
             WHERE rate >= 1.0
                OR substr(md5(CAST(doc_id AS VARCHAR) || ':mix42'), 1, 4)
                     < printf('%04x', CAST(rate * 65536 AS INT))
-            ORDER BY doc_id""")
+            ORDER BY doc_id"""
+
+  val curationPipeline = Q(
+    "x_curation_pipeline",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val gated = docs.filter(
+        col("lang").isin("en", "de", "es", "fr") && col("n_chars").between(30, 600))
+      val exact = gated
+        .withColumn("__rk", row_number().over(Window.partitionBy(col("text")).orderBy(col("doc_id"))))
+        .filter(col("__rk") === 1).drop("__rk")
+      val kept = exact.join(
+        ClusterOps.dedupClusters(exact, "doc_id", "text", shingleN = 3, k = 64, bands = 16, threshold = 0.8)
+          .filter(col("keep") === 1).select("doc_id"),
+        Seq("doc_id"))
+      val bad = DedupOps
+        .contamination(
+          kept.filter(col("doc_id") % 40 =!= 3),
+          docs.filter(col("doc_id") % 40 === 3),
+          "doc_id", "text", n = 5)
+        .select(col("train_id").as("doc_id"))
+      val clean = kept
+        .filter(col("doc_id") % 40 =!= 3)
+        .join(broadcast(bad), Seq("doc_id"), "left_anti")
+      val srcK = substring(col("source"), 4, 10).cast("int")
+      val rate = (pmod(srcK, lit(4)).cast("double") + 1.0) * 0.25
+      Curation
+        .sampleMixture(clean, "doc_id", rate, "mix42")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+    Some(curationPipeline1Oracle("a.doc_id < b.doc_id")),
+    genOracle = Some(curationPipeline1Oracle("b.doc_id = a.doc_id + 1"))
   )
 
   /** Batch-equivalent surface of the streaming set-similarity join
@@ -1540,7 +1583,11 @@ object Extensions {
             WHERE abs(a.doc_id - b.doc_id) <= 300
               AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
-            ORDER BY id_a, id_b""")
+            ORDER BY id_a, id_b"""),
+    // GEN FACE: planted pairs are adjacent (|id_a - id_b| = 1), so the
+    // 5-minute bound never prunes one and the time predicate is vacuous on
+    // the linear join — same rows as the banded all-pairs referee.
+    genOracle = Some(exactJaccardOracle(3, adjacentOnly = true))
   )
 
   /** Batch-equivalent surface of the streaming trending top-k
@@ -3258,6 +3305,37 @@ object Extensions {
     * pair-derived (broadcast-small) so the survivors anti-join without
     * shuffling the corpus; the cap windows within source partitions only.
     */
+  /** Oracle for [[curationPipeline5]], parameterized on the near-dup pair
+    * join — same two faces and the same GenData planted-adjacency argument
+    * as [[curationPipeline1Oracle]].
+    */
+  private def curationPipeline5Oracle(joinCond: String): String =
+    s"""WITH gated AS (SELECT * FROM documents WHERE n_chars >= 20),
+            toks AS (
+              SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS t
+              FROM gated),
+            sh AS (
+              SELECT doc_id,
+                CASE WHEN len(t) >= 3
+                  THEN list_distinct(list_transform(range(1, len(t) - 1),
+                         i -> array_to_string(t[i:i+2], ' ')))
+                  ELSE [array_to_string(t, ' ')] END AS s
+              FROM toks),
+            pairs AS (
+              SELECT a.doc_id AS ida, b.doc_id AS idb
+              FROM sh a JOIN sh b ON $joinCond
+              WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                  / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
+            kept AS (
+              SELECT g.* FROM gated g
+              WHERE g.doc_id NOT IN (SELECT idb FROM pairs)),
+            capped AS (
+              SELECT doc_id, source, lang, n_chars,
+                row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+              FROM kept)
+            SELECT doc_id, source, lang, n_chars FROM capped
+            WHERE rn <= 40 ORDER BY doc_id"""
+
   val curationPipeline5 = Q(
     "x_curation_pipeline5",
     (s, d) => {
@@ -3273,31 +3351,8 @@ object Extensions {
         .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
         .orderBy("doc_id")
     },
-    Some("""WITH gated AS (SELECT * FROM documents WHERE n_chars >= 20),
-            toks AS (
-              SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS t
-              FROM gated),
-            sh AS (
-              SELECT doc_id,
-                CASE WHEN len(t) >= 3
-                  THEN list_distinct(list_transform(range(1, len(t) - 1),
-                         i -> array_to_string(t[i:i+2], ' ')))
-                  ELSE [array_to_string(t, ' ')] END AS s
-              FROM toks),
-            pairs AS (
-              SELECT a.doc_id AS ida, b.doc_id AS idb
-              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-              WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                  / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
-            kept AS (
-              SELECT g.* FROM gated g
-              WHERE g.doc_id NOT IN (SELECT idb FROM pairs)),
-            capped AS (
-              SELECT doc_id, source, lang, n_chars,
-                row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
-              FROM kept)
-            SELECT doc_id, source, lang, n_chars FROM capped
-            WHERE rn <= 40 ORDER BY doc_id""")
+    Some(curationPipeline5Oracle("a.doc_id < b.doc_id")),
+    genOracle = Some(curationPipeline5Oracle("b.doc_id = a.doc_id + 1"))
   )
 
   /** Temperature-scaled domain mixing ([[Curation.temperatureMixture]] —

@@ -35,6 +35,35 @@ object MediaVideo {
             g AS (SELECT doc_id, hx, len, len % 16 + 4 AS w, len % 12 + 4 AS h,
                          len % 10 + 4 AS n FROM t)"""
 
+  /** GEN-FACE prelude (Q.genOracle): the pixel grid reduced to a per-doc
+    * BYTE HISTOGRAM. Writing p(f,i) = (q(i) + c(f)) mod 256 with
+    * q(i) = (b(i mod len) + 3i) mod 256 and c(f) = 40·(f div 4) + f mod 4
+    * (≤ 123 for n ≤ 13), every per-frame quantity is arithmetic over the
+    * histogram of q:
+    *   W(f)  = #{i : q(i) ≥ 256 − c(f)}                 (pixels that wrap)
+    *   S(f)  = Σ_i p(f,i) = Σq + px·c(f) − 256·W(f)
+    *   sad(f) = Σ_i |p(f,i) − p(f−1,i)| = δ·px + (256 − 2δ)·(W(f) − W(f−1))
+    *     where δ = c(f) − c(f−1) ∈ {1, 37}: the pixel difference is δ
+    *     except on the W(f) − W(f−1) pixels whose add newly wraps (δ − 256
+    *     there, |·| = 256 − δ; q + c(f−1) can never wrap without q + c(f)
+    *     wrapping since δ > 0, and 512 − c(f) > 256 rules out double wrap).
+    * One LINEAR pixel pass builds the ≤256-bin histogram; everything after
+    * is ≤ 256·n rows per doc — no (doc, pixel) lag window, no n·px
+    * enumeration. This face is pure algebra over the same synthesis formula
+    * the per-pixel referee replays; the sweep cross-checks the two faces on
+    * a dir where both run before trusting this one at 100×.
+    */
+  private def histCte: String =
+    geomCte + """,
+            gi AS (SELECT doc_id, hx, len, w, h, n, unnest(range(0, w * h)) AS i FROM g),
+            pq AS (SELECT doc_id, w, h, n,
+                     (16*(strpos('0123456789ABCDEF', hx[2*(i%len)+1])-1)
+                        + (strpos('0123456789ABCDEF', hx[2*(i%len)+2])-1)
+                      + 3*i) % 256 AS q
+                   FROM gi),
+            hist AS (SELECT doc_id, w, h, n, q, count(*) AS c
+                     FROM pq GROUP BY doc_id, w, h, n, q)"""
+
   /** Per-(doc, frame, pixel) luma grid: p(f, i) =
     * (b(i mod len) + 40·(f div 4) + (f mod 4) + 3·i) mod 256.
     */
@@ -98,6 +127,19 @@ object MediaVideo {
             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sampled,
               CAST(sum(fs) AS BIGINT) AS luma_total,
               CAST(sum(fs * (f + 1)) AS BIGINT) AS luma_checksum
+            FROM ks GROUP BY doc_id ORDER BY doc_id"""),
+    genOracle = Some(histCte + """,
+            fr AS (SELECT doc_id, w, h, n, unnest(range(0, n)) AS f FROM g),
+            ks AS (SELECT fr.doc_id, fr.f,
+                     sum(h2.c * h2.q) + fr.w*fr.h*(40*(fr.f//4) + (fr.f%4))
+                     - 256*sum(CASE WHEN h2.q >= 256 - (40*(fr.f//4) + (fr.f%4))
+                               THEN h2.c ELSE 0 END) AS fs
+                   FROM fr JOIN hist h2 USING (doc_id)
+                   WHERE fr.f % 4 = 0
+                   GROUP BY fr.doc_id, fr.f, fr.w, fr.h)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sampled,
+              CAST(sum(fs) AS BIGINT) AS luma_total,
+              CAST(sum(fs * (f + 1)) AS BIGINT) AS luma_checksum
             FROM ks GROUP BY doc_id ORDER BY doc_id""")
   )
 
@@ -123,6 +165,25 @@ object MediaVideo {
                    FROM pix),
             sad AS (SELECT doc_id, w, h, f, sum(abs(p - pp)) AS sad
                     FROM d2 WHERE pp IS NOT NULL GROUP BY doc_id, w, h, f)
+            SELECT doc_id,
+              CAST(sum(CASE WHEN sad > 16*w*h THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+              CAST(COALESCE(min(CASE WHEN sad > 16*w*h THEN f END), -1) AS BIGINT) AS first_cut,
+              CAST(sum(sad) AS BIGINT) AS total_motion,
+              CAST(max(sad) AS BIGINT) AS max_sad
+            FROM sad GROUP BY doc_id ORDER BY doc_id"""),
+    genOracle = Some(histCte + """,
+            fr AS (SELECT doc_id, w, h, n, unnest(range(1, n)) AS f FROM g),
+            wv AS (SELECT fr.doc_id, fr.w, fr.h, fr.f,
+                     sum(CASE WHEN h2.q >= 256 - (40*(fr.f//4) + (fr.f%4))
+                         THEN h2.c ELSE 0 END) AS wf,
+                     sum(CASE WHEN h2.q >= 256 - (40*((fr.f-1)//4) + ((fr.f-1)%4))
+                         THEN h2.c ELSE 0 END) AS wp
+                   FROM fr JOIN hist h2 USING (doc_id)
+                   GROUP BY fr.doc_id, fr.w, fr.h, fr.f),
+            sad AS (SELECT doc_id, w, h, f,
+                      (CASE WHEN f % 4 = 0 THEN 37 ELSE 1 END) * w * h
+                      + (256 - 2*(CASE WHEN f % 4 = 0 THEN 37 ELSE 1 END)) * (wf - wp) AS sad
+                    FROM wv)
             SELECT doc_id,
               CAST(sum(CASE WHEN sad > 16*w*h THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
               CAST(COALESCE(min(CASE WHEN sad > 16*w*h THEN f END), -1) AS BIGINT) AS first_cut,
@@ -161,6 +222,26 @@ object MediaVideo {
                       CAST(COALESCE(sum(CASE WHEN sp IS NOT NULL AND s >= sp
                         THEN CAST(1 AS BIGINT) << (f - 1) ELSE 0 END), 0) AS BIGINT) AS fp
                     FROM fd GROUP BY doc_id)
+            SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS n_dups
+            FROM fps ORDER BY doc_id"""),
+    // GEN FACE: S(f) and S(f−1) both from the histogram in ONE grouped
+    // join (f ranges over 1..n−1; bit f−1 compares them) — no lag window
+    // and no per-(frame, pixel) enumeration.
+    genOracle = Some(histCte + """,
+            fr AS (SELECT doc_id, w, h, n, unnest(range(1, n)) AS f FROM g),
+            fd AS (SELECT fr.doc_id, fr.f,
+                     sum(h2.c * h2.q) + fr.w*fr.h*(40*(fr.f//4) + (fr.f%4))
+                     - 256*sum(CASE WHEN h2.q >= 256 - (40*(fr.f//4) + (fr.f%4))
+                               THEN h2.c ELSE 0 END) AS s,
+                     sum(h2.c * h2.q) + fr.w*fr.h*(40*((fr.f-1)//4) + ((fr.f-1)%4))
+                     - 256*sum(CASE WHEN h2.q >= 256 - (40*((fr.f-1)//4) + ((fr.f-1)%4))
+                               THEN h2.c ELSE 0 END) AS sp
+                   FROM fr JOIN hist h2 USING (doc_id)
+                   GROUP BY fr.doc_id, fr.w, fr.h, fr.f),
+            fps AS (SELECT g.doc_id,
+                      CAST(COALESCE(sum(CASE WHEN fd.s >= fd.sp
+                        THEN CAST(1 AS BIGINT) << (fd.f - 1) ELSE 0 END), 0) AS BIGINT) AS fp
+                    FROM g LEFT JOIN fd USING (doc_id) GROUP BY g.doc_id)
             SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS n_dups
             FROM fps ORDER BY doc_id""")
   )
@@ -249,6 +330,54 @@ object MediaVideo {
             keep AS (SELECT min(doc_id) AS doc_id FROM fps GROUP BY fp)
             SELECT g.doc_id, g.lang, g.n_chars, a.n_cuts, a.total_motion
             FROM g JOIN act a USING (doc_id) JOIN keep USING (doc_id)
+            ORDER BY g.doc_id"""),
+    // GEN FACE: the same gates and survivor rule over the histogram
+    // reduction (see [[histCte]]) — wf/wp/s/sp land in ONE grouped join,
+    // sad and the fingerprint bits are arithmetic from there.
+    genOracle = Some("""WITH gd AS (
+              SELECT doc_id, lang, n_chars, text FROM documents
+              WHERE lang IN ('en','de','fr') AND n_chars BETWEEN 30 AND 700),
+            t AS (SELECT doc_id, lang, n_chars,
+                    COALESCE(NULLIF(hex(encode(text)), ''), '00') AS hx,
+                    GREATEST(octet_length(encode(text)), 1) AS len FROM gd),
+            g AS (SELECT doc_id, lang, n_chars, hx, len, len % 16 + 4 AS w,
+                    len % 12 + 4 AS h, len % 10 + 4 AS n FROM t),
+            gi AS (SELECT doc_id, hx, len, w, h, n, unnest(range(0, w * h)) AS i FROM g),
+            pq AS (SELECT doc_id, w, h, n,
+                     (16*(strpos('0123456789ABCDEF', hx[2*(i%len)+1])-1)
+                        + (strpos('0123456789ABCDEF', hx[2*(i%len)+2])-1)
+                      + 3*i) % 256 AS q
+                   FROM gi),
+            hist AS (SELECT doc_id, w, h, n, q, count(*) AS c
+                     FROM pq GROUP BY doc_id, w, h, n, q),
+            fr AS (SELECT doc_id, w, h, n, unnest(range(1, n)) AS f FROM g),
+            wv AS (SELECT fr.doc_id, fr.w, fr.h, fr.n, fr.f,
+                     sum(CASE WHEN h2.q >= 256 - (40*(fr.f//4) + (fr.f%4))
+                         THEN h2.c ELSE 0 END) AS wf,
+                     sum(CASE WHEN h2.q >= 256 - (40*((fr.f-1)//4) + ((fr.f-1)%4))
+                         THEN h2.c ELSE 0 END) AS wp,
+                     sum(h2.c * h2.q) AS sq
+                   FROM fr JOIN hist h2 USING (doc_id)
+                   GROUP BY fr.doc_id, fr.w, fr.h, fr.n, fr.f),
+            dv AS (SELECT doc_id, w, h, n, f,
+                     (CASE WHEN f % 4 = 0 THEN 37 ELSE 1 END) * w * h
+                     + (256 - 2*(CASE WHEN f % 4 = 0 THEN 37 ELSE 1 END)) * (wf - wp) AS sad,
+                     sq + w*h*(40*(f//4) + (f%4)) - 256*wf AS s,
+                     sq + w*h*(40*((f-1)//4) + ((f-1)%4)) - 256*wp AS sp
+                   FROM wv),
+            act AS (SELECT doc_id,
+                      CAST(sum(CASE WHEN sad > 16*w*h THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+                      CAST(sum(sad) AS BIGINT) AS total_motion
+                    FROM dv GROUP BY doc_id, w, h, n
+                    HAVING sum(CASE WHEN sad > 16*w*h THEN 1 ELSE 0 END) >= 1
+                       AND sum(sad) >= 6 * w * h * (n - 1)),
+            fps AS (SELECT dv.doc_id,
+                      CAST(COALESCE(sum(CASE WHEN dv.s >= dv.sp
+                        THEN CAST(1 AS BIGINT) << (dv.f - 1) ELSE 0 END), 0) AS BIGINT) AS fp
+                    FROM dv JOIN act USING (doc_id) GROUP BY dv.doc_id),
+            keep AS (SELECT min(doc_id) AS doc_id FROM fps GROUP BY fp)
+            SELECT g.doc_id, g.lang, g.n_chars, a.n_cuts, a.total_motion
+            FROM g JOIN act a USING (doc_id) JOIN keep USING (doc_id)
             ORDER BY g.doc_id""")
   )
 
@@ -320,6 +449,44 @@ object MediaVideo {
                       CAST(COALESCE(sum(CASE WHEN sp IS NOT NULL AND s >= sp
                         THEN CAST(1 AS BIGINT) << (f - 1) ELSE 0 END), 0) AS BIGINT) AS fp
                     FROM fd GROUP BY doc_id),
+            corp AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 2 = 0),
+            fresh AS (SELECT a.doc_id, f.fp, a.n_cuts, a.total_motion
+                      FROM act a JOIN fps f USING (doc_id)
+                      WHERE a.doc_id % 2 = 1
+                        AND f.fp NOT IN (SELECT fp FROM corp)),
+            keep AS (SELECT min(doc_id) AS doc_id FROM fresh GROUP BY fp)
+            SELECT doc_id, fp, n_cuts, total_motion
+            FROM fresh JOIN keep USING (doc_id) ORDER BY doc_id"""),
+    // GEN FACE: the primary already avoids the lag window but still
+    // enumerates every (frame, pixel) row; this face reduces both the
+    // arriving-clip motion gate and the corpus fingerprint set to the
+    // per-doc histogram (one linear pixel pass for ALL docs).
+    genOracle = Some(histCte + """,
+            fr AS (SELECT doc_id, w, h, n, unnest(range(1, n)) AS f FROM g),
+            wv AS (SELECT fr.doc_id, fr.w, fr.h, fr.n, fr.f,
+                     sum(CASE WHEN h2.q >= 256 - (40*(fr.f//4) + (fr.f%4))
+                         THEN h2.c ELSE 0 END) AS wf,
+                     sum(CASE WHEN h2.q >= 256 - (40*((fr.f-1)//4) + ((fr.f-1)%4))
+                         THEN h2.c ELSE 0 END) AS wp,
+                     sum(h2.c * h2.q) AS sq
+                   FROM fr JOIN hist h2 USING (doc_id)
+                   GROUP BY fr.doc_id, fr.w, fr.h, fr.n, fr.f),
+            dv AS (SELECT doc_id, w, h, n, f,
+                     (CASE WHEN f % 4 = 0 THEN 37 ELSE 1 END) * w * h
+                     + (256 - 2*(CASE WHEN f % 4 = 0 THEN 37 ELSE 1 END)) * (wf - wp) AS sad,
+                     sq + w*h*(40*(f//4) + (f%4)) - 256*wf AS s,
+                     sq + w*h*(40*((f-1)//4) + ((f-1)%4)) - 256*wp AS sp
+                   FROM wv),
+            act AS (SELECT doc_id,
+                      CAST(sum(CASE WHEN sad > 16*w*h THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+                      CAST(sum(sad) AS BIGINT) AS total_motion
+                    FROM dv WHERE doc_id % 2 = 1 GROUP BY doc_id, w, h, n
+                    HAVING sum(CASE WHEN sad > 16*w*h THEN 1 ELSE 0 END) >= 1
+                       AND sum(sad) >= 6 * w * h * (n - 1)),
+            fps AS (SELECT doc_id,
+                      CAST(COALESCE(sum(CASE WHEN s >= sp
+                        THEN CAST(1 AS BIGINT) << (f - 1) ELSE 0 END), 0) AS BIGINT) AS fp
+                    FROM dv GROUP BY doc_id),
             corp AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 2 = 0),
             fresh AS (SELECT a.doc_id, f.fp, a.n_cuts, a.total_motion
                       FROM act a JOIN fps f USING (doc_id)

@@ -227,6 +227,34 @@ class AccuracySpec extends AnyFunSuite {
       s"IVF-PQ on clustered data must retrieve same-cluster neighbors: ${ivfpq.toSeq.take(8)}")
   }
 
+  test("GenData below-gate construction: base + 28 disjoint tokens stays under J=0.8 and is rejected") {
+    import spark.implicits._
+    // Replay the GenData id%40==11 plant at its WORST case: a base of 99
+    // all-distinct words has the maximum n = 97 distinct 3-shingles, so the
+    // 28 appended off-vocab tokens give exactly J = 97/125 = 0.776 — the
+    // closest any below-gate plant can come to the 0.8 gate. It must be an
+    // LSH candidate-class similarity (banding fires w.h.p. at 0.776) yet
+    // NEVER a reported pair, because the exact-Jaccard verify rejects it.
+    val base  = (1 to 99).map(i => s"w$i").mkString(" ")
+    val below = base + " " + (1 to 28).map(i => s"zq$i").mkString(" ")
+    val near  = base + " dup"
+    val j3b = jaccard(shingles(base, 3), shingles(below, 3))
+    assert(math.abs(j3b - 97.0 / 125.0) < 1e-12, s"construction J3=$j3b != 97/125")
+    val j2b = jaccard(shingles(base, 2), shingles(below, 2))
+    assert(math.abs(j2b - 98.0 / 126.0) < 1e-12, s"construction J2=$j2b != 98/126")
+    assert(jaccard(shingles(base, 3), shingles(near, 3)) >= 0.8)
+    val docs = (Seq((0L, base), (1L, below), (2L, near)) ++
+      (3L to 40L).map(i => i -> (1 to 30).map(j => s"f${(i * 7 + j * 3) % 97}_$j").mkString(" "))).toDF("doc_id", "text")
+    for (n <- Seq(2, 3)) {
+      val got = DedupOps
+        .minhashNearDups(docs, "doc_id", "text", shingleN = n, k = 64, bands = 16, threshold = 0.8)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got.contains((0L, 2L)), s"shingleN=$n: near plant not found; got $got")
+      assert(!got.exists(p => p._1 == 1L || p._2 == 1L),
+        s"shingleN=$n: below-gate plant reported: $got")
+    }
+  }
+
   test("embedding near-dups finds a planted near-identical pair, rejects noise") {
     import spark.implicits._
     val rng  = new scala.util.Random(7)

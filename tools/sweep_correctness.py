@@ -20,6 +20,21 @@ outdir, sfdir, artifact = sys.argv[1], sys.argv[2], sys.argv[3]
 lo = sys.argv[4] if len(sys.argv) > 4 else ""
 hi = sys.argv[5] if len(sys.argv) > 5 else "￿"
 oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
+# GEN-DIR OVERLAY (opt-in): ORACLE_OVERLAY names a JSON of {query: sql}
+# merged OVER the primary oracles — the Q.genOracle faces Verify dumps as
+# gen_oracle_sql.json. These exploit GenData's by-construction structure
+# (near-dups planted only at adjacent doc_ids; video grids reducible to
+# per-doc byte histograms) and are valid ONLY on GenData dirs; never set
+# this for the driver's sf0.01/sf0.1 testdata. Cross-check protocol: run
+# the same dump once without and once with the overlay at a scale where
+# both referees are tractable — both green ⇒ the faces agree on that dir.
+if os.environ.get("ORACLE_OVERLAY"):
+    overlay = json.load(open(os.environ["ORACLE_OVERLAY"]))
+    unknown = set(overlay) - set(oracle)
+    if unknown:
+        sys.exit(f"overlay names queries with no primary oracle: {sorted(unknown)}")
+    oracle.update(overlay)
+    print(f"[overlay] {len(overlay)} gen-face oracles active", flush=True)
 
 con = duckdb.connect()
 # Gen-scale sweeps (100M-row windows) exceed RAM without a spill path.
