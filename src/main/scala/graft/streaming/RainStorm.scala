@@ -589,12 +589,19 @@ object RainStorm {
     setSimilarityJoin(left, right, idCol, textCol, tsCol, threshold, shingleN,
       k, bands, maxSpan, watermark = Some(watermark))
 
-  /** Batch form of [[streamingSimilarityJoin]] — the IDENTICAL plan (same
-    * banding kernels, same bucket equi-join, same time bound, same exact
-    * verify) minus the watermark bookkeeping batch doesn't need:
-    * `dropDuplicatesWithinWatermark` has no batch exec, so band-collision
-    * duplicates collapse through plain `dropDuplicates` (all rows of one
-    * (id_a, id_b) pair are identical, so which row survives is immaterial).
+  /** Batch form of [[streamingSimilarityJoin]] — identical SEMANTICS (same
+    * banding kernels, same bucket keys, same time bound, same exact verify)
+    * but not the identical physical plan: the stream must carry each row's
+    * shingle-hash array through the band join (the join state is the only
+    * place the verify can find it), while in batch that exchange sorts
+    * corpus × bands WIDE rows — measured 60+ GB of shuffle spill at 5M docs
+    * before it hit the disk ceiling. The batch plan therefore bands SKINNY
+    * (id, ts, band, bucket) rows, collapses band collisions to distinct
+    * pairs first, and hash-joins the two shingle arrays back by id for the
+    * ONE exact-Jaccard verify per pair — the [[graft.functions.DedupOps
+    * minhashNearDups]] discipline. (`dropDuplicatesWithinWatermark` has no
+    * batch exec either, so pair dedup is plain `dropDuplicates`; all rows of
+    * one (id_a, id_b) are identical, so which survives is immaterial.)
     * Surfaced in the registry as `x_stream_set_similarity` under the exact
     * all-pairs DuckDB oracle; CorpusPipelineSpec pins both forms against the
     * same exact all-pairs ground truth on one input.
@@ -641,52 +648,66 @@ object RainStorm {
     // below (hash projection + minhash) share one kernel run —
     // CollapseProject keeps non-cheap multi-referenced producers
     // materialized.
-    def banded(df: DataFrame, prefix: String) = {
-      val b = df
-        .select(
-          col(idCol).as(s"${prefix}_id"),
-          col(tsCol).as(s"${prefix}_ts"),
-          NativeFns.word_shingles(col(textCol), shingleN).as("__shw"))
-        .select(
-          col(s"${prefix}_id"), col(s"${prefix}_ts"),
-          transform(col("__shw"), s => xxhash64(s)).as(s"${prefix}_sh"),
-          NativeFns.minhash_sig(col("__shw"), k).as("__sig"))
-        .select(
-          col(s"${prefix}_id"), col(s"${prefix}_ts"), col(s"${prefix}_sh"),
-          posexplode(
-            transform(
-              sequence(lit(0), lit(bands - 1)),
-              b => hash(slice(col("__sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
-            .as(Seq("band", "bucket")))
-      watermark.fold(b)(w => b.withWatermark(s"${prefix}_ts", w))
-    }
-    val l = banded(left, "l").alias("l")
-    val r = banded(right, "r").alias("r")
-    // Dedup band collisions BEFORE the exact verify: a true near-dup matches
-    // in most of its bands, so verifying first pays the Jaccard per matching
-    // band; deduping first pays it once per pair. All rows of one
-    // (id_a, id_b) are identical (ts and shingles are functions of the id),
-    // so which row survives is immaterial on both paths.
-    val cands = l.join(
-        r,
-        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
-          col("r_ts") >= col("l_ts") - expr(s"INTERVAL $maxSpan") &&
-          col("r_ts") <= col("l_ts") + expr(s"INTERVAL $maxSpan"))
+    def prepped(df: DataFrame, prefix: String) = df
       .select(
-        col("l_id").as("id_a"), col("r_id").as("id_b"), col("l_ts"),
-        col("l_sh"), col("r_sh"))
-    // No second withWatermark on the streaming path: the input watermarks
-    // propagate through the stream-stream join (min of both sides), and
-    // REdefining one after a stateful operator is disallowed once multiple
-    // stateful operators are chained (Spark 3.5+ semantics, enforced in 4.x).
-    val once = watermark match {
-      case Some(_) => cands.dropDuplicatesWithinWatermark("id_a", "id_b")
-      case None    => cands.dropDuplicates("id_a", "id_b")
-    }
-    once
+        col(idCol).as(s"${prefix}_id"),
+        col(tsCol).as(s"${prefix}_ts"),
+        NativeFns.word_shingles(col(textCol), shingleN).as("__shw"))
+      .select(
+        col(s"${prefix}_id"), col(s"${prefix}_ts"),
+        transform(col("__shw"), s => xxhash64(s)).as(s"${prefix}_sh"),
+        NativeFns.minhash_sig(col("__shw"), k).as("__sig"))
+    def bandCols = posexplode(
+      transform(
+        sequence(lit(0), lit(bands - 1)),
+        b => hash(slice(col("__sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
+      .as(Seq("band", "bucket"))
+    def timeCond =
+      col("r_ts") >= col("l_ts") - expr(s"INTERVAL $maxSpan") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $maxSpan")
+    def bucketCond = col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket")
+    val verify = (pairs: DataFrame) => pairs
       .select(col("id_a"), col("id_b"), col("l_ts"),
         DedupOps.jaccard(col("l_sh"), col("r_sh")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    watermark match {
+      case Some(w) =>
+        // STREAM: the shingle arrays RIDE the band join — join state is the
+        // only place the verify can read them once the micro-batch moves on.
+        // Dedup band collisions BEFORE the exact verify: a true near-dup
+        // matches in most of its bands, so verifying first pays the Jaccard
+        // per matching band; deduping first pays it once per pair. No second
+        // withWatermark after the join: the input watermarks propagate
+        // through the stream-stream join (min of both sides), and REdefining
+        // one after a stateful operator is disallowed once multiple stateful
+        // operators are chained (Spark 3.5+ semantics, enforced in 4.x).
+        def banded(df: DataFrame, prefix: String) = prepped(df, prefix)
+          .select(col(s"${prefix}_id"), col(s"${prefix}_ts"), col(s"${prefix}_sh"), bandCols)
+          .withWatermark(s"${prefix}_ts", w)
+        val cands = banded(left, "l").alias("l")
+          .join(banded(right, "r").alias("r"), bucketCond && timeCond)
+          .select(
+            col("l_id").as("id_a"), col("r_id").as("id_b"), col("l_ts"),
+            col("l_sh"), col("r_sh"))
+        verify(cands.dropDuplicatesWithinWatermark("id_a", "id_b"))
+      case None =>
+        // BATCH: band SKINNY rows — at corpus scale the wide band exchange
+        // is corpus × bands × array-payload of sort spill (60+ GB at 5M
+        // docs); the arrays instead hash-join back by id AFTER band
+        // collisions collapse to distinct pairs, one array row per side per
+        // pair. Same candidates, same verify, linear exchanges.
+        val lp = prepped(left, "l")
+        val rp = prepped(right, "r")
+        def skinny(p: DataFrame, prefix: String) =
+          p.select(col(s"${prefix}_id"), col(s"${prefix}_ts"), bandCols)
+        val pairs = skinny(lp, "l").alias("l")
+          .join(skinny(rp, "r").alias("r"), bucketCond && timeCond)
+          .select(col("l_id").as("id_a"), col("r_id").as("id_b"), col("l_ts"))
+          .dropDuplicates("id_a", "id_b")
+        verify(pairs
+          .join(lp.select(col("l_id").as("id_a"), col("l_sh")).hint("shuffle_hash"), "id_a")
+          .join(rp.select(col("r_id").as("id_b"), col("r_sh")).hint("shuffle_hash"), "id_b"))
+    }
   }
 
   /** Stream-static enrichment join: a streaming fact stream joined to a
