@@ -166,14 +166,19 @@ object GenData {
     //     rejected by the exact-Jaccard verification. They pin precision at
     //     scale the way the >= 0.857 plants pin recall.
     // The three residue classes are pairwise disjoint and no base id is
-    // itself a plant, so components are exactly the adjacent pairs — which
-    // is what lets a LINEAR (doc_id+1 join) oracle replace the all-pairs
-    // Jaccard referee at gen scale (Q.genOracle faces; cross-checked
-    // linear == all-pairs on dirs where both run). Organic >= 0.8 pairs
-    // would need two independent hash-keyed word streams to nearly
-    // coincide: P < 1e-12 per pair even for the shortest docs, ~1e-3
-    // expected over all gen100 pairs, and the cross-checks have never
-    // observed one.
+    // itself a plant, so CONSTRUCTED components are exactly the adjacent
+    // pairs — which is what lets a LINEAR (doc_id+1 join) oracle replace
+    // the all-pairs Jaccard referee at gen scale (Q.genOracle faces;
+    // cross-checked linear == all-pairs on dirs where both run). ORGANIC
+    // >= 0.8 pairs are hash coincidences of independent word streams; the
+    // dominant mode is two short docs drawing IDENTICAL streams (~31^-8
+    // per len-8 pair, ~2e-3 expected at gen100 — and gen100 did produce
+    // exactly one, caught by the sweep as a 1-row diff), so the gen faces
+    // carry a second linear arm joining on shingle-SET equality, which is
+    // exact for that mode. Non-identical organic pairs at 0.8 <= J < 1
+    // need ~8/9 of two independent streams to coincide (expected < 1e-4 at
+    // gen100); any occurrence fails the sweep loudly rather than silently
+    // passing.
     // documents/embeddings: small row counts but heavy per-row work
     // downstream (regex, shingling, SRP signatures) — and a parquet file is
     // only task-split at row-group boundaries, so ONE output file means ONE

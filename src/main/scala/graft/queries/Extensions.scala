@@ -454,15 +454,8 @@ object Extensions {
     * fixed, so the result is deterministic. AccuracySpec holds the stronger
     * invariant (every planted pair found, reported ⊆ exact) independently.
     */
-  private def exactJaccardOracle(n: Int, adjacentOnly: Boolean = false): String = {
-    // adjacentOnly = the GEN FACE (Q.genOracle): GenData's planted-pair
-    // contract guarantees every >= 0.8 pair sits at adjacent doc_ids, so the
-    // quadratic all-pairs join collapses to a LINEAR doc_id+1 self-join that
-    // still computes EXACT Jaccard per candidate pair (no residue-class
-    // shortcut — every adjacent pair is measured, non-plants fail the 0.8
-    // filter on their own). Valid only on GenData dirs; cross-checked
-    // face-vs-face on dirs where the all-pairs referee also runs.
-    val joinCond = if (adjacentOnly) "b.doc_id = a.doc_id + 1" else "a.doc_id < b.doc_id"
+  /** Shared shingle-list CTE prelude for the exact-Jaccard referees. */
+  private def shCte(n: Int): String =
     s"""WITH toks AS (
           SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS t FROM documents),
         sh AS (
@@ -471,13 +464,43 @@ object Extensions {
               THEN list_distinct(list_transform(range(1, len(t) - $n + 2),
                      i -> array_to_string(t[i:i+$n-1], ' ')))
               ELSE [array_to_string(t, ' ')] END AS s
-          FROM toks)
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-          CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
-        FROM sh a JOIN sh b ON $joinCond
-        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+          FROM toks)"""
+
+  private def jaccardSql: String =
+    """CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))"""
+
+  private def exactJaccardOracle(n: Int, adjacentOnly: Boolean = false): String = {
+    // adjacentOnly = the GEN FACE (Q.genOracle): GenData's planted-pair
+    // contract puts every CONSTRUCTED >= 0.8 pair at adjacent doc_ids, so
+    // the quadratic all-pairs join collapses to a LINEAR doc_id+1 self-join
+    // that still computes EXACT Jaccard per candidate pair (no residue-class
+    // shortcut — every adjacent pair is measured, non-plants fail the 0.8
+    // filter on their own). A second LINEAR arm joins on shingle-SET
+    // equality: at gen100 the generator's hash keyspace produced one ORGANIC
+    // duplicate (two independent 8-word docs with identical text, J = 1.0,
+    // 2.5M ids apart — caught as a 1-row sweep diff), and identical sets are
+    // the dominant organic mode: a non-adjacent 0.8 <= J < 1 pair with
+    // DIFFERENT sets needs ~8/9 of two independent hash streams to coincide
+    // (expected < 1e-4 at gen100), and any occurrence fails the sweep
+    // loudly, exactly as the identical pair did. Valid only on GenData dirs;
+    // cross-checked face-vs-face on dirs where the all-pairs referee also
+    // runs.
+    if (!adjacentOnly)
+      s"""${shCte(n)}
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, $jaccardSql AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE $jaccardSql >= 0.8
+        ORDER BY id_a, id_b"""
+    else
+      s"""${shCte(n)}
+        SELECT id_a, id_b, jaccard FROM (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, $jaccardSql AS jaccard
+          FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+          WHERE $jaccardSql >= 0.8
+          UNION
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(1.0 AS DOUBLE) AS jaccard
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id)
         ORDER BY id_a, id_b"""
   }
 
@@ -526,26 +549,23 @@ object Extensions {
                 / (len(b.s) + len(c.s) - len(list_intersect(b.s, c.s))) >= 0.8
             ORDER BY batch_id, corpus_id"""),
     // GEN FACE: every plant id is ODD (7 mod 20, 1 mod 600, 11 mod 40 are
-    // all odd residues) with an EVEN base at id-1, so every qualifying
-    // cross-split pair is exactly a planted adjacency — the all-pairs
-    // odd x even join collapses to the linear corpus_id+1 join, exact
-    // Jaccard still measured per pair.
-    genOracle = Some("""WITH toks AS (
-              SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS t FROM documents),
-            sh AS (
-              SELECT doc_id,
-                CASE WHEN len(t) >= 3
-                  THEN list_distinct(list_transform(range(1, len(t) - 1),
-                         i -> array_to_string(t[i:i+2], ' ')))
-                  ELSE [array_to_string(t, ' ')] END AS s
-              FROM toks)
-            SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
-              CAST(len(list_intersect(b.s, c.s)) AS DOUBLE)
-                / (len(b.s) + len(c.s) - len(list_intersect(b.s, c.s))) AS jaccard
-            FROM sh b JOIN sh c ON b.doc_id = c.doc_id + 1
-              AND b.doc_id % 2 = 1 AND c.doc_id % 2 = 0
-            WHERE CAST(len(list_intersect(b.s, c.s)) AS DOUBLE)
-                / (len(b.s) + len(c.s) - len(list_intersect(b.s, c.s))) >= 0.8
+    // all odd residues) with an EVEN base at id-1, so every CONSTRUCTED
+    // cross-split pair is a planted adjacency — the all-pairs odd x even
+    // join collapses to the linear corpus_id+1 join, exact Jaccard still
+    // measured per pair. The organic same-set arm (see
+    // [[exactJaccardOracle]]) is oriented by PARITY, not id order: an
+    // organic duplicate crosses the split whenever its members differ in
+    // parity, in either id order.
+    genOracle = Some(s"""${shCte(3)}
+            SELECT batch_id, corpus_id, jaccard FROM (
+              SELECT a.doc_id AS corpus_id, b.doc_id AS batch_id, $jaccardSql AS jaccard
+              FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+                AND b.doc_id % 2 = 1 AND a.doc_id % 2 = 0
+              WHERE $jaccardSql >= 0.8
+              UNION
+              SELECT a.doc_id AS corpus_id, b.doc_id AS batch_id, CAST(1.0 AS DOUBLE) AS jaccard
+              FROM sh a JOIN sh b ON a.s = b.s
+                AND b.doc_id % 2 = 1 AND a.doc_id % 2 = 0)
             ORDER BY batch_id, corpus_id""")
   )
 
@@ -1444,7 +1464,13 @@ object Extensions {
     * every >= 0.8 pair at adjacent ids, so the linear join computes the
     * same edge set and the transitive closure over it is unchanged.
     */
-  private def curationPipeline1Oracle(joinCond: String): String =
+  private def curationPipeline1Oracle(joinCond: String, sameSet: Boolean = false): String = {
+    // sameSet adds the organic identical-shingle-set arm of the gen face
+    // (see exactJaccardOracle) to the pair CTE.
+    val sameSetArm = if (sameSet) """
+              UNION
+              SELECT a.doc_id AS ida, b.doc_id AS idb
+              FROM sh3 a JOIN sh3 b ON a.s = b.s AND a.doc_id < b.doc_id""" else ""
     s"""WITH RECURSIVE gated AS (
               SELECT * FROM documents
               WHERE lang IN ('en','de','es','fr') AND n_chars BETWEEN 30 AND 600),
@@ -1464,7 +1490,7 @@ object Extensions {
               SELECT a.doc_id AS ida, b.doc_id AS idb
               FROM sh3 a JOIN sh3 b ON $joinCond
               WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                  / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
+                  / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8$sameSetArm),
             edges AS (
               SELECT ida AS u, idb AS v FROM pairs
               UNION SELECT idb, ida FROM pairs),
@@ -1510,6 +1536,7 @@ object Extensions {
                OR substr(md5(CAST(doc_id AS VARCHAR) || ':mix42'), 1, 4)
                     < printf('%04x', CAST(rate * 65536 AS INT))
             ORDER BY doc_id"""
+  }
 
   val curationPipeline = Q(
     "x_curation_pipeline",
@@ -1541,7 +1568,7 @@ object Extensions {
         .orderBy("doc_id")
     },
     Some(curationPipeline1Oracle("a.doc_id < b.doc_id")),
-    genOracle = Some(curationPipeline1Oracle("b.doc_id = a.doc_id + 1"))
+    genOracle = Some(curationPipeline1Oracle("b.doc_id = a.doc_id + 1", sameSet = true))
   )
 
   /** Batch-equivalent surface of the streaming set-similarity join
@@ -1585,9 +1612,20 @@ object Extensions {
                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
             ORDER BY id_a, id_b"""),
     // GEN FACE: planted pairs are adjacent (|id_a - id_b| = 1), so the
-    // 5-minute bound never prunes one and the time predicate is vacuous on
-    // the linear join — same rows as the banded all-pairs referee.
-    genOracle = Some(exactJaccardOracle(3, adjacentOnly = true))
+    // 5-minute bound never prunes one; the organic same-set arm (see
+    // [[exactJaccardOracle]]) keeps the |Δid| <= 300 predicate because the
+    // time bound DOES prune far-apart organic duplicates — at gen100 it
+    // excluded the 2.5M-ids-apart identical pair on both engines.
+    genOracle = Some(s"""${shCte(3)}
+        SELECT id_a, id_b, jaccard FROM (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, $jaccardSql AS jaccard
+          FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+          WHERE $jaccardSql >= 0.8
+          UNION
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(1.0 AS DOUBLE) AS jaccard
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            AND abs(a.doc_id - b.doc_id) <= 300)
+        ORDER BY id_a, id_b""")
   )
 
   /** Batch-equivalent surface of the streaming trending top-k
@@ -3309,7 +3347,11 @@ object Extensions {
     * join — same two faces and the same GenData planted-adjacency argument
     * as [[curationPipeline1Oracle]].
     */
-  private def curationPipeline5Oracle(joinCond: String): String =
+  private def curationPipeline5Oracle(joinCond: String, sameSet: Boolean = false): String = {
+    val sameSetArm = if (sameSet) """
+              UNION
+              SELECT a.doc_id AS ida, b.doc_id AS idb
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id""" else ""
     s"""WITH gated AS (SELECT * FROM documents WHERE n_chars >= 20),
             toks AS (
               SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS t
@@ -3325,7 +3367,7 @@ object Extensions {
               SELECT a.doc_id AS ida, b.doc_id AS idb
               FROM sh a JOIN sh b ON $joinCond
               WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                  / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
+                  / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8$sameSetArm),
             kept AS (
               SELECT g.* FROM gated g
               WHERE g.doc_id NOT IN (SELECT idb FROM pairs)),
@@ -3335,6 +3377,7 @@ object Extensions {
               FROM kept)
             SELECT doc_id, source, lang, n_chars FROM capped
             WHERE rn <= 40 ORDER BY doc_id"""
+  }
 
   val curationPipeline5 = Q(
     "x_curation_pipeline5",
@@ -3352,7 +3395,7 @@ object Extensions {
         .orderBy("doc_id")
     },
     Some(curationPipeline5Oracle("a.doc_id < b.doc_id")),
-    genOracle = Some(curationPipeline5Oracle("b.doc_id = a.doc_id + 1"))
+    genOracle = Some(curationPipeline5Oracle("b.doc_id = a.doc_id + 1", sameSet = true))
   )
 
   /** Temperature-scaled domain mixing ([[Curation.temperatureMixture]] —
