@@ -264,16 +264,30 @@ object Layout {
     * variants.
     */
   def twoPhaseRankAll(df: DataFrame, specs: (String, Seq[Column])*): DataFrame = {
+    val sn = specs.map { case (_, order) => defaultSurrogate(df, order.head) }
+    twoPhaseRankAllBy(df, specs.zip(sn).map {
+      case ((out, order), (s, nf)) => (out, s, nf, order)
+    }: _*)
+  }
+
+  /** [[twoPhaseRankAll]] with an explicit slicing surrogate per spec (same
+    * contract as [[twoPhaseRankBy]]: numeric, monotone non-decreasing in
+    * that spec's order; exactness never depends on it — only slice balance
+    * does). Use when a spec's first sort column is heavily tied — e.g.
+    * Spearman's order-count rank passes `count + key·2⁻⁴⁰` so the modal tie
+    * class spreads across slices instead of funnelling one task.
+    */
+  def twoPhaseRankAllBy(
+      df: DataFrame, specs: (String, Column, Boolean, Seq[Column])*): DataFrame = {
     val parts  = df.sparkSession.sessionState.conf.numShufflePartitions
-    val sn     = specs.map { case (_, order) => defaultSurrogate(df, order.head) }
-    val bounds = sliceBoundaries(df, sn.map(_._1), parts)
-    specs.zipWithIndex.foldLeft(df) { case (acc, ((out, order), i)) =>
+    val bounds = sliceBoundaries(df, specs.map(_._2), parts)
+    specs.zipWithIndex.foldLeft(df) { case (acc, ((out, surrogate, nf, order), i)) =>
       // offsetsFrom = the ORIGINAL frame, not the rank-accumulating chain:
       // the literal-bounds slice is a pure row function, so per-slice
       // counts are identical on either — but aggregating over `acc` would
       // re-evaluate every earlier rank's window+join once per offsets
       // broadcast (rank k paying k−1 stale window passes).
-      rankWithBounds(acc, out, sn(i)._1, sn(i)._2, bounds(i), order, parts, offsetsFrom = df)
+      rankWithBounds(acc, out, surrogate, nf, bounds(i), order, parts, offsetsFrom = df)
     }
   }
 

@@ -32,7 +32,7 @@ final case class Q(
 )
 
 object Registry {
-  def all: Seq[Q] = Parity.qs ++ Headline.qs ++ Extensions.qs ++ Indexing.qs ++ Serving.qs ++ Media.qs ++ MediaVideo.qs ++ Governance.qs ++ Patterns.qs ++ Analytics.qs
+  def all: Seq[Q] = Parity.qs ++ Headline.qs ++ Extensions.qs ++ Indexing.qs ++ Serving.qs ++ Media.qs ++ MediaVideo.qs ++ Governance.qs ++ Patterns.qs ++ Analytics.qs ++ RankStats.qs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

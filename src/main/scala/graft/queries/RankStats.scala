@@ -1,0 +1,300 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Layout
+
+/** Rank-based statistics over data-sized frames — the nonparametric
+  * two-sample family (Mann–Whitney U, two-sample Kolmogorov–Smirnov) and
+  * rank correlation (Spearman), each built on the two-phase global
+  * rank/prefix-sum primitives in [[graft.functions.Layout]] so NO corpus- or
+  * user-sized frame is ever total-ordered through one task. These are the
+  * tests a training-data pipeline runs daily: "did the metric distribution
+  * drift between yesterday's shard and today's?" (KS), "is arm B's
+  * engagement stochastically larger than arm A's, without assuming
+  * normality?" (Mann–Whitney — the nonparametric sibling of
+  * `x_abtest_significance`'s z-test), "are these two per-entity metrics
+  * monotonically associated?" (Spearman).
+  *
+  * House discipline throughout: collapse the corpus to per-entity or
+  * per-value partials first (one hash exchange); run the global
+  * cumulative/rank pass as the two-phase histogram shape (per-slice window +
+  * broadcast offsets — never an unpartitioned window); publish integer-exact
+  * statistics (doubled rank sums, ppm/milli quantization, cross-multiplied
+  * significance gates) so both engines hash identically, with the one IEEE
+  * z-ratio computed in the IDENTICAL expression shape on both engines (the
+  * `x_abtest_significance` precedent: IEEE ops — incl. sqrt — are correctly
+  * rounded, so same shape ⇒ same bits).
+  */
+object RankStats {
+
+  /** The asymptotic-normal z ratio of the Mann–Whitney U statistic, with
+    * average-rank tie correction, in the identical double shape on both
+    * engines. Operates on BIGINT columns n_a, n_b, u_a_x2 (= 2·U_A, doubled
+    * so half-ranks stay integral), tie_cubes (= Σ t³−t over tie groups):
+    * z = (U_A − n_A·n_B/2) / sqrt(Var), Var = (n_A·n_B/12)·((n+1) −
+    * Σ(t³−t)/(n(n−1))) — expressed on the doubled scale so the numerator is
+    * (u_a_x2 − n_A·n_B) and the denominator sqrt carries 4·Var. Degenerate
+    * frames (an empty arm, n < 2, or zero variance when every value ties)
+    * pin z = 0 via CASE on both engines: ANSI Spark errors on double ÷0
+    * where DuckDB returns inf/nan.
+    */
+  private val zShape =
+    """CASE WHEN n_a = 0 OR n_b = 0 OR n_a + n_b < 2 THEN 0.0
+      |     WHEN CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+      |            * ((CAST(n_a + n_b AS DOUBLE) + 1.0)
+      |               - CAST(tie_cubes AS DOUBLE)
+      |                 / (CAST(n_a + n_b AS DOUBLE) * (CAST(n_a + n_b AS DOUBLE) - 1.0)))
+      |            / 3.0 <= 0.0 THEN 0.0
+      |     ELSE (CAST(u_a_x2 AS DOUBLE) - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+      |          / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+      |            * ((CAST(n_a + n_b AS DOUBLE) + 1.0)
+      |               - CAST(tie_cubes AS DOUBLE)
+      |                 / (CAST(n_a + n_b AS DOUBLE) * (CAST(n_a + n_b AS DOUBLE) - 1.0)))
+      |            / 3.0)
+      |END""".stripMargin
+
+  /** Mann–Whitney U (Wilcoxon rank-sum) test between the two A/B arms
+    * (user_id mod 2 — the `x_abtest_significance` assignment convention) on
+    * per-user lifetime metric value, in cents. The nonparametric readout:
+    * no normality assumption, driven entirely by ranks, with the standard
+    * average-rank tie treatment (Mann & Whitney 1947; Lehmann,
+    * "Nonparametrics").
+    *
+    * Everything is exact integers until the final z ratio: the doubled rank
+    * sum 2·R_A = Σ_v n_A(v)·(2·cum_before(v) + t(v) + 1) needs only the
+    * VALUE HISTOGRAM (per-spend arm counts) and the exact global cumulative
+    * count before each value — a [[Layout.twoPhasePrefixSumBefore]] over the
+    * histogram, never a corpus-sized window. U_A is published doubled
+    * (`u_a_x2`) so tied half-ranks stay integral; `tie_cubes` = Σ t³−t is
+    * the exact variance correction (sums in DECIMAL(38,0); published BIGINT
+    * — exact to ~2×10⁶ M rows per value-tie, far past any tested scale).
+    *
+    * Scale shape: one corpus hash exchange (per-user sum) → one histogram
+    * hash exchange (data-sized: per-user spends are near-distinct) → the
+    * two-phase prefix pass (per-slice windows + one broadcast offsets join)
+    * → a 1-row fold. The histogram is localCheckpoint'd so the prefix
+    * machinery's sketch/offsets/main reads scan the corpus once.
+    */
+  val mannWhitneyU = Q(
+    "x_mannwhitney_u",
+    (s, d) => {
+      val users = Tables.events(s, d)
+        .select(col("user_id"), expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("cents")).as("spend"))
+        .withColumn("arm", pmod(col("user_id"), lit(2)))
+      val hist = users.groupBy(col("spend"))
+        .agg(
+          sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n2"))
+        .localCheckpoint()
+      val cum = Layout.twoPhasePrefixSumBefore(
+        hist, "cb", col("n1") + col("n2"), col("spend"))
+      cum.agg(
+          sum(col("n1")).as("n_a"),
+          sum(col("n2")).as("n_b"),
+          sum((col("n1") * (lit(2L) * col("cb") + col("n1") + col("n2") + lit(1L)))
+            .cast("decimal(38,0)")).as("r1x2"),
+          sum({
+            val t = (col("n1") + col("n2")).cast("decimal(12,0)")
+            t * t * t - t
+          }).as("ties"))
+        .select(col("n_a"), col("n_b"),
+          (col("r1x2") - col("n_a").cast("decimal(38,0)") * (col("n_a") + lit(1L)))
+            .cast("long").as("u_a_x2"),
+          col("ties").cast("long").as("tie_cubes"))
+        .withColumn("z", expr(zShape))
+        .select(col("n_a"), col("n_b"), col("u_a_x2"), col("tie_cubes"),
+          expr("CAST(floor(z * 1000 + 0.5) AS BIGINT)").as("z_milli"),
+          expr("CAST(CASE WHEN abs(z) > 1.96 THEN 1 ELSE 0 END AS BIGINT)")
+            .as("significant"))
+        .drop("z")
+    },
+    Some(s"""WITH u AS (
+              SELECT user_id, user_id % 2 AS arm,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS spend
+              FROM events GROUP BY 1, 2),
+            h AS (
+              SELECT spend,
+                CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+              FROM u GROUP BY 1),
+            c AS (
+              SELECT spend, n1, n2,
+                COALESCE(sum(n1 + n2) OVER (ORDER BY spend
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+              FROM h),
+            a AS (
+              SELECT CAST(sum(n1) AS BIGINT) AS n_a, CAST(sum(n2) AS BIGINT) AS n_b,
+                CAST(sum(n1 * (2 * cb + n1 + n2 + 1)) AS BIGINT) AS r1x2,
+                CAST(sum(CAST(n1 + n2 AS HUGEINT) * (n1 + n2) * (n1 + n2) - (n1 + n2))
+                  AS BIGINT) AS tie_cubes
+              FROM c),
+            b AS (
+              SELECT n_a, n_b, CAST(r1x2 - n_a * (n_a + 1) AS BIGINT) AS u_a_x2,
+                tie_cubes
+              FROM a),
+            z AS (
+              SELECT *, $zShape AS z FROM b)
+            SELECT n_a, n_b, u_a_x2, tie_cubes,
+              CAST(floor(z * 1000 + 0.5) AS BIGINT) AS z_milli,
+              CAST(CASE WHEN abs(z) > 1.96 THEN 1 ELSE 0 END AS BIGINT) AS significant
+            FROM z""")
+  )
+
+  /** Two-sample Kolmogorov–Smirnov drift test between the first and second
+    * half of the event log (split at the in-query midpoint day — the
+    * `x_ab_cuped` pre/post idiom): D = max_v |F₁(v) − F₂(v)| over the
+    * per-event metric in cents. The continuous-distribution drift gate that
+    * complements `x_drift_tv`'s categorical total-variation distance — the
+    * check a pipeline runs before mixing a new crawl snapshot into
+    * yesterday's distribution.
+    *
+    * Exactness: the corpus collapses to the per-cents ARM HISTOGRAM (one
+    * hash exchange); both inclusive CDFs come from ONE
+    * [[Layout.twoPhasePrefixSumBefore]] pass by packing the two arm counts
+    * into a single value `c₁·2³³ + c₂` (prefix sums distribute over the
+    * packing; sums run in DECIMAL(38,0), and the unpack is exact while the
+    * second arm holds < 2³³ ≈ 8.6 B rows — far past any tested scale; at
+    * true 100 TB scale shard by time range first). The deviation is the
+    * cross-multiplied integer |cum₁·n₂ − cum₂·n₁| — no rational arithmetic
+    * — and significance at α = 0.05 is the fully integer comparison
+    * 10⁶·D_num² > 1 844 164·(n₁+n₂)·n₁·n₂ (c(0.05)² = 1.358² in ppm),
+    * evaluated in DECIMAL(38,0)/HUGEINT: no IEEE anywhere in this query.
+    * `at_cents` (the smallest value attaining the max deviation) localizes
+    * WHERE the distributions diverge.
+    */
+  val ksDrift = Q(
+    "x_ks_drift",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(
+        unix_date(col("ts").cast("date")).cast("long").as("di"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      val bounds = ev.agg(min(col("di")).as("d0"), max(col("di")).as("d1"))
+      val hist = ev.join(broadcast(bounds), lit(true), "inner")
+        .withColumn("a1", (col("di") <= expr("(d0 + d1) div 2")).cast("long"))
+        .groupBy(col("cents"))
+        .agg(sum(col("a1")).as("c1"), sum(lit(1L) - col("a1")).as("c2"))
+        .localCheckpoint()
+      val cum0 = Layout.twoPhasePrefixSumBefore(
+        hist, "pb",
+        col("c1").cast("decimal(38,0)") * lit(8589934592L) + col("c2"),
+        col("cents"))
+      val tot = hist.agg(sum(col("c1")).as("n_a"), sum(col("c2")).as("n_b"))
+      val cum = cum0.join(broadcast(tot), lit(true), "inner")
+        .withColumn("cum1", expr("pb div 8589934592") + col("c1"))
+        .withColumn("cum2", expr("CAST(pb % 8589934592 AS BIGINT)") + col("c2"))
+        .withColumn("dev", abs(col("cum1") * col("n_b") - col("cum2") * col("n_a")))
+      val dmax = cum.agg(max(col("dev")).as("d_num"))
+      cum.join(broadcast(dmax), col("dev") === col("d_num"))
+        .groupBy(col("n_a"), col("n_b"), col("d_num"))
+        .agg(min(col("cents")).as("at_cents"))
+        .select(col("n_a"), col("n_b"),
+          expr("""CASE WHEN n_a * n_b = 0 THEN CAST(0 AS BIGINT)
+                  ELSE CAST((CAST(d_num AS DECIMAL(38,0)) * 1000000) div (n_a * n_b)
+                    AS BIGINT) END""").as("d_ppm"),
+          col("at_cents"),
+          expr("""CASE WHEN n_a * n_b = 0 THEN CAST(0 AS BIGINT)
+                  WHEN CAST(d_num AS DECIMAL(38,0)) * d_num * 1000000
+                    > CAST(1844164 AS DECIMAL(38,0)) * (n_a + n_b) * n_a * n_b
+                  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END""")
+            .as("significant"))
+    },
+    Some("""WITH e AS (
+              SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS di,
+                CAST(round(value * 100) AS BIGINT) AS cents
+              FROM events),
+            b AS (SELECT min(di) AS d0, max(di) AS d1 FROM e),
+            h AS (
+              SELECT cents,
+                CAST(sum(CASE WHEN di <= (d0 + d1) // 2 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+                CAST(sum(CASE WHEN di <= (d0 + d1) // 2 THEN 0 ELSE 1 END) AS BIGINT) AS c2
+              FROM e, b GROUP BY 1),
+            c AS (
+              SELECT cents, c1, c2,
+                CAST(sum(c1) OVER (ORDER BY cents) AS BIGINT) AS cum1,
+                CAST(sum(c2) OVER (ORDER BY cents) AS BIGINT) AS cum2
+              FROM h),
+            t AS (SELECT CAST(sum(c1) AS BIGINT) AS n_a,
+                         CAST(sum(c2) AS BIGINT) AS n_b FROM h),
+            v AS (SELECT cents, abs(cum1 * n_b - cum2 * n_a) AS dev, n_a, n_b
+                  FROM c, t),
+            m AS (SELECT max(dev) AS d_num FROM v)
+            SELECT n_a, n_b,
+              CAST(CASE WHEN n_a * n_b = 0 THEN 0
+                ELSE (CAST(d_num AS HUGEINT) * 1000000) // (n_a * n_b) END
+                AS BIGINT) AS d_ppm,
+              CAST(min(cents) AS BIGINT) AS at_cents,
+              CAST(CASE WHEN n_a * n_b = 0 THEN 0
+                WHEN CAST(d_num AS HUGEINT) * d_num * 1000000
+                  > CAST(1844164 AS HUGEINT) * (n_a + n_b) * n_a * n_b
+                THEN 1 ELSE 0 END AS BIGINT) AS significant
+            FROM v JOIN m ON v.dev = m.d_num
+            GROUP BY n_a, n_b, d_num""")
+  )
+
+  /** Spearman rank correlation between per-customer order count and total
+    * spend — "is activity monotonically associated with revenue?" — on the
+    * DETERMINISTIC TIE-BREAK convention: ranks are `row_number() OVER
+    * (ORDER BY metric, custkey)`, a total order, so the classical exact
+    * identity ρ = 1 − 6·Σd²/(n(n²−1)) holds with pure integers end-to-end
+    * (the average-rank tie variant needs a sqrt that neither engine can do
+    * in exact arithmetic; the tie-broken convention is documented and
+    * replayed identically by the oracle).
+    *
+    * Both global ranks run as ONE [[Layout.twoPhaseRankAllBy]] pass — a
+    * single multi-column boundary sketch serving two two-phase ranks, the
+    * r14-consolidated primitive — with tie-spreading surrogates
+    * (`metric + custkey·2⁻⁴⁰`): order counts are Poisson-tied (the modal
+    * count holds ~10% of customers), and the surrogate spreads each tie
+    * class across slices instead of funnelling one task; exactness never
+    * depends on it. Σd² sums in DECIMAL(38,0); ρ is published in exact
+    * truncating ppm.
+    */
+  val spearmanCorr = Q(
+    "x_spearman_corr",
+    (s, d) => {
+      val cust = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("spend"))
+        .localCheckpoint()
+      def spread(m: org.apache.spark.sql.Column) =
+        m.cast("double") + col("o_custkey").cast("double") * lit(math.pow(2, -40))
+      val ranked = Layout.twoPhaseRankAllBy(cust,
+        ("rx", spread(col("n_orders")), false, Seq(col("n_orders"), col("o_custkey"))),
+        ("ry", spread(col("spend")), false, Seq(col("spend"), col("o_custkey"))))
+      ranked.agg(
+          count(lit(1)).as("n"),
+          sum({
+            val dd = (col("rx") - col("ry")).cast("decimal(19,0)")
+            dd * dd
+          }).as("sd2"))
+        .select(col("n"),
+          col("sd2").cast("long").as("sum_d2"),
+          expr("""CAST(1000000 - (CAST(sd2 AS DECIMAL(38,0)) * 6000000)
+                    div greatest(CAST(n AS DECIMAL(38,0)) * (CAST(n AS DECIMAL(38,0)) * n - 1), 1)
+                  AS BIGINT)""").as("rho_ppm"))
+    },
+    Some("""WITH c AS (
+              SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spend
+              FROM orders GROUP BY 1),
+            r AS (
+              SELECT row_number() OVER (ORDER BY n_orders, o_custkey) AS rx,
+                     row_number() OVER (ORDER BY spend, o_custkey) AS ry
+              FROM c),
+            a AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                CAST(sum((rx - ry) * (rx - ry)) AS BIGINT) AS sum_d2
+              FROM r)
+            SELECT n, sum_d2,
+              CAST(1000000 - (CAST(sum_d2 AS HUGEINT) * 6000000)
+                // GREATEST(CAST(n AS HUGEINT) * (n * n - 1), 1) AS BIGINT) AS rho_ppm
+            FROM a""")
+  )
+
+  val qs: Seq[Q] = Seq(mannWhitneyU, ksDrift, spearmanCorr)
+}

@@ -755,4 +755,15 @@ class PlanSpec extends AnyFunSuite {
         s"${q.name}: only the __p offset frame may window unpartitioned, got: $bad")
     }
   }
+
+  test("rank-stats family: histograms/ranks are two-phase; model-sized sides broadcast") {
+    for (q <- graft.queries.RankStats.qs) {
+      val p = plan(q)
+      val bad = unpartitionedWindowFirstArgs(p).filterNot(_.startsWith("__p#"))
+      assert(bad.isEmpty,
+        s"${q.name}: only the __p offset frame may window unpartitioned, got: $bad")
+      assert(!p.contains("SortMergeJoin"),
+        s"${q.name}: every join side here is model-sized (offsets/bounds/totals) — must broadcast")
+    }
+  }
 }

@@ -1,0 +1,126 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.RankStats
+
+/** Rank-statistics family: planted fixtures with driver-side exact replays —
+  * a separated A/B pair where Mann–Whitney must fire, a tie-heavy frame
+  * pinning the doubled-rank/tie-correction arithmetic, a full-separation
+  * drift pair for KS, and perfectly monotone/anti-monotone books pinning
+  * Spearman at exactly ±10⁶ ppm.
+  */
+class RankStatsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ts(day: Int): Timestamp = Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
+
+  private def writeEvents(dir: String, rows: Seq[(Long, Timestamp, Long, String, Double, String)]): Unit = {
+    import spark.implicits._
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+  }
+
+  test("mannwhitney_u: separated arms fire the gate; U and ties replayed exactly") {
+    // 40 users: even user_ids (arm A) spend ~100, odd (arm B) spend ~500 —
+    // complete separation, so U_A = 0 (every A-spend below every B-spend).
+    val rows = (0 until 40).map { u =>
+      val v = if (u % 2 == 0) 100.0 + u else 500.0 + u
+      (u.toLong, ts(1 + u % 28), u.toLong, "view", v, "")
+    }
+    val dir = "/tmp/graft_rankstats_mw_sep"
+    writeEvents(dir, rows)
+    val r = RankStats.mannWhitneyU.run(spark, dir).collect().head
+    assert(r.getAs[Long]("n_a") == 20L && r.getAs[Long]("n_b") == 20L)
+    // all spends distinct → no tie correction
+    assert(r.getAs[Long]("tie_cubes") == 0L)
+    // complete separation: R_A = 1+2+…+20 = 210 → 2R_A = 420; 2U_A = 420 − 20·21 = 0
+    assert(r.getAs[Long]("u_a_x2") == 0L)
+    // z = (0 − 400)/sqrt(400·41/3) = −5.4100…
+    assert(r.getAs[Long]("significant") == 1L)
+    assert(math.abs(r.getAs[Long]("z_milli") + 5410L) <= 1L)
+  }
+
+  test("mannwhitney_u: heavy ties hit the average-rank and tie-cube arithmetic") {
+    // arm A: 6 users all spending 100.00; arm B: 6 users all spending 100.00
+    // → one tie group of 12: U_A = n_a·n_b/2 exactly, z = 0 (zero variance).
+    val rows = (0 until 12).map { u =>
+      (u.toLong, ts(1 + u), u.toLong, "view", 100.0, "")
+    }
+    val dir = "/tmp/graft_rankstats_mw_tie"
+    writeEvents(dir, rows)
+    val r = RankStats.mannWhitneyU.run(spark, dir).collect().head
+    assert(r.getAs[Long]("tie_cubes") == 12L * 12L * 12L - 12L)
+    // 2R_A = Σ n1(2·0 + 12 + 1) = 6·13 = 78; 2U_A = 78 − 6·7 = 36 = n_a·n_b
+    assert(r.getAs[Long]("u_a_x2") == 36L)
+    assert(r.getAs[Long]("z_milli") == 0L && r.getAs[Long]("significant") == 0L)
+  }
+
+  test("ks_drift: planted full separation across the midpoint reaches D = 1") {
+    // days 1–10: value 100.00; days 21–30: value 200.00 → mid = (0+29)/2
+    // splits them; CDFs fully separated at cents 10000 → d_ppm = 1e6.
+    val rows = (0 until 30).map { i =>
+      val day = 1 + i
+      val v = if (day <= 10) 100.0 else if (day >= 21) 200.0 else (if (i % 2 == 0) 100.0 else 200.0)
+      (i.toLong, ts(day), i.toLong, "view", v, "")
+    }
+    val dir = "/tmp/graft_rankstats_ks"
+    writeEvents(dir, rows)
+    val r = RankStats.ksDrift.run(spark, dir).collect().head
+    assert(r.getAs[Long]("n_a") + r.getAs[Long]("n_b") == 30L)
+    // max deviation is attained at the lower value level
+    assert(r.getAs[Long]("at_cents") == 10000L)
+    assert(r.getAs[Long]("d_ppm") > 500000L)
+    assert(r.getAs[Long]("significant") == 1L)
+  }
+
+  test("ks_drift: identical halves stay quiet") {
+    // same value every day → D = 0 on the shared support
+    val rows = (0 until 30).map { i => (i.toLong, ts(1 + i % 28), i.toLong, "view", 150.0, "") }
+    val dir = "/tmp/graft_rankstats_ks0"
+    writeEvents(dir, rows)
+    val r = RankStats.ksDrift.run(spark, dir).collect().head
+    assert(r.getAs[Long]("d_ppm") == 0L)
+    assert(r.getAs[Long]("significant") == 0L)
+  }
+
+  private def writeOrders(dir: String, rows: Seq[(Long, Long, String, Double, java.sql.Date, String)]): Unit = {
+    import spark.implicits._
+    rows.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+  }
+
+  test("spearman: monotone book pins rho = +1e6, anti-monotone pins −1e6 exactly") {
+    import java.sql.Date
+    val day = Date.valueOf("2024-01-05")
+    val n = 12
+    // customer k: k+1 orders; spend strictly INCREASING in k → rx == ry.
+    var key = 0L
+    val up = (0 until n).flatMap { k =>
+      val big = (0L, k.toLong, "O", (k + 1) * 1000.0, day, "1-URGENT")
+      val small = (0 until k).map(_ => (0L, k.toLong, "O", 0.01, day, "1-URGENT"))
+      (big +: small).map { r => key += 1; r.copy(_1 = key) }
+    }
+    val upDir = "/tmp/graft_rankstats_sp_up"
+    writeOrders(upDir, up)
+    val u = RankStats.spearmanCorr.run(spark, upDir).collect().head
+    assert(u.getAs[Long]("n") == n.toLong)
+    assert(u.getAs[Long]("sum_d2") == 0L)
+    assert(u.getAs[Long]("rho_ppm") == 1000000L)
+
+    // customer k: k+1 orders; spend strictly DECREASING in k → reversed
+    // permutation: Σd² = n(n²−1)/3 and ρ = −1 exactly.
+    key = 0L
+    val down = (0 until n).flatMap { k =>
+      val big = (0L, k.toLong, "O", (n - k) * 1000.0, day, "1-URGENT")
+      val small = (0 until k).map(_ => (0L, k.toLong, "O", 0.01, day, "1-URGENT"))
+      (big +: small).map { r => key += 1; r.copy(_1 = key) }
+    }
+    val downDir = "/tmp/graft_rankstats_sp_down"
+    writeOrders(downDir, down)
+    val dn = RankStats.spearmanCorr.run(spark, downDir).collect().head
+    assert(dn.getAs[Long]("sum_d2") == n.toLong * (n.toLong * n - 1) / 3)
+    assert(dn.getAs[Long]("rho_ppm") == -1000000L)
+  }
+}
