@@ -296,5 +296,196 @@ object RankStats {
             FROM a""")
   )
 
-  val qs: Seq[Q] = Seq(mannWhitneyU, ksDrift, spearmanCorr)
+  /** Fisher randomization (permutation) test on the A/B arm means — the
+    * assumption-free significance readout: re-assign every user's arm label
+    * under k = 64 FIXED multiplicative-hash designs, recompute the
+    * between-arm mean difference under each, and report the rank of the
+    * observed difference among the re-randomized ones (Fisher 1935; Ernst
+    * 2004). Where `x_abtest_significance` leans on the normal approximation
+    * and `x_mannwhitney_u` on rank asymptotics, this compares the observed
+    * statistic only against ITS OWN randomization distribution.
+    *
+    * Determinism without an RNG: design s labels user u by the
+    * scatter-then-square mixer `w = (A_s·u + B_s) mod M`,
+    * `arm = (w² mod M) mod 2`, with M = 2³¹−1, A_s = (2654435761·(2s+3))
+    * mod M, B_s = 104729·s. Any AFFINE map's parity inherits the
+    * slowly-varying wrap-count run structure (a first attempt with
+    * `(u·c) mod M mod 2` produced one all-zero design and one that exactly
+    * reproduced the observed u mod 2 split at small n — caught by the
+    * planted spec), so the square runs on the already-scattered w, whose
+    * unit-u steps jump by A_s: its wrap count churns per row and the 64
+    * designs behave as independent fair coins (balance and pairwise
+    * agreement verified binomial at n = 40…20 000). All products are
+    * bounded by (M−1)² < 2⁶³; both engines evaluate the identical closed
+    * form. The comparison is
+    * exact rational arithmetic: |mean₁−mean₀| ranks by the cross-multiplied
+    * integer |S₁n₀−S₀n₁|·n₀ₛn₁ₛ vs |S₁ₛn₀ₛ−S₀ₛn₁ₛ|·n₀n₁ in
+    * DECIMAL(38,0)/HUGEINT — no IEEE anywhere. The published p-value uses
+    * the standard add-one rule (observed counts as its own permutation):
+    * p = (#{s : |T_s| ≥ |T_obs|} + 1)/(k + 1), in exact ppm.
+    *
+    * Scale shape: ONE corpus pass — per-user sums (hash exchange), then a
+    * posexplode over the 64 designs whose per-partition partial aggregation
+    * collapses to 64 rows BEFORE the exchange (the `x_countmin` cell
+    * pattern): the design sweep shuffles 64·partitions rows, never
+    * 64·corpus. The observed row broadcasts onto the 64-row design frame.
+    */
+  val permutationTest = Q(
+    "x_permutation_test",
+    (s, d) => {
+      val users = Tables.events(s, d)
+        .select(col("user_id"), expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("cents")).as("spend"))
+        .localCheckpoint() // observed + design sweeps both read it; corpus once
+      val obs = users
+        .withColumn("arm", pmod(col("user_id"), lit(2)))
+        .agg(
+          sum(when(col("arm") === 1, col("spend")).otherwise(0L))
+            .cast("decimal(38,0)").as("s1"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("arm") === 0, col("spend")).otherwise(0L))
+            .cast("decimal(38,0)").as("s0"),
+          sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"))
+        .select(
+          expr("abs(s1 * n0 - s0 * n1)").as("t_obs"),
+          col("n0").as("n0_obs"), col("n1").as("n1_obs"))
+      val designs = users
+        .select(col("user_id"), col("spend"),
+          posexplode(array((0 until 64).map(lit): _*)).as(Seq("s", "zero")))
+        .withColumn("w",
+          expr("""(((2654435761 * (2 * s + 3)) % 2147483647) * (user_id % 2147483647)
+                  + 104729 * s) % 2147483647"""))
+        .withColumn("perm_arm", expr("(w * w) % 2147483647 % 2"))
+        .groupBy(col("s"))
+        .agg(
+          sum(when(col("perm_arm") === 1, col("spend")).otherwise(0L))
+            .cast("decimal(38,0)").as("s1"),
+          sum(when(col("perm_arm") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("perm_arm") === 0, col("spend")).otherwise(0L))
+            .cast("decimal(38,0)").as("s0"),
+          sum(when(col("perm_arm") === 0, 1L).otherwise(0L)).as("n0"))
+      designs.join(broadcast(obs), lit(true), "inner")
+        .agg(
+          count(lit(1)).as("k"),
+          sum(expr("""CASE WHEN abs(s1 * n0 - s0 * n1) * n0_obs * n1_obs
+                        >= t_obs * n0 * n1 THEN 1 ELSE 0 END"""))
+            .cast("long").as("n_extreme"),
+          max(col("n0_obs") + col("n1_obs")).as("n_users"))
+        .select(col("n_users"), col("k"), col("n_extreme"),
+          expr("((n_extreme + 1) * 1000000) div (k + 1)").as("p_ppm"),
+          expr("""CAST(CASE WHEN ((n_extreme + 1) * 1000000) div (k + 1) < 50000
+                 THEN 1 ELSE 0 END AS BIGINT)""").as("significant"))
+    },
+    Some("""WITH u AS (
+              SELECT user_id,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS spend
+              FROM events GROUP BY 1),
+            o AS (
+              SELECT
+                abs(sum(CASE WHEN user_id % 2 = 1 THEN CAST(spend AS HUGEINT) ELSE 0 END)
+                      * sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                    - sum(CASE WHEN user_id % 2 = 0 THEN CAST(spend AS HUGEINT) ELSE 0 END)
+                      * sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)) AS t_obs,
+                CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0_obs,
+                CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1_obs
+              FROM u),
+            w AS (
+              SELECT s.s, u.spend,
+                ((((2654435761 * (2 * s.s + 3)) % 2147483647) * (u.user_id % 2147483647)
+                  + 104729 * s.s) % 2147483647) AS wv
+              FROM u CROSS JOIN (SELECT unnest(range(0, 64)) AS s) s),
+            p AS (
+              SELECT s,
+                sum(CASE WHEN (wv * wv) % 2147483647 % 2 = 1
+                    THEN CAST(spend AS HUGEINT) ELSE 0 END) AS s1,
+                CAST(sum(CASE WHEN (wv * wv) % 2147483647 % 2 = 1
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                sum(CASE WHEN (wv * wv) % 2147483647 % 2 = 0
+                    THEN CAST(spend AS HUGEINT) ELSE 0 END) AS s0,
+                CAST(sum(CASE WHEN (wv * wv) % 2147483647 % 2 = 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n0
+              FROM w GROUP BY 1),
+            a AS (
+              SELECT CAST(count(*) AS BIGINT) AS k,
+                CAST(sum(CASE WHEN abs(p.s1 * p.n0 - p.s0 * p.n1) * o.n0_obs * o.n1_obs
+                          >= o.t_obs * p.n0 * p.n1 THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
+                CAST(max(o.n0_obs + o.n1_obs) AS BIGINT) AS n_users
+              FROM p, o)
+            SELECT n_users, k, n_extreme,
+              CAST(((n_extreme + 1) * 1000000) // (k + 1) AS BIGINT) AS p_ppm,
+              CAST(CASE WHEN ((n_extreme + 1) * 1000000) // (k + 1) < 50000
+                THEN 1 ELSE 0 END AS BIGINT) AS significant
+            FROM a""")
+  )
+
+  /** The incremental/streaming face of `x_ks_drift` — the per-source drift
+    * gate a pipeline runs as shards ARRIVE, not after the fact: the
+    * first-half-of-log reference CDF per event_type is persisted model state
+    * (value-cardinality-bounded — the integral-cents contract, ≤ ~49 002
+    * entries/group, the AnnIndex serving pattern), and the second half flows
+    * through [[graft.streaming.RainStorm.ksStream]], which folds each
+    * micro-batch into the per-group arrival histogram and emits the
+    * cumulative exact-integer KS readout. Run here on a single batch frame
+    * (the `x_curation_video_incremental` convention) so the streaming
+    * OPERATOR ITSELF is what the oracle checks; the multi-batch replay and
+    * its final-snapshot-equals-batch contract are pinned in
+    * RainStormStreamingSpec. Unlike the global `x_ks_drift`, this face
+    * reads per-GROUP drift (one readout per event_type), which is also why
+    * its state distributes (the ewmaStream 5-key precedent).
+    */
+  val ksDriftIncremental = Q(
+    "x_ks_drift_incremental",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type").as("grp"),
+        unix_date(col("ts").cast("date")).cast("long").as("di"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      val b   = ev.agg(min(col("di")).as("d0"), max(col("di")).as("d1")).collect().head
+      val mid = (b.getLong(0) + b.getLong(1)) / 2
+      // Reference histogram: bounded by the metric's value cardinality (the
+      // same bound the streaming state carries), never by rows — the one
+      // collect here is model-sized by construction.
+      val ref: Map[String, Map[Long, Long]] = ev.filter(col("di") <= mid)
+        .groupBy(col("grp"), col("cents")).agg(count(lit(1)).as("c"))
+        .collect().groupBy(_.getString(0))
+        .map { case (g, rows) => g -> rows.map(r => r.getLong(1) -> r.getLong(2)).toMap }
+      val arrivals = ev.filter(col("di") > mid).select(col("grp"), col("cents"))
+      graft.streaming.RainStorm.ksStream(s, arrivals, ref).toDF().orderBy("grp")
+    },
+    Some("""WITH e AS (
+              SELECT event_type AS grp,
+                CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS di,
+                CAST(round(value * 100) AS BIGINT) AS cents
+              FROM events),
+            b AS (SELECT min(di) AS d0, max(di) AS d1 FROM e),
+            h AS (
+              SELECT grp, cents,
+                CAST(sum(CASE WHEN di <= (d0 + d1) // 2 THEN 1 ELSE 0 END) AS BIGINT) AS cr,
+                CAST(sum(CASE WHEN di <= (d0 + d1) // 2 THEN 0 ELSE 1 END) AS BIGINT) AS cs
+              FROM e, b GROUP BY 1, 2),
+            c AS (
+              SELECT grp, cents,
+                CAST(sum(cs) OVER (PARTITION BY grp ORDER BY cents) AS BIGINT) AS cums,
+                CAST(sum(cr) OVER (PARTITION BY grp ORDER BY cents) AS BIGINT) AS cumr
+              FROM h),
+            t AS (SELECT grp, CAST(sum(cs) AS BIGINT) AS ns,
+                         CAST(sum(cr) AS BIGINT) AS nr FROM h GROUP BY 1),
+            v AS (SELECT c.grp, abs(cums * nr - cumr * ns) AS dev, ns, nr
+                  FROM c JOIN t ON c.grp = t.grp),
+            m AS (SELECT grp, max(dev) AS d_num, max(ns) AS ns, max(nr) AS nr
+                  FROM v GROUP BY 1)
+            SELECT grp, ns AS n_stream,
+              CAST(CASE WHEN ns * nr = 0 THEN 0
+                ELSE (CAST(d_num AS HUGEINT) * 1000000) // (ns * nr) END
+                AS BIGINT) AS d_ppm,
+              CAST(CASE WHEN ns * nr = 0 THEN 0
+                WHEN CAST(d_num AS HUGEINT) * d_num * 1000000
+                  > CAST(1844164 AS HUGEINT) * (ns + nr) * ns * nr
+                THEN 1 ELSE 0 END AS BIGINT) AS drifted
+            FROM m WHERE ns > 0 ORDER BY grp""")
+  )
+
+  val qs: Seq[Q] = Seq(mannWhitneyU, ksDrift, spearmanCorr, permutationTest,
+    ksDriftIncremental)
 }
+

@@ -1457,6 +1457,67 @@ object RainStorm {
     * Counter names and gate thresholds match the batch face so the two are
     * comparable series.
     */
+  final case class KsState(hist: Map[Long, Long])
+  final case class KsRow(grp: String, n_stream: Long, d_ppm: Long, drifted: Long)
+
+  /** Streaming two-sample Kolmogorov–Smirnov drift vs a FIXED reference
+    * distribution — the streaming face of `x_ks_drift`, completing the
+    * monitoring family's drift pair (ewma/cusum watch a MEAN; this watches
+    * the whole SHAPE of an arriving metric against a reference shard). Keyed
+    * by group (the ewmaStream 5-key precedent — nothing funnels through one
+    * task); per-key state is the arriving-value HISTOGRAM, bounded by value
+    * cardinality, not data (the integral-cents monitoring contract — the
+    * quantileBucketMap bound: ≤ ~49 002 entries/group on this metric
+    * domain), exactly like the reference CDF passed in `ref`, which is the
+    * same bounded histogram persisted from the reference shard (the
+    * AnnIndex/TextIndex model-state serving pattern). Each micro-batch
+    * folds its arrivals and emits the group's cumulative KS readout: the
+    * exact cross-multiplied integer D numerator (BigInt — no rationals, no
+    * IEEE), d_ppm, and the α = 0.05 gate (the same 1.358² ppm literal as
+    * the batch face). n_stream is monotone per key, so a replay's final
+    * snapshot is its max-n_stream row — RainStormStreamingSpec pins a split
+    * replay's final snapshot equal to the batch face.
+    */
+  def ksStream(
+      spark: SparkSession,
+      arrivals: DataFrame, // (grp string, cents long)
+      ref: Map[String, Map[Long, Long]] // per-group reference value histogram
+  ): Dataset[KsRow] = {
+    import spark.implicits._
+    arrivals
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[KsState, KsRow](
+        OutputMode.Update(),
+        GroupStateTimeout.NoTimeout
+      ) { (grp: String, rows: Iterator[(String, Long)], state: GroupState[KsState]) =>
+        var m = state.getOption.map(_.hist).getOrElse(Map.empty[Long, Long])
+        rows.foreach { case (_, c) => m = m.updated(c, m.getOrElse(c, 0L) + 1L) }
+        state.update(KsState(m))
+        val rh = ref.getOrElse(grp, Map.empty[Long, Long])
+        val nS = m.valuesIterator.sum
+        val nR = rh.valuesIterator.sum
+        if (nS == 0L || nR == 0L) Iterator.single(KsRow(grp, nS, 0L, 0L))
+        else {
+          val support = (m.keySet ++ rh.keySet).toArray.sorted
+          var cs = 0L
+          var cr = 0L
+          var dNum = BigInt(0)
+          support.foreach { v =>
+            cs += m.getOrElse(v, 0L)
+            cr += rh.getOrElse(v, 0L)
+            val dev = (BigInt(cs) * nR - BigInt(cr) * nS).abs
+            if (dev > dNum) dNum = dev
+          }
+          val dPpm = (dNum * 1000000 / (BigInt(nS) * nR)).toLong
+          val drifted =
+            if (dNum * dNum * 1000000 > BigInt(1844164) * (nS + nR) * nS * nR) 1L
+            else 0L
+          Iterator.single(KsRow(grp, nS, dPpm, drifted))
+        }
+      }
+  }
+
   def observeGateStream(docs: DataFrame): DataFrame =
     docs
       .observe("curation_gate",

@@ -85,6 +85,50 @@ class RankStatsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("significant") == 0L)
   }
 
+  test("permutation_test: planted separation is extreme vs every hash design; null data is not") {
+    // 40 users, even arm ~100.00, odd arm ~5000.00 — the observed split is
+    // the most extreme labelling; no hash design should reproduce it.
+    val sep = (0 until 40).map { u =>
+      val v = if (u % 2 == 0) 100.0 + u else 5000.0 + u
+      (u.toLong, ts(1 + u % 28), u.toLong, "view", v, "")
+    }
+    val dirSep = "/tmp/graft_rankstats_perm_sep"
+    writeEvents(dirSep, sep)
+    val r = RankStats.permutationTest.run(spark, dirSep).collect().head
+    assert(r.getAs[Long]("n_users") == 40L && r.getAs[Long]("k") == 64L)
+    // driver-side replay of the 64 designs over the same closed form
+    val spend = (0 until 40).map(u => u.toLong -> math.round((if (u % 2 == 0) 100.0 + u else 5000.0 + u) * 100)).toMap
+    def stat(armOf: Long => Long): (BigInt, BigInt, BigInt) = {
+      var s0, s1 = BigInt(0); var n0, n1 = 0L
+      spend.foreach { case (u, c) =>
+        if (armOf(u) == 1) { s1 += c; n1 += 1 } else { s0 += c; n0 += 1 }
+      }
+      ((s1 * n0 - s0 * n1).abs, BigInt(n0), BigInt(n1))
+    }
+    val (tObs, n0o, n1o) = stat(u => u % 2)
+    val extreme = (0 until 64).count { s =>
+      val (t, n0, n1) = stat { u =>
+        val w = ((2654435761L * (2 * s + 3)) % 2147483647L * (u % 2147483647L)
+          + 104729L * s) % 2147483647L
+        w * w % 2147483647L % 2
+      }
+      t * n0o * n1o >= tObs * n0 * n1
+    }
+    assert(r.getAs[Long]("n_extreme") == extreme.toLong)
+    assert(r.getAs[Long]("p_ppm") == (extreme + 1L) * 1000000L / 65L)
+    assert(extreme == 0, s"no fixed design should match a planted 50x separation, got $extreme")
+    assert(r.getAs[Long]("significant") == 1L)
+
+    // identical spends: every |mean diff| numerator collapses to the same
+    // scaled form — the observed split is NOT special, p stays large.
+    val nul = (0 until 40).map { u => (u.toLong, ts(1 + u % 28), u.toLong, "view", 100.0, "") }
+    val dirNull = "/tmp/graft_rankstats_perm_null"
+    writeEvents(dirNull, nul)
+    val rn = RankStats.permutationTest.run(spark, dirNull).collect().head
+    assert(rn.getAs[Long]("significant") == 0L)
+    assert(rn.getAs[Long]("p_ppm") == 1000000L)
+  }
+
   private def writeOrders(dir: String, rows: Seq[(Long, Long, String, Double, java.sql.Date, String)]): Unit = {
     import spark.implicits._
     rows.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
