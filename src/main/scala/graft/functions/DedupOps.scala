@@ -199,9 +199,27 @@ object DedupOps {
     val withSh  = docs.select(col(idCol), NativeFns.word_shingle_hashes(col(textCol), shingleN).as("sh"))
     val withSig = withSh.withColumn("sig", NativeFns.minhash_sig_long(col("sh"), k))
     val cands   = lshCandidatePairs(withSig.select(col(idCol), col("sig")), idCol, "sig", bands, rowsPerBand)
+    // EXACT-SAFE size-ratio prefilter before any shingle array ships:
+    // J(A,B) ≥ t forces |A∩B| ≥ t·|A∪B| with |A∩B| ≤ min and |A∪B| ≥ max,
+    // so min(|A|,|B|) ≥ t·max(|A|,|B|) is a NECESSARY condition — filtering
+    // on it can never drop a true pair. It matters because sub-threshold
+    // band collisions dominate the candidate set (the gen100 replay measured
+    // 315.8M candidates at 5M docs on the low-entropy synthetic vocabulary —
+    // a 2-gram space of ~10³ shingles makes single-band agreement a
+    // constant-rate event per pair), and each surviving candidate drags TWO
+    // shingle-hash arrays through the verify join. The size join moves
+    // 16-byte rows; the arrays join only the survivors.
+    val szA = withSh.select(col(idCol).cast("long").as("id_a"), size(col("sh")).as("__sza"))
+    val szB = withSh.select(col(idCol).cast("long").as("id_b"), size(col("sh")).as("__szb"))
+    val sized = cands
+      .join(szA.hint("shuffle_hash"), "id_a")
+      .join(szB.hint("shuffle_hash"), "id_b")
+      .filter(least(col("__sza"), col("__szb")).cast("double")
+        >= lit(threshold) * greatest(col("__sza"), col("__szb")).cast("double"))
+      .select(col("id_a"), col("id_b"))
     val a = withSh.select(col(idCol).as("id_a"), col("sh").as("sh_a"))
     val b = withSh.select(col(idCol).as("id_b"), col("sh").as("sh_b"))
-    cands
+    sized
       .join(a.hint("shuffle_hash"), "id_a")
       .join(b.hint("shuffle_hash"), "id_b")
       .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))

@@ -273,7 +273,11 @@ object RankStats {
             dd * dd
           }).as("sd2"))
         .select(col("n"),
-          col("sd2").cast("long").as("sum_d2"),
+          // Σd² ≤ n³/3 passes BIGINT at ~3e6 rows — the gen100 replay caught
+          // exactly that (15M customers → 8.2e19, CAST_OVERFLOW), so the
+          // witness column publishes as DECIMAL(38,0) on BOTH engines
+          // (exact to n ≈ 6.7e12 rows); rho_ppm itself always fits a long.
+          col("sd2").cast("decimal(38,0)").as("sum_d2"),
           expr("""CAST(1000000 - (CAST(sd2 AS DECIMAL(38,0)) * 6000000)
                     div greatest(CAST(n AS DECIMAL(38,0)) * (CAST(n AS DECIMAL(38,0)) * n - 1), 1)
                   AS BIGINT)""").as("rho_ppm"))
@@ -288,11 +292,11 @@ object RankStats {
               FROM c),
             a AS (
               SELECT CAST(count(*) AS BIGINT) AS n,
-                CAST(sum((rx - ry) * (rx - ry)) AS BIGINT) AS sum_d2
+                sum(CAST(rx - ry AS HUGEINT) * (rx - ry)) AS sum_d2
               FROM r)
-            SELECT n, sum_d2,
+            SELECT n, CAST(sum_d2 AS DECIMAL(38,0)) AS sum_d2,
               CAST(1000000 - (CAST(sum_d2 AS HUGEINT) * 6000000)
-                // GREATEST(CAST(n AS HUGEINT) * (n * n - 1), 1) AS BIGINT) AS rho_ppm
+                // GREATEST(CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * n - 1), 1) AS BIGINT) AS rho_ppm
             FROM a""")
   )
 
