@@ -209,8 +209,10 @@ object DedupOps {
     // constant-rate event per pair), and each surviving candidate drags TWO
     // shingle-hash arrays through the verify join. The size join moves
     // 16-byte rows; the arrays join only the survivors.
-    val szA = withSh.select(col(idCol).cast("long").as("id_a"), size(col("sh")).as("__sza"))
-    val szB = withSh.select(col(idCol).cast("long").as("id_b"), size(col("sh")).as("__szb"))
+    // Join on the UNCAST id (the sh_a/sh_b joins' convention): a cast-to-long
+    // here would null out string ids and silently drop every candidate.
+    val szA = withSh.select(col(idCol).as("id_a"), size(col("sh")).as("__sza"))
+    val szB = withSh.select(col(idCol).as("id_b"), size(col("sh")).as("__szb"))
     val sized = cands
       .join(szA.hint("shuffle_hash"), "id_a")
       .join(szB.hint("shuffle_hash"), "id_b")

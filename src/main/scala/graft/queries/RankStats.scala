@@ -250,8 +250,9 @@ object RankStats {
     * (`metric + custkey·2⁻⁴⁰`): order counts are Poisson-tied (the modal
     * count holds ~10% of customers), and the surrogate spreads each tie
     * class across slices instead of funnelling one task; exactness never
-    * depends on it. Σd² sums in DECIMAL(38,0); ρ is published in exact
-    * truncating ppm.
+    * depends on it. Σd² sums in DECIMAL(38,0) and publishes as DOUBLE (the
+    * driver-hash-proven type set — both engines correctly-round the same
+    * exact integer); ρ is published in exact truncating ppm (BIGINT).
     */
   val spearmanCorr = Q(
     "x_spearman_corr",
@@ -274,10 +275,13 @@ object RankStats {
           }).as("sd2"))
         .select(col("n"),
           // Σd² ≤ n³/3 passes BIGINT at ~3e6 rows — the gen100 replay caught
-          // exactly that (15M customers → 8.2e19, CAST_OVERFLOW), so the
-          // witness column publishes as DECIMAL(38,0) on BOTH engines
-          // (exact to n ≈ 6.7e12 rows); rho_ppm itself always fits a long.
-          col("sd2").cast("decimal(38,0)").as("sum_d2"),
+          // exactly that (15M customers → 8.2e19, CAST_OVERFLOW) — so the
+          // witness publishes as DOUBLE on BOTH engines: each side rounds the
+          // SAME exact integer (Spark DECIMAL(38,0), DuckDB HUGEINT) with the
+          // correctly-rounded IEEE conversion, so the bits agree. DECIMAL
+          // itself is outside the driver-hash-proven type set (the r15 red
+          // row; tools/published_type_lint.py now gates the class).
+          col("sd2").cast("decimal(38,0)").cast("double").as("sum_d2"),
           expr("""CAST(1000000 - (CAST(sd2 AS DECIMAL(38,0)) * 6000000)
                     div greatest(CAST(n AS DECIMAL(38,0)) * (CAST(n AS DECIMAL(38,0)) * n - 1), 1)
                   AS BIGINT)""").as("rho_ppm"))
@@ -294,7 +298,7 @@ object RankStats {
               SELECT CAST(count(*) AS BIGINT) AS n,
                 sum(CAST(rx - ry AS HUGEINT) * (rx - ry)) AS sum_d2
               FROM r)
-            SELECT n, CAST(sum_d2 AS DECIMAL(38,0)) AS sum_d2,
+            SELECT n, CAST(sum_d2 AS DOUBLE) AS sum_d2,
               CAST(1000000 - (CAST(sum_d2 AS HUGEINT) * 6000000)
                 // GREATEST(CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * n - 1), 1) AS BIGINT) AS rho_ppm
             FROM a""")
@@ -371,8 +375,15 @@ object RankStats {
           sum(when(col("perm_arm") === 0, 1L).otherwise(0L)).as("n0"))
       designs.join(broadcast(obs), lit(true), "inner")
         .agg(
-          count(lit(1)).as("k"),
-          sum(expr("""CASE WHEN abs(s1 * n0 - s0 * n1) * n0_obs * n1_obs
+          // A degenerate design (every user in one arm) has an undefined
+          // mean difference — the cross-multiplied comparison collapses to
+          // 0 >= 0, vacuously extreme — so such designs are excluded from
+          // BOTH k and the extreme count (probability is negligible for the
+          // verified-fair mixers; the guard makes the comparison well-posed).
+          sum(expr("CASE WHEN n0 > 0 AND n1 > 0 THEN 1 ELSE 0 END"))
+            .cast("long").as("k"),
+          sum(expr("""CASE WHEN n0 > 0 AND n1 > 0
+                        AND abs(s1 * n0 - s0 * n1) * n0_obs * n1_obs
                         >= t_obs * n0 * n1 THEN 1 ELSE 0 END"""))
             .cast("long").as("n_extreme"),
           max(col("n0_obs") + col("n1_obs")).as("n_users"))
@@ -411,8 +422,10 @@ object RankStats {
                     THEN 1 ELSE 0 END) AS BIGINT) AS n0
               FROM w GROUP BY 1),
             a AS (
-              SELECT CAST(count(*) AS BIGINT) AS k,
-                CAST(sum(CASE WHEN abs(p.s1 * p.n0 - p.s0 * p.n1) * o.n0_obs * o.n1_obs
+              SELECT CAST(sum(CASE WHEN p.n0 > 0 AND p.n1 > 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS k,
+                CAST(sum(CASE WHEN p.n0 > 0 AND p.n1 > 0
+                          AND abs(p.s1 * p.n0 - p.s0 * p.n1) * o.n0_obs * o.n1_obs
                           >= o.t_obs * p.n0 * p.n1 THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
                 CAST(max(o.n0_obs + o.n1_obs) AS BIGINT) AS n_users
               FROM p, o)
@@ -444,17 +457,25 @@ object RankStats {
       val ev = Tables.events(s, d).select(col("event_type").as("grp"),
         unix_date(col("ts").cast("date")).cast("long").as("di"),
         expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
-      val b   = ev.agg(min(col("di")).as("d0"), max(col("di")).as("d1")).collect().head
-      val mid = (b.getLong(0) + b.getLong(1)) / 2
-      // Reference histogram: bounded by the metric's value cardinality (the
-      // same bound the streaming state carries), never by rows — the one
-      // collect here is model-sized by construction.
-      val ref: Map[String, Map[Long, Long]] = ev.filter(col("di") <= mid)
-        .groupBy(col("grp"), col("cents")).agg(count(lit(1)).as("c"))
-        .collect().groupBy(_.getString(0))
-        .map { case (g, rows) => g -> rows.map(r => r.getLong(1) -> r.getLong(2)).toMap }
-      val arrivals = ev.filter(col("di") > mid).select(col("grp"), col("cents"))
-      graft.streaming.RainStorm.ksStream(s, arrivals, ref).toDF().orderBy("grp")
+      val b = ev.agg(min(col("di")).as("d0"), max(col("di")).as("d1")).collect().head
+      if (b.isNullAt(0)) {
+        // Empty events table: min/max are NULL — the oracle's `WHERE ns > 0`
+        // face is the empty frame, so emit it (typed) instead of NPE-ing on
+        // the bounds row.
+        import s.implicits._
+        s.emptyDataset[graft.streaming.RainStorm.KsRow].toDF()
+      } else {
+        val mid = (b.getLong(0) + b.getLong(1)) / 2
+        // Reference histogram: bounded by the metric's value cardinality (the
+        // same bound the streaming state carries), never by rows — the one
+        // collect here is model-sized by construction.
+        val ref: Map[String, Map[Long, Long]] = ev.filter(col("di") <= mid)
+          .groupBy(col("grp"), col("cents")).agg(count(lit(1)).as("c"))
+          .collect().groupBy(_.getString(0))
+          .map { case (g, rows) => g -> rows.map(r => r.getLong(1) -> r.getLong(2)).toMap }
+        val arrivals = ev.filter(col("di") > mid).select(col("grp"), col("cents"))
+        graft.streaming.RainStorm.ksStream(s, arrivals, ref).toDF().orderBy("grp")
+      }
     },
     Some("""WITH e AS (
               SELECT event_type AS grp,
@@ -489,7 +510,78 @@ object RankStats {
             FROM m WHERE ns > 0 ORDER BY grp""")
   )
 
+  /** The incremental/streaming face of `x_mannwhitney_u` — completing the
+    * rank-statistics family's batch/streaming symmetry (every other
+    * monitoring statistic here pairs a batch face with an arriving one: KS,
+    * funnel, CDC, ER, skyline). Same frame as `x_ks_drift_incremental`: the
+    * first-half-of-log per-event_type value histogram is persisted reference
+    * state (value-cardinality-bounded), the second half flows through
+    * [[graft.streaming.RainStorm.mannWhitneyStream]], and the readout per
+    * group is the stream arm's doubled U plus the tie-corrected asymptotic z
+    * — "did this source's arriving metric become stochastically larger than
+    * its reference shard?", the order-shift gate where KS is the shape-drift
+    * gate. Run here on a single batch frame (the
+    * `x_curation_video_incremental` convention) so the streaming OPERATOR
+    * ITSELF is what the oracle checks; the multi-batch replay and its
+    * final-snapshot-equals-batch contract are pinned in
+    * RainStormStreamingSpec.
+    */
+  val mannWhitneyIncremental = Q(
+    "x_mannwhitney_incremental",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type").as("grp"),
+        unix_date(col("ts").cast("date")).cast("long").as("di"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      val b = ev.agg(min(col("di")).as("d0"), max(col("di")).as("d1")).collect().head
+      if (b.isNullAt(0)) {
+        import s.implicits._
+        s.emptyDataset[graft.streaming.RainStorm.MwRow].toDF()
+      } else {
+        val mid = (b.getLong(0) + b.getLong(1)) / 2
+        val ref: Map[String, Map[Long, Long]] = ev.filter(col("di") <= mid)
+          .groupBy(col("grp"), col("cents")).agg(count(lit(1)).as("c"))
+          .collect().groupBy(_.getString(0))
+          .map { case (g, rows) => g -> rows.map(r => r.getLong(1) -> r.getLong(2)).toMap }
+        val arrivals = ev.filter(col("di") > mid).select(col("grp"), col("cents"))
+        graft.streaming.RainStorm.mannWhitneyStream(s, arrivals, ref).toDF().orderBy("grp")
+      }
+    },
+    Some(s"""WITH e AS (
+              SELECT event_type AS grp,
+                CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS di,
+                CAST(round(value * 100) AS BIGINT) AS cents
+              FROM events),
+            bd AS (SELECT min(di) AS d0, max(di) AS d1 FROM e),
+            h AS (
+              SELECT grp, cents,
+                CAST(sum(CASE WHEN di <= (d0 + d1) // 2 THEN 1 ELSE 0 END) AS BIGINT) AS cr,
+                CAST(sum(CASE WHEN di <= (d0 + d1) // 2 THEN 0 ELSE 1 END) AS BIGINT) AS cs
+              FROM e, bd GROUP BY 1, 2),
+            c AS (
+              SELECT grp, cents, cr, cs,
+                COALESCE(sum(cr + cs) OVER (PARTITION BY grp ORDER BY cents
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+              FROM h),
+            a AS (
+              SELECT grp,
+                CAST(sum(cs) AS BIGINT) AS n_a, CAST(sum(cr) AS BIGINT) AS n_b,
+                CAST(sum(cs * (2 * cb + cr + cs + 1)) AS BIGINT) AS r1x2,
+                CAST(sum(CAST(cr + cs AS HUGEINT) * (cr + cs) * (cr + cs) - (cr + cs))
+                  AS BIGINT) AS tie_cubes
+              FROM c GROUP BY 1),
+            b AS (
+              SELECT grp, n_a, n_b, CAST(r1x2 - n_a * (n_a + 1) AS BIGINT) AS u_a_x2,
+                tie_cubes
+              FROM a),
+            z AS (
+              SELECT *, $zShape AS z FROM b)
+            SELECT grp, n_a AS n_stream, u_a_x2,
+              CAST(floor(z * 1000 + 0.5) AS BIGINT) AS z_milli,
+              CAST(CASE WHEN abs(z) > 1.96 THEN 1 ELSE 0 END AS BIGINT) AS significant
+            FROM z WHERE n_a > 0 ORDER BY grp""")
+  )
+
   val qs: Seq[Q] = Seq(mannWhitneyU, ksDrift, spearmanCorr, permutationTest,
-    ksDriftIncremental)
+    ksDriftIncremental, mannWhitneyIncremental)
 }
 

@@ -965,6 +965,56 @@ class RainStormStreamingSpec extends AnyFunSuite {
       "per-group histogram state must make the 3-batch replay's final KS equal the batch face")
   }
 
+  test("mannWhitneyStream: split replay's final snapshot equals the batch face") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // mirror x_mannwhitney_incremental's frame: first half = reference,
+    // second half arrives across THREE micro-batches.
+    val ev = Tables.events(spark, TestSpark.sf0001)
+      .select(col("event_type").as("grp"),
+        unix_date(col("ts").cast("date")).cast("long").as("di"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val b   = ev.agg(min(col("di")), max(col("di"))).collect().head
+    val mid = (b.getLong(0) + b.getLong(1)) / 2
+    val ref = ev.filter(col("di") <= mid)
+      .groupBy(col("grp"), col("cents")).agg(count(lit(1)).as("c"))
+      .collect().groupBy(_.getString(0))
+      .map { case (g, rows) => g -> rows.map(r => r.getLong(1) -> r.getLong(2)).toMap }
+    val arrivals = ev.filter(col("di") > mid)
+      .select(col("grp"), col("cents")).as[(String, Long)].collect().toSeq
+    val chunks = arrivals.grouped((arrivals.size + 2) / 3).toSeq
+
+    val in = MemoryStream[(String, Long)]
+    val q = graft.streaming.RainStorm
+      .mannWhitneyStream(spark, in.toDF().toDF("grp", "cents"), ref)
+      .writeStream.outputMode("update").format("memory").queryName("mw_stream").start()
+    try {
+      chunks.foreach { c => in.addData(c.toIndexedSeq: _*); q.processAllAvailable() }
+    } finally q.stop()
+
+    // n_stream is monotone per key → the final snapshot is its max-n row
+    val streamed = spark.table("mw_stream")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("grp"))
+          .orderBy(col("n_stream").desc)))
+      .filter(col("rn") === 1).drop("rn")
+      .collect()
+      .map(r => (r.getAs[String]("grp"),
+        (r.getAs[Long]("n_stream"), r.getAs[Long]("u_a_x2"),
+          r.getAs[Long]("z_milli"), r.getAs[Long]("significant"))))
+      .toMap
+    val batch = graft.queries.RankStats.mannWhitneyIncremental.run(spark, TestSpark.sf0001)
+      .collect()
+      .map(r => (r.getAs[String]("grp"),
+        (r.getAs[Long]("n_stream"), r.getAs[Long]("u_a_x2"),
+          r.getAs[Long]("z_milli"), r.getAs[Long]("significant"))))
+      .toMap
+    assert(streamed === batch,
+      "per-group histogram state must make the 3-batch replay's final U equal the batch face")
+  }
+
   test("observeGateStream: per-batch audit counters ride the progress channel") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

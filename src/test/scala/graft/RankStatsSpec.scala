@@ -150,7 +150,7 @@ class RankStatsSpec extends AnyFunSuite {
     writeOrders(upDir, up)
     val u = RankStats.spearmanCorr.run(spark, upDir).collect().head
     assert(u.getAs[Long]("n") == n.toLong)
-    assert(u.getAs[java.math.BigDecimal]("sum_d2").longValueExact() == 0L)
+    assert(u.getAs[Double]("sum_d2") == 0.0)
     assert(u.getAs[Long]("rho_ppm") == 1000000L)
 
     // customer k: k+1 orders; spend strictly DECREASING in k → reversed
@@ -164,7 +164,7 @@ class RankStatsSpec extends AnyFunSuite {
     val downDir = "/tmp/graft_rankstats_sp_down"
     writeOrders(downDir, down)
     val dn = RankStats.spearmanCorr.run(spark, downDir).collect().head
-    assert(dn.getAs[java.math.BigDecimal]("sum_d2").longValueExact() == n.toLong * (n.toLong * n - 1) / 3)
+    assert(dn.getAs[Double]("sum_d2") == (n.toLong * (n.toLong * n - 1) / 3).toDouble)
     assert(dn.getAs[Long]("rho_ppm") == -1000000L)
   }
 }

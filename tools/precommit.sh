@@ -36,6 +36,27 @@ else
   echo "pre-commit: duckdb unavailable; type audit skipped (driver-side only)."
 fi
 
+# Published-type lint (r15 verdict item #1): every oracled query's output
+# schema must use only the driver-hash-PROVEN types {BIGINT, DOUBLE, STRING,
+# DATE, TIMESTAMP_NTZ} — the x_spearman_corr DECIMAL class, where both
+# engines AGREE on a type the driver hash still rejects, which type_audit's
+# side-by-side compare cannot see.
+if command -v python3 >/dev/null && python3 -c 'import pyarrow' 2>/dev/null; then
+  python3 tools/published_type_lint.py --selftest >/dev/null || {
+    echo "pre-commit: published_type_lint SELFTEST failed — the planted"
+    echo "DECIMAL no longer fails; fix tools/published_type_lint.py."
+    exit 1
+  }
+  python3 tools/published_type_lint.py "$OUT" "$SF" || {
+    echo "pre-commit: published-type lint FAILED — a query publishes a"
+    echo "column type outside the driver-hash-proven set. CAST it to"
+    echo "BIGINT/DOUBLE/STRING/DATE/TIMESTAMP on BOTH engines."
+    exit 1
+  }
+else
+  echo "pre-commit: pyarrow unavailable; published-type lint skipped."
+fi
+
 # Registry-vs-EXPLAIN diff: every registry query must have a formatted plan
 # in EXPLAIN.md (the r12 verdict found two late landings shipped without
 # one). Verify dumps registry.json (all names, incl. no_oracle queries).
