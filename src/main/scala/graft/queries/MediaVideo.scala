@@ -53,14 +53,17 @@ object MediaVideo {
     * the per-pixel referee replays; the sweep cross-checks the two faces on
     * a dir where both run before trusting this one at 100×.
     */
-  private def histCte: String =
+  private def pqCte: String =
     geomCte + """,
             gi AS (SELECT doc_id, hx, len, w, h, n, unnest(range(0, w * h)) AS i FROM g),
             pq AS (SELECT doc_id, w, h, n,
                      (16*(strpos('0123456789ABCDEF', hx[2*(i%len)+1])-1)
                         + (strpos('0123456789ABCDEF', hx[2*(i%len)+2])-1)
                       + 3*i) % 256 AS q
-                   FROM gi),
+                   FROM gi)"""
+
+  private def histCte: String =
+    pqCte + """,
             hist AS (SELECT doc_id, w, h, n, q, count(*) AS c
                      FROM pq GROUP BY doc_id, w, h, n, q)"""
 
@@ -460,17 +463,48 @@ object MediaVideo {
     // GEN FACE: the primary already avoids the lag window but still
     // enumerates every (frame, pixel) row; this face reduces both the
     // arriving-clip motion gate and the corpus fingerprint set to the
-    // per-doc histogram (one linear pixel pass for ALL docs).
-    genOracle = Some(histCte + """,
+    // per-doc histogram (one linear pixel pass for ALL docs). Unlike the
+    // batch face (whose lang/length gate prefilters the doc set), this one
+    // runs ALL docs — so the frames x 256-bin-histogram join that the batch
+    // face tolerates becomes a ~10B-row spill at 5M docs (measured: blew the
+    // sandbox's disk at gen100, twice — the per-(doc,q) histogram is itself
+    // a ~750M-GROUP aggregate whose hash state spills before the join even
+    // starts). The wrap offsets c(f) = 40*(f div 4) + f mod 4 take only 13
+    // FIXED values for n <= 13 frames, so the RAW pixel rows fold STRAIGHT
+    // to one wide row per doc (suffix counts at those 13 thresholds — a
+    // 750M-row -> 5M-group streaming aggregate, no histogram intermediate),
+    // and the per-frame wrap counts are CASE lookups on a 1:1 join — linear
+    // end to end.
+    genOracle = Some(pqCte + """,
+            hagg AS (SELECT doc_id, w, h, n, sum(q) AS sq,
+                     sum(CASE WHEN q >= 255 THEN 1 ELSE 0 END) AS wt1,
+                     sum(CASE WHEN q >= 254 THEN 1 ELSE 0 END) AS wt2,
+                     sum(CASE WHEN q >= 253 THEN 1 ELSE 0 END) AS wt3,
+                     sum(CASE WHEN q >= 216 THEN 1 ELSE 0 END) AS wt40,
+                     sum(CASE WHEN q >= 215 THEN 1 ELSE 0 END) AS wt41,
+                     sum(CASE WHEN q >= 214 THEN 1 ELSE 0 END) AS wt42,
+                     sum(CASE WHEN q >= 213 THEN 1 ELSE 0 END) AS wt43,
+                     sum(CASE WHEN q >= 176 THEN 1 ELSE 0 END) AS wt80,
+                     sum(CASE WHEN q >= 175 THEN 1 ELSE 0 END) AS wt81,
+                     sum(CASE WHEN q >= 174 THEN 1 ELSE 0 END) AS wt82,
+                     sum(CASE WHEN q >= 173 THEN 1 ELSE 0 END) AS wt83,
+                     sum(CASE WHEN q >= 136 THEN 1 ELSE 0 END) AS wt120
+                   FROM pq GROUP BY doc_id, w, h, n),
             fr AS (SELECT doc_id, w, h, n, unnest(range(1, n)) AS f FROM g),
-            wv AS (SELECT fr.doc_id, fr.w, fr.h, fr.n, fr.f,
-                     sum(CASE WHEN h2.q >= 256 - (40*(fr.f//4) + (fr.f%4))
-                         THEN h2.c ELSE 0 END) AS wf,
-                     sum(CASE WHEN h2.q >= 256 - (40*((fr.f-1)//4) + ((fr.f-1)%4))
-                         THEN h2.c ELSE 0 END) AS wp,
-                     sum(h2.c * h2.q) AS sq
-                   FROM fr JOIN hist h2 USING (doc_id)
-                   GROUP BY fr.doc_id, fr.w, fr.h, fr.n, fr.f),
+            wv AS (SELECT fr.doc_id, fr.w, fr.h, fr.n, fr.f, ha.sq,
+                     CASE (40*(fr.f//4) + (fr.f%4))
+                       WHEN 0 THEN 0 WHEN 1 THEN wt1 WHEN 2 THEN wt2
+                       WHEN 3 THEN wt3 WHEN 40 THEN wt40 WHEN 41 THEN wt41
+                       WHEN 42 THEN wt42 WHEN 43 THEN wt43 WHEN 80 THEN wt80
+                       WHEN 81 THEN wt81 WHEN 82 THEN wt82 WHEN 83 THEN wt83
+                       WHEN 120 THEN wt120 END AS wf,
+                     CASE (40*((fr.f-1)//4) + ((fr.f-1)%4))
+                       WHEN 0 THEN 0 WHEN 1 THEN wt1 WHEN 2 THEN wt2
+                       WHEN 3 THEN wt3 WHEN 40 THEN wt40 WHEN 41 THEN wt41
+                       WHEN 42 THEN wt42 WHEN 43 THEN wt43 WHEN 80 THEN wt80
+                       WHEN 81 THEN wt81 WHEN 82 THEN wt82 WHEN 83 THEN wt83
+                       WHEN 120 THEN wt120 END AS wp
+                   FROM fr JOIN hagg ha USING (doc_id)),
             dv AS (SELECT doc_id, w, h, n, f,
                      (CASE WHEN f % 4 = 0 THEN 37 ELSE 1 END) * w * h
                      + (256 - 2*(CASE WHEN f % 4 = 0 THEN 37 ELSE 1 END)) * (wf - wp) AS sad,

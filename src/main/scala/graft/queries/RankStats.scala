@@ -581,7 +581,136 @@ object RankStats {
             FROM z WHERE n_a > 0 ORDER BY grp""")
   )
 
+  /** The event_type domain is SCHEMA-bounded (5 values) — the
+    * `x_chi2_independence` "15 cells" precedent — so the per-group results
+    * pivot onto ONE row with fixed columns and the final H statistic is a
+    * scalar expression over named columns: no SUM over a variable number of
+    * double rows, hence no IEEE summation-order nondeterminism between
+    * engines.
+    */
+  private val kwTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Tie-corrected Kruskal–Wallis H in the identical double shape on both
+    * engines, over the pivoted one-row frame: per-group count m_<t> and
+    * doubled rank-sum deviation d_<t> = 2·R_t − m_t·(n+1) (both BIGINT), plus
+    * n and ties = Σ t³−t. Using Σ_j m_j·(R̄_j − (n+1)/2)² = Σ_j d_j²/(4·m_j),
+    * H = [12/(n(n+1))]·Σ d_j²/(4 m_j) / corr = 3·Σ(d_j²/m_j)/(n(n+1))/corr
+    * with corr = 1 − ties/(n³−n). Degenerate frames (n < 2, a single group,
+    * or all values tied so corr ≤ 0) pin H = 0.
+    */
+  private val hShape = {
+    val sumTerm = kwTypes.map(t =>
+      s"CASE WHEN m_$t > 0 THEN CAST(d_$t AS DOUBLE) * CAST(d_$t AS DOUBLE) " +
+        s"/ CAST(m_$t AS DOUBLE) ELSE 0.0 END").mkString("(", " + ", ")")
+    val corr = "(1.0 - CAST(ties AS DOUBLE) / (CAST(n AS DOUBLE) * " +
+      "CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)))"
+    s"""CASE WHEN n < 2 OR k < 2 THEN 0.0
+       |     WHEN $corr <= 0.0 THEN 0.0
+       |     ELSE 3.0 * $sumTerm
+       |          / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) / $corr
+       |END""".stripMargin
+  }
+
+  /** χ² critical values at α = 0.05 in milli, df = k−1 for k = 2…5 groups. */
+  private val kwCrit =
+    "(CASE k WHEN 2 THEN 3841 WHEN 3 THEN 5991 WHEN 4 THEN 7815 WHEN 5 THEN 9488 ELSE 0 END)"
+
+  /** Kruskal–Wallis one-way rank ANOVA across the five event_type arms on
+    * per-event metric value in cents — the k-sample extension of
+    * `x_mannwhitney_u` (Kruskal & Wallis 1952): "does ANY source's metric
+    * distribution sit systematically higher or lower than the others?",
+    * with no normality assumption and the standard average-rank tie
+    * treatment. The omnibus gate a pipeline runs before drilling into
+    * pairwise Mann–Whitney comparisons.
+    *
+    * Exact integers to the last step: the corpus collapses to the per-cents
+    * VALUE HISTOGRAM split by group (one hash exchange), the global
+    * cumulative-before count comes from ONE [[Layout.twoPhasePrefixSumBefore]]
+    * pass over the value histogram (never a corpus window), and each group's
+    * doubled rank sum 2·R_j = Σ_v c_j(v)·(2·cb(v) + t(v) + 1) and deviation
+    * d_j = 2R_j − m_j(n+1) are exact BIGINTs (|d_j| ≤ m_j·(n−1): exact while
+    * m_j·n < 2⁶³ ≈ 10¹⁸·9, far past any tested scale; internal sums run in
+    * DECIMAL(38,0)). The one IEEE step is the final H ratio over the ONE
+    * pivoted row in the identical expression shape on both engines
+    * ([[hShape]] — the zShape precedent). Published h_milli is the rounded
+    * tie-corrected H; significance is the χ²(k−1) gate at α = 0.05.
+    */
+  val kruskalWallis = Q(
+    "x_kruskal_wallis",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type").as("grp"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      val hist = ev.groupBy(col("cents"), col("grp")).agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val vhist = hist.groupBy(col("cents")).agg(sum(col("c")).as("t"))
+        .localCheckpoint()
+      val cum = Layout.twoPhasePrefixSumBefore(vhist, "cb", col("t"), col("cents"))
+      val per = hist.join(cum.select(col("cents"), col("cb"), col("t")), Seq("cents"))
+        .groupBy(col("grp"))
+        .agg(sum(col("c")).as("m"),
+          sum((col("c") * (lit(2L) * col("cb") + col("t") + lit(1L)))
+            .cast("decimal(38,0)")).as("r2"))
+      val tot = vhist.agg(sum(col("t")).as("n"),
+        sum({
+          val t = col("t").cast("decimal(12,0)")
+          t * t * t - t
+        }).cast("long").as("ties"))
+      val pivotCols = kwTypes.flatMap(t => Seq(
+        coalesce(sum(when(col("grp") === t, col("m"))), lit(0L)).as(s"m_$t"),
+        coalesce(sum(when(col("grp") === t, col("dd"))), lit(0L)).as(s"d_$t")))
+      per.join(broadcast(tot), lit(true), "inner")
+        .withColumn("dd",
+          (col("r2") - col("m").cast("decimal(38,0)") * (col("n") + lit(1L)))
+            .cast("long"))
+        .groupBy()
+        .agg(max(col("n")).as("n"),
+          (max(col("ties")).as("ties") +: pivotCols): _*)
+        .filter(col("n").isNotNull)
+        .withColumn("k",
+          kwTypes.map(t => when(col(s"m_$t") > 0, 1L).otherwise(0L)).reduce(_ + _))
+        .withColumn("h", expr(hShape))
+        .select(col("n"), col("k"),
+          expr("CAST(floor(h * 1000 + 0.5) AS BIGINT)").as("h_milli"))
+        .withColumn("significant",
+          expr(s"CAST(CASE WHEN k >= 2 AND h_milli > $kwCrit THEN 1 ELSE 0 END AS BIGINT)"))
+    },
+    Some {
+      val pivotSql = kwTypes.map(t =>
+        s"""CAST(COALESCE(sum(CASE WHEN grp = '$t' THEN m END), 0) AS BIGINT) AS m_$t,
+           |    CAST(COALESCE(sum(CASE WHEN grp = '$t' THEN dd END), 0) AS BIGINT) AS d_$t""".stripMargin)
+        .mkString(",\n    ")
+      val kSql = kwTypes.map(t => s"(CASE WHEN m_$t > 0 THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH e AS (SELECT event_type AS grp,
+                CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+            h AS (SELECT cents, grp, CAST(count(*) AS BIGINT) AS c
+                  FROM e GROUP BY 1, 2),
+            v AS (SELECT cents, CAST(sum(c) AS BIGINT) AS t FROM h GROUP BY 1),
+            cu AS (SELECT cents, t,
+                COALESCE(sum(t) OVER (ORDER BY cents
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+              FROM v),
+            p AS (SELECT grp, CAST(sum(c) AS BIGINT) AS m,
+                CAST(sum(CAST(c AS HUGEINT) * (2 * cb + t + 1)) AS BIGINT) AS r2
+              FROM h JOIN cu USING (cents) GROUP BY 1),
+            tt AS (SELECT CAST(sum(t) AS BIGINT) AS n,
+                CAST(sum(CAST(t AS HUGEINT) * t * t - t) AS BIGINT) AS ties FROM v),
+            w AS (SELECT grp, m, CAST(r2 - m * (n + 1) AS BIGINT) AS dd, n, ties
+                  FROM p, tt),
+            one AS (SELECT max(n) AS n, max(ties) AS ties,
+                $pivotSql
+              FROM w),
+            kk AS (SELECT *, CAST($kSql AS BIGINT) AS k FROM one),
+            hh AS (SELECT *, $hShape AS h FROM kk),
+            hm AS (SELECT n, k, CAST(floor(h * 1000 + 0.5) AS BIGINT) AS h_milli
+                   FROM hh)
+            SELECT n, k, h_milli,
+              CAST(CASE WHEN k >= 2 AND h_milli > $kwCrit
+                THEN 1 ELSE 0 END AS BIGINT) AS significant
+            FROM hm WHERE n IS NOT NULL"""
+    }
+  )
+
   val qs: Seq[Q] = Seq(mannWhitneyU, ksDrift, spearmanCorr, permutationTest,
-    ksDriftIncremental, mannWhitneyIncremental)
+    ksDriftIncremental, mannWhitneyIncremental, kruskalWallis)
 }
 

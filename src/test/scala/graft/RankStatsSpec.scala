@@ -167,4 +167,48 @@ class RankStatsSpec extends AnyFunSuite {
     assert(dn.getAs[Double]("sum_d2") == (n.toLong * (n.toLong * n - 1) / 3).toDouble)
     assert(dn.getAs[Long]("rho_ppm") == -1000000L)
   }
+
+  test("kruskal_wallis: textbook two-group frame pins H = 2.4 exactly") {
+    // click = {1.00, 2.00}, view = {3.00, 4.00}: ranks 1,2 vs 3,4 — n = 4,
+    // R_click = 3, d_click = 2·3 − 2·5 = −4, d_view = +4, no ties:
+    // H = 3·(16/2 + 16/2)/(4·5) = 2.4. Below χ²(1) = 3.841 → not significant.
+    val rows = Seq(
+      (0L, ts(1), 0L, "click", 1.0, ""), (1L, ts(2), 1L, "click", 2.0, ""),
+      (2L, ts(3), 2L, "view", 3.0, ""), (3L, ts(4), 3L, "view", 4.0, ""))
+    val dir = "/tmp/graft_rankstats_kw2"
+    writeEvents(dir, rows)
+    val r = RankStats.kruskalWallis.run(spark, dir).collect().head
+    assert(r.getAs[Long]("n") == 4L && r.getAs[Long]("k") == 2L)
+    assert(r.getAs[Long]("h_milli") == 2400L)
+    assert(r.getAs[Long]("significant") == 0L)
+  }
+
+  test("kruskal_wallis: three fully separated groups fire the chi2 gate") {
+    // click ranks 1–5, view 6–10, purchase 11–15 (distinct values):
+    // d = (−50, 0, 50), H = 3·(2500/5 + 0 + 2500/5)/(15·16) = 12.5 —
+    // far above χ²(2) = 5.991.
+    val rows = (0 until 5).flatMap { i =>
+      Seq(
+        (i.toLong, ts(1 + i), i.toLong, "click", 1.0 + i, ""),
+        ((i + 5).toLong, ts(1 + i), (i + 5).toLong, "view", 101.0 + i, ""),
+        ((i + 10).toLong, ts(1 + i), (i + 10).toLong, "purchase", 201.0 + i, ""))
+    }
+    val dir = "/tmp/graft_rankstats_kw3"
+    writeEvents(dir, rows)
+    val r = RankStats.kruskalWallis.run(spark, dir).collect().head
+    assert(r.getAs[Long]("n") == 15L && r.getAs[Long]("k") == 3L)
+    assert(r.getAs[Long]("h_milli") == 12500L)
+    assert(r.getAs[Long]("significant") == 1L)
+  }
+
+  test("kruskal_wallis: one all-tied value pins the corr <= 0 guard at H = 0") {
+    val rows = (0 until 12).map { i =>
+      (i.toLong, ts(1 + i), i.toLong, Seq("click", "view", "error")(i % 3), 100.0, "")
+    }
+    val dir = "/tmp/graft_rankstats_kw_tie"
+    writeEvents(dir, rows)
+    val r = RankStats.kruskalWallis.run(spark, dir).collect().head
+    assert(r.getAs[Long]("k") == 3L)
+    assert(r.getAs[Long]("h_milli") == 0L && r.getAs[Long]("significant") == 0L)
+  }
 }
