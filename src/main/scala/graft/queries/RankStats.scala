@@ -710,7 +710,377 @@ object RankStats {
     }
   )
 
+  /** The asymptotic-normal z for the Wilcoxon signed-rank statistic, in the
+    * identical double shape on both engines. Inputs (all BIGINT): n_pairs
+    * (nonzero differences), w_plus_x2 (= 2·W⁺, doubled so tied half-ranks
+    * stay integral), tie_cubes (= Σ t³−t over |d|-tie groups).
+    * z = (W⁺ − n(n+1)/4)/sqrt(Var), Var = n(n+1)(2n+1)/24 − Σ(t³−t)/48 —
+    * expressed on the doubled scale: numerator (w_plus_x2 − n(n+1)/2)/...
+    * i.e. (2W⁺ − n(n+1)/2·2)… concretely z = (CAST(w_plus_x2) − n(n+1)/2)
+    * / sqrt(4·Var) with 4·Var = n(n+1)(2n+1)/6 − tie_cubes/12. Degenerate
+    * frames (n = 0 or zero variance when every |d| ties to nothing) pin
+    * z = 0 via CASE on both engines.
+    */
+  private val wShape =
+    """CASE WHEN n_pairs = 0 THEN 0.0
+      |     WHEN CAST(n_pairs AS DOUBLE) * (CAST(n_pairs AS DOUBLE) + 1.0)
+      |            * (2.0 * CAST(n_pairs AS DOUBLE) + 1.0) / 6.0
+      |          - CAST(tie_cubes AS DOUBLE) / 12.0 <= 0.0 THEN 0.0
+      |     ELSE (CAST(w_plus_x2 AS DOUBLE)
+      |           - CAST(n_pairs AS DOUBLE) * (CAST(n_pairs AS DOUBLE) + 1.0) / 2.0)
+      |          / sqrt(CAST(n_pairs AS DOUBLE) * (CAST(n_pairs AS DOUBLE) + 1.0)
+      |            * (2.0 * CAST(n_pairs AS DOUBLE) + 1.0) / 6.0
+      |            - CAST(tie_cubes AS DOUBLE) / 12.0)
+      |END""".stripMargin
+
+  /** Wilcoxon signed-rank test on PAIRED per-user pre/post metric sums —
+    * "did the same users' spend shift after the midpoint?" — the paired
+    * sibling of `x_mannwhitney_u` (Wilcoxon 1945) and the nonparametric
+    * counterpart of `x_ab_cuped`'s pre/post framing. Differences d_u =
+    * post − pre in cents; zero differences drop by the standard convention;
+    * ranks are average ranks of |d|; W⁺ is the rank sum over d > 0.
+    *
+    * Exact integers until the final z: the corpus collapses to per-user
+    * (pre, post) sums (one hash exchange), then to the |d| VALUE HISTOGRAM
+    * split by sign (one more — value-cardinality-sized), and the doubled
+    * rank sum 2·W⁺ = Σ_v c⁺(v)·(2·cum_before(v) + t(v) + 1) needs only one
+    * [[Layout.twoPhasePrefixSumBefore]] pass — never a corpus-sized window.
+    * tie_cubes carries the exact variance correction (sums in
+    * DECIMAL(38,0); published BIGINT). The one IEEE step is [[wShape]] in
+    * the identical expression on both engines.
+    */
+  val wilcoxonSignedRank = Q(
+    "x_wilcoxon_signed_rank",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"),
+        unix_date(col("ts").cast("date")).cast("long").as("di"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      val b = ev.agg(min(col("di")).as("d0"), max(col("di")).as("d1")).collect().head
+      if (b.isNullAt(0)) {
+        // Empty events: the global fold still publishes ONE all-zero row on
+        // both engines (the oracle COALESCEs its NULL empty-sum row to the
+        // same zeros; z = 0 via the n_pairs = 0 guard).
+        import s.implicits._
+        s.createDataset(Seq((0L, 0L, 0L, 0L, 0L)))
+          .toDF("n_pairs", "w_plus_x2", "tie_cubes", "z_milli", "significant")
+      } else {
+        val mid = (b.getLong(0) + b.getLong(1)) / 2
+        val diffs = ev
+          .groupBy(col("user_id"))
+          .agg(
+            sum(when(col("di") <= mid, col("cents")).otherwise(0L)).as("pre"),
+            sum(when(col("di") > mid, col("cents")).otherwise(0L)).as("post"))
+          .select((col("post") - col("pre")).as("dd"))
+          .filter(col("dd") =!= 0L)
+        val hist = diffs.groupBy(abs(col("dd")).as("ad"))
+          .agg(
+            sum(when(col("dd") > 0, 1L).otherwise(0L)).as("cp"),
+            sum(when(col("dd") < 0, 1L).otherwise(0L)).as("cn"))
+          .localCheckpoint()
+        val cum = Layout.twoPhasePrefixSumBefore(
+          hist, "cb", col("cp") + col("cn"), col("ad"))
+        cum.agg(
+            coalesce(sum(col("cp") + col("cn")), lit(0L)).as("n_pairs"),
+            coalesce(
+              sum((col("cp") * (lit(2L) * col("cb") + col("cp") + col("cn") + lit(1L)))
+                .cast("decimal(38,0)")).cast("long"), lit(0L)).as("w_plus_x2"),
+            coalesce(
+              sum({
+                val t = (col("cp") + col("cn")).cast("decimal(12,0)")
+                t * t * t - t
+              }).cast("long"), lit(0L)).as("tie_cubes"))
+          .withColumn("z", expr(wShape))
+          .select(col("n_pairs"), col("w_plus_x2"), col("tie_cubes"),
+            expr("CAST(floor(z * 1000 + 0.5) AS BIGINT)").as("z_milli"),
+            expr("CAST(CASE WHEN abs(z) > 1.96 THEN 1 ELSE 0 END AS BIGINT)")
+              .as("significant"))
+          .drop("z")
+      }
+    },
+    Some(s"""WITH e AS (
+              SELECT user_id,
+                CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS di,
+                CAST(round(value * 100) AS BIGINT) AS cents
+              FROM events),
+            bd AS (SELECT min(di) AS d0, max(di) AS d1 FROM e),
+            u AS (
+              SELECT user_id,
+                CAST(sum(CASE WHEN di <= (d0 + d1) // 2 THEN cents ELSE 0 END) AS BIGINT) AS pre,
+                CAST(sum(CASE WHEN di <= (d0 + d1) // 2 THEN 0 ELSE cents END) AS BIGINT) AS post
+              FROM e, bd GROUP BY 1),
+            dv AS (SELECT post - pre AS dd FROM u WHERE post - pre <> 0),
+            h AS (
+              SELECT abs(dd) AS ad,
+                CAST(sum(CASE WHEN dd > 0 THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+                CAST(sum(CASE WHEN dd < 0 THEN 1 ELSE 0 END) AS BIGINT) AS cn
+              FROM dv GROUP BY 1),
+            c AS (
+              SELECT ad, cp, cn,
+                COALESCE(sum(cp + cn) OVER (ORDER BY ad
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+              FROM h),
+            a AS (
+              SELECT CAST(COALESCE(sum(cp + cn), 0) AS BIGINT) AS n_pairs,
+                CAST(COALESCE(sum(CAST(cp AS HUGEINT) * (2 * cb + cp + cn + 1)), 0)
+                  AS BIGINT) AS w_plus_x2,
+                CAST(COALESCE(sum(CAST(cp + cn AS HUGEINT) * (cp + cn) * (cp + cn)
+                  - (cp + cn)), 0) AS BIGINT) AS tie_cubes
+              FROM c),
+            z AS (SELECT *, $wShape AS z FROM a)
+            SELECT n_pairs, w_plus_x2, tie_cubes,
+              CAST(floor(z * 1000 + 0.5) AS BIGINT) AS z_milli,
+              CAST(CASE WHEN abs(z) > 1.96 THEN 1 ELSE 0 END AS BIGINT) AS significant
+            FROM z""")
+  )
+
+  /** Poisson(1) inverse CDF over a 31-bit uniform: weight k iff
+    * hv < floor(P(X ≤ k)·(2³¹−1)), capped at 9 (P > 9 ≈ 1.1e-6). The
+    * thresholds are fixed integer literals so both engines draw the exact
+    * same weight from the same hash value.
+    */
+  private val poissonWt =
+    """CASE WHEN hv < 790015083 THEN 0 WHEN hv < 1580030167 THEN 1
+      |     WHEN hv < 1975037709 THEN 2 WHEN hv < 2106706890 THEN 3
+      |     WHEN hv < 2139624185 THEN 4 WHEN hv < 2146207644 THEN 5
+      |     WHEN hv < 2147304887 THEN 6 WHEN hv < 2147461637 THEN 7
+      |     WHEN hv < 2147481230 THEN 8 ELSE 9 END""".stripMargin
+
+  /** Poisson-bootstrap 95% confidence interval for the A/B arm mean-spend
+    * difference — the assumption-free INTERVAL readout completing the
+    * experimentation family: `x_abtest_significance` gives the normal z,
+    * `x_permutation_test` the randomization p, `x_mannwhitney_u` the rank
+    * order-shift; this gives the effect-size interval. The Poisson
+    * bootstrap (Chamandy et al. 2012, "Estimating uncertainty for massive
+    * data streams") is THE resampling scheme for data too large to index:
+    * each of k = 64 fixed replicates re-weights every user independently by
+    * a Poisson(1) draw — no sampling pass, no global coordination, one
+    * corpus read.
+    *
+    * Determinism without an RNG (the `x_permutation_test` convention):
+    * replicate s draws user u's weight from the scatter-then-square mixer
+    * hv = ((A_s·u + B_s) mod M)² mod M with M = 2³¹−1, A_s =
+    * (2246822519·(2s+5)) mod M, B_s = 15485863·s (constants disjoint from
+    * the permutation designs), pushed through the fixed integer Poisson
+    * thresholds [[poissonWt]] — squares of an affine orbit equidistribute
+    * mod M (quadratic-residue bias is O(M^{-1/2}); RankStatsSpec verifies
+    * empirical mean/variance ≈ 1 per replicate). All products stay below
+    * 2⁶³; both engines evaluate the identical closed form.
+    *
+    * The statistic is exact-integer end to end: per replicate,
+    * v_s = (S₁·10⁶) div N₁ − (S₀·10⁶) div N₀ in micro-cents (weighted sums
+    * in DECIMAL(38,0); truncating integer division — engine-identical), a
+    * one-arm replicate (N = 0) is excluded, and the CI is the order
+    * statistics of the ≤64 v_s values at ranks (k·25 div 1000)+1 and
+    * k − (k·25 div 1000) — a sorted 64-element ARRAY fold
+    * (`sort_array(collect_list(...))`), never a window. significant =
+    * the interval excludes 0.
+    *
+    * Scale shape: ONE corpus pass to per-user sums (hash exchange), then
+    * the 64-replicate posexplode whose per-partition partial aggregation
+    * collapses to 64 rows BEFORE the exchange (the `x_countmin` cell
+    * pattern) — the sweep shuffles 64·partitions rows, never 64·corpus.
+    */
+  val bootstrapCi = Q(
+    "x_bootstrap_ci",
+    (s, d) => {
+      val users = Tables.events(s, d)
+        .select(col("user_id"), expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("cents")).as("spend"))
+        .localCheckpoint()
+      val obs = users
+        .withColumn("arm", pmod(col("user_id"), lit(2)))
+        .agg(
+          coalesce(sum(when(col("arm") === 1, col("spend")).otherwise(0L))
+            .cast("decimal(38,0)"), lit(0L).cast("decimal(38,0)")).as("s1"),
+          coalesce(sum(when(col("arm") === 1, 1L).otherwise(0L)), lit(0L)).as("n1"),
+          coalesce(sum(when(col("arm") === 0, col("spend")).otherwise(0L))
+            .cast("decimal(38,0)"), lit(0L).cast("decimal(38,0)")).as("s0"),
+          coalesce(sum(when(col("arm") === 0, 1L).otherwise(0L)), lit(0L)).as("n0"))
+        .select(
+          (col("n0") + col("n1")).as("n_users"),
+          expr("""CAST(CASE WHEN n0 > 0 AND n1 > 0
+                  THEN (s1 * 1000000) div n1 - (s0 * 1000000) div n0
+                  ELSE 0 END AS BIGINT)""").as("obs_diff_micro"))
+      val reps = users
+        .select(col("user_id"), col("spend"),
+          pmod(col("user_id"), lit(2)).as("arm"),
+          posexplode(array((0 until 64).map(lit): _*)).as(Seq("s", "zero")))
+        .withColumn("hv",
+          expr("""(((2246822519 * (2 * s + 5)) % 2147483647) * (user_id % 2147483647)
+                  + 15485863 * s) % 2147483647"""))
+        .withColumn("hv", expr("(hv * hv) % 2147483647"))
+        .withColumn("wt", expr(poissonWt))
+        .groupBy(col("s"))
+        .agg(
+          sum(when(col("arm") === 1, col("wt") * col("spend")).otherwise(0L))
+            .cast("decimal(38,0)").as("s1"),
+          sum(when(col("arm") === 1, col("wt")).otherwise(0L)).as("n1"),
+          sum(when(col("arm") === 0, col("wt") * col("spend")).otherwise(0L))
+            .cast("decimal(38,0)").as("s0"),
+          sum(when(col("arm") === 0, col("wt")).otherwise(0L)).as("n0"))
+        .filter(col("n0") > 0 && col("n1") > 0)
+        .select(expr("""CAST((s1 * 1000000) div n1 - (s0 * 1000000) div n0
+                        AS BIGINT)""").as("v"))
+      reps.agg(
+          count(lit(1)).as("k_designs"),
+          sort_array(collect_list(col("v"))).as("vs"))
+        .join(broadcast(obs), lit(true), "inner")
+        .select(col("n_users"), col("k_designs"), col("obs_diff_micro"),
+          expr("""CASE WHEN k_designs > 0
+                  THEN element_at(vs, CAST((k_designs * 25) div 1000 + 1 AS INT))
+                  ELSE CAST(0 AS BIGINT) END""").as("ci_lo_micro"),
+          expr("""CASE WHEN k_designs > 0
+                  THEN element_at(vs, CAST(k_designs - (k_designs * 25) div 1000 AS INT))
+                  ELSE CAST(0 AS BIGINT) END""").as("ci_hi_micro"))
+        .withColumn("significant",
+          expr("""CAST(CASE WHEN k_designs > 0
+                  AND (ci_lo_micro > 0 OR ci_hi_micro < 0)
+                  THEN 1 ELSE 0 END AS BIGINT)"""))
+    },
+    Some(s"""WITH u AS (
+              SELECT user_id,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS spend
+              FROM events GROUP BY 1),
+            o AS (
+              SELECT
+                CAST(COALESCE(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END), 0)
+                  + COALESCE(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END), 0)
+                  AS BIGINT) AS n_users,
+                CAST(CASE WHEN COALESCE(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END), 0) > 0
+                       AND COALESCE(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END), 0) > 0
+                  THEN (sum(CASE WHEN user_id % 2 = 1 THEN CAST(spend AS HUGEINT) ELSE 0 END)
+                         * 1000000) // sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+                     - (sum(CASE WHEN user_id % 2 = 0 THEN CAST(spend AS HUGEINT) ELSE 0 END)
+                         * 1000000) // sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                  ELSE 0 END AS BIGINT) AS obs_diff_micro
+              FROM u),
+            w AS (
+              SELECT s.s, u.spend, u.user_id % 2 AS arm,
+                ((((2246822519 * (2 * s.s + 5)) % 2147483647) * (u.user_id % 2147483647)
+                  + 15485863 * s.s) % 2147483647) AS w1
+              FROM u CROSS JOIN (SELECT unnest(range(0, 64)) AS s) s),
+            ww AS (SELECT s, spend, arm, (w1 * w1) % 2147483647 AS hv FROM w),
+            wts AS (SELECT s, spend, arm, $poissonWt AS wt FROM ww),
+            p AS (
+              SELECT s,
+                sum(CASE WHEN arm = 1 THEN CAST(wt AS HUGEINT) * spend ELSE 0 END) AS s1,
+                CAST(sum(CASE WHEN arm = 1 THEN wt ELSE 0 END) AS BIGINT) AS n1,
+                sum(CASE WHEN arm = 0 THEN CAST(wt AS HUGEINT) * spend ELSE 0 END) AS s0,
+                CAST(sum(CASE WHEN arm = 0 THEN wt ELSE 0 END) AS BIGINT) AS n0
+              FROM wts GROUP BY 1),
+            v AS (
+              SELECT CAST((s1 * 1000000) // n1 - (s0 * 1000000) // n0 AS BIGINT) AS v
+              FROM p WHERE n0 > 0 AND n1 > 0),
+            a AS (
+              SELECT CAST(count(*) AS BIGINT) AS k_designs,
+                list(v ORDER BY v) AS vs
+              FROM v)
+            SELECT o.n_users, a.k_designs, o.obs_diff_micro,
+              CAST(CASE WHEN a.k_designs > 0
+                THEN vs[CAST((a.k_designs * 25) // 1000 + 1 AS INT)]
+                ELSE 0 END AS BIGINT) AS ci_lo_micro,
+              CAST(CASE WHEN a.k_designs > 0
+                THEN vs[CAST(a.k_designs - (a.k_designs * 25) // 1000 AS INT)]
+                ELSE 0 END AS BIGINT) AS ci_hi_micro,
+              CAST(CASE WHEN a.k_designs > 0
+                AND (CASE WHEN a.k_designs > 0
+                       THEN vs[CAST((a.k_designs * 25) // 1000 + 1 AS INT)]
+                       ELSE 0 END > 0
+                  OR CASE WHEN a.k_designs > 0
+                       THEN vs[CAST(a.k_designs - (a.k_designs * 25) // 1000 AS INT)]
+                       ELSE 0 END < 0)
+                THEN 1 ELSE 0 END AS BIGINT) AS significant
+            FROM a, o""")
+  )
+
+  /** Cochran–Armitage z in the identical double shape on both engines, from
+    * the four integer witnesses: a_num = Σ_k s_k·(n·r_k − n_k·R) (n·T on the
+    * common-denominator scale), b_sum = n·Σ s_k²·n_k − (Σ s_k·n_k)², total n
+    * and converter total R. z = T/sqrt(Var) with Var = p̄(1−p̄)·B/n² reduces
+    * to a_num / sqrt(R·(n−R)·B/n). Degenerate frames (no users, all or no
+    * converters, or zero score spread B) pin z = 0.
+    */
+  private val caShape =
+    """CASE WHEN n_users = 0 OR r_total = 0 OR r_total = n_users OR b_sum <= 0
+      |       THEN 0.0
+      |     ELSE CAST(a_num AS DOUBLE)
+      |          / sqrt(CAST(r_total AS DOUBLE) * CAST(n_users - r_total AS DOUBLE)
+      |            * CAST(b_sum AS DOUBLE) / CAST(n_users AS DOUBLE))
+      |END""".stripMargin
+
+  /** Cochran–Armitage test for TREND in proportions across ordered exposure
+    * buckets (Cochran 1954; Armitage 1955) — "does conversion propensity
+    * rise monotonically with activity level?", the dose-response gate of the
+    * experimentation family: χ²-independence (`x_chi2_independence`) asks IF
+    * outcome depends on group; this asks whether it trends WITH an ordered
+    * score, which is the question a pipeline actually has about
+    * engagement/exposure tiers. Users bucket by capped event count
+    * (k = min(events, 8) — nine ordered buckets by construction, the
+    * schema-bounded pivot contract), outcome = "has a purchase event",
+    * scores s_k = k.
+    *
+    * Exact integers to the last step: one corpus pass to per-user
+    * (count, converted) rows, one bucket fold to ≤9 rows, and the statistic's
+    * witnesses on the common-denominator scale — a_num = Σ s_k(n·r_k − n_k·R)
+    * = n²·T̄-numerator and b_sum = n·Σs_k²n_k − (Σs_k n_k)² — are BIGINTs
+    * (|a_num| ≤ 8·n·R and b_sum ≤ 64·n²: exact while n < ~3.8×10⁸ users —
+    * far past any tested scale, and ANSI mode makes an overflow loud, never
+    * silent). The one IEEE step is [[caShape]]. No window anywhere; the
+    * bucket frame is 9 rows.
+    */
+  val cochranArmitage = Q(
+    "x_cochran_armitage",
+    (s, d) => {
+      val users = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("x"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+        .select(least(col("x"), lit(8L)).as("k"), col("conv"))
+      val buckets = users.groupBy(col("k"))
+        .agg(count(lit(1)).as("n_k"), sum(col("conv")).as("r_k"))
+      val tot = buckets.agg(
+        coalesce(sum(col("n_k")), lit(0L)).as("n_users"),
+        coalesce(sum(col("r_k")), lit(0L)).as("r_total"))
+      buckets.join(broadcast(tot), lit(true), "inner")
+        .groupBy(col("n_users"), col("r_total"))
+        .agg(
+          sum(col("k") * (col("n_users") * col("r_k") - col("n_k") * col("r_total")))
+            .as("a_num"),
+          (sum(col("n_k") * col("k") * col("k")) * max(col("n_users"))
+            - sum(col("k") * col("n_k")) * sum(col("k") * col("n_k"))).as("b_sum"))
+        .withColumn("z", expr(caShape))
+        .select(col("n_users"), col("r_total"), col("a_num"), col("b_sum"),
+          expr("CAST(floor(z * 1000 + 0.5) AS BIGINT)").as("z_milli"),
+          expr("CAST(CASE WHEN abs(z) > 1.96 THEN 1 ELSE 0 END AS BIGINT)")
+            .as("significant"))
+    },
+    Some(s"""WITH u AS (
+              SELECT user_id, CAST(count(*) AS BIGINT) AS x,
+                CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS conv
+              FROM events GROUP BY 1),
+            b AS (
+              SELECT LEAST(x, 8) AS k, CAST(count(*) AS BIGINT) AS n_k,
+                CAST(sum(conv) AS BIGINT) AS r_k
+              FROM u GROUP BY 1),
+            t AS (SELECT CAST(COALESCE(sum(n_k), 0) AS BIGINT) AS n_users,
+                         CAST(COALESCE(sum(r_k), 0) AS BIGINT) AS r_total FROM b),
+            a AS (
+              SELECT n_users, r_total,
+                CAST(sum(k * (n_users * r_k - n_k * r_total)) AS BIGINT) AS a_num,
+                CAST(sum(n_k * k * k) * max(n_users)
+                  - sum(k * n_k) * sum(k * n_k) AS BIGINT) AS b_sum
+              FROM b, t GROUP BY 1, 2),
+            z AS (SELECT *, $caShape AS z FROM a)
+            SELECT n_users, r_total, a_num, b_sum,
+              CAST(floor(z * 1000 + 0.5) AS BIGINT) AS z_milli,
+              CAST(CASE WHEN abs(z) > 1.96 THEN 1 ELSE 0 END AS BIGINT) AS significant
+            FROM z""")
+  )
+
   val qs: Seq[Q] = Seq(mannWhitneyU, ksDrift, spearmanCorr, permutationTest,
-    ksDriftIncremental, mannWhitneyIncremental, kruskalWallis)
+    ksDriftIncremental, mannWhitneyIncremental, kruskalWallis,
+    wilcoxonSignedRank, bootstrapCi, cochranArmitage)
 }
 

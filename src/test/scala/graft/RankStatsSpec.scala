@@ -168,6 +168,142 @@ class RankStatsSpec extends AnyFunSuite {
     assert(dn.getAs[Long]("rho_ppm") == -1000000L)
   }
 
+  test("wilcoxon_signed_rank: uniform paired lift fires; zero diffs drop; balanced mix is quiet") {
+    // 20 users, pre (day 1) value 100+u, post (day 28) value 200+u → every
+    // d = +10000 cents: one tie group of 20, W⁺ = n(n+1)/2 = 210,
+    // z = 210/sqrt(20·21·41/6 − (20³−20)/12) = sqrt(20) ≈ 4.4721.
+    val up = (0 until 20).flatMap { u =>
+      Seq((2L * u, ts(1), u.toLong, "view", 100.0 + u, ""),
+        (2L * u + 1, ts(28), u.toLong, "view", 200.0 + u, ""))
+    }
+    // plus 5 users with IDENTICAL pre/post — zero diffs must drop.
+    val flat = (100 until 105).flatMap { u =>
+      Seq((1000L + 2 * u, ts(1), u.toLong, "view", 300.0, ""),
+        (1001L + 2 * u, ts(28), u.toLong, "view", 300.0, ""))
+    }
+    val dir = "/tmp/graft_rankstats_wsr_up"
+    writeEvents(dir, up ++ flat)
+    val r = RankStats.wilcoxonSignedRank.run(spark, dir).collect().head
+    assert(r.getAs[Long]("n_pairs") == 20L)
+    assert(r.getAs[Long]("w_plus_x2") == 420L)
+    assert(r.getAs[Long]("tie_cubes") == 20L * 20L * 20L - 20L)
+    assert(r.getAs[Long]("z_milli") == 4472L)
+    assert(r.getAs[Long]("significant") == 1L)
+
+    // 10 up / 10 down by the same |d| → W⁺ is exactly half the rank mass.
+    val mixed = (0 until 20).flatMap { u =>
+      val post = if (u % 2 == 0) 200.0 else 0.0
+      Seq((2L * u, ts(1), u.toLong, "view", 100.0, ""),
+        (2L * u + 1, ts(28), u.toLong, "view", post, ""))
+    }
+    val dirM = "/tmp/graft_rankstats_wsr_mix"
+    writeEvents(dirM, mixed)
+    val m = RankStats.wilcoxonSignedRank.run(spark, dirM).collect().head
+    assert(m.getAs[Long]("n_pairs") == 20L)
+    assert(m.getAs[Long]("w_plus_x2") == 210L)
+    assert(m.getAs[Long]("z_milli") == 0L && m.getAs[Long]("significant") == 0L)
+  }
+
+  test("bootstrap_ci: driver replay of the 64 Poisson replicates; planted lift excludes 0; null interval is [0,0]") {
+    // 40 users: even arm spends ~100, odd arm ~5000 — every replicate's
+    // weighted means stay fully separated, so the CI must exclude 0.
+    val sep = (0 until 40).map { u =>
+      val v = if (u % 2 == 0) 100.0 + u else 5000.0 + u
+      (u.toLong, ts(1 + u % 28), u.toLong, "view", v, "")
+    }
+    val dir = "/tmp/graft_rankstats_boot_sep"
+    writeEvents(dir, sep)
+    val r = RankStats.bootstrapCi.run(spark, dir).collect().head
+    assert(r.getAs[Long]("n_users") == 40L)
+
+    // exact driver-side replay of the published integer contract
+    val M = 2147483647L
+    val thresholds = Seq(790015083L, 1580030167L, 1975037709L, 2106706890L,
+      2139624185L, 2146207644L, 2147304887L, 2147461637L, 2147481230L)
+    def weight(u: Long, s: Long): Long = {
+      val w1 = ((2246822519L * (2 * s + 5)) % M * (u % M) + 15485863L * s) % M
+      val hv = (w1 * w1) % M
+      val k = thresholds.indexWhere(hv < _)
+      if (k < 0) 9L else k.toLong
+    }
+    val spend = (0 until 40).map(u =>
+      u.toLong -> math.round((if (u % 2 == 0) 100.0 + u else 5000.0 + u) * 100)).toMap
+    val vs = (0L until 64L).flatMap { s =>
+      var s0, s1 = BigInt(0); var n0, n1 = 0L
+      spend.foreach { case (u, c) =>
+        val w = weight(u, s)
+        if (u % 2 == 1) { s1 += w * c; n1 += w } else { s0 += w * c; n0 += w }
+      }
+      if (n0 > 0 && n1 > 0) Some((s1 * 1000000 / n1 - s0 * 1000000 / n0).toLong)
+      else None
+    }.sorted
+    val k = vs.size.toLong
+    assert(r.getAs[Long]("k_designs") == k)
+    assert(r.getAs[Long]("ci_lo_micro") == vs((k * 25 / 1000).toInt))
+    assert(r.getAs[Long]("ci_hi_micro") == vs((k - k * 25 / 1000 - 1).toInt))
+    assert(r.getAs[Long]("ci_lo_micro") > 0L && r.getAs[Long]("significant") == 1L)
+
+    // Poisson(1) mixer sanity at n = 20000: per-replicate empirical mean and
+    // variance of the weights within 5% / 10% of 1.
+    for (s <- Seq(0L, 17L, 63L)) {
+      val ws = (0L until 20000L).map(weight(_, s))
+      val mean = ws.sum.toDouble / ws.size
+      val varw = ws.map(w => (w - mean) * (w - mean)).sum / ws.size
+      assert(math.abs(mean - 1.0) < 0.05, s"replicate $s mean $mean")
+      assert(math.abs(varw - 1.0) < 0.1, s"replicate $s var $varw")
+    }
+
+    // identical spends: every weighted mean is exactly the common spend on
+    // both arms → every v = 0 → CI pins to [0, 0], not significant.
+    val nul = (0 until 40).map { u => (u.toLong, ts(1 + u % 28), u.toLong, "view", 100.0, "") }
+    val dirN = "/tmp/graft_rankstats_boot_null"
+    writeEvents(dirN, nul)
+    val rn = RankStats.bootstrapCi.run(spark, dirN).collect().head
+    assert(rn.getAs[Long]("ci_lo_micro") == 0L && rn.getAs[Long]("ci_hi_micro") == 0L)
+    assert(rn.getAs[Long]("significant") == 0L)
+  }
+
+  test("cochran_armitage: planted dose-response pins z = 2*sqrt(2); flat rates and all-converters are quiet") {
+    // activity buckets k = 1,2,3 with conversion 0%, 50%, 100% (4 users
+    // each): n = 12, R = 6, A = 48, B = 96 → z = 48/sqrt(6*6*96/12) = 2.8284.
+    var eid = 0L
+    def ev(u: Long, types: Seq[String]): Seq[(Long, Timestamp, Long, String, Double, String)] =
+      types.map { t => eid += 1; (eid, ts(1 + (eid % 28).toInt), u, t, 10.0, "") }
+    val rows =
+      (0 until 4).flatMap(u => ev(u.toLong, Seq("view"))) ++
+      (4 until 6).flatMap(u => ev(u.toLong, Seq("view", "view"))) ++
+      (6 until 8).flatMap(u => ev(u.toLong, Seq("view", "purchase"))) ++
+      (8 until 12).flatMap(u => ev(u.toLong, Seq("view", "purchase", "view")))
+    val dir = "/tmp/graft_rankstats_ca"
+    writeEvents(dir, rows)
+    val r = RankStats.cochranArmitage.run(spark, dir).collect().head
+    assert(r.getAs[Long]("n_users") == 12L && r.getAs[Long]("r_total") == 6L)
+    assert(r.getAs[Long]("a_num") == 48L && r.getAs[Long]("b_sum") == 96L)
+    assert(r.getAs[Long]("z_milli") == 2828L)
+    assert(r.getAs[Long]("significant") == 1L)
+
+    // flat rates across buckets → A = 0 → z = 0
+    eid = 0L
+    val flat =
+      (0 until 2).flatMap(u => ev(u.toLong, Seq("view"))) ++
+      (2 until 4).flatMap(u => ev(u.toLong, Seq("purchase"))) ++
+      (4 until 6).flatMap(u => ev(u.toLong, Seq("view", "view"))) ++
+      (6 until 8).flatMap(u => ev(u.toLong, Seq("view", "purchase")))
+    val dirF = "/tmp/graft_rankstats_ca_flat"
+    writeEvents(dirF, flat)
+    val f = RankStats.cochranArmitage.run(spark, dirF).collect().head
+    assert(f.getAs[Long]("a_num") == 0L && f.getAs[Long]("z_milli") == 0L)
+
+    // every user converts → R = n → the degenerate guard pins z = 0
+    eid = 0L
+    val all = (0 until 6).flatMap(u => ev(u.toLong, Seq("purchase")))
+    val dirA = "/tmp/graft_rankstats_ca_all"
+    writeEvents(dirA, all)
+    val a = RankStats.cochranArmitage.run(spark, dirA).collect().head
+    assert(a.getAs[Long]("r_total") == a.getAs[Long]("n_users"))
+    assert(a.getAs[Long]("z_milli") == 0L && a.getAs[Long]("significant") == 0L)
+  }
+
   test("kruskal_wallis: textbook two-group frame pins H = 2.4 exactly") {
     // click = {1.00, 2.00}, view = {3.00, 4.00}: ranks 1,2 vs 3,4 — n = 4,
     // R_click = 3, d_click = 2·3 − 2·5 = −4, d_view = +4, no ties:
