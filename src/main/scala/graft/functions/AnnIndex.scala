@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.sources.Storage
+import graft.functions.Layout.LineageOps
 
 /** Persisted IVF-PQ index — the build-once / probe-many serving shape that
   * [[AnnSearch.ivfPqTopK]]'s train-in-query form cannot be at corpus scale:
@@ -112,7 +113,7 @@ object AnnIndex {
           .getField("cluster"))
       .withColumn("__rv", zip_with(col("__qv"), element_at(coarseMap, col("cell")),
         (a, b) => a - b))
-      .localCheckpoint()
+      .truncateLineage()
     val subModels = (0 until m).map { s =>
       ClusterOps.kMeansModelQuantized(
         withRes.select(col("__id"), slice(col("__rv"), s * dsub + 1, dsub).as("__qv")),
@@ -180,12 +181,12 @@ object AnnIndex {
     requireCommitted(indexPath)
     Storage.drop(manifestPath(indexPath))
     val ids = vecIds.select(col(vecIds.columns.head).cast("long").as("id"))
-      .distinct().localCheckpoint(true)
+      .distinct().truncateLineage()
     val prior =
       if (Storage.exists(s"$indexPath/tombstones"))
         Storage.get(spark, s"$indexPath/tombstones")
       else Seq.empty[Long].toDF("id")
-    Storage.replace(prior.union(ids).distinct().localCheckpoint(true),
+    Storage.replace(prior.union(ids).distinct().truncateLineage(),
       s"$indexPath/tombstones")
     commit(spark, indexPath)
   }
@@ -312,7 +313,7 @@ object AnnIndex {
   def compactIvfPq(spark: SparkSession, indexPath: String, minFraction: Double = 0.0): Boolean = {
     requireCommitted(indexPath)
     if (!Storage.exists(s"$indexPath/tombstones")) return false
-    val tomb   = Storage.get(spark, s"$indexPath/tombstones").localCheckpoint(true)
+    val tomb   = Storage.get(spark, s"$indexPath/tombstones").truncateLineage()
     val nTomb  = tomb.count()
     val nCodes = Storage.get(spark, codesPath(indexPath)).count()
     if (nTomb == 0L || (nCodes > 0L && nTomb.toDouble / nCodes.toDouble < minFraction)) return false

@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.functions.Layout.LineageOps
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
@@ -416,7 +417,7 @@ object AnnSearch {
       .withColumn("cell", cellCol)
       .withColumn("__rv", zip_with(col("__qv"), element_at(coarseMap, col("cell")),
         (a, b) => a - b))
-      .localCheckpoint()
+      .truncateLineage()
 
     val subModels = (0 until m).map { s =>
       ClusterOps.kMeansModelQuantized(

@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.Layout.LineageOps
 
 /** Incremental (batch-vs-corpus) exact dedup through a DISTRIBUTED Bloom
   * filter — the ingestion-time shape at corpus scale: a 100 TB corpus is not
@@ -112,7 +113,7 @@ object BloomDedup {
       // Materialize the result before unpersisting the corpus keys the
       // verify join depends on.
       newAgainstFilter(batch, idCol, textCol, ckeys, filt, nBits, k, exactVerify)
-        .localCheckpoint(eager = true)
+        .truncateLineage()
     } finally ckeys.unpersist()
   }
 

@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.Layout.LineageOps
 
 /** Distributed BPE vocabulary induction (Sennrich et al., ACL 2016 — the
   * tokenizer-training step of an LLM data pipeline; [[QualityLM.vocabCoverage]]
@@ -72,7 +73,7 @@ object BpeTrain {
   def train(
       corpus: DataFrame, textCol: String, k: Int, maxDriverWords: Long = 500000L
   ): Seq[Merge] = {
-    val words = wordFreqs(corpus, textCol).localCheckpoint()
+    val words = wordFreqs(corpus, textCol).truncateLineage()
     if (words.count() <= maxDriverWords) {
       val dict = words.select(col("w"), col("wc")).collect()
         .map(r => (r.getString(0), r.getLong(1))).toSeq
@@ -99,7 +100,7 @@ object BpeTrain {
         merges += Merge(round, l, r, best.getLong(2))
         words = words
           .withColumn("syms", NativeFns.bpe_apply(col("syms"), l, r))
-          .localCheckpoint()
+          .truncateLineage()
         round += 1
       }
     }

@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.Layout.LineageOps
 
 /** Graph clustering for corpus dedup: near-dup PAIRS (from the LSH pipelines
   * in [[DedupOps]]) are only half the dedup story — production pipelines must
@@ -48,13 +49,13 @@ object ClusterOps {
       .filter(col("a") =!= col("b"))
       .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
       .distinct()
-      .localCheckpoint(true)
+      .truncateLineage()
 
     var fp    = fingerprint(e)
     var iter  = 0
     var done  = false
     while (!done && iter < maxIter) {
-      val next   = smallStar(largeStar(e)).localCheckpoint(true)
+      val next   = smallStar(largeStar(e)).truncateLineage()
       val nextFp = fingerprint(next)
       done = nextFp == fp
       fp = nextFp

@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.Layout.LineageOps
 
 /** Deduplication operators for corpus-scale pipelines: exact, MinHash+LSH,
   * SimHash, n-gram Jaccard, embedding-cosine.
@@ -445,7 +446,7 @@ object DedupOps {
       val removed = spans.join(dupHashes, Seq("__h"), "left_semi")
         .select(col("__id"),
           explode(sequence(col("__idx"), col("__idx") + lit(spanLines - 1))).as("__line"))
-      rebuildWithoutLines(base, removed, idCol).localCheckpoint(eager = true)
+      rebuildWithoutLines(base, removed, idCol).truncateLineage()
     } finally ck.unpersist()
   }
 
@@ -482,7 +483,7 @@ object DedupOps {
       val removed = spans.join(dupHashes, Seq("__h"), "left_semi")
         .select(col("__id"),
           explode(sequence(col("__idx"), col("__idx") + lit(spanTokens - 1))).as("__pos"))
-      rebuildWithoutTokens(base, removed, idCol).localCheckpoint(eager = true)
+      rebuildWithoutTokens(base, removed, idCol).truncateLineage()
     } finally ck.unpersist()
   }
 

@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.Layout.LineageOps
 
 /** Link-graph analytics beyond the clustering in [[ClusterOps]]: centrality
   * over an edge list, DataFrame-native (no driver-side graph, no adjacency
@@ -38,11 +39,11 @@ object GraphOps {
     val e = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .distinct()
-      .localCheckpoint(true)
+      .truncateLineage()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
-      .localCheckpoint(true)
+      .truncateLineage()
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     val ew  = e.join(deg, "src")
 
@@ -60,7 +61,7 @@ object GraphOps {
         .join(contribs, Seq("node"), "left")
         .select(col("node"),
           (lit(baseTerm) + expr("(85 * coalesce(s, 0)) div 100")).as("r"))
-        .localCheckpoint(true)
+        .truncateLineage()
     }
     ranks.select(col("node"), col("r").as("rank_scaled"))
   }
@@ -86,12 +87,12 @@ object GraphOps {
     val e = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .distinct()
-      .localCheckpoint(true)
+      .truncateLineage()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
       .withColumn("is_seed", seedPred.cast("boolean"))
-      .localCheckpoint(true)
+      .truncateLineage()
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     val ew  = e.join(deg, "src")
 
@@ -112,7 +113,7 @@ object GraphOps {
         .select(col("node"),
           (when(col("is_seed"), lit(baseTerm)).otherwise(lit(0L)) +
             expr("(85 * coalesce(s, 0)) div 100")).as("r"))
-        .localCheckpoint(true)
+        .truncateLineage()
     }
     ranks.select(col("node"), col("r").as("rank_scaled"))
   }
@@ -147,7 +148,7 @@ object GraphOps {
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"),
         col(wCol).cast("long").as("w"))
       .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
-      .localCheckpoint(true)
+      .truncateLineage()
     var dist = e.sparkSession.range(1)
       .select(lit(source).as("node"), lit(0L).as("dist"))
     for (_ <- 1 to rounds) {
@@ -155,7 +156,7 @@ object GraphOps {
         .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
       dist = dist.union(relaxed)
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-        .localCheckpoint(true)
+        .truncateLineage()
     }
     dist
   }
@@ -187,7 +188,7 @@ object GraphOps {
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
-      .localCheckpoint(true)
+      .truncateLineage()
     for (_ <- 1 to rounds) {
       val survivors = e.groupBy("src").agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k)
@@ -195,7 +196,7 @@ object GraphOps {
       e = e
         .join(survivors.select(col("node").as("src")), Seq("src"), "left_semi")
         .join(survivors.select(col("node").as("dst")), Seq("dst"), "left_semi")
-        .localCheckpoint(true)
+        .truncateLineage()
     }
     e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
   }
@@ -243,11 +244,11 @@ object GraphOps {
       .filter(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("lo"), greatest(col("a"), col("b")).as("hi"))
       .distinct()
-      .localCheckpoint(true)
+      .truncateLineage()
     for (_ <- 1 to rounds) {
       e = e
         .join(support(e).filter(col("sup") >= k - 2), Seq("lo", "hi"), "left_semi")
-        .localCheckpoint(true)
+        .truncateLineage()
     }
     e.join(support(e), Seq("lo", "hi"), "left")
       .select(col("lo"), col("hi"), coalesce(col("sup"), lit(0L)).as("sup"))
@@ -263,7 +264,7 @@ object GraphOps {
     val e = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .distinct()
-      .localCheckpoint(true)
+      .truncateLineage()
     var dist = e.sparkSession.range(1)
       .select(lit(source).as("node"), lit(0L).as("hops"))
     for (h <- 1 to maxHops) {
@@ -272,7 +273,7 @@ object GraphOps {
         .select(col("dst").as("node"), lit(h.toLong).as("hops"))
       dist = dist.union(next)
         .groupBy(col("node")).agg(min(col("hops")).as("hops"))
-        .localCheckpoint(true)
+        .truncateLineage()
     }
     dist
   }

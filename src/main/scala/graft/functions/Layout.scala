@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -30,6 +30,35 @@ import org.apache.spark.sql.functions._
   * has to hold approximately for file skipping to work.
   */
 object Layout {
+
+  /** Config key: when `true`, every [[LineageOps.truncateLineage]] site uses
+    * reliable `checkpoint()` (fault-tolerant store, requires
+    * `sparkContext.setCheckpointDir`) instead of `localCheckpoint()`.
+    */
+  val ReliableCheckpointKey = "spark.graft.reliableCheckpoint"
+
+  /** THE lineage-truncation point for iterative / multiply-scanned frames —
+    * the only place in graft allowed to call `localCheckpoint` (enforced by
+    * `tools/checkpoint_lint.py`).
+    *
+    * Default is `localCheckpoint`: blocks live on executor-local storage —
+    * the fastest truncation, but on a real cluster those blocks are NOT
+    * recoverable; losing an executor that holds them fails the job instead
+    * of recomputing from lineage. That trade is safe exactly when the frame
+    * is provably small (model / manifest / value-cardinality-sized), so a
+    * retried job recomputes it cheaply — every graft call site is audited
+    * against that bound in SCALE.md §"lineage-truncation audit". For
+    * cluster runs that prefer fault-tolerance over truncation speed, set
+    * `spark.graft.reliableCheckpoint=true` (plus a checkpoint dir) and ALL
+    * sites switch to reliable `checkpoint()` — no code change.
+    */
+  implicit class LineageOps[T](private val ds: Dataset[T]) extends AnyVal {
+    def truncateLineage(eager: Boolean = true): Dataset[T] =
+      if (ds.sparkSession.conf.get(ReliableCheckpointKey, "false").toBoolean)
+        ds.checkpoint(eager)
+      else
+        ds.localCheckpoint(eager)
+  }
 
   /** Even-bit spread of a 16-bit value (Morton building block): bit i of the
     * input lands at bit 2i. Pure shift/mask column arithmetic — codegen'd,
@@ -439,7 +468,7 @@ object Layout {
     // re-scans the corpus per job, ×2 in zorder2 and ×3 in zorder3 (r14
     // ADVICE; same rationale as the RFM/vocab/compaction call sites).
     val hist = df.groupBy(col(valueCol).as("__v")).agg(count(lit(1)).as("__c"))
-      .localCheckpoint()
+      .truncateLineage()
     distributedPrefix(hist)
       .join(broadcast(hist.agg(sum(col("__c")).as("__n"))))
       .select(col("__v"), expr(s"(__cb * $buckets) div __n").as("__b"))

@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.Layout.LineageOps
 
 /** Model-based corpus quality scoring — the two canonical public recipes a
   * pre-training pipeline runs after rule-based cleaning:
@@ -214,7 +215,7 @@ object QualityLM {
     // below each read it from three jobs (boundary sketch, window, offsets),
     // so the checkpoint keeps the corpus tokenization to ONE scan.
     val tf = tokens(docs, idCol, textCol).groupBy("tok").agg(count(lit(1)).as("__c"))
-      .localCheckpoint()
+      .truncateLineage()
     // The rank and cumulative sum run over the VOCABULARY frame (Heaps'
     // law — millions of types at 100 TB, not trillions of tokens), but
     // "millions through one task" is still the single-reducer funnel the

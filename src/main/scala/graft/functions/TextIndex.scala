@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.Layout.LineageOps
 
 /** Persisted inverted-index serving — the text-side build-once/probe-many
   * twin of [[AnnIndex]] (r11 verdict's serving discipline): [[build]] writes
@@ -86,14 +87,14 @@ object TextIndex {
       s"text index at $indexPath has no commit manifest — torn or missing build; rebuild it")
     Storage.drop(manifestPath(indexPath))
     val ids = docIds.select(col(docIds.columns.head).cast("long").as("doc_id"))
-      .distinct().localCheckpoint(true)
+      .distinct().truncateLineage()
     val prior =
       if (Storage.exists(s"$indexPath/tombstones"))
         spark.read.parquet(s"$indexPath/tombstones")
       else Seq.empty[Long].toDF("doc_id")
     // O(delta): only ids not already tombstoned subtract from the totals
-    val fresh  = ids.join(prior, Seq("doc_id"), "left_anti").localCheckpoint(true)
-    val merged = prior.union(fresh).localCheckpoint(true)
+    val fresh  = ids.join(prior, Seq("doc_id"), "left_anti").truncateLineage()
+    val merged = prior.union(fresh).truncateLineage()
     Storage.replace(merged, s"$indexPath/tombstones")
     val dead = spark.read.parquet(s"$indexPath/docs")
       .join(broadcast(fresh), Seq("doc_id"), "left_semi")
@@ -295,10 +296,10 @@ object TextIndex {
     val tok = docs.select(col(idCol).as("doc_id"),
       explode(TextAnalysis.tokens(col(textCol))).as("tok"))
     val newPost = tok.groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true)
+      .truncateLineage()
     newPost.write.mode("append").partitionBy("tok").parquet(s"$indexPath/postings")
     val newDl = newPost.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-      .localCheckpoint(true)
+      .truncateLineage()
     newDl.write.mode("append").parquet(s"$indexPath/docs")
     // vocab-sized merge; checkpoint before overwriting the table it read
     val mergedStats = spark.read.parquet(s"$indexPath/stats")
@@ -306,7 +307,7 @@ object TextIndex {
       .join(newPost.groupBy(col("tok")).agg(count(lit(1)).as("df_new")), Seq("tok"), "full_outer")
       .select(col("tok"),
         (coalesce(col("df_old"), lit(0L)) + coalesce(col("df_new"), lit(0L))).as("df"))
-      .localCheckpoint(true)
+      .truncateLineage()
     Storage.replace(mergedStats, s"$indexPath/stats")
     val old = spark.read.parquet(s"$indexPath/corpus")
       .select(col("n_docs"), col("total_dl")).head()
@@ -357,7 +358,7 @@ object TextIndex {
     require(Storage.exists(manifestPath(indexPath)),
       s"text index at $indexPath has no commit manifest — torn or missing build; rebuild it")
     if (!Storage.exists(s"$indexPath/tombstones")) return false
-    val tomb  = spark.read.parquet(s"$indexPath/tombstones").localCheckpoint(true)
+    val tomb  = spark.read.parquet(s"$indexPath/tombstones").truncateLineage()
     val nTomb = tomb.count()
     val nDocs = spark.read.parquet(s"$indexPath/docs").count()
     if (nTomb == 0L || (nDocs > 0L && nTomb.toDouble / nDocs.toDouble < minFraction)) return false

@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextAnalysis
+import graft.functions.Layout.LineageOps
 
 /** Statistical mining over the corpus and the order book — the
   * collocation / robust-statistics family (pointwise mutual information
@@ -489,7 +490,7 @@ object Analytics {
         .filter(col("a") =!= col("b"))
         .select(least(col("a"), col("b")).as("lo"), greatest(col("a"), col("b")).as("hi"))
         .distinct()
-        .localCheckpoint(true)
+        .truncateLineage()
       val divisor = math.max(1L, e0raw.count() / 1500L)
       val e0 = e0raw.filter((col("lo") * 31 + col("hi") * 17) % divisor === 0)
       graft.functions.GraphOps.truss(e0, "lo", "hi", k = 4, rounds = 4)
@@ -865,7 +866,7 @@ object Analytics {
         .filter(col("a") =!= col("b"))
         .select(least(col("a"), col("b")).as("lo"), greatest(col("a"), col("b")).as("hi"))
         .distinct()
-        .localCheckpoint(true)
+        .truncateLineage()
       val divisor = math.max(1L, e0raw.count() / 1500L)
       val ek = e0raw.filter((col("lo") * 31 + col("hi") * 17) % divisor === 0)
       val e = ek.select(col("lo").as("src"), col("hi").as("dst"))

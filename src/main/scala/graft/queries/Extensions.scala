@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.functions.{AnnSearch, BloomDedup, BpeTrain, ClusterOps, Curation, DedupOps, QualityLM, TextAnalysis, RollingHash}
 import graft.multimodal.Multimodal
+import graft.functions.Layout.LineageOps
 
 /** Training-data-pipeline extension operators (the north-star surface beyond
   * reference parity): deduplication, similarity search, multimodal columns,
@@ -1687,7 +1688,7 @@ object Extensions {
               .unionByName(BloomDedup.newAgainstFilter(b2, "doc_id", "text", ckeys, filt, nBits, k))
               .select(col("doc_id"), col("n_chars"))
               .orderBy("doc_id")
-              .localCheckpoint(eager = true) // materialize before unpersist
+              .truncateLineage() // materialize before unpersist
           } finally filt.unpersist()
         } finally ckeys.unpersist()
       filtize
@@ -5176,7 +5177,7 @@ object Extensions {
       val files = Tables.documents(s, d)
         .groupBy(concat_ws("/", col("source"), col("lang")).as("file"))
         .agg(sum(col("n_chars")).cast("long").as("bytes"))
-        .localCheckpoint()
+        .truncateLineage()
       graft.functions.Layout
         .twoPhasePrefixSumBefore(files, "__pre", col("bytes"), desc("bytes"), asc("file"))
         .withColumn("grp", expr(s"__pre div CAST($target AS BIGINT)"))
@@ -5238,14 +5239,14 @@ object Extensions {
         .select(col("c_custkey").cast("long").as("k"), col("c_name").as("nm"),
           col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"),
           expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("cents"))
-        .localCheckpoint(true)
+        .truncateLineage()
       // interleaved 3-part dealing of the 9-digit tail (positions 10..18)
       def part(i: Int) = concat(
         substring(col("nm"), 10 + i, 1), substring(col("nm"), 13 + i, 1),
         substring(col("nm"), 16 + i, 1))
       val keyed = c.select(col("k"), col("nm"), col("nat"), col("seg"),
         part(0).as("p0"), part(1).as("p1"), part(2).as("p2"))
-        .localCheckpoint(true) // scanned by all three candidate passes
+        .truncateLineage() // scanned by all three candidate passes
       val passes = Seq(("p0", "p1"), ("p0", "p2"), ("p1", "p2")).map { case (x, y) =>
         val a = keyed.select(col("k").as("xk"), col("nm").as("xnm"),
           col("nat"), col("seg"), col(x).as("bx"), col(y).as("by"))
@@ -5259,7 +5260,7 @@ object Extensions {
         .select(col("xk").as("x"), col("yk").as("y"))
       val edges = pairs.select(col("x").as("src"), col("y").as("dst"))
         .union(pairs.select(col("y").as("src"), col("x").as("dst")))
-        .localCheckpoint(true)
+        .truncateLineage()
       var lab = c.select(col("k").as("node"), col("k").as("label"))
       for (_ <- 1 to 3) {
         val nbrMin = edges
@@ -5331,13 +5332,13 @@ object Extensions {
       val c = Tables.customer(s, d)
         .select(col("c_custkey").cast("long").as("k"), col("c_name").as("nm"),
           col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"))
-        .localCheckpoint(true)
+        .truncateLineage()
       def part(i: Int) = concat(
         substring(col("nm"), 10 + i, 1), substring(col("nm"), 13 + i, 1),
         substring(col("nm"), 16 + i, 1))
       val keyed = c.select(col("k"), col("nm"), col("nat"), col("seg"),
         part(0).as("p0"), part(1).as("p1"), part(2).as("p2"))
-        .localCheckpoint(true)
+        .truncateLineage()
       val baseK  = keyed.filter(col("k") % 7 =!= 0)
       val deltaK = keyed.filter(col("k") % 7 === 0)
       def candPairs(left: org.apache.spark.sql.DataFrame, right: org.apache.spark.sql.DataFrame) =
@@ -5355,7 +5356,7 @@ object Extensions {
       val bp = candPairs(baseK, baseK).filter(col("xk") < col("yk"))
       val be = bp.select(col("xk").as("src"), col("yk").as("dst"))
         .union(bp.select(col("yk").as("src"), col("xk").as("dst")))
-        .localCheckpoint(true)
+        .truncateLineage()
       var bl = baseK.select(col("k").as("node"), col("k").as("label"))
       for (_ <- 1 to 3) {
         val nbrMin = be
@@ -5364,9 +5365,9 @@ object Extensions {
         bl = bl.join(nbrMin, Seq("node"), "left")
           .select(col("node"), least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
       }
-      val baseLab = bl.localCheckpoint(true)
+      val baseLab = bl.truncateLineage()
       // delta-involving edges only: |delta| x bounded-block
-      val de = candPairs(deltaK, keyed).localCheckpoint(true)
+      val de = candPairs(deltaK, keyed).truncateLineage()
       var dl = deltaK.select(col("k").as("node"), col("k").as("label"))
       for (_ <- 1 to 2) {
         val labAll = baseLab.union(dl)

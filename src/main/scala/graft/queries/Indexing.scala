@@ -4,6 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.Layout.LineageOps
 
 /** Round-11 families: search indexing (inverted index, boolean retrieval,
   * winnowing passage fingerprints), sketch completion (count-min), lakehouse
@@ -707,7 +708,7 @@ object Indexing {
         .distinct()
       val edges = e0.select(col("lo").as("src"), col("hi").as("dst"))
         .union(e0.select(col("hi").as("src"), col("lo").as("dst")))
-        .localCheckpoint() // 3 rounds rescan this frame; truncate once
+        .truncateLineage() // 3 rounds rescan this frame; truncate once
       var labels = edges.select(col("src").as("node")).distinct()
         .select(col("node"), col("node").as("label"))
       val wv = Window.partitionBy(col("node")).orderBy(desc("cnt"), asc("label"))
@@ -789,7 +790,7 @@ object Indexing {
       // Key-frequency frame is key-cardinality-sized; checkpoint it so the
       // four probe-side derivations (top5, absent5, probe bits, actual)
       // don't each re-scan lineitem through its lineage.
-      val present = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n")).localCheckpoint()
+      val present = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n")).truncateLineage()
       val top5 = present.orderBy(desc("n"), asc("l_partkey")).limit(5).select(col("l_partkey"))
       val absent5 = present.agg(max(col("l_partkey")).as("mx"))
         .select(explode(sequence(col("mx") + 1, col("mx") + 5)).as("l_partkey"))
@@ -1096,11 +1097,11 @@ object Indexing {
         .crossJoin(broadcast(q))
         .select(col("vec_id"), col("qv"), NativeFns.l2_dist2(col("qv"), col("qqv")).as("dq"))
         .orderBy(col("dq"), col("vec_id")).limit(12)
-        .localCheckpoint() // tiny frame scanned by all four rounds
+        .truncateLineage() // tiny frame scanned by all four rounds
       val pairs = cands.select(col("vec_id").as("c1"), col("qv").as("v1"))
         .join(cands.select(col("vec_id").as("c2"), col("qv").as("v2")), col("c1") =!= col("c2"))
         .select(col("c1"), col("c2"), NativeFns.l2_dist2(col("v1"), col("v2")).as("pd2"))
-        .localCheckpoint()
+        .truncateLineage()
       var out = cands
         .select(col("vec_id"), (lit(7L) * col("dq")).as("score"))
         .orderBy(col("score"), col("vec_id")).limit(1)
@@ -1243,7 +1244,7 @@ object Indexing {
       val users0 = ev.groupBy(col("user_id"))
         .agg(max(col("day")).as("last_day"), count(lit(1)).as("freq"),
           sum(col("cents")).as("cents"))
-        .localCheckpoint()
+        .truncateLineage()
       // One stats job over the checkpointed frame serves both scalars the
       // plan needs (anchor day for recency, user count for ntile).
       val stats = users0.agg(max(col("last_day")).as("anchor"), count(lit(1)).as("__n"))
@@ -1541,7 +1542,7 @@ object Indexing {
         .filter(col("a") =!= col("b"))
         .select(least(col("a"), col("b")).as("lo"), greatest(col("a"), col("b")).as("hi"))
         .distinct()
-        .localCheckpoint(true)
+        .truncateLineage()
       val divisor = math.max(1L, e0raw.count() / 1500L)
       val e0 = e0raw.filter((col("lo") * 31 + col("hi") * 17) % divisor === 0)
       val edges = e0.select(col("lo").as("src"), col("hi").as("dst"))

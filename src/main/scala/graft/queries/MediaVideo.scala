@@ -497,13 +497,17 @@ object MediaVideo {
                        WHEN 3 THEN wt3 WHEN 40 THEN wt40 WHEN 41 THEN wt41
                        WHEN 42 THEN wt42 WHEN 43 THEN wt43 WHEN 80 THEN wt80
                        WHEN 81 THEN wt81 WHEN 82 THEN wt82 WHEN 83 THEN wt83
-                       WHEN 120 THEN wt120 END AS wf,
+                       WHEN 120 THEN wt120
+                       ELSE error('gen geometry invariant n<=13 violated (wf)')
+                     END AS wf,
                      CASE (40*((fr.f-1)//4) + ((fr.f-1)%4))
                        WHEN 0 THEN 0 WHEN 1 THEN wt1 WHEN 2 THEN wt2
                        WHEN 3 THEN wt3 WHEN 40 THEN wt40 WHEN 41 THEN wt41
                        WHEN 42 THEN wt42 WHEN 43 THEN wt43 WHEN 80 THEN wt80
                        WHEN 81 THEN wt81 WHEN 82 THEN wt82 WHEN 83 THEN wt83
-                       WHEN 120 THEN wt120 END AS wp
+                       WHEN 120 THEN wt120
+                       ELSE error('gen geometry invariant n<=13 violated (wp)')
+                     END AS wp
                    FROM fr JOIN hagg ha USING (doc_id)),
             dv AS (SELECT doc_id, w, h, n, f,
                      (CASE WHEN f % 4 = 0 THEN 37 ELSE 1 END) * w * h

@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Layout
+import graft.functions.Layout.LineageOps
 
 /** Rank-based statistics over data-sized frames — the nonparametric
   * two-sample family (Mann–Whitney U, two-sample Kolmogorov–Smirnov) and
@@ -89,7 +90,7 @@ object RankStats {
         .agg(
           sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n1"),
           sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n2"))
-        .localCheckpoint()
+        .truncateLineage()
       val cum = Layout.twoPhasePrefixSumBefore(
         hist, "cb", col("n1") + col("n2"), col("spend"))
       cum.agg(
@@ -177,7 +178,7 @@ object RankStats {
         .withColumn("a1", (col("di") <= expr("(d0 + d1) div 2")).cast("long"))
         .groupBy(col("cents"))
         .agg(sum(col("a1")).as("c1"), sum(lit(1L) - col("a1")).as("c2"))
-        .localCheckpoint()
+        .truncateLineage()
       val cum0 = Layout.twoPhasePrefixSumBefore(
         hist, "pb",
         col("c1").cast("decimal(38,0)") * lit(8589934592L) + col("c2"),
@@ -261,7 +262,7 @@ object RankStats {
         .groupBy(col("o_custkey"))
         .agg(count(lit(1)).as("n_orders"),
           sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("spend"))
-        .localCheckpoint()
+        .truncateLineage()
       def spread(m: org.apache.spark.sql.Column) =
         m.cast("double") + col("o_custkey").cast("double") * lit(math.pow(2, -40))
       val ranked = Layout.twoPhaseRankAllBy(cust,
@@ -345,7 +346,7 @@ object RankStats {
         .select(col("user_id"), expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
         .groupBy(col("user_id"))
         .agg(sum(col("cents")).as("spend"))
-        .localCheckpoint() // observed + design sweeps both read it; corpus once
+        .truncateLineage() // observed + design sweeps both read it; corpus once
       val obs = users
         .withColumn("arm", pmod(col("user_id"), lit(2)))
         .agg(
@@ -641,15 +642,15 @@ object RankStats {
       val ev = Tables.events(s, d).select(col("event_type").as("grp"),
         expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
       val hist = ev.groupBy(col("cents"), col("grp")).agg(count(lit(1)).as("c"))
-        .localCheckpoint()
+        .truncateLineage()
       val vhist = hist.groupBy(col("cents")).agg(sum(col("c")).as("t"))
-        .localCheckpoint()
+        .truncateLineage()
       val cum = Layout.twoPhasePrefixSumBefore(vhist, "cb", col("t"), col("cents"))
       val per = hist.join(cum.select(col("cents"), col("cb"), col("t")), Seq("cents"))
         .groupBy(col("grp"))
         .agg(sum(col("c")).as("m"),
-          sum((col("c") * (lit(2L) * col("cb") + col("t") + lit(1L)))
-            .cast("decimal(38,0)")).as("r2"))
+          sum(col("c").cast("decimal(38,0)") *
+            (lit(2L) * col("cb") + col("t") + lit(1L))).as("r2"))
       val tot = vhist.agg(sum(col("t")).as("n"),
         sum({
           val t = col("t").cast("decimal(12,0)")
@@ -776,14 +777,15 @@ object RankStats {
           .agg(
             sum(when(col("dd") > 0, 1L).otherwise(0L)).as("cp"),
             sum(when(col("dd") < 0, 1L).otherwise(0L)).as("cn"))
-          .localCheckpoint()
+          .truncateLineage()
         val cum = Layout.twoPhasePrefixSumBefore(
           hist, "cb", col("cp") + col("cn"), col("ad"))
         cum.agg(
             coalesce(sum(col("cp") + col("cn")), lit(0L)).as("n_pairs"),
             coalesce(
-              sum((col("cp") * (lit(2L) * col("cb") + col("cp") + col("cn") + lit(1L)))
-                .cast("decimal(38,0)")).cast("long"), lit(0L)).as("w_plus_x2"),
+              sum(col("cp").cast("decimal(38,0)") *
+                (lit(2L) * col("cb") + col("cp") + col("cn") + lit(1L)))
+                .cast("long"), lit(0L)).as("w_plus_x2"),
             coalesce(
               sum({
                 val t = (col("cp") + col("cn")).cast("decimal(12,0)")
@@ -887,7 +889,7 @@ object RankStats {
         .select(col("user_id"), expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
         .groupBy(col("user_id"))
         .agg(sum(col("cents")).as("spend"))
-        .localCheckpoint()
+        .truncateLineage()
       val obs = users
         .withColumn("arm", pmod(col("user_id"), lit(2)))
         .agg(
@@ -1016,18 +1018,19 @@ object RankStats {
     * outcome depends on group; this asks whether it trends WITH an ordered
     * score, which is the question a pipeline actually has about
     * engagement/exposure tiers. Users bucket by capped event count
-    * (k = min(events, 8) — nine ordered buckets by construction, the
-    * schema-bounded pivot contract), outcome = "has a purchase event",
-    * scores s_k = k.
+    * (k = min(events, 8) — eight ordered buckets (k = 1..8) by
+    * construction: users derive from events so every user has ≥1 event and
+    * bucket 0 is unreachable; the pivot stays schema-bounded), outcome =
+    * "has a purchase event", scores s_k = k.
     *
     * Exact integers to the last step: one corpus pass to per-user
-    * (count, converted) rows, one bucket fold to ≤9 rows, and the statistic's
+    * (count, converted) rows, one bucket fold to ≤8 rows, and the statistic's
     * witnesses on the common-denominator scale — a_num = Σ s_k(n·r_k − n_k·R)
     * = n²·T̄-numerator and b_sum = n·Σs_k²n_k − (Σs_k n_k)² — are BIGINTs
     * (|a_num| ≤ 8·n·R and b_sum ≤ 64·n²: exact while n < ~3.8×10⁸ users —
     * far past any tested scale, and ANSI mode makes an overflow loud, never
     * silent). The one IEEE step is [[caShape]]. No window anywhere; the
-    * bucket frame is 9 rows.
+    * bucket frame is ≤8 rows.
     */
   val cochranArmitage = Q(
     "x_cochran_armitage",

@@ -1584,8 +1584,10 @@ object RainStorm {
           ties += BigInt(t) * t * t - t
           cb += t
         }
-        val u2       = (r1x2 - BigInt(nS) * (nS + 1L)).toLong
-        val tieCubes = ties.toLong
+        // longValueExact throws ArithmeticException on overflow — loud like
+        // the oracle face's ANSI CAST(... AS BIGINT), never a silent wrap.
+        val u2       = (r1x2 - BigInt(nS) * (nS + 1L)).bigInteger.longValueExact()
+        val tieCubes = ties.bigInteger.longValueExact()
         val naD = nS.toDouble
         val nbD = nR.toDouble
         val nd  = (nS + nR).toDouble

@@ -263,4 +263,29 @@ class LayoutSpec extends AnyFunSuite {
       assert(got === want, s"n=$n k=$k")
     }
   }
+
+  test("truncateLineage: localCheckpoint by default, reliable checkpoint under the config switch") {
+    import spark.implicits._
+    import graft.functions.Layout.LineageOps
+    val df = Seq(1L, 2L, 3L).toDF("v")
+
+    val local = df.truncateLineage()
+    assert(local.as[Long].collect().sorted === Array(1L, 2L, 3L))
+    // default path: executor-local blocks, never the reliable checkpoint dir
+    assert(local.queryExecution.analyzed.toString.contains("LogicalRDD"),
+      "truncateLineage must actually truncate (plan becomes a materialized RDD scan)")
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    spark.conf.set(Layout.ReliableCheckpointKey, "true")
+    try {
+      val reliable = df.truncateLineage()
+      assert(reliable.as[Long].collect().sorted === Array(1L, 2L, 3L))
+      val wrote = new java.io.File(dir).listFiles()
+      assert(wrote != null && wrote.nonEmpty,
+        "reliableCheckpoint=true must write blocks to the fault-tolerant checkpoint dir")
+    } finally {
+      spark.conf.set(Layout.ReliableCheckpointKey, "false")
+    }
+  }
 }

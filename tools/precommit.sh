@@ -93,4 +93,20 @@ if [ -f EXPLAIN.md ]; then
     exit 1
   }
 fi
+
+# Lineage-truncation lint (r16 verdict watch item #3): all checkpointing
+# must go through Layout.truncateLineage (config-switchable to reliable
+# checkpoint()); direct localCheckpoint/checkpoint calls dodge the SCALE.md
+# site audit and the cluster-mode switch.
+python3 tools/checkpoint_lint.py --selftest >/dev/null || {
+  echo "pre-commit: checkpoint_lint SELFTEST failed — the planted direct"
+  echo "call no longer fails; fix tools/checkpoint_lint.py."
+  exit 1
+}
+python3 tools/checkpoint_lint.py || {
+  echo "pre-commit: checkpoint lint FAILED — a main-source file calls"
+  echo ".localCheckpoint/.checkpoint directly. Use Layout.truncateLineage"
+  echo "and add the site to SCALE.md's lineage-truncation audit."
+  exit 1
+}
 exit 0
