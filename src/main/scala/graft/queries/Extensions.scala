@@ -2763,9 +2763,15 @@ object Extensions {
   )
 
   /** Sketch aggregate: HyperLogLog++ approximate distinct next to the exact
-    * count. The sketch is engine-specific (no cross-engine oracle), but at
-    * 100 TB it is the difference between one pass with bounded memory and a
-    * full distinct shuffle — rows-only check, accuracy asserted in ScalaTest.
+    * count. The sketch's REGISTERS are engine-specific (DuckDB cannot replay
+    * them), but the ACCURACY CONTRACT is an exact integer the oracle can pin
+    * (r16 verdict #6): published columns are the exact distinct count plus
+    * `within_3rsd` = [|approx − exact| ≤ 3·rsd·exact] with rsd = 0.02. HLL++
+    * is a deterministic algorithm, so the gate bit is stable for a fixed
+    * input; the oracle asserts 1, turning the former ScalaTest-only accuracy
+    * gate into a per-round driver-checked row. At 100 TB the sketch is the
+    * difference between one pass with bounded memory and a full distinct
+    * shuffle.
     *
     * The two aggregates run as SEPARATE plans joined on a trivially-true
     * 1×1 condition, not one `agg(approx, count_distinct)`: mixing them makes
@@ -2784,7 +2790,15 @@ object Extensions {
       val ap = li.agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
       val ex = li.select(col("l_partkey")).distinct().agg(count(col("l_partkey")).as("exact_parts"))
       ap.join(ex, lit(true), "inner") // 1×1 rows — a trivial nested-loop join
-    }
+        .select(col("exact_parts"),
+          expr("""CAST(CASE WHEN abs(CAST(approx_parts AS DOUBLE)
+                                    - CAST(exact_parts AS DOUBLE))
+                            <= 0.06 * CAST(exact_parts AS DOUBLE)
+                  THEN 1 ELSE 0 END AS BIGINT)""").as("within_3rsd"))
+    },
+    Some("""SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+              CAST(1 AS BIGINT) AS within_3rsd
+            FROM lineitem""")
   )
 
   /** KMV (bottom-k) distinct-count sketch, fully oracled — the contrast to

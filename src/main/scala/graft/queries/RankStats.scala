@@ -996,6 +996,88 @@ object RankStats {
             FROM a, o""")
   )
 
+  /** The incremental/streaming face of `x_bootstrap_ci` — the
+    * experimentation family's third batch/streaming pair (r16 verdict #4:
+    * KS ✓ shape, Mann–Whitney ✓ order, this ✓ the effect-size INTERVAL as
+    * data arrives). The Poisson bootstrap is the one resampling scheme
+    * whose replicates are PURE FOLDS (Chamandy et al. 2012): replicate s
+    * re-weights each arriving row by a deterministic Poisson(1) draw from
+    * the row's stable key, so the per-group state is 64 fixed
+    * (s1,n1,s0,n0) tuples plus the observed sums — never a row of data.
+    * Granularity follows the incremental-face convention (per event_type
+    * group, the ksStream precedent) and the arriving UNIT is the event
+    * (mean value per event; the batch face bootstraps per user — a user's
+    * spend is not a pure event fold once arrivals split it). All events
+    * flow through [[graft.streaming.RainStorm.bootstrapCiStream]] as a
+    * single batch frame (the `x_curation_video_incremental` convention) so
+    * the streaming OPERATOR ITSELF is what the oracle checks; the
+    * multi-batch replay and its final-snapshot-equals-batch contract are
+    * pinned in RainStormStreamingSpec.
+    */
+  val bootstrapCiIncremental = Q(
+    "x_bootstrap_ci_incremental",
+    (s, d) => {
+      val arrivals = Tables.events(s, d).select(
+        col("event_type").as("grp"),
+        col("event_id").cast("long").as("ek"),
+        pmod(col("user_id"), lit(2)).cast("long").as("arm"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      graft.streaming.RainStorm.bootstrapCiStream(s, arrivals).toDF().orderBy("grp")
+    },
+    Some(s"""WITH e AS (
+              SELECT event_type AS grp, event_id AS ek, user_id % 2 AS arm,
+                CAST(round(value * 100) AS BIGINT) AS cents
+              FROM events),
+            o AS (
+              SELECT grp, CAST(count(*) AS BIGINT) AS n_events,
+                sum(CASE WHEN arm = 1 THEN CAST(cents AS HUGEINT) ELSE 0 END) AS os1,
+                CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS on1,
+                sum(CASE WHEN arm = 0 THEN CAST(cents AS HUGEINT) ELSE 0 END) AS os0,
+                CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS on0
+              FROM e GROUP BY 1),
+            w AS (
+              SELECT e.grp, e.arm, e.cents, s.s,
+                ((((2246822519 * (2 * s.s + 5)) % 2147483647) * (e.ek % 2147483647)
+                  + 15485863 * s.s) % 2147483647) AS w1
+              FROM e CROSS JOIN (SELECT unnest(range(0, 64)) AS s) s),
+            ww AS (SELECT grp, s, arm, cents, (w1 * w1) % 2147483647 AS hv FROM w),
+            wts AS (SELECT grp, s, arm, cents, $poissonWt AS wt FROM ww),
+            p AS (
+              SELECT grp, s,
+                sum(CASE WHEN arm = 1 THEN CAST(wt AS HUGEINT) * cents ELSE 0 END) AS s1,
+                CAST(sum(CASE WHEN arm = 1 THEN wt ELSE 0 END) AS BIGINT) AS n1,
+                sum(CASE WHEN arm = 0 THEN CAST(wt AS HUGEINT) * cents ELSE 0 END) AS s0,
+                CAST(sum(CASE WHEN arm = 0 THEN wt ELSE 0 END) AS BIGINT) AS n0
+              FROM wts GROUP BY 1, 2),
+            v AS (
+              SELECT grp,
+                CAST((s1 * 1000000) // n1 - (s0 * 1000000) // n0 AS BIGINT) AS v
+              FROM p WHERE n0 > 0 AND n1 > 0),
+            a AS (
+              SELECT grp, CAST(count(*) AS BIGINT) AS k_designs,
+                list(v ORDER BY v) AS vs
+              FROM v GROUP BY 1),
+            f AS (
+              SELECT o.grp, o.n_events,
+                COALESCE(a.k_designs, 0) AS k_designs,
+                CAST(CASE WHEN o.on0 > 0 AND o.on1 > 0
+                  THEN (o.os1 * 1000000) // o.on1 - (o.os0 * 1000000) // o.on0
+                  ELSE 0 END AS BIGINT) AS obs_diff_micro,
+                CAST(CASE WHEN COALESCE(a.k_designs, 0) > 0
+                  THEN vs[CAST((a.k_designs * 25) // 1000 + 1 AS INT)]
+                  ELSE 0 END AS BIGINT) AS ci_lo_micro,
+                CAST(CASE WHEN COALESCE(a.k_designs, 0) > 0
+                  THEN vs[CAST(a.k_designs - (a.k_designs * 25) // 1000 AS INT)]
+                  ELSE 0 END AS BIGINT) AS ci_hi_micro
+              FROM o LEFT JOIN a ON o.grp = a.grp)
+            SELECT grp, n_events, k_designs, obs_diff_micro, ci_lo_micro,
+              ci_hi_micro,
+              CAST(CASE WHEN k_designs > 0
+                AND (ci_lo_micro > 0 OR ci_hi_micro < 0)
+                THEN 1 ELSE 0 END AS BIGINT) AS significant
+            FROM f ORDER BY grp""")
+  )
+
   /** Cochran–Armitage z in the identical double shape on both engines, from
     * the four integer witnesses: a_num = Σ_k s_k·(n·r_k − n_k·R) (n·T on the
     * common-denominator scale), b_sum = n·Σ s_k²·n_k − (Σ s_k·n_k)², total n
@@ -1084,6 +1166,6 @@ object RankStats {
 
   val qs: Seq[Q] = Seq(mannWhitneyU, ksDrift, spearmanCorr, permutationTest,
     ksDriftIncremental, mannWhitneyIncremental, kruskalWallis,
-    wilcoxonSignedRank, bootstrapCi, cochranArmitage)
+    wilcoxonSignedRank, bootstrapCi, bootstrapCiIncremental, cochranArmitage)
 }
 

@@ -1605,6 +1605,129 @@ object RainStorm {
       }
   }
 
+  /** Per-group Poisson-bootstrap state: 64 replicate fold tuples
+    * (s1/n1/s0/n0 per replicate, index = replicate id) plus the unweighted
+    * observed sums — FIXED size (64·4 + 5 longs) regardless of data, the
+    * ewmaStream state contract.
+    */
+  final case class BootCiState(
+      s1: Seq[Long], n1: Seq[Long], s0: Seq[Long], n0: Seq[Long],
+      os1: Long, on1: Long, os0: Long, on0: Long, nEvents: Long)
+
+  final case class BootCiRow(
+      grp: String, n_events: Long, k_designs: Long, obs_diff_micro: Long,
+      ci_lo_micro: Long, ci_hi_micro: Long, significant: Long)
+
+  /** Poisson(1) inverse-CDF thresholds over a 31-bit uniform — the SAME
+    * fixed integer literals as `RankStats.poissonWt`, so both engines draw
+    * identical weights from identical hash values. weight(hv) = #thresholds
+    * ≤ hv (capped at 9).
+    */
+  private val poissonThresholds = Array(
+    790015083L, 1580030167L, 1975037709L, 2106706890L, 2139624185L,
+    2146207644L, 2147304887L, 2147461637L, 2147481230L)
+
+  private val M31 = 2147483647L
+
+  /** Floor division matching DuckDB `//` (BigInt `/` truncates toward zero;
+    * the readout must floor so a negative mean-diff rounds identically on
+    * both engines).
+    */
+  private def bigFloorDiv(a: BigInt, b: BigInt): BigInt = {
+    val q = a / b
+    if ((a % b).signum != 0 && a.signum * b.signum < 0) q - 1 else q
+  }
+
+  /** Streaming Poisson-bootstrap 95% CI for the A/B arm mean-value
+    * difference — the arriving-data face of `x_bootstrap_ci`, completing
+    * the experimentation family's third batch/streaming pair (KS watches
+    * shape, Mann–Whitney watches order, this watches the EFFECT-SIZE
+    * INTERVAL as data lands). Per the Chamandy et al. 2012 design the
+    * Poisson bootstrap needs no sampling pass and no global coordination:
+    * replicate s re-weights every arriving row independently by a
+    * deterministic Poisson(1) draw from the row's stable key (the
+    * `x_bootstrap_ci` mixer on event_id, weights via the shared integer
+    * thresholds), so each of the 64 replicate (Σwt·cents, Σwt) pairs per
+    * arm is a PURE FOLD — per-key state is 64 fixed tuples plus the
+    * unweighted observed sums, never a row of data (the ewmaStream shape).
+    * Granularity: per event_type group, per EVENT (the arriving unit —
+    * "mean value per event" — where the batch face bootstraps per USER;
+    * the ksStream precedent of the incremental face reading per-group).
+    *
+    * Exact integers end to end: fold sums are overflow-checked longs
+    * (Math.addExact — loud like the oracle's ANSI casts), the readout
+    * v_s = (s1·10⁶) fdiv n1 − (s0·10⁶) fdiv n0 runs in BigInt with FLOOR
+    * division (DuckDB `//` semantics) and publishes via longValueExact,
+    * and the CI is the order statistics of the sorted ≤64-element replicate
+    * array at ranks (k·25 div 1000)+1 and k − (k·25 div 1000) — identical
+    * to the batch face. n_events is monotone per key, so a replay's final
+    * snapshot is its max-n row — RainStormStreamingSpec pins a split
+    * replay's final snapshot equal to the batch face.
+    */
+  def bootstrapCiStream(
+      spark: SparkSession,
+      arrivals: DataFrame // (grp string, ek long, arm long, cents long)
+  ): Dataset[BootCiRow] = {
+    import spark.implicits._
+    arrivals
+      .as[(String, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[BootCiState, BootCiRow](
+        OutputMode.Update(),
+        GroupStateTimeout.NoTimeout
+      ) { (grp: String, rows: Iterator[(String, Long, Long, Long)],
+           state: GroupState[BootCiState]) =>
+        val st = state.getOption.getOrElse(BootCiState(
+          Seq.fill(64)(0L), Seq.fill(64)(0L), Seq.fill(64)(0L), Seq.fill(64)(0L),
+          0L, 0L, 0L, 0L, 0L))
+        val s1 = st.s1.toArray; val n1 = st.n1.toArray
+        val s0 = st.s0.toArray; val n0 = st.n0.toArray
+        var os1 = st.os1; var on1 = st.on1
+        var os0 = st.os0; var on0 = st.on0
+        var nEv = st.nEvents
+        rows.foreach { case (_, ek, arm, cents) =>
+          nEv += 1L
+          if (arm == 1L) { os1 = Math.addExact(os1, cents); on1 += 1L }
+          else { os0 = Math.addExact(os0, cents); on0 += 1L }
+          var s = 0
+          while (s < 64) {
+            val a  = (2246822519L * (2L * s + 5L)) % M31
+            val w1 = (a * (ek % M31) + 15485863L * s) % M31
+            val hv = (w1 * w1) % M31
+            var wt = 0L
+            while (wt < 9 && hv >= poissonThresholds(wt.toInt)) wt += 1L
+            if (wt > 0L) {
+              val d = Math.multiplyExact(wt, cents)
+              if (arm == 1L) { s1(s) = Math.addExact(s1(s), d); n1(s) += wt }
+              else { s0(s) = Math.addExact(s0(s), d); n0(s) += wt }
+            }
+            s += 1
+          }
+        }
+        state.update(BootCiState(
+          s1.toSeq, n1.toSeq, s0.toSeq, n0.toSeq, os1, on1, os0, on0, nEv))
+        val vs = (0 until 64).iterator
+          .filter(s => n0(s) > 0L && n1(s) > 0L)
+          .map { s =>
+            (bigFloorDiv(BigInt(s1(s)) * 1000000, BigInt(n1(s))) -
+              bigFloorDiv(BigInt(s0(s)) * 1000000, BigInt(n0(s))))
+              .bigInteger.longValueExact()
+          }
+          .toArray.sorted
+        val k = vs.length.toLong
+        val obs =
+          if (on0 > 0L && on1 > 0L)
+            (bigFloorDiv(BigInt(os1) * 1000000, BigInt(on1)) -
+              bigFloorDiv(BigInt(os0) * 1000000, BigInt(on0)))
+              .bigInteger.longValueExact()
+          else 0L
+        val lo = if (k > 0L) vs(((k * 25) / 1000).toInt) else 0L
+        val hi = if (k > 0L) vs((k - 1L - (k * 25) / 1000).toInt) else 0L
+        val sig = if (k > 0L && (lo > 0L || hi < 0L)) 1L else 0L
+        Iterator.single(BootCiRow(grp, nEv, k, obs, lo, hi, sig))
+      }
+  }
+
   def observeGateStream(docs: DataFrame): DataFrame =
     docs
       .observe("curation_gate",

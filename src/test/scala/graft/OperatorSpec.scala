@@ -362,8 +362,9 @@ class OperatorSpec extends AnyFunSuite {
 
   test("approx distinct sketch is within rsd of exact") {
     val r = graft.queries.Extensions.approxDistinct.run(spark, TestSpark.sf0001).collect()(0)
-    val (approx, exact) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
-    assert(math.abs(approx - exact) / exact < 0.1, s"approx=$approx exact=$exact")
+    assert(r.getAs[Long]("exact_parts") > 0L)
+    assert(r.getAs[Long]("within_3rsd") === 1L,
+      "HLL++ estimate strayed past 3x rsd of the exact distinct count")
   }
 
   test("multiappend: concurrent writers compose, then merge + quantify (HyDFS verbs)") {

@@ -1015,6 +1015,49 @@ class RainStormStreamingSpec extends AnyFunSuite {
       "per-group histogram state must make the 3-batch replay's final U equal the batch face")
   }
 
+  test("bootstrapCiStream: split replay's final snapshot equals the batch face") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // mirror x_bootstrap_ci_incremental's frame: ALL events arrive across
+    // THREE micro-batches (replicate folds are associative — no reference
+    // state, so the whole log is the stream).
+    val arrivals = Tables.events(spark, TestSpark.sf0001)
+      .select(col("event_type").as("grp"),
+        col("event_id").cast("long").as("ek"),
+        pmod(col("user_id"), lit(2)).cast("long").as("arm"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .as[(String, Long, Long, Long)].collect().toSeq
+    val chunks = arrivals.grouped((arrivals.size + 2) / 3).toSeq
+
+    val in = MemoryStream[(String, Long, Long, Long)]
+    val q = graft.streaming.RainStorm
+      .bootstrapCiStream(spark, in.toDF().toDF("grp", "ek", "arm", "cents"))
+      .writeStream.outputMode("update").format("memory").queryName("boot_stream").start()
+    try {
+      chunks.foreach { c => in.addData(c.toIndexedSeq: _*); q.processAllAvailable() }
+    } finally q.stop()
+
+    def key(r: org.apache.spark.sql.Row) = (r.getAs[String]("grp"),
+      (r.getAs[Long]("n_events"), r.getAs[Long]("k_designs"),
+        r.getAs[Long]("obs_diff_micro"), r.getAs[Long]("ci_lo_micro"),
+        r.getAs[Long]("ci_hi_micro"), r.getAs[Long]("significant")))
+
+    // n_events is monotone per key → the final snapshot is its max-n row
+    val streamed = spark.table("boot_stream")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("grp"))
+          .orderBy(col("n_events").desc)))
+      .filter(col("rn") === 1).drop("rn")
+      .collect().map(key).toMap
+    val batch = graft.queries.RankStats.bootstrapCiIncremental
+      .run(spark, TestSpark.sf0001)
+      .collect().map(key).toMap
+    assert(streamed === batch,
+      "64-replicate fold state must make the 3-batch replay's final CI equal the batch face")
+  }
+
   test("observeGateStream: per-batch audit counters ride the progress channel") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
