@@ -70,6 +70,20 @@ object Bench {
         val f = cpu.trim.split("\\s+")
         if (f.length > 8) f(8).toLong else -1L
       } catch { case _: Throwable => -1L }
+    // Pre-run IDLE steal probe (r16 verdict #1): with GRAFT_STEAL_PROBE_SECS
+    // set, sleep that long BEFORE any work and record the steal delta over
+    // the idle window inside the artifact — a machine-checkable "the host
+    // was quiet when this run started", not prose. The driver sets neither
+    // env var, so official runs are unchanged.
+    val probeSecs = sys.env.get("GRAFT_STEAL_PROBE_SECS").map(_.toInt).getOrElse(0)
+    val probeJ: Long =
+      if (probeSecs > 0) {
+        val p0 = stealJiffies()
+        Thread.sleep(probeSecs * 1000L)
+        val p = stealJiffies() - p0
+        Console.err.println(s"[bench] idle steal probe: $p jiffies / $probeSecs s")
+        p
+      } else -1L
     val steal0 = stealJiffies()
     val bench0 = System.nanoTime()
     def runOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
@@ -120,12 +134,21 @@ object Bench {
     val slowest = results.sortBy(-_._2).take(20)
     val stealD  = { val s1 = stealJiffies(); if (steal0 < 0 || s1 < 0) -1L else s1 - steal0 }
     val line = s"""{"metric":"total","value":${num(total)},"unit":"sec","sink":"noop-min-of-2-passes-outlier-retry","n_queries":${results.size},"steal_jiffies":$stealD,"queries":${fmt(slowest)},"detail":"BENCH_LOCAL.json","sf":"$sfDir"}"""
-    val full = s"""{"metric":"total","value":${num(total)},"unit":"sec","sink":"noop-min-of-2-passes-outlier-retry","steal_jiffies":$stealD,"queries":${fmt(results)},"sf":"$sfDir"}"""
+    val probeField =
+      if (probeSecs > 0) s""","steal_probe_jiffies":$probeJ,"steal_probe_secs":$probeSecs"""
+      else ""
+    val full = s"""{"metric":"total","value":${num(total)},"unit":"sec","sink":"noop-min-of-2-passes-outlier-retry","steal_jiffies":$stealD$probeField,"queries":${fmt(results)},"sf":"$sfDir"}"""
     println(line)
     // Full per-query artifact (also a backup in case stdout is decorated).
     // Subset runs (local iteration with name args) go to a scratch file so
     // they can't overwrite the committed full-registry numbers.
-    val artifact = if (args.isEmpty) "BENCH_LOCAL.json" else "BENCH_SUBSET.json"
+    // GRAFT_BENCH_ARTIFACT (r16 verdict #1) redirects the full JSON to a
+    // round-stamped COMMITTED path (e.g. BENCH_QUIET_r17.json) that the
+    // driver's own run — which never sets the env — can never clobber; the
+    // gitignored BENCH_LOCAL.json default doubles as the driver's detail
+    // file and has the lifetime of one driver run.
+    val artifact = sys.env.getOrElse("GRAFT_BENCH_ARTIFACT",
+      if (args.isEmpty) "BENCH_LOCAL.json" else "BENCH_SUBSET.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(artifact),
       (full + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }

@@ -25,9 +25,14 @@ object Verify {
       "org.apache.spark.sql.execution.window.WindowExec",
       org.apache.logging.log4j.Level.ERROR)
     new java.io.File(outDir).mkdirs()
+    // A trailing '$' on a selector demands an EXACT name match (substring
+    // selection cannot isolate a query that is a prefix of its siblings,
+    // e.g. x_curation_pipeline vs ..._pipeline3).
     val selected =
       if (rest.isEmpty) SparkEntry.queries
-      else SparkEntry.queries.filter { case (n, _) => rest.exists(n.contains) }
+      else SparkEntry.queries.filter { case (n, _) =>
+        rest.exists(r => if (r.endsWith("$")) n == r.dropRight(1) else n.contains(r))
+      }
     val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -6,16 +6,16 @@ import graft.functions.Layout.LineageOps
 
 /** Persisted inverted-index serving — the text-side build-once/probe-many
   * twin of [[AnnIndex]] (r11 verdict's serving discipline): [[build]] writes
-  * the four index tables as parquet (postings hive-partitioned BY TOKEN so a
-  * probe's `tok IN (…)` prunes to the matching partition directories —
-  * directory-level data skipping, the 100 TB serving shape), and
+  * the four index tables as parquet (postings hive-partitioned by TOKEN HASH
+  * BUCKET so a probe prunes to its terms' bucket directories — directory-
+  * level data skipping, the 100 TB serving shape), and
   * [[probeBm25]] scores strictly FROM THE PERSISTED TABLES — no corpus scan,
   * no re-tokenization, model scalars (n_docs, avgdl) read from the one-row
   * corpus table written at build time so every probe — and the DuckDB oracle
   * replaying it over `read_parquet` of the same artifacts — sees bit-equal
   * global statistics.
   *
-  * Scale: a probe touches |terms| posting partitions + a doc-length join
+  * Scale: a probe touches |terms| posting BUCKETS + a doc-length join
   * keyed on doc_id; df/corpus stats are broadcast-sized. Appending a
   * document batch is the posting-delta merge proven by
   * `x_inverted_index_incremental`.
@@ -26,16 +26,34 @@ object TextIndex {
 
   private def manifestPath(p: String) = s"$p/manifest"
 
-  /** Postings are hive-partitioned BY TOKEN, and Spark's partition-column
-    * type inference reads an all-numeric vocabulary's `tok` directories back
-    * as an integer column — silently emptying the string `isin` filters and
-    * stats joins every probe relies on. Pin the partition column back to
-    * string on every read; the cast is a deterministic expression on the
-    * partition column, so directory-level pruning still applies.
+  /** Postings are hive-partitioned by `bucket = xxhash64(tok) mod 64`, NOT
+    * by raw token: per-token directories are only viable on a closed
+    * vocabulary — at an open vocabulary the dynamic-partition write becomes
+    * a small-file storm (measured at gen100, where ~100k distinct tokens ×
+    * 32 write tasks produced 640k+ parquet files and a build that ran 35+
+    * minutes before being killed; real postings stores shard by term hash
+    * for exactly this reason). A fixed bucket count keeps the directory
+    * fan-out constant at any vocabulary while probes still skip directories:
+    * `xxhash64` over a literal term constant-folds, so a probe's bucket
+    * `isin` is a static partition filter. `tok` rides inside the files as an
+    * ordinary string column (which also retires the old all-numeric-vocab
+    * partition-type-inference hazard).
     */
+  val PostingBuckets = 64
+
+  private def bucketExpr(tok: org.apache.spark.sql.Column) =
+    pmod(xxhash64(tok), lit(PostingBuckets.toLong))
+
+  /** Static partition predicate for a probe's term list: each bucket id is
+    * a foldable expression over a literal, so Catalyst reduces the `isin`
+    * to constants and prunes the non-matching bucket directories at scan
+    * planning time.
+    */
+  private def bucketPred(terms: Seq[String]) =
+    col("bucket").isin(terms.map(t => bucketExpr(lit(t))): _*)
+
   private def readPostings(spark: SparkSession, indexPath: String): DataFrame =
     spark.read.parquet(s"$indexPath/postings")
-      .withColumn("tok", col("tok").cast("string"))
 
   /** Tokenize once, write postings/docs/stats/corpus; commit-manifest last
     * (dropped first), so probes refuse a torn build — the same transaction
@@ -52,7 +70,8 @@ object TextIndex {
     val tok = docs.select(col(idCol).as("doc_id"),
       explode(TextAnalysis.tokens(col(textCol))).as("tok"))
     val postings = tok.groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("tf"))
-    postings.write.mode("overwrite").partitionBy("tok").parquet(s"$indexPath/postings")
+    postings.withColumn("bucket", bucketExpr(col("tok")))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$indexPath/postings")
     val dl = postings.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     dl.write.mode("overwrite").parquet(s"$indexPath/docs")
     postings.groupBy(col("tok")).agg(count(lit(1)).as("df"))
@@ -126,6 +145,7 @@ object TextIndex {
       s"no tombstones at $indexPath — use probeBm25 for an undeleted index")
     val tomb = spark.read.parquet(s"$indexPath/tombstones")
     val postAll = readPostings(spark, indexPath)
+      .filter(bucketPred(terms)) // static bucket-directory pruning
       .filter(col("tok").isin(terms: _*))
     val postings = postAll.join(broadcast(tomb), Seq("doc_id"), "left_anti")
     // per-term live df = stored df − tombstoned postings of that term
@@ -269,7 +289,7 @@ object TextIndex {
   /** Append a document batch into the persisted index — the posting-delta
     * merge at ARTIFACT level (the `x_inverted_index_incremental` math
     * applied to the serving tables): new postings/doc-lengths append in
-    * place (token partitioning routes each delta row to its token's
+    * place (bucket partitioning routes each delta row to its token-hash
     * directory), per-token df merges old⊕delta on the vocab-sized stats
     * frame, and corpus totals add exactly — avgdl re-derives from the SAME
     * integer sum/count division as the build path, so append-then-probe is
@@ -297,7 +317,8 @@ object TextIndex {
       explode(TextAnalysis.tokens(col(textCol))).as("tok"))
     val newPost = tok.groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("tf"))
       .truncateLineage()
-    newPost.write.mode("append").partitionBy("tok").parquet(s"$indexPath/postings")
+    newPost.withColumn("bucket", bucketExpr(col("tok")))
+      .write.mode("append").partitionBy("bucket").parquet(s"$indexPath/postings")
     val newDl = newPost.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
       .truncateLineage()
     newDl.write.mode("append").parquet(s"$indexPath/docs")
@@ -368,7 +389,7 @@ object TextIndex {
     // broadcast limit; the planner auto-broadcasts when it fits (r14 advice).
     Storage.rewrite(
       readPostings(spark, indexPath).join(tomb, Seq("doc_id"), "left_anti"),
-      s"$indexPath/postings", partitionCols = Seq("tok"))
+      s"$indexPath/postings", partitionCols = Seq("bucket"))
     Storage.rewrite(
       spark.read.parquet(s"$indexPath/docs").join(tomb, Seq("doc_id"), "left_anti"),
       s"$indexPath/docs")
@@ -400,6 +421,7 @@ object TextIndex {
     if (Storage.exists(s"$indexPath/tombstones"))
       return probeBm25Live(spark, indexPath, terms, topK, k1, b)
     val postings = readPostings(spark, indexPath)
+      .filter(bucketPred(terms)) // static bucket-directory pruning
       .filter(col("tok").isin(terms: _*))
     val stats = spark.read.parquet(s"$indexPath/stats")
       .filter(col("tok").isin(terms: _*))

@@ -231,7 +231,7 @@ object Serving {
 
   /** BM25 probe of a PREVIOUSLY WRITTEN inverted index
     * ([[graft.functions.TextIndex]]) — the text-side twin of
-    * [[annIndexProbe]]: build persists token-partitioned postings plus
+    * [[annIndexProbe]]: build persists token-hash-bucketed postings plus
     * doc-length/df/corpus tables, probe scores strictly from those parquet
     * artifacts (a `tok IN` filter prunes to the matching posting partition
     * DIRECTORIES — data skipping at the layout level, visible as partition

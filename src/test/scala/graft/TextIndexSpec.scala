@@ -214,16 +214,25 @@ class TextIndexSpec extends AnyFunSuite {
       s"stream-only ${streamed -- batch}\nbatch-only ${batch -- streamed}")
   }
 
-  test("probe plan prunes the postings scan to the queried token partitions") {
+  test("probe plan prunes the postings scan to the queried tokens' hash buckets") {
     val probe = TextIndex.probeBm25(spark, idx, terms, topK = 20)
     val plan = probe.queryExecution.explainString(
       org.apache.spark.sql.execution.FormattedMode)
     val postingsScan = plan.split("\\n\\n").find(b =>
       b.contains("Scan parquet") && b.contains("/postings"))
       .orElse(Some(plan)).get
-    assert("PartitionFilters: \\[tok#\\d+ IN \\(hash,join,stream\\)".r
-        .findFirstIn(postingsScan).isDefined,
-      s"postings scan must carry a tok partition filter; plan:\n$plan")
+    // xxhash64 over the literal terms must constant-fold into a STATIC
+    // bucket partition filter (integer literals, no xxhash64 call left in
+    // the filter), with the tok equality pushed to the files.
+    val pf = "PartitionFilters: \\[bucket#\\d+L? IN \\(([-0-9,]+)\\)".r
+      .findFirstMatchIn(postingsScan)
+    assert(pf.isDefined,
+      s"postings scan must carry a folded bucket partition filter; plan:\n$plan")
+    assert(pf.get.group(1).split(",").forall(s => s.trim.matches("-?\\d+")),
+      s"bucket filter must be folded literals; got ${pf.get.group(1)}")
+    assert("PushedFilters: \\[.*In\\(tok".r.findFirstIn(postingsScan).isDefined
+        || postingsScan.contains("tok#"),
+      s"tok IN filter must reach the postings files; plan:\n$postingsScan")
   }
 
   test("compaction under a RUNNING streaming probe: loud failure or a consistent snapshot, never torn") {
