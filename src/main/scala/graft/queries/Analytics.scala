@@ -317,21 +317,21 @@ object Analytics {
       val head =
         """WITH toks AS (
              SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS t FROM documents),
-           bg AS (
+           bg AS MATERIALIZED (
              SELECT DISTINCT doc_id, unnest(CASE WHEN len(t) >= 2
                THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
                ELSE CAST([] AS VARCHAR[]) END) AS tok
              FROM toks),
            uni AS (SELECT tok FROM bg GROUP BY tok ORDER BY count(*) DESC, tok LIMIT 200),
-           dt AS (SELECT doc_id, bg.tok FROM bg JOIN uni USING (tok)),
+           dt AS MATERIALIZED (SELECT doc_id, bg.tok FROM bg JOIN uni USING (tok)),
            c0 AS (SELECT NULL AS tok WHERE false)"""
       val rounds = (1 to 5).map { k =>
         s""",
-           r$k AS (
+           r$k AS MATERIALIZED (
              SELECT doc_id, count(*) AS gain FROM dt
              WHERE tok NOT IN (SELECT tok FROM c${k - 1})
              GROUP BY doc_id ORDER BY gain DESC, doc_id LIMIT 1),
-           c$k AS (
+           c$k AS MATERIALIZED (
              SELECT tok FROM c${k - 1}
              UNION
              SELECT tok FROM dt WHERE doc_id = (SELECT doc_id FROM r$k))"""

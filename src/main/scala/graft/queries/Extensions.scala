@@ -3758,11 +3758,11 @@ object Extensions {
                 CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&') ELSE '' END
                   AS curl
               FROM up),
-            s0 AS (
+            s0 AS MATERIALIZED (
               SELECT doc_id, text, lang, source FROM (
                 SELECT *, min(doc_id) OVER (PARTITION BY curl) AS m FROM uk)
               WHERE doc_id = m),
-            rt AS (
+            rt AS MATERIALIZED (
               SELECT doc_id, text,
                 list_filter(regexp_split_to_array(text, '[ \n]'), x -> x <> '') AS toks,
                 string_split(text, chr(10)) AS lines
@@ -3774,11 +3774,11 @@ object Extensions {
                 sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_occ,
                 sum(CASE WHEN c >= 2 THEN c * length(l) ELSE 0 END) AS dup_chars
               FROM rlc GROUP BY doc_id),
-            rtok AS (
+            rtok AS MATERIALIZED (
               SELECT doc_id, toks, len(toks) AS ntok,
                 length(array_to_string(toks, '')) AS tokchars
               FROM rt),
-            rng AS (
+            rng AS MATERIALIZED (
               SELECT doc_id, n, i,
                 array_to_string(toks[i+1 : i+n], ' ') AS g,
                 length(array_to_string(toks[i+1 : i+n], '')) AS glen
@@ -3786,7 +3786,7 @@ object Extensions {
                 SELECT doc_id, toks, nn.n AS n,
                   unnest(range(0, greatest(ntok - nn.n + 1, 0))) AS i
                 FROM rtok CROSS JOIN (VALUES (2),(3),(4),(5),(6),(7),(8),(9),(10)) nn(n))),
-            rngc AS (SELECT doc_id, n, g, glen, count(*) AS c FROM rng GROUP BY doc_id, n, g, glen),
+            rngc AS MATERIALIZED (SELECT doc_id, n, g, glen, count(*) AS c FROM rng GROUP BY doc_id, n, g, glen),
             rtop AS (
               SELECT doc_id, n, c * glen AS mass FROM (
                 SELECT doc_id, n, glen, c,
@@ -3804,7 +3804,7 @@ object Extensions {
                 SELECT rng.doc_id, rng.n, unnest(range(rng.i, rng.i + rng.n)) AS p
                 FROM rng JOIN rngc ON rngc.doc_id = rng.doc_id AND rngc.n = rng.n AND rngc.g = rng.g
                 WHERE rng.n >= 5 AND rngc.c >= 2)),
-            rtl AS (
+            rtl AS MATERIALIZED (
               SELECT doc_id, unnest(toks) AS tokv,
                 generate_subscripts(toks, 1) - 1 AS p
               FROM rtok),
@@ -3838,21 +3838,21 @@ object Extensions {
               LEFT JOIN rls ls ON ls.doc_id = k.doc_id
               LEFT JOIN rtp tp ON tp.doc_id = k.doc_id
               LEFT JOIN rcp cp ON cp.doc_id = k.doc_id),
-            s1 AS (
+            s1 AS MATERIALIZED (
               SELECT s0.doc_id, s0.text, s0.lang, s0.source
               FROM s0 JOIN rfin f ON f.doc_id = s0.doc_id
               WHERE f.v0 <= 300000 AND f.v1 <= 200000
                 AND f.v2 <= 200000 AND f.v3 <= 180000 AND f.v4 <= 160000
                 AND f.v5 <= 150000 AND f.v6 <= 140000 AND f.v7 <= 130000
                 AND f.v8 <= 120000 AND f.v9 <= 110000 AND f.v10 <= 100000),
-            lab AS (
+            lab AS MATERIALIZED (
               SELECT doc_id, text,
                 CASE WHEN contains(text, 'spark') THEN 1 ELSE 0 END AS label
               FROM s1 WHERE doc_id % 3 = 0),
             ltok AS (
               SELECT label, substr(md5(t.tok), 1, 2) AS bucket
               FROM lab, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t(tok)),
-            ccnt AS (
+            ccnt AS MATERIALIZED (
               SELECT bucket,
                 sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS c1,
                 sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS c0
@@ -3872,15 +3872,15 @@ object Extensions {
             cstok AS (
               SELECT doc_id, substr(md5(t.tok), 1, 2) AS bucket
               FROM s1, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t(tok)),
-            csc AS (
+            csc AS MATERIALIZED (
               SELECT ct.doc_id, sum(m.llr_q) AS sc
               FROM cstok ct JOIN cmodel m ON m.bucket = ct.bucket
               GROUP BY ct.doc_id),
-            s2 AS (
+            s2 AS MATERIALIZED (
               SELECT s1.doc_id, s1.source
               FROM s1 JOIN csc ON csc.doc_id = s1.doc_id CROSS JOIN cpq
               WHERE cpq.prior_q + csc.sc > 0),
-            mcnt AS (
+            mcnt AS MATERIALIZED (
               SELECT source, count(*) AS n,
                 CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1000000.0) AS BIGINT) AS s
               FROM s2 GROUP BY source),
