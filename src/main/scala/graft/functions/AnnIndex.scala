@@ -43,12 +43,28 @@ object AnnIndex {
   /** Commit the build transaction: the manifest is written LAST (and
     * dropped FIRST by builders/appenders), so its presence certifies every
     * artifact table is complete — the probe-side torn-index guard.
+    *
+    * `nCodes` is supplied by the caller (an [[org.apache.spark.sql
+    * .Observation]] riding the codes write, or the prior manifest when the
+    * codes table is untouched) instead of a full re-count of the codes
+    * artifact — the certificate is the manifest's PRESENCE; the count is
+    * metadata, and the observed write-side count equals the written rows by
+    * definition (a failed write never reaches this call). Guide §1.2: the
+    * re-count was one extra job per lifecycle verb.
     */
-  private def commit(spark: SparkSession, indexPath: String): Unit = {
+  private def commit(spark: SparkSession, indexPath: String, nCodes: Long): Unit = {
     import spark.implicits._
-    val nCodes = Storage.get(spark, codesPath(indexPath)).count()
     Storage.replace(Seq(nCodes).toDF("n_codes"), manifestPath(indexPath))
   }
+
+  private def observedCount(df: DataFrame): (DataFrame, () => Long) = {
+    val obs = new org.apache.spark.sql.Observation()
+    (df.observe(obs, count(lit(1)).as("n")),
+      () => obs.get("n").asInstanceOf[Long])
+  }
+
+  private def manifestCodes(spark: SparkSession, indexPath: String): Long =
+    Storage.get(spark, manifestPath(indexPath)).head().getAs[Long]("n_codes")
 
   private def requireCommitted(indexPath: String): Unit =
     require(Storage.exists(manifestPath(indexPath)),
@@ -104,8 +120,8 @@ object AnnIndex {
 
     val coarse    = ClusterOps.kMeansModel(corpus, idCol, vecCol, nCells, iters)
     val coarseMap = typedlit(coarse.map { case (cid, cv) => cid -> cv.toSeq }.toMap)
-    // localCheckpoint: the m sub-model trainings each rescan this frame
-    // (iters+1 actions apiece) — the ivfPqTopK lineage discipline.
+    // localCheckpoint: the fused sub-model training rescans this frame
+    // (iters+1 actions) — the ivfPqTopK lineage discipline.
     val withRes = corpus
       .select(col(idCol).cast("long").as("__id"), qv(col(vecCol)).as("__qv"))
       .withColumn("cell",
@@ -114,11 +130,11 @@ object AnnIndex {
       .withColumn("__rv", zip_with(col("__qv"), element_at(coarseMap, col("cell")),
         (a, b) => a - b))
       .truncateLineage()
-    val subModels = (0 until m).map { s =>
-      ClusterOps.kMeansModelQuantized(
-        withRes.select(col("__id"), slice(col("__rv"), s * dsub + 1, dsub).as("__qv")),
-        ksub, iters)
-    }
+    // All m sub-codebooks in one job per iteration (bit-identical per sub to
+    // the old per-sub kMeansModelQuantized calls — see its doc) instead of
+    // m·(iters+1) separate actions over the same frame.
+    val subModels = ClusterOps.kMeansSubModelsQuantized(
+      withRes.select(col("__id"), col("__rv")), m, dsub, ksub, iters)
     val codeCols = subModels.zipWithIndex.map { case (mod, s) =>
       NativeFns.nearest_centroid_l2(
         slice(col("__rv"), s * dsub + 1, dsub), mod.map(_._1), mod.map(_._2))
@@ -137,8 +153,9 @@ object AnnIndex {
         mod.map { case (code, cv) => (s, code, cv.toSeq) }
       }.toDF("sub", "code", "cv"),
       codebooksPath(indexPath))
-    Storage.replace(codes, codesPath(indexPath))
-    commit(spark, indexPath)
+    val (codesObs, nCodes) = observedCount(codes)
+    Storage.replace(codesObs, codesPath(indexPath))
+    commit(spark, indexPath, nCodes())
   }
 
   private def readMeta(spark: SparkSession, indexPath: String): IvfPqMeta = {
@@ -179,6 +196,10 @@ object AnnIndex {
   def deleteVecs(spark: SparkSession, indexPath: String, vecIds: DataFrame): Unit = {
     import spark.implicits._
     requireCommitted(indexPath)
+    // tombstoning never touches the codes table, so the manifest count is
+    // carried over from the prior manifest (1-row read) instead of a full
+    // codes re-count job.
+    val nCodes = manifestCodes(spark, indexPath)
     Storage.drop(manifestPath(indexPath))
     val ids = vecIds.select(col(vecIds.columns.head).cast("long").as("id"))
       .distinct().truncateLineage()
@@ -188,7 +209,7 @@ object AnnIndex {
       else Seq.empty[Long].toDF("id")
     Storage.replace(prior.union(ids).distinct().truncateLineage(),
       s"$indexPath/tombstones")
-    commit(spark, indexPath)
+    commit(spark, indexPath, nCodes)
   }
 
   private def liveCodes(spark: SparkSession, indexPath: String): DataFrame = {
@@ -318,15 +339,15 @@ object AnnIndex {
     val nCodes = Storage.get(spark, codesPath(indexPath)).count()
     if (nTomb == 0L || (nCodes > 0L && nTomb.toDouble / nCodes.toDouble < minFraction)) return false
     Storage.drop(manifestPath(indexPath))
-    Storage.rewrite(
+    val (liveObs, nLive) = observedCount(
       // no broadcast hint: tombstones accumulate until exactly this moment,
       // so a long-deferred compaction may hold far more than a broadcastable
       // side — let the planner size the join (r14 advice, same class as the
       // probeIvfPqStream codes broadcast removed in r13).
-      Storage.get(spark, codesPath(indexPath)).join(tomb, Seq("id"), "left_anti"),
-      codesPath(indexPath))
+      Storage.get(spark, codesPath(indexPath)).join(tomb, Seq("id"), "left_anti"))
+    Storage.rewrite(liveObs, codesPath(indexPath))
     Storage.drop(s"$indexPath/tombstones")
-    commit(spark, indexPath)
+    commit(spark, indexPath, nLive())
     true
   }
 
@@ -359,9 +380,13 @@ object AnnIndex {
     val appended = encode(newVecs, idCol, vecCol, meta, coarse, subModels)
     // append is its own transaction: invalidate, extend codes, re-commit —
     // a crash mid-append leaves a manifest-less index that probes refuse.
+    // The new total = prior manifest count + the appended rows observed on
+    // the write itself; no post-append codes re-count job.
+    val nOld = manifestCodes(spark, indexPath)
     Storage.drop(manifestPath(indexPath))
-    Storage.append(appended, codesPath(indexPath))
-    commit(spark, indexPath)
+    val (appObs, nApp) = observedCount(appended)
+    Storage.append(appObs, codesPath(indexPath))
+    commit(spark, indexPath, nOld + nApp())
     appended
   }
 }

@@ -284,6 +284,69 @@ object ClusterOps {
     cents
   }
 
+  /** Train `m` INDEPENDENT sub-codebooks (one per dsub-wide slice of `__rv`)
+    * in ONE Spark job per iteration instead of m separate trainings — the
+    * IVF-PQ build's per-sub [[kMeansModelQuantized]] calls each cost
+    * (iters + 1) actions over the same residual frame, so m=4 codebooks paid
+    * 12 scans where 3 suffice (guide §1.2: remove redundant passes; the
+    * per-job scheduling overhead dominates at bench scale and the scan count
+    * dominates at 100 TB — both shrink m-fold).
+    *
+    * Bit-identical to the per-sub trainings by construction:
+    *   - seeds are the k smallest `__id` rows, sliced per sub — slicing
+    *     commutes with the row pick, so each sub's seed equals
+    *     `q_s.orderBy(__id).limit(k)` of the old per-sub frame;
+    *   - each iteration assigns every row's slice with the SAME
+    *     [[NativeFns.nearest_centroid_l2]] kernel against that sub's model
+    *     only (subs never mix: the explode key rides every group), and the
+    *     (sub, cid) integer sums + floorDiv update are the exact arithmetic
+    *     of [[kMeansModelQuantized]]'s update;
+    *   - a cluster that loses all members drops out per sub, as before.
+    */
+  private[graft] def kMeansSubModelsQuantized(
+      q: DataFrame,   // (__id BIGINT, __rv ARRAY<BIGINT>) — full residual rows
+      m: Int,
+      dsub: Int,
+      k: Int,
+      iters: Int
+  ): Seq[Array[(Long, Array[Long])]] = {
+    require(m > 0 && dsub > 0 && k > 0 && iters >= 0,
+      s"need m,dsub,k > 0, iters >= 0, got $m/$dsub/$k/$iters")
+    val seedRows = q.orderBy("__id").limit(k).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    var models: Array[Array[(Long, Array[Long])]] =
+      Array.tabulate(m)(s =>
+        seedRows.map { case (id, rv) => (id, rv.slice(s * dsub, (s + 1) * dsub)) })
+    var it = 0
+    while (it < iters && seedRows.nonEmpty) {
+      val perSub = (0 until m).map { s =>
+        val sl = slice(col("__rv"), s * dsub + 1, dsub)
+        struct(
+          lit(s).as("s"),
+          NativeFns.nearest_centroid_l2(sl, models(s).map(_._1), models(s).map(_._2))
+            .getField("cluster").as("cid"),
+          sl.as("v"))
+      }
+      val aggs = count(lit(1)).as("__n") +:
+        (0 until dsub).map(i => sum(element_at(col("v"), i + 1)).as(s"__s$i"))
+      val sums = q
+        .select(explode(array(perSub: _*)).as("e"))
+        .select(col("e.s").as("__sub"), col("e.cid").as("__cid"), col("e.v").as("v"))
+        .groupBy("__sub", "__cid")
+        .agg(aggs.head, aggs.tail: _*)
+        .collect() // ≤ m·k rows of dsub-wide sums — the model update, not data
+      models = Array.tabulate(m) { s =>
+        sums.filter(_.getInt(0) == s).sortBy(_.getLong(1)).map { r =>
+          val n  = r.getLong(2)
+          val cv = Array.tabulate(dsub)(i => Math.floorDiv(r.getLong(3 + i), n))
+          (r.getLong(1), cv)
+        }
+      }
+      it += 1
+    }
+    models.toSeq
+  }
+
   /** Map-side assignment of (idCol, vecCol) rows to a fixed centroid model:
     * one kernel projection, zero joins/shuffles — identical semantics on a
     * batch frame and inside a micro-batch, which is what makes the

@@ -70,19 +70,46 @@ object TextIndex {
     val tok = docs.select(col(idCol).as("doc_id"),
       explode(TextAnalysis.tokens(col(textCol))).as("tok"))
     val postings = tok.groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("tf"))
+    // Tokenize ONCE: docs/stats/corpus derive from the postings ARTIFACT
+    // (read-your-writes), not from the tokenization lineage — the old build
+    // re-ran the explode+groupBy for each derived table (4 corpus-text
+    // passes per build; guide §1.2's "remove unnecessary passes"). Routing
+    // the derivations through the written parquet truncates lineage via the
+    // artifact itself — no checkpoint, cluster-safe, and the derived tables
+    // are byte-identical (same aggregation over the same rows).
+    // repartition(bucket) first: the dynamic-partition write otherwise emits
+    // (write tasks × touched buckets) files — 2 048 at 32 tasks × 64 buckets
+    // — where clustering by bucket bounds it near the bucket count (guide §6
+    // small-files), which every later postings scan (probes AND the DuckDB
+    // oracle's read_parquet) pays for.
+    // Explicit PostingBuckets partition count (a layout constant, not a core
+    // count): repartition(col) alone is AQE-coalescible and a tiny exchange
+    // collapses to one writer task, serializing the encode; with the count
+    // pinned, each bucket gets its own writer — parallel encode, exactly
+    // ≤ PostingBuckets files.
     postings.withColumn("bucket", bucketExpr(col("tok")))
+      .repartition(PostingBuckets, col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$indexPath/postings")
-    val dl = postings.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    dl.write.mode("overwrite").parquet(s"$indexPath/docs")
-    postings.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val post = readPostings(spark, indexPath)
+    // corpus totals ride the docs write as an Observation (exact integer
+    // count/sum merged from the write's own tasks) — the corpus row and the
+    // manifest count then derive driver-side with zero extra scans, where
+    // the old path re-read the docs table twice (corpus agg + manifest
+    // count). Same values by definition: the observed aggregates run over
+    // exactly the rows the write persists.
+    val obs = new org.apache.spark.sql.Observation()
+    post.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      .observe(obs, count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+      .write.mode("overwrite").parquet(s"$indexPath/docs")
+    val nDocs   = obs.get("n_docs").asInstanceOf[Long]
+    val totalDl = obs.get("total_dl").asInstanceOf[Long]
+    post.groupBy(col("tok")).agg(count(lit(1)).as("df"))
       .write.mode("overwrite").parquet(s"$indexPath/stats")
     // corpus stats carry the exact integer totals so the append path can
     // re-derive the identical avgdl double (same sum/count division).
-    dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
-      .select(col("n_docs"), col("total_dl"),
-        (col("total_dl").cast("double") / col("n_docs").cast("double")).as("avgdl"))
+    Seq((nDocs, totalDl, totalDl.toDouble / nDocs.toDouble))
+      .toDF("n_docs", "total_dl", "avgdl")
       .write.mode("overwrite").parquet(s"$indexPath/corpus")
-    val nDocs = spark.read.parquet(s"$indexPath/docs").count()
     Storage.replace(Seq(nDocs).toDF("n_docs"), manifestPath(indexPath))
   }
 
@@ -105,8 +132,11 @@ object TextIndex {
     require(Storage.exists(manifestPath(indexPath)),
       s"text index at $indexPath has no commit manifest — torn or missing build; rebuild it")
     Storage.drop(manifestPath(indexPath))
+    // ids is consumed exactly once (the `fresh` anti-join below, which is
+    // itself checkpointed before the tombstone overwrite) — checkpointing it
+    // too was one pure-overhead materialization job per delete.
     val ids = docIds.select(col(docIds.columns.head).cast("long").as("doc_id"))
-      .distinct().truncateLineage()
+      .distinct()
     val prior =
       if (Storage.exists(s"$indexPath/tombstones"))
         spark.read.parquet(s"$indexPath/tombstones")
@@ -318,10 +348,16 @@ object TextIndex {
     val newPost = tok.groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("tf"))
       .truncateLineage()
     newPost.withColumn("bucket", bucketExpr(col("tok")))
+      .repartition(PostingBuckets, col("bucket")) // one delta file per bucket
       .write.mode("append").partitionBy("bucket").parquet(s"$indexPath/postings")
+    // delta totals ride the docs append as an Observation — drops the
+    // separate newDl.agg job the old path ran (same exact integers: the
+    // observed count/sum cover exactly the appended rows).
+    val dObs = new org.apache.spark.sql.Observation()
     val newDl = newPost.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
       .truncateLineage()
-    newDl.write.mode("append").parquet(s"$indexPath/docs")
+    newDl.observe(dObs, count(lit(1)).as("n"), sum(col("dl")).as("t"))
+      .write.mode("append").parquet(s"$indexPath/docs")
     // vocab-sized merge; checkpoint before overwriting the table it read
     val mergedStats = spark.read.parquet(s"$indexPath/stats")
       .select(col("tok"), col("df").as("df_old"))
@@ -332,9 +368,10 @@ object TextIndex {
     Storage.replace(mergedStats, s"$indexPath/stats")
     val old = spark.read.parquet(s"$indexPath/corpus")
       .select(col("n_docs"), col("total_dl")).head()
-    val delta = newDl.agg(count(lit(1)).as("n"), sum(col("dl")).as("t")).head()
-    val nDocs   = old.getAs[Long]("n_docs") + delta.getAs[Long]("n")
-    val totalDl = old.getAs[Long]("total_dl") + delta.getAs[Long]("t")
+    val deltaN  = dObs.get("n").asInstanceOf[Long]
+    val deltaT  = dObs.get("t").asInstanceOf[Long]
+    val nDocs   = old.getAs[Long]("n_docs") + deltaN
+    val totalDl = old.getAs[Long]("total_dl") + deltaT
     Storage.replace(
       Seq((nDocs, totalDl, totalDl.toDouble / nDocs.toDouble))
         .toDF("n_docs", "total_dl", "avgdl"),
@@ -344,8 +381,8 @@ object TextIndex {
     if (Storage.exists(s"$indexPath/live_corpus")) {
       val live = spark.read.parquet(s"$indexPath/live_corpus")
         .select(col("n_docs"), col("total_dl")).head()
-      val ln = live.getAs[Long]("n_docs") + delta.getAs[Long]("n")
-      val lt = live.getAs[Long]("total_dl") + delta.getAs[Long]("t")
+      val ln = live.getAs[Long]("n_docs") + deltaN
+      val lt = live.getAs[Long]("total_dl") + deltaT
       Storage.replace(
         Seq((ln, lt, lt.toDouble / ln.toDouble)).toDF("n_docs", "total_dl", "avgdl"),
         s"$indexPath/live_corpus")
