@@ -177,9 +177,15 @@ object Analytics {
     "x_acf",
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
+      // truncateLineage on the two multiply-referenced series frames: daily
+      // feeds st AND dev0, dev feeds den AND both lag-join sides — without
+      // truncation the order-book aggregation re-runs once per reference.
+      // Both are calendar-bounded (priorities × days), model-sized at any
+      // corpus scale.
       val daily = Tables.orders(s, d)
         .groupBy(col("o_orderpriority").as("pri"), col("o_orderdate").as("day"))
         .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+        .truncateLineage()
       val st = daily.groupBy(col("pri"))
         .agg(count(lit(1)).as("n_days"), sum(col("cents")).as("sv"))
       val dev0 = daily.join(st, "pri")
@@ -198,6 +204,7 @@ object Analytics {
       val dev = dev0.join(qf, "pri")
         .withColumn("e", expr("e div eq_div"))
         .select(col("pri"), col("rn"), col("e"), col("n_days"))
+        .truncateLineage()
       val den = dev.groupBy(col("pri"))
         .agg(sum(col("e").cast("decimal(38,0)") * col("e").cast("decimal(38,0)")).as("dsum"))
       val lags = s.range(1, 6).select(col("id").as("lag_k"))
@@ -297,14 +304,19 @@ object Analytics {
           val remaining =
             if (covered.isEmpty) dt
             else dt.filter(!col("tok").isin(covered.toSeq: _*))
-          val top = remaining.groupBy(col("doc_id")).agg(count(lit(1)).as("gain"))
+          // One job per round: the argmax row carries the winner's UNCOVERED
+          // bigrams (collect_list over its ≤200 universe tokens) alongside
+          // the gain, so the old second per-round collect of the winner's
+          // token set is gone. covered folds the same strings: the winner's
+          // uncovered set ∪ covered == its full dt token set ∪ covered.
+          val top = remaining.groupBy(col("doc_id"))
+            .agg(count(lit(1)).as("gain"), collect_list(col("tok")).as("toks"))
             .orderBy(col("gain").desc, col("doc_id")).limit(1).collect()
           if (top.isEmpty) exhausted = true
           else {
             val docId = top.head.getAs[Long]("doc_id")
             val gain = top.head.getAs[Long]("gain")
-            covered = covered ++ dt.filter(col("doc_id") === docId)
-              .select(col("tok")).collect().map(_.getString(0))
+            covered = covered ++ top.head.getAs[Seq[String]]("toks")
             picks += ((rank, docId, gain, covered.size.toLong))
             rank += 1
           }
@@ -785,11 +797,16 @@ object Analytics {
     "x_theil_sen",
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
+      // truncateLineage: the series feeds BOTH pair-join sides and the
+      // n_pairs count — without it the order-book aggregation re-runs per
+      // reference. Calendar-bounded (priorities × days), model-sized at any
+      // corpus scale.
       val daily = Tables.orders(s, d)
         .groupBy(col("o_orderpriority").as("pri"), col("o_orderdate").as("day"))
         .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
         .withColumn("x", datediff(col("day"), min(col("day")).over(Window.partitionBy("pri"))).cast("long"))
         .select(col("pri"), col("x"), col("cents"))
+        .truncateLineage()
       // Salted pair generation (the window-skew doctrine): joining on pri
       // alone is 5 keys — 5-way parallelism for a 29M-pair cross product
       // (measured 66 s). Bucketing the right side by x mod 16 and exploding
@@ -797,33 +814,138 @@ object Analytics {
       // parallel, the identical pair set. 66 s → ~4 s.
       val buckets = 16
       val aExp = daily.withColumn("bb", explode(lit((0 until buckets).toArray)))
+      // The checkpointed daily carries its window's hash-by-pri layout — 5
+      // non-empty partitions — and the pair join's PROBE side inherits it,
+      // capping every pair pass at 5-way parallelism (measured: ~4 s/pass at
+      // sf0.1). Re-spreading the 12k probe rows over (pri, bucket) restores
+      // full-width probing; the explicit shuffle-partition count keeps AQE
+      // from coalescing the tiny exchange back to one task.
       val b = daily.select(col("pri").as("pri2"), col("x").as("x2"), col("cents").as("cents2"))
         .withColumn("bucket", pmod(col("x2"), lit(buckets)).cast("int"))
-      val pairs = aExp.join(b,
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
+          col("pri2"), col("bucket"))
+      val pairsAll = aExp.join(b,
           col("pri") === col("pri2") && col("bb") === col("bucket") && col("x2") > col("x"))
-        .select(col("pri"),
-          expr("((cents2 - cents) * 1000000 div (x2 - x)) * 2").as("slope2"))
-      // Exact median via ONE shuffle + an in-partition sort per priority,
-      // NOT percentile_cont: the percentile agg buffer inserts all ~3M
-      // slopes per group one row at a time (measured: 66 s for a query
-      // whose pair join takes 0.8 s). Here the slopes shuffle once to
-      // their priority's task, which sorts a primitive array and reads the
-      // two middle order statistics — both even (doubled domain), so their
-      // midpoint is an exact BIGINT. Per-task memory is pairs-per-priority
-      // = O(calendar²): bounded by the date range, invariant in data size.
-      import s.implicits._
-      pairs.as[(String, Long)]
-        .groupByKey(_._1)
-        .mapGroups { (pri, it) =>
-          val arr = it.map(_._2).toArray
-          java.util.Arrays.sort(arr)
-          val n = arr.length
-          val vlo = arr((n + 1) / 2 - 1)
-          val vhi = arr(n / 2)
-          (pri, n.toLong, (vlo + vhi) / 2)
+      // nullif divisor: Catalyst pushes later slope-referencing filters into
+      // the join condition AHEAD of the x2 > x residual (observed: the
+      // bracket filter below evaluated the division on x2 == x candidate
+      // rows → ANSI DIVIDE_BY_ZERO). x2 <= x rows never reach the output
+      // (the join condition drops them), so a NULL slope there changes
+      // nothing — it only makes the stray pre-filter evaluation lawful.
+      val slopeCol = expr("((cents2 - cents) * 1000000 div nullif(x2 - x, 0)) * 2")
+      // The pair stream is REGENERATED per median pass rather than
+      // materialized: the generating join is broadcast-shaped over the
+      // checkpointed 12k-row daily (~1 s per pass at full width), while a
+      // 14M-row localCheckpoint measured SLOWER end-to-end and parks
+      // ~400 MB on executor-local storage for no scale benefit.
+      val pairs = pairsAll.select(col("pri"), slopeCol.as("slope2"))
+      // n_pairs needs no pair scan: days are distinct per priority, so the
+      // x2 > x join emits exactly C(n_days, 2) rows — computed from the
+      // checkpointed daily series (5 rows, model-sized collect).
+      val nPairs = daily.groupBy(col("pri")).agg(count(lit(1)).as("n_days"))
+        .select(col("pri"), expr("n_days * (n_days - 1) div 2").as("n_pairs"))
+      val k1e = expr("(n_pairs + 1) div 2")
+      val k2e = expr("n_pairs div 2 + 1")
+      // Exact-median fallback / small-series path: one shuffle of the pairs
+      // + an in-partition Tungsten sort per priority (row_number), the two
+      // middle ranks filtered, their min/max midpoint the same exact BIGINT
+      // (slopes are even by the doubled domain, so the halving is exact).
+      def medianBySort(p: org.apache.spark.sql.DataFrame) = {
+        val wMed = Window.partitionBy(col("pri")).orderBy(col("slope2"))
+        p.withColumn("rn", row_number().over(wMed))
+          .join(broadcast(nPairs), "pri")
+          .filter(col("rn") === k1e || col("rn") === k2e)
+          .groupBy(col("pri"), col("n_pairs"))
+          .agg(expr("(min(slope2) + max(slope2)) div 2").as("slope_med2_ppm"))
+          .select(col("pri"), col("n_pairs"), col("slope_med2_ppm"))
+      }
+      // Main path — deterministic sample-bracket selection (guide §2.3/§8:
+      // never shuffle the heavy stream; decide with small rows). The pair
+      // stream is REGENERATED per pass from the checkpointed 12k-row daily
+      // (a broadcast-shaped join — far cheaper than shuffling or sorting
+      // 14M pair rows):
+      //   pass 1: a 1/64 deterministic sample (xxhash64 of the pair's (x,
+      //           x2) identity, value-independent) is rank-windowed per
+      //           priority; the sample order statistics around the scaled
+      //           median rank ± 6·sqrt(m) give bracket values [vlo, vhi].
+      //   pass 2: ONE map-side-collapsing aggregation counts, per priority,
+      //           the pairs strictly below vlo and inside [vlo, vhi] —
+      //           exact integers that PROVE the global ranks k1, k2 fall
+      //           inside the bracket (if not — sampling tail odds ~1e-8 —
+      //           the full-sort fallback runs; exactness never rests on the
+      //           sample).
+      //   pass 3: only the bracket rows (≈ 1e-2 of the pairs) are rank-
+      //           windowed; global rank = below + local rank selects the
+      //           two middle order statistics.
+      // All three passes end in aggregations or tiny windows, so nothing
+      // pair-sized is ever sorted or shuffled — the former all-pairs
+      // row_number window (and the mapGroups sort before it) was the
+      // slowest stage in the whole bench.
+      val npRows = nPairs.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      val total  = npRows.values.sum
+      val out =
+        if (total < 2000000L) medianBySort(pairs)
+        else {
+          // the 1/64 sample predicate hashes the pair IDENTITY (x, x2) —
+          // value-independent, so sample ranks are uniform in the global
+          // rank order; Catalyst pushes it into the join condition, so
+          // unsampled candidates never reach the slope projection
+          val sampId = pmod(xxhash64(col("pri"), col("x"), col("x2")), lit(64L)) === 0
+          val samp   = pairsAll.filter(sampId).select(col("pri"), slopeCol.as("slope2"))
+          val sw  = Window.partitionBy(col("pri"))
+          val swo = sw.orderBy(col("slope2"))
+          val br = samp
+            .join(broadcast(nPairs), "pri")
+            .withColumn("m", count(lit(1)).over(sw))
+            .withColumn("srn", row_number().over(swo))
+            .withColumn("d", expr("CAST(6.0 * sqrt(CAST(m AS DOUBLE)) AS BIGINT) + 10"))
+            .withColumn("rlo", greatest(lit(1L), expr("(m * ((n_pairs + 1) div 2)) div n_pairs - d")))
+            .withColumn("rhi", least(col("m"), expr("(m * (n_pairs div 2 + 1)) div n_pairs + d")))
+            .filter(col("srn") === col("rlo") || col("srn") === col("rhi"))
+            .select(col("pri"), col("srn").cast("long").as("srn"), col("rlo"), col("slope2"))
+            .collect() // ≤ 2 rows per priority
+          val vlo = br.filter(r => r.getLong(1) == r.getLong(2))
+            .map(r => (r.getString(0), r.getLong(3))).toMap
+          val vhi = br.filterNot(r => r.getLong(1) == r.getLong(2))
+            .map(r => (r.getString(0), r.getLong(3))).toMap
+          val brSeq = npRows.keys.toSeq.flatMap { p =>
+            vlo.get(p).map(lo => (p, lo, vhi.getOrElse(p, lo)))
+          }
+          val brDf = broadcast(
+            s.createDataFrame(brSeq).toDF("pri", "vlo", "vhi"))
+          val cnts = pairs.join(brDf, "pri")
+            .groupBy(col("pri"))
+            .agg(
+              sum(when(col("slope2") < col("vlo"), 1L).otherwise(0L)).as("below"),
+              sum(when(col("slope2").between(col("vlo"), col("vhi")), 1L).otherwise(0L)).as("inside"))
+            .collect()
+            .map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+          // a zero-pair priority (single-day series) emits no row on either
+          // path — exclude it from the bracket proof
+          val ok = brSeq.nonEmpty && npRows.filter(_._2 > 0).forall { case (p, np) =>
+            val k1 = (np + 1) / 2; val k2 = np / 2 + 1
+            cnts.get(p).exists { case (blw, ins) => k1 > blw && k2 <= blw + ins } &&
+              brSeq.exists(_._1 == p)
+          }
+          if (!ok) medianBySort(pairs) // exactness never rests on the sample
+          else {
+            val belowDf = broadcast(
+              s.createDataFrame(cnts.toSeq.map { case (p, (blw, _)) => (p, blw) })
+                .toDF("pri", "below"))
+            pairs.join(brDf, "pri")
+              .filter(col("slope2").between(col("vlo"), col("vhi")))
+              .withColumn("rn", row_number().over(
+                Window.partitionBy(col("pri")).orderBy(col("slope2"))))
+              .join(belowDf, "pri")
+              .join(broadcast(nPairs), "pri")
+              .filter(col("rn") + col("below") === k1e ||
+                col("rn") + col("below") === k2e)
+              .groupBy(col("pri"), col("n_pairs"))
+              .agg(expr("(min(slope2) + max(slope2)) div 2").as("slope_med2_ppm"))
+              .select(col("pri"), col("n_pairs"), col("slope_med2_ppm"))
+          }
         }
-        .toDF("pri", "n_pairs", "slope_med2_ppm")
-        .orderBy("pri")
+      out.orderBy("pri")
     },
     Some("""WITH daily AS (
               SELECT o_orderpriority AS pri, o_orderdate AS day,

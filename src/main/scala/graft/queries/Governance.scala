@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
+import graft.functions.Layout.LineageOps
 import graft.sources.Storage
 
 /** Round-12 family: data-governance and table-maintenance shapes — the
@@ -418,10 +419,19 @@ object Governance {
   val dppPrune = Q(
     "x_dpp_prune",
     (s, d) => {
+      // repartition by the partition column before the dynamic-partition
+      // write (guide §6 small-files): unclustered, every write task emits a
+      // file into every month directory it touches (~tasks × months files);
+      // clustered, each month lands in one task — ~one file per month, which
+      // the DPP-pruned re-read (and the oracle's read_parquet) then lists
+      // and opens. The explicit count uses the session's shuffle-partition
+      // knob (the parameterised scale setting, not a literal): without it
+      // AQE would coalesce this small exchange to one writer task.
       Tables.lineitem(s, d)
         .select(col("l_orderkey"),
           expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("price_cents"),
           date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("ship_month"))
         .write.mode("overwrite").partitionBy("ship_month")
         .parquet(s"$SchemaBase/fact_by_month")
       val fact = s.read.parquet(s"$SchemaBase/fact_by_month")
@@ -570,11 +580,22 @@ object Governance {
       val staged = Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"),
           expr("CAST(round(l_quantity * 100) AS BIGINT)").as("qty_cents"))
-      staged.write.mode("overwrite").parquet(s"$wap/staged")
+      // n_staged rides the staging write as an Observation — the audits still
+      // run against the STAGED files (st below), but the row count needs no
+      // separate scan of them.
+      val stObs = new org.apache.spark.sql.Observation()
+      staged.observe(stObs, count(lit(1)).as("n"))
+        .write.mode("overwrite").parquet(s"$wap/staged")
       val st = s.read.parquet(s"$wap/staged")
-      val dupKeys = st.groupBy("l_orderkey", "l_linenumber")
+      // One aggregation serves both audit faces: the duplicate KEYS feed the
+      // quarantine anti-join, and n_dup_quarantined is the sum of the dup
+      // groups' counts (identical to the old semi-join re-count of staged —
+      // every staged row in a c>1 group and only those). truncateLineage so
+      // the agg runs once; dup volume is delta-sized (bounded recompute).
+      val dup = st.groupBy("l_orderkey", "l_linenumber")
         .agg(count(lit(1)).as("c")).filter(col("c") > 1)
-        .select(col("l_orderkey"), col("l_linenumber"))
+        .truncateLineage()
+      val dupKeys = dup.select(col("l_orderkey"), col("l_linenumber"))
       val orderKeys = Tables.orders(s, d).select(col("o_orderkey"))
       val clean = st
         .join(dupKeys, Seq("l_orderkey", "l_linenumber"), "left_anti")
@@ -585,12 +606,14 @@ object Governance {
         .write.mode("overwrite").parquet(s"$wap/published/manifest")
       require(Storage.exists(s"$wap/published/manifest"), "torn publish")
       val published = s.read.parquet(s"$wap/published/data")
-      val nStaged   = st.count()
-      val nDup      = st.join(dupKeys, Seq("l_orderkey", "l_linenumber"), "left_semi").count()
+      val nStaged   = stObs.get("n").asInstanceOf[Long]
+      val nDup      = dup.agg(coalesce(sum(col("c")), lit(0L)).as("n")).head().getLong(0)
       val nOrphan   = st.join(orderKeys, st("l_orderkey") === orderKeys("o_orderkey"), "left_anti").count()
       s.range(1).select(
         lit(nStaged).as("n_staged"), lit(nDup).as("n_dup_quarantined"),
         lit(nOrphan).as("n_orphan_quarantined"),
+        // n_published stays a READ-BACK of the published artifact (the WAP
+        // contract the oracle replays by counting the same files).
         lit(published.count()).as("n_published"))
     },
     Some(s"""WITH st AS (SELECT * FROM read_parquet('$SchemaBase/wap/staged/*.parquet')),
@@ -694,8 +717,11 @@ object Governance {
       val (live, _, _) = Storage.vacuum(s, base, keepLast = 2)
       val retained = Storage.ls(base).filter(_.startsWith("snap="))
         .map(_.stripPrefix("snap=").toLong).sorted
-      val nRowsLive = s.read.parquet(s"$base/snap=$live").count()
-      val nRowsRetained = retained.map(v => s.read.parquet(s"$base/snap=$v").count()).sum
+      // count each retained snapshot once; the live snapshot is always
+      // retained, so its count is reused instead of re-scanned.
+      val rowsBySnap = retained.map(v => v -> s.read.parquet(s"$base/snap=$v").count()).toMap
+      val nRowsLive = rowsBySnap(live)
+      val nRowsRetained = rowsBySnap.values.sum
       val nStray = Storage.ls(base).count(n => n.contains("__"))
       s.range(1).select(
         lit(live).as("live_snap"),
