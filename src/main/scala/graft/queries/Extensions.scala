@@ -1545,9 +1545,14 @@ object Extensions {
       val docs = Tables.documents(s, d)
       val gated = docs.filter(
         col("lang").isin("en", "de", "es", "fr") && col("n_chars").between(30, 600))
+      // truncateLineage: exact feeds the fuzzy-dedup pair generation (two
+      // sides), the cluster relabel join, and the kept join — the full-text
+      // dedup window otherwise re-runs per consumer. Batch-output-sized pin
+      // (SCALE.md class b).
       val exact = gated
         .withColumn("__rk", row_number().over(Window.partitionBy(col("text")).orderBy(col("doc_id"))))
         .filter(col("__rk") === 1).drop("__rk")
+        .truncateLineage()
       val kept = exact.join(
         ClusterOps.dedupClusters(exact, "doc_id", "text", shingleN = 3, k = 64, bands = 16, threshold = 0.8)
           .filter(col("keep") === 1).select("doc_id"),
@@ -3710,11 +3715,16 @@ object Extensions {
         .withColumn("__m", min(col("doc_id")).over(w))
         .filter(col("doc_id") === col("__m"))
         .select("doc_id", "text", "lang", "source")
-      // (1) Repetition gate.
+      // (1) Repetition gate. truncateLineage: three later stages (training
+      // slice, classifier scoring corpus, survivor semi-join) each consume
+      // s1 — without truncation the URL-canonicalization window AND the
+      // n-gram repetition kernel (the pipeline's most expensive projection)
+      // re-run per consumer. Batch-output-sized pin (SCALE.md class b).
       val s1 = s0
         .withColumn("__rep", graft.functions.NativeFns.repetition_signals(col("text")))
         .filter(col("__rep.keep") === 1)
         .drop("__rep")
+        .truncateLineage()
       // (2) Classifier gate, trained in-pipeline on the survivors.
       val labeled = s1.filter(col("doc_id") % 3 === 0)
         .withColumn("label", when(col("text").contains("spark"), 1L).otherwise(0L))

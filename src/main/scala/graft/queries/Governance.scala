@@ -317,11 +317,14 @@ object Governance {
         .agg(min(col("l_linenumber")).as("island_start"),
           max(col("l_linenumber")).as("island_end"),
           count(lit(1)).as("island_len"))
-      val gappy = isl.groupBy(col("l_orderkey"))
-        .agg(count(lit(1)).as("n_islands"))
+      // gap orders via a per-order count window over the island frame — one
+      // pass; the previous aggregate + self-join re-derived the whole island
+      // computation (scan + distinct + window) a second time for its right
+      // side. Same rows: n_islands ≥ 2 ⟺ the order appeared in gappy.
+      isl
+        .withColumn("n_islands",
+          count(lit(1)).over(Window.partitionBy(col("l_orderkey"))))
         .filter(col("n_islands") >= 2)
-        .select(col("l_orderkey"))
-      isl.join(gappy, Seq("l_orderkey"))
         .select(col("l_orderkey"),
           col("island_start").cast("long").as("island_start"),
           col("island_end").cast("long").as("island_end"),
