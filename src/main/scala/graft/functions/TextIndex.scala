@@ -424,6 +424,14 @@ object TextIndex {
     // no broadcast hints: compaction is where the FULL accumulated
     // tombstone set is joined — a long-deferred compaction can exceed the
     // broadcast limit; the planner auto-broadcasts when it fits (r14 advice).
+    // NOTE on file fan-out: the rewrite inherits the postings SCAN's task
+    // count, which the split packer keeps near the (already bucket-
+    // clustered) input's file count — so the output stays ~one file per
+    // bucket without an explicit exchange. An added
+    // repartition(PostingBuckets, bucket) was A/B'd here and measured ~1.4 s
+    // SLOWER at quiet steal (extra exchange + 64 forced writer waves for a
+    // layout the scan already provides); on a cluster where the tombstoned
+    // scan fans out to many tasks, reintroduce the clustering.
     Storage.rewrite(
       readPostings(spark, indexPath).join(tomb, Seq("doc_id"), "left_anti"),
       s"$indexPath/postings", partitionCols = Seq("bucket"))
@@ -438,7 +446,10 @@ object TextIndex {
     Storage.rewrite(spark.read.parquet(s"$indexPath/live_corpus"), s"$indexPath/corpus")
     Storage.drop(s"$indexPath/live_corpus")
     Storage.drop(s"$indexPath/tombstones")
-    val n = spark.read.parquet(s"$indexPath/docs").count()
+    // the promoted corpus row's n_docs IS the surviving doc count (delete
+    // time subtracted exact integers; spec-pinned == rebuild) — a 1-row
+    // artifact read replaces the old full docs re-count job.
+    val n = spark.read.parquet(s"$indexPath/corpus").head().getAs[Long]("n_docs")
     Storage.replace(Seq(n).toDF("n_docs"), manifestPath(indexPath))
     true
   }

@@ -292,6 +292,9 @@ object Analytics {
               .otherwise(array().cast("array<string>"))
           ).as("tok"))
         .distinct()
+        // truncateLineage: both the universe ranking and the pair-table join
+        // consume bg — without it the bigram explode+distinct runs twice
+        .truncateLineage()
       val uni = bg.groupBy(col("tok")).agg(count(lit(1)).as("df"))
         .orderBy(col("df").desc, col("tok")).limit(200).select(col("tok"))
       val dt = bg.join(uni, "tok").cache()
