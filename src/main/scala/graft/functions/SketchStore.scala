@@ -42,6 +42,19 @@ object SketchStore {
     * parallelism at the segment count, which at 100 TB is far below the
     * cluster's — pre-rank within (seg, hv mod 32), re-rank the ≤ 32k
     * survivors.
+    *
+    * distinct-first, NOT the single-exchange dense_rank variant: the
+    * dense_rank form (rank distinct values in place, collapse duplicates at
+    * the end — one data-sized exchange instead of three) was implemented
+    * and A/B'd in r18 and measured consistently SLOWER at sf0.1 (probe
+    * 2.27 → 2.77 s, append 3.29 → 3.67 s, min-of-6 at steal < 500): the
+    * upfront distinct's map-side partial aggregation collapses co-located
+    * duplicates (same partkey within a segment arrives clustered from the
+    * scan) before any shuffle, so both window sorts run over ~2/3 the rows,
+    * which beats saving one exchange of the full stream. Guide §1.1's
+    * "fresh ideal plan is usually slower — switch back to the empirical
+    * loop". On a corpus whose duplicates are NOT scan-clustered the
+    * dense_rank form would shuffle less; revisit with that measurement.
     */
   private def segmentSketches(rows: DataFrame, k: Int): DataFrame =
     rows.select(col("seg"), col("hv")).distinct()
@@ -78,6 +91,14 @@ object SketchStore {
     require(Storage.exists(manifest(path)),
       "torn or absent sketch store: refusing to append")
     val k = spark.read.parquet(s"$path/meta").head().getAs[Long]("k").toInt
+    // Two delta passes, kept deliberately (r18 A/B): the dup check's
+    // distinct-seg scan short-circuits through CollectLimit and shuffles
+    // only ~|segments| rows, and both single-pass replacements measured
+    // SLOWER at sf0.1 quiet (parquet staging + adopt: 3.29 → 3.67 s;
+    // pin-the-sketch-frame + write-from-blocks: 3.29 → 4.0 s — the pin
+    // double-materializes the sketch rows, which costs more than the cheap
+    // check pass saves). On a cluster where the delta scan dominates, the
+    // staging variant is the right trade; see OPTIMIZATION_r18.md.
     val existing = spark.read.parquet(s"$path/segments").select(col("seg")).distinct()
     val dup = rows.select(col("seg")).distinct()
       .join(existing, Seq("seg"), "left_semi").limit(1).count()

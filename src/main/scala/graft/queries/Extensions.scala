@@ -4690,18 +4690,29 @@ object Extensions {
           col("l_linenumber").cast("long").as("seq"),
           when(col("l_quantity") < 3, "D").otherwise("U").as("op"),
           col("l_quantity").as("quantity"))
-      def state(df: org.apache.spark.sql.DataFrame, pre: String) = df
-        .groupBy(col("key"))
-        .agg(max_by(struct(col("op"), col("quantity")),
-          struct(col("seq"), col("quantity"), col("op"))).as("last"))
-        .filter(col("last.op") =!= "D")
-        .select(col("key").as(s"${pre}_key"), col("last.quantity").as(s"${pre}_qty"))
-      val old = state(ch.filter(col("seq") <= 4), "o")
-      val cur = state(ch, "c")
-      old.join(cur, col("o_key") === col("c_key"), "full_outer")
+      // BOTH snapshots' last-writer states fold into ONE per-key aggregate:
+      // the old side rides the same groupBy as a null-gated max_by over the
+      // seq ≤ 4 prefix (max_by skips null ordering keys, so a key with no
+      // prefix rows yields NULL — exactly the full-outer join's absent old
+      // side). One corpus scan + one exchange, where the two-aggregate +
+      // full-outer shape paid two of each; keys dead in both snapshots
+      // (last op = 'D' on both sides) are filtered out, matching the join
+      // that never emitted them.
+      val sq4 = col("seq") <= 4
+      ch.groupBy(col("key"))
+        .agg(
+          max_by(struct(col("op"), col("quantity")),
+            struct(col("seq"), col("quantity"), col("op"))).as("c_last"),
+          max_by(when(sq4, struct(col("op"), col("quantity"))),
+            when(sq4, struct(col("seq"), col("quantity"), col("op")))).as("o_last"))
         .select(
-          when(col("o_key").isNull, "added")
-            .when(col("c_key").isNull, "removed")
+          (col("o_last").isNotNull && col("o_last.op") =!= "D").as("o_live"),
+          (col("c_last.op") =!= "D").as("c_live"),
+          col("o_last.quantity").as("o_qty"), col("c_last.quantity").as("c_qty"))
+        .filter(col("o_live") || col("c_live"))
+        .select(
+          when(!col("o_live"), "added")
+            .when(!col("c_live"), "removed")
             .when(col("o_qty") =!= col("c_qty"), "changed")
             .otherwise("unchanged").as("status"))
         .groupBy(col("status"))

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.Layout.LineageOps
 
 /** Row-pattern and frontier analytics — the MATCH_RECOGNIZE / skyline /
   * changepoint family (SQL:2016 row pattern matching; Börzsönyi's skyline
@@ -309,9 +310,14 @@ object Patterns {
     "x_simjoin_prefix",
     (s, d) => {
       val t = 0.8
+      // truncateLineage: the shingle kernel (the query's most expensive
+      // projection) feeds the token explode, the size frame AND both verify
+      // joins — unpinned it re-runs once per consumer (guide §1.2 / the r17
+      // curation-pipeline stage-pin treatment).
       val toks = Tables.documents(s, d)
         .select(col("doc_id"),
           graft.functions.DedupOps.shingles(col("text"), 4).as("t"))
+        .truncateLineage()
       val tok  = toks.select(col("doc_id"), explode(col("t")).as("w"))
       val freq = tok.groupBy("w").agg(count(lit(1)).as("freq"))
       val sz   = toks.select(col("doc_id"), size(col("t")).cast("long").as("n"))
@@ -403,10 +409,14 @@ object Patterns {
   val simjoinIncremental = Q(
     "x_simjoin_incremental",
     (s, d) => {
+      // truncateLineage: the shingle kernel feeds the token explode and both
+      // verify joins (3 re-derivations unpinned — the r17 curation-pipeline
+      // stage-pin treatment, guide §1.2).
       val toks = Tables.documents(s, d)
         .select(col("doc_id"),
           graft.functions.DedupOps.shingles(col("text"), 4).as("t"),
           (pmod(col("doc_id"), lit(10)) === 0).as("is_delta"))
+        .truncateLineage()
       val tok = toks.select(col("doc_id"), col("is_delta"), explode(col("t")).as("w"))
       val baseFreq = tok.filter(!col("is_delta"))
         .groupBy("w").agg(count(lit(1)).as("freq"))
@@ -420,6 +430,11 @@ object Patterns {
         .filter(col("rn") <= col("n") - expr("(4 * n + 4) div 5") + 1)
         .select(col("doc_id"), col("is_delta"), col("w"),
           col("rn").cast("long").as("rn"), col("n"))
+        // pinned: the prefix frame (freq join + 2 windows) feeds BOTH sides
+        // of the candidate join with DIFFERENT filters, so exchange reuse
+        // cannot dedupe the re-derivation the way it does for the
+        // x_simjoin_prefix self-join
+        .truncateLineage()
       val prefDelta = pref.filter(col("is_delta"))
         .select(col("doc_id").as("d_id"), col("w"),
           col("rn").as("d_rn"), col("n").as("d_n"))
