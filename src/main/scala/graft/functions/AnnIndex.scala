@@ -336,7 +336,11 @@ object AnnIndex {
     if (!Storage.exists(s"$indexPath/tombstones")) return false
     val tomb   = Storage.get(spark, s"$indexPath/tombstones").truncateLineage()
     val nTomb  = tomb.count()
-    val nCodes = Storage.get(spark, codesPath(indexPath)).count()
+    // gate denominator from the manifest's 1-row count, not a full codes
+    // scan: build/append commit the OBSERVED written-row count and delete
+    // leaves codes untouched, so manifest n_codes == physical codes rows by
+    // construction (the r17 observed-count discipline applied to the gate).
+    val nCodes = manifestCodes(spark, indexPath)
     if (nTomb == 0L || (nCodes > 0L && nTomb.toDouble / nCodes.toDouble < minFraction)) return false
     Storage.drop(manifestPath(indexPath))
     val (liveObs, nLive) = observedCount(

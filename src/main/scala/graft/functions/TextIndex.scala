@@ -418,7 +418,11 @@ object TextIndex {
     if (!Storage.exists(s"$indexPath/tombstones")) return false
     val tomb  = spark.read.parquet(s"$indexPath/tombstones").truncateLineage()
     val nTomb = tomb.count()
-    val nDocs = spark.read.parquet(s"$indexPath/docs").count()
+    // gate denominator from the corpus row, not a full docs count: build
+    // writes the OBSERVED docs count, append adds its observed delta, and
+    // delete never touches the docs table — so corpus.n_docs == physical
+    // docs rows by construction (1-row read replaces a full-table job).
+    val nDocs = spark.read.parquet(s"$indexPath/corpus").head().getAs[Long]("n_docs")
     if (nTomb == 0L || (nDocs > 0L && nTomb.toDouble / nDocs.toDouble < minFraction)) return false
     Storage.drop(manifestPath(indexPath))
     // no broadcast hints: compaction is where the FULL accumulated

@@ -5400,6 +5400,12 @@ object Extensions {
         bl = bl.join(nbrMin, Seq("node"), "left")
           .select(col("node"), least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
       }
+      // NOT per-round-pinned, deliberately (r18 A/B): the 3 bounded rounds
+      // read only checkpointed inputs (be, baseK) and exchange reuse dedupes
+      // the doubled label lineage; adding a pin per round measured 2.02 ->
+      // 2.80 s at sf0.1 quiet (two extra materialization jobs for plans that
+      // were already block-backed). Contrast GraphOps' unbounded loops,
+      // where per-round truncation is REQUIRED for plan growth.
       val baseLab = bl.truncateLineage()
       // delta-involving edges only: |delta| x bounded-block
       val de = candPairs(deltaK, keyed).truncateLineage()
