@@ -44,9 +44,12 @@ object BenchSteps {
       val tok = docs.select(col("doc_id"),
         explode(TextAnalysis.tokens(col("text"))).as("tok"))
       val postings = tok.groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      // bucket layout derived from the real build's constant so this replica
+      // cannot silently drift from TextIndex.build (r17 advice)
+      val nb = TextIndex.PostingBuckets
       t("  b.postings")(
-        postings.withColumn("bucket", pmod(xxhash64(col("tok")), lit(64L)))
-          .repartition(64, col("bucket"))
+        postings.withColumn("bucket", pmod(xxhash64(col("tok")), lit(nb.toLong)))
+          .repartition(nb, col("bucket"))
           .write.mode("overwrite").partitionBy("bucket").parquet(s"$indexPath/postings"))
       val post = spark.read.parquet(s"$indexPath/postings")
       t("  b.docs")(post.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))

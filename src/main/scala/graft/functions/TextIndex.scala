@@ -107,7 +107,10 @@ object TextIndex {
       .write.mode("overwrite").parquet(s"$indexPath/stats")
     // corpus stats carry the exact integer totals so the append path can
     // re-derive the identical avgdl double (same sum/count division).
-    Seq((nDocs, totalDl, totalDl.toDouble / nDocs.toDouble))
+    // nDocs == 0 guard (r17 advice): an empty corpus would otherwise write
+    // avgdl = NaN where the pre-r17 aggregate path produced a well-defined
+    // 0-docs row — keep the artifact shape stable for empty builds.
+    Seq((nDocs, totalDl, if (nDocs == 0L) 0.0 else totalDl.toDouble / nDocs.toDouble))
       .toDF("n_docs", "total_dl", "avgdl")
       .write.mode("overwrite").parquet(s"$indexPath/corpus")
     Storage.replace(Seq(nDocs).toDF("n_docs"), manifestPath(indexPath))

@@ -825,7 +825,11 @@ object Analytics {
       // from coalescing the tiny exchange back to one task.
       val b = daily.select(col("pri").as("pri2"), col("x").as("x2"), col("cents").as("cents2"))
         .withColumn("bucket", pmod(col("x2"), lit(buckets)).cast("int"))
-        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
+        .repartition(
+          // tolerate a non-numeric session value (AQE's "auto") — fall back
+          // to defaultParallelism rather than NumberFormatException
+          scala.util.Try(s.conf.get("spark.sql.shuffle.partitions").toInt)
+            .getOrElse(s.sparkContext.defaultParallelism),
           col("pri2"), col("bucket"))
       val pairsAll = aExp.join(b,
           col("pri") === col("pri2") && col("bb") === col("bucket") && col("x2") > col("x"))

@@ -434,7 +434,12 @@ object Governance {
         .select(col("l_orderkey"),
           expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("price_cents"),
           date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
-        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("ship_month"))
+        .repartition(
+          // tolerate a non-numeric session value (AQE's "auto") — fall back
+          // to defaultParallelism rather than NumberFormatException
+          scala.util.Try(s.conf.get("spark.sql.shuffle.partitions").toInt)
+            .getOrElse(s.sparkContext.defaultParallelism),
+          col("ship_month"))
         .write.mode("overwrite").partitionBy("ship_month")
         .parquet(s"$SchemaBase/fact_by_month")
       val fact = s.read.parquet(s"$SchemaBase/fact_by_month")
